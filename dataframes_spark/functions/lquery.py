@@ -1,0 +1,153 @@
+"""LQuery: the reference's JSON scalar-expression DSL, compiled to Spark
+``Column`` expressions.
+
+The reference ships filter predicates and row-wise maps from the host
+language to its C++ engine as a small JSON AST (grammar parsed in
+reference: native_libs/src/LQuery/AST.cpp:60-152) and interprets it
+whole-column (reference: native_libs/src/LQuery/Interpreter.cpp). Here the
+same JSON compiles to a Catalyst expression tree instead — the "interpreter"
+is whole-stage codegen, so filters push down to the parquet scan and the
+expression fuses with neighboring operators for free.
+
+Grammar (one JSON node each):
+    {"column": name}                        column reference
+    123 / 1.5 / "text"                      literals
+    {"timestampNs": i}                      timestamp literal (ns since epoch)
+    {"operation": op, "arguments": [...]}   op in: plus minus times divide mod
+                                            negate abs day month year
+    {"predicate": op, "arguments": [...]}   op in: gt lt eq startsWith matches
+    {"boolean": op, "arguments": [...]}     op in: and or not
+    {"condition": p, "onTrue": v, "onFalse": v}
+
+Null semantics: the reference evaluates on raw buffers then nulls out any
+row where a referenced column is null — filters drop the row, maps yield
+null (reference: native_libs/src/LQuery/Interpreter.cpp:320-338,419-449).
+Spark's SQL null propagation produces the same observable behavior for
+every operator in the grammar, so no special handling is needed.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class LQueryError(ValueError):
+    pass
+
+
+def _binary_chain(op, args: list[Column]) -> Column:
+    if len(args) < 2:
+        raise LQueryError("binary operation needs >= 2 arguments")
+    out = args[0]
+    for a in args[1:]:
+        out = op(out, a)
+    return out
+
+
+# `mod` in the reference is C++ `%` / fmod — sign follows the dividend,
+# which is Spark's `%` too (reference: native_libs/src/LQuery/Functions.h:97-121).
+_OPERATIONS = {
+    "plus": lambda a: _binary_chain(lambda x, y: x + y, a),
+    "minus": lambda a: _binary_chain(lambda x, y: x - y, a),
+    "times": lambda a: _binary_chain(lambda x, y: x * y, a),
+    "divide": lambda a: _binary_chain(lambda x, y: x / y, a),
+    "mod": lambda a: _binary_chain(lambda x, y: x % y, a),
+    "negate": lambda a: -a[0],
+    "abs": lambda a: F.abs(a[0]),
+    "day": lambda a: F.dayofmonth(a[0]),
+    "month": lambda a: F.month(a[0]),
+    "year": lambda a: F.year(a[0]),
+}
+
+_PREDICATES = {
+    "gt": lambda a: a[0] > a[1],
+    "lt": lambda a: a[0] < a[1],
+    "eq": lambda a: a[0] == a[1],
+    # Reference uses std::string::starts_with semantics
+    # (reference: native_libs/src/LQuery/Functions.h:67-80).
+    "startsWith": lambda a: a[0].startswith(a[1]),
+    # Reference `matches` is std::regex_match — a FULL match
+    # (reference: native_libs/src/LQuery/Functions.h:81-94); Spark rlike is
+    # find-anywhere, so anchor the pattern in a non-capturing group.
+    "matches": lambda a: a[0].rlike(_anchor_regex(a[1])),
+}
+
+_BOOLEANS = {
+    "and": lambda a: _binary_chain(lambda x, y: x & y, a),
+    "or": lambda a: _binary_chain(lambda x, y: x | y, a),
+    "not": lambda a: ~a[0],
+}
+
+
+def _anchor_regex(pattern_col: Any) -> str:
+    # rlike takes a string pattern, not a column — the DSL only ever ships
+    # literal patterns (reference: native_libs/src/LQuery/AST.cpp:120-130).
+    if not isinstance(pattern_col, str):
+        raise LQueryError("matches requires a literal string pattern")
+    return f"^(?:{pattern_col})$"
+
+
+def compile_value(node: Any) -> Column:
+    """Compile a value-producing LQuery node to a Column."""
+    if isinstance(node, bool):
+        raise LQueryError("boolean literals are not in the LQuery grammar")
+    if isinstance(node, (int, float)):
+        return F.lit(node)
+    if isinstance(node, str):
+        return F.lit(node)
+    if isinstance(node, dict):
+        if "column" in node:
+            return F.col(node["column"])
+        if "timestampNs" in node:
+            # Reference timestamps are ns since epoch; Spark's are µs —
+            # truncate (documented delta, SURVEY.md §7).
+            return F.timestamp_micros(F.lit(int(node["timestampNs"]) // 1000))
+        if "operation" in node:
+            op = node["operation"]
+            if op not in _OPERATIONS:
+                raise LQueryError(f"unknown operation {op!r}")
+            args = [compile_value(x) for x in node.get("arguments", [])]
+            return _OPERATIONS[op](args)
+        if "condition" in node:
+            return F.when(
+                compile_predicate(node["condition"]),
+                compile_value(node["onTrue"]),
+            ).otherwise(compile_value(node["onFalse"]))
+        if "predicate" in node or "boolean" in node:
+            return compile_predicate(node)
+    raise LQueryError(f"unrecognized LQuery value node: {node!r}")
+
+
+def compile_predicate(node: Any) -> Column:
+    """Compile a predicate LQuery node to a boolean Column."""
+    if isinstance(node, dict):
+        if "predicate" in node:
+            op = node["predicate"]
+            if op not in _PREDICATES:
+                raise LQueryError(f"unknown predicate {op!r}")
+            raw_args = node.get("arguments", [])
+            if op in ("startsWith", "matches"):
+                args = [compile_value(raw_args[0]), raw_args[1]]
+                if op == "startsWith":
+                    args[1] = F.lit(args[1])
+            else:
+                args = [compile_value(x) for x in raw_args]
+            return _PREDICATES[op](args)
+        if "boolean" in node:
+            op = node["boolean"]
+            if op not in _BOOLEANS:
+                raise LQueryError(f"unknown boolean op {op!r}")
+            args = [compile_predicate(x) for x in node.get("arguments", [])]
+            return _BOOLEANS[op](args)
+    raise LQueryError(f"unrecognized LQuery predicate node: {node!r}")
+
+
+def compile_json(text: str, *, predicate: bool = False) -> Column:
+    """Compile LQuery JSON text, the exact payload the reference ships over
+    its FFI (reference: src/Internal/CWrappers.luna:307-323)."""
+    node = json.loads(text)
+    return compile_predicate(node) if predicate else compile_value(node)

@@ -1,0 +1,141 @@
+"""Descriptive statistics: whole-column stats, describe, correlations.
+
+Reference surface: whole-column min/max/mean/median/std/var/sum/quantile
+(reference: native_libs/src/Analysis.cpp:255-413), ``describe``
+(src/Table.luna:1199-1208,1321-1361), ``describeNa``/null counts
+(src/Table.luna:1096-1105), Pearson ``correlations`` matrix with
+pairwise-complete semantics (native_libs/src/Analysis.cpp:415-519),
+``correlationsWith`` (Analysis.cpp:469-488) and ``autoCorr``
+(Analysis.cpp:521-526).
+
+All of it is a single distributed aggregation pass — one job, map-side
+partials, a one-row (or #columns-row) result. Nothing collects data to the
+driver except the final tiny frame.
+
+Quantile semantics: we follow ANSI ``percentile_cont``-style ``(N-1)*q``
+interpolation (Spark ``percentile``, DuckDB ``quantile_cont``), NOT the
+reference's ``N*q - 0.5`` midpoint rule (Analysis.cpp:19-37) — documented
+delta, SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [c for c, t in df.dtypes if t.split("(")[0] in NUMERIC_TYPES]
+
+
+def column_stats(df: DataFrame, col: str, quantile: float = 1.0 / 3.0) -> DataFrame:
+    """Single-row frame of whole-column statistics (reference:
+    src/Column.luna:174-181). std/var are population moments
+    (boost accumulators in Analysis.cpp:136-153 are population variance)."""
+    c = F.col(col)
+    return df.agg(
+        F.min(c).cast("double").alias("min"),
+        F.max(c).cast("double").alias("max"),
+        F.avg(c).alias("mean"),
+        F.expr(f"percentile({col}, 0.5)").alias("median"),
+        F.stddev_pop(c).alias("std"),
+        F.var_pop(c).alias("var"),
+        F.sum(c).cast("double").alias("sum"),
+        F.expr(f"percentile({col}, {quantile!r})").alias("quantile"),
+    )
+
+
+def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-numeric-column mean/std/min/q25/median/q75/max, one row per
+    column (reference: src/Table.luna:1321-1361). Computed as ONE wide
+    aggregation then unpivoted — a single pass over the data regardless of
+    column count."""
+    cols = list(cols) if cols is not None else numeric_columns(df)
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.avg(c).alias(f"{c}__mean"),
+            F.stddev_pop(c).alias(f"{c}__std"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.expr(f"percentile({c}, 0.25)").alias(f"{c}__q25"),
+            F.expr(f"percentile({c}, 0.5)").alias(f"{c}__median"),
+            F.expr(f"percentile({c}, 0.75)").alias(f"{c}__q75"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__mean, {c}__std, {c}__min, {c}__q25, {c}__median, {c}__q75, {c}__max"
+        for c in cols
+    )
+    n = len(cols)
+    return wide.select(
+        F.expr(
+            f"stack({n}, {stack_args}) as "
+            "(column, mean, std, min, q25, median, q75, max)"
+        )
+    )
+
+
+def describe_na(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Null count + null ratio per column (reference:
+    src/Table.luna:1096-1105), one aggregation pass."""
+    cols = list(cols) if cols is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', {c}__nulls" for c in cols)
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) as (column, null_count)"),
+        (F.col("__n")).alias("__n"),
+    ).select(
+        "column",
+        "null_count",
+        (F.col("null_count") / F.col("__n")).alias("null_ratio"),
+    )
+
+
+def correlations(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Pearson correlation for every pair of numeric columns, long format
+    ``(col_a, col_b, corr)`` (reference matrix: Analysis.cpp:415-519;
+    pairwise-complete — Spark's ``corr`` aggregate also skips any-null
+    pairs). One aggregation pass computes all O(k^2) cells."""
+    cols = list(cols) if cols is not None else numeric_columns(df)
+    aggs = [
+        F.corr(a, b).alias(f"{a}__{b}")
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ]
+    wide = df.agg(*aggs)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    stack_args = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return wide.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)")
+    )
+
+
+def correlations_with(df: DataFrame, target: str, cols: Sequence[str] | None = None) -> DataFrame:
+    """Correlation of each numeric column with ``target``, sorted by value
+    (reference: Analysis.cpp:469-488)."""
+    cols = list(cols) if cols is not None else numeric_columns(df)
+    aggs = [F.corr(c, target).alias(c) for c in cols]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) as (column, corr)")
+    ).orderBy(F.col("corr").desc())
+
+
+def auto_corr(df: DataFrame, col: str, order_by: str, lag: int = 1) -> DataFrame:
+    """Pearson corr of a column against its lag, over an explicit ordering
+    (reference: Analysis.cpp:521-526 — implicit row order; distribution
+    requires the order to be named). Window-lag then one corr aggregate."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(order_by)
+    lagged = df.select(F.col(col), F.lag(col, lag).over(w).alias("__lag"))
+    return lagged.agg(F.corr(col, "__lag").alias("autocorr"))

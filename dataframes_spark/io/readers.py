@@ -1,0 +1,134 @@
+"""Readers: format auto-detection + CSV with reference-style type inference.
+
+Reference: ``Table.read`` sniffs the file signature then fallback-parses in
+XLSX -> Feather -> CSV order (reference: native_libs/src/IO/IO.cpp:83-90,
+signature sniffing IO.cpp:182-216). Its CSV parser infers per-column types
+with precedence TIMESTAMP > INT64 > DOUBLE > STRING and conflict rules
+(csv.cpp:30-41,153-188): TIMESTAMP + anything-else -> STRING, any STRING ->
+STRING, else DOUBLE over INT64; an empty cell marks the column nullable.
+
+Spark-first: sniff only the first few bytes driver-side (cheap, one small
+read), then hand the path to ``spark.read.<format>`` so the actual data
+flows through Spark's distributed, vectorized readers. Parquet replaces
+Feather as the idiomatic columnar format (both are Arrow-compatible
+columnar; parquet scans support predicate pushdown + partition pruning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# magic-byte signatures (reference: IO/IO.cpp:182-216, Feather.cpp:10-13)
+_SIGNATURES = [
+    (b"PAR1", "parquet"),
+    (b"FEA1", "feather"),
+    (b"PK\x03\x04", "xlsx"),  # xlsx is a zip container
+    (b"ORC", "orc"),
+    (b"Obj\x01", "avro"),
+]
+
+_EXTENSIONS = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".csv": "csv",
+    ".txt": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".orc": "orc",
+    ".feather": "feather",
+    ".xlsx": "xlsx",
+}
+
+
+def detect_format(path: str) -> str:
+    """Extension first, magic bytes as fallback, CSV as last resort —
+    the reference's sniff-then-fallback-parse chain (IO.cpp:83-90)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _EXTENSIONS:
+        return _EXTENSIONS[ext]
+    try:
+        head = open(path, "rb").read(8)
+    except (OSError, IsADirectoryError):
+        return "parquet"  # directories: assume a parquet dataset
+    for sig, fmt in _SIGNATURES:
+        if head.startswith(sig):
+            return fmt
+    return "csv"
+
+
+def read_auto(spark: SparkSession, path: str, **options) -> DataFrame:
+    fmt = detect_format(path)
+    if fmt == "csv":
+        return read_csv(spark, path, **options)
+    if fmt == "feather":
+        return _read_feather(spark, path)
+    if fmt == "xlsx":
+        return _read_xlsx(spark, path)
+    return spark.read.format(fmt).load(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV with Spark's distributed parser. ``inferSchema`` gives the
+    reference's INT64/DOUBLE/STRING precedence; timestamp inference is
+    enabled to match its TIMESTAMP-first rule (csv.cpp:153-188).
+    RFC-4180 quoting/escaping/multiline handled by the multiLine option."""
+    reader = (
+        spark.read.option("header", header)
+        .option("inferSchema", infer)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("inferTimestamp", True)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_csv_text(spark: SparkSession, text: str, **options) -> DataFrame:
+    """Parse in-memory CSV text (reference ``readText``,
+    src/IO.luna:91-92). Driver-side convenience — the text already lives
+    on the driver, so parallelize is appropriate."""
+    from pyspark.sql.types import StringType
+
+    lines = spark.createDataFrame(
+        [(line,) for line in text.splitlines()], ["value"]
+    )
+    reader = spark.read.option("header", options.pop("header", True)).option(
+        "inferSchema", options.pop("infer", True)
+    )
+    return reader.csv(lines.rdd.map(lambda r: r[0]))
+
+
+def _read_feather(spark: SparkSession, path: str) -> DataFrame:
+    """Feather (Arrow IPC) has no distributed Spark reader; read via
+    pyarrow on the driver and parallelize through Arrow. Fine for the
+    reference's convenience use case; large data should be parquet."""
+    import pyarrow.feather as feather
+
+    table = feather.read_table(path)
+    return spark.createDataFrame(table.to_pandas())
+
+
+def _read_xlsx(spark: SparkSession, path: str) -> DataFrame:
+    """XLSX via openpyxl/pandas on the driver if available, else a clear
+    error (the xlnt dependency is optional in the reference too,
+    src/IO.luna:94-123)."""
+    try:
+        import pandas as pd
+
+        return spark.createDataFrame(pd.read_excel(path))
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "xlsx reading requires openpyxl; install it or convert to csv/parquet"
+        ) from e

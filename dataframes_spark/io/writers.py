@@ -1,0 +1,28 @@
+"""Writers: format from extension (reference: src/Table.luna:148-149,
+native_libs/src/IO/IO.cpp:92-99).
+
+Spark writers are distributed — each partition writes its own file; a
+single-file CSV (what the reference produces) needs coalesce(1), which is
+only sane for small outputs, so it's opt-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dataframes_spark.io.readers import detect_format
+
+
+def write_auto(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False, **options) -> None:
+    fmt = detect_format(path)
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", True))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if fmt in ("feather", "xlsx"):
+        # no distributed writer; go through the driver (small data only)
+        out.toPandas().to_parquet(path) if fmt == "feather" else out.toPandas().to_excel(path)
+        return
+    writer.format(fmt).save(path)

@@ -1,0 +1,74 @@
+"""Null-handling operators: dropNa, fillNa, interpolate.
+
+Reference: ``dropNa``/``dropNaAt`` (reference: src/Table.luna:972-997,
+engine native_libs/src/Processing.cpp:376-402), ``fillNa``/``fillNaAt``
+with per-type value coercion (src/Table.luna:1019-1048, Processing.cpp:
+404-495) and linear ``interpolate`` (src/Table.luna:1071-1072,
+Processing.cpp:271-321,341-374).
+
+dropna/fillna map directly onto Spark's ``DataFrameNaFunctions`` (pure
+Catalyst). Interpolation is the interesting one — see ``interpolate``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def drop_na(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Drop rows with a null in any (or the given) columns."""
+    return df.dropna(subset=list(subset) if subset else None)
+
+
+def fill_na(df: DataFrame, value, subset: Sequence[str] | None = None) -> DataFrame:
+    """Fill nulls; Spark already coerces the fill value per column type,
+    matching the reference's ConvertTo pass (Processing.cpp:561-609)."""
+    return df.fillna(value, subset=list(subset) if subset else None)
+
+
+def interpolate(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: str,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation of nulls in numeric columns over an explicit
+    ordering (the reference interpolates in implicit row order,
+    Processing.cpp:271-321; distributed execution needs the order named).
+
+    Edge rules kept from the reference (tests: native_libs/test/
+    Tests.cpp:1023-1033): leading nulls take the first valid value,
+    trailing nulls take the last valid value; an all-null column is
+    returned unchanged (Processing.cpp:345-350).
+
+    Plan shape: two window passes (last-valid-before and first-valid-after)
+    plus a positional lerp between them — all built-in window aggregates,
+    no UDF. With ``partition_by`` the windows are per-partition and scale
+    horizontally; without it the global order degrades to a single-reducer
+    sort, which is inherent to the semantics.
+    """
+    parts = list(partition_by) if partition_by else []
+    base = W.partitionBy(*parts).orderBy(order_by) if parts else W.orderBy(order_by)
+    w_back = base.rowsBetween(W.unboundedPreceding, 0)
+    w_fwd = base.rowsBetween(0, W.unboundedFollowing)
+
+    out = df.withColumn("__pos", F.row_number().over(base))
+    for c in cols:
+        val = F.col(c).cast("double")
+        pos = F.col("__pos")
+        prev_val = F.last(val, ignorenulls=True).over(w_back)
+        next_val = F.first(val, ignorenulls=True).over(w_fwd)
+        prev_pos = F.last(F.when(val.isNotNull(), pos), ignorenulls=True).over(w_back)
+        next_pos = F.first(F.when(val.isNotNull(), pos), ignorenulls=True).over(w_fwd)
+        lerp = prev_val + (next_val - prev_val) * (pos - prev_pos) / (next_pos - prev_pos)
+        filled = (
+            F.when(val.isNotNull(), val)
+            .when(prev_val.isNull(), next_val)   # leading nulls <- first valid
+            .when(next_val.isNull(), prev_val)   # trailing nulls <- last valid
+            .otherwise(lerp)
+        )
+        out = out.withColumn(c, filled)
+    return out.drop("__pos")

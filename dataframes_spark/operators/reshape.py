@@ -1,0 +1,64 @@
+"""Reshaping: split+explode (ungroup), horizontal concat, slice/take/drop.
+
+Reference: ``ungroupSplittingOn`` splits a string column on a separator
+and explodes, duplicating the other columns per element; rows whose string
+is null vanish (reference: native_libs/src/Processing.cpp:694-819, test
+Tests.cpp:1222-1241). Horizontal ``concat`` zips same-length tables by
+column (src/Table.luna:278-310). ``slice``/``take``/``drop`` are row
+ranges (src/Table.luna:602-663).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def ungroup_splitting_on(df: DataFrame, col: str, sep: str) -> DataFrame:
+    """split -> explode. Plain ``explode`` yields zero rows for null/empty
+    arrays, which is exactly the reference's null-row-vanishes semantics
+    (Tests.cpp:1222-1241). Explode is a generator inside whole-stage
+    codegen — no shuffle."""
+    others = [c for c in df.columns if c != col]
+    # escape the separator: reference splits on a literal string
+    import re
+
+    pattern = re.escape(sep)
+    return df.select(*others, F.explode(F.split(F.col(col), pattern)).alias(col)) \
+             .select(*df.columns)
+
+
+def ungroup(df: DataFrame, col: str) -> DataFrame:
+    """Explode an existing array column (reference C++-only ``ungroup``,
+    Processing.cpp:774-812)."""
+    others = [c for c in df.columns if c != col]
+    return df.select(*others, F.explode(F.col(col)).alias(col)).select(*df.columns)
+
+
+def concat_horizontal(left: DataFrame, right: DataFrame, order_left: Sequence[str], order_right: Sequence[str]) -> DataFrame:
+    """Horizontal (by-column) concat of two same-length frames
+    (reference: src/Table.luna:278-310).
+
+    Spark has no positional row identity, so rows are aligned by a
+    row_number over an explicit deterministic ordering of each side, then
+    joined on it. This is 2 sorts + 1 shuffle join — unavoidable for
+    positional semantics in a distributed engine; prefer a real key join
+    when one exists.
+    """
+    lw = W.orderBy(*[F.col(c) for c in order_left])
+    rw = W.orderBy(*[F.col(c) for c in order_right])
+    l_idx = left.withColumn("__rid", F.row_number().over(lw))
+    r_idx = right.withColumn("__rid", F.row_number().over(rw))
+    return l_idx.join(r_idx, "__rid", "inner").drop("__rid")
+
+
+def slice_rows(df: DataFrame, begin: int, count: int, order_by: Sequence[str]) -> DataFrame:
+    """Row-range selection over an explicit ordering (reference
+    ``slice``/``take``/``drop``, src/Table.luna:602-663). Uses
+    offset+limit (Spark 3.4+) so the plan stays a bounded fetch."""
+    out = df.orderBy(*order_by)
+    if begin:
+        out = out.offset(begin)
+    return out.limit(count)

@@ -1,0 +1,56 @@
+"""Multi-key sort with per-key direction and null placement.
+
+Reference: stable multi-key lexicographic sort, per key Asc/Desc x
+NullsBefore/NullsAfter (reference: src/Table.luna:806-952, engine
+native_libs/src/Sort.cpp:131-216 — permutation built by reversed
+successive std::stable_sort passes).
+
+Spark's ``orderBy`` is a range-partitioned distributed sort — sampled
+range boundaries, one shuffle, per-partition sort; it scales where the
+reference's single-threaded permutation sort cannot. Spark's sort is NOT
+stable across equal keys, so callers needing the reference's stability add
+an explicit tiebreaker key (a pre-existing row id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sort_by(
+    df: DataFrame,
+    keys: Sequence[tuple[str, str, str]],
+    stable_tiebreaker: str | None = None,
+) -> DataFrame:
+    """``keys`` is a list of (column, 'asc'|'desc', 'nulls_first'|'nulls_last').
+
+    ``stable_tiebreaker``: optional column appended ascending to emulate
+    the reference's stable sort deterministically.
+    """
+    exprs: list[Column] = []
+    for col, direction, nulls in keys:
+        c = F.col(col)
+        asc = direction.lower() == "asc"
+        first = nulls.lower() == "nulls_first"
+        if asc and first:
+            exprs.append(c.asc_nulls_first())
+        elif asc:
+            exprs.append(c.asc_nulls_last())
+        elif first:
+            exprs.append(c.desc_nulls_first())
+        else:
+            exprs.append(c.desc_nulls_last())
+    if stable_tiebreaker:
+        exprs.append(F.col(stable_tiebreaker).asc())
+    return df.orderBy(*exprs)
+
+
+def top_k(df: DataFrame, keys: Sequence[tuple[str, str, str]], k: int) -> DataFrame:
+    """orderBy + limit — Spark plans this as TakeOrderedAndProject: each
+    partition keeps a k-row heap, only k rows per partition move, no full
+    sort. The reference can only full-sort then take
+    (src/Table.luna:602-663)."""
+    return sort_by(df, keys).limit(k)

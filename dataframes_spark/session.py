@@ -1,0 +1,87 @@
+"""SparkSession bootstrap.
+
+Defaults are tuned so the same code is correct on ``local[32]`` (the test
+harness) and on a large cluster: AQE handles runtime re-planning and skew,
+shuffle partitions default to the local core count but should be overridden
+(or left to AQE coalescing) on a real cluster, and Arrow is enabled so any
+Pandas-UDF escape hatch moves data in columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "dataframes_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-ready defaults.
+
+    - AQE on: runtime partition coalescing + skew-join splitting means the
+      same plan survives a 100x scale-up without re-tuning.
+    - ``spark.sql.shuffle.partitions`` matches local parallelism here; on a
+      cluster AQE coalescing makes the initial value mostly irrelevant.
+    - UTC session timezone: the reference stores timestamps as raw epoch
+      nanoseconds (reference: native_libs/src/Core/ArrowUtilities.h:27),
+      i.e. timezone-naive; UTC gives the same arithmetic.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the synthetic events table stores timestamp[ns]; Spark has no ns
+        # timestamp type, so read as epoch-ns long and convert in the loader
+        # (lossless here — sub-microsecond components are zero; SURVEY.md §7)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one synthetic table lazily (scans don't run until an action;
+    column pruning and predicate pushdown reach the parquet reader).
+
+    ``events.ts`` is stored as timestamp[ns], surfaced by the nanosAsLong
+    flag as an epoch-ns BIGINT — convert to a proper TimestampType (µs,
+    lossless for this data).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load every synthetic table from a scale-factor directory."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
