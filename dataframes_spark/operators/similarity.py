@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond the reference's surface — approximate-nearest-neighbor primitives
+for a training-data pipeline:
+
+- brute_force_topk:  exact cosine top-k against one query vector. The
+                     query is a plan-time literal, so the scan is a single
+                     map + TakeOrdered — no shuffle of the corpus.
+- all_pairs_topk:    exact top-k neighbors for every row (small/medium
+                     corpora or within LSH buckets).
+- lsh_bucket_topk:   scale path — random-hyperplane LSH buckets the
+                     corpus; candidates only meet inside a bucket, so the
+                     join shuffles each vector a constant number of times
+                     instead of O(N^2).
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM array expressions,
+no Python UDF. Norms are precomputed once per row.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def _unit(vd: Column) -> Column:
+    """Normalize an array to unit length (norm computed once via a let-style
+    single-arg closure; multi-arg lambdas would bind the HOF index arg)."""
+    n = _norm(vd)
+    return F.transform(vd, lambda v: v / n)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns (cast to double first for
+    stable arithmetic)."""
+    ad = F.transform(a, lambda v: v.cast("double"))
+    bd = F.transform(b, lambda v: v.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    The query enters the plan as a literal array; the per-row score is one
+    fused expression, and orderBy+limit plans as TakeOrderedAndProject —
+    each partition keeps a k-heap, only k rows per partition reach the
+    driver-side merge. Scales linearly with the corpus.
+    """
+    q = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    qcol = F.array(*[F.lit(x) for x in q])
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    score = _dot(vd, qcol) / (_norm(vd) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def all_pairs_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact k nearest neighbors for every row: normalized self-join +
+    per-id window top-k. O(N^2) dot products — correct baseline for
+    small corpora and the verification stage inside LSH buckets."""
+    from pyspark.sql import Window as W
+
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    prepped = df.select(
+        F.col(id_col).alias("id"),
+        _unit(vd).alias("unit"),
+    )
+    pairs = (
+        prepped.alias("a")
+        .join(prepped.alias("b"), F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of ``num_planes`` fixed random
+    projections forms a bucket id. Deterministic (seeded LCG generates the
+    planes driver-side — tiny, independent of data size)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    # deterministic pseudo-random hyperplanes via an LCG — no numpy needed
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 30) - 1.0)  # uniform [-1, 1)
+        planes.append(row)
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    bucket = None
+    for i, plane in enumerate(planes):
+        proj = _dot(vd, F.array(*[F.lit(x) for x in plane]))
+        bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate per-row top-k: bucket by random hyperplanes, exact
+    cosine within each bucket. The self-join shuffles on the bucket id —
+    at 100 TB each vector meets only its bucket-mates, never the corpus."""
+    from pyspark.sql import Window as W
+
+    b = hyperplane_buckets(df, vec_col, id_col, num_planes, seed)
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    prepped = b.select(
+        F.col(id_col).alias("id"),
+        "bucket",
+        _unit(vd).alias("unit"),
+    )
+    pairs = (
+        prepped.alias("a")
+        .join(
+            prepped.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
