@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md §2 (reference
+parity) or a beyond-reference pipeline operator, implemented through the
+``dataframes_spark`` package; ``oracle_sql()`` holds the DuckDB twin with
+identical column names and identical rounding, so the driver's
+row-count/schema/value-hash comparison is exact.
+
+Floating-point policy: any aggregate whose value depends on summation
+order (sum/avg/std/corr over doubles) is rounded to a fixed number of
+decimals IN BOTH ENGINES, so hash comparison is deterministic; columns
+that are copied or deterministically derived per-row are left exact.
 """
 
 from __future__ import annotations
@@ -12,27 +17,842 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from dataframes_spark.core import Table
+from dataframes_spark.functions import stats as dstats
+from dataframes_spark.functions import text as dtext
+from dataframes_spark.operators import aggregate as dagg
+from dataframes_spark.operators import dedup as ddedup
+from dataframes_spark.operators import nulls as dnulls
+from dataframes_spark.operators import reshape as dreshape
+from dataframes_spark.operators import similarity as dsim
+from dataframes_spark.operators import sort as dsort
+from dataframes_spark.operators import window as dwindow
+from dataframes_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _events_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with deterministic injected nulls (the synthetic tables are
+    null-free; both engines inject identically: value -> NULL when
+    event_id % 7 == 0)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    )
+
+
+_EVENTS_NULLS_SQL = (
+    "SELECT event_id, ts, user_id, event_type, "
+    "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value, props FROM events"
+)
+
+
+# --------------------------------------------------------------------------
+# reference-parity queries (SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: scan -> filter -> group-aggregate -> sort (SURVEY §7 phase 1).
+    Catalyst pushes the shipdate filter into the parquet scan; the
+    aggregation is a partial+final hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def lquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQuery JSON predicate -> Catalyst filter (SURVEY §2.3)."""
+    li = Table(_t(spark, sf_dir, "lineitem"))
+    pred = {
+        "boolean": "and",
+        "arguments": [
+            {"predicate": "gt", "arguments": [{"column": "l_quantity"}, 25]},
+            {"predicate": "startsWith", "arguments": [{"column": "l_returnflag"}, "A"]},
+        ],
+    }
+    return li.filter(pred).df.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+def lquery_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQuery row-wise map incl. arithmetic + condition node (SURVEY §2.3)."""
+    li = Table(_t(spark, sf_dir, "lineitem"))
+    disc_price = {
+        "operation": "times",
+        "arguments": [
+            {"column": "l_extendedprice"},
+            {"operation": "minus", "arguments": [1, {"column": "l_discount"}]},
+        ],
+    }
+    band = {
+        "condition": {"predicate": "gt", "arguments": [{"column": "l_discount"}, 0.05]},
+        "onTrue": "HIGH",
+        "onFalse": "LOW",
+    }
+    out = li.each("disc_price", disc_price).each("disc_band", band).df
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("disc_price"), 4).alias("disc_price"),
+        "disc_band",
+    )
+
+
+def aggregate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateBy with the reference output contract: <col>_<fn> names,
+    all-double, length counts all rows (SURVEY §2.5)."""
+    li = Table(_t(spark, sf_dir, "lineitem"))
+    out = li.aggregateBy(
+        "l_returnflag",
+        [("l_quantity", ["min", "max", "mean", "sum", "length", "median", "std"])],
+    ).df
+    return out.select(
+        "l_returnflag",
+        "l_quantity_min",
+        "l_quantity_max",
+        F.round("l_quantity_mean", 6).alias("l_quantity_mean"),
+        F.round("l_quantity_sum", 4).alias("l_quantity_sum"),
+        "l_quantity_length",
+        "l_quantity_median",
+        F.round("l_quantity_std", 6).alias("l_quantity_std"),
+    )
+
+
+def count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countValues (SURVEY §2.5): value -> occurrence count."""
+    return dagg.count_values(_t(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-column statistics, single row (SURVEY §2.5)."""
+    out = dstats.column_stats(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 1.0 / 3.0)
+    return out.select(
+        "min",
+        "max",
+        F.round("mean", 4).alias("mean"),
+        F.round("median", 4).alias("median"),
+        F.round("std", 4).alias("std"),
+        F.round("var", 2).alias("var"),
+        F.round("sum", 2).alias("sum"),
+        F.round("quantile", 4).alias("quantile"),
+    )
+
+
+def describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe: per-numeric-column summary rows (SURVEY §2.5)."""
+    out = dstats.describe(
+        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    return out.select(
+        "column",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        "min",
+        F.round("q25", 4).alias("q25"),
+        F.round("median", 4).alias("median"),
+        F.round("q75", 4).alias("q75"),
+        "max",
+    )
+
+
+def describe_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null profiling (SURVEY §2.5) over null-injected events."""
+    ev = _events_with_nulls(spark, sf_dir)
+    out = dstats.describe_na(ev, ["event_id", "value", "props"])
+    return out.select("column", "null_count", F.round("null_ratio", 6).alias("null_ratio"))
+
+
+def correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix, long form (SURVEY §2.5)."""
+    out = dstats.correlations(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return out.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
+def autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """autoCorr lag-1 (SURVEY §2.5)."""
+    out = dstats.auto_corr(_t(spark, sf_dir, "events"), "value", "event_id", 1)
+    return out.select(F.round("autocorr", 6).alias("autocorr"))
+
+
+def rsi_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI aggregate over a signed measure (SURVEY §2.5 / Analysis.cpp:217)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qdev", F.col("l_quantity") - F.lit(25.0)
+    )
+    out = dagg.aggregate_by(li, "l_returnflag", [("qdev", ["rsi"])])
+    return out.select("l_returnflag", F.round("qdev_rsi", 6).alias("qdev_rsi"))
+
+
+def sort_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort w/ null placement + take (SURVEY §2.8, §2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = dsort.sort_by(
+        li,
+        [
+            ("l_returnflag", "asc", "nulls_first"),
+            ("l_extendedprice", "desc", "nulls_last"),
+        ],
+        stable_tiebreaker="l_orderkey",
+    ).limit(100)
+    return out.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+
+
+def slice_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slice begin count over explicit order (SURVEY §2.2)."""
+    orders = _t(spark, sf_dir, "orders")
+    return dreshape.slice_rows(orders, 100, 50, ["o_orderkey"]).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def shift_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shift/lag over explicit order (SURVEY §2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dwindow.shift(ev, "value", 1, "event_id")
+    return out.select("event_id", "value", "value_shift_1")
+
+
+def rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollingInterval: trailing 1-hour window aggregates (SURVEY §2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dwindow.rolling_interval(
+        ev, "ts", 3600 * 1_000_000, [("value", ["sum", "length"])]
+    )
+    # mean derived from the rounded sum and exact count: the raw window avg
+    # of 2-decimal inputs can land exactly on a rounding boundary, where
+    # engine-specific accumulation order flips the rounded digit; sum of
+    # 2-decimal values is never near a 4dp boundary, so this form is
+    # deterministic across engines
+    return out.select(
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.round(F.round("value_sum", 4) / F.col("value_length"), 6).alias("value_mean"),
+        F.round("value_sum", 4).alias("value_sum"),
+        "value_length",
+    )
+
+
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear null interpolation w/ edge fill (SURVEY §2.6, the hard one)."""
+    ev = _events_with_nulls(spark, sf_dir)
+    out = dnulls.interpolate(ev, ["value"], "event_id")
+    return out.select("event_id", F.round("value", 6).alias("value"))
+
+
+def fillna_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillNa (SURVEY §2.7)."""
+    ev = _events_with_nulls(spark, sf_dir)
+    return dnulls.fill_na(ev, 0.0, ["value"]).select("event_id", "value")
+
+
+def dropna_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropNa (SURVEY §2.7)."""
+    ev = _events_with_nulls(spark, sf_dir)
+    return dnulls.drop_na(ev, ["value"]).select("event_id", "value")
+
+
+def ungroup_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ungroupSplittingOn: split + explode (SURVEY §2.10)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "tags", F.concat_ws(",", F.col("l_returnflag"), F.col("l_linestatus"))
+    )
+    out = dreshape.ungroup_splitting_on(
+        li.select("l_orderkey", "l_linenumber", "tags"), "tags", ","
+    )
+    return out.select("l_orderkey", "l_linenumber", F.col("tags").alias("tag"))
+
+
+def concat_horizontal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal concat by row position (SURVEY §2.2) — nation ⊕ region-cycled."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    other = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k2"), F.col("n_regionkey").alias("r2"))
+    )
+    return dreshape.concat_horizontal(nation, other, ["n_nationkey"], ["k2"])
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: joins, set ops, pivot/rollup, window top-n (SURVEY §2.4/§2.9)
+# --------------------------------------------------------------------------
+
+def join_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join; dimension side broadcast."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way star join, small dims broadcast."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: parts shipped in quantity 50."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 50)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+def setop_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers with both 'O' and 'F' status orders."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return o.intersect(f)
+
+
+def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-n: 3 highest-value orders per customer."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: returnflag x linestatus quantity matrix."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return out.select("l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
+
+
+def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with subtotal and grand-total rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: LLM-pipeline operators (dedup / similarity / text)
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: representative id + multiplicity per content."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ddedup.duplicate_groups(docs, "text", "doc_id")
+    return out.select("representative_id", "n_copies")
+
+
+def jaccard_pairs_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard similarity, pairs >= 0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ddedup.jaccard_pairs(docs, "text", "doc_id", shingle_k=3, min_jaccard=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: tokens, ratios, quality, language."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        dtext.whitespace_tokens(c).alias("n_tokens"),
+        dtext.bpe_ish_tokens(c).alias("n_bpe_tokens"),
+        F.round(dtext.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(dtext.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(dtext.mean_word_length(c), 6).alias("mean_word_len"),
+        F.round(dtext.quality_score(c), 6).alias("quality"),
+        dtext.language_guess(c).alias("lang_guess"),
+    )
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = dsim.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", q, k=10
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean vector L2 norm per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, v: a + v * v))
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.round(F.avg("nrm"), 6).alias("avg_norm"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 has
+    no DuckDB equivalent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=16)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddedup.simhash(docs, "text", "doc_id")
+
+
+def lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-3 neighbors (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dsim.lsh_bucket_topk(emb, "embedding", "vec_id", k=3, num_planes=6)
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "lquery_filter": lquery_filter,
+        "lquery_map": lquery_map,
+        "aggregate_contract": aggregate_contract,
+        "count_values": count_values,
+        "column_stats": column_stats,
+        "describe_table": describe_table,
+        "describe_na": describe_na,
+        "correlations": correlations,
+        "autocorr": autocorr,
+        "rsi_by_flag": rsi_by_flag,
+        "sort_slice": sort_slice,
+        "slice_offset": slice_offset,
+        "shift_lag": shift_lag,
+        "rolling_1h": rolling_1h,
+        "interpolate_linear": interpolate_linear,
+        "fillna_zero": fillna_zero,
+        "dropna_rows": dropna_rows,
+        "ungroup_explode": ungroup_explode,
+        "concat_horizontal": concat_horizontal,
+        "join_revenue_topn": join_revenue_topn,
+        "join_region_revenue": join_region_revenue,
+        "anti_join_customers": anti_join_customers,
+        "semi_join_parts": semi_join_parts,
+        "setop_custkeys": setop_custkeys,
+        "window_topn_orders": window_topn_orders,
+        "pivot_returnflag": pivot_returnflag,
+        "rollup_qty": rollup_qty,
+        "dedup_exact_docs": dedup_exact_docs,
+        "jaccard_pairs_3gram": jaccard_pairs_3gram,
+        "doc_profile": doc_profile,
+        "embedding_topk": embedding_topk,
+        "embedding_norms": embedding_norms,
+        "minhash_lsh_candidates": minhash_lsh_candidates,
+        "simhash_fingerprints": simhash_fingerprints,
+        "lsh_similarity_topk": lsh_similarity_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "lquery_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem
+            WHERE l_quantity > 25 AND l_returnflag LIKE 'A%'
+        """,
+        "lquery_map": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+                   CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band
+            FROM lineitem
+        """,
+        "aggregate_contract": """
+            SELECT l_returnflag,
+                   CAST(min(l_quantity) AS DOUBLE) AS l_quantity_min,
+                   CAST(max(l_quantity) AS DOUBLE) AS l_quantity_max,
+                   round(avg(l_quantity), 6) AS l_quantity_mean,
+                   round(sum(l_quantity), 4) AS l_quantity_sum,
+                   CAST(count(*) AS DOUBLE) AS l_quantity_length,
+                   CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS l_quantity_median,
+                   round(stddev_pop(l_quantity), 6) AS l_quantity_std
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "count_values": """
+            SELECT l_returnflag AS value, count(*) AS count
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "column_stats": """
+            SELECT CAST(min(l_extendedprice) AS DOUBLE) AS min,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS max,
+                   round(avg(l_extendedprice), 4) AS mean,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+                   round(stddev_pop(l_extendedprice), 4) AS std,
+                   round(var_pop(l_extendedprice), 2) AS var,
+                   round(sum(l_extendedprice), 2) AS sum,
+                   round(quantile_cont(l_extendedprice, 1.0/3.0), 4) AS quantile
+            FROM lineitem
+        """,
+        "describe_table": """
+            WITH cols(name) AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount'))
+            SELECT 'l_quantity' AS column, round(avg(l_quantity),6) AS mean,
+                   round(stddev_pop(l_quantity),6) AS std,
+                   CAST(min(l_quantity) AS DOUBLE) AS min,
+                   round(quantile_cont(l_quantity,0.25),4) AS q25,
+                   round(quantile_cont(l_quantity,0.5),4) AS median,
+                   round(quantile_cont(l_quantity,0.75),4) AS q75,
+                   CAST(max(l_quantity) AS DOUBLE) AS max FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', round(avg(l_extendedprice),6),
+                   round(stddev_pop(l_extendedprice),6),
+                   CAST(min(l_extendedprice) AS DOUBLE),
+                   round(quantile_cont(l_extendedprice,0.25),4),
+                   round(quantile_cont(l_extendedprice,0.5),4),
+                   round(quantile_cont(l_extendedprice,0.75),4),
+                   CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', round(avg(l_discount),6),
+                   round(stddev_pop(l_discount),6),
+                   CAST(min(l_discount) AS DOUBLE),
+                   round(quantile_cont(l_discount,0.25),4),
+                   round(quantile_cont(l_discount,0.5),4),
+                   round(quantile_cont(l_discount,0.75),4),
+                   CAST(max(l_discount) AS DOUBLE) FROM lineitem
+        """,
+        "describe_na": f"""
+            WITH ev AS ({_EVENTS_NULLS_SQL})
+            SELECT 'event_id' AS column, count(*) FILTER (event_id IS NULL) AS null_count,
+                   round(count(*) FILTER (event_id IS NULL) / CAST(count(*) AS DOUBLE), 6) AS null_ratio FROM ev
+            UNION ALL
+            SELECT 'value', count(*) FILTER (value IS NULL),
+                   round(count(*) FILTER (value IS NULL) / CAST(count(*) AS DOUBLE), 6) FROM ev
+            UNION ALL
+            SELECT 'props', count(*) FILTER (props IS NULL),
+                   round(count(*) FILTER (props IS NULL) / CAST(count(*) AS DOUBLE), 6) FROM ev
+        """,
+        "correlations": """
+            SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, round(corr(l_quantity, l_quantity),6) AS corr FROM lineitem
+            UNION ALL SELECT 'l_quantity','l_extendedprice', round(corr(l_quantity,l_extendedprice),6) FROM lineitem
+            UNION ALL SELECT 'l_quantity','l_discount', round(corr(l_quantity,l_discount),6) FROM lineitem
+            UNION ALL SELECT 'l_quantity','l_tax', round(corr(l_quantity,l_tax),6) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice','l_extendedprice', round(corr(l_extendedprice,l_extendedprice),6) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice','l_discount', round(corr(l_extendedprice,l_discount),6) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice','l_tax', round(corr(l_extendedprice,l_tax),6) FROM lineitem
+            UNION ALL SELECT 'l_discount','l_discount', round(corr(l_discount,l_discount),6) FROM lineitem
+            UNION ALL SELECT 'l_discount','l_tax', round(corr(l_discount,l_tax),6) FROM lineitem
+            UNION ALL SELECT 'l_tax','l_tax', round(corr(l_tax,l_tax),6) FROM lineitem
+        """,
+        "autocorr": """
+            WITH lagged AS (
+                SELECT value, lag(value) OVER (ORDER BY event_id) AS lv FROM events
+            )
+            SELECT round(corr(value, lv), 6) AS autocorr FROM lagged
+        """,
+        "rsi_by_flag": """
+            WITH d AS (SELECT l_returnflag, l_quantity - 25.0 AS qdev FROM lineitem)
+            SELECT l_returnflag,
+                   round(100.0 * avg(greatest(qdev, 0)) /
+                         (avg(greatest(qdev, 0)) - avg(least(qdev, 0))), 6) AS qdev_rsi
+            FROM d GROUP BY l_returnflag
+        """,
+        "sort_slice": """
+            SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+            FROM lineitem
+            ORDER BY l_returnflag ASC NULLS FIRST,
+                     l_extendedprice DESC NULLS LAST,
+                     l_orderkey ASC
+            LIMIT 100
+        """,
+        "slice_offset": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """,
+        "shift_lag": """
+            SELECT event_id, value,
+                   lag(value) OVER (ORDER BY event_id) AS value_shift_1
+            FROM events
+        """,
+        "rolling_1h": """
+            SELECT epoch_us(ts) AS ts_us, event_id,
+                   round(round(sum(value) OVER w, 4) / (count(*) OVER w), 6) AS value_mean,
+                   round(sum(value) OVER w, 4) AS value_sum,
+                   CAST(count(*) OVER w AS DOUBLE) AS value_length
+            FROM events
+            WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "interpolate_linear": f"""
+            WITH base AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+                       row_number() OVER (ORDER BY event_id) AS pos
+                FROM events
+            ), w AS (
+                SELECT event_id, pos, v,
+                    last_value(v IGNORE NULLS) OVER wb AS pv,
+                    first_value(v IGNORE NULLS) OVER wf AS nv,
+                    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wb AS pp,
+                    first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS np
+                FROM base
+                WINDOW wb AS (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL THEN pv
+                              ELSE pv + (nv - pv) * (pos - pp) / (np - pp) END, 6) AS value
+            FROM w
+        """,
+        "fillna_zero": f"""
+            WITH ev AS ({_EVENTS_NULLS_SQL})
+            SELECT event_id, coalesce(value, 0.0) AS value FROM ev
+        """,
+        "dropna_rows": f"""
+            WITH ev AS ({_EVENTS_NULLS_SQL})
+            SELECT event_id, value FROM ev WHERE value IS NOT NULL
+        """,
+        "ungroup_explode": """
+            SELECT l_orderkey, l_linenumber,
+                   unnest(string_split(l_returnflag || ',' || l_linestatus, ',')) AS tag
+            FROM lineitem
+        """,
+        "concat_horizontal": """
+            WITH a AS (SELECT n_nationkey, n_name,
+                              row_number() OVER (ORDER BY n_nationkey) AS rid FROM nation),
+                 b AS (SELECT n_nationkey AS k2, n_regionkey AS r2,
+                              row_number() OVER (ORDER BY n_nationkey) AS rid FROM nation)
+            SELECT a.n_nationkey, a.n_name, b.k2, b.r2
+            FROM a JOIN b USING (rid)
+        """,
+        "join_revenue_topn": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "join_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi_join_parts": """
+            SELECT p_partkey, p_name FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey AND l_quantity >= 50)
+        """,
+        "setop_custkeys": """
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "window_topn_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "pivot_returnflag": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity) FILTER (l_linestatus = 'O'), 4) AS qty_O,
+                   round(sum(l_quantity) FILTER (l_linestatus = 'F'), 4) AS qty_F
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rollup_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS representative_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "jaccard_pairs_3gram": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(t) - 2, 1) + 1),
+                           i -> substring(t, CAST(i AS INT), 3)))) AS g
+                FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                      FROM documents)
+            ), sizes AS (
+                SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+            ), co AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+            FROM co
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+        """,
+        "doc_profile": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS tk,
+                       string_split_regex(lower(trim(text)), '\\s+') AS tkl
+                FROM documents
+            ), m AS (
+                SELECT doc_id, text, tk, tkl,
+                    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS n_tokens,
+                    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens,
+                    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) /
+                        CAST(greatest(length(text), 1) AS DOUBLE) AS praw,
+                    len(list_filter(tkl, t -> list_contains(
+                        ['the','a','an','of','to','in','and','is','it','that'], t))) /
+                        CAST(greatest(len(tkl), 1) AS DOUBLE) AS sraw,
+                    list_sum(list_transform(tk, t -> length(t))) /
+                        CAST(greatest(len(tk), 1) AS DOUBLE) AS wraw,
+                    len(list_filter(tkl, t -> list_contains(['the','and','of','is','that','with'], t))) AS s_en,
+                    len(list_filter(tkl, t -> list_contains(['el','la','de','que','los','una'], t))) AS s_es,
+                    len(list_filter(tkl, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+                    len(list_filter(tkl, t -> list_contains(['le','la','les','des','est','une'], t))) AS s_fr
+                FROM toks
+            )
+            SELECT doc_id, n_tokens, n_bpe_tokens,
+                   round(praw, 6) AS punct_ratio,
+                   round(sraw, 6) AS stopword_ratio,
+                   round(wraw, 6) AS mean_word_len,
+                   round(((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+                        + (1.0 - least(praw * 4, 1.0))
+                        + (CASE WHEN wraw >= 2 AND wraw <= 12 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+                   CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_guess
+            FROM m
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                    list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+                FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, round(c, 6) AS cosine FROM scored
+            ORDER BY c DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_norms": """
+            SELECT label,
+                   round(avg(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm,
+                   count(*) AS n
+            FROM embeddings GROUP BY label
+        """,
+        # minhash_lsh_candidates / simhash_fingerprints / lsh_similarity_topk:
+        # intentionally no oracle (xxhash64 hash family has no DuckDB
+        # equivalent) -> driver records rows-only checks.
+    }

@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set mirrors the reference's benchmark harness operations
+(reference: native_libs/test/Benchmarks.cpp:62-322 — filter, map,
+countValues, column stats, correlation matrix, dropna/fillna,
+group-aggregate, interpolate, rolling window, sort) on the driver's
+synthetic tables, plus the beyond-reference pipeline headliners.
+
+Each query is timed to completion of a real action. Aggregation-shaped
+queries use .count() on the result (forces full execution, avoids
+driver-side transfer noise); top-k queries collect their (small) output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from dataframes_spark import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline subset: one per operator family (full inventory runs in the
+# correctness gate; bench tracks throughput of the heavy hitters)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "lquery_filter",
+    "lquery_map",
+    "aggregate_contract",
+    "count_values",
+    "column_stats",
+    "correlations",
+    "sort_slice",
+    "rolling_1h",
+    "interpolate_linear",
+    "dropna_rows",
+    "fillna_zero",
+    "ungroup_explode",
+    "join_revenue_topn",
+    "join_region_revenue",
+    "window_topn_orders",
+    "dedup_exact_docs",
+    "jaccard_pairs_3gram",
+    "doc_profile",
+    "embedding_topk",
+    "minhash_lsh_candidates",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="dataframes_spark_bench")
+    queries = entry.queries()
+
+    # warm the JVM + parquet footer caches with one untimed pass
+    q1 = queries["q1_pricing_summary"](spark, SF_DIR)
+    q1.count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

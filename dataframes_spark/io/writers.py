@@ -18,7 +18,9 @@ def write_auto(df: DataFrame, path: str, mode: str = "overwrite", single_file: b
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode)
     if fmt == "csv":
-        writer = writer.option("header", options.pop("header", True))
+        # RFC-4180 quoting: escaped quote is a doubled quote, matching the
+        # reference's CSV generator (csv.cpp:270-459) and our reader
+        writer = writer.option("header", options.pop("header", True)).option("escape", '"')
     for k, v in options.items():
         writer = writer.option(k, v)
     if fmt in ("feather", "xlsx"):

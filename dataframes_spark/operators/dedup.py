@@ -144,37 +144,86 @@ def jaccard_pairs(
     shingle_k: int = 3,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all candidate pairs sharing at
-    least one shingle — computed distributively: explode shingles, self-join
-    on shingle (co-occurrence counts), then |A∩B| / (|A| + |B| - |A∩B|).
+    """Exact n-gram Jaccard similarity join with PREFIX FILTERING — the
+    standard exact all-pairs technique (PPJoin family).
 
-    The shuffle key is the shingle, so only documents sharing content meet;
-    at scale, drop ultra-common shingles first (document-frequency cut) to
-    bound bucket sizes.
+    A naive shingle self-join explodes on common shingles (a 3-gram present
+    in every document produces O(N^2) pairs by itself). Instead:
+
+    1. rank shingles by global document frequency (rarest first);
+    2. sort each document's shingle set in that order;
+    3. index only the PREFIX of length ``|A| - ceil(t*|A|) + 1`` — if two
+       sets' prefixes are disjoint under a shared total order, their
+       Jaccard is provably < t, so candidates joining only on prefix
+       shingles lose no true pair;
+    4. verify every candidate exactly via ``array_intersect`` on the full
+       sorted sets.
+
+    The candidate join shuffles on rare shingles only, so bucket sizes stay
+    bounded even when the corpus shares a small vocabulary. With
+    ``min_jaccard=0`` the prefix is the whole set (no pruning, all
+    co-occurring pairs) — one code path, exact in both modes.
     """
+    t = float(min_jaccard)
     sh = df.select(
         F.col(id_col).alias("id"), shingle_ngrams(text_col, shingle_k).alias("sh")
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    exploded = sh.select("id", F.explode("sh").alias("g"))
-    co = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    # global document frequency per shingle (shingle sets are distinct, so
+    # count(*) == doc frequency)
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # re-assemble each doc's shingles sorted by (df asc, shingle asc)
+    sorted_sets = (
+        ex.join(freq, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("sg"))
+        .select(
+            "id",
+            F.transform(F.col("sg"), lambda x: x["g"]).alias("sh"),
+            F.size("sg").alias("n_sh"),
+        )
     )
-    out = (
-        co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    if t > 0:
+        prefix_len = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
+    else:
+        prefix_len = F.col("n_sh")
+    indexed = sorted_sets.select(
+        "id", "sh", "n_sh", F.slice("sh", 1, prefix_len).alias("prefix")
+    )
+    cand = (
+        indexed.select("id", F.explode("prefix").alias("g"))
+        .alias("a")
+        .join(
+            indexed.select("id", F.explode("prefix").alias("g")).alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    full = sorted_sets.select("id", "sh", "n_sh")
+    verified = (
+        cand.join(
+            full.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            full.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .select("id_a", "id_b", "jaccard")
     )
-    if min_jaccard > 0:
-        out = out.filter(F.col("jaccard") >= min_jaccard)
-    return out
+    if t > 0:
+        verified = verified.filter(F.col("jaccard") >= t)
+    return verified
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> DataFrame:

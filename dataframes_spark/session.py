@@ -76,9 +76,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: epoch-ns exceeds double's 2^53 exact-integer
+        # range, so a float divide would round the microsecond digit
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

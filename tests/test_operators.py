@@ -1,0 +1,113 @@
+"""Operator tests mirroring the reference's unit-test semantics
+(reference: native_libs/test/Tests.cpp — sort goldens 75-130, interpolate
+887-897/1023-1033, shift 1063-1089, ungroup 1222-1241, slice 1153-1163)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators import aggregate as dagg
+from dataframes_spark.operators import nulls as dnulls
+from dataframes_spark.operators import reshape as dreshape
+from dataframes_spark.operators import sort as dsort
+from dataframes_spark.operators import window as dwindow
+
+
+def test_sort_multikey_null_placement(spark):
+    rows = [("b", 2.0), (None, 1.0), ("a", None), ("a", 3.0), ("b", None)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = [
+        (r.k, r.v)
+        for r in dsort.sort_by(
+            df,
+            [("k", "asc", "nulls_first"), ("v", "desc", "nulls_last")],
+        ).collect()
+    ]
+    assert got == [(None, 1.0), ("a", 3.0), ("a", None), ("b", 2.0), ("b", None)]
+
+
+def test_aggregate_contract(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)], ["k", "v"]
+    )
+    out = dagg.aggregate_by(df, "k", [("v", ["length", "sum", "mean", "min", "std"])])
+    rows = {r.k: r for r in out.collect()}
+    # length counts nulls (Analysis.cpp:166-183)
+    assert rows["a"].v_length == 3.0
+    # all-null group: sum = 0 (Analysis.cpp:155-164), mean/min null
+    assert rows["b"].v_sum == 0.0 and rows["b"].v_mean is None and rows["b"].v_min is None
+    # std needs >= 2 valid samples
+    assert rows["a"].v_std is not None and rows["b"].v_std is None
+    # every aggregate column is double-typed (Analysis.cpp:701-721)
+    assert all(t == "double" for c, t in out.dtypes if c != "k")
+
+
+def test_rsi_known_value(spark):
+    # gains = mean(max(x,0)) = 4/3, losses = mean(min(x,0)) = -1
+    # RSI = 100 * (4/3) / (4/3 + 1) = 400/7 (reference: Analysis.cpp:217-239)
+    df = spark.createDataFrame([("g", 4.0), ("g", 0.0), ("g", -3.0)], ["k", "v"])
+    out = dagg.aggregate_by(df, "k", [("v", ["rsi"])]).first()
+    assert out.v_rsi == pytest.approx(400.0 / 7.0)
+
+
+def test_count_values_includes_null_row(spark):
+    df = spark.createDataFrame([("x",), ("x",), (None,), ("y",)], ["c"])
+    got = {r.value: r["count"] for r in dagg.count_values(df, "c").collect()}
+    assert got == {"x": 2, None: 1, "y": 1}
+
+
+def test_interpolate_reference_vectors(spark):
+    # leading nulls <- first valid; interior lerp; trailing <- last valid
+    # (reference tests: Tests.cpp:1023-1033)
+    rows = [(1, None), (2, 10.0), (3, None), (4, None), (5, 40.0), (6, None)]
+    df = spark.createDataFrame(rows, ["i", "v"])
+    got = [r.v for r in dnulls.interpolate(df, ["v"], "i").orderBy("i").collect()]
+    assert got == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]
+
+
+def test_interpolate_all_null_column_unchanged(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "i int, v double")
+    got = [r.v for r in dnulls.interpolate(df, ["v"], "i").collect()]
+    assert got == [None, None]
+
+
+def test_shift_lag_lead(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["i", "v"])
+    lag = dwindow.shift(df, "v", 1, "i").orderBy("i")
+    assert [r["v_shift_1"] for r in lag.collect()] == [None, 10.0, 20.0]
+    lead = dwindow.shift(df, "v", -1, "i").orderBy("i")
+    assert [r["v_shift_-1"] for r in lead.collect()] == [20.0, 30.0, None]
+
+
+def test_rolling_rows_window(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)], ["i", "v"])
+    out = dwindow.rolling_rows(df, "v", 3, ["sum", "length"], "i").orderBy("i")
+    assert [r.v_sum for r in out.collect()] == [0.0, 1.0, 3.0, 6.0, 9.0]
+    assert [r.v_length for r in out.collect()] == [1.0, 2.0, 3.0, 3.0, 3.0]
+
+
+def test_ungroup_splitting_drops_null_rows(spark):
+    # null-tag rows vanish (reference: Tests.cpp:1222-1241)
+    df = spark.createDataFrame([(1, "a,b"), (2, None), (3, "c")], ["id", "tags"])
+    got = [(r.id, r.tags) for r in dreshape.ungroup_splitting_on(df, "tags", ",").orderBy("id", "tags").collect()]
+    assert got == [(1, "a"), (1, "b"), (3, "c")]
+
+
+def test_concat_horizontal_alignment(spark):
+    a = spark.createDataFrame([(2, "y"), (1, "x")], ["i", "s"])
+    b = spark.createDataFrame([(20,), (10,)], ["j"])
+    got = [(r.i, r.s, r.j) for r in dreshape.concat_horizontal(a, b, ["i"], ["j"]).orderBy("i").collect()]
+    assert got == [(1, "x", 10), (2, "y", 20)]
+
+
+def test_slice_bounds(spark):
+    # bounds-checked slice (reference: Tests.cpp:1153-1163)
+    df = spark.createDataFrame([(i,) for i in range(10)], ["i"])
+    assert dreshape.slice_rows(df, 3, 4, ["i"]).count() == 4
+    assert dreshape.slice_rows(df, 8, 10, ["i"]).count() == 2
+    assert dreshape.slice_rows(df, 100, 5, ["i"]).count() == 0
+
+
+def test_fillna_type_coercion(spark):
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "i int, v double")
+    got = [r.v for r in dnulls.fill_na(df, 0, ["v"]).orderBy("i").collect()]
+    assert got == [0.0, 5.0]

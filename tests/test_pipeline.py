@@ -1,0 +1,93 @@
+"""Dedup / similarity / text / multimodal pipeline operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.functions import text as dtext
+from dataframes_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    rows = [
+        (1, base),
+        (2, base),                              # exact dup of 1
+        (3, base + " with a small extra tail"),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", 64, 16).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in some band
+    assert not any(4 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame([(1, "abcd"), (2, "abcd"), (3, "zzzz")], ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(df, "text", "doc_id", 3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out
+
+
+def test_simhash_identical_and_distinct(docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert fps[1] == fps[2]
+    ham = bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16  # near dup: small hamming distance
+    ham_far = bin((fps[1] ^ fps[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_far > ham
+
+
+def test_brute_force_topk_self_is_one(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.brute_force_topk(df, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=1).first()
+    assert top.vec_id == 0 and top.cosine == pytest.approx(1.0)
+
+
+def test_all_pairs_topk_orthogonal(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.all_pairs_topk(df, "embedding", "vec_id", k=1)
+    best = {r.id_a: r.id_b for r in out.collect()}
+    assert best[0] == 1 and best[1] == 0
+
+
+def test_text_profile_values(spark):
+    df = spark.createDataFrame([(1, "the cat sat!")], ["doc_id", "text"])
+    row = dtext.document_profile(df, "text").first()
+    assert row.n_tokens == 3
+    assert row.punct_ratio == pytest.approx(1 / 12)
+    assert row.lang_guess == "en"
+    assert row.n_bpe_tokens == 4  # the / cat / sat / !
+
+
+def test_multimodal_fake_decode_roundtrip(spark):
+    media = multimodal.make_fake_media(spark, 8)
+    out = multimodal.decode_image(media, fake=True)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(r.n_pixels == r.width * r.height for r in rows)
+    assert all(len(r.feature) == 8 for r in rows)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = multimodal.make_fake_media(spark, 1)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media)
+
+
+def test_frame_sample_counts(spark):
+    media = multimodal.make_fake_media(spark, 4)  # durations 5000..5750 ms
+    out = multimodal.frame_sample_plan(media, 1000)
+    counts = out.groupBy("media_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)

@@ -1,0 +1,67 @@
+"""Statistics + IO + entry-contract tests against the sf0.001 tables."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.functions import stats as dstats
+from dataframes_spark.io import readers, writers
+from dataframes_spark.session import load_table
+
+
+def test_column_stats_shape(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = dstats.column_stats(li, "l_quantity").first()
+    assert row.min == 1.0 and row.max == 50.0
+    assert row.min <= row.median <= row.max
+    assert row.var == pytest.approx(row.std**2, rel=1e-9)
+
+
+def test_describe_rows_per_column(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = dstats.describe(li, ["l_quantity", "l_discount"])
+    assert {r.column for r in out.collect()} == {"l_quantity", "l_discount"}
+
+
+def test_correlation_self_is_one(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = dstats.correlations(li, ["l_quantity", "l_discount"])
+    got = {(r.col_a, r.col_b): r.corr for r in out.collect()}
+    assert got[("l_quantity", "l_quantity")] == pytest.approx(1.0)
+    assert abs(got[("l_quantity", "l_discount")]) < 0.2
+
+
+def test_describe_na_counts(spark):
+    df = spark.createDataFrame([(1, None), (2, 5.0), (3, None)], "i int, v double")
+    out = {r.column: (r.null_count, r.null_ratio) for r in dstats.describe_na(df).collect()}
+    assert out["v"] == (2, pytest.approx(2 / 3))
+    assert out["i"] == (0, 0.0)
+
+
+def test_csv_roundtrip_with_sniffing(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a,b", 1.5), (2, 'q"uote', None)], ["i", "s", "v"])
+    path = str(tmp_path / "out.csv")
+    writers.write_auto(df, path, single_file=True)
+    back = readers.read_auto(spark, path)
+    assert back.count() == 2
+    assert {r.s for r in back.collect()} == {"a,b", 'q"uote'}
+
+
+def test_parquet_roundtrip_and_format_detection(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], ["i", "s"])
+    path = str(tmp_path / "t.parquet")
+    writers.write_auto(df, path)
+    assert readers.detect_format(path) == "parquet"
+    assert readers.read_auto(spark, path).count() == 1
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 30
