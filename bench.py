@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "join_region_revenue",
     "window_topn_orders",
     "dedup_exact_docs",
-    "jaccard_pairs_3gram",
+    "near_dup_jaccard_lsh",
     "doc_profile",
     "embedding_topk",
     "minhash_lsh_candidates",

