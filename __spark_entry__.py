@@ -295,6 +295,160 @@ def concat_horizontal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dreshape.concat_horizontal(nation, other, ["n_nationkey"], ["k2"])
 
 
+def lquery_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQuery calendar/mod/abs/negate/matches ops (SURVEY §2.3: day month
+    year, mod, abs, negate, anchored full-match regex)."""
+    orders = Table(_t(spark, sf_dir, "orders"))
+    pred = {
+        "boolean": "and",
+        "arguments": [
+            {
+                "predicate": "eq",
+                "arguments": [
+                    {"operation": "mod", "arguments": [{"column": "o_orderkey"}, 4]},
+                    1,
+                ],
+            },
+            {
+                "predicate": "matches",
+                "arguments": [{"column": "o_orderpriority"}, "[12]-.*"],
+            },
+        ],
+    }
+    out = (
+        orders.filter(pred)
+        .each("o_year", {"operation": "year", "arguments": [{"column": "o_orderdate"}]})
+        .each("o_month", {"operation": "month", "arguments": [{"column": "o_orderdate"}]})
+        .each("o_day", {"operation": "day", "arguments": [{"column": "o_orderdate"}]})
+        .each(
+            "neg_abs_price",
+            {
+                "operation": "negate",
+                "arguments": [
+                    {"operation": "abs", "arguments": [{"column": "o_totalprice"}]}
+                ],
+            },
+        )
+        .df
+    )
+    return out.select("o_orderkey", "o_year", "o_month", "o_day", "neg_abs_price")
+
+
+def group_collect_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy list-collect with NULL-KEEPING lists (SURVEY §2.5 /
+    reference Processing.cpp:611-692; plain collect_list would drop the
+    injected nulls)."""
+    ev = _events_with_nulls(spark, sf_dir)
+    return dagg.group_collect(ev, "event_type", ["value"], "event_id")
+
+
+def correlations_with_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """correlationsWith: each numeric column vs one target, sorted (SURVEY
+    §2.5 / Analysis.cpp:469-488)."""
+    out = dstats.correlations_with(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_quantity", "l_discount", "l_tax"],
+    )
+    return out.select("column", F.round("corr", 6).alias("corr"))
+
+
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.write -> Table.read CSV roundtrip (SURVEY §2.1: RFC-4180
+    parser + type inference), then aggregate — proves the IO path is
+    lossless for long/double/string columns."""
+    import os
+
+    from dataframes_spark.io import readers as dio_r
+    from dataframes_spark.io import writers as dio_w
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_csv_{tag}/lineitem.csv"
+    dio_w.write_auto(li, path)
+    back = dio_r.read_csv(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("sum_key"),
+        )
+    )
+
+
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column -> Arrow-batched
+    mapInPandas decode (deterministic stand-in decoder) -> per-media
+    dimensions. The oracle replicates the stand-in's sha256 arithmetic in
+    SQL, so the whole mapInPandas path is hash-checked."""
+    from dataframes_spark.operators import multimodal as dmm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    dec = dmm.decode_image(media, fake=True)
+    return dec.select("media_id", "width", "height", "n_pixels")
+
+
+def ols_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression line + fit stats (SURVEY §2.12 — the
+    reference's sklearn LinearRegression; MLlib variant in
+    dataframes_spark.ml, the in-plan twin uses regr_* aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+    )
+
+
+def rolling_rows_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 100-row window aggregates (SURVEY §2.6 row-window twin)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dwindow.rolling_rows(
+        ev, "value", 100, ["sum", "length", "min", "max"], "event_id"
+    )
+    return out.select(
+        "event_id",
+        F.round("value_sum", 4).alias("value_sum"),
+        "value_length",
+        "value_min",
+        "value_max",
+    )
+
+
+def rolling_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing numeric-key range window (SURVEY §2.6: the reference's
+    INT64/DOUBLE interval keys, Analysis.cpp:775-801)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dwindow.rolling_range(ev, "event_id", 999, [("value", ["sum", "length"])])
+    return out.select(
+        "event_id",
+        F.round("value_sum", 4).alias("value_sum"),
+        "value_length",
+    )
+
+
+def setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: (O-custkeys UNION F-custkeys) EXCEPT P-custkeys (SURVEY
+    §2.9 — absent in the reference, native in Spark)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def keys(status: str):
+        return orders.filter(F.col("o_orderstatus") == status).select("o_custkey")
+
+    return keys("O").union(keys("F")).distinct().subtract(keys("P").distinct())
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: joins, set ops, pivot/rollup, window top-n (SURVEY §2.4/§2.9)
 # --------------------------------------------------------------------------
@@ -523,6 +677,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropna_rows": dropna_rows,
         "ungroup_explode": ungroup_explode,
         "concat_horizontal": concat_horizontal,
+        "lquery_datetime": lquery_datetime,
+        "group_collect_lists": group_collect_lists,
+        "correlations_with_price": correlations_with_price,
+        "csv_roundtrip_agg": csv_roundtrip_agg,
+        "media_decode_stats": media_decode_stats,
+        "ols_price_qty": ols_price_qty,
+        "rolling_rows_100": rolling_rows_100,
+        "rolling_range_numeric": rolling_range_numeric,
+        "setop_union_except": setop_union_except,
         "join_revenue_topn": join_revenue_topn,
         "join_region_revenue": join_region_revenue,
         "anti_join_customers": anti_join_customers,
@@ -726,6 +889,79 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY n_nationkey) AS rid FROM nation)
             SELECT a.n_nationkey, a.n_name, b.k2, b.r2
             FROM a JOIN b USING (rid)
+        """,
+        "lquery_datetime": """
+            SELECT o_orderkey,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+                   CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
+                   -abs(o_totalprice) AS neg_abs_price
+            FROM orders
+            WHERE o_orderkey % 4 = 1
+              AND regexp_full_match(o_orderpriority, '[12]-.*')
+        """,
+        "group_collect_lists": f"""
+            WITH ev AS ({_EVENTS_NULLS_SQL})
+            SELECT event_type, list(value ORDER BY event_id) AS value_list
+            FROM ev GROUP BY event_type
+        """,
+        "correlations_with_price": """
+            SELECT 'l_quantity' AS column, round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+            UNION ALL SELECT 'l_discount', round(corr(l_discount, l_extendedprice), 6) FROM lineitem
+            UNION ALL SELECT 'l_tax', round(corr(l_tax, l_extendedprice), 6) FROM lineitem
+        """,
+        "csv_roundtrip_agg": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n,
+                   sum(l_orderkey) AS sum_key
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "media_decode_stats": """
+            WITH b AS (
+                SELECT doc_id,
+                       (strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1) AS b0,
+                       (strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1) AS b1
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CAST(64 + b0 % 192 AS INT) AS width,
+                   CAST(64 + b1 % 192 AS INT) AS height,
+                   CAST((64 + b0 % 192) * (64 + b1 % 192) AS BIGINT) AS n_pixels
+            FROM b
+        """,
+        "ols_price_qty": """
+            SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+            FROM lineitem
+        """,
+        "rolling_rows_100": """
+            SELECT event_id,
+                   round(sum(value) OVER w, 4) AS value_sum,
+                   CAST(count(*) OVER w AS DOUBLE) AS value_length,
+                   CAST(min(value) OVER w AS DOUBLE) AS value_min,
+                   CAST(max(value) OVER w AS DOUBLE) AS value_max
+            FROM events
+            WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_range_numeric": """
+            SELECT event_id,
+                   round(sum(value) OVER w, 4) AS value_sum,
+                   CAST(count(*) OVER w AS DOUBLE) AS value_length
+            FROM events
+            WINDOW w AS (ORDER BY event_id RANGE BETWEEN 999 PRECEDING AND CURRENT ROW)
+        """,
+        "setop_union_except": """
+            (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             UNION
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         """,
         "join_revenue_topn": """
             SELECT o_orderkey,

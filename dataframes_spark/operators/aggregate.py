@@ -112,6 +112,32 @@ def aggregate_by(
     return df.groupBy(*keys).agg(*aggregate_exprs(pairs))
 
 
+def group_collect(
+    df: DataFrame,
+    key: str | Sequence[str],
+    cols: Sequence[str],
+    order_by: str,
+) -> DataFrame:
+    """``groupBy`` list-collect: non-key columns become LIST columns
+    (reference: native_libs/src/Processing.cpp:611-692 — C++-only, not
+    exposed to Luna; its lists KEEP nulls).
+
+    Spark's ``collect_list`` silently drops nulls, so each value is
+    struct-wrapped with its order key: collect structs, sort by the key,
+    then project the (possibly null) value back out. One hash-aggregate
+    shuffle; list order is deterministic (``order_by`` ascending) where
+    the reference inherits input order."""
+    keys = [key] if isinstance(key, str) else list(key)
+    aggs = [
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col(order_by).alias("o"), F.col(c).alias("v")))),
+            lambda x: x["v"],
+        ).alias(f"{c}_list")
+        for c in cols
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def count_values(df: DataFrame, col: str) -> DataFrame:
     """``Column.countValues`` — value -> occurrence count, including a row
     for nulls (reference: native_libs/src/Analysis.cpp:40-77). The

@@ -77,6 +77,31 @@ def rolling_interval(
     return df.select("*", *exprs)
 
 
+def rolling_range(
+    df: DataFrame,
+    key_col: str,
+    width: int,
+    pairs: Iterable[tuple[str, Sequence[str]]],
+    partition_by: Sequence[str] | None = None,
+    inclusive_left: bool = True,
+) -> DataFrame:
+    """Trailing window over a NUMERIC ordering key: ``[k - width, k]``
+    (strict left edge with ``inclusive_left=False``). The reference's
+    two-pointer engine supports INT64/DOUBLE interval keys
+    (native_libs/src/Core/ArrowUtilities.h:111,160; Analysis.cpp:775-801)
+    even though only TIMESTAMP is reachable from its Luna API — this is
+    the numeric twin of ``rolling_interval``."""
+    w = _window(F.col(key_col), partition_by)
+    lo = -int(width) if inclusive_left else -int(width) + 1
+    frame = w.rangeBetween(lo, 0)
+    exprs = [
+        build_aggregate(fn, col, wrap=lambda e, f=frame: e.over(f))
+        for col, fns in pairs
+        for fn in fns
+    ]
+    return df.select("*", *exprs)
+
+
 def rolling_rows(
     df: DataFrame,
     col: str,

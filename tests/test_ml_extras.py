@@ -1,0 +1,114 @@
+"""Tests for the MLlib bridge (reference §2.12 sklearn adjunct), the
+null-keeping group list-collect, numeric range windows, and the
+LSH-candidates + exact-verify near-dup path."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark import ml as dml
+from dataframes_spark.operators import aggregate as dagg
+from dataframes_spark.operators import dedup as ddedup
+from dataframes_spark.operators import window as dwindow
+
+
+def test_linear_regression_exact_line(spark):
+    # y = 3x + 2 exactly -> normal-equation OLS recovers it to fp precision
+    df = spark.createDataFrame(
+        [(float(x), 3.0 * x + 2.0) for x in range(50)], ["x", "y"]
+    )
+    summary, predict = dml.linear_regression(df, ["x"], "y")
+    assert math.isclose(summary["coefficients"][0], 3.0, abs_tol=1e-6)
+    assert math.isclose(summary["intercept"], 2.0, abs_tol=1e-6)
+    assert math.isclose(summary["r2"], 1.0, abs_tol=1e-9)
+    pred = predict(df).select("prediction").collect()
+    assert math.isclose(pred[0][0], 2.0, abs_tol=1e-6)
+
+
+def test_logistic_regression_separable(spark):
+    df = spark.createDataFrame(
+        [(float(x), 0.0 if x < 25 else 1.0) for x in range(50)], ["x", "label"]
+    )
+    model, predict = dml.logistic_regression(df, ["x"], "label")
+    out = {r.x: r.prediction for r in predict(df).collect()}
+    assert out[0.0] == 0.0 and out[49.0] == 1.0
+
+
+def test_confusion_matrix_counts(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (0, 0), (0, 1), (1, 1), (1, 0)], ["label", "pred"]
+    )
+    got = {(r.label, r.prediction): r.n for r in dml.confusion_matrix(df, "label", "pred").collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 1): 1, (1, 0): 1}
+
+
+def test_one_hot_encode(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",), (None,)], ["c"])
+    out = dml.one_hot_encode(df, "c")
+    assert "c=a" in out.columns and "c=b" in out.columns
+    rows = out.collect()
+    assert sum(r["c=a"] for r in rows) == 2
+    assert sum(r["c=b"] for r in rows) == 1
+
+
+def test_train_test_split_deterministic_partition(spark):
+    df = spark.range(1000).withColumnRenamed("id", "x")
+    tr1, te1 = dml.train_test_split(df, 0.25)
+    tr2, te2 = dml.train_test_split(df.repartition(7), 0.25)
+    # split is content-hash-based: same membership under any partitioning
+    assert sorted(r.x for r in te1.collect()) == sorted(r.x for r in te2.collect())
+    assert tr1.count() + te1.count() == 1000
+
+
+def test_group_collect_keeps_nulls_in_order(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0), ("b", 1, None)],
+        ["k", "o", "v"],
+    )
+    rows = {r.k: r.v_list for r in dagg.group_collect(df, "k", ["v"], "o").collect()}
+    assert rows["a"] == [10.0, None, 30.0]  # null kept, order by o
+    assert rows["b"] == [None]
+
+
+def test_rolling_range_numeric_strict_and_inclusive(spark):
+    df = spark.createDataFrame([(k, 1.0) for k in [1, 2, 5, 11]], ["k", "v"])
+    inc = dwindow.rolling_range(df, "k", 9, [("v", ["length"])])
+    got = {r.k: r.v_length for r in inc.collect()}
+    # [k-9, k]: k=11 covers 2,5,11 (1 is out: 11-9=2)
+    assert got == {1: 1.0, 2: 2.0, 5: 3.0, 11: 3.0}
+    strict = dwindow.rolling_range(df, "k", 10, [("v", ["length"])], inclusive_left=False)
+    got = {r.k: r.v_length for r in strict.collect()}
+    # (k-10, k]: k=11 excludes 1
+    assert got == {1: 1.0, 2: 2.0, 5: 3.0, 11: 3.0}
+
+
+def test_near_dup_pairs_finds_planted_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    texts = [
+        (0, base),
+        (1, base + "!"),  # near-identical
+        (2, "completely different content about spark dataframes at scale"),
+        (3, "another unrelated document with its own distinct vocabulary"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = ddedup.near_dup_pairs(df, "text", "doc_id", min_jaccard=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+    assert got[0].jaccard > 0.9
+
+
+def test_jaccard_verify_matches_exact(spark):
+    texts = [(i, f"shared prefix words here variant {i}") for i in range(6)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ddedup.jaccard_pairs(df, "text", "doc_id", shingle_k=3).collect()
+    }
+    cand = spark.createDataFrame(list(exact.keys()), ["id_a", "id_b"])
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ddedup.jaccard_verify(cand, df, "text", "doc_id", shingle_k=3).collect()
+    }
+    assert verified.keys() == exact.keys()
+    for k in exact:
+        assert math.isclose(verified[k], exact[k], rel_tol=1e-12)
