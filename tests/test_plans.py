@@ -1,0 +1,119 @@
+"""Physical-plan audits: the scale properties SURVEY.md promises, asserted
+on the actual Catalyst output. A query that is correct but scans every
+column, skips pushdown, or sorts the world instead of keeping a top-k heap
+would pass the oracle and still be wrong at 100 TB — these tests pin the
+plan shape."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """Formatted physical plan per query (plan-time only, nothing runs)."""
+    qs = entry.queries()
+
+    def get(name: str) -> str:
+        df = qs[name](spark, sf_dir)
+        jqe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        return jqe.explainString(mode)
+
+    return get
+
+
+def test_filter_pushed_into_scan(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_scan_prunes_columns(plans):
+    p = plans("q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # 7 referenced columns, not all 16 of lineitem
+    assert "l_comment" not in cols and "l_partkey" not in cols
+    assert {"l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"} <= cols
+
+
+def test_aggregate_is_partial_then_final(plans):
+    p = plans("q1_pricing_summary")
+    # map-side combine: two HashAggregate nodes around the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_aggregate_wholestage_codegen(spark, sf_dir):
+    # "*(n)" codegen markers appear on the AQE final plan after execution
+    df = entry.queries()["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "*(" in p, f"no whole-stage codegen span:\n{p}"
+    # scan -> filter -> partial agg fused into ONE codegen stage
+    assert "*(1) HashAggregate" in p and "*(1) Filter" in p
+
+
+def test_lquery_filter_pushdown(plans):
+    p = plans("lquery_filter")
+    assert "PushedFilters" in p and "GreaterThan(l_quantity,25" in p
+
+
+def test_dim_join_broadcasts(plans):
+    p = plans("join_revenue_topn")
+    assert "BroadcastHashJoin" in p
+
+
+def test_star_join_broadcasts_all_dims(plans):
+    p = plans("join_region_revenue")
+    # supplier, nation, region all broadcast; no cartesian anywhere
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_topk_uses_heap_not_global_sort(plans):
+    # orderBy+limit must plan as TakeOrderedAndProject (per-partition k-heap),
+    # never a full global sort followed by limit
+    for q in ("sort_slice", "join_revenue_topn", "embedding_topk"):
+        p = plans(q)
+        assert "TakeOrderedAndProject" in p, f"{q} lost the top-k heap:\n{p}"
+
+
+def test_no_python_in_relational_paths(plans):
+    # every reference-parity operator stays JVM-side; Python appears only in
+    # the explicitly-Arrow-batched multimodal decode
+    for q in (
+        "q1_pricing_summary",
+        "lquery_map",
+        "aggregate_contract",
+        "interpolate_linear",
+        "rolling_1h",
+        "near_dup_jaccard_lsh",
+        "doc_profile",
+        "embedding_topk",
+    ):
+        p = plans(q)
+        assert "BatchEvalPython" not in p, f"{q} fell back to row-at-a-time Python"
+        assert "ArrowEvalPython" not in p, f"{q} uses a pandas UDF unnecessarily"
+
+
+def test_multimodal_decode_is_arrow_batched(plans):
+    p = plans("media_decode_stats")
+    assert "MapInPandas" in p  # Arrow-batched, not row-at-a-time
+    assert "BatchEvalPython" not in p
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
+    from dataframes_spark.operators import dedup as dd
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dd.exact_dedup(docs, "text", "doc_id")
+    jqe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = jqe.explainString(mode)
+    # the groupBy key is the 64-bit hash, not the document body
+    assert "xxhash64" in p

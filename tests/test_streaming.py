@@ -1,0 +1,71 @@
+"""End-to-end Structured Streaming tests: file source micro-batches ->
+watermarked event-time aggregation / sessionization -> memory sink.
+Uses trigger(availableNow=True) so each test drains the source and stops
+deterministically."""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.streaming import events as dstream
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    """Two parquet files of timestamped events (two micro-batches)."""
+    rows1 = [(i, f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}", "u1", 1.0) for i in range(0, 120)]
+    rows2 = [(i, f"2024-01-01 11:{i // 60:02d}:{i % 60:02d}", "u2", 2.0) for i in range(0, 60)]
+    df1 = spark.createDataFrame(rows1, ["event_id", "ts_s", "user_id", "value"])
+    df2 = spark.createDataFrame(rows2, ["event_id", "ts_s", "user_id", "value"])
+    out = str(tmp_path / "events")
+    for i, df in enumerate([df1, df2]):
+        df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    return out
+
+
+def _run_to_memory(stream_df, name, mode="complete"):
+    # complete mode: windows emit every micro-batch, so the final state is
+    # visible even though availableNow stops at end-of-source (append mode
+    # would hold back windows the watermark hasn't passed yet)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_aggregate_stream(spark, event_dir):
+    schema = spark.read.parquet(event_dir).schema
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    agg = dstream.windowed_aggregate(
+        src, "ts", "10 minutes", None, "5 minutes", [("value", ["sum", "length"])]
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg, name)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # 120 events in 10:00-10:02 -> one 10-minute window; 60 in 11:00-11:01
+    got = {(r.window_start.minute, r.window_start.hour): (r.value_sum, r.value_length) for r in rows}
+    assert got[(0, 10)] == (120.0, 120.0)
+    assert got[(0, 11)] == (120.0, 60.0)
+
+
+def test_sessionize_stream(spark, event_dir):
+    schema = spark.read.parquet(event_dir).schema
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    sess = dstream.sessionize(src, "ts", "user_id", gap="5 minutes", watermark="1 hour")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(sess, name)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    by_user = {r.user_id: r for r in rows}
+    # u1: 120 contiguous seconds -> one session of 120 events
+    assert by_user["u1"].n_events == 120
+    assert by_user["u2"].n_events == 60
+    assert by_user["u2"].total_value == 120.0
