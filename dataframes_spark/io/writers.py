@@ -23,8 +23,15 @@ def write_auto(df: DataFrame, path: str, mode: str = "overwrite", single_file: b
         writer = writer.option("header", options.pop("header", True)).option("escape", '"')
     for k, v in options.items():
         writer = writer.option(k, v)
-    if fmt in ("feather", "xlsx"):
-        # no distributed writer; go through the driver (small data only)
-        out.toPandas().to_parquet(path) if fmt == "feather" else out.toPandas().to_excel(path)
+    if fmt == "feather":
+        # Arrow IPC has no distributed Spark writer; collect through Arrow
+        # on the driver (the reference's feather files are single-machine
+        # artifacts by definition — small data only)
+        import pyarrow.feather as pf
+
+        pf.write_feather(out.toArrow(), path)
+        return
+    if fmt == "xlsx":
+        out.toPandas().to_excel(path, index=False)
         return
     writer.format(fmt).save(path)
