@@ -1,0 +1,43 @@
+"""Bucketed table layout: pre-shuffled storage for co-located joins.
+
+At 100 TB the dominant cost of a fact-fact join is shuffling both sides
+on the join key. Writing each table bucketed (hash-partitioned into a
+fixed number of files per key) moves that shuffle to WRITE TIME, once:
+every subsequent join or aggregation on the bucket key reads co-located
+buckets and plans with NO Exchange on either side
+(``tests/test_plans.py::test_bucketed_join_has_no_exchange`` pins this).
+
+Spark bucketing needs the table catalog (``saveAsTable``), not plain
+``save`` — bucket metadata lives in the catalog entry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | Sequence[str],
+    num_buckets: int = 32,
+    sort_by: str | Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize ``df`` as a bucketed (optionally bucket-sorted) parquet
+    table. ``sort_by`` additionally sorts within buckets, which lets
+    sort-merge joins skip the per-task sort too."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *cols)
+    if sort_by is not None:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*scols)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata flows from the catalog, so
+    joins/aggregations on the bucket key skip their shuffle)."""
+    return spark.table(table)

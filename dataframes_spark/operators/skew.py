@@ -1,0 +1,120 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join splitting (on in session.py) handles skewed SORT-MERGE
+JOINS at runtime; these helpers cover the cases AQE cannot re-plan:
+
+- aggregate_by_skew_safe: group-by with a handful of hot keys leaves most
+  reducers idle and concentrates one key's whole partial state on one
+  task. Salting splits every key into ``salt_buckets`` sub-keys, reduces
+  each shard in parallel, then merges the tiny per-shard states. Only
+  aggregates with decomposable state are offered (sum/length/min/max/
+  mean/std via moment sums) — median/percentile have no mergeable state
+  and must go through the plain path.
+- replicate_join: broadcast-replicate pattern for joining a big skewed
+  fact against a small dimension WITHOUT relying on the broadcast
+  planner: the dimension is exploded once per salt bucket so each fact
+  shard meets exactly one dimension copy. Useful when the dimension is
+  small enough to replicate but the optimizer lacks stats to see it.
+
+Aggregate output follows the same contract as operators/aggregate.py:
+``<col>_<fn>`` names, double-typed, Length counts nulls.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGEABLE = ("sum", "length", "min", "max", "mean", "std")
+
+
+def _salt(df: DataFrame, buckets: int) -> Column:
+    # deterministic per-row salt: content-hash, stable under retries and
+    # repartitioning (rand() is neither)
+    return F.pmod(F.xxhash64(*df.columns), F.lit(buckets))
+
+
+def aggregate_by_skew_safe(
+    df: DataFrame,
+    key: str | Sequence[str],
+    pairs: Iterable[tuple[str, Sequence[str]]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-stage salted group-by for hot/low-cardinality keys.
+
+    Stage 1 groups on (key, salt) and reduces each shard to moment sums
+    (n, n_valid, sum, sum_sq, min, max); stage 2 merges ``salt_buckets``
+    shard states per key. The heavy shuffle carries shard STATES (a few
+    doubles each), never row-level values, and stage-1 parallelism is
+    ``distinct_keys x salt_buckets`` instead of ``distinct_keys``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    pairs = [(c, list(fns)) for c, fns in pairs]
+    for c, fns in pairs:
+        bad = [f for f in fns if f.lower() not in _MERGEABLE]
+        if bad:
+            raise ValueError(
+                f"{bad} have non-mergeable state; use operators.aggregate.aggregate_by"
+            )
+
+    value_cols = sorted({c for c, _ in pairs})
+    stage1 = df.withColumn("__salt", _salt(df, salt_buckets)).groupBy(
+        *keys, "__salt"
+    )
+    partials = []
+    for c in value_cols:
+        col = F.col(c)
+        partials += [
+            F.count(F.lit(1)).alias(f"__{c}_n"),
+            F.count(col).alias(f"__{c}_nv"),
+            F.sum(col).alias(f"__{c}_s"),
+            F.sum(col * col).alias(f"__{c}_ss"),
+            F.min(col).alias(f"__{c}_mn"),
+            F.max(col).alias(f"__{c}_mx"),
+        ]
+    shards = stage1.agg(*partials)
+
+    def merged(c: str, fn: str) -> Column:
+        n = F.sum(f"__{c}_n")
+        nv = F.sum(f"__{c}_nv")
+        s = F.sum(f"__{c}_s")
+        ss = F.sum(f"__{c}_ss")
+        if fn == "length":
+            expr = n
+        elif fn == "sum":
+            expr = F.coalesce(s, F.lit(0.0))
+        elif fn == "min":
+            expr = F.min(f"__{c}_mn")
+        elif fn == "max":
+            expr = F.max(f"__{c}_mx")
+        elif fn == "mean":
+            expr = F.when(nv >= 1, s / nv)
+        elif fn == "std":
+            # population std from merged moments; gated like the plain path
+            expr = F.when(nv >= 2, F.sqrt(ss / nv - (s / nv) * (s / nv)))
+        else:  # pragma: no cover - guarded above
+            raise AssertionError(fn)
+        return expr.cast("double").alias(f"{c}_{fn}")
+
+    finals = [merged(c, fn.lower()) for c, fns in pairs for fn in fns]
+    return shards.groupBy(*keys).agg(*finals)
+
+
+def replicate_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted fact-dimension join: fact rows get a content-hash salt, the
+    dimension is exploded ``salt_buckets`` times, and the join key becomes
+    (on, salt) — every hot join key spreads over ``salt_buckets`` reducers
+    instead of one."""
+    salted_fact = fact.withColumn("__salt", _salt(fact, salt_buckets))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(salted_dim, [on, "__salt"], how)
+    return out.drop("__salt")

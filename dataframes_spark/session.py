@@ -44,6 +44,12 @@ def get_spark(app_name: str = "dataframes_spark", cpus: str | None = None) -> Sp
         # timestamp type, so read as epoch-ns long and convert in the loader
         # (lossless here — sub-microsecond components are zero; SURVEY.md §7)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # catalog tables (bucketed layouts, io/bucketed.py) land here
+        # instead of polluting the caller's cwd with spark-warehouse/
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

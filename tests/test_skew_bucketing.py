@@ -1,0 +1,106 @@
+"""Skew-safe aggregation (salted two-stage) and bucketed co-located joins."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.io import bucketed as dbuck
+from dataframes_spark.operators import aggregate as dagg
+from dataframes_spark.operators import skew as dskew
+
+
+@pytest.fixture()
+def hot_key_df(spark):
+    # 3 keys, one carrying 90% of rows — the shape that strands reducers
+    rows = [("hot", float(i % 97)) for i in range(9000)]
+    rows += [("a", float(i)) for i in range(500)]
+    rows += [("b", None)] * 500
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_salted_aggregate_matches_plain(spark, hot_key_df):
+    plain = {
+        r.k: r
+        for r in dagg.aggregate_by(
+            hot_key_df, "k", [("v", ["sum", "length", "min", "max", "mean", "std"])]
+        ).collect()
+    }
+    salted = {
+        r.k: r
+        for r in dskew.aggregate_by_skew_safe(
+            hot_key_df, "k", [("v", ["sum", "length", "min", "max", "mean", "std"])]
+        ).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        for f in ("v_sum", "v_length", "v_min", "v_max", "v_mean"):
+            p, s = plain[k][f], salted[k][f]
+            assert (p is None and s is None) or math.isclose(p, s, rel_tol=1e-9), (k, f)
+        p, s = plain[k].v_std, salted[k].v_std
+        assert (p is None and s is None) or math.isclose(p, s, rel_tol=1e-6)
+
+
+def test_salted_aggregate_rejects_nonmergeable(spark, hot_key_df):
+    with pytest.raises(ValueError):
+        dskew.aggregate_by_skew_safe(hot_key_df, "k", [("v", ["median"])])
+
+
+def test_replicate_join_matches_plain(spark, hot_key_df):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("a", "A"), ("b", "B"), ("unused", "U")], ["k", "label"]
+    )
+    plain = hot_key_df.join(dim, "k").groupBy("label").count()
+    salted = dskew.replicate_join(hot_key_df, dim, "k").groupBy("label").count()
+    assert {(r.label, r["count"]) for r in plain.collect()} == {
+        (r.label, r["count"]) for r in salted.collect()
+    }
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+    )
+    b = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("y")
+    )
+    dbuck.write_bucketed(a, "bt_a", "k", num_buckets=8, sort_by="k")
+    dbuck.write_bucketed(b, "bt_b", "k", num_buckets=8, sort_by="k")
+    try:
+        joined = dbuck.read_bucketed(spark, "bt_a").join(
+            dbuck.read_bucketed(spark, "bt_b"), "k"
+        )
+        # force the shuffle-join path so the assert is about bucketing,
+        # not about broadcast hiding the exchange
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            plan = joined._jdf.queryExecution().explainString(mode)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 10000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_bucketed_aggregation_skips_shuffle(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    dbuck.write_bucketed(df, "bt_g", "k", num_buckets=8)
+    try:
+        agg = dbuck.read_bucketed(spark, "bt_g").groupBy("k").agg(F.sum("v").alias("s"))
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = agg._jdf.queryExecution().explainString(mode)
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_g")

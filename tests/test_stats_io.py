@@ -65,3 +65,15 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_feather_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x", 1.5), (2, "y", None)], ["i", "s", "v"])
+    path = str(tmp_path / "t.feather")
+    writers.write_auto(df, path)
+    assert readers.detect_format(path) == "feather"
+    back = readers.read_auto(spark, path)
+    assert sorted((r.i, r.s, r.v) for r in back.collect()) == [
+        (1, "x", 1.5),
+        (2, "y", None),
+    ]
