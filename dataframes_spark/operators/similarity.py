@@ -141,6 +141,75 @@ def hyperplane_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """IVF (inverted-file) index build: KMeans centroids over the corpus,
+    every vector assigned to its nearest centroid.
+
+    Returns ``(assigned_df, centers)`` — ``assigned_df`` adds a
+    ``cluster`` column (at corpus scale, WRITE IT PARTITIONED BY cluster:
+    probe-time cluster filters then become partition pruning and a
+    query touches ``nprobe/n_clusters`` of the data on disk);
+    ``centers`` is the tiny driver-side centroid list (n_clusters x dim
+    floats) that travels into query plans as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # cluster UNIT vectors: euclidean k-means on the unit sphere is
+    # monotone in cosine, so centroid regions align with the cosine
+    # neighborhoods the probe stage searches
+    base = df.withColumn("__vd", _unit(vd))
+    from pyspark.ml.functions import array_to_vector
+
+    feat = base.withColumn("__features", array_to_vector("__vd"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__features", predictionCol="cluster")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__features", "__vd")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: rank centroids against the query DRIVER-SIDE (tiny),
+    then brute-force cosine only inside the ``nprobe`` nearest clusters.
+    With cluster-partitioned storage the filter prunes partitions, so the
+    scan itself shrinks by ``nprobe/n_clusters`` — the property that makes
+    this the 100 TB path while brute_force_topk stays the small-corpus
+    baseline."""
+    q = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+
+    def cos_to_query(center: list) -> float:
+        cn = math.sqrt(sum(x * x for x in center)) or 1.0
+        return sum(a * b for a, b in zip(center, q)) / (cn * qn)
+
+    probes = sorted(range(len(centers)), key=lambda i: -cos_to_query(centers[i]))[:nprobe]
+    qcol = F.array(*[F.lit(x) for x in q])
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    score = _dot(vd, qcol) / (_norm(vd) * F.lit(qn))
+    return (
+        assigned.filter(F.col("cluster").isin(probes))
+        .select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     vec_col: str,

@@ -91,3 +91,39 @@ def test_frame_sample_counts(spark):
     out = multimodal.frame_sample_plan(media, 1000)
     counts = out.groupBy("media_id").count().collect()
     assert all(r["count"] == 5 for r in counts)
+
+
+def test_ivf_exact_when_probing_all_clusters(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+    rest = df.filter("vec_id != 0")
+    bf = [r.vec_id for r in similarity.brute_force_topk(rest, "embedding", "vec_id", q, 10).collect()]
+    assigned, centers = similarity.ivf_build(rest, "embedding", "vec_id", n_clusters=8)
+    # probing every cluster degrades to exact brute force
+    ivf_all = [r.vec_id for r in similarity.ivf_topk(assigned, centers, "embedding", "vec_id", q, 10, nprobe=8).collect()]
+    assert ivf_all == bf
+
+
+def test_ivf_finds_planted_cluster_with_one_probe(spark):
+    import random
+
+    random.seed(11)
+    # 8 tight clusters; true neighbors of a query live in its own cluster
+    centers = [[random.choice([-5.0, 5.0]) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [x + random.uniform(-0.1, 0.1) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+    rest = df.filter("vec_id != 0")
+    bf = {r.vec_id for r in similarity.brute_force_topk(rest, "embedding", "vec_id", q, 10).collect()}
+    assigned, cs = similarity.ivf_build(rest, "embedding", "vec_id", n_clusters=8)
+    ivf = {r.vec_id for r in similarity.ivf_topk(assigned, cs, "embedding", "vec_id", q, 10, nprobe=1).collect()}
+    # clustered data: one probe recovers the exact neighbor set while
+    # scanning 1/8 of the corpus
+    assert ivf == bf
