@@ -37,21 +37,25 @@ from dataframes_spark.operators import window as _window
 
 
 def _as_column(expr: Any) -> Column:
-    """Accept a Column, an LQuery dict/JSON node, or a column name."""
+    """Accept a Column, an LQuery dict/JSON node, or a column name.
+    LQuery nodes get the reference's null rule (null referenced column ->
+    null output) via ``map_expr``."""
     if isinstance(expr, Column):
         return expr
     if isinstance(expr, dict):
-        return lquery.compile_value(expr)
+        return lquery.map_expr(expr)
     if isinstance(expr, str):
         return F.col(expr)
     return F.lit(expr)
 
 
 def _as_predicate(expr: Any) -> Column:
+    """LQuery nodes get the reference's null rule (null referenced column
+    -> row dropped) via ``filter_expr``."""
     if isinstance(expr, Column):
         return expr
     if isinstance(expr, dict):
-        return lquery.compile_predicate(expr)
+        return lquery.filter_expr(expr)
     if isinstance(expr, str):
         return F.expr(expr)
     raise TypeError(f"cannot interpret {expr!r} as a predicate")

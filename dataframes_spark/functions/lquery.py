@@ -20,10 +20,15 @@ Grammar (one JSON node each):
     {"condition": p, "onTrue": v, "onFalse": v}
 
 Null semantics: the reference evaluates on raw buffers then nulls out any
-row where a referenced column is null — filters drop the row, maps yield
+row where a REFERENCED column is null — filters drop the row, maps yield
 null (reference: native_libs/src/LQuery/Interpreter.cpp:320-338,419-449).
-Spark's SQL null propagation produces the same observable behavior for
-every operator in the grammar, so no special handling is needed.
+SQL null propagation alone is NOT equivalent: ``null OR true`` is true in
+SQL (the reference drops the row), and ``F.when`` with a null condition
+falls through to ``otherwise`` (the reference yields null). So the
+compiled expression must be wrapped with an explicit all-referenced-
+columns-not-null guard — ``filter_expr`` / ``map_expr`` below do exactly
+that, and the extra IsNotNull conjuncts push down to the scan like any
+other filter.
 """
 
 from __future__ import annotations
@@ -146,8 +151,54 @@ def compile_predicate(node: Any) -> Column:
     raise LQueryError(f"unrecognized LQuery predicate node: {node!r}")
 
 
+def referenced_columns(node: Any) -> set[str]:
+    """Column names referenced anywhere in an LQuery tree (the reference
+    dedups these into its ColumnMapping, AST.cpp:30-37,65-81)."""
+    out: set[str] = set()
+    if isinstance(node, dict):
+        if "column" in node:
+            out.add(node["column"])
+        for key in ("arguments", "condition", "onTrue", "onFalse"):
+            sub = node.get(key)
+            if isinstance(sub, list):
+                for x in sub:
+                    out |= referenced_columns(x)
+            elif sub is not None:
+                out |= referenced_columns(sub)
+    return out
+
+
+def _null_guard(node: Any) -> Column | None:
+    refs = sorted(referenced_columns(node))
+    if not refs:
+        return None
+    guard = F.col(refs[0]).isNotNull()
+    for c in refs[1:]:
+        guard = guard & F.col(c).isNotNull()
+    return guard
+
+
+def filter_expr(node: Any) -> Column:
+    """Predicate with the reference's null rule: a row with null in ANY
+    referenced column is dropped, even where SQL three-valued logic would
+    keep it (``null OR true``)."""
+    pred = compile_predicate(node)
+    guard = _null_guard(node)
+    return pred & guard if guard is not None else pred
+
+
+def map_expr(node: Any) -> Column:
+    """Row-wise value with the reference's null rule: null in ANY
+    referenced column nulls the output, even where SQL would produce a
+    value (``condition`` with a null condition falls to ``otherwise`` in
+    SQL; the reference yields null)."""
+    value = compile_value(node)
+    guard = _null_guard(node)
+    return F.when(guard, value) if guard is not None else value
+
+
 def compile_json(text: str, *, predicate: bool = False) -> Column:
     """Compile LQuery JSON text, the exact payload the reference ships over
     its FFI (reference: src/Internal/CWrappers.luna:307-323)."""
     node = json.loads(text)
-    return compile_predicate(node) if predicate else compile_value(node)
+    return filter_expr(node) if predicate else map_expr(node)
