@@ -92,7 +92,33 @@ def read_csv(
     )
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.csv(path)
+    df = reader.csv(path)
+    if infer:
+        df = _conform_reference_types(df)
+    return df
+
+
+def _conform_reference_types(df: DataFrame) -> DataFrame:
+    """Post-inference conformance pass: the reference's numeric types are
+    exactly INT64 and DOUBLE (src/Types.luna:7-172; deduction
+    csv.cpp:153-188), so narrower widths Spark may infer are upcast.
+    Everything else (string fallback on mixed columns, timestamp-first,
+    empty->null) already matches Spark's inference behavior."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    casts = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType)):
+            casts.append(F.col(f.name).cast("long").alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, T.FloatType):
+            casts.append(F.col(f.name).cast("double").alias(f.name))
+            changed = True
+        else:
+            casts.append(F.col(f.name))
+    return df.select(*casts) if changed else df
 
 
 def read_csv_text(spark: SparkSession, text: str, **options) -> DataFrame:

@@ -32,6 +32,13 @@ def write_auto(df: DataFrame, path: str, mode: str = "overwrite", single_file: b
         pf.write_feather(out.toArrow(), path)
         return
     if fmt == "xlsx":
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "xlsx output needs openpyxl (not in this environment); "
+                "write csv/parquet/feather instead"
+            ) from e
         out.toPandas().to_excel(path, index=False)
         return
     writer.format(fmt).save(path)

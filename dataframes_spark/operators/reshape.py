@@ -46,12 +46,16 @@ def concat_horizontal(left: DataFrame, right: DataFrame, order_left: Sequence[st
     joined on it. This is 2 sorts + 1 shuffle join — unavoidable for
     positional semantics in a distributed engine; prefer a real key join
     when one exists.
+
+    Mismatched lengths pad the shorter side with nulls, like the
+    reference's ``Table.fromColumns`` (src/Table.luna:68-96; test
+    native_libs/test/Tests.cpp:1108-1123) — hence the full outer join.
     """
     lw = W.orderBy(*[F.col(c) for c in order_left])
     rw = W.orderBy(*[F.col(c) for c in order_right])
     l_idx = left.withColumn("__rid", F.row_number().over(lw))
     r_idx = right.withColumn("__rid", F.row_number().over(rw))
-    return l_idx.join(r_idx, "__rid", "inner").drop("__rid")
+    return l_idx.join(r_idx, "__rid", "full").drop("__rid")
 
 
 def slice_rows(df: DataFrame, begin: int, count: int, order_by: Sequence[str]) -> DataFrame:

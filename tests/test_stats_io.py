@@ -77,3 +77,41 @@ def test_feather_roundtrip(spark, tmp_path):
         (1, "x", 1.5),
         (2, "y", None),
     ]
+
+
+def test_csv_inference_reference_precedence(spark, tmp_path):
+    """Type deduction matrix (reference csv.cpp:30-41,153-188): INT64 for
+    pure ints, DOUBLE when mixed with floats, STRING when any cell is
+    non-numeric, TIMESTAMP for pure timestamps, STRING for
+    timestamp+number conflicts, empty cells -> null."""
+    csv = (
+        "ints,mixed_num,mixed_str,ts,ts_conflict,with_empty\n"
+        "1,1,1,2023-01-01 10:00:00,2023-01-01 10:00:00,5\n"
+        "2,2.5,abc,2023-01-02 11:30:00,7,\n"
+        "3,3,3,2023-01-03 12:00:00,2023-01-05 09:00:00,9\n"
+    )
+    path = str(tmp_path / "varied.csv")
+    with open(path, "w") as fh:
+        fh.write(csv)
+    df = readers.read_csv(spark, path)
+    types = dict(df.dtypes)
+    assert types["ints"] == "bigint"          # INT64, not int32
+    assert types["mixed_num"] == "double"     # DOUBLE over INT64
+    assert types["mixed_str"] == "string"     # any string -> STRING
+    assert types["ts"] == "timestamp"         # TIMESTAMP-first
+    assert types["ts_conflict"] == "string"   # TIMESTAMP+number -> STRING
+    assert types["with_empty"] == "bigint"
+    rows = df.orderBy("ints").collect()
+    assert rows[1].with_empty is None         # empty cell -> null
+
+
+def test_concat_horizontal_pads_shorter_side(spark):
+    from dataframes_spark.operators import reshape
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["i", "s"])
+    right = spark.createDataFrame([(10.0,), (20.0,)], ["v"])
+    out = reshape.concat_horizontal(left, right, ["i"], ["v"]).orderBy("i")
+    got = [(r.i, r.s, r.v) for r in out.collect()]
+    # shorter side padded with nulls (reference Table.fromColumns,
+    # Tests.cpp:1108-1123)
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)]
