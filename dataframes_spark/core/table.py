@@ -196,3 +196,9 @@ class Table:
 
     def show(self, n: int = 20):
         return self.df.show(n)
+
+    def toJSON(self, max_cells: int = 1000) -> list[str]:
+        """JSON rows, capped like the reference's UI payload (~1000 cells,
+        src/Table.luna:502-523)."""
+        max_rows = max(1, max_cells // max(1, len(self.df.columns)))
+        return self.df.limit(max_rows).toJSON().collect()

@@ -109,7 +109,31 @@ def aggregate_by(
     src/Table.luna:1264-1300). Accepts multiple keys as a Spark-native
     extension (the reference allows exactly one)."""
     keys = [key] if isinstance(key, str) else list(key)
+    pairs = [(c, list(fns)) for c, fns in pairs]
+    validate_aggregate_types(df, pairs)
     return df.groupBy(*keys).agg(*aggregate_exprs(pairs))
+
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def validate_aggregate_types(df: DataFrame, pairs: Iterable[tuple[str, Sequence[str]]]) -> None:
+    """The reference's relaxed typing rule: ``Length`` accepts any column,
+    every other aggregate requires an arithmetic one and THROWS otherwise
+    (Analysis.cpp:79-87,166-183; test Tests.cpp:1183-1220). Spark would
+    happily min() a string lexicographically and cast to null — surfacing
+    the error beats silently conforming output types."""
+    dtypes = dict(df.dtypes)
+    for c, fns in pairs:
+        if c not in dtypes:
+            raise ValueError(f"no such column {c!r}")
+        numeric = dtypes[c].startswith(_NUMERIC_PREFIXES)
+        for fn in fns:
+            if fn.lower() != "length" and not numeric:
+                raise TypeError(
+                    f"aggregate {fn!r} requires an arithmetic column; "
+                    f"{c!r} is {dtypes[c]} (only 'length' accepts it)"
+                )
 
 
 def group_collect(

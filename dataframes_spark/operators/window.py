@@ -26,7 +26,7 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from dataframes_spark.operators.aggregate import build_aggregate
+from dataframes_spark.operators.aggregate import build_aggregate, validate_aggregate_types
 
 
 def _window(order_by, partition_by: Sequence[str] | None):
@@ -64,6 +64,7 @@ def rolling_interval(
     microseconds — Spark evaluates the sliding frame inside the sorted
     partition, one pass.
     """
+    validate_aggregate_types(df, pairs := [(c, list(fns)) for c, fns in pairs])
     order = F.unix_micros(F.col(ts_col))
     w = _window(order, partition_by)
     lo = -int(interval_us) if inclusive_left else -int(interval_us) + 1
@@ -91,6 +92,7 @@ def rolling_range(
     (native_libs/src/Core/ArrowUtilities.h:111,160; Analysis.cpp:775-801)
     even though only TIMESTAMP is reachable from its Luna API — this is
     the numeric twin of ``rolling_interval``."""
+    validate_aggregate_types(df, pairs := [(c, list(fns)) for c, fns in pairs])
     w = _window(F.col(key_col), partition_by)
     lo = -int(width) if inclusive_left else -int(width) + 1
     frame = w.rangeBetween(lo, 0)
@@ -112,6 +114,7 @@ def rolling_rows(
 ) -> DataFrame:
     """Trailing n-row window (Spark-native companion to the time-interval
     variant)."""
+    validate_aggregate_types(df, [(col, list(fns))])
     w = _window(order_by, partition_by).rowsBetween(-(n - 1), 0)
     exprs = [build_aggregate(fn, col, wrap=lambda e, f=w: e.over(f)) for fn in fns]
     return df.select("*", *exprs)

@@ -1,0 +1,66 @@
+"""Table facade sweep: the thin-wrapper surface of SURVEY §2.2 (column
+surgery, metadata, slicing) plus the aggregate typing rule and toJSON cap."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.core import Table
+from dataframes_spark.operators import aggregate as dagg
+
+
+@pytest.fixture()
+def t(spark):
+    return Table(
+        spark.createDataFrame(
+            [(1, 1.5, "x"), (2, 2.5, "y"), (3, 3.5, "z")], ["i", "v", "s"]
+        )
+    )
+
+
+def test_metadata(t):
+    assert t.columnNames == ["i", "v", "s"]
+    assert t.rowCount() == 3
+    assert t.columnCount() == 3
+
+
+def test_column_surgery(t):
+    assert t.at("v").columnNames == ["v"]
+    assert t.columns(["s", "i"]).columnNames == ["s", "i"]
+    assert t.remove("v").columnNames == ["i", "s"]
+    assert t.rename("v", "val").columnNames == ["i", "val", "s"]
+    # setAt replaces in place; new name appends
+    assert t.setAt("v", F.col("v") * 2).df.select("v").first()[0] == 3.0
+    assert "w" in t.setAt("w", F.lit(0)).columnNames
+
+
+def test_filter_columns_numeric(t):
+    kept = t.filterColumns(lambda name, dtype: not dtype.startswith("string"))
+    assert kept.columnNames == ["i", "v"]
+
+
+def test_take_slice(t):
+    assert t.take(2, ["i"]).rowCount() == 2
+    got = [r.i for r in t.slice(1, 2, ["i"]).toList()]
+    assert got == [2, 3]
+
+
+def test_set_ops(t, spark):
+    other = Table(spark.createDataFrame([(2, 2.5, "y")], ["i", "v", "s"]))
+    assert t.union(other).rowCount() == 4
+    assert t.intersect(other).rowCount() == 1
+    assert t.except_(other).rowCount() == 2
+
+
+def test_tojson_cell_cap(t):
+    out = t.toJSON(max_cells=3)  # 3 columns -> 1 row
+    assert len(out) == 1 and out[0].startswith("{")
+
+
+def test_aggregate_typing_rule(t):
+    # Length accepts any column; arithmetic aggregates reject strings
+    ok = dagg.aggregate_by(t.df, "s", [("s", ["length"])])
+    assert ok.count() == 3
+    with pytest.raises(TypeError, match="arithmetic"):
+        dagg.aggregate_by(t.df, "i", [("s", ["min"])])
+    with pytest.raises(ValueError, match="no such column"):
+        dagg.aggregate_by(t.df, "i", [("nope", ["sum"])])
