@@ -658,6 +658,27 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddedup.simhash(docs, "text", "doc_id")
 
 
+def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: spherical-kmeans clusters + nprobe-bounded
+    search (rows-only: KMeans centroids are not SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = emb.filter(F.col("vec_id") != 0)
+    assigned, centers = dsim.ivf_build(rest, "embedding", "vec_id", n_clusters=16)
+    out = dsim.ivf_topk(assigned, centers, "embedding", "vec_id", q, k=10, nprobe=4)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def frame_sample_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (SURVEY north-star multimodal):
+    target frame timestamps computed from metadata only — no payload
+    bytes are read (parquet column pruning)."""
+    from dataframes_spark.operators import multimodal as dmm
+
+    media = dmm.make_fake_media(spark, 64)
+    return dmm.frame_sample_plan(media, every_ms=1000)
+
+
 def lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-3 neighbors (rows-only)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -722,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": minhash_lsh_candidates,
         "simhash_fingerprints": simhash_fingerprints,
         "lsh_similarity_topk": lsh_similarity_topk,
+        "ivf_topk_probe": ivf_topk_probe,
+        "frame_sample_timestamps": frame_sample_timestamps,
     }
 
 
@@ -1146,7 +1169,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM embeddings GROUP BY label
         """,
-        # minhash_lsh_candidates / simhash_fingerprints / lsh_similarity_topk:
-        # intentionally no oracle (xxhash64 hash family has no DuckDB
-        # equivalent) -> driver records rows-only checks.
+        "frame_sample_timestamps": """
+            WITH m AS (SELECT i AS media_id, 5000 + i * 250 AS dur
+                       FROM range(64) t(i))
+            SELECT media_id,
+                   unnest(range(CAST(dur // 1000 AS INT))) * 1000 AS frame_ts_ms
+            FROM m
+        """,
+        # minhash_lsh_candidates / simhash_fingerprints / lsh_similarity_topk /
+        # ivf_topk_probe: intentionally no oracle (xxhash64 / KMeans have no
+        # DuckDB equivalent) -> driver records rows-only checks.
     }

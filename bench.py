@@ -51,6 +51,14 @@ BENCH_QUERIES = [
     "doc_profile",
     "embedding_topk",
     "minhash_lsh_candidates",
+    "rolling_rows_100",
+    "group_collect_lists",
+    "setop_union_except",
+    "ols_price_qty",
+    "pandas_map_column",
+    "media_decode_stats",
+    "simhash_fingerprints",
+    "lquery_datetime",
 ]
 
 
