@@ -685,6 +685,30 @@ def lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsim.lsh_bucket_topk(emb, "embedding", "vec_id", k=3, num_planes=6)
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed as a real training-data pipeline: exact
+    dedup (hash-groupBy) -> quality gate -> per-language corpus stats.
+    One pass over the corpus, two shuffles (dedup semi-join, final agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    deduped = ddedup.exact_dedup(docs, "text", "doc_id")
+    c = F.col("text")
+    prof = deduped.select(
+        "doc_id",
+        dtext.language_guess(c).alias("lang"),
+        dtext.quality_score(c).alias("q"),
+        dtext.whitespace_tokens(c).alias("ntok"),
+    )
+    return (
+        prof.filter(F.col("q") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ntok"), 6).alias("avg_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -745,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_similarity_topk": lsh_similarity_topk,
         "ivf_topk_probe": ivf_topk_probe,
         "frame_sample_timestamps": frame_sample_timestamps,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
     }
 
 
@@ -1175,6 +1200,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(CAST(dur // 1000 AS INT))) * 1000 AS frame_ts_ms
             FROM m
+        """,
+        "pipeline_clean_corpus": """
+            WITH dedup AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ), base AS (
+                SELECT d.doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS tk,
+                       string_split_regex(lower(trim(text)), '\\s+') AS tkl
+                FROM documents d JOIN dedup USING (doc_id)
+            ), m AS (
+                SELECT doc_id,
+                    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS ntok,
+                    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) /
+                        CAST(greatest(length(text), 1) AS DOUBLE) AS praw,
+                    list_sum(list_transform(tk, t -> length(t))) /
+                        CAST(greatest(len(tk), 1) AS DOUBLE) AS wraw,
+                    len(list_filter(tkl, t -> list_contains(['the','and','of','is','that','with'], t))) AS s_en,
+                    len(list_filter(tkl, t -> list_contains(['el','la','de','que','los','una'], t))) AS s_es,
+                    len(list_filter(tkl, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+                    len(list_filter(tkl, t -> list_contains(['le','la','les','des','est','une'], t))) AS s_fr
+                FROM base
+            ), scored AS (
+                SELECT doc_id, ntok,
+                    ((CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+                     + (1.0 - least(praw * 4, 1.0))
+                     + (CASE WHEN wraw >= 2 AND wraw <= 12 THEN 1.0 ELSE 0.0 END)) / 3.0 AS q,
+                    CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                         WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                         WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                         WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                         ELSE 'fr' END AS lang
+                FROM m
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(ntok), 6) AS avg_tokens,
+                   round(avg(q), 6) AS avg_quality
+            FROM scored WHERE q >= 0.5 GROUP BY lang
         """,
         # minhash_lsh_candidates / simhash_fingerprints / lsh_similarity_topk /
         # ivf_topk_probe: intentionally no oracle (xxhash64 / KMeans have no

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "media_decode_stats",
     "simhash_fingerprints",
     "lquery_datetime",
+    "pipeline_clean_corpus",
 ]
 
 
