@@ -255,6 +255,27 @@ def rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_1h_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollingInterval with the reference's STRICT left edge (t-interval,
+    t] — rows exactly interval-old fall out of the window
+    (Analysis.cpp:794: key > t - interval)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dwindow.rolling_interval(
+        ev,
+        "ts",
+        3600 * 1_000_000,
+        [("value", ["length", "min", "max"])],
+        inclusive_left=False,
+    )
+    return out.select(
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value_length",
+        "value_min",
+        "value_max",
+    )
+
+
 def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear null interpolation w/ edge fill (SURVEY §2.6, the hard one)."""
     ev = _events_with_nulls(spark, sf_dir)
@@ -735,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_offset": slice_offset,
         "shift_lag": shift_lag,
         "rolling_1h": rolling_1h,
+        "rolling_1h_strict": rolling_1h_strict,
         "interpolate_linear": interpolate_linear,
         "fillna_zero": fillna_zero,
         "dropna_rows": dropna_rows,
@@ -912,6 +934,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) OVER w AS DOUBLE) AS value_length
             FROM events
             WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_1h_strict": """
+            SELECT epoch_us(ts) AS ts_us, event_id,
+                   CAST(count(*) OVER w AS DOUBLE) AS value_length,
+                   CAST(min(value) OVER w AS DOUBLE) AS value_min,
+                   CAST(max(value) OVER w AS DOUBLE) AS value_max
+            FROM events
+            WINDOW w AS (ORDER BY ts RANGE BETWEEN
+                         to_microseconds(3599999999) PRECEDING
+                         AND CURRENT ROW)
         """,
         "interpolate_linear": f"""
             WITH base AS (

@@ -80,6 +80,13 @@ AGGREGATES: dict[str, tuple] = {
     "sum": (_sum, 0),
     "rsi": (_rsi, 1),
     "std": (_simple(F.stddev_pop), 2),
+    # scale path: exact percentile buffers every group value on one
+    # reducer; the GK-sketch variant has bounded state (the 100 TB choice
+    # when exact rank error < 1/10000 isn't required)
+    "median_approx": (
+        lambda c, wrap: wrap(F.percentile_approx(F.col(c), 0.5, 10_000)),
+        1,
+    ),
 }
 
 

@@ -64,3 +64,14 @@ def test_aggregate_typing_rule(t):
         dagg.aggregate_by(t.df, "i", [("s", ["min"])])
     with pytest.raises(ValueError, match="no such column"):
         dagg.aggregate_by(t.df, "i", [("nope", ["sum"])])
+
+
+def test_median_approx_close_to_exact(spark):
+    import random
+
+    random.seed(3)
+    df = spark.createDataFrame(
+        [("g", random.gauss(100, 15)) for _ in range(5000)], ["k", "v"]
+    )
+    out = dagg.aggregate_by(df, "k", [("v", ["median", "median_approx"])]).first()
+    assert abs(out.v_median - out.v_median_approx) < 0.5
