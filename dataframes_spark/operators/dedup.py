@@ -127,13 +127,28 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b) with id_a < id_b; verify with ``jaccard_verify``.
     """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).select(
+        F.col(id_col).alias("id"), "signature"
+    )
+    return _banded_pairs(sigs, num_hashes, bands)
+
+
+def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a (id, signature) relation.
+
+    Bands are generated from ONE reference to the signature (transform
+    over a band-index sequence) — a per-band literal array would inline
+    the whole signature fold once per band after projection collapse.
+
+    One shuffle: gather each bucket's members, expand in-bucket pairs
+    with nested array transforms (JVM-side), explode. A self-join would
+    shuffle — and compute the minhash signatures — twice; this path
+    computes them once. Buckets hold only colliding docs, so member
+    lists stay small; a pathological all-identical corpus concentrates
+    in one bucket, which exact_dedup upstream is expected to collapse."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    # bands generated from ONE reference to the signature (transform over
-    # a band-index sequence) — a per-band literal array would inline the
-    # whole signature fold once per band after projection collapse
     banded = sigs.select(
-        F.col(id_col).alias("id"),
+        "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -148,12 +163,6 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # One shuffle: gather each bucket's members, expand in-bucket pairs
-    # with nested array transforms (JVM-side), explode. A self-join would
-    # shuffle — and compute the minhash signatures — twice; this path
-    # computes them once. Buckets hold only colliding docs, so member
-    # lists stay small; a pathological all-identical corpus concentrates
-    # in one bucket, which exact_dedup upstream is expected to collapse.
     ids = F.sort_array(F.col("ids"))
     pair_structs = F.flatten(
         F.transform(
@@ -306,11 +315,56 @@ def near_dup_pairs(
     similarity (~0.45) collide with probability < 3%, keeping the
     candidate set near the true near-dup count. Precision is exact:
     every emitted pair is verified with the true metric."""
-    cand = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    # one hashed shingle-set relation feeds BOTH the signature fold and the
+    # verify joins; persisted because three consumers would otherwise each
+    # re-scan the corpus and re-shingle (MEMORY_AND_DISK: ~8B per distinct
+    # shingle per doc, spills instead of evicting under pressure)
+    from pyspark import StorageLevel
+
+    sets = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                shingle_ngrams(text_col, shingle_k), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return jaccard_verify(
-        cand, df, text_col, id_col, shingle_k=shingle_k, min_jaccard=min_jaccard
+    p = (1 << 31) - 1
+    lane = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    hashes = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(p)))
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(p).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            lane,
+            lambda m, i: F.least(
+                m,
+                (h * (i.cast("long") * 2 + 1) + (i.cast("long") + 1) * 7919)
+                % F.lit(p),
+            ),
+        ),
+    )
+    cand = _banded_pairs(sets.select("id", sig.alias("signature")), num_hashes, bands)
+    return (
+        cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+        .join(
+            F.broadcast(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard") >= min_jaccard)
     )
 
 
