@@ -79,6 +79,35 @@ class Table:
 
         write_auto(self.df, path, **options)
 
+    @classmethod
+    def fromColumns(cls, spark, columns: dict) -> "Table":
+        """Build from name -> python list (reference ``Table.fromColumns`` /
+        ``Column.fromList``, src/Table.luna:92-96, src/Column.luna:147-152).
+        Shorter columns are padded with nulls to the longest
+        (src/Table.luna:68-96)."""
+        n = max((len(v) for v in columns.values()), default=0)
+        rows = [
+            tuple(v[i] if i < len(v) else None for v in columns.values())
+            for i in range(n)
+        ]
+        return cls(spark.createDataFrame(rows, list(columns.keys())))
+
+    @classmethod
+    def createIndex(cls, spark, name: str, n: int, start: int = 0, step: int = 1) -> "Table":
+        """Int sequence column (reference ``createIndex``,
+        src/Column.luna:154-156) — ``spark.range`` is already a
+        distributed, partitioned source."""
+        df = spark.range(start, start + n * step, step).select(F.col("id").alias(name))
+        return cls(df)
+
+    def map(self, col: str, fn, return_type: str = "double", out_name: str | None = None) -> "Table":
+        """``Column.map`` escape hatch -> Arrow-batched pandas UDF
+        (functions/udf.py); prefer LQuery/``each`` for anything a builtin
+        expression can say."""
+        from dataframes_spark.functions.udf import map_column
+
+        return Table(map_column(self.df, col, fn, return_type, out_name))
+
     # -- metadata ----------------------------------------------------------
     @property
     def columnNames(self) -> list[str]:

@@ -75,3 +75,20 @@ def test_median_approx_close_to_exact(spark):
     )
     out = dagg.aggregate_by(df, "k", [("v", ["median", "median_approx"])]).first()
     assert abs(out.v_median - out.v_median_approx) < 0.5
+
+
+def test_from_columns_pads_to_longest(spark):
+    t2 = Table.fromColumns(spark, {"a": [1, 2, 3], "b": ["x"]})
+    rows = sorted(t2.toList(), key=lambda r: r.a)
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, None), (3, None)]
+
+
+def test_create_index(spark):
+    t2 = Table.createIndex(spark, "idx", 5, start=10, step=2)
+    assert [r.idx for r in t2.df.orderBy("idx").collect()] == [10, 12, 14, 16, 18]
+
+
+def test_map_pandas_escape_hatch(spark, t):
+    out = t.map("v", lambda s: s * 2, "double", "v2")
+    got = {r.i: r.v2 for r in out.toList()}
+    assert got == {1: 3.0, 2: 5.0, 3: 7.0}
