@@ -145,10 +145,14 @@ class Table:
 
     # -- expressions (LQuery; reference: src/Table.luna:695-804) ------------
     def filter(self, expr: Any) -> "Table":
+        if isinstance(expr, dict):
+            lquery.validate_predicate(expr, dict(self.df.dtypes))
         return Table(self.df.filter(_as_predicate(expr)))
 
     def each(self, name: str, expr: Any) -> "Table":
         """Reference ``eachTo name f`` — append a computed column."""
+        if isinstance(expr, dict):
+            lquery.infer_type(expr, dict(self.df.dtypes))
         return Table(self.df.withColumn(name, _as_column(expr)))
 
     # -- null handling ------------------------------------------------------

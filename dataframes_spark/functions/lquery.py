@@ -151,6 +151,80 @@ def compile_predicate(node: Any) -> Column:
     raise LQueryError(f"unrecognized LQuery predicate node: {node!r}")
 
 
+_NUMERIC_DTYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def infer_type(node: Any, dtypes: dict[str, str]) -> str:
+    """Static type of an LQuery node: 'number' | 'string' | 'timestamp'.
+    Mirrors the reference's runtime dispatch so ill-typed trees fail at
+    compile time here instead of throwing mid-interpretation there."""
+    if isinstance(node, (int, float)) and not isinstance(node, bool):
+        return "number"
+    if isinstance(node, str):
+        return "string"
+    if isinstance(node, dict):
+        if "column" in node:
+            name = node["column"]
+            if name not in dtypes:
+                raise LQueryError(f"unknown column {name!r}")
+            dt = dtypes[name]
+            if dt.startswith(_NUMERIC_DTYPES):
+                return "number"
+            if dt.startswith("timestamp"):
+                return "timestamp"
+            if dt.startswith("string"):
+                return "string"
+            raise LQueryError(f"column {name!r} has unsupported type {dt}")
+        if "timestampNs" in node:
+            return "timestamp"
+        if "operation" in node:
+            op = node["operation"]
+            args = [infer_type(a, dtypes) for a in node.get("arguments", [])]
+            if op in ("day", "month", "year"):
+                if args != ["timestamp"]:
+                    raise LQueryError(f"{op} requires a timestamp argument")
+                return "number"
+            if any(a != "number" for a in args):
+                raise LQueryError(f"operation {op!r} requires numeric arguments")
+            return "number"
+        if "condition" in node:
+            validate_predicate(node["condition"], dtypes)
+            t, f = (
+                infer_type(node["onTrue"], dtypes),
+                infer_type(node["onFalse"], dtypes),
+            )
+            if t != f:
+                raise LQueryError(f"condition branches disagree: {t} vs {f}")
+            return t
+    raise LQueryError(f"cannot type LQuery node: {node!r}")
+
+
+def validate_predicate(node: Any, dtypes: dict[str, str]) -> None:
+    """Reject the trees the reference's kernels throw on: mixed
+    string/number comparisons (Functions.h:19-30) and non-string
+    startsWith/matches operands."""
+    if not isinstance(node, dict):
+        raise LQueryError(f"not a predicate node: {node!r}")
+    if "predicate" in node:
+        op = node["predicate"]
+        args = node.get("arguments", [])
+        if op in ("gt", "lt", "eq"):
+            ta, tb = infer_type(args[0], dtypes), infer_type(args[1], dtypes)
+            if ta != tb:
+                raise LQueryError(
+                    f"{op} on mixed types {ta}/{tb} (reference throws, Functions.h:19-30)"
+                )
+        elif op in ("startsWith", "matches"):
+            if infer_type(args[0], dtypes) != "string":
+                raise LQueryError(f"{op} requires a string column")
+        return
+    if "boolean" in node:
+        for a in node.get("arguments", []):
+            validate_predicate(a, dtypes)
+        return
+    raise LQueryError(f"unrecognized predicate node: {node!r}")
+
+
 def referenced_columns(node: Any) -> set[str]:
     """Column names referenced anywhere in an LQuery tree (the reference
     dedups these into its ColumnMapping, AST.cpp:30-37,65-81)."""

@@ -104,3 +104,20 @@ def test_errors():
         compile_json("true")
     with pytest.raises(LQueryError):
         compile_predicate({"predicate": "like", "arguments": []})
+
+
+def test_mixed_type_comparison_throws(spark):
+    from dataframes_spark.core import Table
+    from dataframes_spark.functions.lquery import LQueryError
+
+    t = Table(spark.createDataFrame([(1, "x")], ["n", "s"]))
+    with pytest.raises(LQueryError, match="mixed types"):
+        t.filter({"predicate": "gt", "arguments": [{"column": "s"}, 5]})
+    with pytest.raises(LQueryError, match="string column"):
+        t.filter({"predicate": "startsWith", "arguments": [{"column": "n"}, "a"]})
+    with pytest.raises(LQueryError, match="numeric arguments"):
+        t.each("y", {"operation": "plus", "arguments": [{"column": "s"}, 1]})
+    with pytest.raises(LQueryError, match="timestamp argument"):
+        t.each("y", {"operation": "year", "arguments": [{"column": "n"}]})
+    # well-typed trees still pass
+    assert t.filter({"predicate": "eq", "arguments": [{"column": "s"}, "x"]}).rowCount() == 1
