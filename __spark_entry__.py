@@ -255,6 +255,15 @@ def rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shift_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shift with a partition key — the scale-correct window shape (every
+    un-partitioned window is a single-reducer bottleneck; SURVEY §2.6
+    scale note). Partitioned by user_id, ordered by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    out = dwindow.shift(ev, "value", 1, "event_id", partition_by=["user_id"])
+    return out.select("event_id", "user_id", "value", "value_shift_1")
+
+
 def rolling_1h_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rollingInterval with the reference's STRICT left edge (t-interval,
     t] — rows exactly interval-old fall out of the window
@@ -755,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_slice": sort_slice,
         "slice_offset": slice_offset,
         "shift_lag": shift_lag,
+        "shift_by_user": shift_by_user,
         "rolling_1h": rolling_1h,
         "rolling_1h_strict": rolling_1h_strict,
         "interpolate_linear": interpolate_linear,
@@ -925,6 +935,12 @@ def oracle_sql() -> dict[str, str]:
         "shift_lag": """
             SELECT event_id, value,
                    lag(value) OVER (ORDER BY event_id) AS value_shift_1
+            FROM events
+        """,
+        "shift_by_user": """
+            SELECT event_id, user_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS value_shift_1
             FROM events
         """,
         "rolling_1h": """

@@ -69,3 +69,30 @@ def test_sessionize_stream(spark, event_dir):
     assert by_user["u1"].n_events == 120
     assert by_user["u2"].n_events == 60
     assert by_user["u2"].total_value == 120.0
+
+
+def test_stream_equals_batch_windowed_aggregate(spark, event_dir):
+    """Stream-batch consistency: the same windowed aggregation over the
+    same files produces identical results incrementally and in batch."""
+    schema = spark.read.parquet(event_dir).schema
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    agg = dstream.windowed_aggregate(
+        src, "ts", "10 minutes", None, "5 minutes", [("value", ["sum", "length"])]
+    )
+    name = f"sb_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg, name)
+    streamed = {
+        (r.window_start, r.window_end): (r.value_sum, r.value_length)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_df = spark.read.parquet(event_dir)
+    batch = {
+        (r.win.start, r.win.end): (r.value_sum, r.value_length)
+        for r in batch_df.groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(
+            F.sum("value").cast("double").alias("value_sum"),
+            F.count(F.lit(1)).cast("double").alias("value_length"),
+        )
+        .collect()
+    }
+    assert streamed == batch
