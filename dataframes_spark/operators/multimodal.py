@@ -105,6 +105,59 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "med
     return df.select(id_col, payload_col).mapInPandas(_decode, schema=_DECODE_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: int = 224,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image blobs to ``target`` x ``target`` via mapInPandas.
+
+    Real resizing needs PIL/opencv (not in this container); ``fake=True``
+    runs a deterministic stand-in (payload truncated/cycled to a
+    target-derived length) that exercises the identical Arrow-batched
+    plan — binary in, binary out, bounded batch memory."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize needs PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic stand-in"
+        )
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        n_bytes = target * 4  # stand-in: side-proportional payload
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                if blob is None:
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    continue
+                b = bytes(blob)
+                scaled = (b * (n_bytes // max(len(b), 1) + 1))[:n_bytes]
+                out["payload"].append(scaled)
+                out["width"].append(target)
+                out["height"].append(target)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: compute target frame timestamps from
     metadata only (no payload read), ready to feed a decoder. Shows the

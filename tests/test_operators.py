@@ -111,3 +111,33 @@ def test_fillna_type_coercion(spark):
     df = spark.createDataFrame([(1, None), (2, 5.0)], "i int, v double")
     got = [r.v for r in dnulls.fill_na(df, 0, ["v"]).orderBy("i").collect()]
     assert got == [0.0, 5.0]
+
+
+def test_sort_stability_with_tiebreaker(spark):
+    # equal keys keep a deterministic order via the stability tiebreaker
+    # (reference sorts are stable, Sort.cpp:202-216; Spark orderBy is not,
+    # so the facade appends an explicit tiebreaker key)
+    rows = [(1, i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "seq"]).repartition(8)
+    out = dsort.sort_by(df, [("k", "asc", "nulls_first")], stable_tiebreaker="seq")
+    assert [r.seq for r in out.collect()] == list(range(200))
+
+
+def test_count_values_includes_null_row(spark):
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",), (None,)], ["c"])
+    out = dagg.count_values(df, "c")
+    got = {r.value: r["count"] for r in out.collect()}
+    assert got == {"a": 2, None: 2, "b": 1}
+
+
+def test_interpolate_partitioned(spark):
+    rows = [
+        ("u1", 1, 0.0), ("u1", 2, None), ("u1", 3, 4.0),
+        ("u2", 1, 10.0), ("u2", 2, None), ("u2", 3, None),
+    ]
+    df = spark.createDataFrame(rows, ["u", "o", "v"])
+    out = dnulls.interpolate(df, ["v"], "o", partition_by=["u"])
+    got = {(r.u, r.o): r.v for r in out.collect()}
+    assert got[("u1", 2)] == 2.0          # lerp within u1 only
+    assert got[("u2", 2)] == 10.0         # trailing fill from u2's last valid
+    assert got[("u2", 3)] == 10.0

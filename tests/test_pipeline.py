@@ -127,3 +127,12 @@ def test_ivf_finds_planted_cluster_with_one_probe(spark):
     # clustered data: one probe recovers the exact neighbor set while
     # scanning 1/8 of the corpus
     assert ivf == bf
+
+
+def test_resize_images_fake_plan(spark):
+    media = multimodal.make_fake_media(spark, 6)
+    out = multimodal.resize_images(media, target=32, fake=True).collect()
+    assert all(r.width == 32 and r.height == 32 for r in out)
+    assert all(len(r.payload) == 32 * 4 for r in out)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media)
