@@ -130,6 +130,43 @@ class Table:
     def columns(self, names: Sequence[str]) -> "Table":
         return Table(self.df.select(*names))
 
+    def columnAt(self, i: int) -> "Table":
+        """Select by position (reference ``columnAt``, src/Table.luna:214-216)."""
+        return Table(self.df.select(self.df.columns[i]))
+
+    def addColumn(self, i: int, name: str, expr: Any) -> "Table":
+        """Insert a column at position ``i`` (reference ``addColumn``,
+        src/Table.luna:248-249) — column order is part of the reference's
+        table identity, so the projection is rebuilt explicitly."""
+        names = list(self.df.columns)
+        names.insert(i, name)
+        cols = [
+            _as_column(expr).alias(name) if c == name else F.col(c) for c in names
+        ]
+        return Table(self.df.select(*cols))
+
+    def removeByIndex(self, i: int) -> "Table":
+        """Drop by position (reference ``removeByIndex``, src/Table.luna:457-458)."""
+        return Table(self.df.drop(self.df.columns[i]))
+
+    def eachColumn(self, fn) -> "Table":
+        """Apply a Column -> Column function to every column (reference
+        ``eachColumn``, src/Table.luna:749-752)."""
+        return Table(self.df.select(*[fn(F.col(c)).alias(c) for c in self.df.columns]))
+
+    def equals(self, other: "Table") -> bool:
+        """Schema + data (multiset) equality (reference ``==``,
+        src/Table.luna:574-575 via arrow::Table::Equals). Distributed:
+        two anti-diffs, no driver-side collect of the data."""
+        if [f.simpleString() for f in self.df.schema.fields] != [
+            f.simpleString() for f in other.df.schema.fields
+        ]:
+            return False
+        return (
+            self.df.exceptAll(other.df).isEmpty()
+            and other.df.exceptAll(self.df).isEmpty()
+        )
+
     def setAt(self, name: str, expr: Any) -> "Table":
         return Table(self.df.withColumn(name, _as_column(expr)))
 

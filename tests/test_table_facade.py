@@ -92,3 +92,24 @@ def test_map_pandas_escape_hatch(spark, t):
     out = t.map("v", lambda s: s * 2, "double", "v2")
     got = {r.i: r.v2 for r in out.toList()}
     assert got == {1: 3.0, 2: 5.0, 3: 7.0}
+
+
+def test_positional_column_ops(t):
+    assert t.columnAt(1).columnNames == ["v"]
+    added = t.addColumn(1, "w", F.col("i") * 10)
+    assert added.columnNames == ["i", "w", "v", "s"]
+    assert added.df.orderBy("i").first().w == 10
+    assert t.removeByIndex(0).columnNames == ["v", "s"]
+
+
+def test_each_column(t):
+    doubled = Table(t.df.select("i", "v")).eachColumn(lambda c: c * 2)
+    row = doubled.df.orderBy("i").first()
+    assert (row.i, row.v) == (2, 3.0)
+
+
+def test_table_equality(t, spark):
+    same = Table(spark.createDataFrame([(3, 3.5, "z"), (1, 1.5, "x"), (2, 2.5, "y")], ["i", "v", "s"]))
+    assert t.equals(same)  # order-insensitive multiset equality
+    assert not t.equals(Table(t.df.filter("i < 3")))
+    assert not t.equals(Table(t.df.withColumnRenamed("v", "w")))
