@@ -24,9 +24,30 @@ def drop_na(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
 
 
 def fill_na(df: DataFrame, value, subset: Sequence[str] | None = None) -> DataFrame:
-    """Fill nulls; Spark already coerces the fill value per column type,
-    matching the reference's ConvertTo pass (Processing.cpp:561-609)."""
-    return df.fillna(value, subset=list(subset) if subset else None)
+    """Fill nulls with per-column value COERCION, like the reference's
+    ConvertTo pass (Processing.cpp:561-609): a string "5" fills an int64
+    column as 5, a number fills a string column as its text form. Spark's
+    own ``fillna`` silently skips type-mismatched columns instead, so the
+    fill is an explicit typed ``coalesce`` per column. An unparseable
+    string for a numeric column raises (the reference throws too)."""
+    cols = set(subset) if subset else set(df.columns)
+    dtypes = dict(df.dtypes)
+    if isinstance(value, str):
+        for c in cols:
+            if dtypes[c].startswith(("int", "bigint", "smallint", "tinyint", "double", "float")):
+                try:
+                    float(value)
+                except ValueError:
+                    raise ValueError(
+                        f"cannot coerce fill value {value!r} to numeric column {c!r}"
+                    ) from None
+    exprs = [
+        F.coalesce(F.col(c), F.lit(value).cast(df.schema[c].dataType)).alias(c)
+        if c in cols
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*exprs)
 
 
 def interpolate(

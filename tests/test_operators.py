@@ -141,3 +141,19 @@ def test_interpolate_partitioned(spark):
     assert got[("u1", 2)] == 2.0          # lerp within u1 only
     assert got[("u2", 2)] == 10.0         # trailing fill from u2's last valid
     assert got[("u2", 3)] == 10.0
+
+
+def test_fillna_coerces_value_per_column_type(spark):
+    df = spark.createDataFrame(
+        [(1, None, None), (2, 2.5, "b")], "i bigint, v double, s string"
+    )
+    # string fill value coerced to each column's type (ConvertTo,
+    # Processing.cpp:561-609); Spark's own fillna would skip v entirely
+    out = dnulls.fill_na(df, "7", ["v", "s"]).orderBy("i").collect()
+    assert out[0].v == 7.0 and out[0].s == "7"
+    assert out[1].v == 2.5 and out[1].s == "b"
+    # numeric fill into string column becomes text
+    out2 = dnulls.fill_na(df, 0, ["s"]).orderBy("i").collect()
+    assert out2[0].s == "0"
+    with pytest.raises(ValueError, match="coerce"):
+        dnulls.fill_na(df, "abc", ["v"])
