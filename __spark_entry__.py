@@ -206,6 +206,17 @@ def rsi_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_returnflag", F.round("qdev_rsi", 6).alias("qdev_rsi"))
 
 
+def first_last_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last aggregates with an explicit order (SURVEY §2.5 /
+    Analysis.cpp:185-215) — min_by/max_by over valid rows, deterministic
+    under any partitioning."""
+    ev = _events_with_nulls(spark, sf_dir)
+    out = dagg.aggregate_by(
+        ev, "event_type", [("value", ["first", "last"])], order_by="event_id"
+    )
+    return out.select("event_type", "value_first", "value_last")
+
+
 def sort_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort w/ null placement + take (SURVEY §2.8, §2.2)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -761,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlations": correlations,
         "autocorr": autocorr,
         "rsi_by_flag": rsi_by_flag,
+        "first_last_by_type": first_last_by_type,
         "sort_slice": sort_slice,
         "slice_offset": slice_offset,
         "shift_lag": shift_lag,
@@ -919,6 +931,13 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * avg(greatest(qdev, 0)) /
                          (avg(greatest(qdev, 0)) - avg(least(qdev, 0))), 6) AS qdev_rsi
             FROM d GROUP BY l_returnflag
+        """,
+        "first_last_by_type": f"""
+            WITH ev AS ({_EVENTS_NULLS_SQL})
+            SELECT event_type,
+                   CAST(first(value ORDER BY event_id) FILTER (value IS NOT NULL) AS DOUBLE) AS value_first,
+                   CAST(last(value ORDER BY event_id) FILTER (value IS NOT NULL) AS DOUBLE) AS value_last
+            FROM ev GROUP BY event_type
         """,
         "sort_slice": """
             SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber

@@ -111,14 +111,43 @@ def aggregate_by(
     df: DataFrame,
     key: str | Sequence[str],
     pairs: Iterable[tuple[str, Sequence[str]]],
+    order_by: str | None = None,
 ) -> DataFrame:
     """``table.aggregateBy key [(col, [fns])]`` (reference:
     src/Table.luna:1264-1300). Accepts multiple keys as a Spark-native
-    extension (the reference allows exactly one)."""
+    extension (the reference allows exactly one).
+
+    ``first``/``last`` need ``order_by``: the reference's "first valid in
+    group order" rides its single-threaded row order, which doesn't exist
+    distributed — Spark's ``F.first`` would return whichever partition
+    wins the race. With an explicit order they become ``min_by/max_by``
+    over valid rows: deterministic under any partitioning."""
     keys = [key] if isinstance(key, str) else list(key)
     pairs = [(c, list(fns)) for c, fns in pairs]
     validate_aggregate_types(df, pairs)
-    return df.groupBy(*keys).agg(*aggregate_exprs(pairs))
+    ordered = {"first", "last"}
+    needs_order = [
+        (c, fn) for c, fns in pairs for fn in fns if fn.lower() in ordered
+    ]
+    if needs_order and order_by is None:
+        raise ValueError(
+            f"{sorted({fn for _, fn in needs_order})} are order-dependent; "
+            "pass order_by= (distributed row order is undefined without it)"
+        )
+    exprs = []
+    for c, fns in pairs:
+        for fn in fns:
+            if fn.lower() in ordered:
+                # min_by/max_by over rows where the value is valid ==
+                # first/last VALID value in order (reference
+                # Analysis.cpp:185-215)
+                o = F.when(F.col(c).isNotNull(), F.col(order_by))
+                agg = F.min_by(F.col(c), o) if fn.lower() == "first" else F.max_by(F.col(c), o)
+                gate = F.count(F.col(c)) >= 1
+                exprs.append(F.when(gate, agg).cast("double").alias(f"{c}_{fn.lower()}"))
+            else:
+                exprs.append(build_aggregate(fn, c))
+    return df.groupBy(*keys).agg(*exprs)
 
 
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")

@@ -157,3 +157,44 @@ def test_fillna_coerces_value_per_column_type(spark):
     assert out2[0].s == "0"
     with pytest.raises(ValueError, match="coerce"):
         dnulls.fill_na(df, "abc", ["v"])
+
+
+def test_first_last_require_order_and_are_deterministic(spark):
+    rows = [("a", 3, 30.0), ("a", 1, None), ("a", 2, 20.0), ("b", 1, None)]
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    with pytest.raises(ValueError, match="order-dependent"):
+        dagg.aggregate_by(df, "k", [("v", ["first"])])
+    for parts in (1, 7):
+        out = {
+            r.k: (r.v_first, r.v_last)
+            for r in dagg.aggregate_by(
+                df.repartition(parts), "k", [("v", ["first", "last"])], order_by="o"
+            ).collect()
+        }
+        # first/last VALID value in o-order (null at o=1 skipped)
+        assert out["a"] == (20.0, 30.0)
+        assert out["b"] == (None, None)
+
+
+def test_aggregates_invariant_under_repartitioning(spark):
+    """The distributed analog of the reference's chunk-boundary fixtures
+    (ChunkedFixture shatters columns into random chunks,
+    native_libs/test/Fixture.cpp:6-41): results must not depend on the
+    physical partition layout."""
+    import random
+
+    random.seed(5)
+    rows = [
+        (random.choice("abc"), i, random.gauss(0, 10) if i % 5 else None)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    fns = ["sum", "length", "min", "max", "mean", "std", "median"]
+
+    def snap(d):
+        return sorted(
+            tuple(None if x is None else round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in dagg.aggregate_by(d, "k", [("v", fns)]).collect()
+        )
+
+    assert snap(df.repartition(1)) == snap(df.repartition(13)) == snap(df.repartition(32))
