@@ -118,6 +118,38 @@ def lquery_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lquery_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQuery plus/divide chain in both predicate and map position
+    (SURVEY §2.3 arithmetic ops)."""
+    li = Table(_t(spark, sf_dir, "lineitem"))
+    pred = {
+        "predicate": "gt",
+        "arguments": [
+            {
+                "operation": "divide",
+                "arguments": [
+                    {"column": "l_extendedprice"},
+                    {"operation": "plus", "arguments": [{"column": "l_quantity"}, 1]},
+                ],
+            },
+            1000,
+        ],
+    }
+    ratio = {
+        "operation": "divide",
+        "arguments": [
+            {"column": "l_extendedprice"},
+            {"operation": "plus", "arguments": [{"column": "l_quantity"}, 1]},
+        ],
+    }
+    out = li.filter(pred).each("price_per_unit", ratio).df
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_per_unit",
+    )
+
+
 def aggregate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregateBy with the reference output contract: <col>_<fn> names,
     all-double, length counts all rows (SURVEY §2.5)."""
@@ -785,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ungroup_explode": ungroup_explode,
         "concat_horizontal": concat_horizontal,
         "lquery_datetime": lquery_datetime,
+        "lquery_arith": lquery_arith,
         "group_collect_lists": group_collect_lists,
         "correlations_with_price": correlations_with_price,
         "csv_roundtrip_agg": csv_roundtrip_agg,
@@ -843,6 +876,12 @@ def oracle_sql() -> dict[str, str]:
                    round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
                    CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band
             FROM lineitem
+        """,
+        "lquery_arith": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice / (l_quantity + 1) AS price_per_unit
+            FROM lineitem
+            WHERE l_extendedprice / (l_quantity + 1) > 1000
         """,
         "aggregate_contract": """
             SELECT l_returnflag,
