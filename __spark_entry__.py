@@ -758,6 +758,32 @@ def lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsim.lsh_bucket_topk(emb, "embedding", "vec_id", k=3, num_planes=6)
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (streaming/events.py twin): lag +
+    running-sum session ids inside one per-user sort, then hash agg."""
+    from dataframes_spark.streaming.events import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(ev, "ts", "user_id", gap_s=1800)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation (exact; approx_count_distinct is the
+    documented scale alternative when 2% error is acceptable)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators composed as a real training-data pipeline: exact
     dedup (hash-groupBy) -> quality gate -> per-language corpus stats.
@@ -847,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_probe": ivf_topk_probe,
         "frame_sample_timestamps": frame_sample_timestamps,
         "pipeline_clean_corpus": pipeline_clean_corpus,
+        "sessionize_events": sessionize_events,
+        "distinct_users_per_type": distinct_users_per_type,
     }
 
 
@@ -1306,6 +1334,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(CAST(dur // 1000 AS INT))) * 1000 AS frame_ts_ms
             FROM m
+        """,
+        "sessionize_events": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000 THEN 1
+                            ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), ids AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                FROM marked
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM ids GROUP BY user_id, sess
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "pipeline_clean_corpus": """
             WITH dedup AS (

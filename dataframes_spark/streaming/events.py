@@ -60,6 +60,41 @@ def windowed_aggregate(
     )
 
 
+def sessionize_batch(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Batch twin of ``sessionize``: gap-based sessions via lag +
+    running-sum of session starts — two window passes inside one
+    per-user sort, then a hash aggregate. Same output columns as the
+    streaming variant, so batch backfill and live stream reconcile."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = F.lit(int(gap_s) * 1_000_000)
+    new_session = (
+        F.when(F.lag(ts_col).over(w).isNull(), 1)
+        .when(us - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1)
+        .otherwise(0)
+    )
+    with_id = events.withColumn(
+        "__sess", F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy(F.col(user_col), F.col("__sess"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("__sess")
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str,

@@ -96,3 +96,23 @@ def test_stream_equals_batch_windowed_aggregate(spark, event_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_sessionize_batch_matches_stream(spark, event_dir):
+    from dataframes_spark.streaming.events import sessionize_batch
+
+    schema = spark.read.parquet(event_dir).schema
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    name = f"sbm_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(dstream.sessionize(src, "ts", "user_id", gap="5 minutes"), name)
+    streamed = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in sessionize_batch(
+            spark.read.parquet(event_dir), "ts", "user_id", gap_s=300
+        ).collect()
+    }
+    assert batch == streamed
