@@ -784,6 +784,17 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reproducible_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling (operators/sample.py): md5-prefix threshold
+    selects identical rows in any engine — reproducibility across runs,
+    partitionings, and engines, unlike seed-based df.sample."""
+    from dataframes_spark.operators.sample import md5_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = md5_sample(ev, "event_id", "1a")  # ~10.2%
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators composed as a real training-data pipeline: exact
     dedup (hash-groupBy) -> quality gate -> per-language corpus stats.
@@ -874,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_timestamps": frame_sample_timestamps,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "sessionize_events": sessionize_events,
+        "reproducible_sample": reproducible_sample,
         "distinct_users_per_type": distinct_users_per_type,
     }
 
@@ -1356,6 +1368,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM ids GROUP BY user_id, sess
+        """,
+        "reproducible_sample": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE md5(CAST(event_id AS VARCHAR)) < '1a'
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -1,0 +1,54 @@
+"""Reproducible sampling for training-data pipelines.
+
+``df.sample`` is partition-layout-dependent (same seed, different
+partitioning, different rows), which poisons experiment reproducibility.
+These operators sample by CONTENT HASH: a row is in or out based on its
+key alone, stable across runs, partitionings, and engines.
+
+- hash_sample:          xxhash64 threshold — the fast JVM path.
+- md5_sample:           md5-hex-prefix threshold — bit-identical in any
+                        engine with standard md5 (DuckDB, Trino, ...), so
+                        cross-engine pipelines select the same rows; used
+                        by the oracle-checked query.
+- stratified_sample:    per-stratum fractions via content hash, so class
+                        balance is exact-in-expectation and reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows by 64-bit content hash of ``key_col``.
+    Deterministic per key: the same key is always in or always out, which
+    also makes the sample stable under dataset growth (new keys don't
+    reshuffle old decisions)."""
+    buckets = 1 << 20
+    h = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), F.lit(buckets))
+    return df.filter(h < int(fraction * buckets))
+
+
+def md5_sample(df: DataFrame, key_col: str, prefix_lt: str) -> DataFrame:
+    """Keep rows whose ``md5(key)`` hex is lexicographically below
+    ``prefix_lt`` (e.g. ``"1a"`` keeps ~26/256 = 10.2%). The comparison is
+    on the standard md5 hex string, so any engine selects the identical
+    rows — the cross-engine-reproducible variant."""
+    return df.filter(F.md5(F.col(key_col).cast("string")) < F.lit(prefix_lt))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, fractions: dict, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Per-stratum hash sampling: ``fractions`` maps stratum value ->
+    fraction; unlisted strata are dropped. One filter expression, no
+    shuffle, reproducible."""
+    buckets = 1 << 20
+    h = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), F.lit(buckets))
+    cond: Column = F.lit(False)
+    for value, frac in fractions.items():
+        cond = cond | (
+            (F.col(stratum_col) == F.lit(value)) & (h < int(frac * buckets))
+        )
+    return df.filter(cond)

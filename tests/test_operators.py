@@ -198,3 +198,24 @@ def test_aggregates_invariant_under_repartitioning(spark):
         )
 
     assert snap(df.repartition(1)) == snap(df.repartition(13)) == snap(df.repartition(32))
+
+
+def test_hash_sampling_reproducible_and_stratified(spark):
+    from dataframes_spark.operators import sample as dsample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(3000)], ["k", "g"]
+    )
+    s1 = {r.k for r in dsample.hash_sample(df, "k", 0.2).collect()}
+    s2 = {r.k for r in dsample.hash_sample(df.repartition(11), "k", 0.2).collect()}
+    assert s1 == s2                      # partition-layout independent
+    assert 0.15 < len(s1) / 3000 < 0.25  # near the target fraction
+    # growing the dataset never reshuffles old decisions
+    bigger = spark.createDataFrame([(i, "a") for i in range(6000)], ["k", "g"])
+    s3 = {r.k for r in dsample.hash_sample(bigger, "k", 0.2).collect()}
+    assert s1 <= s3 | s1  # every originally-kept key still kept
+    assert {k for k in s3 if k < 3000} == s1
+    strat = dsample.stratified_sample(df, "g", {"a": 0.5, "b": 0.1}, "k")
+    by_g = {g: n for g, n in strat.groupBy("g").count().collect()}
+    assert 0.4 < by_g["a"] / 2000 < 0.6
+    assert by_g.get("b", 0) / 1000 < 0.2
