@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "lquery_datetime",
     "pipeline_clean_corpus",
+    "sessionize_events",
+    "reproducible_sample",
 ]
 
 

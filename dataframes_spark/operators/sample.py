@@ -38,6 +38,25 @@ def md5_sample(df: DataFrame, key_col: str, prefix_lt: str) -> DataFrame:
     return df.filter(F.md5(F.col(key_col).cast("string")) < F.lit(prefix_lt))
 
 
+def mix_datasets(
+    sources: list[tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted corpus mixture: each source contributes its hash-sampled
+    ``weight`` fraction, unioned into one stream. The standard
+    training-mixture op (e.g. 0.6 web + 0.3 code + 0.1 books): all
+    sources must share a schema; sampling is per-source content hash so
+    the mixture is reproducible and re-runnable incrementally."""
+    if not sources:
+        raise ValueError("mix_datasets needs at least one (df, weight) source")
+    out = None
+    for i, (df, weight) in enumerate(sources):
+        part = hash_sample(df, key_col, weight, salt=f"{salt}/{i}")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict, key_col: str, salt: str = ""
 ) -> DataFrame:

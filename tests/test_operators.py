@@ -219,3 +219,17 @@ def test_hash_sampling_reproducible_and_stratified(spark):
     by_g = {g: n for g, n in strat.groupBy("g").count().collect()}
     assert 0.4 < by_g["a"] / 2000 < 0.6
     assert by_g.get("b", 0) / 1000 < 0.2
+
+
+def test_mix_datasets_weights(spark):
+    from dataframes_spark.operators import sample as dsample
+
+    a = spark.createDataFrame([(i, "a") for i in range(4000)], ["k", "src"])
+    b = spark.createDataFrame([(i + 10000, "b") for i in range(4000)], ["k", "src"])
+    mixed = dsample.mix_datasets([(a, 0.5), (b, 0.1)], "k")
+    by_src = {r.src: r["count"] for r in mixed.groupBy("src").count().collect()}
+    assert 0.4 < by_src["a"] / 4000 < 0.6
+    assert by_src["b"] / 4000 < 0.2
+    # reproducible: same mixture on re-run
+    again = dsample.mix_datasets([(a, 0.5), (b, 0.1)], "k")
+    assert {r.k for r in mixed.collect()} == {r.k for r in again.collect()}
