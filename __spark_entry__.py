@@ -358,6 +358,17 @@ def ungroup_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", F.col("tags").alias("tag"))
 
 
+def ungroup_list_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ungroup: explode an existing LIST column back to rows (SURVEY
+    §2.10 / Processing.cpp:774-812, the C++-only variant) — here on
+    lists built by the null-keeping group_collect."""
+    ev = _t(spark, sf_dir, "events")
+    lists = dagg.group_collect(ev, "event_type", ["value"], "event_id")
+    return dreshape.ungroup(lists, "value_list").select(
+        "event_type", F.col("value_list").alias("value")
+    )
+
+
 def concat_horizontal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horizontal concat by row position (SURVEY §2.2) — nation ⊕ region-cycled."""
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -852,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillna_zero": fillna_zero,
         "dropna_rows": dropna_rows,
         "ungroup_explode": ungroup_explode,
+        "ungroup_list_column": ungroup_list_column,
         "concat_horizontal": concat_horizontal,
         "lquery_datetime": lquery_datetime,
         "lquery_arith": lquery_arith,
@@ -1094,6 +1106,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    unnest(string_split(l_returnflag || ',' || l_linestatus, ',')) AS tag
             FROM lineitem
+        """,
+        "ungroup_list_column": """
+            SELECT event_type, unnest(list(value ORDER BY event_id)) AS value
+            FROM events GROUP BY event_type
         """,
         "concat_horizontal": """
             WITH a AS (SELECT n_nationkey, n_name,

@@ -117,3 +117,20 @@ def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
     p = jqe.explainString(mode)
     # the groupBy key is the 64-bit hash, not the document body
     assert "xxhash64" in p
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column must
+    become PartitionFilters (pruned at planning, unmatched directories
+    never opened) — the on-disk analog of predicate pushdown."""
+    from dataframes_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter("event_type = 'click'")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = back._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters: [isnotnull(event_type" in p
+    # the data filter moved entirely into partition pruning, not a scan filter
+    assert back.count() == ev.filter("event_type = 'click'").count()
