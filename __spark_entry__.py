@@ -150,6 +150,23 @@ def lquery_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lquery_ts_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQuery timestampNs literal node ({"timestampNs": i}, SURVEY §2.3
+    grammar) — the reference's epoch-ns wire form, truncated to Spark's
+    microseconds (documented delta, SURVEY §7)."""
+    orders = Table(_t(spark, sf_dir, "orders"))
+    # 1996-01-01 00:00:00 UTC in nanoseconds
+    ns = 820454400 * 1_000_000_000
+    pred = {
+        "boolean": "and",
+        "arguments": [
+            {"predicate": "gt", "arguments": [{"column": "o_orderdate"}, {"timestampNs": ns}]},
+            {"predicate": "lt", "arguments": [{"column": "o_totalprice"}, 5000]},
+        ],
+    }
+    return orders.filter(pred).df.select("o_orderkey", "o_totalprice")
+
+
 def aggregate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregateBy with the reference output contract: <col>_<fn> names,
     all-double, length counts all rows (SURVEY §2.5)."""
@@ -867,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_horizontal": concat_horizontal,
         "lquery_datetime": lquery_datetime,
         "lquery_arith": lquery_arith,
+        "lquery_ts_literal": lquery_ts_literal,
         "group_collect_lists": group_collect_lists,
         "correlations_with_price": correlations_with_price,
         "csv_roundtrip_agg": csv_roundtrip_agg,
@@ -934,6 +952,11 @@ def oracle_sql() -> dict[str, str]:
                    l_extendedprice / (l_quantity + 1) AS price_per_unit
             FROM lineitem
             WHERE l_extendedprice / (l_quantity + 1) > 1000
+        """,
+        "lquery_ts_literal": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderdate > TIMESTAMP '1996-01-01 00:00:00'
+              AND o_totalprice < 5000
         """,
         "aggregate_contract": """
             SELECT l_returnflag,
