@@ -345,6 +345,17 @@ def rolling_1h_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_rsi_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI over a trailing 100-row window — the reference's RSI aggregate
+    (Analysis.cpp:217-239) in its classic windowed form; composed from
+    two conditional window averages, all JVM-side."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dev", F.col("value") - F.lit(50.0)
+    )
+    out = dwindow.rolling_rows(ev, "dev", 100, ["rsi"], "event_id")
+    return out.select("event_id", F.round("dev_rsi", 6).alias("dev_rsi"))
+
+
 def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear null interpolation w/ edge fill (SURVEY §2.6, the hard one)."""
     ev = _events_with_nulls(spark, sf_dir)
@@ -891,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": media_decode_stats,
         "ols_price_qty": ols_price_qty,
         "rolling_rows_100": rolling_rows_100,
+        "rolling_rsi_100": rolling_rsi_100,
         "rolling_range_numeric": rolling_range_numeric,
         "setop_union_except": setop_union_except,
         "pandas_map_column": pandas_map_column,
@@ -1199,6 +1211,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(value) OVER w AS DOUBLE) AS value_min,
                    CAST(max(value) OVER w AS DOUBLE) AS value_max
             FROM events
+            WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_rsi_100": """
+            WITH d AS (SELECT event_id, value - 50.0 AS dev FROM events)
+            SELECT event_id,
+                   round(100.0 * avg(greatest(dev, 0)) OVER w /
+                         (avg(greatest(dev, 0)) OVER w - avg(least(dev, 0)) OVER w),
+                         6) AS dev_rsi
+            FROM d
             WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
         """,
         "rolling_range_numeric": """

@@ -115,3 +115,11 @@ def test_concat_horizontal_pads_shorter_side(spark):
     # shorter side padded with nulls (reference Table.fromColumns,
     # Tests.cpp:1108-1123)
     assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)]
+
+
+def test_read_csv_text_inline(spark):
+    """readText (reference src/IO.luna:91-92): parse in-memory CSV."""
+    df = readers.read_csv_text(spark, "a,b\n1,x\n2,y\n")
+    rows = sorted((r.a, r.b) for r in df.collect())
+    assert rows == [(1, "x"), (2, "y")]
+    assert dict(df.dtypes)["a"] in ("int", "bigint")
