@@ -813,6 +813,18 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing: JSON path extraction from the events
+    props column, then aggregate — JVM-side get_json_object, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.count(k).alias("n_k"),
+    )
+
+
 def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count aggregation (exact; approx_count_distinct is the
     documented scale alternative when 2% error is acceptable)."""
@@ -929,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "reproducible_sample": reproducible_sample,
         "distinct_users_per_type": distinct_users_per_type,
+        "json_props_rollup": json_props_rollup,
     }
 
 
@@ -1433,6 +1446,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, value
             FROM events
             WHERE md5(CAST(event_id AS VARCHAR)) < '1a'
+        """,
+        "json_props_rollup": """
+            SELECT event_type,
+                   sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                   round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
+                   count(CAST(props->>'k' AS BIGINT)) AS n_k
+            FROM events GROUP BY event_type
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
