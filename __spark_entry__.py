@@ -825,6 +825,33 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each click event picks up
+    the latest purchase value at-or-before it for the same user — the
+    union+window formulation, one shuffle, no range-join blowup."""
+    from dataframes_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ts_col="ts",
+        by="user_id",
+        value_cols=["p_value"],
+        right_order=["p_event"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("p_value", 4).alias("p_value")
+    )
+
+
 def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count aggregation (exact; approx_count_distinct is the
     documented scale alternative when 2% error is acceptable)."""
@@ -942,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproducible_sample": reproducible_sample,
         "distinct_users_per_type": distinct_users_per_type,
         "json_props_rollup": json_props_rollup,
+        "asof_last_purchase": asof_last_purchase,
     }
 
 
@@ -1453,6 +1481,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
                    count(CAST(props->>'k' AS BIGINT)) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "asof_last_purchase": """
+            SELECT c.event_id, c.user_id,
+                   round((SELECT p.value FROM events p
+                          WHERE p.user_id = c.user_id
+                            AND p.event_type = 'purchase'
+                            AND p.ts <= c.ts
+                          ORDER BY p.ts DESC, p.event_id DESC
+                          LIMIT 1), 4) AS p_value
+            FROM events c
+            WHERE c.event_type = 'click'
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "pipeline_clean_corpus",
     "sessionize_events",
     "reproducible_sample",
+    "asof_last_purchase",
 ]
 
 

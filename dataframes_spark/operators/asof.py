@@ -1,0 +1,97 @@
+"""As-of (last-value-before) join — an operator Spark lacks natively.
+
+For every left row, attach the most recent right row with
+``right.ts <= left.ts`` (per key). The naive formulation — range join then
+per-left-row max — explodes to O(|L| x matches) intermediate rows. This
+implementation is the scalable UNION + WINDOW form:
+
+1. tag both sides and union them into one stream of (key, ts, side, ...);
+2. one window per key ordered by (ts, side) computes ``last_value
+   IGNORE NULLS`` of each right column over the unbounded-preceding frame
+   — right rows deposit values, left rows pick up the latest deposit;
+3. filter back to left rows.
+
+Cost: one shuffle of |L| + |R| rows on the key, one sort per partition —
+the same shape as a sort-merge join, with NO intermediate blowup. Skew in
+the key column is AQE-invisible here (it's a window, not a join), so a
+hot key serializes its partition: salt upstream or sessionize first if a
+single key dominates.
+
+The right side wins ties (right.ts == left.ts matches), matching
+DuckDB/pandas ``merge_asof`` backward semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: str | Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    right_order: Sequence[str] = (),
+    rsuffix: str = "",
+) -> DataFrame:
+    """Backward as-of join: left rows + latest right ``value_cols`` at or
+    before each left timestamp, matched within ``by`` keys. Right-side
+    columns come back null when no prior right row exists.
+
+    ``right_order`` names extra right-side columns used to break ties
+    among right rows sharing a timestamp (the greatest wins) — without it
+    the pick among same-``ts`` right rows is partition-order dependent.
+    ``rsuffix`` is appended to the right value columns in the output so
+    they can coexist with same-named left columns.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    value_cols = (
+        list(value_cols)
+        if value_cols is not None
+        else [c for c in right.columns if c not in keys and c != ts_col]
+    )
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__o_{c}") for c in right_order],
+    )
+    rhs = right.select(
+        *[
+            F.col(c) if c in keys or c == ts_col else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in right_order],
+    )
+    # order right rows BEFORE left rows at equal ts: right at t is visible
+    # to left at t (backward-inclusive semantics). Tiebreakers only order
+    # right rows among themselves (left rows carry nulls there, and the
+    # __is_left key already separates the sides).
+    unioned = lhs.unionByName(rhs)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__is_left").asc(),
+            *[F.col(f"__o_{c}").asc() for c in right_order],
+        )
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    picked = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__p_{c}")
+            for c in value_cols
+        ],
+    )
+    out = picked.filter(F.col("__is_left") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"__p_{c}").alias(f"{c}{rsuffix}") for c in value_cols],
+    )
+    return out

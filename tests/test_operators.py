@@ -233,3 +233,39 @@ def test_mix_datasets_weights(spark):
     # reproducible: same mixture on re-run
     again = dsample.mix_datasets([(a, 0.5), (b, 0.1)], "k")
     assert {r.k for r in mixed.collect()} == {r.k for r in again.collect()}
+
+
+def test_asof_join_backward_semantics(spark):
+    from dataframes_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 20, "t2"), ("A", 25, "t3"), ("B", 5, "t4")],
+        ["sym", "ts", "trade"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 20, 2.0), ("A", 22, 3.0), ("C", 1, 9.0)],
+        ["sym", "ts", "px"],
+    )
+    out = asof_join(trades, quotes, ts_col="ts", by="sym", value_cols=["px"])
+    got = {r.trade: r.px for r in out.collect()}
+    # t1: quote@8 -> 1.0; t2: quote@20 matches inclusively -> 2.0;
+    # t3: quote@22 -> 3.0; t4: no B quote -> null
+    assert got == {"t1": 1.0, "t2": 2.0, "t3": 3.0, "t4": None}
+    assert out.count() == trades.count()
+
+
+def test_asof_join_tiebreaker_and_suffix(spark):
+    from dataframes_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("A", 10, 0.5)], ["k", "ts", "px"])
+    # two right rows at the same ts: greatest right_order key must win
+    right = spark.createDataFrame(
+        [("A", 10, 7.0, 1), ("A", 10, 8.0, 2), ("A", 10, 6.0, 0)],
+        ["k", "ts", "px", "seq"],
+    )
+    out = asof_join(
+        left, right, ts_col="ts", by="k",
+        value_cols=["px"], right_order=["seq"], rsuffix="_r",
+    )
+    row = out.collect()[0]
+    assert row.px == 0.5 and row.px_r == 8.0
