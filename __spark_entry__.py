@@ -825,6 +825,16 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup.py family): exact all-pairs
+    form on the synthetic corpus (the LSH-bucketed variant is the scale
+    path, pinned by unit test). Threshold set below the synthetic data's
+    max pairwise cosine so the check has rows to verify."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ddedup.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): each click event picks up
     the latest purchase value at-or-before it for the same user — the
@@ -970,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_per_type": distinct_users_per_type,
         "json_props_rollup": json_props_rollup,
         "asof_last_purchase": asof_last_purchase,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
     }
 
 
@@ -1481,6 +1492,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
                    count(CAST(props->>'k' AS BIGINT)) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "embedding_near_dup_pairs": """
+            WITH u AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_sum(list_transform(range(1, len(a.unit) + 1),
+                           i -> a.unit[CAST(i AS INT)] * b.unit[CAST(i AS INT)])) AS c
+                FROM u a JOIN u b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.4
         """,
         "asof_last_purchase": """
             SELECT c.event_id, c.user_id,

@@ -13,6 +13,9 @@ operators a 100 TB training-data pipeline needs, designed shuffle-first:
 - ngram_jaccard:    exact Jaccard on character shingle sets for candidate
                     pairs (verification stage after LSH, or standalone on
                     small slices).
+- embedding_near_dups: cosine near-dup pairs over an embedding column —
+                    exact all-pairs baseline, hyperplane-LSH-bucketed
+                    candidate join as the scale path.
 
 All hashing uses built-in expressions (xxhash64 / crc32 / md5) — JVM-side,
 no Python in the hot path. Every function returns a DataFrame and keeps
@@ -470,4 +473,50 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str, shingle_k: int
         )
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cosine)``
+    with ``id_a < id_b`` and ``cosine >= threshold``.
+
+    ``num_planes = 0`` is the exact all-pairs form — quadratic, correct;
+    the oracle baseline and the verification stage. ``num_planes > 0``
+    switches to the scale path: random-hyperplane LSH buckets the corpus
+    first and pairs only meet inside a bucket, so the self-join shuffles
+    on the bucket id instead of building the N^2 cross product. Recall
+    is < 1 for pairs straddling a hyperplane — raise recall by lowering
+    ``num_planes`` (bigger buckets) or unioning several seeds.
+
+    Cosine is computed on unit-normalized vectors (one normalization pass
+    per row, JVM array expressions, no Python UDF).
+    """
+    from dataframes_spark.operators.similarity import _dot, _unit, hyperplane_buckets
+
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    if num_planes > 0:
+        base = hyperplane_buckets(df, vec_col, id_col, num_planes, seed)
+        prepped = base.select(
+            F.col(id_col).alias("id"), F.col("bucket"), _unit(vd).alias("unit")
+        )
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        prepped = df.select(F.col(id_col).alias("id"), _unit(vd).alias("unit"))
+        cond = F.col("a.id") < F.col("b.id")
+    return (
+        prepped.alias("a")
+        .join(prepped.alias("b"), cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

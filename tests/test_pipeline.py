@@ -136,3 +136,22 @@ def test_resize_images_fake_plan(spark):
     assert all(len(r.payload) == 32 * 4 for r in out)
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media)
+
+
+def test_embedding_near_dups_exact_and_lsh(spark):
+    from dataframes_spark.operators import dedup
+
+    # two near-identical vectors, one orthogonal
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vid", "emb"])
+    exact = dedup.embedding_near_dups(df, "emb", "vid", threshold=0.95)
+    got = [(r.id_a, r.id_b) for r in exact.collect()]
+    assert got == [(1, 2)]
+    # LSH path finds the same pair (identical-direction vectors always
+    # share every hyperplane sign) and never invents extra pairs
+    lsh = dedup.embedding_near_dups(df, "emb", "vid", threshold=0.95, num_planes=4)
+    assert {(r.id_a, r.id_b) for r in lsh.collect()} == {(1, 2)}
