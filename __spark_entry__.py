@@ -825,6 +825,28 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/interval.py): clicks landing in
+    the day after each purchase by the same user — equi-join on
+    (day-bucket, user) + residual bound filter, never a nested-loop
+    cartesian."""
+    from dataframes_spark.operators.interval import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end"),
+    )
+    joined = range_join(
+        clicks, purchases, "ts", "w_start", "w_end",
+        bucket_width=86400e6, extra_on=["user_id"],
+    )
+    return joined.groupBy("p_event").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup.py family): exact all-pairs
     form on the synthetic corpus (the LSH-bucketed variant is the scale
@@ -981,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_rollup": json_props_rollup,
         "asof_last_purchase": asof_last_purchase,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "range_join_purchase_clicks": range_join_purchase_clicks,
     }
 
 
@@ -1492,6 +1515,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
                    count(CAST(props->>'k' AS BIGINT)) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "range_join_purchase_clicks": """
+            SELECT p.event_id AS p_event, count(*) AS n_clicks
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 DAY
+            GROUP BY p.event_id
         """,
         "embedding_near_dup_pairs": """
             WITH u AS (

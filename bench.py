@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "sessionize_events",
     "reproducible_sample",
     "asof_last_purchase",
+    "range_join_purchase_clicks",
+    "embedding_near_dup_pairs",
 ]
 
 

@@ -269,3 +269,32 @@ def test_asof_join_tiebreaker_and_suffix(spark):
     )
     row = out.collect()[0]
     assert row.px == 0.5 and row.px_r == 8.0
+
+
+def test_range_join_bounds_and_buckets(spark):
+    from dataframes_spark.operators.interval import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 15.0), (4, 25.0)], ["pid", "v"]
+    )
+    # intervals straddle bucket boundaries (width 10) on purpose
+    intervals = spark.createDataFrame(
+        [("a", 4.0, 10.0), ("b", 9.0, 16.0), ("c", 30.0, 40.0)],
+        ["iid", "lo", "hi"],
+    )
+    out = range_join(points, intervals, "v", "lo", "hi", bucket_width=10.0)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    # [) bounds: v=10 not in a (exclusive end) but in b; v=15 in b only
+    assert got == [(1, "a"), (2, "b"), (3, "b")]
+    closed = range_join(points, intervals, "v", "lo", "hi", 10.0, bounds="[]")
+    got_closed = sorted((r.pid, r.iid) for r in closed.collect())
+    assert got_closed == [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+
+
+def test_range_join_rejects_collisions(spark):
+    import pytest as _pytest
+    from dataframes_spark.operators.interval import range_join
+
+    df = spark.createDataFrame([(1, 2.0)], ["pid", "v"])
+    with _pytest.raises(ValueError):
+        range_join(df, df, "v", "v", "v", 1.0)
