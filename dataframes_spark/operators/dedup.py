@@ -483,20 +483,25 @@ def embedding_near_dups(
     threshold: float = 0.95,
     num_planes: int = 0,
     seed: int = 42,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cosine)``
     with ``id_a < id_b`` and ``cosine >= threshold``.
 
-    ``num_planes = 0`` is the exact all-pairs form — quadratic, correct;
-    the oracle baseline and the verification stage. ``num_planes > 0``
-    switches to the scale path: random-hyperplane LSH buckets the corpus
-    first and pairs only meet inside a bucket, so the self-join shuffles
-    on the bucket id instead of building the N^2 cross product. Recall
-    is < 1 for pairs straddling a hyperplane — raise recall by lowering
-    ``num_planes`` (bigger buckets) or unioning several seeds.
+    ``num_planes = 0`` is the exact all-pairs form, computed as a BLOCKED
+    MATMUL: ids hash into ``n_blocks`` blocks, every unordered block pair
+    becomes one task, each vector is shuffled to the ``n_blocks`` tasks
+    that need it, and an Arrow-batched ``applyInPandas`` runs one numpy
+    ``A @ B.T`` per task. Shuffle volume is O(N x n_blocks) rows — never
+    the N^2 pair relation — and the quadratic dot-product work runs at
+    BLAS speed instead of per-pair expression evaluation. Still
+    inherently quadratic in compute: the correct-baseline / verification
+    stage, not the 100 TB discovery path.
 
-    Cosine is computed on unit-normalized vectors (one normalization pass
-    per row, JVM array expressions, no Python UDF).
+    ``num_planes > 0`` is that scale path: random-hyperplane LSH buckets
+    the corpus first and pairs only meet inside a bucket. Recall is < 1
+    for pairs straddling a hyperplane — raise recall by lowering
+    ``num_planes`` (bigger buckets) or unioning several seeds.
     """
     from dataframes_spark.operators.similarity import _dot, _unit, hyperplane_buckets
 
@@ -507,16 +512,69 @@ def embedding_near_dups(
             F.col(id_col).alias("id"), F.col("bucket"), _unit(vd).alias("unit")
         )
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-    else:
-        prepped = df.select(F.col(id_col).alias("id"), _unit(vd).alias("unit"))
-        cond = F.col("a.id") < F.col("b.id")
-    return (
-        prepped.alias("a")
-        .join(prepped.alias("b"), cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+        return (
+            prepped.alias("a")
+            .join(prepped.alias("b"), cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
-        .filter(F.col("cosine") >= threshold)
+
+    if n_blocks is None:
+        n_blocks = max(4, df.sparkSession.sparkContext.defaultParallelism // 2)
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+    block = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    # replicate each vector to every task (bi, bj) touching its block
+    tasks = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__b"), F.lit(j)).alias("ti"),
+                F.greatest(F.col("__b"), F.lit(j)).alias("tj"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    prepped = (
+        df.select(F.col(id_col).alias("id"), _unit(vd).alias("unit"))
+        .withColumn("__b", block)
+        .withColumn("__t", F.explode(tasks))
+        .select("id", "unit", "__b", F.col("__t.ti").alias("ti"), F.col("__t.tj").alias("tj"))
+    )
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+        units = np.stack(pdf["unit"].to_numpy())
+        ids = pdf["id"].to_numpy()
+        if ti == tj:
+            m = units @ units.T
+            ia, ib = np.where(m >= threshold)
+            keep = ids[ia] < ids[ib]
+            ia, ib = ia[keep], ib[keep]
+            return pd.DataFrame(
+                {"id_a": ids[ia], "id_b": ids[ib], "cosine": m[ia, ib]}
+            )
+        amask = (pdf["__b"] == ti).to_numpy()
+        a_ids, b_ids = ids[amask], ids[~amask]
+        m = units[amask] @ units[~amask].T
+        ia, ib = np.where(m >= threshold)
+        lo = np.minimum(a_ids[ia], b_ids[ib])
+        hi = np.maximum(a_ids[ia], b_ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": m[ia, ib]})
+
+    return prepped.groupBy("ti", "tj").applyInPandas(score_block, out_schema)
