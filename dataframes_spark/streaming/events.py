@@ -119,3 +119,96 @@ def sessionize(
             "total_value",
         )
     )
+
+
+def _ewma_schemas(key_field, ts_field, value_field):
+    from pyspark.sql import types as T
+
+    out = T.StructType(
+        [key_field, ts_field, value_field, T.StructField("ewma", T.DoubleType())]
+    )
+    state = T.StructType([T.StructField("prev", T.DoubleType())])
+    return out, state
+
+
+def _ewma_pdf(pdf, ts_col, value_col, alpha, prev):
+    """Sequential EWMA over one key's rows (sorted by event time); returns
+    (annotated pdf, final state). Shared by the stream and batch forms so
+    the consistency test pins one implementation against the other."""
+    pdf = pdf.sort_values(ts_col, kind="stable")
+    vals = []
+    for v in pdf[value_col]:
+        v = float(v)
+        prev = v if prev is None else alpha * v + (1.0 - alpha) * prev
+        vals.append(prev)
+    return pdf.assign(ewma=vals), prev
+
+
+def ewma_stream(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-key exponentially weighted moving average, emitted per event.
+
+    Order-dependent state no built-in windowed aggregate expresses: each
+    event's output depends on the full prefix of its key's stream. State
+    is one double per key, evicted ``state_ttl_ms`` past the watermark
+    when the key goes silent (EventTimeTimeout), so state size is O(active keys) — the
+    property that keeps this runnable forever on an unbounded stream.
+
+    Within a micro-batch rows are sorted by event time; rows arriving in
+    a LATER batch with an earlier timestamp fold in arrival order (the
+    watermark bounds how late that can happen).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema, state_schema = _ewma_schemas(
+        events.schema[key_col], events.schema[ts_col], events.schema[value_col]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prev = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        out, prev = _ewma_pdf(pdf, ts_col, value_col, alpha, prev)
+        state.update((prev,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        yield out[[key_col, ts_col, value_col, "ewma"]]
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def ewma_batch(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Batch twin of :func:`ewma_stream`: one ``applyInPandas`` pass per
+    key over the history, same fold, same output schema."""
+    out_schema, _ = _ewma_schemas(
+        events.schema[key_col], events.schema[ts_col], events.schema[value_col]
+    )
+
+    def fn(pdf):
+        out, _ = _ewma_pdf(pdf, ts_col, value_col, alpha, None)
+        return out[[key_col, ts_col, value_col, "ewma"]]
+
+    return events.groupBy(key_col).applyInPandas(fn, out_schema)

@@ -116,3 +116,22 @@ def test_sessionize_batch_matches_stream(spark, event_dir):
         ).collect()
     }
     assert batch == streamed
+
+
+def test_ewma_stream_matches_batch(spark, event_dir):
+    """applyInPandasWithState EWMA folds identically to the batch twin."""
+    schema = spark.read.parquet(event_dir).schema
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    stream = dstream.ewma_stream(src, "ts", "user_id", "value", alpha=0.3)
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(stream, name, mode="append")
+    got = {
+        (r.user_id, r.ts): round(r.ewma, 9)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = dstream.ewma_batch(
+        spark.read.parquet(event_dir), "ts", "user_id", "value", alpha=0.3
+    )
+    want = {(r.user_id, r.ts): round(r.ewma, 9) for r in batch.collect()}
+    assert len(got) == 180
+    assert got == want
