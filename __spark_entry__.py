@@ -825,6 +825,18 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over event values (streaming/events.py batch twin of
+    the applyInPandasWithState operator; stream==batch pinned in
+    tests/test_streaming.py). Oracle is a recursive CTE running the same
+    fold."""
+    from dataframes_spark.streaming.events import ewma_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_batch(ev, "ts", "user_id", "value", alpha=0.2)
+    return out.select("event_id", "user_id", F.round("ewma", 6).alias("ewma"))
+
+
 def range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join (operators/interval.py): clicks landing in
     the day after each purchase by the same user — equi-join on
@@ -1004,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": asof_last_purchase,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "range_join_purchase_clicks": range_join_purchase_clicks,
+        "ewma_user_value": ewma_user_value,
     }
 
 
@@ -1515,6 +1528,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
                    count(CAST(props->>'k' AS BIGINT)) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "ewma_user_value": """
+            WITH RECURSIVE base AS (
+                SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+                FROM events
+            ),
+            r AS (
+                SELECT event_id, user_id, rn, value AS ewma FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.event_id, b.user_id, b.rn,
+                       0.2 * b.value + 0.8 * r.ewma
+                FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT event_id, user_id, round(ewma, 6) AS ewma FROM r
         """,
         "range_join_purchase_clicks": """
             SELECT p.event_id AS p_event, count(*) AS n_clicks

@@ -121,12 +121,10 @@ def sessionize(
     )
 
 
-def _ewma_schemas(key_field, ts_field, value_field):
+def _ewma_schemas(schema):
     from pyspark.sql import types as T
 
-    out = T.StructType(
-        [key_field, ts_field, value_field, T.StructField("ewma", T.DoubleType())]
-    )
+    out = T.StructType(list(schema.fields) + [T.StructField("ewma", T.DoubleType())])
     state = T.StructType([T.StructField("prev", T.DoubleType())])
     return out, state
 
@@ -168,9 +166,8 @@ def ewma_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema, state_schema = _ewma_schemas(
-        events.schema[key_col], events.schema[ts_col], events.schema[value_col]
-    )
+    out_schema, state_schema = _ewma_schemas(events.schema)
+    out_cols = [f.name for f in out_schema.fields]
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -183,7 +180,7 @@ def ewma_stream(
         out, prev = _ewma_pdf(pdf, ts_col, value_col, alpha, prev)
         state.update((prev,))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
-        yield out[[key_col, ts_col, value_col, "ewma"]]
+        yield out[out_cols]
 
     return (
         events.withWatermark(ts_col, watermark)
@@ -203,12 +200,11 @@ def ewma_batch(
 ) -> DataFrame:
     """Batch twin of :func:`ewma_stream`: one ``applyInPandas`` pass per
     key over the history, same fold, same output schema."""
-    out_schema, _ = _ewma_schemas(
-        events.schema[key_col], events.schema[ts_col], events.schema[value_col]
-    )
+    out_schema, _ = _ewma_schemas(events.schema)
+    out_cols = [f.name for f in out_schema.fields]
 
     def fn(pdf):
         out, _ = _ewma_pdf(pdf, ts_col, value_col, alpha, None)
-        return out[[key_col, ts_col, value_col, "ewma"]]
+        return out[out_cols]
 
     return events.groupBy(key_col).applyInPandas(fn, out_schema)
