@@ -24,6 +24,8 @@ the pipeline lazy.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,8 +65,42 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _norm_text(text_col: str) -> Column:
+    """Lowercased, whitespace-folded view of a text column."""
+    return F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+
+
+def _shingles_of_norm(norm_col: str, k: int) -> Column:
+    """Distinct k-shingles of an ALREADY-NORMALIZED string column.
+
+    The normalization must be materialized in its own projection first:
+    a higher-order-function lambda re-evaluates every outer expression it
+    captures PER ELEMENT, so shingling the raw ``lower(regexp_replace(
+    ...))`` expression would run the regex once per shingle — measured
+    ~10x the cost of the whole stage on real documents.
+    """
+    norm = F.col(norm_col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    )
+
+
+def shingled(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """``(id, sh)`` relation: distinct k-shingle array per document, with
+    the normalization materialized before the per-shingle transform."""
+    return df.select(
+        F.col(id_col).alias("id"), _norm_text(text_col).alias("__norm")
+    ).select("id", _shingles_of_norm("__norm", k).alias("sh"))
+
+
 def shingle_ngrams(text_col: str, k: int = 5) -> Column:
-    """Distinct character k-shingle array (lowercased, whitespace folded)."""
+    """Distinct character k-shingle array (lowercased, whitespace folded).
+
+    Single-expression form for composing into one projection; prefer
+    :func:`shingled` in operator pipelines — it materializes the
+    normalization first (see :func:`_shingles_of_norm`).
+    """
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
@@ -82,34 +118,48 @@ def minhash_signatures(
     """Per-document minhash signature: ``min over shingles of
     ((2i+1) * xxhash64(shingle) + 7919*(i+1) mod p)`` for ``num_hashes``
     independent affine hash functions (p = 2^31-1 keeps a*h+b inside
-    int64; coefficients are deterministic plan-time arithmetic).
+    int64; coefficients are deterministic, seed-free).
 
-    Computed as ONE fold over the shingle array: the accumulator is the
-    array of ``num_hashes`` running minima and each shingle hash updates
-    all lanes via ``zip_with``. One expression tree, one evaluation —
-    a per-lane ``array_min(transform(...))`` formulation would reference
-    the shingle-hash subtree ``num_hashes`` times, and Catalyst has no
-    common-subexpression elimination across higher-order functions, so
-    the hashes would be recomputed per lane (measured ~20x slower).
+    Shingle hashing stays JVM-side (xxhash64); the (shingles x lanes)
+    min-reduction runs as an Arrow-batched pandas UDF — one numpy
+    broadcast-multiply + ``min(axis=0)`` per document. The pure
+    expression formulation (a ``zip_with`` fold carrying a running-min
+    array) allocates a ``num_hashes``-element array PER SHINGLE and was
+    measured ~10x slower at 128 lanes; this is the sanctioned
+    vectorized-UDF escape hatch, not a row-at-a-time Python UDF.
     No shuffle at this stage; embarrassingly parallel per document."""
-    p = (1 << 31) - 1
-    sh = shingle_ngrams(text_col, shingle_k)
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
-    lane = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(p).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            lane,
-            lambda m, i: F.least(
-                m,
-                (h * (i.cast("long") * 2 + 1) + (i.cast("long") + 1) * 7919)
-                % F.lit(p),
-            ),
-        ),
+    base = shingled(_spread(df), text_col, id_col, shingle_k).select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
     )
-    return _spread(df).select(id_col, sig.alias("signature"))
+    sig = _minhash_sig_udf(num_hashes)
+    return base.select(F.col("id").alias(id_col), sig(F.col("sh")).alias("signature"))
+
+
+def _minhash_sig_udf(num_hashes: int):
+    """Arrow-batched signature kernel: int64-exact twin of the affine
+    formula above (numpy ``%`` and Spark ``pmod`` agree for a positive
+    modulus; ``h < 2^31`` and ``a <= 2*num_hashes-1`` keep products well
+    inside int64)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    p = (1 << 31) - 1
+    a = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+    b = (np.arange(num_hashes, dtype=np.int64) + 1) * 7919
+
+    @pandas_udf("array<bigint>")
+    def sig(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            h = np.asarray(arr, dtype=np.int64) % p
+            if h.size == 0:
+                out.append(np.full(num_hashes, p, dtype=np.int64))
+            else:
+                out.append(((h[:, None] * a[None, :] + b[None, :]) % p).min(axis=0))
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -214,9 +264,7 @@ def jaccard_pairs(
     O(co-occurring) pairs.
     """
     t = float(min_jaccard)
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), shingle_ngrams(text_col, shingle_k).alias("sh")
-    )
+    sh = shingled(_spread(df), text_col, id_col, shingle_k)
     ex = sh.select(
         "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
     )
@@ -265,11 +313,8 @@ def jaccard_verify(
     rebalanced across the cluster first: they typically arrive from a
     distinct/aggregate whose output AQE coalesces to a few small
     partitions, which would serialize the intersect work."""
-    sets = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            shingle_ngrams(text_col, shingle_k), lambda s: F.xxhash64(s)
-        ).alias("sh"),
+    sets = shingled(_spread(df), text_col, id_col, shingle_k).select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
     )
     cand = candidates.repartition(
         candidates.sparkSession.sparkContext.defaultParallelism
@@ -325,32 +370,13 @@ def near_dup_pairs(
     from pyspark import StorageLevel
 
     sets = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                shingle_ngrams(text_col, shingle_k), lambda s: F.xxhash64(s)
-            ).alias("sh"),
-        )
+        shingled(_spread(df), text_col, id_col, shingle_k)
+        .select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    p = (1 << 31) - 1
-    lane = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashes = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(p)))
-    sig = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(p).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            lane,
-            lambda m, i: F.least(
-                m,
-                (h * (i.cast("long") * 2 + 1) + (i.cast("long") + 1) * 7919)
-                % F.lit(p),
-            ),
-        ),
+    sigs = sets.select(
+        "id", _minhash_sig_udf(num_hashes)(F.col("sh")).alias("signature")
     )
-    sigs = sets.select("id", sig.alias("signature"))
     cand = _banded_pairs(sigs, num_hashes, bands)
     # Stage 1 — signature prefilter: estimated jaccard = fraction of
     # agreeing minhash lanes, compared per pair with one zip_with over the
@@ -412,8 +438,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> Da
     bits — the shingle hashes are evaluated exactly once (64 independent
     per-bit aggregates would rescan them per bit; Catalyst does not CSE
     across higher-order functions)."""
-    sh = shingle_ngrams(text_col, shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    base = shingled(_spread(df), text_col, id_col, shingle_k)
+    hashes = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
     # literal per-bit masks (bit 63 = int64 sign bit)
     masks = F.array(
         *[
@@ -440,7 +466,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> Da
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return _spread(df).select(F.col(id_col), fingerprint.alias("simhash"))
+    return base.select(F.col("id").alias(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> DataFrame:
