@@ -240,7 +240,7 @@ def jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    shingle_k: int = 3,
+    shingle_k: int = 4,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via shingle co-occurrence.
@@ -294,7 +294,7 @@ def jaccard_verify(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    shingle_k: int = 3,
+    shingle_k: int = 4,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
     """Exact Jaccard for an explicit (id_a, id_b) candidate list.
@@ -348,7 +348,7 @@ def near_dup_pairs(
     min_jaccard: float = 0.8,
     num_hashes: int = 128,
     bands: int = 16,
-    shingle_k: int = 3,
+    shingle_k: int = 4,
 ) -> DataFrame:
     """Corpus-scale near-duplicate detection: MinHash-LSH candidate
     generation + exact Jaccard verification of candidates only.
