@@ -761,9 +761,10 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 has
-    no DuckDB equivalent)."""
+    no DuckDB equivalent). 8 rows per band puts the S-curve threshold
+    near 0.8 — same recall design as near_dup_pairs' verify pipeline."""
     docs = _t(spark, sf_dir, "documents")
-    return ddedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=16)
+    return ddedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=8)
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

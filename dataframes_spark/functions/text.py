@@ -78,18 +78,27 @@ def _contains_any(arr: Column):
 
 def language_guess(c: Column) -> Column:
     """Heuristic language ID: count marker-word hits per language, take the
-    argmax, 'und' (undetermined) when nothing matches. A real pipeline
-    swaps in fastText/CLD3 behind the same column contract."""
+    argmax (first language listed wins ties), 'und' (undetermined) when
+    nothing matches. A real pipeline swaps in fastText/CLD3 behind the
+    same column contract.
+
+    Computed as ``greatest`` over (score, priority, lang) structs —
+    struct comparison is lexicographic, so this is a single argmax
+    expression. The once-natural fold (chained ``when`` accumulators)
+    duplicates every earlier score subtree twice per step — 2^n_langs
+    evaluations of the tokenizing split — and measured ~10x slower."""
     toks = F.split(F.lower(F.trim(c)), r"\s+")
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, markers in _LANG_MARKERS.items():
+    entries = []
+    for idx, (lang, markers) in enumerate(_LANG_MARKERS.items()):
         mk = F.array(*[F.lit(m) for m in markers])
         score = F.size(F.filter(toks, _contains_any(mk)))
-        improved = score > best_score
-        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(improved, score).otherwise(best_score)
-    return best_lang
+        entries.append(
+            F.struct(
+                score.alias("s"), F.lit(-idx).alias("p"), F.lit(lang).alias("l")
+            )
+        )
+    best = F.greatest(*entries)
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def fingerprint(c: Column, window: int = 8) -> Column:
