@@ -828,6 +828,32 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (operators/window.py):
+    hourly and daily event aggregates per type in one unioned plan — each
+    resolution a plain partial-aggregated hash agg over the source."""
+    from dataframes_spark.operators.window import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(
+        ev,
+        "ts",
+        resolutions=["1 hour", "1 day"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+        group_by=["event_type"],
+    )
+    return out.select(
+        "resolution",
+        F.unix_micros("bucket_start").alias("bucket_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA over event values (streaming/events.py batch twin of
     the applyInPandasWithState operator; stream==batch pinned in
@@ -1020,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "range_join_purchase_clicks": range_join_purchase_clicks,
         "ewma_user_value": ewma_user_value,
+        "time_rollup_events": time_rollup_events,
     }
 
 
@@ -1531,6 +1558,19 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
                    count(CAST(props->>'k' AS BIGINT)) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "time_rollup_events": """
+            SELECT '1 hour' AS resolution,
+                   epoch_us(date_trunc('hour', ts)) AS bucket_us,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT '1 day' AS resolution,
+                   epoch_us(date_trunc('day', ts)) AS bucket_us,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 2, 3
         """,
         "ewma_user_value": """
             WITH RECURSIVE base AS (

@@ -118,3 +118,45 @@ def rolling_rows(
     w = _window(order_by, partition_by).rowsBetween(-(n - 1), 0)
     exprs = [build_aggregate(fn, col, wrap=lambda e, f=w: e.over(f)) for fn in fns]
     return df.select("*", *exprs)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    resolutions: Sequence[str],
+    aggs: Sequence[Column],
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Multi-resolution time rollup (hypertable-style continuous-aggregate
+    shape): one output row per (resolution, time bucket [, group]) with
+    the same aggregate set at every resolution.
+
+    Computed as a single pass per resolution over the source, unioned —
+    each branch is a plain hash aggregate on (bucket, group), so map-side
+    partial aggregation applies and nothing is recomputed from another
+    resolution's output. At warehouse scale, write each resolution
+    partitioned by ``resolution, bucket_start`` and newest-partition
+    refreshes stay incremental.
+
+    ``resolutions`` are Spark window durations ('1 hour', '1 day', ...);
+    ``aggs`` are ready aggregate expressions (aliased by the caller).
+    """
+    branches = []
+    for res in resolutions:
+        bucket = F.window(F.col(ts_col), res)
+        agged = df.groupBy(bucket.alias("bucket"), *[F.col(g) for g in group_by]).agg(
+            *aggs
+        )
+        agg_cols = [c for c in agged.columns if c != "bucket" and c not in group_by]
+        branches.append(
+            agged.select(
+                F.lit(res).alias("resolution"),
+                F.col("bucket.start").alias("bucket_start"),
+                *[F.col(g) for g in group_by],
+                *[F.col(c) for c in agg_cols],
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -298,3 +298,32 @@ def test_range_join_rejects_collisions(spark):
     df = spark.createDataFrame([(1, 2.0)], ["pid", "v"])
     with _pytest.raises(ValueError):
         range_join(df, df, "v", "v", "v", 1.0)
+
+
+def test_time_rollup_resolutions(spark):
+    from dataframes_spark.operators.window import time_rollup
+
+    rows = [
+        ("a", "2024-01-01 10:15:00", 1.0),
+        ("a", "2024-01-01 10:45:00", 2.0),
+        ("a", "2024-01-01 11:05:00", 4.0),
+        ("b", "2024-01-02 00:30:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts_s", "v"]).select(
+        "g", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    out = time_rollup(
+        df, "ts", ["1 hour", "1 day"],
+        [F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n")],
+        group_by=["g"],
+    )
+    got = {
+        (r.resolution, str(r.bucket_start), r.g): (r.sum_v, r.n)
+        for r in out.collect()
+    }
+    assert got[("1 hour", "2024-01-01 10:00:00", "a")] == (3.0, 2)
+    assert got[("1 hour", "2024-01-01 11:00:00", "a")] == (4.0, 1)
+    assert got[("1 day", "2024-01-01 00:00:00", "a")] == (7.0, 3)
+    assert got[("1 day", "2024-01-02 00:00:00", "b")] == (8.0, 1)
+    # 3 hourly buckets (a@10, a@11, b@00) + 2 daily buckets
+    assert len(got) == 5
