@@ -139,3 +139,37 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in p
     # the data filter moved entirely into partition pruning, not a scan filter
     assert back.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_asof_join_is_one_window_no_join(plans):
+    # the union+window as-of form must never plan a join (the naive
+    # range-join formulation explodes to O(|L| x matches) rows)
+    p = plans("asof_last_purchase")
+    assert "Join" not in p, "as-of should be window-based, not a join"
+    assert "Window" in p
+    # exactly one shuffle feeds the window (plus the final agg-free output)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_range_join_never_nested_loop(plans):
+    p = plans("range_join_purchase_clicks")
+    assert "BroadcastNestedLoopJoin" not in p, "range join fell back to BNLJ"
+    assert "CartesianProduct" not in p
+    # bucketized equi-join with the exact bounds as residual condition
+    assert re.search(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)", p)
+
+
+def test_time_rollup_partial_aggregation(plans):
+    # each resolution branch is a hash aggregate with map-side partial
+    # aggregation; the union adds no extra shuffle of its own
+    p = plans("time_rollup_events")
+    assert "Union" in p
+    assert p.count("HashAggregate") >= 4  # partial+final per resolution
+
+
+def test_embedding_near_dup_blocked_matmul(plans):
+    # the exact all-pairs path must shuffle O(N x blocks) rows into
+    # applyInPandas tasks, never build the N^2 pair relation as a join
+    p = plans("embedding_near_dup_pairs")
+    assert "FlatMapGroupsInPandas" in p
+    assert "Join" not in p.replace("FlatMapGroupsInPandas", "")
