@@ -828,6 +828,16 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (functions/text.py): MOSS-style
+    passage fingerprints, engine-reproducible polynomial hash — the
+    oracle runs the identical arithmetic in SQL."""
+    from dataframes_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+
+
 def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (operators/window.py):
     hourly and daily event aggregates per type in one unioned plan — each
@@ -1047,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_purchase_clicks": range_join_purchase_clicks,
         "ewma_user_value": ewma_user_value,
         "time_rollup_events": time_rollup_events,
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
     }
 
 
@@ -1558,6 +1569,35 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
                    count(CAST(props->>'k' AS BIGINT)) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "winnow_fingerprints_docs": """
+            WITH n AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), ch AS (
+                SELECT id,
+                       list_transform(range(1, greatest(length(t), 1) + 1),
+                           i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)) AS c
+                FROM n
+            ), gh AS (
+                SELECT id,
+                       list_transform(range(0, greatest(len(c) - 4, 0)),
+                           i -> (  c[CAST(i AS INT) + 1] * 67503107 % 2147483647
+                                 + c[CAST(i AS INT) + 2] * 16974593 % 2147483647
+                                 + c[CAST(i AS INT) + 3] * 66049 % 2147483647
+                                 + c[CAST(i AS INT) + 4] * 257 % 2147483647
+                                 + c[CAST(i AS INT) + 5] % 2147483647
+                                ) % 2147483647) AS g
+                FROM ch
+            ), mins AS (
+                SELECT id,
+                       list_transform(range(0, greatest(len(g) - 3, 0)),
+                           i -> list_min(list_slice(g, CAST(i AS INT) + 1,
+                                                    CAST(i AS INT) + 4))) AS m
+                FROM gh
+            )
+            SELECT id, unnest(list_distinct(m)) AS fp FROM mins
         """,
         "time_rollup_events": """
             SELECT '1 hour' AS resolution,

@@ -124,3 +124,63 @@ def document_profile(df: DataFrame, text_col: str) -> DataFrame:
         language_guess(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (the MOSS scheme):
+    polynomial hash of every k-gram, then the minimum hash of each
+    ``window`` consecutive k-grams, deduplicated — guarantees any shared
+    substring of length >= k + window - 1 yields a shared fingerprint,
+    while keeping ~2/(window+1) of the k-gram hashes.
+
+    Returns ``(id, fp)`` exploded — one row per selected fingerprint —
+    ready for a self-join on ``fp`` to find copied passages. The hash is
+    plain base-``base`` polynomial arithmetic on character codes (not a
+    keyed hash), so any engine can reproduce it — the DuckDB oracle runs
+    the identical formula.
+
+    Normalization and the character-code array are each materialized in
+    their own projection before the per-gram transforms (HOF lambdas
+    re-evaluate captured outer expressions per element)."""
+    from dataframes_spark.operators.dedup import _norm_text
+
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+    chars = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col("__norm")), F.lit(1))),
+        lambda i: F.ascii(F.col("__norm").substr(i, F.lit(1))).cast("long"),
+    )
+    n_grams = F.greatest(F.size(F.col("__ch")) - F.lit(k - 1), F.lit(0))
+    gram_hash = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: sum(
+            (F.element_at(F.col("__ch"), i + j + 1) * F.lit(powers[j])) % F.lit(mod)
+            for j in range(k)
+        )
+        % F.lit(mod),
+    )
+    n_windows = F.greatest(F.size(F.col("__gh")) - F.lit(window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(F.col("__gh"), i + 1, window)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("__norm"))
+        .select("id", chars.alias("__ch"))
+        .select("id", F.when(n_grams > 0, gram_hash).otherwise(F.array()).alias("__gh"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.when(n_windows > 0, mins).otherwise(F.array())
+                )
+            ).alias("fp"),
+        )
+    )

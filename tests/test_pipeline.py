@@ -155,3 +155,29 @@ def test_embedding_near_dups_exact_and_lsh(spark):
     # share every hyperplane sign) and never invents extra pairs
     lsh = dedup.embedding_near_dups(df, "emb", "vid", threshold=0.95, num_planes=4)
     assert {(r.id_a, r.id_b) for r in lsh.collect()} == {(1, 2)}
+
+
+def test_winnow_fingerprints_shared_passage(spark):
+    from dataframes_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a lazy cat naps; the quick brown fox jumps far"),
+            (3, "zzz"),  # shorter than k: no fingerprints
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    # winnowing guarantee: a shared substring of length >= k + window - 1
+    # ("the quick brown fox jumps", 25 chars) yields shared fingerprints
+    assert by_doc[1] & by_doc[2]
+    # unrelated docs share nothing; sub-k docs emit nothing
+    assert 3 not in by_doc and 4 not in by_doc
+    # density: ~2/(window+1) of gram hashes survive winnowing
+    assert 5 <= len(by_doc[1]) <= 25
