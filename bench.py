@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "asof_last_purchase",
     "range_join_purchase_clicks",
     "embedding_near_dup_pairs",
+    "time_rollup_events",
+    "ewma_user_value",
+    "winnow_fingerprints_docs",
 ]
 
 

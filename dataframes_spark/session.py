@@ -38,6 +38,14 @@ def get_spark(app_name: str = "dataframes_spark", cpus: str | None = None) -> Sp
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # many distinct large generated-code classes (one per query shape)
+        # overflow the default JVM code cache in long sessions; when it
+        # fills, the JIT shuts off and random later queries run interpreted
+        # at ~10x cost. 512 MB holds the full contract-suite working set.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the synthetic events table stores timestamp[ns]; Spark has no ns
