@@ -9,6 +9,8 @@ so the same code runs one scan over 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -147,40 +149,41 @@ def winnow_fingerprints(
     keyed hash), so any engine can reproduce it — the DuckDB oracle runs
     the identical formula.
 
-    Normalization and the character-code array are each materialized in
-    their own projection before the per-gram transforms (HOF lambdas
-    re-evaluate captured outer expressions per element)."""
+    Normalization stays a JVM expression; the per-character rolling-hash
+    and sliding-min arithmetic runs as an Arrow-batched numpy kernel
+    (vectorized shifted-add convolution + ``minimum.reduce`` — the pure
+    expression formulation does n_chars x (k + window) ``element_at``/
+    ``slice`` calls per document and measured ~10x slower)."""
     from dataframes_spark.operators.dedup import _norm_text
 
     powers = [pow(base, k - 1 - j, mod) for j in range(k)]
-    chars = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(F.col("__norm")), F.lit(1))),
-        lambda i: F.ascii(F.col("__norm").substr(i, F.lit(1))).cast("long"),
-    )
-    n_grams = F.greatest(F.size(F.col("__ch")) - F.lit(k - 1), F.lit(0))
-    gram_hash = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: sum(
-            (F.element_at(F.col("__ch"), i + j + 1) * F.lit(powers[j])) % F.lit(mod)
-            for j in range(k)
-        )
-        % F.lit(mod),
-    )
-    n_windows = F.greatest(F.size(F.col("__gh")) - F.lit(window - 1), F.lit(0))
-    mins = F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda i: F.array_min(F.slice(F.col("__gh"), i + 1, window)),
-    )
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def fps(norm: pd.Series) -> pd.Series:
+        out = []
+        for s in norm:
+            ch = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+            n_grams = ch.size - (k - 1)
+            if n_grams <= 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            g = np.zeros(n_grams, dtype=np.int64)
+            for j in range(k):
+                g += (ch[j : j + n_grams] * powers[j]) % mod
+            g %= mod
+            n_win = g.size - (window - 1)
+            if n_win <= 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            mins = np.minimum.reduce([g[i : i + n_win] for i in range(window)])
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
     return (
         df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("__norm"))
-        .select("id", chars.alias("__ch"))
-        .select("id", F.when(n_grams > 0, gram_hash).otherwise(F.array()).alias("__gh"))
-        .select(
-            "id",
-            F.explode(
-                F.array_distinct(
-                    F.when(n_windows > 0, mins).otherwise(F.array())
-                )
-            ).alias("fp"),
-        )
+        .select("id", F.explode(fps(F.col("__norm"))).alias("fp"))
     )
