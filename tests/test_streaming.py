@@ -135,3 +135,38 @@ def test_ewma_stream_matches_batch(spark, event_dir):
     want = {(r.user_id, r.ts): round(r.ewma, 9) for r in batch.collect()}
     assert len(got) == 180
     assert got == want
+
+
+def test_ewma_batch_stitches_across_arrow_batches(spark):
+    """Tiny Arrow batches force groups to straddle batch boundaries; the
+    carried-state stitch must reproduce the single-pass fold exactly."""
+    rows = [(u, float(1000 + i), float(v)) for u in ("a", "b", "c")
+            for i, v in enumerate(range(40))]
+    df = spark.createDataFrame(rows, ["u", "t", "v"]).withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r.u, r.t): r.ewma
+            for r in dstream.ewma_batch(df, "t", "u", "v", alpha=0.3).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # reference fold, plain python
+    import collections
+    want = {}
+    state = collections.defaultdict(lambda: None)
+    for u, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        prev = state[u]
+        prev = v if prev is None else 0.3 * v + 0.7 * prev
+        state[u] = prev
+        from datetime import datetime, timezone
+        want[(u, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None))] = prev
+    assert len(got) == len(want) == 120
+    for kk in want:
+        assert got[kk] == pytest.approx(want[kk], abs=1e-12)
