@@ -838,6 +838,18 @@ def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
 
 
+def shared_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage pairs via winnowed fingerprints: self-join on the
+    fingerprint value with a stop-fingerprint cap (df <= 100), so pairs
+    materialize per shared fingerprint, never as a doc cross product.
+    min_shared=20 sits between the corpus's background co-occurrence
+    (~5-gram phrase collisions) and true copied passages."""
+    from dataframes_spark.functions.text import shared_passages
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_passages(docs, "text", "doc_id", min_shared=20, max_df=100)
+
+
 def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (operators/window.py):
     hourly and daily event aggregates per type in one unioned plan — each
@@ -1057,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_purchase_clicks": range_join_purchase_clicks,
         "ewma_user_value": ewma_user_value,
         "time_rollup_events": time_rollup_events,
+        "shared_passages_docs": shared_passages_docs,
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
     }
 
@@ -1598,6 +1611,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM gh
             )
             SELECT id, unnest(list_distinct(m)) AS fp FROM mins
+        """,
+        "shared_passages_docs": """
+            WITH n AS (
+                SELECT doc_id AS id,
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), ch AS (
+                SELECT id,
+                       list_transform(range(1, greatest(length(t), 1) + 1),
+                           i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)) AS c
+                FROM n
+            ), gh AS (
+                SELECT id,
+                       list_transform(range(0, greatest(len(c) - 4, 0)),
+                           i -> (  c[CAST(i AS INT) + 1] * 67503107 % 2147483647
+                                 + c[CAST(i AS INT) + 2] * 16974593 % 2147483647
+                                 + c[CAST(i AS INT) + 3] * 66049 % 2147483647
+                                 + c[CAST(i AS INT) + 4] * 257 % 2147483647
+                                 + c[CAST(i AS INT) + 5] % 2147483647
+                                ) % 2147483647) AS g
+                FROM ch
+            ), mins AS (
+                SELECT id,
+                       list_transform(range(0, greatest(len(g) - 3, 0)),
+                           i -> list_min(list_slice(g, CAST(i AS INT) + 1,
+                                                    CAST(i AS INT) + 4))) AS m
+                FROM gh
+            ), fps AS (
+                SELECT id, unnest(list_distinct(m)) AS fp FROM mins
+            ), rare AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100
+            ), pruned AS (
+                SELECT f.id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+            FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING count(*) >= 20
         """,
         "time_rollup_events": """
             SELECT '1 hour' AS resolution,

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "time_rollup_events",
     "ewma_user_value",
     "winnow_fingerprints_docs",
+    "shared_passages_docs",
 ]
 
 

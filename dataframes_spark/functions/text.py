@@ -187,3 +187,40 @@ def winnow_fingerprints(
         df.select(F.col(id_col).alias("id"), _norm_text(text_col).alias("__norm"))
         .select("id", F.explode(fps(F.col("__norm"))).alias("fp"))
     )
+
+
+def shared_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Copied-passage detection: document pairs ranked by the number of
+    winnowed fingerprints they share (``(id_a, id_b, n_shared)``,
+    ``id_a < id_b``, at least ``min_shared`` shared fingerprints).
+
+    Fingerprints occurring in more than ``max_df`` documents are dropped
+    before the self-join — boilerplate phrases otherwise create hot
+    fingerprint buckets whose pair explosion is quadratic (the same
+    stop-key discipline as dropping stopwords from inverted indexes).
+    The join then shuffles on the fingerprint value, so pairs only
+    materialize per shared fingerprint, never as a document cross
+    product.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= max_df
+    )
+    pruned = fps.join(rare.select("fp"), "fp")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -181,3 +181,19 @@ def test_winnow_fingerprints_shared_passage(spark):
     assert 3 not in by_doc and 4 not in by_doc
     # density: ~2/(window+1) of gram hashes survive winnowing
     assert 5 <= len(by_doc[1]) <= 25
+
+
+def test_shared_passages_finds_copy(spark):
+    from dataframes_spark.functions.text import shared_passages
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, "intro text then " + base + " and an outro"),  # contains the passage
+        (3, "completely different content about spark query planning"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = shared_passages(df, "text", "doc_id", min_shared=3, max_df=10)
+    got = {(r.id_a, r.id_b): r.n_shared for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert all(p == (1, 2) for p in got)
