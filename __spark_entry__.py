@@ -847,7 +847,7 @@ def shared_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframes_spark.functions.text import shared_passages
 
     docs = _t(spark, sf_dir, "documents")
-    return shared_passages(docs, "text", "doc_id", min_shared=20, max_df=100)
+    return shared_passages(docs, "text", "doc_id", min_shared=20, max_df=0.2)
 
 
 def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,7 +1641,7 @@ def oracle_sql() -> dict[str, str]:
             ), fps AS (
                 SELECT id, unnest(list_distinct(m)) AS fp FROM mins
             ), rare AS (
-                SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) <= CAST(0.2 * (SELECT count(*) FROM documents) AS BIGINT)
             ), pruned AS (
                 SELECT f.id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
             )

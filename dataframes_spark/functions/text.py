@@ -196,20 +196,25 @@ def shared_passages(
     k: int = 5,
     window: int = 4,
     min_shared: int = 3,
-    max_df: int = 100,
+    max_df: int | float = 0.2,
 ) -> DataFrame:
     """Copied-passage detection: document pairs ranked by the number of
     winnowed fingerprints they share (``(id_a, id_b, n_shared)``,
     ``id_a < id_b``, at least ``min_shared`` shared fingerprints).
 
-    Fingerprints occurring in more than ``max_df`` documents are dropped
-    before the self-join — boilerplate phrases otherwise create hot
-    fingerprint buckets whose pair explosion is quadratic (the same
-    stop-key discipline as dropping stopwords from inverted indexes).
-    The join then shuffles on the fingerprint value, so pairs only
-    materialize per shared fingerprint, never as a document cross
-    product.
+    Fingerprints occurring in more than ``max_df`` documents — an
+    absolute count, or a float fraction of the corpus (counted once,
+    parquet-metadata-cheap) — are dropped before the self-join:
+    boilerplate phrases otherwise create hot fingerprint buckets whose
+    pair explosion is quadratic (the same stop-key discipline as
+    dropping stopwords from inverted indexes). A fraction survives
+    corpus growth; an absolute cap silently prunes everything once
+    background phrase frequency crosses it. The join then shuffles on
+    the fingerprint value, so pairs only materialize per shared
+    fingerprint, never as a document cross product.
     """
+    if isinstance(max_df, float):
+        max_df = int(max_df * df.count())
     fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") <= max_df
