@@ -37,10 +37,12 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     right_order: Sequence[str] = (),
     rsuffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows + latest right ``value_cols`` at or
-    before each left timestamp, matched within ``by`` keys. Right-side
-    columns come back null when no prior right row exists.
+    """As-of join: left rows + the right ``value_cols`` nearest at-or-
+    before (``direction="backward"``, default) or at-or-after
+    (``"forward"``) each left timestamp, matched within ``by`` keys.
+    Right-side columns come back null when no matching right row exists.
 
     ``right_order`` names extra right-side columns used to break ties
     among right rows sharing a timestamp (the greatest wins) — without it
@@ -48,6 +50,8 @@ def asof_join(
     ``rsuffix`` is appended to the right value columns in the output so
     they can coexist with same-named left columns.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [by] if isinstance(by, str) else list(by)
     value_cols = (
         list(value_cols)
@@ -70,14 +74,17 @@ def asof_join(
         *[F.col(c).alias(f"__o_{c}") for c in right_order],
     )
     # order right rows BEFORE left rows at equal ts: right at t is visible
-    # to left at t (backward-inclusive semantics). Tiebreakers only order
-    # right rows among themselves (left rows carry nulls there, and the
-    # __is_left key already separates the sides).
+    # to left at t (inclusive semantics in either direction). Tiebreakers
+    # only order right rows among themselves (left rows carry nulls there,
+    # and the __is_left key already separates the sides). Forward is the
+    # mirror image: scan timestamps descending, so the "latest deposit"
+    # the window carries is the nearest right row at-or-after.
     unioned = lhs.unionByName(rhs)
+    ts_ordered = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         W.partitionBy(*keys)
         .orderBy(
-            F.col(ts_col).asc(),
+            ts_ordered,
             F.col("__is_left").asc(),
             *[F.col(f"__o_{c}").asc() for c in right_order],
         )

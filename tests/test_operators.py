@@ -327,3 +327,25 @@ def test_time_rollup_resolutions(spark):
     assert got[("1 day", "2024-01-02 00:00:00", "b")] == (8.0, 1)
     # 3 hourly buckets (a@10, a@11, b@00) + 2 daily buckets
     assert len(got) == 5
+
+
+def test_asof_join_forward_direction(spark):
+    from dataframes_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 21, "t2"), ("A", 30, "t3")], ["sym", "ts", "trade"]
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 20, 2.0), ("A", 21, 3.0)], ["sym", "ts", "px"]
+    )
+    out = asof_join(
+        trades, quotes, ts_col="ts", by="sym", value_cols=["px"],
+        direction="forward",
+    )
+    got = {r.trade: r.px for r in out.collect()}
+    # t1@10 -> next quote @20 = 2.0; t2@21 matches inclusively = 3.0;
+    # t3@30 -> nothing after = null
+    assert got == {"t1": 2.0, "t2": 3.0, "t3": None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(trades, quotes, "ts", "sym", direction="nearest")
