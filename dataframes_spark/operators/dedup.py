@@ -306,7 +306,7 @@ def jaccard_verify(
 
     Sets are collapsed to ``xxhash64(shingle)`` long arrays before the
     join: the intersect then hashes 8-byte longs instead of shingle
-    strings (~10x cheaper per pair) and the broadcast rows shrink the
+    strings (~10x cheaper per pair) and the shuffled rows shrink the
     same way. 64-bit hashing is collision-free for any realistic
     per-document set cardinality (birthday bound ~n^2/2^64), so the
     intersection count — and the Jaccard — is exact. Candidates are
@@ -319,13 +319,16 @@ def jaccard_verify(
     cand = candidates.repartition(
         candidates.sparkSession.sparkContext.defaultParallelism
     )
+    # plain equi-joins: the shingle relation scales WITH THE CORPUS, so it
+    # must never be forced broadcast (a driver collect of the corpus);
+    # AQE broadcasts the genuinely-small side adaptively when one exists
     out = (
         cand.join(
-            F.broadcast(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
+            sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
         .join(
-            F.broadcast(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
+            sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
             "id_b",
         )
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -398,11 +401,11 @@ def near_dup_pairs(
     prefiltered = (
         cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
         .join(
-            F.broadcast(sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))),
+            sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")),
             "id_a",
         )
         .join(
-            F.broadcast(sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))),
+            sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")),
             "id_b",
         )
         .filter(agree >= F.lit(int(est_cut * num_hashes)))
@@ -411,11 +414,11 @@ def near_dup_pairs(
     # Stage 2 — exact verification of the survivors only.
     return (
         prefiltered.join(
-            F.broadcast(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
+            sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
         .join(
-            F.broadcast(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
+            sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
             "id_b",
         )
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
