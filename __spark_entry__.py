@@ -481,11 +481,15 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/spark_graft_csv_{tag}/lineitem.csv"
     dio_w.write_auto(li, path)
     back = dio_r.read_csv(spark, path)
+    # sum in exact fixed-point (the source data has <=2 decimals): double
+    # summation is order-sensitive and the CSV re-read partitions
+    # differently from the parquet scan, so round(sum(double)) can flip at
+    # a rounding boundary between engines — integer sums cannot
     return (
         back.groupBy("l_returnflag")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0).alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
             F.sum("l_orderkey").alias("sum_key"),
         )
@@ -1318,8 +1322,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip_agg": """
             SELECT l_returnflag,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_price,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
                    count(*) AS n,
                    sum(l_orderkey) AS sum_key
             FROM lineitem GROUP BY l_returnflag

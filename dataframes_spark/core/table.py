@@ -36,26 +36,27 @@ from dataframes_spark.operators import sort as _sort
 from dataframes_spark.operators import window as _window
 
 
-def _as_column(expr: Any) -> Column:
+def _as_column(expr: Any, dtypes: dict | None = None) -> Column:
     """Accept a Column, an LQuery dict/JSON node, or a column name.
     LQuery nodes get the reference's null rule (null referenced column ->
-    null output) via ``map_expr``."""
+    null output) via ``map_expr``; passing dtypes enables reference-exact
+    integer division (C++ int64/int64 truncates)."""
     if isinstance(expr, Column):
         return expr
     if isinstance(expr, dict):
-        return lquery.map_expr(expr)
+        return lquery.map_expr(expr, dtypes)
     if isinstance(expr, str):
         return F.col(expr)
     return F.lit(expr)
 
 
-def _as_predicate(expr: Any) -> Column:
+def _as_predicate(expr: Any, dtypes: dict | None = None) -> Column:
     """LQuery nodes get the reference's null rule (null referenced column
     -> row dropped) via ``filter_expr``."""
     if isinstance(expr, Column):
         return expr
     if isinstance(expr, dict):
-        return lquery.filter_expr(expr)
+        return lquery.filter_expr(expr, dtypes)
     if isinstance(expr, str):
         return F.expr(expr)
     raise TypeError(f"cannot interpret {expr!r} as a predicate")
@@ -184,12 +185,14 @@ class Table:
     def filter(self, expr: Any) -> "Table":
         if isinstance(expr, dict):
             lquery.validate_predicate(expr, dict(self.df.dtypes))
+            return Table(self.df.filter(_as_predicate(expr, dict(self.df.dtypes))))
         return Table(self.df.filter(_as_predicate(expr)))
 
     def each(self, name: str, expr: Any) -> "Table":
         """Reference ``eachTo name f`` — append a computed column."""
         if isinstance(expr, dict):
             lquery.infer_type(expr, dict(self.df.dtypes))
+            return Table(self.df.withColumn(name, _as_column(expr, dict(self.df.dtypes))))
         return Table(self.df.withColumn(name, _as_column(expr)))
 
     # -- null handling ------------------------------------------------------

@@ -53,6 +53,14 @@ def _binary_chain(op, args: list[Column]) -> Column:
     return out
 
 
+def _trunc_div(x: Column, y: Column) -> Column:
+    # C++ int64/int64 division truncates toward zero. Spark's `%` matches
+    # C++ `%` (sign of the dividend), so x - x%y is exactly y*trunc(x/y)
+    # and the float division below is exact (quotient is an integer well
+    # inside double's 2^53 range for any realistic data).
+    return ((x - x % y) / y).cast("long")
+
+
 # `mod` in the reference is C++ `%` / fmod — sign follows the dividend,
 # which is Spark's `%` too (reference: native_libs/src/LQuery/Functions.h:97-121).
 _OPERATIONS = {
@@ -96,8 +104,44 @@ def _anchor_regex(pattern_col: Any) -> str:
     return f"^(?:{pattern_col})$"
 
 
-def compile_value(node: Any) -> Column:
-    """Compile a value-producing LQuery node to a Column."""
+def _is_integral(node: Any, dtypes: dict[str, str]) -> bool:
+    """True if an LQuery value node statically evaluates to an integer —
+    mirrors the C++ interpreter's type dispatch, where int64 is preserved
+    through arithmetic (Functions.h BINARY_ARIT_OPERATOR on int64/int64
+    yields int64)."""
+    if isinstance(node, bool):
+        return False
+    if isinstance(node, int):
+        return True
+    if isinstance(node, float) or isinstance(node, str):
+        return False
+    if isinstance(node, dict):
+        if "column" in node:
+            dt = dtypes.get(node["column"], "")
+            return dt.startswith(("int", "bigint", "smallint", "tinyint"))
+        if "operation" in node:
+            op = node["operation"]
+            args = node.get("arguments", [])
+            if op in ("day", "month", "year"):
+                return True
+            if op in ("plus", "minus", "times", "divide", "mod", "negate", "abs"):
+                return all(_is_integral(a, dtypes) for a in args)
+            return False
+        if "condition" in node:
+            return _is_integral(node["onTrue"], dtypes) and _is_integral(
+                node["onFalse"], dtypes
+            )
+    return False
+
+
+def compile_value(node: Any, dtypes: dict[str, str] | None = None) -> Column:
+    """Compile a value-producing LQuery node to a Column.
+
+    ``dtypes`` (column name -> Spark dtype string) enables reference-exact
+    integer semantics: C++ ``/`` on int64/int64 truncates toward zero,
+    while Spark ``/`` is always float division. When dtypes are unknown the
+    float-division delta remains (documented, SURVEY.md §7).
+    """
     if isinstance(node, bool):
         raise LQueryError("boolean literals are not in the LQuery grammar")
     if isinstance(node, (int, float)):
@@ -115,19 +159,25 @@ def compile_value(node: Any) -> Column:
             op = node["operation"]
             if op not in _OPERATIONS:
                 raise LQueryError(f"unknown operation {op!r}")
-            args = [compile_value(x) for x in node.get("arguments", [])]
+            args = [compile_value(x, dtypes) for x in node.get("arguments", [])]
+            if (
+                op == "divide"
+                and dtypes is not None
+                and all(_is_integral(x, dtypes) for x in node.get("arguments", []))
+            ):
+                return _binary_chain(_trunc_div, args)
             return _OPERATIONS[op](args)
         if "condition" in node:
             return F.when(
-                compile_predicate(node["condition"]),
-                compile_value(node["onTrue"]),
-            ).otherwise(compile_value(node["onFalse"]))
+                compile_predicate(node["condition"], dtypes),
+                compile_value(node["onTrue"], dtypes),
+            ).otherwise(compile_value(node["onFalse"], dtypes))
         if "predicate" in node or "boolean" in node:
-            return compile_predicate(node)
+            return compile_predicate(node, dtypes)
     raise LQueryError(f"unrecognized LQuery value node: {node!r}")
 
 
-def compile_predicate(node: Any) -> Column:
+def compile_predicate(node: Any, dtypes: dict[str, str] | None = None) -> Column:
     """Compile a predicate LQuery node to a boolean Column."""
     if isinstance(node, dict):
         if "predicate" in node:
@@ -136,17 +186,17 @@ def compile_predicate(node: Any) -> Column:
                 raise LQueryError(f"unknown predicate {op!r}")
             raw_args = node.get("arguments", [])
             if op in ("startsWith", "matches"):
-                args = [compile_value(raw_args[0]), raw_args[1]]
+                args = [compile_value(raw_args[0], dtypes), raw_args[1]]
                 if op == "startsWith":
                     args[1] = F.lit(args[1])
             else:
-                args = [compile_value(x) for x in raw_args]
+                args = [compile_value(x, dtypes) for x in raw_args]
             return _PREDICATES[op](args)
         if "boolean" in node:
             op = node["boolean"]
             if op not in _BOOLEANS:
                 raise LQueryError(f"unknown boolean op {op!r}")
-            args = [compile_predicate(x) for x in node.get("arguments", [])]
+            args = [compile_predicate(x, dtypes) for x in node.get("arguments", [])]
             return _BOOLEANS[op](args)
     raise LQueryError(f"unrecognized LQuery predicate node: {node!r}")
 
@@ -252,27 +302,27 @@ def _null_guard(node: Any) -> Column | None:
     return guard
 
 
-def filter_expr(node: Any) -> Column:
+def filter_expr(node: Any, dtypes: dict[str, str] | None = None) -> Column:
     """Predicate with the reference's null rule: a row with null in ANY
     referenced column is dropped, even where SQL three-valued logic would
     keep it (``null OR true``)."""
-    pred = compile_predicate(node)
+    pred = compile_predicate(node, dtypes)
     guard = _null_guard(node)
     return pred & guard if guard is not None else pred
 
 
-def map_expr(node: Any) -> Column:
+def map_expr(node: Any, dtypes: dict[str, str] | None = None) -> Column:
     """Row-wise value with the reference's null rule: null in ANY
     referenced column nulls the output, even where SQL would produce a
     value (``condition`` with a null condition falls to ``otherwise`` in
     SQL; the reference yields null)."""
-    value = compile_value(node)
+    value = compile_value(node, dtypes)
     guard = _null_guard(node)
     return F.when(guard, value) if guard is not None else value
 
 
-def compile_json(text: str, *, predicate: bool = False) -> Column:
+def compile_json(text: str, *, predicate: bool = False, dtypes: dict[str, str] | None = None) -> Column:
     """Compile LQuery JSON text, the exact payload the reference ships over
     its FFI (reference: src/Internal/CWrappers.luna:307-323)."""
     node = json.loads(text)
-    return filter_expr(node) if predicate else map_expr(node)
+    return filter_expr(node, dtypes) if predicate else map_expr(node, dtypes)

@@ -62,9 +62,15 @@ def _length(c: str, wrap: Wrap) -> Column:
 
 
 def _rsi(c: str, wrap: Wrap) -> Column:
+    # nulls must stay OUT of both conditional means: the reference's Mean
+    # accumulator is a no-op on null (Analysis.cpp Mean::operator()), so a
+    # null row contributes to neither the gains nor the losses average.
+    # F.avg skips nulls, and the isNotNull guard keeps the when() null for
+    # null inputs instead of mapping them to 0.0 (which would inflate the
+    # denominators of both means).
     col = F.col(c)
-    gains = wrap(F.avg(F.when(col > 0, col).otherwise(F.lit(0.0))))
-    losses = wrap(F.avg(F.when(col < 0, col).otherwise(F.lit(0.0))))
+    gains = wrap(F.avg(F.when(col.isNotNull(), F.greatest(col, F.lit(0.0)))))
+    losses = wrap(F.avg(F.when(col.isNotNull(), F.least(col, F.lit(0.0)))))
     return F.lit(100.0) * gains / (gains - losses)
 
 

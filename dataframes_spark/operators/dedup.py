@@ -46,12 +46,25 @@ def _spread(df: DataFrame) -> DataFrame:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact content value.
 
-    GroupBy on ``xxhash64(text)`` + min-id representative: the shuffle key
-    is 8 bytes regardless of document size, so 100 TB of text shuffles
-    ~8 B x N keys plus one id column. A second semi-join pulls the full
-    surviving rows without shuffling text bodies.
+    GroupBy on a compound content key + min-id representative: the shuffle
+    key is ~32 bytes regardless of document size, so 100 TB of text
+    shuffles ~32 B x N keys plus one id column. A second semi-join pulls
+    the full surviving rows without shuffling text bodies.
+
+    The key is ``(length, xxhash64, md5)`` — 64 bits alone is NOT enough
+    at corpus scale (1e10 docs -> n^2/2^65 ≈ several expected corpus-wide
+    collisions, each silently deleting a distinct document); adding the
+    independent 128-bit md5 pushes expected collisions below 1e-18 while
+    everything stays a single JVM-side projection pass over the text.
     """
-    hashed = df.withColumn("__h", F.xxhash64(F.col(text_col)))
+    hashed = df.withColumn(
+        "__h",
+        F.struct(
+            F.length(F.col(text_col)).alias("len"),
+            F.xxhash64(F.col(text_col)).alias("xx"),
+            F.unhex(F.md5(F.col(text_col).cast("binary"))).alias("md5"),
+        ),
+    )
     keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), id_col, "left_semi")
 

@@ -32,15 +32,33 @@ def fill_na(df: DataFrame, value, subset: Sequence[str] | None = None) -> DataFr
     string for a numeric column raises (the reference throws too)."""
     cols = set(subset) if subset else set(df.columns)
     dtypes = dict(df.dtypes)
+    integral = ("int", "bigint", "smallint", "tinyint")
     if isinstance(value, str):
         for c in cols:
-            if dtypes[c].startswith(("int", "bigint", "smallint", "tinyint", "double", "float")):
+            if dtypes[c].startswith(integral):
+                # lit("5.5").cast(bigint) is NULL in non-ANSI Spark, which
+                # would silently leave nulls unfilled; the reference's
+                # ConvertTo throws instead (Processing.cpp:561-609), so
+                # require an exact integer literal here
+                try:
+                    int(value)
+                except ValueError:
+                    raise ValueError(
+                        f"cannot coerce fill value {value!r} to integral column {c!r}"
+                    ) from None
+            elif dtypes[c].startswith(("double", "float")):
                 try:
                     float(value)
                 except ValueError:
                     raise ValueError(
                         f"cannot coerce fill value {value!r} to numeric column {c!r}"
                     ) from None
+    elif isinstance(value, float) and not value.is_integer():
+        for c in cols:
+            if dtypes[c].startswith(integral):
+                raise ValueError(
+                    f"cannot coerce non-integer fill value {value!r} to integral column {c!r}"
+                )
     exprs = [
         F.coalesce(F.col(c), F.lit(value).cast(df.schema[c].dataType)).alias(c)
         if c in cols

@@ -116,27 +116,29 @@ def hyperplane_buckets(
     id_col: str,
     num_planes: int = 8,
     seed: int = 42,
-    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign pattern of ``num_planes`` fixed random
-    projections forms a bucket id. Deterministic (seeded LCG generates the
-    planes driver-side — tiny, independent of data size)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    # deterministic pseudo-random hyperplanes via an LCG — no numpy needed
-    state = seed & 0x7FFFFFFF
-    planes: list[list[float]] = []
-    for _ in range(num_planes):
-        row = []
-        for _ in range(dim):
-            state = (1103515245 * state + 12345) % (1 << 31)
-            row.append(state / float(1 << 30) - 1.0)  # uniform [-1, 1)
-        planes.append(row)
+    projections forms a bucket id.
+
+    Plane components are generated INSIDE the expression as
+    ``xxhash64(seed, plane, dim_index)`` scaled to [-1, 1) — deterministic,
+    dimension-agnostic, and fully lazy: no driver-side action to learn the
+    vector width (a ``.first()`` here would force a job per plan
+    construction), and no ``dim x num_planes`` literal array bloating
+    whole-stage codegen at 768-dim embedding widths."""
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+
+    def plane_component(p: int, idx: Column) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(p), idx)
+        return F.pmod(h, F.lit(1 << 20)) / F.lit(float(1 << 19)) - F.lit(1.0)
+
+    def projected(p: int) -> Column:
+        return F.transform(vd, lambda v, i: v * plane_component(p, i))
+
     bucket = None
-    for i, plane in enumerate(planes):
-        proj = _dot(vd, F.array(*[F.lit(x) for x in plane]))
-        bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for p in range(num_planes):
+        proj = F.aggregate(projected(p), F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 

@@ -78,22 +78,53 @@ TABLES = (
 )
 
 
+def _ensure_nanos_as_long(spark: SparkSession) -> bool:
+    """Make TIMESTAMP(NANOS) parquet readable in ANY session, not just ones
+    built by :func:`get_spark`.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL conf;
+    an externally-constructed SparkSession (e.g. a test harness's) won't have
+    it, and without it ``spark.read.parquet`` raises PARQUET_TYPE_ILLEGAL on
+    INT64(TIMESTAMP(NANOS)). Returns True if the conf is (now) set.
+    """
+    try:
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one synthetic table lazily (scans don't run until an action;
     column pruning and predicate pushdown reach the parquet reader).
 
     ``events.ts`` is stored as timestamp[ns], surfaced by the nanosAsLong
     flag as an epoch-ns BIGINT — convert to a proper TimestampType (µs,
-    lossless for this data).
+    lossless for this data). The flag is set at runtime so the loader is
+    self-sufficient in sessions this package did not construct; if a frozen
+    session rejects the conf, fall back to reading with an explicit schema
+    that types ``ts`` as LONG.
     """
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        if _ensure_nanos_as_long(spark):
+            df = spark.read.parquet(path)
+        else:
+            # conf rejected (frozen/remote session): force the ns column to
+            # LONG via an explicit schema — parquet INT64 physical type reads
+            # fine once the logical annotation is overridden
+            base = spark.read.schema(
+                "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING"
+            )
+            df = base.parquet(path)
         # integer division: epoch-ns exceeds double's 2^53 exact-integer
         # range, so a float divide would round the microsecond digit
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:

@@ -121,3 +121,31 @@ def test_mixed_type_comparison_throws(spark):
         t.each("y", {"operation": "year", "arguments": [{"column": "n"}]})
     # well-typed trees still pass
     assert t.filter({"predicate": "eq", "arguments": [{"column": "s"}, "x"]}).rowCount() == 1
+
+
+def test_integer_divide_truncates_like_cpp(spark):
+    # C++ int64/int64 division truncates toward zero (reference:
+    # LQuery/Functions.h BINARY_ARIT_OPERATOR(/)); Spark `/` is float
+    # division, so the compiler must emit truncating division when both
+    # operand types are integral — which it only knows given dtypes.
+    from dataframes_spark.functions.lquery import map_expr
+
+    tbl = spark.createDataFrame([(-7,), (-2,), (2,), (7,)], ["x"])
+    node = {"operation": "divide", "arguments": [{"column": "x"}, 3]}
+    dtypes = dict(tbl.dtypes)
+    got = {r.x: r.v for r in tbl.select("x", map_expr(node, dtypes).alias("v")).collect()}
+    assert got == {-7: -2, -2: 0, 2: 0, 7: 2}  # trunc toward zero, not floor
+    out_type = dict(tbl.select(map_expr(node, dtypes).alias("v")).dtypes)["v"]
+    assert out_type == "bigint"
+    # without dtypes the documented float-division delta remains
+    got_f = {r.x: r.v for r in tbl.select("x", map_expr(node).alias("v")).collect()}
+    assert abs(got_f[-7] - (-7 / 3)) < 1e-12
+
+
+def test_float_divide_stays_float(spark):
+    from dataframes_spark.functions.lquery import map_expr
+
+    tbl = spark.createDataFrame([(7, 2.0)], ["x", "y"])
+    node = {"operation": "divide", "arguments": [{"column": "x"}, {"column": "y"}]}
+    got = tbl.select(map_expr(node, dict(tbl.dtypes)).alias("v")).collect()[0].v
+    assert got == 3.5
