@@ -449,9 +449,27 @@ def lquery_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 def group_collect_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy list-collect with NULL-KEEPING lists (SURVEY §2.5 /
     reference Processing.cpp:611-692; plain collect_list would drop the
-    injected nulls)."""
+    injected nulls).
+
+    The API (``dagg.group_collect``) returns real ARRAY columns; this
+    CONTRACT query scalarizes the list to one pipe-joined string because
+    the driver canonicalizes results through pandas ``sort_values``, which
+    cannot sort raw list cells. Encoding: each element as an exact
+    fixed-point integer (value*1e6 — the synthetic values carry <=6
+    decimals), nulls as 'N', order preserved — so null-keeping and
+    ordering semantics are still fully hash-checked."""
     ev = _events_with_nulls(spark, sf_dir)
-    return dagg.group_collect(ev, "event_type", ["value"], "event_id")
+    g = dagg.group_collect(ev, "event_type", ["value"], "event_id")
+    enc = F.concat_ws(
+        "|",
+        F.transform(
+            "value_list",
+            lambda x: F.coalesce(
+                F.round(x * 1000000).cast("long").cast("string"), F.lit("N")
+            ),
+        ),
+    )
+    return g.select("event_type", enc.alias("value_list_enc"))
 
 
 def correlations_with_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,7 +1330,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "group_collect_lists": f"""
             WITH ev AS ({_EVENTS_NULLS_SQL})
-            SELECT event_type, list(value ORDER BY event_id) AS value_list
+            SELECT event_type,
+                   array_to_string(
+                       list_transform(
+                           list(value ORDER BY event_id),
+                           x -> coalesce(CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR), 'N')
+                       ), '|') AS value_list_enc
             FROM ev GROUP BY event_type
         """,
         "correlations_with_price": """
@@ -1325,7 +1348,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
                    count(*) AS n,
-                   sum(l_orderkey) AS sum_key
+                   CAST(sum(l_orderkey) AS BIGINT) AS sum_key
             FROM lineitem GROUP BY l_returnflag
         """,
         "media_decode_stats": """
@@ -1582,7 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props_rollup": """
             SELECT event_type,
-                   sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                    round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
                    count(CAST(props->>'k' AS BIGINT)) AS n_k
             FROM events GROUP BY event_type

@@ -54,11 +54,12 @@ def _binary_chain(op, args: list[Column]) -> Column:
 
 
 def _trunc_div(x: Column, y: Column) -> Column:
-    # C++ int64/int64 division truncates toward zero. Spark's `%` matches
-    # C++ `%` (sign of the dividend), so x - x%y is exactly y*trunc(x/y)
-    # and the float division below is exact (quotient is an integer well
-    # inside double's 2^53 range for any realistic data).
-    return ((x - x % y) / y).cast("long")
+    # C++ int64/int64 division truncates toward zero — exactly Spark's
+    # IntegralDivide (`div`) on integral operands. Computing it via float
+    # division ((x - x%y)/y) is WRONG past 2^53: epoch-ns-scale bigints
+    # (realistic here — session.py's loader divides epoch-ns by 1000) lose
+    # low digits to double rounding. `div` stays in exact long arithmetic.
+    return F.call_function("div", x, y)
 
 
 # `mod` in the reference is C++ `%` / fmod — sign follows the dividend,
@@ -117,8 +118,14 @@ def _is_integral(node: Any, dtypes: dict[str, str]) -> bool:
         return False
     if isinstance(node, dict):
         if "column" in node:
-            dt = dtypes.get(node["column"], "")
-            return dt.startswith(("int", "bigint", "smallint", "tinyint"))
+            # exact membership, not startswith — 'interval day' also
+            # startswith('int') and must not be classified integral
+            return dtypes.get(node["column"], "") in (
+                "int",
+                "bigint",
+                "smallint",
+                "tinyint",
+            )
         if "operation" in node:
             op = node["operation"]
             args = node.get("arguments", [])

@@ -12,6 +12,7 @@ Catalyst). Interpolation is the interesting one — see ``interpolate``.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W
@@ -38,16 +39,20 @@ def fill_na(df: DataFrame, value, subset: Sequence[str] | None = None) -> DataFr
             if dtypes[c].startswith(integral):
                 # lit("5.5").cast(bigint) is NULL in non-ANSI Spark, which
                 # would silently leave nulls unfilled; the reference's
-                # ConvertTo throws instead (Processing.cpp:561-609), so
-                # require an exact integer literal here
-                try:
-                    int(value)
-                except ValueError:
+                # ConvertTo throws instead (Processing.cpp:561-609). Python's
+                # int() is LOOSER than Spark's cast — it accepts '5_000' and
+                # unicode digits that Spark maps to NULL — so validate with
+                # the exact ASCII-decimal grammar Spark's cast accepts.
+                if not _re.fullmatch(r"[+-]?[0-9]+", value.strip()):
                     raise ValueError(
                         f"cannot coerce fill value {value!r} to integral column {c!r}"
-                    ) from None
+                    )
             elif dtypes[c].startswith(("double", "float")):
+                # same looseness hazard: float('5_0.5') parses but Spark's
+                # cast nulls it — reject underscored literals explicitly
                 try:
+                    if "_" in value:
+                        raise ValueError(value)
                     float(value)
                 except ValueError:
                     raise ValueError(

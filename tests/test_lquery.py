@@ -149,3 +149,45 @@ def test_float_divide_stays_float(spark):
     node = {"operation": "divide", "arguments": [{"column": "x"}, {"column": "y"}]}
     got = tbl.select(map_expr(node, dict(tbl.dtypes)).alias("v")).collect()[0].v
     assert got == 3.5
+
+
+def test_integer_divide_exact_past_2_53(spark):
+    # ((x - x%y)/y).cast('long') routes through IEEE doubles and is off by
+    # up to ~100 ulps for epoch-ns magnitudes; the compiler must use exact
+    # long arithmetic (Spark IntegralDivide). 1700000000123456789 // 10 is
+    # the loader's own epoch-ns -> µs conversion shape (session.py:124).
+    from dataframes_spark.functions.lquery import map_expr
+
+    big = 1700000000123456789
+    tbl = spark.createDataFrame([(big,), (2**62,)], ["x"])
+    node = {"operation": "divide", "arguments": [{"column": "x"}, 10]}
+    got = sorted(r.v for r in tbl.select(map_expr(node, dict(tbl.dtypes)).alias("v")).collect())
+    assert got == sorted([big // 10, (2**62) // 10])
+
+
+def test_is_integral_rejects_interval_dtype():
+    # 'interval day'.startswith('int') is True — membership must be exact
+    from dataframes_spark.functions.lquery import _is_integral
+
+    assert _is_integral({"column": "c"}, {"c": "bigint"})
+    assert not _is_integral({"column": "c"}, {"c": "interval day"})
+    assert not _is_integral({"column": "c"}, {"c": "interval year to month"})
+
+
+def test_setat_addcolumn_use_dtype_aware_division(spark):
+    # setAt/addColumn must compile LQuery dicts with the same dtype-aware
+    # truncating division as each() — not silently fall back to float `/`
+    from dataframes_spark.core import Table
+
+    t = Table(spark.createDataFrame([(-7,)], ["x"]))
+    node = {"operation": "divide", "arguments": [{"column": "x"}, 3]}
+    assert t.setAt("q", node).toList()[0].q == -2
+    assert t.addColumn(0, "q", node).toList()[0].q == -2
+    # and they validate types like each() does
+    import pytest as _pytest
+
+    from dataframes_spark.functions.lquery import LQueryError
+
+    t2 = Table(spark.createDataFrame([(1, "s")], ["n", "s"]))
+    with _pytest.raises(LQueryError):
+        t2.setAt("y", {"operation": "plus", "arguments": [{"column": "s"}, 1]})

@@ -159,6 +159,22 @@ def test_fillna_coerces_value_per_column_type(spark):
         dnulls.fill_na(df, "abc", ["v"])
 
 
+def test_fillna_rejects_python_only_integer_literals(spark):
+    # int('5_000') parses in Python but Spark's cast maps '5_000' to NULL —
+    # accepting it would silently leave nulls unfilled (the failure mode
+    # the validation exists to prevent)
+    df = spark.createDataFrame([(1, None), (2, 7)], "i bigint, v bigint")
+    for bad in ("5_000", "٥", "5.5"):
+        with pytest.raises(ValueError, match="coerce"):
+            dnulls.fill_na(df, bad, ["v"])
+    # plain ASCII decimals (with sign, surrounding space) still work
+    out = dnulls.fill_na(df, " -12 ", ["v"]).orderBy("i").collect()
+    assert out[0].v == -12
+    dbl = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError, match="coerce"):
+        dnulls.fill_na(dbl, "1_0.5", ["x"])
+
+
 def test_first_last_require_order_and_are_deterministic(spark):
     rows = [("a", 3, 30.0), ("a", 1, None), ("a", 2, 20.0), ("b", 1, None)]
     df = spark.createDataFrame(rows, ["k", "o", "v"])
