@@ -412,8 +412,7 @@ def near_dup_pairs(
         lambda acc, x: acc + x,
     )
     prefiltered = (
-        cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
-        .join(
+        cand.join(
             sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")),
             "id_a",
         )
@@ -425,7 +424,7 @@ def near_dup_pairs(
         .select("id_a", "id_b")
     )
     # Stage 2 — exact verification of the survivors only.
-    return (
+    pairs = (
         prefiltered.join(
             sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
@@ -442,6 +441,14 @@ def near_dup_pairs(
         .select("id_a", "id_b", "jaccard")
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    # Materialize the result (sized by TRUE near-dups — tiny vs the corpus)
+    # so the corpus-sized shingle cache can be released immediately instead
+    # of leaking one cached relation per call in long sessions. The caller
+    # may `.unpersist()` the returned frame when finished with it.
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    sets.unpersist()
+    return pairs
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> DataFrame:

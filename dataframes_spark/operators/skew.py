@@ -31,9 +31,15 @@ _MERGEABLE = ("sum", "length", "min", "max", "mean", "std")
 
 
 def _salt(df: DataFrame, buckets: int) -> Column:
-    # deterministic per-row salt: content-hash, stable under retries and
-    # repartitioning (rand() is neither)
-    return F.pmod(F.xxhash64(*df.columns), F.lit(buckets))
+    # deterministic per-row salt, stable under task retries (recomputing a
+    # deterministic input partition reproduces the same ids — unlike
+    # rand()). Content-hash alone is NOT enough: a corpus where one exact
+    # row repeats millions of times would re-concentrate its whole mass in
+    # one shard, so a row-unique component (monotonically_increasing_id:
+    # partition_id << 33 | row offset) is mixed in to spread ties.
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *df.columns), F.lit(buckets)
+    )
 
 
 def aggregate_by_skew_safe(

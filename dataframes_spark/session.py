@@ -110,20 +110,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        if _ensure_nanos_as_long(spark):
+        _ensure_nanos_as_long(spark)
+        try:
             df = spark.read.parquet(path)
-        else:
-            # conf rejected (frozen/remote session): force the ns column to
-            # LONG via an explicit schema — parquet INT64 physical type reads
-            # fine once the logical annotation is overridden
+            df.schema  # force analysis so an illegal-type error surfaces here
+        except Exception:
+            # conf rejected (frozen/remote session) on a TIMESTAMP(NANOS)
+            # file: force the ns column to LONG via an explicit schema —
+            # parquet INT64 physical type reads fine once the logical
+            # annotation is overridden
             base = spark.read.schema(
                 "event_id BIGINT, ts BIGINT, user_id BIGINT, "
                 "event_type STRING, value DOUBLE, props STRING"
             )
             df = base.parquet(path)
-        # integer division: epoch-ns exceeds double's 2^53 exact-integer
-        # range, so a float divide would round the microsecond digit
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # timestamp[ns] file surfaced as epoch-ns long. Integer division:
+            # epoch-ns exceeds double's 2^53 exact-integer range, so a float
+            # divide would round the microsecond digit
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type != "timestamp":
+            # timestamp[us] files without isAdjustedToUTC read as
+            # TIMESTAMP_NTZ; normalize to session-TZ TimestampType (UTC
+            # session => value-identical) so every downstream operator sees
+            # one stable dtype regardless of how the file encodes time
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

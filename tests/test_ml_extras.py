@@ -97,6 +97,28 @@ def test_near_dup_pairs_finds_planted_dup(spark):
     assert got[0].jaccard > 0.9
 
 
+def test_near_dup_pairs_releases_shingle_cache(spark):
+    """The corpus-sized shingle-set cache must be unpersisted before the
+    operator returns; only the (near-dup-sized) result frame may remain
+    cached, and the caller can release that too. Guards against the
+    one-leaked-cache-per-call regression in long many-query sessions."""
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    df = spark.createDataFrame(
+        [(0, base), (1, base + "!"), (2, "some other unrelated text body")],
+        ["doc_id", "text"],
+    )
+    before = n_cached()
+    pairs = ddedup.near_dup_pairs(df, "text", "doc_id", min_jaccard=0.8)
+    # at most the materialized result remains — the shingle cache is gone
+    assert n_cached() <= before + 1
+    pairs.unpersist(blocking=True)
+    assert n_cached() == before
+
+
 def test_jaccard_verify_matches_exact(spark):
     texts = [(i, f"shared prefix words here variant {i}") for i in range(6)]
     df = spark.createDataFrame(texts, ["doc_id", "text"])

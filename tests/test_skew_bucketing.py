@@ -41,6 +41,26 @@ def test_salted_aggregate_matches_plain(spark, hot_key_df):
         assert (p is None and s is None) or math.isclose(p, s, rel_tol=1e-6)
 
 
+def test_salt_spreads_exact_duplicate_rows(spark):
+    """Adversarial duplication: one exact row repeated 90%+ of the corpus.
+    A pure content-hash salt would land all copies in ONE shard, keeping
+    the hot key hot; the row-unique mix must spread them near-uniformly."""
+    rows = [("hot", 1.0)] * 9000 + [("a", float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    buckets = 16
+    dist = (
+        df.withColumn("__salt", dskew._salt(df, buckets))
+        .filter(F.col("k") == "hot")
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    counts = {r["__salt"]: r["count"] for r in dist}
+    assert len(counts) == buckets  # every shard gets a slice
+    ideal = 9000 / buckets
+    assert max(counts.values()) < 3 * ideal, counts
+
+
 def test_salted_aggregate_rejects_nonmergeable(spark, hot_key_df):
     with pytest.raises(ValueError):
         dskew.aggregate_by_skew_safe(hot_key_df, "k", [("v", ["median"])])
