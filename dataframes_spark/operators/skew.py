@@ -30,16 +30,21 @@ from pyspark.sql import functions as F
 _MERGEABLE = ("sum", "length", "min", "max", "mean", "std")
 
 
-def _salt(df: DataFrame, buckets: int) -> Column:
-    # deterministic per-row salt, stable under task retries (recomputing a
-    # deterministic input partition reproduces the same ids — unlike
-    # rand()). Content-hash alone is NOT enough: a corpus where one exact
-    # row repeats millions of times would re-concentrate its whole mass in
-    # one shard, so a row-unique component (monotonically_increasing_id:
-    # partition_id << 33 | row offset) is mixed in to spread ties.
-    return F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), *df.columns), F.lit(buckets)
-    )
+def _salt(df: DataFrame, buckets: int, id_col: str | None = None) -> Column:
+    # deterministic per-row salt, stable under task retries: the salt feeds
+    # shuffle keys, so it must reproduce identically when a partial stage is
+    # recomputed after a fetch failure. rand() and
+    # monotonically_increasing_id() both fail that bar (their values depend
+    # on runtime partition layout / intra-partition order, which a retry of
+    # a post-shuffle input need not reproduce), so only value-derived
+    # expressions are allowed here. Content hash alone leaves one residual
+    # skew mode: a corpus where one EXACT row repeats millions of times
+    # re-concentrates in a single shard. Callers with such data pass
+    # ``id_col`` — a column that is unique per row (a real key, a file
+    # offset, a pre-assigned id) — and ties spread fully while staying
+    # retry-safe.
+    cols = ([id_col] if id_col else []) + df.columns
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets))
 
 
 def aggregate_by_skew_safe(
@@ -47,6 +52,7 @@ def aggregate_by_skew_safe(
     key: str | Sequence[str],
     pairs: Iterable[tuple[str, Sequence[str]]],
     salt_buckets: int = 32,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Two-stage salted group-by for hot/low-cardinality keys.
 
@@ -54,7 +60,11 @@ def aggregate_by_skew_safe(
     (n, n_valid, sum, sum_sq, min, max); stage 2 merges ``salt_buckets``
     shard states per key. The heavy shuffle carries shard STATES (a few
     doubles each), never row-level values, and stage-1 parallelism is
-    ``distinct_keys x salt_buckets`` instead of ``distinct_keys``."""
+    ``distinct_keys x salt_buckets`` instead of ``distinct_keys``.
+
+    The salt is a deterministic content hash (retry-safe; see ``_salt``).
+    If the data contains exact-duplicate rows repeated at skew scale, pass
+    ``id_col`` naming a per-row-unique column so duplicates still spread."""
     keys = [key] if isinstance(key, str) else list(key)
     pairs = [(c, list(fns)) for c, fns in pairs]
     for c, fns in pairs:
@@ -65,7 +75,7 @@ def aggregate_by_skew_safe(
             )
 
     value_cols = sorted({c for c, _ in pairs})
-    stage1 = df.withColumn("__salt", _salt(df, salt_buckets)).groupBy(
+    stage1 = df.withColumn("__salt", _salt(df, salt_buckets, id_col)).groupBy(
         *keys, "__salt"
     )
     partials = []
@@ -113,12 +123,15 @@ def replicate_join(
     on: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Salted fact-dimension join: fact rows get a content-hash salt, the
+    """Salted fact-dimension join: fact rows get a deterministic
+    content-hash salt (retry-safe — no rand()/monotonic id in a shuffle
+    key; pass ``id_col`` to spread exact-duplicate fact rows), the
     dimension is exploded ``salt_buckets`` times, and the join key becomes
     (on, salt) — every hot join key spreads over ``salt_buckets`` reducers
     instead of one."""
-    salted_fact = fact.withColumn("__salt", _salt(fact, salt_buckets))
+    salted_fact = fact.withColumn("__salt", _salt(fact, salt_buckets, id_col))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

@@ -114,11 +114,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         try:
             df = spark.read.parquet(path)
             df.schema  # force analysis so an illegal-type error surfaces here
-        except Exception:
-            # conf rejected (frozen/remote session) on a TIMESTAMP(NANOS)
-            # file: force the ns column to LONG via an explicit schema —
-            # parquet INT64 physical type reads fine once the logical
-            # annotation is overridden
+        except Exception as e:
+            # Only the illegal-parquet-type error (TIMESTAMP(NANOS) read in
+            # a session that rejected the nanosAsLong conf) gets the
+            # schema-forced fallback; anything else — missing file, corrupt
+            # footer, transient IO — must surface as itself, and a µs file
+            # reaching the fallback would be mis-scaled 1000x by the
+            # ``div 1000`` below.
+            msg = str(e)
+            if not ("PARQUET_TYPE_ILLEGAL" in msg or "Illegal Parquet type" in msg):
+                raise
+            # force the ns column to LONG via an explicit schema — parquet
+            # INT64 physical type reads fine once the logical annotation is
+            # overridden
             base = spark.read.schema(
                 "event_id BIGINT, ts BIGINT, user_id BIGINT, "
                 "event_type STRING, value DOUBLE, props STRING"
@@ -130,11 +138,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # epoch-ns exceeds double's 2^53 exact-integer range, so a float
             # divide would round the microsecond digit
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if ts_type != "timestamp":
+        if ts_type == "timestamp_ntz":
             # timestamp[us] files without isAdjustedToUTC read as
-            # TIMESTAMP_NTZ; normalize to session-TZ TimestampType (UTC
-            # session => value-identical) so every downstream operator sees
-            # one stable dtype regardless of how the file encodes time
+            # TIMESTAMP_NTZ. A bare cast to TimestampType interprets the
+            # wall time in the SESSION timezone — in a non-UTC external
+            # session that would shift µs-encoded events while ns-encoded
+            # ones (timestamp_micros, TZ-independent) stay put. Route the
+            # wall time through UTC explicitly so both encodings of the
+            # same data produce identical instants in any session:
+            # convert_timezone(UTC, session_tz, ntz) re-labels the wall
+            # clock so the subsequent session-tz cast lands on the
+            # instant 'ntz wall time read as UTC'.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            return df.withColumn(
+                "ts",
+                F.convert_timezone(
+                    F.lit("UTC"), F.lit(tz), F.col("ts")
+                ).cast("timestamp"),
+            )
+        if ts_type != "timestamp":
+            # any other surfaced dtype (e.g. string from a permissive
+            # reader): best-effort session cast, one stable dtype downstream
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)

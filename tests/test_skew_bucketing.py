@@ -41,22 +41,63 @@ def test_salted_aggregate_matches_plain(spark, hot_key_df):
         assert (p is None and s is None) or math.isclose(p, s, rel_tol=1e-6)
 
 
-def test_salt_spreads_exact_duplicate_rows(spark):
+def test_salt_is_deterministic_under_repartitioning(spark):
+    """The salt feeds shuffle keys, so a task retry that recomputes its
+    input must reproduce the same salt per row — i.e. the salt may depend
+    only on row VALUES, never on partition layout or intra-partition order
+    (rand() and monotonically_increasing_id() both violate this)."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    a = df.withColumn("__salt", dskew._salt(df, 16)).select("rid", "__salt")
+    shuffled = df.repartition(11, "v")
+    b = shuffled.withColumn("__salt", dskew._salt(shuffled, 16)).select(
+        "rid", F.col("__salt").alias("__salt2")
+    )
+    mismatches = a.join(b, "rid").filter(F.col("__salt") != F.col("__salt2")).count()
+    assert mismatches == 0
+
+
+def test_salt_spreads_exact_duplicate_rows_via_id_col(spark):
     """Adversarial duplication: one exact row repeated 90%+ of the corpus.
-    A pure content-hash salt would land all copies in ONE shard, keeping
-    the hot key hot; the row-unique mix must spread them near-uniformly."""
-    rows = [("hot", 1.0)] * 9000 + [("a", float(i)) for i in range(500)]
-    df = spark.createDataFrame(rows, ["k", "v"])
+    The deterministic content-hash salt lands all copies in ONE shard (the
+    documented residual mode); passing ``id_col`` naming a per-row-unique
+    column spreads them near-uniformly while staying retry-safe."""
     buckets = 16
+    hot = spark.range(0, 9000).select(
+        F.col("id").alias("rid"), F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+    )
+    tail = spark.range(9000, 9500).select(
+        F.col("id").alias("rid"),
+        F.lit("a").alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    df = hot.unionAll(tail)
+
+    # without id_col: values-only hash -> all 9000 identical (k, v) pairs
+    # share one salt (rid excluded to simulate a dataset lacking unique ids)
+    dup_only = df.select("k", "v")
+    concentrated = (
+        dup_only.withColumn("__salt", dskew._salt(dup_only, buckets))
+        .filter(F.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert concentrated == 1
+
+    # with id_col: every shard gets a near-even slice
     dist = (
-        df.withColumn("__salt", dskew._salt(df, buckets))
+        df.withColumn("__salt", dskew._salt(df, buckets, id_col="rid"))
         .filter(F.col("k") == "hot")
         .groupBy("__salt")
         .count()
         .collect()
     )
     counts = {r["__salt"]: r["count"] for r in dist}
-    assert len(counts) == buckets  # every shard gets a slice
+    assert len(counts) == buckets
     ideal = 9000 / buckets
     assert max(counts.values()) < 3 * ideal, counts
 
