@@ -203,22 +203,34 @@ def shared_passages(
     ``id_a < id_b``, at least ``min_shared`` shared fingerprints).
 
     Fingerprints occurring in more than ``max_df`` documents — an
-    absolute count, or a float fraction of the corpus (counted once,
-    parquet-metadata-cheap) — are dropped before the self-join:
-    boilerplate phrases otherwise create hot fingerprint buckets whose
-    pair explosion is quadratic (the same stop-key discipline as
-    dropping stopwords from inverted indexes). A fraction survives
-    corpus growth; an absolute cap silently prunes everything once
-    background phrase frequency crosses it. The join then shuffles on
-    the fingerprint value, so pairs only materialize per shared
-    fingerprint, never as a document cross product.
+    absolute count, or a float fraction of the corpus — are dropped
+    before the self-join: boilerplate phrases otherwise create hot
+    fingerprint buckets whose pair explosion is quadratic (the same
+    stop-key discipline as dropping stopwords from inverted indexes).
+    A fraction survives corpus growth; an absolute cap silently prunes
+    everything once background phrase frequency crosses it.
+
+    Construction is action-free: the fractional threshold is folded
+    INTO the plan as a one-row corpus-count aggregate broadcast-cross-
+    joined onto the fingerprint-frequency frame (a driver-side
+    ``df.count()`` here would full-scan a filtered/derived input at
+    query-build time — at 100 TB that is a whole job before the query
+    even runs). The self-join then shuffles on the fingerprint value,
+    so pairs only materialize per shared fingerprint, never as a
+    document cross product.
     """
-    if isinstance(max_df, float):
-        max_df = int(max_df * df.count())
     fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
-    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
-        F.col("__df") <= max_df
-    )
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    if isinstance(max_df, float):
+        # floor() matches the truncation an absolute int cap implies and
+        # the CAST(frac * n AS BIGINT) the SQL oracle uses (both args > 0)
+        corpus_n = df.select(F.count(F.lit(1)).alias("__n"))
+        rare = (
+            freq.join(F.broadcast(corpus_n))
+            .filter(F.col("__df") <= F.floor(F.lit(max_df) * F.col("__n")))
+        )
+    else:
+        rare = freq.filter(F.col("__df") <= F.lit(max_df))
     pruned = fps.join(rare.select("fp"), "fp")
     pairs = (
         pruned.alias("a")

@@ -24,6 +24,8 @@ the pipeline lazy.
 
 from __future__ import annotations
 
+import weakref
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -31,14 +33,26 @@ from pyspark.sql import functions as F
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the scan yields
-    fewer partitions (e.g. one small parquet file locally). The heavy
-    per-document expression work below is CPU-bound; without this it runs
-    on however few cores the file layout dictates. At corpus scale the
-    scan already has >= defaultParallelism splits and this is a no-op —
-    so the one-time shuffle only ever costs when the input is small."""
+    """Repartition up to the cluster's parallelism when the source scan
+    cannot feed every core (e.g. one small parquet file locally) — the
+    per-document shingle/hash work below is CPU-bound and would otherwise
+    run on however few cores the file layout dictates.
+
+    The guard is ``df.inputFiles()``: pure driver-side plan metadata (no
+    plan->RDD conversion, no job — unlike a ``.rdd.getNumPartitions()``
+    probe). Fewer files than cores triggers the repartition; at corpus
+    scale the input has thousands of files and this is plan-free. The one
+    imprecise corner — few-but-huge splittable files, which the scan
+    would already split by maxPartitionBytes — pays a single extra
+    shuffle, acceptable for a layout that pathological. Non-file inputs
+    (in-memory test frames) report zero files and are left alone:
+    ``createDataFrame`` already parallelizes."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < nfiles < target:
         return df.repartition(target)
     return df
 
@@ -365,6 +379,7 @@ def near_dup_pairs(
     num_hashes: int = 128,
     bands: int = 16,
     shingle_k: int = 4,
+    materialize: bool = False,
 ) -> DataFrame:
     """Corpus-scale near-duplicate detection: MinHash-LSH candidate
     generation + exact Jaccard verification of candidates only.
@@ -378,7 +393,19 @@ def near_dup_pairs(
     99.9% recall at s = 0.88, while pairs at the corpus's background
     similarity (~0.45) collide with probability < 3%, keeping the
     candidate set near the true near-dup count. Precision is exact:
-    every emitted pair is verified with the true metric."""
+    every emitted pair is verified with the true metric.
+
+    By default the call is LAZY and runs no job at construction: the
+    returned frame composes with further filters/joins under full
+    Catalyst pushdown. The corpus-sized shingle cache backing it stays
+    persisted while the returned frame is alive (every action reuses
+    it) and is unpersisted automatically when the frame is
+    garbage-collected. Pass ``materialize=True`` to instead EAGERLY
+    execute the pipeline at call time: the (tiny, true-near-dup-sized)
+    result is persisted, the shingle cache is released immediately, and
+    the caller owns ``.unpersist()`` of the returned frame — the right
+    mode for long-lived sessions issuing many dedup calls back to
+    back."""
     # one hashed shingle-set relation feeds BOTH the signature fold and the
     # verify joins; persisted because three consumers would otherwise each
     # re-scan the corpus and re-shingle (MEMORY_AND_DISK: ~8B per distinct
@@ -441,14 +468,30 @@ def near_dup_pairs(
         .select("id_a", "id_b", "jaccard")
         .filter(F.col("jaccard") >= min_jaccard)
     )
-    # Materialize the result (sized by TRUE near-dups — tiny vs the corpus)
-    # so the corpus-sized shingle cache can be released immediately instead
-    # of leaking one cached relation per call in long sessions. The caller
-    # may `.unpersist()` the returned frame when finished with it.
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    sets.unpersist()
+    if materialize:
+        # Materialize the result (sized by TRUE near-dups — tiny vs the
+        # corpus) so the corpus-sized shingle cache can be released right
+        # away instead of leaking one cached relation per call in long
+        # sessions. The caller owns `.unpersist()` of the returned frame.
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        sets.unpersist()
+        return pairs
+    # Lazy mode: no job at construction. The shingle cache must outlive
+    # this call (the returned plan references it from five consumers), so
+    # tie its lifetime to the returned frame — when the caller drops the
+    # result, the finalizer releases the cache (blocking=False: cleanup
+    # must never stall caller code; failures at interpreter shutdown are
+    # irrelevant because the JVM dies with it).
+    weakref.finalize(pairs, _safe_unpersist, sets)
     return pairs
+
+
+def _safe_unpersist(cached: DataFrame) -> None:
+    try:  # pragma: no cover - exercised only at GC time
+        cached.unpersist(blocking=False)
+    except Exception:
+        pass
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> DataFrame:

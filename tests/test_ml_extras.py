@@ -97,11 +97,33 @@ def test_near_dup_pairs_finds_planted_dup(spark):
     assert got[0].jaccard > 0.9
 
 
+def test_near_dup_pairs_lazy_by_default_runs_no_job(spark):
+    """Default mode is lazy: constructing the query must trigger ZERO
+    Spark jobs (an eager operator breaks composition — callers adding
+    filters would pay a full pipeline run before pushdown could apply)."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    df = spark.createDataFrame(
+        [(0, base), (1, base + "!"), (2, "some other unrelated text body")],
+        ["doc_id", "text"],
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("ndp_lazy_probe", "near_dup_pairs construction")
+    try:
+        pairs = ddedup.near_dup_pairs(df, "text", "doc_id", min_jaccard=0.8)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("ndp_lazy_probe")) == []
+    # ... and the plan still executes correctly afterwards
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(0, 1)]
+
+
 def test_near_dup_pairs_releases_shingle_cache(spark):
-    """The corpus-sized shingle-set cache must be unpersisted before the
-    operator returns; only the (near-dup-sized) result frame may remain
-    cached, and the caller can release that too. Guards against the
-    one-leaked-cache-per-call regression in long many-query sessions."""
+    """Cache lifetime contracts: materialize=True releases the
+    corpus-sized shingle cache before returning (only the near-dup-sized
+    result stays, caller unpersists it); the lazy default releases the
+    shingle cache when the returned frame is garbage-collected. Guards
+    against the one-leaked-cache-per-call regression in long sessions."""
+    import gc
 
     def n_cached() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
@@ -112,10 +134,26 @@ def test_near_dup_pairs_releases_shingle_cache(spark):
         ["doc_id", "text"],
     )
     before = n_cached()
-    pairs = ddedup.near_dup_pairs(df, "text", "doc_id", min_jaccard=0.8)
+    pairs = ddedup.near_dup_pairs(
+        df, "text", "doc_id", min_jaccard=0.8, materialize=True
+    )
     # at most the materialized result remains — the shingle cache is gone
     assert n_cached() <= before + 1
     pairs.unpersist(blocking=True)
+    assert n_cached() == before
+
+    lazy = ddedup.near_dup_pairs(df, "text", "doc_id", min_jaccard=0.8)
+    lazy.collect()  # populates the shingle cache
+    assert n_cached() >= before + 1
+    del lazy
+    gc.collect()
+    # finalizer fired with blocking=False; the JVM-side release is async
+    import time
+
+    for _ in range(50):
+        if n_cached() == before:
+            break
+        time.sleep(0.1)
     assert n_cached() == before
 
 

@@ -173,3 +173,23 @@ def test_embedding_near_dup_blocked_matmul(plans):
     p = plans("embedding_near_dup_pairs")
     assert "FlatMapGroupsInPandas" in p
     assert "Join" not in p.replace("FlatMapGroupsInPandas", "")
+
+
+def test_shared_passages_construction_is_action_free(spark, sf_dir):
+    """shared_passages(max_df=<float>) must not run a job at query-build
+    time: the fractional document-frequency cap is folded into the plan
+    (corpus-count aggregate cross-joined onto the fingerprint-frequency
+    frame), never computed via a driver-side df.count() — which at 100 TB
+    would full-scan a filtered input before the query even runs."""
+    from dataframes_spark.functions import text as dtext
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    sc.setJobGroup("sp_lazy_probe", "shared_passages construction")
+    try:
+        q = dtext.shared_passages(docs, "text", "doc_id", max_df=0.2)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("sp_lazy_probe")) == []
+    assert q.columns == ["id_a", "id_b", "n_shared"]
