@@ -739,7 +739,13 @@ def near_dup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly verified, so the thresholded result set equals the exact
     computation."""
     docs = _t(spark, sf_dir, "documents")
-    out = ddedup.near_dup_pairs(docs, "text", "doc_id", min_jaccard=0.8, shingle_k=4)
+    # materialize=True: this query is terminal (collected immediately), and
+    # the eager path avoids the lazy plan's concurrent-stage race to
+    # populate the shared shingle cache (~2x wall clock when five consumer
+    # stages each recompute the unpopulated InMemoryRelation)
+    out = ddedup.near_dup_pairs(
+        docs, "text", "doc_id", min_jaccard=0.8, shingle_k=4, materialize=True
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -82,11 +82,16 @@ def main() -> None:
     # warm the JVM + parquet footer caches with one untimed pass
     q1 = queries["q1_pricing_summary"](spark, SF_DIR)
     q1.count()
+    # ... and spawn the Python UDF workers + Arrow serialization path once:
+    # the first pandas-UDF query of a session otherwise pays worker fork +
+    # Arrow init (measured ~1-2.5 s), which a best-of-2 cannot amortize —
+    # it showed up as phantom "regressions" of sessionize/winnow in r03
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     # best-of-N per query — the reference's own measurement policy
     # (best time of repeated runs, native_libs/src/Core/Benchmark.h:41-126,
-    # report loop Benchmarks.cpp:50-57); N=2 amortizes JIT/codegen warmup
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # report loop Benchmarks.cpp:50-57); N=3 amortizes JIT/codegen warmup
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]

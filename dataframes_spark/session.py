@@ -150,6 +150,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # clock so the subsequent session-tz cast lands on the
             # instant 'ntz wall time read as UTC'.
             tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+                # identity re-label: skip the per-row convert_timezone
+                return df.withColumn("ts", F.col("ts").cast("timestamp"))
             return df.withColumn(
                 "ts",
                 F.convert_timezone(
