@@ -12,10 +12,12 @@ All of it is a single distributed aggregation pass — one job, map-side
 partials, a one-row (or #columns-row) result. Nothing collects data to the
 driver except the final tiny frame.
 
-Quantile semantics: we follow ANSI ``percentile_cont``-style ``(N-1)*q``
-interpolation (Spark ``percentile``, DuckDB ``quantile_cont``), NOT the
-reference's ``N*q - 0.5`` midpoint rule (Analysis.cpp:19-37) — documented
-delta, SURVEY.md §7.
+Quantile semantics: the default follows ANSI ``percentile_cont``-style
+``(N-1)*q`` interpolation (Spark ``percentile``, DuckDB
+``quantile_cont``), NOT the reference's ``N*q - 0.5`` midpoint rule
+(Analysis.cpp:19-37) — documented delta, SURVEY.md §7. Users who need
+bit-level parity with the reference opt in via
+``quantile(df, col, q, method="reference")``.
 """
 
 from __future__ import annotations
@@ -46,6 +48,72 @@ def column_stats(df: DataFrame, col: str, quantile: float = 1.0 / 3.0) -> DataFr
         F.var_pop(c).alias("var"),
         F.sum(c).cast("double").alias("sum"),
         F.expr(f"percentile({col}, {quantile!r})").alias("quantile"),
+    )
+
+
+def quantile(
+    df: DataFrame, col: str, q: float, method: str = "ansi"
+) -> DataFrame:
+    """One-row ``(quantile)`` frame for an exact continuous quantile.
+
+    method="ansi" (default): ``(N-1)*q`` interpolation — Spark
+    ``percentile`` / DuckDB ``quantile_cont`` semantics, matching every
+    other quantile in this package.
+
+    method="reference": the reference's midpoint rule (reference:
+    native_libs/src/Analysis.cpp:19-37) — index ``h = N*q - 0.5`` clamped
+    to ``[0, N-1]``, linear interpolation between the surrounding sorted
+    values. Spark's ``percentile`` cannot express this directly (its
+    percentage argument must be foldable, but ``h`` depends on the
+    aggregate N), so the plan ranks the non-null values, broadcasts the
+    one-row ``(N, h)`` frame onto the two bracketing ranks, and lerps —
+    action-free, one sort. Like any exact quantile (including Spark's
+    own ``percentile`` aggregate, which gathers values on one reducer)
+    this is a single-reducer shape; at scale prefer the
+    ``median_approx`` family unless bit-parity matters.
+    """
+    if method == "ansi":
+        return df.agg(F.expr(f"percentile({col}, {q!r})").alias("quantile"))
+    if method != "reference":
+        raise ValueError(f"method must be 'ansi' or 'reference', got {method!r}")
+    from pyspark.sql import Window as W
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q!r}")
+    vals = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("double").alias("__v"))
+    )
+    pos = vals.select(
+        "__v", (F.row_number().over(W.orderBy("__v")) - 1).alias("__i")
+    )
+    h = F.least(
+        F.greatest(F.col("__n") * F.lit(float(q)) - F.lit(0.5), F.lit(0.0)),
+        (F.col("__n") - 1).cast("double"),
+    )
+    bounds = (
+        vals.agg(F.count(F.lit(1)).alias("__n"))
+        .select(h.alias("__h"))
+        .select("__h", F.floor("__h").alias("__lo"), F.ceil("__h").alias("__hi"))
+    )
+    return (
+        pos.join(
+            F.broadcast(bounds),
+            (F.col("__i") == F.col("__lo")) | (F.col("__i") == F.col("__hi")),
+        )
+        .agg(
+            F.min(F.when(F.col("__i") == F.col("__lo"), F.col("__v"))).alias("__vlo"),
+            F.min(F.when(F.col("__i") == F.col("__hi"), F.col("__v"))).alias("__vhi"),
+            F.first("__h").alias("__fh"),
+            F.first("__lo").alias("__flo"),
+        )
+        .select(
+            (
+                F.col("__vlo")
+                + (F.col("__fh") - F.col("__flo"))
+                * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("quantile")
+        )
     )
 
 

@@ -123,3 +123,45 @@ def test_read_csv_text_inline(spark):
     rows = sorted((r.a, r.b) for r in df.collect())
     assert rows == [(1, "x"), (2, "y")]
     assert dict(df.dtypes)["a"] in ("int", "bigint")
+
+
+def _ref_quantile(values, q):
+    """Python model of the reference midpoint rule (Analysis.cpp:19-37):
+    h = N*q - 0.5 clamped to [0, N-1], lerp between sorted neighbors."""
+    v = sorted(x for x in values if x is not None)
+    n = len(v)
+    h = min(max(n * q - 0.5, 0.0), float(n - 1))
+    lo, hi = int(h // 1), -(-h // 1)
+    return v[int(lo)] + (h - lo) * (v[int(hi)] - v[int(lo)])
+
+
+def test_reference_quantile_matches_midpoint_rule(spark):
+    import math
+
+    from dataframes_spark.functions.stats import quantile
+
+    data = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0, None, 3.5]
+    df = spark.createDataFrame([(x,) for x in data], ["v"])
+    for q in (0.0, 0.1, 0.25, 0.5, 1.0 / 3.0, 0.75, 0.9, 1.0):
+        got = quantile(df, "v", q, method="reference").first()["quantile"]
+        want = _ref_quantile(data, q)
+        assert math.isclose(got, want, rel_tol=1e-12), (q, got, want)
+    # single-value column: every quantile is that value
+    one = spark.createDataFrame([(7.5,)], ["v"])
+    assert quantile(one, "v", 0.4, method="reference").first()["quantile"] == 7.5
+    # default method matches Spark percentile
+    ansi = quantile(df, "v", 0.5).first()["quantile"]
+    want_ansi = df.selectExpr("percentile(v, 0.5) p").first()["p"]
+    assert math.isclose(ansi, want_ansi, rel_tol=1e-12)
+
+
+def test_reference_quantile_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from dataframes_spark.functions.stats import quantile
+
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    with _pytest.raises(ValueError):
+        quantile(df, "v", 0.5, method="nearest")
+    with _pytest.raises(ValueError):
+        quantile(df, "v", 1.5, method="reference")
