@@ -25,6 +25,7 @@ from dataframes_spark.functions import text as dtext
 from dataframes_spark.operators import aggregate as dagg
 from dataframes_spark.operators import dedup as ddedup
 from dataframes_spark.operators import nulls as dnulls
+from dataframes_spark.operators import pack as dpack
 from dataframes_spark.operators import reshape as dreshape
 from dataframes_spark.operators import similarity as dsim
 from dataframes_spark.operators import sort as dsort
@@ -1020,6 +1021,35 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_documents_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing by budget-crossing cumulative size (one
+    window pass; operators/pack.py) + the utilization report every
+    packing job should emit."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.length("text").alias("n_chars"))
+    packed = dpack.pack_by_cumsum(sized, "n_chars", 4096, "doc_id")
+    return dpack.pack_stats(packed, "n_chars", 4096).select(
+        "pack_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_size").cast("bigint").alias("total_size"),
+        "fill",
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (500 chars, 50 overlap) — pure
+    expression explode, no shuffle. md5 stands in for the chunk body so
+    the hash compare stays small while still pinning every byte."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = dpack.chunk_text(docs, "text", "doc_id", chunk_chars=500, overlap=50)
+    return ch.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_index").cast("bigint").alias("chunk_index"),
+        F.length("chunk").cast("bigint").alias("chunk_chars"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1111,6 +1141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rows_100": rolling_rows_100,
         "rolling_rsi_100": rolling_rsi_100,
         "rolling_range_numeric": rolling_range_numeric,
+        # -- new in round 4 (below the window this round; rotate in next):
+        "pack_documents_cumsum": pack_documents_cumsum,
+        "chunk_documents": chunk_documents,
     }
 
 
@@ -1799,6 +1832,38 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ntok), 6) AS avg_tokens,
                    round(avg(q), 6) AS avg_quality
             FROM scored WHERE q >= 0.5 GROUP BY lang
+        """,
+        "pack_documents_cumsum": """
+            WITH sized AS (
+                SELECT doc_id, length(text) AS n_chars FROM documents
+            ), cum AS (
+                SELECT doc_id, n_chars,
+                       COALESCE(SUM(n_chars) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS c
+                FROM sized
+            )
+            SELECT CAST(FLOOR(c / 4096) AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_size,
+                   round(SUM(n_chars) / 4096.0, 6) AS fill
+            FROM cum GROUP BY 1
+        """,
+        "chunk_documents": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       greatest(1, CAST(ceil((length(text) - 50) / 450.0) AS BIGINT)) AS nch
+                FROM documents
+            ), e AS (
+                SELECT doc_id, text, unnest(range(0, nch)) AS chunk_index
+                FROM n
+            )
+            SELECT doc_id,
+                   CAST(chunk_index AS BIGINT) AS chunk_index,
+                   CAST(length(substring(text, CAST(chunk_index * 450 + 1 AS INT), 500)) AS BIGINT) AS chunk_chars,
+                   md5(substring(text, CAST(chunk_index * 450 + 1 AS INT), 500)) AS chunk_md5
+            FROM e
         """,
         # minhash_lsh_candidates / simhash_fingerprints / lsh_similarity_topk /
         # ivf_topk_probe: intentionally no oracle (xxhash64 / KMeans have no

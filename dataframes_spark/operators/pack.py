@@ -1,0 +1,161 @@
+"""Sequence packing and chunking for training-data pipelines.
+
+LLM pre-training consumes documents in fixed token-budget context
+windows; the two standard preparation steps are CHUNKING (split
+over-long documents into window-sized pieces, optionally overlapping)
+and PACKING (group short documents so windows are full). Neither exists
+in the reference (it predates this workload); both are first-class here
+because a 100 TB corpus pipeline runs them over every document.
+
+Scale design:
+
+- ``chunk_text`` is pure JVM expressions (sequence + substring +
+  explode): embarrassingly parallel, no shuffle, no Python.
+- ``pack_by_cumsum`` assigns pack ids with ONE window cumulative sum —
+  a single shuffle on the partition key (or a documented single-reducer
+  global form). Deterministic given the ordering column, so retries and
+  re-runs produce identical packs. Packs may overflow the budget by at
+  most one document (the window rule closes a pack only after the
+  boundary is crossed) — the tradeoff for expressing packing without
+  sequential state.
+- ``pack_greedy`` is the exact first-fit-sequential rule ("close the
+  pack when the next document would overflow") — inherently stateful,
+  so it runs as an Arrow-batched ``mapInPandas`` per partition group
+  with a numpy loop, the same sanctioned escape hatch as sessionize.
+  Oversized single documents get their own pack (callers chunk first).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_chars: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into ``chunk_chars``-sized pieces with
+    ``overlap`` characters of context carried between consecutive chunks:
+    ``(id, chunk_index, chunk)``. Pure expression pipeline — the explode
+    fans out JVM-side and every chunk substring is taken directly from
+    the parent row, so nothing is shuffled and pushdown/pruning pass
+    through to the scan."""
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(f"overlap must be in [0, chunk_chars), got {overlap}")
+    step = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(text_col) - F.lit(overlap)) / F.lit(step)).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+    ).select(
+        "id",
+        "chunk_index",
+        F.substring(
+            F.col("__t"), F.col("chunk_index") * step + 1, chunk_chars
+        ).alias("chunk"),
+    )
+
+
+def pack_by_cumsum(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_by: str,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Assign each row a ``pack_id`` by budget-crossing of the EXCLUSIVE
+    running size sum, ordered by ``order_by`` (within ``partition_by`` if
+    given): ``pack_id = floor(cumsum_before_row / budget)``.
+
+    One window pass, SQL-expressible (hence oracle-checkable), fully
+    deterministic. Packs can overflow by at most the straddling document;
+    mean utilization stays >= 1 - mean_size/budget, which for
+    chunked-first corpora (sizes << budget) is near-perfect. Without
+    ``partition_by`` the window is global — a single-reducer sort,
+    documented; shard first at scale (any uniform key works: packs are
+    per-shard anyway in distributed training)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(partition_by) if partition_by else W.partitionBy()
+    ).orderBy(order_by)
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    return df.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_by: str,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Exact first-fit-sequential packing: walk rows in ``order_by``
+    order, close the current pack whenever adding the next row would
+    exceed ``budget`` (a row alone larger than the budget gets its own
+    pack). Stateful by definition, so it runs as one Arrow-batched pass
+    per partition group; within a group the loop is a numpy scan over
+    the (already column-batched) sizes. Without ``partition_by`` the
+    whole input is one group — single task, documented; shard first at
+    scale exactly as with :func:`pack_by_cumsum`."""
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates in place, and df.schema
+    # returns the frame's own cached schema object
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("pack_id", T.LongType())]
+    )
+    size_idx_col = size_col
+    order_col = order_by
+
+    def assign(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in groups:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            sizes = pdf[size_idx_col].to_numpy()
+            ids = []
+            pack, used = 0, 0
+            for s in sizes:
+                s = int(s) if s == s else 0  # nulls pack as zero-size
+                if used > 0 and used + s > budget:
+                    pack += 1
+                    used = 0
+                used += s
+                ids.append(pack)
+            pdf = pdf.copy()
+            pdf["pack_id"] = pd.array(ids, dtype="int64")
+            yield pdf
+
+    if partition_by:
+        return df.groupBy(partition_by).applyInPandas(assign, schema=out_schema)
+    return df.repartition(1).mapInPandas(assign, schema=out_schema)
+
+
+def pack_stats(packed: DataFrame, size_col: str, budget: int) -> DataFrame:
+    """Utilization report for a packed frame: one row per pack plus the
+    ``fill`` ratio — the monitoring twin every packing job should emit."""
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col).alias("total_size"),
+        )
+        .withColumn("fill", F.round(F.col("total_size") / F.lit(budget), 6))
+    )
