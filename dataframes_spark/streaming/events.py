@@ -34,6 +34,38 @@ def stream_from_directory(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def exact_dedup_stream(
+    events: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.exact_dedup``: drop rows whose
+    content was already seen, first-processed row wins.
+
+    The dedup key is the same compound ``(length, xxhash64, md5)`` content
+    key as the batch operator (reference for the collision math:
+    operators/dedup.py docstring) — ~32 bytes of state per distinct
+    document, never the text body. ``dropDuplicatesWithinWatermark``
+    bounds that state: a key's entry evicts once the watermark passes its
+    event time, so memory is O(distinct keys per watermark window), not
+    O(stream history) — the property that makes streaming-ingest dedup
+    runnable forever. Duplicates farther apart than the watermark are NOT
+    collapsed (by contract); a periodic batch ``exact_dedup`` compaction
+    is the complement, and the shared key definition makes the two passes
+    agree on what "duplicate" means."""
+    hashed = events.withColumn(
+        "__h_len", F.length(F.col(text_col))
+    ).withColumn("__h_xx", F.xxhash64(F.col(text_col))).withColumn(
+        "__h_md5", F.unhex(F.md5(F.col(text_col).cast("binary")))
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h_len", "__h_xx", "__h_md5"])
+        .drop("__h_len", "__h_xx", "__h_md5")
+    )
+
+
 def windowed_aggregate(
     events: DataFrame,
     ts_col: str,

@@ -170,3 +170,36 @@ def test_ewma_batch_stitches_across_arrow_batches(spark):
     assert len(got) == len(want) == 120
     for kk in want:
         assert got[kk] == pytest.approx(want[kk], abs=1e-12)
+
+
+def test_exact_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicate documents arriving in DIFFERENT micro-batches (within the
+    watermark) collapse to one row; the surviving text set equals the
+    batch exact_dedup of the same data."""
+    from dataframes_spark.operators import dedup as ddedup
+
+    out = str(tmp_path / "docs_stream")
+    rows1 = [(1, "2024-01-01 10:00:00", "alpha"), (2, "2024-01-01 10:00:10", "beta")]
+    rows2 = [
+        (3, "2024-01-01 10:01:00", "alpha"),  # cross-batch duplicate
+        (4, "2024-01-01 10:01:10", "gamma"),
+        (5, "2024-01-01 10:01:20", "beta"),  # cross-batch duplicate
+    ]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, ["doc_id", "ts_s", "text"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(out)
+
+    schema = spark.read.parquet(out).schema
+    src = dstream.stream_from_directory(spark, out, schema)
+    deduped = dstream.exact_dedup_stream(src, "text", "ts", watermark="1 hour")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(deduped, name, mode="append")
+    got_texts = sorted(r.text for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert got_texts == ["alpha", "beta", "gamma"]
+
+    batch = spark.read.parquet(out)
+    batch_texts = sorted(
+        r.text for r in ddedup.exact_dedup(batch, "text", "doc_id").collect()
+    )
+    assert got_texts == batch_texts
