@@ -124,16 +124,32 @@ def _conform_reference_types(df: DataFrame) -> DataFrame:
 def read_csv_text(spark: SparkSession, text: str, **options) -> DataFrame:
     """Parse in-memory CSV text (reference ``readText``,
     src/IO.luna:91-92). Driver-side convenience — the text already lives
-    on the driver, so parallelize is appropriate."""
-    from pyspark.sql.types import StringType
+    on the driver. Routed through a temp file into the SAME Spark CSV
+    reader as ``Table.read`` (one parser, one inference everywhere —
+    including RFC-4180 quoted multiline fields, which a line-split +
+    parallelize approach silently breaks). The tiny result is collected
+    and re-created so the temp file can be deleted immediately; by
+    definition the input fit in a driver string, so this is not a
+    data-plane collect."""
+    import os
+    import tempfile
 
-    lines = spark.createDataFrame(
-        [(line,) for line in text.splitlines()], ["value"]
-    )
-    reader = spark.read.option("header", options.pop("header", True)).option(
-        "inferSchema", options.pop("infer", True)
-    )
-    return reader.csv(lines.rdd.map(lambda r: r[0]))
+    header = options.pop("header", True)
+    infer = options.pop("infer", True)
+    fd, path = tempfile.mkstemp(suffix=".csv")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+        parsed = (
+            spark.read.option("header", header)
+            .option("inferSchema", infer)
+            .option("escape", '"')
+            .option("multiLine", True)
+            .csv(path)
+        )
+        return spark.createDataFrame(parsed.collect(), parsed.schema)
+    finally:
+        os.unlink(path)
 
 
 def _read_feather(spark: SparkSession, path: str) -> DataFrame:

@@ -165,3 +165,15 @@ def test_reference_quantile_rejects_bad_args(spark):
         quantile(df, "v", 0.5, method="nearest")
     with _pytest.raises(ValueError):
         quantile(df, "v", 1.5, method="reference")
+
+
+def test_read_csv_text_quoted_multiline(spark):
+    from dataframes_spark.io import readers
+
+    # RFC-4180: quoted field containing a literal newline and an escaped
+    # quote — a splitlines()-based parser breaks this
+    text = 'a,b\n1,"line one\nline two"\n2,"say ""hi"""\n'
+    df = readers.read_csv_text(spark, text)
+    rows = {r.a: r.b for r in df.collect()}
+    assert rows[1] == "line one\nline two"
+    assert rows[2] == 'say "hi"'
