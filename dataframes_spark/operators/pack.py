@@ -20,14 +20,14 @@ Scale design:
   sequential state.
 - ``pack_greedy`` is the exact first-fit-sequential rule ("close the
   pack when the next document would overflow") — inherently stateful,
-  so it runs as an Arrow-batched ``mapInPandas`` per partition group
-  with a numpy loop, the same sanctioned escape hatch as sessionize.
-  Oversized single documents get their own pack (callers chunk first).
+  so it runs as an Arrow-batched ``applyInPandas`` kernel over one
+  whole group at a time (never a per-batch kernel, whose state would
+  reset at Arrow batch seams), the same sanctioned escape hatch as
+  sessionize. Oversized single documents get their own pack (callers
+  chunk first).
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import pandas as pd
 
@@ -111,11 +111,21 @@ def pack_greedy(
     """Exact first-fit-sequential packing: walk rows in ``order_by``
     order, close the current pack whenever adding the next row would
     exceed ``budget`` (a row alone larger than the budget gets its own
-    pack). Stateful by definition, so it runs as one Arrow-batched pass
-    per partition group; within a group the loop is a numpy scan over
-    the (already column-batched) sizes. Without ``partition_by`` the
-    whole input is one group — single task, documented; shard first at
-    scale exactly as with :func:`pack_by_cumsum`."""
+    pack). Stateful by definition, so it runs through ``applyInPandas``,
+    which hands each group to the kernel as ONE pandas frame — sorted
+    once, scanned once; pack state can never reset at an Arrow batch
+    seam (``mapInPandas`` splits a partition into ~10k-row batches, so
+    a per-batch kernel silently restarts packs mid-partition at corpus
+    scale). Without ``partition_by`` the whole input is one group —
+    single task, documented; shard first at scale exactly as with
+    :func:`pack_by_cumsum`, e.g.::
+
+        sharded = df.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(1024)))
+        pack_greedy(sharded, "n_tokens", budget, order_by="doc_id",
+                    partition_by="shard")
+
+    Packs are then exact per shard (the form distributed training uses:
+    packs never cross shard boundaries anyway)."""
     from pyspark.sql import types as T
 
     # fresh StructType — StructType.add mutates in place, and df.schema
@@ -126,26 +136,30 @@ def pack_greedy(
     size_idx_col = size_col
     order_col = order_by
 
-    def assign(groups: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in groups:
-            pdf = pdf.sort_values(order_col, kind="mergesort")
-            sizes = pdf[size_idx_col].to_numpy()
-            ids = []
-            pack, used = 0, 0
-            for s in sizes:
-                s = int(s) if s == s else 0  # nulls pack as zero-size
-                if used > 0 and used + s > budget:
-                    pack += 1
-                    used = 0
-                used += s
-                ids.append(pack)
-            pdf = pdf.copy()
-            pdf["pack_id"] = pd.array(ids, dtype="int64")
-            yield pdf
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["__g"], errors="ignore")
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        sizes = pdf[size_idx_col].to_numpy()
+        ids = []
+        pack, used = 0, 0
+        for s in sizes:
+            s = int(s) if s == s else 0  # nulls pack as zero-size
+            if used > 0 and used + s > budget:
+                pack += 1
+                used = 0
+            used += s
+            ids.append(pack)
+        pdf = pdf.copy()
+        pdf["pack_id"] = pd.array(ids, dtype="int64")
+        return pdf
 
     if partition_by:
         return df.groupBy(partition_by).applyInPandas(assign, schema=out_schema)
-    return df.repartition(1).mapInPandas(assign, schema=out_schema)
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(assign, schema=out_schema)
+    )
 
 
 def pack_stats(packed: DataFrame, size_col: str, budget: int) -> DataFrame:
