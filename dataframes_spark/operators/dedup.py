@@ -141,13 +141,25 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 64,
     shingle_k: int = 5,
+    lane_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-document minhash signature: ``min over shingles of
-    ((2i+1) * xxhash64(shingle) + 7919*(i+1) mod p)`` for ``num_hashes``
+    ((2i+1) * hash(shingle) + 7919*(i+1) mod p)`` for ``num_hashes``
     independent affine hash functions (p = 2^31-1 keeps a*h+b inside
     int64; coefficients are deterministic, seed-free).
 
-    Shingle hashing stays JVM-side (xxhash64); the (shingles x lanes)
+    ``lane_hash`` picks the base shingle hash:
+
+    - ``"xxhash64"`` (default) — Spark's native 64-bit hash, the fast
+      path; not reproducible outside Spark.
+    - ``"md5"`` — the top 60 bits of ``md5(shingle)`` parsed from hex
+      (still a JVM-side expression). ~2x the hash cost, but md5 is a
+      universal standard, so the ENTIRE signature arithmetic becomes
+      reproducible in any engine (the DuckDB oracle twin runs the
+      identical formula) — the verification mode; signatures are NOT
+      comparable across modes.
+
+    Shingle hashing stays JVM-side; the (shingles x lanes)
     min-reduction runs as an Arrow-batched pandas UDF — one numpy
     broadcast-multiply + ``min(axis=0)`` per document. The pure
     expression formulation (a ``zip_with`` fold carrying a running-min
@@ -155,8 +167,18 @@ def minhash_signatures(
     measured ~10x slower at 128 lanes; this is the sanctioned
     vectorized-UDF escape hatch, not a row-at-a-time Python UDF.
     No shuffle at this stage; embarrassingly parallel per document."""
+    if lane_hash == "xxhash64":
+        hash_one = lambda s: F.xxhash64(s)  # noqa: E731
+    elif lane_hash == "md5":
+        # 15 hex chars = 60 bits: always positive, well inside int64, and
+        # hex-parseable by any SQL engine (oracle: ('0x'||h)::BIGINT)
+        hash_one = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"lane_hash must be 'xxhash64' or 'md5', got {lane_hash!r}")
     base = shingled(_spread(df), text_col, id_col, shingle_k).select(
-        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+        "id", F.transform("sh", hash_one).alias("sh")
     )
     sig = _minhash_sig_udf(num_hashes)
     return base.select(F.col("id").alias(id_col), sig(F.col("sh")).alias("signature"))
@@ -213,36 +235,17 @@ def minhash_lsh_pairs(
     return _banded_pairs(sigs, num_hashes, bands)
 
 
-def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """Banded-LSH candidate pairs from a (id, signature) relation.
+def _bucket_pair_expand(banded: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from an ``(id, band, bucket)`` relation.
 
-    Bands are generated from ONE reference to the signature (transform
-    over a band-index sequence) — a per-band literal array would inline
-    the whole signature fold once per band after projection collapse.
-
-    One shuffle: gather each bucket's members, expand in-bucket pairs
-    with nested array transforms (JVM-side), explode. A self-join would
-    shuffle — and compute the minhash signatures — twice; this path
-    computes them once. Buckets hold only colliding docs, so member
-    lists stay small; a pathological all-identical corpus concentrates
-    in one bucket, which exact_dedup upstream is expected to collapse."""
-    rows_per_band = num_hashes // bands
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(
-                            F.col("signature"), b * rows_per_band + 1, F.lit(rows_per_band)
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ONE shuffle: gather each bucket's members with a groupBy-collect,
+    expand in-bucket pairs with nested array transforms (JVM-side),
+    explode. A self-join on (band, bucket) would shuffle the banded
+    relation — and recompute whatever expensive fingerprint feeds it —
+    twice; this path evaluates the input once. Buckets hold only
+    colliding docs, so member lists stay small; a pathological
+    all-identical corpus concentrates in one bucket, which exact_dedup
+    upstream is expected to collapse."""
     ids = F.sort_array(F.col("ids"))
     pair_structs = F.flatten(
         F.transform(
@@ -261,6 +264,32 @@ def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a (id, signature) relation.
+
+    Bands are generated from ONE reference to the signature (transform
+    over a band-index sequence) — a per-band literal array would inline
+    the whole signature fold once per band after projection collapse."""
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"), b * rows_per_band + 1, F.lit(rows_per_band)
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    return _bucket_pair_expand(banded)
 
 
 def jaccard_pairs(
@@ -397,10 +426,14 @@ def near_dup_pairs(
 
     By default the call is LAZY and runs no job at construction: the
     returned frame composes with further filters/joins under full
-    Catalyst pushdown. The corpus-sized shingle cache backing it stays
-    persisted while the returned frame is alive (every action reuses
-    it) and is unpersisted automatically when the frame is
-    garbage-collected. Pass ``materialize=True`` to instead EAGERLY
+    Catalyst pushdown. The corpus-sized shingle cache backing it rides
+    ON THE RETURNED OBJECT (``._graft_shingle_cache``) and is
+    unpersisted when that exact object is garbage-collected. Frames
+    DERIVED from it (``.select``, ``.filter``, ...) are new Python
+    objects that do not carry the reference — keep the returned frame
+    alive while consuming derivatives, or the cache is released early
+    (results stay correct; Spark just recomputes the shingle relation
+    per consumer stage). Pass ``materialize=True`` to instead EAGERLY
     execute the pipeline at call time: the (tiny, true-near-dup-sized)
     result is persisted, the shingle cache is released immediately, and
     the caller owns ``.unpersist()`` of the returned frame — the right
@@ -483,10 +516,15 @@ def near_dup_pairs(
         return pairs
     # Lazy mode: no job at construction. The shingle cache must outlive
     # this call (the returned plan references it from five consumers), so
-    # tie its lifetime to the returned frame — when the caller drops the
-    # result, the finalizer releases the cache (blocking=False: cleanup
-    # must never stall caller code; failures at interpreter shutdown are
-    # irrelevant because the JVM dies with it).
+    # tie its lifetime to the returned frame: a strong reference rides on
+    # the object (introspectable by callers that need to extend it) and
+    # the finalizer releases the cache when the object is collected
+    # (blocking=False: cleanup must never stall caller code; failures at
+    # interpreter shutdown are irrelevant because the JVM dies with it).
+    # NOTE the documented caveat: derived frames do not carry the
+    # reference — `near_dup_pairs(...).select(...)` with the intermediate
+    # dropped releases the cache before any action runs.
+    pairs._graft_shingle_cache = sets
     weakref.finalize(pairs, _safe_unpersist, sets)
     return pairs
 
@@ -541,10 +579,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> Da
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> DataFrame:
     """Candidate pairs whose SimHash collides in any 16-bit band (Hamming
-    distance <= 3 guaranteed to collide in at least one of 4 bands)."""
+    distance <= 3 guaranteed to collide in at least one of 4 bands).
+
+    The banded relation flows through the same single-shuffle
+    groupBy-collect pair expansion as MinHash LSH
+    (:func:`_bucket_pair_expand`): the fingerprint — a full shingle fold
+    per document — is computed ONCE and the banded rows shuffle once,
+    where the previous self-join formulation evaluated both twice."""
     fp = simhash(df, text_col, id_col, shingle_k)
     banded = fp.select(
-        id_col,
+        F.col(id_col).alias("id"),
         F.explode(
             F.array(
                 *[
@@ -558,18 +602,8 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str, shingle_k: int
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    return (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    ).select("id", "bb.band", "bb.bucket")
+    return _bucket_pair_expand(banded)
 
 
 def embedding_near_dups(

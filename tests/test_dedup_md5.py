@@ -1,0 +1,55 @@
+"""md5 lane-hash mode of minhash_signatures: engine-independent twin.
+
+The md5 mode exists so the WHOLE signature computation (normalize ->
+shingle -> hash -> affine lanes -> min) is reproducible outside Spark:
+the DuckDB oracle behind the `minhash_signatures_md5` driver query runs
+the identical formula. This test pins the Spark side against a direct
+pure-Python model, so a drift in either normalization or lane arithmetic
+fails locally before the driver sees it.
+"""
+
+import hashlib
+import re
+
+from dataframes_spark.operators import dedup as dd
+
+P = (1 << 31) - 1
+
+
+def _py_signature(text: str, num_hashes: int, k: int) -> list[int]:
+    norm = re.sub(r"\s+", " ", text).lower()
+    n = max(len(norm) - (k - 1), 1)
+    shingles = {norm[i : i + k] for i in range(n)}
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P for s in shingles
+    ]
+    return [
+        min(((h * (2 * i + 1) + 7919 * (i + 1)) % P) for h in hs)
+        for i in range(num_hashes)
+    ]
+
+
+def test_md5_lane_signatures_match_python_model(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "the  quick\tBROWN fox",  # whitespace folding + case
+        "ab",  # shorter than the shingle width
+        "aaaaaaa",  # single repeated shingle
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: list(r.signature)
+        for r in dd.minhash_signatures(
+            df, "text", "doc_id", num_hashes=8, shingle_k=5, lane_hash="md5"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_signature(t, 8, 5), t
+
+
+def test_lane_hash_rejects_unknown(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dd.minhash_signatures(df, "text", "doc_id", lane_hash="sha1")

@@ -193,3 +193,26 @@ def test_shared_passages_construction_is_action_free(spark, sf_dir):
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert list(sc.statusTracker().getJobIdsForGroup("sp_lazy_probe")) == []
     assert q.columns == ["id_a", "id_b", "n_shared"]
+
+
+def test_simhash_candidates_single_shuffle_pair_expansion(spark, sf_dir):
+    """simhash_candidates must route through the groupBy-collect pair
+    expansion: the fingerprint (a full shingle fold per document)
+    evaluates once and the banded relation shuffles once — a self-join
+    formulation pays both twice. Plan fingerprint: ONE scan of the
+    corpus, ONE hash shuffle on (band, bucket), no Join. (A third
+    Exchange may appear: _spread's round-robin when the local file
+    layout underfeeds the cores, and the final distinct's — neither
+    touches the banded relation.)"""
+    from dataframes_spark.operators import dedup as dd
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dd.simhash_candidates(docs, "text", "doc_id")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "Join" not in p, "pair expansion regressed to a self-join"
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (
+        "fingerprint input scanned more than once"
+    )
+    assert len(re.findall(r"hashpartitioning\(band", p)) == 1, p
