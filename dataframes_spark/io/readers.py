@@ -124,32 +124,49 @@ def _conform_reference_types(df: DataFrame) -> DataFrame:
 def read_csv_text(spark: SparkSession, text: str, **options) -> DataFrame:
     """Parse in-memory CSV text (reference ``readText``,
     src/IO.luna:91-92). Driver-side convenience — the text already lives
-    on the driver. Routed through a temp file into the SAME Spark CSV
-    reader as ``Table.read`` (one parser, one inference everywhere —
-    including RFC-4180 quoted multiline fields, which a line-split +
-    parallelize approach silently breaks). The tiny result is collected
-    and re-created so the temp file can be deleted immediately; by
-    definition the input fit in a driver string, so this is not a
-    data-plane collect."""
-    import os
-    import tempfile
+    on the driver.
+
+    Cluster-safe by construction: a driver-local temp file would be
+    invisible to executors on any non-local master, so instead the
+    records ship THROUGH the session (``parallelize``) into Spark's own
+    CSV parser + schema inference — the same parser and inference as
+    ``Table.read`` (INT64/DOUBLE/timestamp precedence, quote/escape
+    semantics). The Dataset[String] form of that parser takes one
+    RECORD per element, so record boundaries are found driver-side
+    first with the stdlib ``csv`` module (RFC-4180: quoted fields may
+    contain newlines and doubled quotes) and each record is
+    re-serialized to one element, quoting only fields that need it so
+    bare empty cells stay null. Splitting N records of driver-resident
+    text in Python is not a data-plane cost — by definition the input
+    fit in one driver string."""
+    import csv as _csv
+    import io as _io
 
     header = options.pop("header", True)
     infer = options.pop("infer", True)
-    fd, path = tempfile.mkstemp(suffix=".csv")
-    try:
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(text)
-        parsed = (
-            spark.read.option("header", header)
-            .option("inferSchema", infer)
-            .option("escape", '"')
-            .option("multiLine", True)
-            .csv(path)
-        )
-        return spark.createDataFrame(parsed.collect(), parsed.schema)
-    finally:
-        os.unlink(path)
+
+    def _serialize(row: list[str]) -> str:
+        out = []
+        for cell in row:
+            if any(ch in cell for ch in (',', '"', '\n', '\r')):
+                cell = '"' + cell.replace('"', '""') + '"'
+            out.append(cell)
+        return ",".join(out)
+
+    records = [_serialize(r) for r in _csv.reader(_io.StringIO(text))]
+    reader = (
+        spark.read.option("header", header)
+        .option("inferSchema", infer)
+        .option("escape", '"')
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("inferTimestamp", True)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(spark.sparkContext.parallelize(records))
+    if infer:
+        df = _conform_reference_types(df)
+    return df
 
 
 def _read_feather(spark: SparkSession, path: str) -> DataFrame:

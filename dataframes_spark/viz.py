@@ -33,8 +33,16 @@ def histogram(df: DataFrame, col: str, bins: int = 50, out_path: str | None = No
     (width_bucket-style aggregation); only ``bins`` rows reach the driver."""
     plt = _plt()  # fail fast on the missing optional dep, before any job
     lo, hi = df.agg(F.min(col), F.max(col)).first()
-    if lo is None or hi == lo:
-        hi = (lo or 0) + 1
+    if lo is None:  # empty or all-null column: an empty-axes figure
+        fig, ax = plt.subplots()
+        ax.set_xlabel(col)
+        ax.set_ylabel("count")
+        if out_path:
+            fig.savefig(out_path)
+            plt.close(fig)
+        return fig
+    if hi == lo:
+        hi = lo + 1
     width = (hi - lo) / bins
     counts = (
         df.filter(F.col(col).isNotNull())

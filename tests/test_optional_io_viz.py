@@ -64,3 +64,14 @@ def test_plot_raises_clear_error_without_matplotlib(spark):
     df = spark.range(0, 10).select(F.col("id").cast("double").alias("x"))
     with pytest.raises(NotImplementedError, match="matplotlib"):
         viz.histogram(df, "x", bins=2)
+
+
+def test_histogram_empty_column_returns_empty_axes(spark):
+    """Empty/all-null input must yield an empty figure, not a TypeError
+    from None arithmetic (lo stays None when min() has no rows)."""
+    pytest.importorskip("matplotlib")
+    from dataframes_spark import viz
+
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    fig = viz.histogram(df, "v", bins=10)
+    assert fig is not None
