@@ -1050,6 +1050,38 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact first-fit sequential packing (operators/pack.py
+    pack_greedy) over the corpus ordered by doc_id. The rule is
+    inherently sequential, but — like ewma_user_value — it is still
+    SQL-expressible as a recursive CTE, so the driver hash-checks the
+    exact stateful kernel, not just its row count."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    packed = dpack.pack_greedy(sized, "n_chars", 4096, "doc_id")
+    return packed.select("doc_id", "n_chars", "pack_id")
+
+
+def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures in the md5 lane-hash mode (operators/dedup.py
+    minhash_signatures): lane hashes derive from md5(shingle), which any
+    engine can reproduce — the DuckDB oracle runs the identical
+    normalize -> shingle -> hash -> affine-lane -> min pipeline, turning
+    the minhash family from rows-only into a hash-verified row. One row
+    per (doc, lane) so no array column crosses the compare."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = ddedup.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=16, shingle_k=5, lane_hash="md5"
+    )
+    return sigs.select(
+        "doc_id", F.posexplode("signature").alias("lane", "minhash")
+    ).select(
+        "doc_id", F.col("lane").cast("bigint").alias("lane"), "minhash"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1061,13 +1093,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate samples the FIRST
-    # 50 entries, so the 18 queries that had never received a driver-verified
-    # row through round 3 (asof/range/EWMA/sessionize/winnow/shared-passages/
-    # embedding near-dup/rollup/sample/...) come first, followed by 32
-    # once-green rows covering every remaining operator family.  The 18
-    # entries rotated past position 50 (lquery_*, describe_*, rolling_*,
-    # shift_*, sort_slice, correlations*) were hash-green in ALL of rounds
-    # 1-3 and remain covered by tools/check_oracle.py + unit tests.
+    # 50 entries. Round-5 rotation: the two round-4 queries
+    # (pack_documents_cumsum, chunk_documents) move INTO the window as
+    # promised last round, joined by the two new round-5 queries
+    # (pack_documents_greedy — recursive-CTE oracle for the exact stateful
+    # kernel; minhash_signatures_md5 — first hash-verified row of the
+    # minhash family). Four multiply-green rows (count_values green r1-r4,
+    # slice_offset r1-r4, ungroup_list_column r1-r4, setop_union_except
+    # r1-r4) rotate out to make room; their families stay represented
+    # in-window (aggregate_contract, sort family via window_topn, the
+    # ungroup family via ungroup_explode, set ops via setop_custkeys) and
+    # every rotated-out row remains covered by tools/check_oracle.py +
+    # unit tests. Keep this discipline: any NEW query must enter within
+    # the first 50 in the round it ships.
     return {
         # -- never driver-checked through r03: must occupy the first-50 window
         "embedding_norms": embedding_norms,
@@ -1088,25 +1126,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": time_rollup_events,
         "shared_passages_docs": shared_passages_docs,
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        # -- entered the window round 5 (rotation promise + new queries)
+        "pack_documents_cumsum": pack_documents_cumsum,
+        "chunk_documents": chunk_documents,
+        "pack_documents_greedy": pack_documents_greedy,
+        "minhash_signatures_md5": minhash_signatures_md5,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
-        "count_values": count_values,
         "column_stats": column_stats,
         "rsi_by_flag": rsi_by_flag,
         "first_last_by_type": first_last_by_type,
-        "slice_offset": slice_offset,
         "interpolate_linear": interpolate_linear,
         "fillna_zero": fillna_zero,
         "dropna_rows": dropna_rows,
         "ungroup_explode": ungroup_explode,
-        "ungroup_list_column": ungroup_list_column,
         "concat_horizontal": concat_horizontal,
         "group_collect_lists": group_collect_lists,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "media_decode_stats": media_decode_stats,
         "ols_price_qty": ols_price_qty,
-        "setop_union_except": setop_union_except,
         "pandas_map_column": pandas_map_column,
         "join_revenue_topn": join_revenue_topn,
         "join_region_revenue": join_region_revenue,
@@ -1121,8 +1160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
         "doc_profile": doc_profile,
         "embedding_topk": embedding_topk,
-        # -- rotated out of the window: green in r01+r02+r03, still covered
-        #    locally by tools/check_oracle.py and tests/
+        # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
+        #    still covered locally by tools/check_oracle.py and tests/
+        "count_values": count_values,
+        "slice_offset": slice_offset,
+        "ungroup_list_column": ungroup_list_column,
+        "setop_union_except": setop_union_except,
         "lquery_filter": lquery_filter,
         "lquery_map": lquery_map,
         "lquery_arith": lquery_arith,
@@ -1141,9 +1184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rows_100": rolling_rows_100,
         "rolling_rsi_100": rolling_rsi_100,
         "rolling_range_numeric": rolling_range_numeric,
-        # -- new in round 4 (below the window this round; rotate in next):
-        "pack_documents_cumsum": pack_documents_cumsum,
-        "chunk_documents": chunk_documents,
     }
 
 
@@ -1865,7 +1905,49 @@ def oracle_sql() -> dict[str, str]:
                    md5(substring(text, CAST(chunk_index * 450 + 1 AS INT), 500)) AS chunk_md5
             FROM e
         """,
+        "pack_documents_greedy": """
+            WITH RECURSIVE sized AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM documents
+            ), walk AS (
+                SELECT rn, doc_id, n_chars,
+                       CAST(0 AS BIGINT) AS pack_id, n_chars AS used
+                FROM sized WHERE rn = 1
+                UNION ALL
+                SELECT s.rn, s.doc_id, s.n_chars,
+                       CASE WHEN w.used > 0 AND w.used + s.n_chars > 4096
+                            THEN w.pack_id + 1 ELSE w.pack_id END,
+                       CASE WHEN w.used > 0 AND w.used + s.n_chars > 4096
+                            THEN s.n_chars ELSE w.used + s.n_chars END
+                FROM walk w JOIN sized s ON s.rn = w.rn + 1
+            )
+            SELECT doc_id, n_chars, pack_id FROM walk
+        """,
+        "minhash_signatures_md5": """
+            WITH norm AS (
+                SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+                FROM norm
+            ), sh AS (
+                SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+                FROM pos
+            ), hv AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+                FROM sh
+            ), lanes AS (
+                SELECT doc_id, h, unnest(range(0, 16)) AS lane FROM hv
+            )
+            SELECT doc_id, lane,
+                   min((h * (2 * lane + 1) + 7919 * (lane + 1)) % 2147483647) AS minhash
+            FROM lanes GROUP BY doc_id, lane
+        """,
         # minhash_lsh_candidates / simhash_fingerprints / lsh_similarity_topk /
         # ivf_topk_probe: intentionally no oracle (xxhash64 / KMeans have no
-        # DuckDB equivalent) -> driver records rows-only checks.
+        # DuckDB equivalent) -> driver records rows-only checks; the minhash
+        # signature ARITHMETIC is hash-verified via minhash_signatures_md5.
     }
