@@ -90,18 +90,23 @@ def main() -> None:
 
     # best-of-N per query — the reference's own measurement policy
     # (best time of repeated runs, native_libs/src/Core/Benchmark.h:41-126,
-    # report loop Benchmarks.cpp:50-57); N=3 amortizes JIT/codegen warmup
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(runs):
+    # report loop Benchmarks.cpp:50-57). Rounds are INTERLEAVED: run the
+    # whole query list N times and take each query's minimum across
+    # rounds, rather than N back-to-back runs per query — with
+    # back-to-back runs a transient load spike on the machine sinks every
+    # sample of whichever query it lands on (the r4 file recorded 3-4x
+    # phantom regressions that best-of-5 in a quiet session disproved);
+    # interleaving spreads one query's samples across the full wall-clock
+    # span so a spike costs at most one of its N samples.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    timings: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(runs):
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
+            df = queries[name](spark, SF_DIR)
             df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(t, 4) for name, t in timings.items()}
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
