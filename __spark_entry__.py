@@ -23,6 +23,7 @@ from dataframes_spark.core import Table
 from dataframes_spark.functions import stats as dstats
 from dataframes_spark.functions import text as dtext
 from dataframes_spark.operators import aggregate as dagg
+from dataframes_spark.operators import decontaminate as ddecon
 from dataframes_spark.operators import dedup as ddedup
 from dataframes_spark.operators import nulls as dnulls
 from dataframes_spark.operators import pack as dpack
@@ -1082,6 +1083,33 @@ def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/decontaminate.py): every 50th
+    document stands in for the benchmark suite; the report flags each
+    corpus document sharing >= 1 normalized word 8-gram with it and
+    counts the distinct overlaps. Eval n-gram hashes broadcast; the
+    corpus side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 50 == 0)
+    rep = ddecon.contamination_report(docs, evals, "text", "doc_id", n=8)
+    return rep.select(
+        F.col("id").alias("doc_id"), F.col("n_hits").cast("bigint").alias("n_hits")
+    )
+
+
+def lsh_buckets_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment in md5 plane-hash mode
+    (operators/similarity.py hyperplane_buckets): plane components derive
+    from md5("seed:plane:dim"), so the DuckDB oracle reruns the identical
+    projection and the bucketing of the ANN family gets a value-level
+    driver check (xxhash64 planes stay the perf default)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = dsim.hyperplane_buckets(
+        emb, "embedding", "vec_id", num_planes=8, plane_hash="md5"
+    )
+    return b.select("vec_id", F.col("bucket").cast("bigint").alias("bucket"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1098,11 +1126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # promised last round, joined by the two new round-5 queries
     # (pack_documents_greedy — recursive-CTE oracle for the exact stateful
     # kernel; minhash_signatures_md5 — first hash-verified row of the
-    # minhash family). Four multiply-green rows (count_values green r1-r4,
-    # slice_offset r1-r4, ungroup_list_column r1-r4, setop_union_except
-    # r1-r4) rotate out to make room; their families stay represented
-    # in-window (aggregate_contract, sort family via window_topn, the
-    # ungroup family via ungroup_explode, set ops via setop_custkeys) and
+    # minhash family; decontaminate_docs — eval-set n-gram overlap;
+    # lsh_buckets_md5 — value-checked ANN bucketing). Six multiply-green
+    # rows (count_values, slice_offset, ungroup_list_column,
+    # setop_union_except, dropna_rows, fillna_zero — all green r1-r4)
+    # rotate out to make room; their families stay represented in-window
+    # (aggregate_contract, sort family via window_topn, the ungroup
+    # family via ungroup_explode, set ops via setop_custkeys, nulls via
+    # interpolate_linear) and
     # every rotated-out row remains covered by tools/check_oracle.py +
     # unit tests. Keep this discipline: any NEW query must enter within
     # the first 50 in the round it ships.
@@ -1131,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents,
         "pack_documents_greedy": pack_documents_greedy,
         "minhash_signatures_md5": minhash_signatures_md5,
+        "decontaminate_docs": decontaminate_docs,
+        "lsh_buckets_md5": lsh_buckets_md5,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1138,8 +1171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsi_by_flag": rsi_by_flag,
         "first_last_by_type": first_last_by_type,
         "interpolate_linear": interpolate_linear,
-        "fillna_zero": fillna_zero,
-        "dropna_rows": dropna_rows,
         "ungroup_explode": ungroup_explode,
         "concat_horizontal": concat_horizontal,
         "group_collect_lists": group_collect_lists,
@@ -1166,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_offset": slice_offset,
         "ungroup_list_column": ungroup_list_column,
         "setop_union_except": setop_union_except,
+        "dropna_rows": dropna_rows,
+        "fillna_zero": fillna_zero,
         "lquery_filter": lquery_filter,
         "lquery_map": lquery_map,
         "lquery_arith": lquery_arith,
@@ -1923,6 +1956,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk w JOIN sized s ON s.rn = w.rn + 1
             )
             SELECT doc_id, n_chars, pack_id FROM walk
+        """,
+        "lsh_buckets_md5": """
+            WITH ex AS (
+                SELECT vec_id, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            ), comp AS (
+                SELECT vec_id, i,
+                       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+                FROM ex
+            ), pl AS (
+                SELECT vec_id, p,
+                       sum(v * (((('0x' || substr(md5('42:' || p || ':' || (i - 1)), 1, 15))::BIGINT)
+                            % 1048576) / 524288.0 - 1.0)) AS proj
+                FROM comp, (SELECT unnest(range(0, 8)) AS p) planes
+                GROUP BY vec_id, p
+            )
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN proj >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+            FROM pl GROUP BY vec_id
+        """,
+        "decontaminate_docs": """
+            WITH wa AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ), ng AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                FROM (
+                    SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                    FROM wa WHERE len(w) >= 8
+                )
+            ), ev AS (
+                SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0
+            )
+            SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM ng n JOIN ev USING (g)
+            GROUP BY n.doc_id
         """,
         "minhash_signatures_md5": """
             WITH norm AS (

@@ -1,0 +1,102 @@
+"""Eval-set decontamination for training corpora.
+
+A training corpus must not contain the benchmarks the model will be
+evaluated on. The standard guard (the n-gram collision rule used by the
+GPT-3/PaLM/Llama training reports) flags every training document that
+shares at least one word-level n-gram with any eval document; flagged
+docs are dropped or quarantined. Not in the reference (it predates the
+workload) — first-class here because every corpus build runs it.
+
+Scale design — the asymmetry IS the design:
+
+- The eval side is small BY DEFINITION (benchmarks are MB-scale; the
+  corpus is the 100 TB side). Its distinct n-gram hash set is built
+  once and explicitly ``broadcast()``: flagging the corpus is then a
+  broadcast join evaluated inside the corpus scan stage — the corpus
+  NEVER shuffles, and document text never leaves its scan task.
+- N-grams are collapsed to ``xxhash64`` before the join: the broadcast
+  table is 8 bytes per distinct eval n-gram (a 100 MB benchmark suite
+  at n=13 is a few million hashes — comfortably driver/executor sized),
+  and corpus-side n-gram strings die inside the projection.
+- Normalization (lowercase, non-alphanumeric folding) matches on both
+  sides by construction (shared expression), so punctuation or casing
+  deltas can't mask contamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """Distinct word-level n-grams of a text column, space-joined, after
+    case/punctuation normalization. Documents shorter than ``n`` words
+    yield an empty array (they cannot be contaminated at this n)."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")), " "
+    )
+    k = F.size(words) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        )
+    )
+
+
+def _ngram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, g) relation: one row per distinct n-gram hash per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+    ).select("id", F.xxhash64("__g").alias("g"))
+
+
+def contamination_report(
+    corpus: DataFrame,
+    evals: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """``(id, n_hits)`` for every corpus document sharing >= 1 word-level
+    n-gram with the eval set; ``n_hits`` counts its distinct overlapping
+    n-grams (a triage signal: 1 hit is usually a stock phrase, hundreds
+    is a verbatim inclusion). Clean documents are absent.
+
+    One corpus scan, zero corpus shuffles before the (contaminated-only)
+    aggregate: the eval n-gram hash set is explicitly broadcast."""
+    ev = (
+        _ngram_hashes(evals, eval_text_col or text_col, id_col, n)
+        .select("g")
+        .distinct()
+    )
+    cg = _ngram_hashes(corpus, text_col, id_col, n)
+    return (
+        cg.join(F.broadcast(ev), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    evals: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """The corpus minus every document flagged by
+    :func:`contamination_report` — same broadcast-flagging plan, then an
+    anti-join pullback of the surviving full rows. The flagged-id
+    relation is contamination-sized (tiny vs the corpus), so AQE plans
+    the anti-join as a broadcast too; the corpus still never shuffles."""
+    flagged = contamination_report(
+        corpus, evals, text_col, id_col, eval_text_col, n
+    ).select(F.col("id").alias(id_col))
+    return corpus.join(flagged, id_col, "left_anti")

@@ -116,20 +116,47 @@ def hyperplane_buckets(
     id_col: str,
     num_planes: int = 8,
     seed: int = 42,
+    plane_hash: str = "xxhash64",
 ) -> DataFrame:
     """Random-hyperplane LSH: sign pattern of ``num_planes`` fixed random
     projections forms a bucket id.
 
-    Plane components are generated INSIDE the expression as
-    ``xxhash64(seed, plane, dim_index)`` scaled to [-1, 1) — deterministic,
+    Plane components are generated INSIDE the expression from a hash of
+    ``(seed, plane, dim_index)`` scaled to [-1, 1) — deterministic,
     dimension-agnostic, and fully lazy: no driver-side action to learn the
     vector width (a ``.first()`` here would force a job per plan
     construction), and no ``dim x num_planes`` literal array bloating
-    whole-stage codegen at 768-dim embedding widths."""
+    whole-stage codegen at 768-dim embedding widths.
+
+    ``plane_hash="xxhash64"`` (default) is the fast path;
+    ``plane_hash="md5"`` derives components from
+    ``md5("<seed>:<plane>:<dim>")`` — a universal hash any engine can
+    recompute, making the bucket assignment verifiable outside Spark
+    (the DuckDB oracle behind ``lsh_buckets_md5`` reruns the identical
+    projection). Buckets are NOT comparable across modes."""
+    if plane_hash not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"plane_hash must be 'xxhash64' or 'md5', got {plane_hash!r}"
+        )
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
 
     def plane_component(p: int, idx: Column) -> Column:
-        h = F.xxhash64(F.lit(seed), F.lit(p), idx)
+        if plane_hash == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}:{p}:"), idx.cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        else:
+            h = F.xxhash64(F.lit(seed), F.lit(p), idx)
         return F.pmod(h, F.lit(1 << 20)) / F.lit(float(1 << 19)) - F.lit(1.0)
 
     def projected(p: int) -> Column:

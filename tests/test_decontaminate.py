@@ -1,0 +1,82 @@
+"""Eval-set decontamination (operators/decontaminate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators import decontaminate as dc
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "The QUICK brown fox, jumps over the lazy dog!!!"),  # case/punct twin
+        (3, "a completely different document about spark plans"),
+        (4, "short doc"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def evals(spark):
+    return spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+
+
+def test_flags_normalized_overlap(corpus, evals):
+    rep = {
+        r.id: r.n_hits
+        for r in dc.contamination_report(
+            corpus, evals, "text", "doc_id", n=8
+        ).collect()
+    }
+    # docs 1 and 2 share the eval 8-gram after normalization; 3-5 do not
+    assert set(rep) == {1, 2}
+    assert all(v >= 1 for v in rep.values())
+
+
+def test_decontaminate_drops_flagged_rows_only(corpus, evals):
+    kept = sorted(
+        r.doc_id
+        for r in dc.decontaminate(corpus, evals, "text", "doc_id", n=8).collect()
+    )
+    assert kept == [3, 4, 5]
+
+
+def test_short_and_empty_docs_yield_no_ngrams(spark):
+    df = spark.createDataFrame([(1, "one two three"), (2, "")], ["i", "t"])
+    out = df.select(dc.word_ngrams(F.col("t"), 4).alias("g")).collect()
+    assert all(r.g == [] for r in out)
+
+
+def test_ngrams_are_distinct_and_normalized(spark):
+    df = spark.createDataFrame([(1, "A b; a B. a b")], ["i", "t"])
+    [r] = df.select(dc.word_ngrams(F.col("t"), 2).alias("g")).collect()
+    assert sorted(r.g) == ["a b", "b a"]
+
+
+def test_corpus_side_never_shuffles_before_flagging(spark, corpus, evals):
+    """The contamination join must be planned broadcast: the only
+    Exchanges allowed are the eval-side broadcast and the final
+    (contaminated-only) aggregate — no shuffle of corpus n-grams."""
+    import re
+
+    rep = dc.contamination_report(corpus, evals, "text", "doc_id", n=8)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = rep._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # the only shuffle Exchanges are the eval-side distinct (small side)
+    # and the flagged-only groupBy — never the corpus n-gram relation,
+    # whose branch must run scan -> generate -> broadcast-join unbroken
+    shuffles = re.findall(r"\(\d+\) Exchange", p)
+    assert len(shuffles) == 2, p
+    # corpus branch: nothing between its scan and the join but the
+    # n-gram Generate/Project chain
+    tree = p.split("(1) Scan")[0]
+    corpus_branch = tree.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_branch.split("BroadcastHashJoin")[-1], p

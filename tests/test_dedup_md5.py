@@ -53,3 +53,24 @@ def test_lane_hash_rejects_unknown(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dd.minhash_signatures(df, "text", "doc_id", lane_hash="sha1")
+
+
+def test_hyperplane_md5_mode_deterministic_and_complementary(spark):
+    import pytest as _pytest
+
+    from dataframes_spark.operators import similarity as ds
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [-1.0, 0.0])], ["id", "v"])
+    a = {
+        r.id: r.bucket
+        for r in ds.hyperplane_buckets(df, "v", "id", 4, plane_hash="md5").collect()
+    }
+    b = {
+        r.id: r.bucket
+        for r in ds.hyperplane_buckets(df, "v", "id", 4, plane_hash="md5").collect()
+    }
+    assert a == b  # plane derivation is seed-deterministic, no RNG state
+    # antipodal vectors flip every projection sign -> complementary buckets
+    assert a[1] ^ a[2] == 0b1111
+    with _pytest.raises(ValueError):
+        ds.hyperplane_buckets(df, "v", "id", plane_hash="crc32")
