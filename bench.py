@@ -68,6 +68,14 @@ BENCH_QUERIES = [
     "time_rollup_events",
     "ewma_user_value",
     "winnow_fingerprints_docs",
+    "chunk_documents",
+    "pack_documents_cumsum",
+    "pack_documents_greedy",
+    "decontaminate_docs",
+    # md5-mode twins (minhash_signatures_md5, lsh_buckets_md5) are
+    # verification paths, not perf paths — the xxhash64 defaults above
+    # are what a pipeline runs; benching the md5 lanes would measure
+    # hex-parsing, not the engine
     # shared_passages_docs is correctness-gated but not benched: the
     # synthetic corpus draws documents from a tiny phrase pool, so its
     # fingerprint df distribution is degenerate (median df ~6% of the

@@ -28,14 +28,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataframes_spark.operators.dedup import _spread
+
+
+def _norm_words(c: Column) -> Column:
+    """Normalized word array: lowercase, non-alphanumeric runs folded to
+    one space, split. Must be MATERIALIZED in its own projection before
+    any per-position transform — a higher-order-function lambda
+    re-evaluates captured outer expressions PER ELEMENT, so n-gramming
+    this expression directly would rerun the regex once per position
+    (measured ~10x the whole stage on real documents; same pitfall as
+    dedup._shingles_of_norm)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")), " ")
+
+
+def _ngrams_of_words(words_col: str, n: int) -> Column:
+    """Distinct space-joined n-grams of an already-materialized word
+    array column. Documents shorter than ``n`` words yield an empty
+    array (they cannot be contaminated at this n)."""
+    words = F.col(words_col)
+    k = F.size(words) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        )
+    )
+
 
 def word_ngrams(c: Column, n: int) -> Column:
-    """Distinct word-level n-grams of a text column, space-joined, after
-    case/punctuation normalization. Documents shorter than ``n`` words
-    yield an empty array (they cannot be contaminated at this n)."""
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")), " "
-    )
+    """Single-expression convenience form of the normalize -> n-gram
+    pipeline. Prefer the two-projection shape inside operators (see
+    :func:`_norm_words`); this form re-evaluates the normalization per
+    position and is only for ad-hoc column use."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")), " ")
     k = F.size(words) - F.lit(n - 1)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
@@ -48,11 +76,16 @@ def word_ngrams(c: Column, n: int) -> Column:
 
 
 def _ngram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, g) relation: one row per distinct n-gram hash per document."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
-    ).select("id", F.xxhash64("__g").alias("g"))
+    """(id, g) relation: one row per distinct n-gram hash per document.
+    Normalization materializes in its own projection (see
+    :func:`_norm_words`); the input is spread across the cluster first
+    when the file layout underfeeds the cores (dedup._spread)."""
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), _norm_words(F.col(text_col)).alias("__w"))
+        .select("id", F.explode(_ngrams_of_words("__w", n)).alias("__g"))
+        .select("id", F.xxhash64("__g").alias("g"))
+    )
 
 
 def contamination_report(
