@@ -1110,6 +1110,18 @@ def lsh_buckets_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("vec_id", F.col("bucket").cast("bigint").alias("bucket"))
 
 
+def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash in md5 lane-hash mode (operators/dedup.py simhash):
+    the DuckDB oracle reruns the identical per-bit vote and sign-pack
+    arithmetic, closing the last hash-convertible rows-only family
+    (xxhash64/64-bit stays the perf default)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = ddedup.simhash(
+        docs, "text", "doc_id", shingle_k=4, num_bits=32, lane_hash="md5"
+    )
+    return fp.select("doc_id", "simhash")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1127,13 +1139,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (pack_documents_greedy — recursive-CTE oracle for the exact stateful
     # kernel; minhash_signatures_md5 — first hash-verified row of the
     # minhash family; decontaminate_docs — eval-set n-gram overlap;
-    # lsh_buckets_md5 — value-checked ANN bucketing). Six multiply-green
-    # rows (count_values, slice_offset, ungroup_list_column,
-    # setop_union_except, dropna_rows, fillna_zero — all green r1-r4)
-    # rotate out to make room; their families stay represented in-window
-    # (aggregate_contract, sort family via window_topn, the ungroup
-    # family via ungroup_explode, set ops via setop_custkeys, nulls via
-    # interpolate_linear) and
+    # lsh_buckets_md5 + simhash_fingerprints_md5 — value-checked ANN
+    # bucketing and simhash arithmetic). Seven multiply-green rows
+    # (count_values, slice_offset, ungroup_list_column,
+    # setop_union_except, dropna_rows, fillna_zero, group_collect_lists —
+    # all green r1-r4) rotate out to make room; their families stay
+    # represented in-window (aggregate_contract, sort family via
+    # window_topn, the ungroup family via ungroup_explode, set ops via
+    # setop_custkeys, nulls via interpolate_linear) and
     # every rotated-out row remains covered by tools/check_oracle.py +
     # unit tests. Keep this discipline: any NEW query must enter within
     # the first 50 in the round it ships.
@@ -1164,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures_md5": minhash_signatures_md5,
         "decontaminate_docs": decontaminate_docs,
         "lsh_buckets_md5": lsh_buckets_md5,
+        "simhash_fingerprints_md5": simhash_fingerprints_md5,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1173,7 +1187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": interpolate_linear,
         "ungroup_explode": ungroup_explode,
         "concat_horizontal": concat_horizontal,
-        "group_collect_lists": group_collect_lists,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "media_decode_stats": media_decode_stats,
         "ols_price_qty": ols_price_qty,
@@ -1199,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_union_except": setop_union_except,
         "dropna_rows": dropna_rows,
         "fillna_zero": fillna_zero,
+        "group_collect_lists": group_collect_lists,
         "lquery_filter": lquery_filter,
         "lquery_map": lquery_map,
         "lquery_arith": lquery_arith,
@@ -1956,6 +1970,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk w JOIN sized s ON s.rn = w.rn + 1
             )
             SELECT doc_id, n_chars, pack_id FROM walk
+        """,
+        "simhash_fingerprints_md5": """
+            WITH norm AS (
+                SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 3, 1) + 1)) AS i
+                FROM norm
+            ), sh AS (
+                SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS s
+                FROM pos
+            ), hv AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+                FROM sh
+            ), bits AS (
+                SELECT doc_id, h, unnest(range(0, 32)) AS b FROM hv
+            ), votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM bits GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0
+                            THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
         """,
         "lsh_buckets_md5": """
             WITH ex AS (

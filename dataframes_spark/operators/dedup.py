@@ -536,28 +536,54 @@ def _safe_unpersist(cached: DataFrame) -> None:
         pass
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4) -> DataFrame:
-    """64-bit SimHash fingerprint: per shingle hash, each bit votes +1/-1;
-    the sign of each bit-sum forms the fingerprint. Near-duplicate texts
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 4,
+    num_bits: int = 64,
+    lane_hash: str = "xxhash64",
+) -> DataFrame:
+    """SimHash fingerprint: per shingle hash, each bit votes +1/-1; the
+    sign of each bit-sum forms the fingerprint. Near-duplicate texts
     land within small Hamming distance.
 
-    One fold over the shingle hashes with a 64-lane vote-array accumulator
-    (``zip_with`` update), then one fold over the vote array to pack sign
-    bits — the shingle hashes are evaluated exactly once (64 independent
-    per-bit aggregates would rescan them per bit; Catalyst does not CSE
-    across higher-order functions)."""
+    One fold over the shingle hashes with a ``num_bits``-lane vote-array
+    accumulator (``zip_with`` update), then one fold over the vote array
+    to pack sign bits — the shingle hashes are evaluated exactly once
+    (independent per-bit aggregates would rescan them per bit; Catalyst
+    does not CSE across higher-order functions).
+
+    ``lane_hash="md5"`` draws bits from the top 60 bits of
+    ``md5(shingle)`` (so ``num_bits <= 60``): a universal hash any
+    engine can recompute — the DuckDB oracle behind
+    ``simhash_fingerprints_md5`` reruns the identical vote/pack
+    arithmetic. xxhash64 stays the perf default; fingerprints are NOT
+    comparable across modes."""
+    if lane_hash == "xxhash64":
+        hash_one = lambda s: F.xxhash64(s)  # noqa: E731
+    elif lane_hash == "md5":
+        if num_bits > 60:
+            raise ValueError("md5 mode exposes 60 hash bits; num_bits <= 60")
+        hash_one = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"lane_hash must be 'xxhash64' or 'md5', got {lane_hash!r}")
+    if not 1 <= num_bits <= 64:
+        raise ValueError(f"num_bits must be in [1, 64], got {num_bits}")
     base = shingled(_spread(df), text_col, id_col, shingle_k)
-    hashes = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    hashes = F.transform(F.col("sh"), hash_one)
     # literal per-bit masks (bit 63 = int64 sign bit)
     masks = F.array(
         *[
             F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-            for b in range(64)
+            for b in range(num_bits)
         ]
     )
     votes = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
         lambda acc, h: F.zip_with(
             acc,
             masks,

@@ -74,3 +74,37 @@ def test_hyperplane_md5_mode_deterministic_and_complementary(spark):
     assert a[1] ^ a[2] == 0b1111
     with _pytest.raises(ValueError):
         ds.hyperplane_buckets(df, "v", "id", plane_hash="crc32")
+
+
+def _py_simhash32(text: str, k: int) -> int:
+    norm = re.sub(r"\s+", " ", text).lower()
+    n = max(len(norm) - (k - 1), 1)
+    shingles = {norm[i : i + k] for i in range(n)}
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles]
+    fp = 0
+    for b in range(32):
+        v = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if v > 0:
+            fp |= 1 << b
+    return fp
+
+
+def test_md5_simhash_matches_python_model(spark):
+    texts = ["the quick brown fox", "THE  quick\tbrown fox", "ab", "zzzz"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: r.simhash
+        for r in dd.simhash(
+            df, "text", "doc_id", shingle_k=4, num_bits=32, lane_hash="md5"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_simhash32(t, 4), t
+
+
+def test_simhash_md5_rejects_too_many_bits(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dd.simhash(df, "text", "doc_id", num_bits=64, lane_hash="md5")
