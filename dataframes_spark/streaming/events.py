@@ -286,3 +286,37 @@ def ewma_batch(
 
     prepped = events.repartition(key_col).sortWithinPartitions(key_col, ts_col)
     return prepped.mapInPandas(fn, out_schema)
+
+
+def decontaminate_each_batch(evals, text_col, id_col, n=13, write=None):
+    """Streaming twin of ``operators.decontaminate.decontaminate``: a
+    ``foreachBatch`` callback that drops eval-contaminated documents from
+    every micro-batch of an ingestion stream.
+
+    ``foreachBatch`` is the right streaming shape for this operator —
+    not a stream-static join — because the per-document verdict needs a
+    per-document aggregate over its exploded n-grams (ANY overlap), and
+    that aggregate on a stream would demand watermark state for what is
+    actually a stateless, batch-local decision: a document's verdict
+    depends only on the STATIC eval set, never on other stream rows, so
+    micro-batch boundaries cannot change results and stream output ==
+    batch ``decontaminate`` of the same rows (pinned in
+    tests/test_streaming.py). Inside each micro-batch the plan is the
+    batch plan: eval n-gram hashes broadcast, corpus side unshuffled.
+
+    ``evals`` should be ``.persist()``-ed by the caller for long-running
+    streams — the callback reuses the frame every trigger, and the cache
+    keeps the benchmark suite from being re-scanned and re-shingled per
+    micro-batch. ``write(clean_df, epoch_id)`` is the caller's sink
+    (idempotent writes keyed on ``epoch_id`` give exactly-once)."""
+    from dataframes_spark.operators.decontaminate import decontaminate
+
+    if write is None:
+        raise ValueError("write(clean_df, epoch_id) sink callback is required")
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        write(
+            decontaminate(batch_df, evals, text_col, id_col, n=n), epoch_id
+        )
+
+    return _apply

@@ -203,3 +203,47 @@ def test_exact_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
         r.text for r in ddedup.exact_dedup(batch, "text", "doc_id").collect()
     )
     assert got_texts == batch_texts
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Per-document verdicts depend only on the static eval set, so the
+    foreachBatch streaming form must equal the batch operator over the
+    same rows regardless of micro-batch boundaries."""
+    from dataframes_spark.operators.decontaminate import decontaminate
+
+    rows1 = [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally unrelated text here ok")]
+    rows2 = [(3, "ALPHA beta. gamma delta epsilon zeta!"), (4, "another clean document four words")]
+    out = str(tmp_path / "docs")
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    evals = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+
+    got_ids: list[int] = []
+
+    def sink(clean_df, epoch_id):
+        got_ids.extend(r.doc_id for r in clean_df.collect())
+
+    schema = spark.read.parquet(out).schema
+    src = dstream.stream_from_directory(spark, out, schema)
+    cb = dstream.decontaminate_each_batch(evals, "text", "doc_id", n=4, write=sink)
+    q = src.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch = sorted(
+        r.doc_id
+        for r in decontaminate(
+            spark.read.parquet(out), evals, "text", "doc_id", n=4
+        ).collect()
+    )
+    assert sorted(got_ids) == batch == [2, 4]
+
+
+def test_decontaminate_stream_requires_sink(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dstream.decontaminate_each_batch(None, "text", "doc_id")
