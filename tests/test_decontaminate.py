@@ -80,3 +80,44 @@ def test_corpus_side_never_shuffles_before_flagging(spark, corpus, evals):
     tree = p.split("(1) Scan")[0]
     corpus_branch = tree.split("BroadcastExchange")[0]
     assert "Exchange" not in corpus_branch.split("BroadcastHashJoin")[-1], p
+
+
+def test_word_ngrams_match_python_model_property(spark):
+    """Hypothesis-driven parity with a direct Python model of the
+    normalize -> split -> n-gram rule (one Spark job for all examples)."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    texts_strategy = st.lists(
+        st.text(alphabet="aB c.!2\n", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+
+    def py_ngrams(text: str, n: int) -> list[str]:
+        words = _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+        if len(words) - (n - 1) <= 0:
+            return []
+        seen, out = set(), []
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    @settings(max_examples=20, deadline=None)
+    @given(texts=texts_strategy, n=st.integers(1, 4))
+    def check(texts, n):
+        df = spark.createDataFrame(list(enumerate(texts)), ["i", "t"])
+        got = {
+            r.i: list(r.g)
+            for r in df.select(
+                "i", dc.word_ngrams(F.col("t"), n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == py_ngrams(t, n), (t, n)
+
+    check()

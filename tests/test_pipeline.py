@@ -197,3 +197,17 @@ def test_shared_passages_finds_copy(spark):
     got = {(r.id_a, r.id_b): r.n_shared for r in out.collect()}
     assert (1, 2) in got and got[(1, 2)] >= 3
     assert all(p == (1, 2) for p in got)
+
+
+def test_duplicate_groups_report(spark):
+    from dataframes_spark.operators.dedup import duplicate_groups
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.text: (r.representative_id, r.n_copies)
+        for r in duplicate_groups(df, "text", "doc_id").collect()
+    }
+    assert got == {"aa": (1, 3), "bb": (2, 1), "cc": (5, 1)}
