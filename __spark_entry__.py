@@ -29,6 +29,7 @@ from dataframes_spark.operators import nulls as dnulls
 from dataframes_spark.operators import pack as dpack
 from dataframes_spark.operators import reshape as dreshape
 from dataframes_spark.operators import similarity as dsim
+from dataframes_spark.operators import skew as dskew
 from dataframes_spark.operators import sort as dsort
 from dataframes_spark.operators import window as dwindow
 from dataframes_spark.session import load_table
@@ -1110,6 +1111,32 @@ def lsh_buckets_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("vec_id", F.col("bucket").cast("bigint").alias("bucket"))
 
 
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/skew.py
+    aggregate_by_skew_safe) over the 5-key events table — exactly the
+    hot/low-cardinality shape the operator exists for. The oracle is a
+    plain GROUP BY: salting must be an execution detail, invisible in
+    the results, so the driver hash-checks that the shard-and-merge
+    moment arithmetic reproduces the direct aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    out = dskew.aggregate_by_skew_safe(
+        ev,
+        "event_type",
+        [("value", ["sum", "mean", "length", "min", "max", "std"])],
+        salt_buckets=16,
+        id_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_mean", 6).alias("value_mean"),
+        "value_length",
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+        F.round("value_std", 6).alias("value_std"),
+    )
+
+
 def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash in md5 lane-hash mode (operators/dedup.py simhash):
     the DuckDB oracle reruns the identical per-bit vote and sign-pack
@@ -1140,13 +1167,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kernel; minhash_signatures_md5 — first hash-verified row of the
     # minhash family; decontaminate_docs — eval-set n-gram overlap;
     # lsh_buckets_md5 + simhash_fingerprints_md5 — value-checked ANN
-    # bucketing and simhash arithmetic). Seven multiply-green rows
-    # (count_values, slice_offset, ungroup_list_column,
-    # setop_union_except, dropna_rows, fillna_zero, group_collect_lists —
-    # all green r1-r4) rotate out to make room; their families stay
-    # represented in-window (aggregate_contract, sort family via
-    # window_topn, the ungroup family via ungroup_explode, set ops via
-    # setop_custkeys, nulls via interpolate_linear) and
+    # bucketing and simhash arithmetic; salted_agg_events — first driver
+    # row for the skew tooling, oracle = the plain GROUP BY salting must
+    # be invisible against). Eight multiply-green rows (count_values,
+    # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
+    # fillna_zero, group_collect_lists, media_decode_stats — all green
+    # r1-r4) rotate out to make room; their families stay represented
+    # in-window (aggregate_contract, sort family via window_topn, the
+    # ungroup family via ungroup_explode, set ops via setop_custkeys,
+    # nulls via interpolate_linear, multimodal via
+    # frame_sample_timestamps) and
     # every rotated-out row remains covered by tools/check_oracle.py +
     # unit tests. Keep this discipline: any NEW query must enter within
     # the first 50 in the round it ships.
@@ -1178,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "lsh_buckets_md5": lsh_buckets_md5,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
+        "salted_agg_events": salted_agg_events,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1188,7 +1219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ungroup_explode": ungroup_explode,
         "concat_horizontal": concat_horizontal,
         "csv_roundtrip_agg": csv_roundtrip_agg,
-        "media_decode_stats": media_decode_stats,
         "ols_price_qty": ols_price_qty,
         "pandas_map_column": pandas_map_column,
         "join_revenue_topn": join_revenue_topn,
@@ -1213,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropna_rows": dropna_rows,
         "fillna_zero": fillna_zero,
         "group_collect_lists": group_collect_lists,
+        "media_decode_stats": media_decode_stats,
         "lquery_filter": lquery_filter,
         "lquery_map": lquery_map,
         "lquery_arith": lquery_arith,
@@ -1970,6 +2001,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk w JOIN sized s ON s.rn = w.rn + 1
             )
             SELECT doc_id, n_chars, pack_id FROM walk
+        """,
+        "salted_agg_events": """
+            SELECT event_type,
+                   round(sum(value), 2) AS value_sum,
+                   round(avg(value), 6) AS value_mean,
+                   CAST(count(*) AS DOUBLE) AS value_length,
+                   round(min(value), 6) AS value_min,
+                   round(max(value), 6) AS value_max,
+                   round(sqrt(var_pop(value)), 6) AS value_std
+            FROM events GROUP BY event_type
         """,
         "simhash_fingerprints_md5": """
             WITH norm AS (
