@@ -1103,7 +1103,10 @@ def lsh_buckets_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py hyperplane_buckets): plane components derive
     from md5("seed:plane:dim"), so the DuckDB oracle reruns the identical
     projection and the bucketing of the ANN family gets a value-level
-    driver check (xxhash64 planes stay the perf default)."""
+    driver check (xxhash64 planes stay the perf default). Precondition:
+    embeddings are non-null and non-empty (true of the table by
+    construction) — a degenerate vector has no unnest rows for the
+    oracle to project, while Spark would still assign it a bucket."""
     emb = _t(spark, sf_dir, "embeddings")
     b = dsim.hyperplane_buckets(
         emb, "embedding", "vec_id", num_planes=8, plane_hash="md5"
@@ -1985,7 +1988,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_documents_greedy": """
             WITH RECURSIVE sized AS (
-                SELECT doc_id, length(text) AS n_chars,
+                -- COALESCE mirrors the kernel's nulls-pack-as-zero rule
+                -- (a NULL would otherwise poison the running 'used' sum)
+                SELECT doc_id, COALESCE(length(text), 0) AS n_chars,
                        row_number() OVER (ORDER BY doc_id) AS rn
                 FROM documents
             ), walk AS (
@@ -2003,13 +2008,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, pack_id FROM walk
         """,
         "salted_agg_events": """
+            -- gates mirror the operator contract exactly: sum coalesces
+            -- to 0.0 on all-null groups, std needs >= 2 samples
             SELECT event_type,
-                   round(sum(value), 2) AS value_sum,
+                   round(COALESCE(sum(value), 0.0), 2) AS value_sum,
                    round(avg(value), 6) AS value_mean,
                    CAST(count(*) AS DOUBLE) AS value_length,
                    round(min(value), 6) AS value_min,
                    round(max(value), 6) AS value_max,
-                   round(sqrt(var_pop(value)), 6) AS value_std
+                   CASE WHEN count(value) >= 2
+                        THEN round(sqrt(var_pop(value)), 6) END AS value_std
             FROM events GROUP BY event_type
         """,
         "simhash_fingerprints_md5": """

@@ -138,12 +138,36 @@ def read_csv_text(spark: SparkSession, text: str, **options) -> DataFrame:
     re-serialized to one element, quoting only fields that need it so
     bare empty cells stay null. Splitting N records of driver-resident
     text in Python is not a data-plane cost — by definition the input
-    fit in one driver string."""
+    fit in one driver string.
+
+    Two sharp edges of Spark's Dataset[String] reader are neutralized
+    here rather than inherited: its ``header`` mode drops EVERY element
+    equal to the first line (a data row that happens to repeat the
+    header would vanish), so the header is consumed driver-side and the
+    parsed columns renamed instead; and elements that are empty strings
+    are filtered as blank lines, so a record whose only field is empty
+    re-serializes as ``\"\"`` to survive the trip (it still parses to
+    null, matching the file path)."""
     import csv as _csv
     import io as _io
+    import sys as _sys
 
     header = options.pop("header", True)
     infer = options.pop("infer", True)
+
+    # stdlib csv caps fields at 128 KiB by default; corpus documents in
+    # a quoted cell easily exceed that and Spark's own parser has no
+    # such limit, so lift it for the record-splitting pass
+    old_limit = _csv.field_size_limit(_sys.maxsize)
+    try:
+        rows = list(_csv.reader(_io.StringIO(text)))
+    finally:
+        _csv.field_size_limit(old_limit)
+
+    names: list[str] | None = None
+    if header and rows:
+        names = rows[0]
+        rows = rows[1:]
 
     def _serialize(row: list[str]) -> str:
         out = []
@@ -151,11 +175,25 @@ def read_csv_text(spark: SparkSession, text: str, **options) -> DataFrame:
             if any(ch in cell for ch in (',', '"', '\n', '\r')):
                 cell = '"' + cell.replace('"', '""') + '"'
             out.append(cell)
-        return ",".join(out)
+        rec = ",".join(out)
+        return rec if rec else '""'  # lone empty field: survive blank-line drop
 
-    records = [_serialize(r) for r in _csv.reader(_io.StringIO(text))]
+    records = [_serialize(r) for r in rows]
+    if not records and names is not None:
+        # header-only input: an empty frame with the header's columns
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(n if n else f"_c{i}", T.StringType())
+                    for i, n in enumerate(names)
+                ]
+            ),
+        )
     reader = (
-        spark.read.option("header", header)
+        spark.read.option("header", False)
         .option("inferSchema", infer)
         .option("escape", '"')
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
@@ -164,6 +202,8 @@ def read_csv_text(spark: SparkSession, text: str, **options) -> DataFrame:
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.csv(spark.sparkContext.parallelize(records))
+    if names is not None:
+        df = df.toDF(*[n if n else f"_c{i}" for i, n in enumerate(names)])
     if infer:
         df = _conform_reference_types(df)
     return df

@@ -42,11 +42,12 @@ def _norm_words(c: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")), " ")
 
 
-def _ngrams_of_words(words_col: str, n: int) -> Column:
-    """Distinct space-joined n-grams of an already-materialized word
-    array column. Documents shorter than ``n`` words yield an empty
-    array (they cannot be contaminated at this n)."""
-    words = F.col(words_col)
+def _ngrams_of_words(words: Column | str, n: int) -> Column:
+    """Distinct space-joined n-grams of a word-array column. Documents
+    shorter than ``n`` words yield an empty array (they cannot be
+    contaminated at this n). Pass the NAME of a materialized column in
+    operator pipelines (see :func:`_norm_words` for why)."""
+    words = F.col(words) if isinstance(words, str) else words
     k = F.size(words) - F.lit(n - 1)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
@@ -60,31 +61,26 @@ def _ngrams_of_words(words_col: str, n: int) -> Column:
 
 def word_ngrams(c: Column, n: int) -> Column:
     """Single-expression convenience form of the normalize -> n-gram
-    pipeline. Prefer the two-projection shape inside operators (see
-    :func:`_norm_words`); this form re-evaluates the normalization per
-    position and is only for ad-hoc column use."""
-    words = F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")), " ")
-    k = F.size(words) - F.lit(n - 1)
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            )
-        )
-    )
+    pipeline (the same two building blocks composed inline). Prefer the
+    two-projection shape inside operators (see :func:`_norm_words`);
+    this form re-evaluates the normalization per position and is only
+    for ad-hoc column use."""
+    return _ngrams_of_words(_norm_words(c), n)
 
 
-def _ngram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, g) relation: one row per distinct n-gram hash per document.
-    Normalization materializes in its own projection (see
-    :func:`_norm_words`); the input is spread across the cluster first
-    when the file layout underfeeds the cores (dedup._spread)."""
+def _ngram_hashes(df: DataFrame, text_col: str, id_col: str | None, n: int) -> DataFrame:
+    """N-gram hash relation: ``(id, g)`` rows, or just ``(g)`` when
+    ``id_col`` is None (the eval side needs only set membership — no id
+    column is required of benchmark frames). Normalization materializes
+    in its own projection (see :func:`_norm_words`); the input is
+    spread across the cluster first when the file layout underfeeds the
+    cores (dedup._spread)."""
+    ids = [F.col(id_col).alias("id")] if id_col else []
     return (
         _spread(df)
-        .select(F.col(id_col).alias("id"), _norm_words(F.col(text_col)).alias("__w"))
-        .select("id", F.explode(_ngrams_of_words("__w", n)).alias("__g"))
-        .select("id", F.xxhash64("__g").alias("g"))
+        .select(*ids, _norm_words(F.col(text_col)).alias("__w"))
+        .select(*(["id"] if id_col else []), F.explode(_ngrams_of_words("__w", n)).alias("__g"))
+        .select(*(["id"] if id_col else []), F.xxhash64("__g").alias("g"))
     )
 
 
@@ -102,12 +98,10 @@ def contamination_report(
     is a verbatim inclusion). Clean documents are absent.
 
     One corpus scan, zero corpus shuffles before the (contaminated-only)
-    aggregate: the eval n-gram hash set is explicitly broadcast."""
-    ev = (
-        _ngram_hashes(evals, eval_text_col or text_col, id_col, n)
-        .select("g")
-        .distinct()
-    )
+    aggregate: the eval n-gram hash set is explicitly broadcast. The
+    eval frame needs only its text column (``eval_text_col``, default
+    ``text_col``) — no id column is required of benchmark frames."""
+    ev = _ngram_hashes(evals, eval_text_col or text_col, None, n).distinct()
     cg = _ngram_hashes(corpus, text_col, id_col, n)
     return (
         cg.join(F.broadcast(ev), "g")

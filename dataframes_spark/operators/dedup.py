@@ -57,6 +57,17 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def md5_long60(c: Column) -> Column:
+    """Top 60 bits of ``md5(input)`` as a non-negative BIGINT — the ONE
+    engine-portable hash expression every md5-mode operator shares
+    (minhash lanes, simhash bits, hyperplane components). 15 hex chars
+    keep the value positive and well inside int64; the oracle twin is
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``. Kept as a single
+    helper because the whole oracle-twin contract rides on the two
+    sides staying bit-identical."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact content value.
 
@@ -170,11 +181,7 @@ def minhash_signatures(
     if lane_hash == "xxhash64":
         hash_one = lambda s: F.xxhash64(s)  # noqa: E731
     elif lane_hash == "md5":
-        # 15 hex chars = 60 bits: always positive, well inside int64, and
-        # hex-parseable by any SQL engine (oracle: ('0x'||h)::BIGINT)
-        hash_one = lambda s: F.conv(  # noqa: E731
-            F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
-        ).cast("long")
+        hash_one = md5_long60
     else:
         raise ValueError(f"lane_hash must be 'xxhash64' or 'md5', got {lane_hash!r}")
     base = shingled(_spread(df), text_col, id_col, shingle_k).select(
@@ -262,6 +269,11 @@ def _bucket_pair_expand(banded: DataFrame) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
+        # duplicate ids in the input (a non-key id column) would pair
+        # with themselves under the positional expansion; filter the
+        # degenerate (x, x) pairs — the strictness a join formulation
+        # got from its `<` condition
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 
@@ -565,9 +577,7 @@ def simhash(
     elif lane_hash == "md5":
         if num_bits > 60:
             raise ValueError("md5 mode exposes 60 hash bits; num_bits <= 60")
-        hash_one = lambda s: F.conv(  # noqa: E731
-            F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
-        ).cast("long")
+        hash_one = md5_long60
     else:
         raise ValueError(f"lane_hash must be 'xxhash64' or 'md5', got {lane_hash!r}")
     if not 1 <= num_bits <= 64:

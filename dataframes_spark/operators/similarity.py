@@ -142,19 +142,9 @@ def hyperplane_buckets(
 
     def plane_component(p: int, idx: Column) -> Column:
         if plane_hash == "md5":
-            h = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{seed}:{p}:"), idx.cast("string")
-                        ).cast("binary")
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            from dataframes_spark.operators.dedup import md5_long60
+
+            h = md5_long60(F.concat(F.lit(f"{seed}:{p}:"), idx.cast("string")))
         else:
             h = F.xxhash64(F.lit(seed), F.lit(p), idx)
         return F.pmod(h, F.lit(1 << 20)) / F.lit(float(1 << 19)) - F.lit(1.0)

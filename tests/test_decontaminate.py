@@ -121,3 +121,13 @@ def test_word_ngrams_match_python_model_property(spark):
             assert got[i] == py_ngrams(t, n), (t, n)
 
     check()
+
+
+def test_eval_frame_needs_no_id_column(spark, corpus):
+    """Benchmark frames carry their own schemas; the eval side must work
+    with only a text column (no corpus id column present)."""
+    evals = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], ["text"]
+    )
+    rep = dc.contamination_report(corpus, evals, "text", "doc_id", n=8)
+    assert {r.id for r in rep.collect()} == {1, 2}

@@ -108,3 +108,18 @@ def test_simhash_md5_rejects_too_many_bits(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dd.simhash(df, "text", "doc_id", num_bits=64, lane_hash="md5")
+
+
+def test_bucket_pair_expand_no_self_pairs_on_duplicate_ids(spark):
+    """A non-key id column (duplicate ids) must not produce degenerate
+    (x, x) candidate pairs from the positional in-bucket expansion."""
+    df = spark.createDataFrame(
+        [(7, "same text here ok"), (7, "same text here ok"), (8, "same text here ok")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_candidates(df, "text", "doc_id").collect()
+    }
+    assert (7, 7) not in pairs
+    assert (7, 8) in pairs

@@ -177,3 +177,25 @@ def test_read_csv_text_quoted_multiline(spark):
     rows = {r.a: r.b for r in df.collect()}
     assert rows[1] == "line one\nline two"
     assert rows[2] == 'say "hi"'
+
+
+def test_read_csv_text_row_equal_to_header_survives(spark):
+    """Spark's Dataset[String] header mode drops EVERY line equal to the
+    first; the driver-side header split must keep such data rows."""
+    df = readers.read_csv_text(spark, "a,b\n1,2\na,b\n")
+    rows = sorted((str(r.a), str(r.b)) for r in df.collect())
+    assert rows == [("1", "2"), ("a", "b")]
+
+
+def test_read_csv_text_huge_field(spark):
+    """Fields beyond stdlib csv's default 128 KiB limit must parse (the
+    limit is lifted for the record-splitting pass)."""
+    big = "x" * 300_000
+    df = readers.read_csv_text(spark, f'id,doc\n1,"{big}"\n')
+    [r] = df.collect()
+    assert len(r.doc) == 300_000
+
+
+def test_read_csv_text_header_only(spark):
+    df = readers.read_csv_text(spark, "a,b\n")
+    assert df.columns == ["a", "b"] and df.count() == 0
