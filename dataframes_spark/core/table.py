@@ -91,6 +91,17 @@ class Table:
             tuple(v[i] if i < len(v) else None for v in columns.values())
             for i in range(n)
         ]
+        if not rows:
+            # empty columns are legal in the reference (Table.luna:68-96);
+            # with zero rows Spark cannot infer types, so give the frame
+            # an explicit all-string schema (the reference's untyped-empty
+            # columns default to its text type as well)
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [T.StructField(name, T.StringType()) for name in columns]
+            )
+            return cls(spark.createDataFrame([], schema))
         return cls(spark.createDataFrame(rows, list(columns.keys())))
 
     @classmethod

@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 
 
+
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for use inside F.expr SQL text — a
+    column named ``a-b`` must not parse as subtraction (silently wrong
+    stats), and spaces/dots/keywords must not throw."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq(name: str) -> str:
+    """Single-quote a name as a SQL string literal (stack labels)."""
+    return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def numeric_columns(df: DataFrame) -> list[str]:
     return [c for c, t in df.dtypes if t.split("(")[0] in NUMERIC_TYPES]
 
@@ -43,11 +56,11 @@ def column_stats(df: DataFrame, col: str, quantile: float = 1.0 / 3.0) -> DataFr
         F.min(c).cast("double").alias("min"),
         F.max(c).cast("double").alias("max"),
         F.avg(c).alias("mean"),
-        F.expr(f"percentile({col}, 0.5)").alias("median"),
+        F.expr(f"percentile({_bq(col)}, 0.5)").alias("median"),
         F.stddev_pop(c).alias("std"),
         F.var_pop(c).alias("var"),
         F.sum(c).cast("double").alias("sum"),
-        F.expr(f"percentile({col}, {quantile!r})").alias("quantile"),
+        F.expr(f"percentile({_bq(col)}, {quantile!r})").alias("quantile"),
     )
 
 
@@ -73,7 +86,7 @@ def quantile(
     ``median_approx`` family unless bit-parity matters.
     """
     if method == "ansi":
-        return df.agg(F.expr(f"percentile({col}, {q!r})").alias("quantile"))
+        return df.agg(F.expr(f"percentile({_bq(col)}, {q!r})").alias("quantile"))
     if method != "reference":
         raise ValueError(f"method must be 'ansi' or 'reference', got {method!r}")
     from pyspark.sql import Window as W
@@ -129,14 +142,15 @@ def describe(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             F.avg(c).alias(f"{c}__mean"),
             F.stddev_pop(c).alias(f"{c}__std"),
             F.min(c).cast("double").alias(f"{c}__min"),
-            F.expr(f"percentile({c}, 0.25)").alias(f"{c}__q25"),
-            F.expr(f"percentile({c}, 0.5)").alias(f"{c}__median"),
-            F.expr(f"percentile({c}, 0.75)").alias(f"{c}__q75"),
+            F.expr(f"percentile({_bq(c)}, 0.25)").alias(f"{c}__q25"),
+            F.expr(f"percentile({_bq(c)}, 0.5)").alias(f"{c}__median"),
+            F.expr(f"percentile({_bq(c)}, 0.75)").alias(f"{c}__q75"),
             F.max(c).cast("double").alias(f"{c}__max"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__mean, {c}__std, {c}__min, {c}__q25, {c}__median, {c}__q75, {c}__max"
+        f"{_sq(c)}, " + ", ".join(_bq(f"{c}__{s}") for s in
+            ("mean", "std", "min", "q25", "median", "q75", "max"))
         for c in cols
     )
     n = len(cols)
@@ -156,7 +170,7 @@ def describe_na(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     for c in cols:
         aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"))
     wide = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', {c}__nulls" for c in cols)
+    stack_args = ", ".join(f"{_sq(c)}, {_bq(f'{c}__nulls')}" for c in cols)
     return wide.select(
         F.expr(f"stack({len(cols)}, {stack_args}) as (column, null_count)"),
         (F.col("__n")).alias("__n"),
@@ -180,7 +194,9 @@ def correlations(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     ]
     wide = df.agg(*aggs)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
-    stack_args = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    stack_args = ", ".join(
+        f"{_sq(a)}, {_sq(b)}, {_bq(f'{a}__{b}')}" for a, b in pairs
+    )
     return wide.select(
         F.expr(f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)")
     )
@@ -192,7 +208,7 @@ def correlations_with(df: DataFrame, target: str, cols: Sequence[str] | None = N
     cols = list(cols) if cols is not None else numeric_columns(df)
     aggs = [F.corr(c, target).alias(c) for c in cols]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+    stack_args = ", ".join(f"{_sq(c)}, {_bq(c)}" for c in cols)
     return wide.select(
         F.expr(f"stack({len(cols)}, {stack_args}) as (column, corr)")
     ).orderBy(F.col("corr").desc())

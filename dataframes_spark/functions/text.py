@@ -103,10 +103,12 @@ def language_guess(c: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
-def fingerprint(c: Column, window: int = 8) -> Column:
-    """Document fingerprint: 64-bit hash of the whitespace-normalized,
-    lowercased text. Rolling/winnowed variants build on the shingle
-    machinery in operators/dedup.py."""
+def fingerprint(c: Column) -> Column:
+    """Whole-document fingerprint: 64-bit hash of the
+    whitespace-normalized, lowercased text. For windowed/rolling
+    fingerprints use :func:`winnow_fingerprints` — this form
+    deliberately has no window knob (a previous ``window`` parameter
+    was accepted and silently ignored)."""
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return F.xxhash64(norm)
 

@@ -160,7 +160,10 @@ def read_csv_text(spark: SparkSession, text: str, **options) -> DataFrame:
     # such limit, so lift it for the record-splitting pass
     old_limit = _csv.field_size_limit(_sys.maxsize)
     try:
-        rows = list(_csv.reader(_io.StringIO(text)))
+        # drop truly blank lines (csv.reader yields [] for them) for
+        # parity with the file path, where Spark's reader skips them; a
+        # quoted-empty single-field record yields [''] and is KEPT
+        rows = [r for r in _csv.reader(_io.StringIO(text)) if r]
     finally:
         _csv.field_size_limit(old_limit)
 

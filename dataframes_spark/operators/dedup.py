@@ -387,11 +387,23 @@ def jaccard_verify(
     cand = candidates.repartition(
         candidates.sparkSession.sparkContext.defaultParallelism
     )
-    # plain equi-joins: the shingle relation scales WITH THE CORPUS, so it
-    # must never be forced broadcast (a driver collect of the corpus);
-    # AQE broadcasts the genuinely-small side adaptively when one exists
+    return _verify_pairs(cand, sets, min_jaccard)
+
+
+def _verify_pairs(
+    candidates: DataFrame, sets: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Exact-Jaccard scoring of an (id_a, id_b) relation against a
+    hashed shingle-set relation ``(id, sh)`` — the ONE definition of the
+    verify stage, shared by :func:`jaccard_verify` and
+    :func:`near_dup_pairs` so the intersect/metric arithmetic cannot
+    drift between them.
+
+    Plain equi-joins: the shingle relation scales WITH THE CORPUS, so it
+    must never be forced broadcast (a driver collect of the corpus);
+    AQE broadcasts the genuinely-small side adaptively when one exists."""
     out = (
-        cand.join(
+        candidates.join(
             sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
@@ -499,24 +511,10 @@ def near_dup_pairs(
         .filter(agree >= F.lit(int(est_cut * num_hashes)))
         .select("id_a", "id_b")
     )
-    # Stage 2 — exact verification of the survivors only.
-    pairs = (
-        prefiltered.join(
-            sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-        )
-        .select("id_a", "id_b", "jaccard")
-        .filter(F.col("jaccard") >= min_jaccard)
-    )
+    # Stage 2 — exact verification of the survivors only (the shared
+    # _verify_pairs definition; min_jaccard > 0 always holds here so the
+    # threshold filter is applied inside).
+    pairs = _verify_pairs(prefiltered, sets, min_jaccard)
     if materialize:
         # Materialize the result (sized by TRUE near-dups — tiny vs the
         # corpus) so the corpus-sized shingle cache can be released right
@@ -669,13 +667,19 @@ def embedding_near_dups(
     for pairs straddling a hyperplane — raise recall by lowering
     ``num_planes`` (bigger buckets) or unioning several seeds.
     """
-    from dataframes_spark.operators.similarity import _dot, _unit, hyperplane_buckets
+    from dataframes_spark.operators.similarity import _dot, _norm, hyperplane_buckets
 
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     if num_planes > 0:
+        # (vec, nrm) with norms divided out per pair — a unit-normalize
+        # transform re-evaluates its captured norm per element
+        # (O(d^2)/row; see similarity._unit)
         base = hyperplane_buckets(df, vec_col, id_col, num_planes, seed)
         prepped = base.select(
-            F.col(id_col).alias("id"), F.col("bucket"), _unit(vd).alias("unit")
+            F.col(id_col).alias("id"),
+            F.col("bucket"),
+            vd.alias("vec"),
+            _norm(vd).alias("nrm"),
         )
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
         return (
@@ -684,7 +688,10 @@ def embedding_near_dups(
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+                (
+                    _dot(F.col("a.vec"), F.col("b.vec"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                ).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
         )
@@ -714,18 +721,24 @@ def embedding_near_dups(
             for j in range(n_blocks)
         ]
     )
+    # ship RAW vectors; normalization happens once per vector inside the
+    # numpy kernel (a Spark-side unit-normalize transform re-evaluates
+    # its captured norm per element — O(d^2)/row; see similarity._unit)
     prepped = (
-        df.select(F.col(id_col).alias("id"), _unit(vd).alias("unit"))
+        df.select(F.col(id_col).alias("id"), vd.alias("vec"))
         .withColumn("__b", block)
         .withColumn("__t", F.explode(tasks))
-        .select("id", "unit", "__b", F.col("__t.ti").alias("ti"), F.col("__t.tj").alias("tj"))
+        .select("id", "vec", "__b", F.col("__t.ti").alias("ti"), F.col("__t.tj").alias("tj"))
     )
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
-        units = np.stack(pdf["unit"].to_numpy())
+        vecs = np.stack(pdf["vec"].to_numpy())
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0, not NaN
+        units = vecs / norms
         ids = pdf["id"].to_numpy()
         if ti == tj:
             m = units @ units.T

@@ -34,6 +34,7 @@ def fill_na(df: DataFrame, value, subset: Sequence[str] | None = None) -> DataFr
     cols = set(subset) if subset else set(df.columns)
     dtypes = dict(df.dtypes)
     integral = ("int", "bigint", "smallint", "tinyint")
+    probed: dict[str, bool] = {}  # one cast probe per distinct dtype
     if isinstance(value, str):
         for c in cols:
             if dtypes[c].startswith(integral):
@@ -47,7 +48,7 @@ def fill_na(df: DataFrame, value, subset: Sequence[str] | None = None) -> DataFr
                     raise ValueError(
                         f"cannot coerce fill value {value!r} to integral column {c!r}"
                     )
-            elif dtypes[c].startswith(("double", "float")):
+            elif dtypes[c].startswith(("double", "float", "decimal")):
                 # same looseness hazard: float('5_0.5') parses but Spark's
                 # cast nulls it — reject underscored literals explicitly
                 try:
@@ -58,6 +59,23 @@ def fill_na(df: DataFrame, value, subset: Sequence[str] | None = None) -> DataFr
                     raise ValueError(
                         f"cannot coerce fill value {value!r} to numeric column {c!r}"
                     ) from None
+            elif dtypes[c].startswith(("timestamp", "date", "boolean")):
+                # for non-numeric typed columns the hazard is mode-dependent
+                # (non-ANSI: cast -> NULL -> silent no-op fill; ANSI: a raw
+                # DateTimeException at action time) and there is no cheap
+                # driver-side grammar twin of Spark's parser; probe with
+                # try_cast on a literal-only plan (no data scan, constant-
+                # folded, never throws) so an unparseable fill raises ONE
+                # clear ValueError up front under either mode
+                if dtypes[c] not in probed:
+                    probe = df.sparkSession.range(1).select(
+                        F.lit(value).try_cast(df.schema[c].dataType).alias("v")
+                    )
+                    probed[dtypes[c]] = probe.first()["v"] is not None
+                if not probed[dtypes[c]]:
+                    raise ValueError(
+                        f"cannot coerce fill value {value!r} to {dtypes[c]} column {c!r}"
+                    )
     elif isinstance(value, float) and not value.is_integer():
         for c in cols:
             if dtypes[c].startswith(integral):

@@ -53,13 +53,17 @@ def chunk_text(
     if not 0 <= overlap < chunk_chars:
         raise ValueError(f"overlap must be in [0, chunk_chars), got {overlap}")
     step = chunk_chars - overlap
+    # NULL text coalesces to '' so the document still emits its one
+    # (empty) chunk — a null length would null the sequence bound and
+    # explode would silently DROP the row, losing the id from the output
+    text = F.coalesce(F.col(text_col), F.lit(""))
     n_chunks = F.greatest(
         F.lit(1),
-        F.ceil((F.length(text_col) - F.lit(overlap)) / F.lit(step)).cast("int"),
+        F.ceil((F.length(text) - F.lit(overlap)) / F.lit(step)).cast("int"),
     )
     return df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("__t"),
+        text.alias("__t"),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
     ).select(
         "id",

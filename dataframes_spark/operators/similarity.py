@@ -41,10 +41,21 @@ def _norm(a: Column) -> Column:
 
 
 def _unit(vd: Column) -> Column:
-    """Normalize an array to unit length (norm computed once via a let-style
-    single-arg closure; multi-arg lambdas would bind the HOF index arg)."""
+    """Normalize an array to unit length in O(d) per row.
+
+    NOT ``transform(vd, v -> v / norm)``: a lambda-captured norm
+    aggregate re-evaluates PER ELEMENT (O(d^2)/row, measured ~25x at
+    512 dims — the HOF-capture pitfall dedup._shingles_of_norm
+    documents; a withColumn barrier does not help, CollapseProject
+    re-inlines single-use projections). Instead the norm is passed as a
+    regular argument to ``array_repeat`` — evaluated once — and
+    ``zip_with`` divides element-wise with no capture. Pair-scoring
+    operators still prefer carrying ``(vec, nrm)`` and dividing norms
+    out per pair, which also skips the repeated-norm array."""
     n = _norm(vd)
-    return F.transform(vd, lambda v: v / n)
+    return F.zip_with(
+        vd, F.array_repeat(n, F.size(vd)), lambda v, nn: v / nn
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -93,9 +104,13 @@ def all_pairs_topk(
     from pyspark.sql import Window as W
 
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # raw vector + scalar norm, norms divided out once per pair: O(d)
+    # per pair, where a unit-normalize transform would re-evaluate the
+    # captured norm per element (O(d^2) per row; see _unit)
     prepped = df.select(
         F.col(id_col).alias("id"),
-        _unit(vd).alias("unit"),
+        vd.alias("vec"),
+        _norm(vd).alias("nrm"),
     )
     pairs = (
         prepped.alias("a")
@@ -103,7 +118,10 @@ def all_pairs_topk(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+            (
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
@@ -244,10 +262,13 @@ def lsh_bucket_topk(
 
     b = hyperplane_buckets(df, vec_col, id_col, num_planes, seed)
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # (vec, nrm) with norms divided out per pair — not a unit-normalize
+    # transform, whose captured norm re-evaluates per element (see _unit)
     prepped = b.select(
         F.col(id_col).alias("id"),
         "bucket",
-        _unit(vd).alias("unit"),
+        vd.alias("vec"),
+        _norm(vd).alias("nrm"),
     )
     pairs = (
         prepped.alias("a")
@@ -258,7 +279,10 @@ def lsh_bucket_topk(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+            (
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())

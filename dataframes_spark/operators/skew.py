@@ -85,7 +85,11 @@ def aggregate_by_skew_safe(
             F.count(F.lit(1)).alias(f"__{c}_n"),
             F.count(col).alias(f"__{c}_nv"),
             F.sum(col).alias(f"__{c}_s"),
-            F.sum(col * col).alias(f"__{c}_ss"),
+            # per-shard Welford variance: each shard's M2 comes from
+            # Spark's numerically stable var_pop, so the raw sum-of-
+            # squares moment (catastrophic cancellation at large means,
+            # sqrt(negative) -> NaN) never exists
+            F.var_pop(col).alias(f"__{c}_vp"),
             F.min(col).alias(f"__{c}_mn"),
             F.max(col).alias(f"__{c}_mx"),
         ]
@@ -95,7 +99,6 @@ def aggregate_by_skew_safe(
         n = F.sum(f"__{c}_n")
         nv = F.sum(f"__{c}_nv")
         s = F.sum(f"__{c}_s")
-        ss = F.sum(f"__{c}_ss")
         if fn == "length":
             expr = n
         elif fn == "sum":
@@ -107,8 +110,23 @@ def aggregate_by_skew_safe(
         elif fn == "mean":
             expr = F.when(nv >= 1, s / nv)
         elif fn == "std":
-            # population std from merged moments; gated like the plain path
-            expr = F.when(nv >= 2, F.sqrt(ss / nv - (s / nv) * (s / nv)))
+            # population std via parallel-variance merge: total M2 =
+            # sum of shard M2s (vp_i * nv_i) + between-shard term.
+            # Clamped at 0: the between-shard cancellation can leave a
+            # tiny negative (or ~1e-18 positive -> std ~1e-9 on exactly-
+            # constant columns — the documented delta vs the plain
+            # path's exact 0.0); the clamp guarantees no NaN.
+            m2w = F.sum(
+                F.coalesce(F.col(f"__{c}_vp") * F.col(f"__{c}_nv"), F.lit(0.0))
+            )
+            smw = F.sum(
+                F.when(
+                    F.col(f"__{c}_nv") > 0,
+                    F.col(f"__{c}_s") * F.col(f"__{c}_s") / F.col(f"__{c}_nv"),
+                ).otherwise(F.lit(0.0))
+            )
+            var = (m2w + smw - s * s / nv) / nv
+            expr = F.when(nv >= 2, F.sqrt(F.greatest(F.lit(0.0), var)))
         else:  # pragma: no cover - guarded above
             raise AssertionError(fn)
         return expr.cast("double").alias(f"{c}_{fn}")
@@ -130,7 +148,20 @@ def replicate_join(
     key; pass ``id_col`` to spread exact-duplicate fact rows), the
     dimension is exploded ``salt_buckets`` times, and the join key becomes
     (on, salt) — every hot join key spreads over ``salt_buckets`` reducers
-    instead of one."""
+    instead of one.
+
+    Only fact-preserving join types are accepted: under right/full outer
+    joins an UNMATCHED dimension row survives once per salt replica, so
+    the result would carry ``salt_buckets`` copies of it. Those joins
+    need a different strategy (AQE skew handling on a plain join), not
+    replication."""
+    if how.lower().replace("_", "") not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti", "cross",
+    ):
+        raise ValueError(
+            f"replicate_join supports fact-preserving joins only, got {how!r}: "
+            "an unmatched dim row would be emitted once per salt replica"
+        )
     salted_fact = fact.withColumn("__salt", _salt(fact, salt_buckets, id_col))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -172,3 +172,12 @@ def test_pack_stats_fill(spark, sized_df):
     )
     stats = {r.pack_id: r for r in dpack.pack_stats(packed, "size", 100).collect()}
     assert stats[0].n_docs == 2 and stats[0].fill == 1.2
+
+
+def test_chunk_text_null_text_keeps_row(spark):
+    # null text must not silently drop the document from the chunk
+    # output (a null sequence bound would explode to zero rows)
+    df = spark.createDataFrame([(1, None), (2, "abcdef")], "doc_id int, text string")
+    got = {(r.id, r.chunk_index): r.chunk for r in dpack.chunk_text(df, "text", "doc_id", 4).collect()}
+    assert got[(1, 0)] == ""
+    assert got[(2, 0)] == "abcd"

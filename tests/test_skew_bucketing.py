@@ -165,3 +165,37 @@ def test_bucketed_aggregation_skips_shuffle(spark):
         assert agg.count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_g")
+
+
+def test_salted_std_constant_column_no_nan(spark):
+    """The raw-moment formula could return NaN (sqrt of a negative
+    cancellation residue) and drifted visibly from stddev_pop on
+    constant columns; the var_pop-merge form must stay finite and ~0."""
+    import math
+
+    from dataframes_spark.operators.skew import aggregate_by_skew_safe
+
+    df = spark.createDataFrame([(1, 0.1)] * 7 + [(2, 3.5)], ["k", "v"])
+    got = {
+        r.k: r.v_std
+        for r in aggregate_by_skew_safe(
+            df, "k", [("v", ["std"])], salt_buckets=4
+        ).collect()
+    }
+    assert not math.isnan(got[1]) and abs(got[1]) < 1e-6  # constant column
+    assert got[2] is None  # single sample: gated like the plain path
+
+
+def test_replicate_join_rejects_dim_duplicating_joins(spark):
+    import pytest
+
+    from dataframes_spark.operators.skew import replicate_join
+
+    fact = spark.createDataFrame([(1, "a")], ["k", "x"])
+    dim = spark.createDataFrame([(1, "y"), (2, "z")], ["k", "d"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            replicate_join(fact, dim, "k", salt_buckets=4, how=how)
+    # fact-preserving joins still work and never duplicate
+    out = replicate_join(fact, dim, "k", salt_buckets=4, how="left")
+    assert out.count() == 1

@@ -199,3 +199,34 @@ def test_read_csv_text_huge_field(spark):
 def test_read_csv_text_header_only(spark):
     df = readers.read_csv_text(spark, "a,b\n")
     assert df.columns == ["a", "b"] and df.count() == 0
+
+
+def test_describe_quotes_awkward_column_names(spark):
+    """A column named 'a-b' must be treated as an identifier, not parsed
+    as the subtraction a - b (silently wrong stats)."""
+    from dataframes_spark.functions import stats
+
+    df = spark.createDataFrame([(1.0, 2.0, 5.0), (3.0, 4.0, 7.0)], ["a", "b", "a-b"])
+    rows = {r.column: r for r in stats.describe(df).collect()}
+    assert rows["a-b"].mean == 6.0  # NOT mean(a) - mean(b) == -1.0
+    corr = {(r.col_a, r.col_b): r.corr for r in stats.correlations(df).collect()}
+    assert abs(corr[("a", "a-b")] - 1.0) < 1e-12
+
+
+def test_fill_na_validates_timestamp_fills(spark):
+    import pytest
+
+    from dataframes_spark.operators.nulls import fill_na
+
+    df = spark.createDataFrame([(1, None)], "id int, ts timestamp")
+    with pytest.raises(ValueError):
+        fill_na(df, "n/a", subset=["ts"])
+    [r] = fill_na(df, "2024-01-01 00:00:00", subset=["ts"]).collect()
+    assert r.ts is not None
+
+
+def test_from_columns_empty(spark):
+    from dataframes_spark.core.table import Table
+
+    t = Table.fromColumns(spark, {"x": [], "y": []})
+    assert t.df.columns == ["x", "y"] and t.df.count() == 0
