@@ -24,7 +24,22 @@ Layout:
     streaming.*        Structured Streaming variants of the event operators
 """
 
-from dataframes_spark.session import get_spark
+from dataframes_spark.session import get_spark, load_table
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "load_table", "Table", "read_auto"]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Table / read_auto exported lazily: importing the package stays
+    # cheap for callers that only want get_spark, while reference users
+    # keep the one-line `from dataframes_spark import Table` entry point
+    if name == "Table":
+        from dataframes_spark.core.table import Table
+
+        return Table
+    if name == "read_auto":
+        from dataframes_spark.io.readers import read_auto
+
+        return read_auto
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
