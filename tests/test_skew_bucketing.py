@@ -199,3 +199,70 @@ def test_replicate_join_rejects_dim_duplicating_joins(spark):
     # fact-preserving joins still work and never duplicate
     out = replicate_join(fact, dim, "k", salt_buckets=4, how="left")
     assert out.count() == 1
+
+
+def test_salted_agg_matches_plain_agg_property(spark):
+    """Hypothesis-driven: for random groups/values (including nulls and
+    hot keys), the salted two-stage aggregation must be invisible —
+    same results as a direct groupBy to float tolerance, exactly for
+    count-like aggregates."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from dataframes_spark.operators.skew import aggregate_by_skew_safe
+
+    values = st.lists(
+        st.tuples(
+            st.integers(0, 2),  # 3 keys -> hot by construction
+            st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(rows=values)
+    def check(rows):
+        df = spark.createDataFrame(
+            [(k, float(v) if v is not None else None) for k, v in rows],
+            "k int, v double",
+        )
+        salted = {
+            r.k: r
+            for r in aggregate_by_skew_safe(
+                df, "k", [("v", ["sum", "mean", "length", "min", "max", "std"])],
+                salt_buckets=4,
+            ).collect()
+        }
+        import pyspark.sql.functions as F
+
+        plain = {
+            r.k: r
+            for r in df.groupBy("k")
+            .agg(
+                F.coalesce(F.sum("v"), F.lit(0.0)).alias("sum"),
+                F.avg("v").alias("mean"),
+                F.count(F.lit(1)).cast("double").alias("length"),
+                F.min("v").alias("min"),
+                F.max("v").alias("max"),
+                F.when(F.count("v") >= 2, F.stddev_pop("v")).alias("std"),
+            )
+            .collect()
+        }
+        assert set(salted) == set(plain)
+        for k in plain:
+            s, p = salted[k], plain[k]
+            assert s.v_length == p.length
+            assert s.v_min == p.min and s.v_max == p.max
+            for a, b in ((s.v_sum, p.sum), (s.v_mean, p.mean)):
+                if b is None:
+                    assert a is None
+                else:
+                    assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+            if p.std is None:
+                assert s.v_std is None
+            else:
+                assert math.isclose(s.v_std, p.std, rel_tol=1e-7, abs_tol=1e-6)
+
+    check()
