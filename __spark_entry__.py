@@ -919,6 +919,36 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("ewma", 6).alias("ewma"))
 
 
+def interval_overlap_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided interval-overlap join (operators/interval.py
+    interval_overlap_join — the multimodal-alignment shape): per user,
+    purchase attention windows [ts, ts+1h) against click windows
+    [ts, ts+30m), counted per purchase. Bucketized equi-join with
+    arithmetic pair dedup; the oracle is the direct inequality join."""
+    ev = _t(spark, sf_dir, "events")
+    from dataframes_spark.operators.interval import interval_overlap_join
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event"),
+        "user_id",
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("c_end"),
+    )
+    joined = interval_overlap_join(
+        p, c, "p_start", "p_end", "c_start", "c_end",
+        bucket_width=3600e6, extra_on=["user_id"],
+    )
+    return joined.groupBy("p_event").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
 def range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join (operators/interval.py): clicks landing in
     the day after each purchase by the same user — equi-join on
@@ -1172,14 +1202,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lsh_buckets_md5 + simhash_fingerprints_md5 — value-checked ANN
     # bucketing and simhash arithmetic; salted_agg_events — first driver
     # row for the skew tooling, oracle = the plain GROUP BY salting must
-    # be invisible against). Eight multiply-green rows (count_values,
+    # be invisible against; interval_overlap_purchases — two-sided
+    # interval join). Nine multiply-green rows (count_values,
     # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
-    # fillna_zero, group_collect_lists, media_decode_stats — all green
-    # r1-r4) rotate out to make room; their families stay represented
-    # in-window (aggregate_contract, sort family via window_topn, the
-    # ungroup family via ungroup_explode, set ops via setop_custkeys,
-    # nulls via interpolate_linear, multimodal via
-    # frame_sample_timestamps) and
+    # fillna_zero, group_collect_lists, media_decode_stats, rsi_by_flag —
+    # all green r1-r4) rotate out to make room; their families stay
+    # represented in-window (aggregate_contract + column_stats +
+    # first_last_by_type, sort family via window_topn, the ungroup
+    # family via ungroup_explode, set ops via setop_custkeys, nulls via
+    # interpolate_linear, multimodal via frame_sample_timestamps) and
     # every rotated-out row remains covered by tools/check_oracle.py +
     # unit tests. Keep this discipline: any NEW query must enter within
     # the first 50 in the round it ships.
@@ -1212,11 +1243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets_md5": lsh_buckets_md5,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "salted_agg_events": salted_agg_events,
+        "interval_overlap_purchases": interval_overlap_purchases,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
         "column_stats": column_stats,
-        "rsi_by_flag": rsi_by_flag,
         "first_last_by_type": first_last_by_type,
         "interpolate_linear": interpolate_linear,
         "ungroup_explode": ungroup_explode,
@@ -1247,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillna_zero": fillna_zero,
         "group_collect_lists": group_collect_lists,
         "media_decode_stats": media_decode_stats,
+        "rsi_by_flag": rsi_by_flag,
         "lquery_filter": lquery_filter,
         "lquery_map": lquery_map,
         "lquery_arith": lquery_arith,
@@ -2006,6 +2038,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk w JOIN sized s ON s.rn = w.rn + 1
             )
             SELECT doc_id, n_chars, pack_id FROM walk
+        """,
+        "interval_overlap_purchases": """
+            WITH p AS (
+                SELECT event_id AS p_event, user_id, ts AS p_start,
+                       ts + INTERVAL 1 HOUR AS p_end
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT event_id AS c_event, user_id, ts AS c_start,
+                       ts + INTERVAL 30 MINUTE AS c_end
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p_event, CAST(count(*) AS BIGINT) AS n_overlaps
+            FROM p JOIN c USING (user_id)
+            WHERE p_start < c_end AND c_start < p_end
+            GROUP BY p_event
         """,
         "salted_agg_events": """
             -- gates mirror the operator contract exactly: sum coalesces

@@ -365,3 +365,53 @@ def test_asof_join_forward_direction(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         asof_join(trades, quotes, "ts", "sym", direction="nearest")
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketized two-sided interval join: exact recall (every
+    overlapping pair shares >= 1 bucket) and arithmetic dedup (a pair
+    sharing k buckets emits once) against a python brute force,
+    including intervals spanning many buckets."""
+    import itertools
+
+    from dataframes_spark.operators.interval import interval_overlap_join
+
+    lrows = [(i, float(i * 7 % 50), float(i * 7 % 50 + (i % 13) + 1)) for i in range(40)]
+    rrows = [(j, float(j * 11 % 60), float(j * 11 % 60 + (j % 29) + 1)) for j in range(40)]
+    L = spark.createDataFrame(lrows, ["lid", "ls", "le"])
+    R = spark.createDataFrame(rrows, ["rid", "rs", "re"])
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            L, R, "ls", "le", "rs", "re", bucket_width=5.0
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for (li, ls, le), (rj, rs, re) in itertools.product(lrows, rrows)
+        if ls < re and rs < le
+    }
+    assert got == want
+    # closed-end variant adds the touching pairs
+    got_closed = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            L, R, "ls", "le", "rs", "re", bucket_width=5.0, bounds="[]"
+        ).collect()
+    }
+    want_closed = {
+        (li, rj)
+        for (li, ls, le), (rj, rs, re) in itertools.product(lrows, rrows)
+        if ls <= re and rs <= le
+    }
+    assert got_closed == want_closed
+
+
+def test_interval_overlap_join_no_duplicate_pairs(spark):
+    from dataframes_spark.operators.interval import interval_overlap_join
+
+    # one long interval spanning 10 buckets x one inside it: exactly 1 row
+    L = spark.createDataFrame([(1, 0.0, 100.0)], ["lid", "ls", "le"])
+    R = spark.createDataFrame([(2, 40.0, 45.0)], ["rid", "rs", "re"])
+    out = interval_overlap_join(L, R, "ls", "le", "rs", "re", bucket_width=10.0)
+    assert out.count() == 1
