@@ -25,6 +25,7 @@ from dataframes_spark.functions import text as dtext
 from dataframes_spark.operators import aggregate as dagg
 from dataframes_spark.operators import decontaminate as ddecon
 from dataframes_spark.operators import dedup as ddedup
+from dataframes_spark.operators import graph as dgraph
 from dataframes_spark.operators import nulls as dnulls
 from dataframes_spark.operators import pack as dpack
 from dataframes_spark.operators import reshape as dreshape
@@ -752,6 +753,42 @@ def near_dup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End state of corpus dedup: transitively-closed duplicate CLUSTERS
+    from the LSH pair relation (operators/graph.py connected components,
+    min-label + pointer jumping), each node labeled with its cluster's
+    smallest doc_id. The oracle recomputes the same closure with a
+    recursive CTE over the exact all-pairs jaccard relation."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ddedup.near_dup_pairs(
+        docs, "text", "doc_id", min_jaccard=0.8, shingle_k=4, materialize=True
+    )
+    out = dgraph.connected_components(pairs, "id_a", "id_b")
+    return out.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep"))
+
+
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (functions/text.py):
+    duplicate-word, duplicate-bigram, and top-word fractions — one
+    shuffle-free scan of (doc_id, text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.repetition_profile(docs, "text", "doc_id")
+
+
+def mix_corpus_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training mixture over one source-tagged table
+    (operators/sample.py stratified_sample_md5): src0 at ~60%, src1 at
+    ~30%, src2 at ~10%, via engine-reproducible md5 thresholds — a
+    single filtered scan, no shuffle, same rows in any md5 engine."""
+    docs = _t(spark, sf_dir, "documents")
+    from dataframes_spark.operators.sample import stratified_sample_md5
+
+    out = stratified_sample_md5(
+        docs, "source", {"src0": "99", "src1": "4d", "src2": "1a"}, "doc_id"
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: tokens, ratios, quality, language."""
     docs = _t(spark, sf_dir, "documents")
@@ -1203,7 +1240,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bucketing and simhash arithmetic; salted_agg_events — first driver
     # row for the skew tooling, oracle = the plain GROUP BY salting must
     # be invisible against; interval_overlap_purchases — two-sided
-    # interval join). Nine multiply-green rows (count_values,
+    # interval join; near_dup_clusters — connected-components closure of
+    # the LSH pair relation vs a recursive-CTE oracle; repetition_docs —
+    # Gopher-style repetition signals; mix_corpus_sources — md5-threshold
+    # weighted mixture). To make room for the last three,
+    # pivot_returnflag, jaccard_pairs_3gram, and concat_horizontal
+    # (green r1-r4; families still in-window via rollup_qty,
+    # dedup_exact_docs + near_dup_jaccard_lsh, and ungroup_explode)
+    # also rotate out. Nine more multiply-green rows (count_values,
     # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
     # fillna_zero, group_collect_lists, media_decode_stats, rsi_by_flag —
     # all green r1-r4) rotate out to make room; their families stay
@@ -1244,6 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "salted_agg_events": salted_agg_events,
         "interval_overlap_purchases": interval_overlap_purchases,
+        "near_dup_clusters": near_dup_clusters,
+        "repetition_docs": repetition_docs,
+        "mix_corpus_sources": mix_corpus_sources,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1251,7 +1298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last_by_type": first_last_by_type,
         "interpolate_linear": interpolate_linear,
         "ungroup_explode": ungroup_explode,
-        "concat_horizontal": concat_horizontal,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "ols_price_qty": ols_price_qty,
         "pandas_map_column": pandas_map_column,
@@ -1261,15 +1307,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_parts": semi_join_parts,
         "setop_custkeys": setop_custkeys,
         "window_topn_orders": window_topn_orders,
-        "pivot_returnflag": pivot_returnflag,
         "rollup_qty": rollup_qty,
         "dedup_exact_docs": dedup_exact_docs,
-        "jaccard_pairs_3gram": jaccard_pairs_3gram,
         "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
         "doc_profile": doc_profile,
         "embedding_topk": embedding_topk,
         # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
         #    still covered locally by tools/check_oracle.py and tests/
+        "pivot_returnflag": pivot_returnflag,
+        "jaccard_pairs_3gram": jaccard_pairs_3gram,
+        "concat_horizontal": concat_horizontal,
         "count_values": count_values,
         "slice_offset": slice_offset,
         "ungroup_list_column": ungroup_list_column,
@@ -1715,6 +1762,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(t) - 3, 1) + 1),
+                           i -> substring(t, CAST(i AS INT), 4)))) AS g
+                FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                      FROM documents)
+            ), sizes AS (
+                SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+            ), co AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id
+            ), pairs AS (
+                SELECT id_a, id_b FROM co
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+            ), und AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+                WHERE u.b <> r.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+            FROM reach GROUP BY a
+        """,
+        "repetition_docs": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   round(1.0 - len(list_distinct(words))
+                         / greatest(len(words), 1), 6) AS dup_word_frac,
+                   CASE WHEN len(words) >= 2 THEN
+                     round(1.0 - len(list_distinct(list_transform(range(1, len(words)),
+                            i -> words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1])))
+                           / (len(words)-1), 6)
+                   ELSE 0.0 END AS dup_bigram_frac,
+                   round(list_max(list_transform(list_distinct(words),
+                          w -> len(list_filter(words, x -> x = w))))
+                         / greatest(len(words), 1), 6) AS top_word_frac
+            FROM w
+        """,
+        "mix_corpus_sources": """
+            SELECT doc_id, source, lang, n_chars
+            FROM documents
+            WHERE (source = 'src0' AND md5(CAST(doc_id AS VARCHAR) || '/src0') < '99')
+               OR (source = 'src1' AND md5(CAST(doc_id AS VARCHAR) || '/src1') < '4d')
+               OR (source = 'src2' AND md5(CAST(doc_id AS VARCHAR) || '/src2') < '1a')
         """,
         "doc_profile": """
             WITH toks AS (

@@ -65,6 +65,63 @@ def quality_score(c: Column) -> Column:
     return (len_ok + punct_ok + wl_ok) / F.lit(3.0)
 
 
+def dup_word_fraction(c: Column) -> Column:
+    """Fraction of whitespace tokens that are repeats of an earlier token
+    (1 - distinct/total). One of the Gopher-style repetition signals
+    (Rae et al. 2021 §A1.1) used to drop boilerplate/spam documents."""
+    toks = F.split(F.trim(c), r"\s+")
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+
+
+def _word_bigrams(toks: Column) -> Column:
+    n = F.size(toks)
+    # guard n<2: F.sequence(1, 0) yields a DESCENDING [1,0], not empty
+    return F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def dup_bigram_fraction(c: Column) -> Column:
+    """Fraction of word 2-grams that are repeats (1 - distinct/total);
+    0.0 for documents with fewer than two tokens."""
+    bi = _word_bigrams(F.split(F.trim(c), r"\s+"))
+    return F.when(F.size(bi) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi)
+    )
+
+
+def top_word_fraction(c: Column) -> Column:
+    """Share of tokens taken by the single most frequent token — high
+    values mark keyword-stuffed or degenerate documents. O(distinct x n)
+    array expressions per row, still one JVM-side scan (no explode, no
+    shuffle); documents are bounded-length so the quadratic term is
+    per-row constant work."""
+    toks = F.split(F.trim(c), r"\s+")
+    counts = F.transform(
+        F.array_distinct(toks), lambda w: F.size(F.filter(toks, lambda x: x == w))
+    )
+    return F.array_max(counts) / F.greatest(F.size(toks), F.lit(1))
+
+
+def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition report: the filter inputs a Gopher-style
+    quality pass thresholds on (e.g. drop when dup_word_frac > 0.3 or
+    top_word_frac > 0.2). Pure expressions over one scan — at 100 TB this
+    is a map-only stage with no shuffle, and column pruning reads only
+    (id, text) from parquet."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        whitespace_tokens(c).alias("n_words"),
+        F.round(dup_word_fraction(c), 6).alias("dup_word_frac"),
+        F.round(dup_bigram_fraction(c), 6).alias("dup_bigram_frac"),
+        F.round(top_word_fraction(c), 6).alias("top_word_frac"),
+    )
+
+
 # tiny per-language marker vocabularies for the n-gram heuristic
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "is", "that", "with"),

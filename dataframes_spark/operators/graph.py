@@ -1,0 +1,116 @@
+"""Graph helpers for corpus deduplication: connected components over a
+near-duplicate pair relation, and the keep-one-representative pullback.
+
+Pair detection (``operators/dedup.py``) emits EDGES; an actual dedup pass
+needs COMPONENTS — transitively-closed duplicate clusters — so exactly
+one representative per cluster survives. This is the standard follow-on
+to MinHash-LSH in every large-corpus pipeline.
+
+Algorithm: iterative min-label propagation with pointer jumping.
+Each round every node adopts the smallest label among {itself, its
+neighbors, its current label's label}; the pointer-jumping hop halves
+chain lengths, so rounds are O(log diameter) instead of O(diameter).
+Near-dup clusters are near-cliques (diameter ~2), so 2-3 rounds settle
+real workloads. Each round is two shuffles on the (small, pair-sized)
+edge/label relations — the corpus itself is never touched.
+
+The convergence check is one count() action per round on the label
+relation; an iterative algorithm cannot avoid driver-side convergence
+actions (same contract as MLlib's KMeans). Labels are re-persisted per
+round and the previous round unpersisted, so lineage stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given by ``edges``.
+
+    Returns ``(id, component)`` for every node that appears in an edge,
+    where ``component`` is the smallest node id in that component — a
+    deterministic, engine-independent cluster representative. Raises if
+    ``max_iter`` rounds do not converge (pointer jumping makes that
+    ~2^max_iter chain length, unreachable in practice).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(max_iter):
+            # min over neighbors' labels
+            nbr = (
+                und.join(labels, und["b"] == labels["id"])
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            # pointer jump: my label's label
+            jump = labels.select(
+                F.col("id").alias("jid"), F.col("component").alias("jcomp")
+            )
+            proposed = (
+                labels.join(nbr, labels["id"] == nbr["a"], "left")
+                .join(jump, labels["component"] == jump["jid"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_min", F.col("component")),
+                        F.coalesce("jcomp", F.col("component")),
+                    ).alias("component"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            changed = (
+                proposed.join(
+                    labels.withColumnRenamed("component", "old"), "id"
+                )
+                .filter(F.col("component") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = proposed
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    finally:
+        und.unpersist()
+
+
+def dedup_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep-one-per-cluster dedup: drop every row of ``df`` whose id sits
+    in a duplicate cluster but is not the cluster's smallest id.
+    Singletons (no duplicate partner) always survive. The anti-join key
+    relation is pair-sized (tiny vs the corpus), so at scale this is a
+    broadcast anti join — the corpus never shuffles."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
+    )

@@ -57,6 +57,27 @@ def mix_datasets(
     return out
 
 
+def stratified_sample_md5(
+    df: DataFrame, stratum_col: str, thresholds: dict, key_col: str
+) -> DataFrame:
+    """Cross-engine-reproducible weighted mixture in one filter: keep a
+    row when ``md5(key || '/' || stratum)`` hex sorts below the stratum's
+    threshold (a hex prefix: ``"4d"`` keeps ~77/256 = 30.1%). Strata not
+    listed are dropped. This is :func:`mix_datasets` for the common case
+    where the sources live in ONE table tagged by a column — no per-source
+    frames, no union, a single scan that any md5-capable engine (DuckDB,
+    Trino, Spark) reproduces bit-identically. Salting the hash with the
+    stratum name decorrelates the per-stratum draws, so a key kept in one
+    stratum carries no bias into another."""
+    h = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit("/"), F.col(stratum_col))
+    )
+    cond: Column = F.lit(False)
+    for value, prefix_lt in thresholds.items():
+        cond = cond | ((F.col(stratum_col) == F.lit(value)) & (h < F.lit(prefix_lt)))
+    return df.filter(cond)
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict, key_col: str, salt: str = ""
 ) -> DataFrame:

@@ -1,0 +1,94 @@
+"""Connected components / dedup representatives, repetition signals, and
+the md5 stratified mixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.functions.text import repetition_profile
+from dataframes_spark.operators.graph import connected_components, dedup_representatives
+from dataframes_spark.operators.sample import stratified_sample_md5
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_cc_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_chain_converges_past_pointer_depth(spark):
+    # a 12-node path graph: worst case for min-label propagation; pointer
+    # jumping must still converge well inside max_iter
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_cc_cycle_and_self_loop(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (7, 5), (9, 9)])
+    assert got[5] == got[6] == got[7] == 5
+    assert got[9] == 9
+
+
+def test_dedup_representatives_keeps_min_and_singletons(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_representatives(df, pairs, "doc_id").collect()
+    )
+    # cluster {1,2,4} -> keep 1; 0, 3, 5 untouched
+    assert kept == [0, 1, 3, 5]
+
+
+def test_cc_max_iter_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=0)
+
+
+def test_repetition_profile_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # dup words, dup bigram 'a a'
+            (2, "w x y z"),           # no repetition
+            (3, "solo"),              # single token: bigram frac 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_profile(df, "text", "doc_id").collect()}
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["dup_word_frac"] == pytest.approx(0.5)
+    # bigrams: [a a, a a, a b] -> distinct 2 of 3
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert rows[1]["top_word_frac"] == pytest.approx(0.75)
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == pytest.approx(0.25)
+    assert rows[3]["dup_bigram_frac"] == 0.0
+    assert rows[3]["top_word_frac"] == pytest.approx(1.0)
+
+
+def test_stratified_md5_mixture_is_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "s0" if i % 2 else "s1") for i in range(400)],
+        "id long, src string",
+    )
+    thresholds = {"s0": "80", "s1": "20"}
+    a = stratified_sample_md5(df, "src", thresholds, "id")
+    b = stratified_sample_md5(df.repartition(13), "src", thresholds, "id")
+    ids_a = sorted(r["id"] for r in a.collect())
+    ids_b = sorted(r["id"] for r in b.collect())
+    assert ids_a == ids_b
+    # unlisted strata dropped; rates roughly follow the hex thresholds
+    n0 = sum(1 for i in ids_a if i % 2)
+    n1 = len(ids_a) - n0
+    assert 0.5 * 200 * 0.4 < n0 < 1.5 * 200 * 0.6  # ~0x80/0x100 = 50%
+    assert n1 < 0.35 * 200  # ~0x20/0x100 = 12.5%
