@@ -115,7 +115,7 @@ def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     c = F.col(text_col)
     return df.select(
         F.col(id_col),
-        whitespace_tokens(c).alias("n_words"),
+        whitespace_tokens(c).cast("bigint").alias("n_words"),
         F.round(dup_word_fraction(c), 6).alias("dup_word_frac"),
         F.round(dup_bigram_fraction(c), 6).alias("dup_bigram_frac"),
         F.round(top_word_fraction(c), 6).alias("top_word_frac"),

@@ -75,7 +75,9 @@ def stratified_sample_md5(
     cond: Column = F.lit(False)
     for value, prefix_lt in thresholds.items():
         cond = cond | ((F.col(stratum_col) == F.lit(value)) & (h < F.lit(prefix_lt)))
-    return df.filter(cond)
+    # the OR-of-ANDs is not source-pushable; this redundant IN guard is,
+    # so a stratum-clustered parquet layout skips whole row groups
+    return df.filter(F.col(stratum_col).isin(*thresholds)).filter(cond)
 
 
 def stratified_sample(

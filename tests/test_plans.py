@@ -216,3 +216,25 @@ def test_simhash_candidates_single_shuffle_pair_expansion(spark, sf_dir):
         "fingerprint input scanned more than once"
     )
     assert len(re.findall(r"hashpartitioning\(band", p)) == 1, p
+
+
+def test_repetition_profile_is_shuffle_free_scan(plans):
+    """repetition_docs is a map-only stage: pure array expressions, no
+    Exchange, no Python, and the scan reads only (doc_id, text)."""
+    p = plans("repetition_docs")
+    assert "Exchange" not in p, f"repetition profile grew a shuffle:\n{p}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_mix_corpus_sources_is_single_filtered_scan(plans):
+    """The md5 mixture is one scan + one filter: no Exchange, no join,
+    and the redundant stratum IN guard reaches the parquet scan so a
+    stratum-clustered layout skips row groups (the md5 comparison
+    itself is not pushable — that residual stays in the first codegen
+    stage)."""
+    p = plans("mix_corpus_sources")
+    assert "Exchange" not in p and "Join" not in p
+    assert "PushedFilters" in p and "In(source" in p, p
