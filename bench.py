@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "pack_documents_greedy",
     "decontaminate_docs",
     "interval_overlap_purchases",
+    "near_dup_clusters",
+    "repetition_docs",
+    "mix_corpus_sources",
     # md5-mode twins (minhash_signatures_md5, lsh_buckets_md5) are
     # verification paths, not perf paths — the xxhash64 defaults above
     # are what a pipeline runs; benching the md5 lanes would measure

@@ -92,3 +92,41 @@ def test_stratified_md5_mixture_is_partition_invariant(spark):
     n1 = len(ids_a) - n0
     assert 0.5 * 200 * 0.4 < n0 < 1.5 * 200 * 0.6  # ~0x80/0x100 = 50%
     assert n1 < 0.35 * 200  # ~0x20/0x100 = 12.5%
+
+
+# ---------------------------------------------------------------------------
+# property: connected_components vs a pure-Python union-find model
+# ---------------------------------------------------------------------------
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_matches_union_find(spark, edges):
+    want = _uf_components(edges)
+    got = _cc(spark, [(int(a), int(b)) for a, b in edges])
+    assert got == want
