@@ -789,6 +789,20 @@ def mix_corpus_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "n_chars")
 
 
+def vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (functions/text.py
+    vocab_topk — explode -> partial+final hash agg -> top-k heap)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.vocab_topk(docs, "text", k=50)
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per source by tf-idf
+    (functions/text.py tfidf_top_terms; action-free construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.tfidf_top_terms(docs, "text", "source", k=3)
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: tokens, ratios, quality, language."""
     docs = _t(spark, sf_dir, "documents")
@@ -1243,11 +1257,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # interval join; near_dup_clusters — connected-components closure of
     # the LSH pair relation vs a recursive-CTE oracle; repetition_docs —
     # Gopher-style repetition signals; mix_corpus_sources — md5-threshold
-    # weighted mixture). To make room for the last three,
-    # pivot_returnflag, jaccard_pairs_3gram, and concat_horizontal
-    # (green r1-r4; families still in-window via rollup_qty,
-    # dedup_exact_docs + near_dup_jaccard_lsh, and ungroup_explode)
-    # also rotate out. Nine more multiply-green rows (count_values,
+    # weighted mixture; vocab_topk_docs — explode->agg->top-k heap;
+    # tfidf_top_terms — per-source tf-idf ranking). To make room for the
+    # last five, pivot_returnflag, jaccard_pairs_3gram,
+    # concat_horizontal, doc_profile, and embedding_topk (all green
+    # r1-r4; families still in-window via rollup_qty, dedup_exact_docs +
+    # near_dup_jaccard_lsh, ungroup_explode, repetition_docs +
+    # winnow/shared_passages, and embedding_norms +
+    # embedding_near_dup_pairs) also rotate out. Nine more
+    # multiply-green rows (count_values,
     # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
     # fillna_zero, group_collect_lists, media_decode_stats, rsi_by_flag —
     # all green r1-r4) rotate out to make room; their families stay
@@ -1291,6 +1309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": near_dup_clusters,
         "repetition_docs": repetition_docs,
         "mix_corpus_sources": mix_corpus_sources,
+        "vocab_topk_docs": vocab_topk_docs,
+        "tfidf_top_terms": tfidf_top_terms,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1310,10 +1330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_qty": rollup_qty,
         "dedup_exact_docs": dedup_exact_docs,
         "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
-        "doc_profile": doc_profile,
-        "embedding_topk": embedding_topk,
         # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
         #    still covered locally by tools/check_oracle.py and tests/
+        "doc_profile": doc_profile,
+        "embedding_topk": embedding_topk,
         "pivot_returnflag": pivot_returnflag,
         "jaccard_pairs_3gram": jaccard_pairs_3gram,
         "concat_horizontal": concat_horizontal,
@@ -1820,6 +1840,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE (source = 'src0' AND md5(CAST(doc_id AS VARCHAR) || '/src0') < '99')
                OR (source = 'src1' AND md5(CAST(doc_id AS VARCHAR) || '/src1') < '4d')
                OR (source = 'src2' AND md5(CAST(doc_id AS VARCHAR) || '/src2') < '1a')
+        """,
+        "vocab_topk_docs": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT source, token, count(*) AS tf FROM toks GROUP BY source, token
+            ), dfq AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), ns AS (
+              SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM documents
+            ), scored AS (
+              SELECT tf.source, tf.token, tf.tf, dfq.df,
+                     tf.tf * ln(ns.ns / dfq.df) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN ns
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY source ORDER BY tfidf DESC, token ASC) AS rnk
+              FROM scored
+            )
+            SELECT source, token, tf, df, round(tfidf, 6) AS tfidf, rnk
+            FROM ranked WHERE rnk <= 3
         """,
         "doc_profile": """
             WITH toks AS (

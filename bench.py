@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "repetition_docs",
     "mix_corpus_sources",
+    "vocab_topk_docs",
+    "tfidf_top_terms",
     # md5-mode twins (minhash_signatures_md5, lsh_buckets_md5) are
     # verification paths, not perf paths — the xxhash64 defaults above
     # are what a pipeline runs; benching the md5 lanes would measure

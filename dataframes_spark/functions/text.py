@@ -122,6 +122,57 @@ def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def vocab_topk(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-``k`` whitespace tokens by frequency,
+    ties broken by token. Explode -> partial+final hash aggregate ->
+    TakeOrderedAndProject k-heap: no global sort, no vocabulary
+    collect, one shuffle keyed by token."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, group_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per ``group_col`` by tf-idf:
+    tf = term count within the group, df = number of groups containing
+    the term, idf = ln(n_groups/df). Two hash aggregations over the
+    exploded tokens and one rank window. The group count is folded into
+    the plan as a 1-row broadcast aggregate — construction launches no
+    job, and both aggregations keep map-side partial combine at scale."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("token"),
+    )
+    tf = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ng = df.agg(F.countDistinct(group_col).cast("double").alias("ng"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(ng))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("ng") / F.col("df")))
+    )
+    w = W.partitionBy("grp").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("grp").alias(group_col), "token", "tf", "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 # tiny per-language marker vocabularies for the n-gram heuristic
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "is", "that", "with"),

@@ -238,3 +238,30 @@ def test_mix_corpus_sources_is_single_filtered_scan(plans):
     p = plans("mix_corpus_sources")
     assert "Exchange" not in p and "Join" not in p
     assert "PushedFilters" in p and "In(source" in p, p
+
+
+def test_vocab_topk_is_partial_agg_plus_heap(plans):
+    """vocab explode -> count must partial-aggregate map-side (explode
+    output combines before the shuffle) and keep the top-50 as a k-heap,
+    never a global sort of the vocabulary."""
+    p = plans("vocab_topk_docs")
+    assert p.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in p
+    assert re.search(r"ReadSchema: struct<text:string>", p), p
+
+
+def test_tfidf_construction_is_action_free(spark, sf_dir):
+    """n_sources is folded into the plan as a 1-row broadcast aggregate;
+    building the query must launch zero jobs."""
+    from dataframes_spark.functions import text as dtext
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")  # footer read outside probe
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf_lazy_probe", "tfidf construction")
+    try:
+        df = dtext.tfidf_top_terms(docs, "text", "source", k=3)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("tfidf_lazy_probe")) == []
+    assert df.columns == ["source", "token", "tf", "df", "tfidf", "rnk"]
