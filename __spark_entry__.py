@@ -305,15 +305,21 @@ def rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dwindow.rolling_interval(
         ev, "ts", 3600 * 1_000_000, [("value", ["sum", "length"])]
     )
-    # mean derived from the rounded sum and exact count: the raw window avg
-    # of 2-decimal inputs can land exactly on a rounding boundary, where
-    # engine-specific accumulation order flips the rounded digit; sum of
-    # 2-decimal values is never near a 4dp boundary, so this form is
-    # deterministic across engines
+    # mean derived from the rounded sum and exact count, with the division
+    # and final rounding in EXACT DECIMAL arithmetic: the raw window avg
+    # of 2-decimal inputs can land exactly on a rounding boundary (e.g.
+    # 7800.65/160 = 48.7540625, a true 6dp half-case at sf0.1), where the
+    # double paths of different engines round differently (Spark HALF_UP
+    # on the binary expansion vs DuckDB's scaled-multiply). DECIMAL(18,4)
+    # division + HALF_UP round is bit-identical in both engines.
     return out.select(
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "event_id",
-        F.round(F.round("value_sum", 4) / F.col("value_length"), 6).alias("value_mean"),
+        F.round(
+            F.round("value_sum", 4).cast("decimal(18,4)")
+            / F.col("value_length").cast("decimal(10,0)"),  # double denom would
+            6,                                              # demote back to float
+        ).cast("double").alias("value_mean"),
         F.round("value_sum", 4).alias("value_sum"),
         "value_length",
     )
@@ -1524,8 +1530,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "rolling_1h": """
+            -- value_mean: round_half_up(sum4/n, 6) in EXACT INTEGER
+            -- arithmetic (DuckDB decimal division promotes to DOUBLE, so
+            -- a decimal path here would not match Spark's decimal
+            -- HALF_UP on true half-cases like 7800.65/160 = 48.7540625):
+            -- mean6 = (200*s4 + n) // (2*n) with s4 = sum4 * 1e4 exact
             SELECT epoch_us(ts) AS ts_us, event_id,
-                   round(round(sum(value) OVER w, 4) / (count(*) OVER w), 6) AS value_mean,
+                   CAST((200 * CAST(round(sum(value) OVER w * 10000, 0) AS BIGINT)
+                         + count(*) OVER w)
+                        // (2 * count(*) OVER w) AS DOUBLE) / 1000000 AS value_mean,
                    round(sum(value) OVER w, 4) AS value_sum,
                    CAST(count(*) OVER w AS DOUBLE) AS value_length
             FROM events
