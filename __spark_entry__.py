@@ -809,6 +809,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtext.tfidf_top_terms(docs, "text", "source", k=3)
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement, top-2 per source
+    (operators/sample.py weighted_sample_topk: Efraimidis-Spirakis with
+    md5-derived deterministic uniforms — engine- and
+    partitioning-independent selection)."""
+    from dataframes_spark.operators.sample import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_topk(
+        docs, "n_chars", "doc_id", k=2, stratum_col="source", salt="ws"
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("es_key", 6).alias("es_key")
+    )
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: tokens, ratios, quality, language."""
     docs = _t(spark, sf_dir, "documents")
@@ -1264,13 +1280,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the LSH pair relation vs a recursive-CTE oracle; repetition_docs —
     # Gopher-style repetition signals; mix_corpus_sources — md5-threshold
     # weighted mixture; vocab_topk_docs — explode->agg->top-k heap;
-    # tfidf_top_terms — per-source tf-idf ranking). To make room for the
-    # last five, pivot_returnflag, jaccard_pairs_3gram,
-    # concat_horizontal, doc_profile, and embedding_topk (all green
-    # r1-r4; families still in-window via rollup_qty, dedup_exact_docs +
-    # near_dup_jaccard_lsh, ungroup_explode, repetition_docs +
-    # winnow/shared_passages, and embedding_norms +
-    # embedding_near_dup_pairs) also rotate out. Nine more
+    # tfidf_top_terms — per-source tf-idf ranking; weighted_sample_docs
+    # — Efraimidis-Spirakis weighted sampling with md5 uniforms). To
+    # make room for the last six, pivot_returnflag, jaccard_pairs_3gram,
+    # concat_horizontal, doc_profile, embedding_topk, and
+    # join_region_revenue (all green r1-r4; families still in-window via
+    # rollup_qty, dedup_exact_docs + near_dup_jaccard_lsh,
+    # ungroup_explode, repetition_docs + winnow/shared_passages,
+    # embedding_norms + embedding_near_dup_pairs, and join_revenue_topn
+    # + semi/anti joins) also rotate out. Nine more
     # multiply-green rows (count_values,
     # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
     # fillna_zero, group_collect_lists, media_decode_stats, rsi_by_flag —
@@ -1317,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus_sources": mix_corpus_sources,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
+        "weighted_sample_docs": weighted_sample_docs,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1328,7 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_price_qty": ols_price_qty,
         "pandas_map_column": pandas_map_column,
         "join_revenue_topn": join_revenue_topn,
-        "join_region_revenue": join_region_revenue,
         "anti_join_customers": anti_join_customers,
         "semi_join_parts": semi_join_parts,
         "setop_custkeys": setop_custkeys,
@@ -1338,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
         # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
         #    still covered locally by tools/check_oracle.py and tests/
+        "join_region_revenue": join_region_revenue,
         "doc_profile": doc_profile,
         "embedding_topk": embedding_topk,
         "pivot_returnflag": pivot_returnflag,
@@ -1882,6 +1901,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, token, tf, df, round(tfidf, 6) AS tfidf, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "weighted_sample_docs": """
+            WITH scored AS (
+                SELECT doc_id, source, n_chars,
+                       ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/ws'), 1, 13))::BIGINT + 1)
+                          / 4503599627370496.0)
+                       / CAST(n_chars AS DOUBLE) AS es
+                FROM documents
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY es DESC, doc_id ASC) AS rnk
+                FROM scored
+            )
+            SELECT doc_id, source, n_chars, round(es, 6) AS es_key
+            FROM ranked WHERE rnk <= 2
         """,
         "doc_profile": """
             WITH toks AS (

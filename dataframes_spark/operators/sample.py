@@ -80,6 +80,45 @@ def stratified_sample_md5(
     return df.filter(F.col(stratum_col).isin(*thresholds)).filter(cond)
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis): each
+    row draws a deterministic uniform u from md5(key/salt) and scores
+    ``es_key = ln(u) / weight``; the k LARGEST scores per stratum are the
+    sample, selected with probability proportional to weight. One rank
+    window per stratum — no shuffle of the text bodies, no RNG state, and
+    because u is a pure content hash the same rows are chosen on any
+    engine, any partitioning, any rerun.
+
+    u = (int(md5[:13], 16) + 1) / 2^52 is exact in doubles (52-bit
+    numerator, power-of-two denominator), so both engines see
+    bit-identical u; ln() may differ in the last ulp across libm
+    implementations, which can only flip selection on measure-zero
+    near-ties of distinct scores. Weights must be > 0."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("/" + salt)))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") + 1) / F.lit(
+        float(2**52)
+    )
+    es = F.log(u) / F.col(weight_col).cast("double")
+    part = [stratum_col] if stratum_col else [F.lit(1)]
+    w = W.partitionBy(*part).orderBy(F.col("__es").desc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__es", es)
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .drop("__rnk")
+        .withColumnRenamed("__es", "es_key")
+    )
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict, key_col: str, salt: str = ""
 ) -> DataFrame:

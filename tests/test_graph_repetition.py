@@ -130,3 +130,37 @@ def test_cc_matches_union_find(spark, edges):
     want = _uf_components(edges)
     got = _cc(spark, [(int(a), int(b)) for a, b in edges])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling: bias, determinism, partition invariance
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from dataframes_spark.operators.sample import weighted_sample_topk
+
+    # 100 heavy (w=20) + 100 light (w=1): a 40-row sample should be
+    # dominated by heavy rows (P[light beats heavy] ~ 1/21 per pair)
+    df = spark.createDataFrame(
+        [(i, 20.0 if i < 100 else 1.0) for i in range(200)], "id long, w double"
+    )
+    picked = [r["id"] for r in weighted_sample_topk(df, "w", "id", k=40).collect()]
+    assert len(picked) == 40
+    n_heavy = sum(1 for i in picked if i < 100)
+    assert n_heavy >= 30, f"weighting ineffective: {n_heavy}/40 heavy"
+
+
+def test_weighted_sample_is_partition_invariant_and_salted(spark):
+    from dataframes_spark.operators.sample import weighted_sample_topk
+
+    df = spark.createDataFrame([(i, float(i % 7 + 1)) for i in range(300)], "id long, w double")
+    a = sorted(r["id"] for r in weighted_sample_topk(df, "w", "id", k=25).collect())
+    b = sorted(
+        r["id"]
+        for r in weighted_sample_topk(df.repartition(17), "w", "id", k=25).collect()
+    )
+    assert a == b  # same selection under any partitioning
+    c = sorted(
+        r["id"] for r in weighted_sample_topk(df, "w", "id", k=25, salt="x").collect()
+    )
+    assert a != c  # salt draws a different deterministic sample
