@@ -825,6 +825,20 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report (operators/sample.py
+    assign_split: md5 hash bands, engine- and growth-stable) — per-split
+    document count and total characters."""
+    from dataframes_spark.operators.sample import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: tokens, ratios, quality, language."""
     docs = _t(spark, sf_dir, "documents")
@@ -1281,15 +1295,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gopher-style repetition signals; mix_corpus_sources — md5-threshold
     # weighted mixture; vocab_topk_docs — explode->agg->top-k heap;
     # tfidf_top_terms — per-source tf-idf ranking; weighted_sample_docs
-    # — Efraimidis-Spirakis weighted sampling with md5 uniforms). To
-    # make room for the last six, pivot_returnflag, jaccard_pairs_3gram,
-    # concat_horizontal, doc_profile, embedding_topk, and
-    # join_region_revenue (all green r1-r4; families still in-window via
-    # rollup_qty, dedup_exact_docs + near_dup_jaccard_lsh,
-    # ungroup_explode, repetition_docs + winnow/shared_passages,
-    # embedding_norms + embedding_near_dup_pairs, and join_revenue_topn
-    # + semi/anti joins) also rotate out. Nine more
-    # multiply-green rows (count_values,
+    # — Efraimidis-Spirakis weighted sampling with md5 uniforms;
+    # split_documents — deterministic train/val/test hash bands). To
+    # make room for the last seven, pivot_returnflag,
+    # jaccard_pairs_3gram, concat_horizontal, doc_profile,
+    # embedding_topk, join_region_revenue, and semi_join_parts (all
+    # green r1-r4; families still in-window via rollup_qty,
+    # dedup_exact_docs + near_dup_jaccard_lsh, ungroup_explode,
+    # repetition_docs + winnow/shared_passages, embedding_norms +
+    # embedding_near_dup_pairs, and join_revenue_topn + anti_join)
+    # also rotate out. Nine more multiply-green rows (count_values,
     # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
     # fillna_zero, group_collect_lists, media_decode_stats, rsi_by_flag —
     # all green r1-r4) rotate out to make room; their families stay
@@ -1336,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
+        "split_documents": split_documents,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1348,7 +1364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_map_column": pandas_map_column,
         "join_revenue_topn": join_revenue_topn,
         "anti_join_customers": anti_join_customers,
-        "semi_join_parts": semi_join_parts,
         "setop_custkeys": setop_custkeys,
         "window_topn_orders": window_topn_orders,
         "rollup_qty": rollup_qty,
@@ -1357,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
         #    still covered locally by tools/check_oracle.py and tests/
         "join_region_revenue": join_region_revenue,
+        "semi_join_parts": semi_join_parts,
         "doc_profile": doc_profile,
         "embedding_topk": embedding_topk,
         "pivot_returnflag": pivot_returnflag,
@@ -1916,6 +1932,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars, round(es, 6) AS es_key
             FROM ranked WHERE rnk <= 2
+        """,
+        "split_documents": """
+            WITH banded AS (
+                SELECT n_chars,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/split'), 1, 4))::BIGINT AS h
+                FROM documents
+            )
+            SELECT CASE WHEN h < 52429 THEN 'train'
+                        WHEN h < 58982 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM banded GROUP BY 1
         """,
         "doc_profile": """
             WITH toks AS (

@@ -122,6 +122,29 @@ def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# default scrub patterns: email, phone-ish digit runs, IPv4, long digit
+# runs (IDs/SSNs/cards) — ordered so the more specific match first
+_REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # phones need separators/parens — a bare digit run is <NUM>, not a phone
+    (r"\+?\d{1,3}?[\s().-]+\(?\d{2,4}\)?[\s().-]+\d{2,4}[\s().-]?\d{0,6}\d", "<PHONE>"),
+    (r"\b\d{6,}\b", "<NUM>"),
+)
+
+
+def redact(c: Column, patterns: tuple[tuple[str, str], ...] = _REDACT_PATTERNS) -> Column:
+    """PII scrubbing: chained regexp_replace, entirely JVM-side — the
+    standard pre-training redaction pass (emails, phones, IPs, long
+    digit runs) as one map-only expression. Order matters: patterns
+    apply left to right, so specific forms (email, IP) must precede the
+    generic digit-run fallbacks."""
+    out = c
+    for pat, token in patterns:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def vocab_topk(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     """Corpus vocabulary: top-``k`` whitespace tokens by frequency,
     ties broken by token. Explode -> partial+final hash aggregate ->

@@ -80,6 +80,40 @@ def stratified_sample_md5(
     return df.filter(F.col(stratum_col).isin(*thresholds)).filter(cond)
 
 
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column from
+    md5-hash bands of the key — the same row lands in the same split on
+    any engine, partitioning, or rerun, and new rows never reshuffle old
+    assignments (the property random splits lack). ``fractions`` maps
+    split name -> fraction, must sum to ~1; bands are cumulative over
+    the first 4 hex chars (65536 buckets, so fractions resolve to
+    ~0.002%). One map-only expression, no shuffle."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("/" + salt))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = h < int(round(acc * 65536))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight_col: str,

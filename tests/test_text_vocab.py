@@ -38,3 +38,44 @@ def test_tfidf_ranks_group_exclusive_terms_first(spark):
     assert rows[("s1", 2)]["tfidf"] == 0.0
     # tf/df are exact counts
     assert rows[("s1", 2)]["tf"] == 2 and rows[("s1", 2)]["df"] == 2
+
+
+def test_redact_scrubs_pii_forms(spark):
+    from pyspark.sql import functions as F
+
+    from dataframes_spark.functions.text import redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server at 192.168.1.250 port"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "account 1234567890 closed"),
+            (5, "clean text stays clean"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["out"] for r in df.select("id", redact(F.col("text")).alias("out")).collect()}
+    assert rows[1] == "mail <EMAIL> now"
+    assert rows[2] == "server at <IP> port"
+    assert rows[3] == "call <PHONE> today"
+    assert rows[4] == "account <NUM> closed"
+    assert rows[5] == "clean text stays clean"
+
+
+def test_assign_split_bands_and_growth_stability(spark):
+    from dataframes_spark.operators.sample import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = {r["id"]: r["split"] for r in assign_split(df, "id").collect()}
+    frac_train = sum(1 for v in out.values() if v == "train") / 2000
+    assert 0.96 < frac_train < 1.0
+    assert set(out.values()) == {"train", "val", "test"}
+    # growth stability: adding rows never moves an existing assignment
+    bigger = spark.createDataFrame([(i,) for i in range(3000)], "id long")
+    out2 = {r["id"]: r["split"] for r in assign_split(bigger, "id").collect()}
+    assert all(out2[i] == out[i] for i in out)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="sum to 1"):
+        assign_split(df, "id", {"a": 0.5, "b": 0.4})
