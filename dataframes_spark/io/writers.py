@@ -13,6 +13,32 @@ from pyspark.sql import DataFrame
 from dataframes_spark.io.readers import detect_format
 
 
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    rows_per_file: int,
+    cluster_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet output with bounded file sizes — the 100 TB hygiene knob.
+    ``maxRecordsPerFile`` caps each task's output files at
+    ``rows_per_file`` rows, so downstream scans see uniform splits
+    instead of one multi-GB file per giant task (small files come from
+    partition count, big files from this cap; tune both). Optional
+    ``cluster_by`` repartitions + sorts within partitions on the given
+    keys before writing, so min/max column statistics in the parquet
+    footers become selective — scans filtering on those keys skip whole
+    row groups (poor man's Z-order for single-key access paths)."""
+    out = df
+    if cluster_by:
+        out = df.repartition(*cluster_by).sortWithinPartitions(*cluster_by)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(path)
+    )
+
+
 def write_auto(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False, **options) -> None:
     fmt = detect_format(path)
     out = df.coalesce(1) if single_file else df

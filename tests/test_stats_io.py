@@ -230,3 +230,22 @@ def test_from_columns_empty(spark):
 
     t = Table.fromColumns(spark, {"x": [], "y": []})
     assert t.df.columns == ["x", "y"] and t.df.count() == 0
+
+
+def test_write_parquet_sized_caps_file_rows(spark, sf_dir, tmp_path):
+    from dataframes_spark.io.writers import write_parquet_sized
+    from dataframes_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "sized")
+    write_parquet_sized(ev, out, rows_per_file=1500, cluster_by=["user_id"])
+    import glob
+    import pyarrow.parquet as pq
+
+    files = glob.glob(out + "/*.parquet")
+    assert files, "no parquet files written"
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 1500 for f in files)
+    # clustered footers: per-file user_id ranges must be narrow/disjointish,
+    # i.e. strictly narrower than the global range on average
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
