@@ -839,6 +839,23 @@ def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (operators/merge.py): every doc_id % 10 == 0 row gets
+    a lang correction, five brand-new rows insert under shifted keys —
+    one full-outer join, whole-row replacement semantics."""
+    from dataframes_spark.operators.merge import upsert
+
+    docs = _t(spark, sf_dir, "documents")
+    corrections = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "lang", F.lit("xx")
+    )
+    inserts = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    out = upsert(docs, corrections.unionByName(inserts), "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: tokens, ratios, quality, language."""
     docs = _t(spark, sf_dir, "documents")
@@ -1296,15 +1313,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # weighted mixture; vocab_topk_docs — explode->agg->top-k heap;
     # tfidf_top_terms — per-source tf-idf ranking; weighted_sample_docs
     # — Efraimidis-Spirakis weighted sampling with md5 uniforms;
-    # split_documents — deterministic train/val/test hash bands). To
-    # make room for the last seven, pivot_returnflag,
-    # jaccard_pairs_3gram, concat_horizontal, doc_profile,
-    # embedding_topk, join_region_revenue, and semi_join_parts (all
-    # green r1-r4; families still in-window via rollup_qty,
+    # split_documents — deterministic train/val/test hash bands;
+    # upsert_documents — MERGE via one full-outer join). To make
+    # room for the last eight, pivot_returnflag, jaccard_pairs_3gram,
+    # concat_horizontal, doc_profile, embedding_topk,
+    # join_region_revenue, semi_join_parts, and anti_join_customers
+    # (all green r1-r4; families still in-window via rollup_qty,
     # dedup_exact_docs + near_dup_jaccard_lsh, ungroup_explode,
     # repetition_docs + winnow/shared_passages, embedding_norms +
-    # embedding_near_dup_pairs, and join_revenue_topn + anti_join)
-    # also rotate out. Nine more multiply-green rows (count_values,
+    # embedding_near_dup_pairs, and join_revenue_topn + the upsert
+    # full-outer join) also rotate out. Nine more multiply-green rows
+    # (count_values,
     # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
     # fillna_zero, group_collect_lists, media_decode_stats, rsi_by_flag —
     # all green r1-r4) rotate out to make room; their families stay
@@ -1352,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
         "split_documents": split_documents,
+        "upsert_documents": upsert_documents,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1363,7 +1383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_price_qty": ols_price_qty,
         "pandas_map_column": pandas_map_column,
         "join_revenue_topn": join_revenue_topn,
-        "anti_join_customers": anti_join_customers,
         "setop_custkeys": setop_custkeys,
         "window_topn_orders": window_topn_orders,
         "rollup_qty": rollup_qty,
@@ -1373,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    still covered locally by tools/check_oracle.py and tests/
         "join_region_revenue": join_region_revenue,
         "semi_join_parts": semi_join_parts,
+        "anti_join_customers": anti_join_customers,
         "doc_profile": doc_profile,
         "embedding_topk": embedding_topk,
         "pivot_returnflag": pivot_returnflag,
@@ -1945,6 +1965,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    sum(n_chars) AS total_chars
             FROM banded GROUP BY 1
+        """,
+        "upsert_documents": """
+            WITH upd AS (
+                SELECT doc_id, 'xx' AS lang, source, n_chars
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+                FROM documents WHERE doc_id < 5
+            )
+            SELECT COALESCE(u.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE b.lang END AS lang,
+                   CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE b.source END AS source,
+                   CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars ELSE b.n_chars END AS n_chars
+            FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id
         """,
         "doc_profile": """
             WITH toks AS (

@@ -164,3 +164,25 @@ def test_weighted_sample_is_partition_invariant_and_salted(spark):
         r["id"] for r in weighted_sample_topk(df, "w", "id", k=25, salt="x").collect()
     )
     assert a != c  # salt draws a different deterministic sample
+
+
+def test_upsert_replaces_inserts_and_passes_through(spark):
+    from dataframes_spark.operators.merge import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, n long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", None), (9, "new", 90)], "id long, v string, n long"
+    )
+    got = {r["id"]: (r["v"], r["n"]) for r in upsert(base, updates, "id").collect()}
+    assert got == {
+        1: ("a", 10),
+        2: ("B", None),  # whole-row replacement: update's null wins
+        3: ("c", 30),
+        9: ("new", 90),
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="schema mismatch"):
+        upsert(base, updates.drop("n"), "id")
