@@ -856,6 +856,25 @@ def upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (operators/fuzzy.py): distinct part names within
+    edit distance 2 of each other. Length-band blocking makes it one
+    hash join; the oracle is the naive quadratic form — identical
+    results because the banding is lossless for edit distance."""
+    from dataframes_spark.operators.fuzzy import fuzzy_join
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name_a"))
+        .distinct()
+    )
+    other = names.select(F.col("name_a").alias("name_b"))
+    out = fuzzy_join(names, other, "name_a", "name_b", max_dist=2)
+    return out.filter(F.col("name_a") < F.col("name_b")).select(
+        "name_a", "name_b", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: tokens, ratios, quality, language."""
     docs = _t(spark, sf_dir, "documents")
@@ -1314,16 +1333,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tfidf_top_terms — per-source tf-idf ranking; weighted_sample_docs
     # — Efraimidis-Spirakis weighted sampling with md5 uniforms;
     # split_documents — deterministic train/val/test hash bands;
-    # upsert_documents — MERGE via one full-outer join). To make
-    # room for the last eight, pivot_returnflag, jaccard_pairs_3gram,
-    # concat_horizontal, doc_profile, embedding_topk,
-    # join_region_revenue, semi_join_parts, and anti_join_customers
-    # (all green r1-r4; families still in-window via rollup_qty,
-    # dedup_exact_docs + near_dup_jaccard_lsh, ungroup_explode,
-    # repetition_docs + winnow/shared_passages, embedding_norms +
-    # embedding_near_dup_pairs, and join_revenue_topn + the upsert
-    # full-outer join) also rotate out. Nine more multiply-green rows
-    # (count_values,
+    # upsert_documents — MERGE via one full-outer join;
+    # fuzzy_part_names — edit-distance join with lossless length-band
+    # blocking). To make room for the last nine, pivot_returnflag,
+    # jaccard_pairs_3gram, concat_horizontal, doc_profile,
+    # embedding_topk, join_region_revenue, semi_join_parts,
+    # anti_join_customers, and first_last_by_type (all green r1-r4;
+    # families still in-window via rollup_qty, dedup_exact_docs +
+    # near_dup_jaccard_lsh, ungroup_explode, repetition_docs +
+    # winnow/shared_passages, embedding_norms +
+    # embedding_near_dup_pairs, join_revenue_topn + the upsert
+    # full-outer join, and aggregate_contract + column_stats) also
+    # rotate out. Nine more multiply-green rows (count_values,
     # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
     # fillna_zero, group_collect_lists, media_decode_stats, rsi_by_flag —
     # all green r1-r4) rotate out to make room; their families stay
@@ -1372,11 +1393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "split_documents": split_documents,
         "upsert_documents": upsert_documents,
+        "fuzzy_part_names": fuzzy_part_names,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
         "column_stats": column_stats,
-        "first_last_by_type": first_last_by_type,
         "interpolate_linear": interpolate_linear,
         "ungroup_explode": ungroup_explode,
         "csv_roundtrip_agg": csv_roundtrip_agg,
@@ -1391,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
         #    still covered locally by tools/check_oracle.py and tests/
         "join_region_revenue": join_region_revenue,
+        "first_last_by_type": first_last_by_type,
         "semi_join_parts": semi_join_parts,
         "anti_join_customers": anti_join_customers,
         "doc_profile": doc_profile,
@@ -1979,6 +2001,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE b.source END AS source,
                    CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars ELSE b.n_chars END AS n_chars
             FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id
+        """,
+        "fuzzy_part_names": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
         """,
         "doc_profile": """
             WITH toks AS (

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "split_documents",
     "upsert_documents",
+    "fuzzy_part_names",
     # md5-mode twins (minhash_signatures_md5, lsh_buckets_md5) are
     # verification paths, not perf paths — the xxhash64 defaults above
     # are what a pipeline runs; benching the md5 lanes would measure

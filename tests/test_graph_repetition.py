@@ -186,3 +186,55 @@ def test_upsert_replaces_inserts_and_passes_through(spark):
 
     with _pt.raises(ValueError, match="schema mismatch"):
         upsert(base, updates.drop("n"), "id")
+
+
+def test_fuzzy_join_blocking_is_lossless(spark):
+    from pyspark.sql import functions as F
+
+    from dataframes_spark.operators.fuzzy import fuzzy_join
+
+    words = ["cat", "cart", "carts", "dog", "dogs", "doggy", "a", "ab",
+             "abc", "abcd", "xyzzy", "xyzy", ""]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {
+        (r["sa"], r["sb"], r["dist"])
+        for r in fuzzy_join(
+            df.select(F.col("s").alias("sa")),
+            df.select(F.col("s").alias("sb")),
+            "sa", "sb", max_dist=2,
+        ).collect()
+    }
+    # naive reference: full cross product
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (x, y, lev(x, y))
+        for x, y in itertools.product(words, words)
+        if lev(x, y) <= 2
+    }
+    assert got == want
+
+
+def test_fuzzy_join_plans_hash_join_not_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from dataframes_spark.operators.fuzzy import fuzzy_join
+
+    df = spark.createDataFrame([("abc",), ("abd",)], "s string")
+    out = fuzzy_join(
+        df.select(F.col("s").alias("sa")),
+        df.select(F.col("s").alias("sb")),
+        "sa", "sb", max_dist=1,
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = out._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
