@@ -31,7 +31,9 @@ def fuzzy_join(
     """Join rows of ``a`` and ``b`` whose strings are within edit
     distance ``max_dist``. Output carries every column of both frames
     plus ``dist``. ``how='inner'`` only (the blocking construction has
-    no outer semantics)."""
+    no outer semantics). Null strings match nothing and drop out (their
+    band key is null on the left, and explode of a null sequence drops
+    the row on the right) — the sane reading of an undefined distance."""
     if how != "inner":
         raise ValueError("fuzzy_join supports how='inner' only")
     w = max_dist + 1

@@ -20,6 +20,13 @@ def upsert(base: DataFrame, updates: DataFrame, key_col: str) -> DataFrame:
     Frames must share a schema. Column-level semantics are whole-row
     replacement (not per-column patching): a null in an update row
     overwrites a non-null base value, matching SQL MERGE's UPDATE SET *.
+
+    Precondition: ``key_col`` must be unique within ``updates`` (SQL
+    MERGE raises on multi-match; here a duplicated update key would fan
+    the matched base row out once per duplicate). Dedupe first —
+    ``exact_dedup``/``dropDuplicates`` — when ingesting raw feeds. The
+    check is not performed inline because it would force an extra
+    aggregation over the updates on every call.
     """
     if set(base.columns) != set(updates.columns):
         raise ValueError(
