@@ -238,3 +238,14 @@ def test_fuzzy_join_plans_hash_join_not_cartesian(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     p = out._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_join_drops_null_strings(spark):
+    from pyspark.sql import functions as F
+
+    from dataframes_spark.operators.fuzzy import fuzzy_join
+
+    a = spark.createDataFrame([("abc",), (None,)], "sa string")
+    b = spark.createDataFrame([("abd",), (None,)], "sb string")
+    rows = fuzzy_join(a, b, "sa", "sb", max_dist=1).collect()
+    assert [(r["sa"], r["sb"], r["dist"]) for r in rows] == [("abc", "abd", 1)]
