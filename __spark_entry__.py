@@ -1305,6 +1305,59 @@ def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", "simhash")
 
 
+def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations with subtotal/total rows —
+    completes the rollup/pivot grouping-set family (rollup_qty)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _segmented_docs(spark: SparkSession, sf_dir: str, words_per_line: int = 8) -> DataFrame:
+    """Documents re-segmented into ``words_per_line``-word newline-joined
+    lines — the synthetic corpus has no newlines, so both the Spark query
+    and its oracle derive identical line structure from word positions
+    before exercising line-level dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n = words_per_line
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.ceil(F.size(words) / F.lit(n)).cast("int")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, (i - F.lit(1)) * n + F.lit(1), F.lit(n))
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact substring dedup, report form (operators/dedup.py
+    repeated_lines): lines occurring in >=2 distinct documents — the
+    CCNet/RefinedWeb boilerplate-detection pass."""
+    return ddedup.repeated_lines(
+        _segmented_docs(spark, sf_dir), "text", "doc_id", sep="\n", min_docs=2
+    )
+
+
+def strip_repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact substring dedup, rewrite form (operators/dedup.py
+    strip_repeated_lines): every document with cross-document boilerplate
+    lines removed, line order preserved, all-boilerplate documents kept
+    with empty text."""
+    return ddedup.strip_repeated_lines(
+        _segmented_docs(spark, sf_dir), "text", "doc_id", sep="\n", min_docs=2
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1394,6 +1447,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": split_documents,
         "upsert_documents": upsert_documents,
         "fuzzy_part_names": fuzzy_part_names,
+        # -- round-5 second batch: line-level exact substring dedup
+        #    (repeated_lines_docs report + strip_repeated_lines_docs
+        #    rewrite, the CCNet/RefinedWeb boilerplate pass) and cube_qty
+        #    (grouping-set family now has rollup AND cube; rollup_qty,
+        #    join_revenue_topn, dedup_exact_docs — all multiply green —
+        #    rotate out, families still in-window via cube_qty, the
+        #    upsert/fuzzy/interval joins, and the md5 + line dedup rows)
+        "repeated_lines_docs": repeated_lines_docs,
+        "strip_repeated_lines_docs": strip_repeated_lines_docs,
+        "cube_qty": cube_qty,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
@@ -1403,14 +1466,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "ols_price_qty": ols_price_qty,
         "pandas_map_column": pandas_map_column,
-        "join_revenue_topn": join_revenue_topn,
         "setop_custkeys": setop_custkeys,
         "window_topn_orders": window_topn_orders,
-        "rollup_qty": rollup_qty,
-        "dedup_exact_docs": dedup_exact_docs,
         "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
         # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
         #    still covered locally by tools/check_oracle.py and tests/
+        "rollup_qty": rollup_qty,
+        "join_revenue_topn": join_revenue_topn,
+        "dedup_exact_docs": dedup_exact_docs,
         "join_region_revenue": join_region_revenue,
         "first_last_by_type": first_last_by_type,
         "semi_join_parts": semi_join_parts,
@@ -1828,6 +1891,51 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS representative_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "cube_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "repeated_lines_docs": """
+            WITH docs AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(w[(i - 1) * 8 + 1 : i * 8], ' ') AS line
+                FROM docs, LATERAL (
+                    SELECT unnest(generate_series(
+                        1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i)
+            )
+            SELECT line, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM lines WHERE trim(line) <> ''
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "strip_repeated_lines_docs": """
+            WITH docs AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(w[(i - 1) * 8 + 1 : i * 8], ' ') AS line
+                FROM docs, LATERAL (
+                    SELECT unnest(generate_series(
+                        1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i)
+            ), common AS (
+                SELECT line FROM lines WHERE trim(line) <> ''
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM lines
+                WHERE line NOT IN (SELECT line FROM common)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.text, '') AS text
+            FROM (SELECT DISTINCT doc_id FROM docs) d
+            LEFT JOIN agg a USING (doc_id)
         """,
         "jaccard_pairs_3gram": """
             WITH sh AS (

@@ -103,6 +103,120 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _line_relation(df: DataFrame, text_col: str, id_col: str, sep: str) -> DataFrame:
+    """``(id, __pos, __line, __lh)`` relation: one row per line of each
+    document, position-stamped, with the collision-safe content key from
+    ``exact_dedup`` (``(length, xxhash64, md5)`` struct — 64 bits alone is
+    not enough at corpus scale, see exact_dedup's docstring). ``sep`` is a
+    LITERAL separator (escaped before Spark's regex ``split``)."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("__pos", "__line"),
+    )
+    return lines.withColumn(
+        "__lh",
+        F.struct(
+            F.length("__line").alias("len"),
+            F.xxhash64("__line").alias("xx"),
+            F.unhex(F.md5(F.col("__line").cast("binary"))).alias("md5"),
+        ),
+    )
+
+
+def repeated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Report of lines (``sep``-delimited segments) that appear in at least
+    ``min_docs`` DISTINCT documents: ``(line, n_docs, n_occurrences)``.
+
+    Line-level exact substring dedup is the standard boilerplate-removal
+    pass of web-corpus pipelines (CCNet / RefinedWeb strip repeated lines
+    — headers, footers, nav bars — before document-level dedup). The
+    reference has no dedup at all; this extends the training-pipeline
+    family (SURVEY §2.14).
+
+    Scale: the groupBy key is the ~32 B content struct, so the shuffle
+    carries one (hash, line, id) row per distinct line per map partition
+    after partial aggregation — never the full corpus text. Blank lines
+    (empty after trim) are structure, not content, and are never reported.
+    """
+    lines = _line_relation(_spread(df), text_col, id_col, sep)
+    return (
+        lines.filter(F.trim("__line") != "")
+        .groupBy("__lh")
+        .agg(
+            F.min("__line").alias("line"),
+            F.count_distinct("__id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", "n_docs", "n_occurrences")
+    )
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rebuild each document with every line that occurs in at least
+    ``min_docs`` distinct documents removed (CCNet/RefinedWeb-style
+    boilerplate stripping). Keeps all other columns; a document whose
+    every line is stripped survives with empty text. Line order is
+    preserved. Blank lines are structure, not content: they are kept and
+    never counted toward duplication.
+
+    Plan shape (explain-audited): one explode pass; the duplicated-line
+    set is built by a groupBy on the 32 B content key (map-side partial
+    agg, no text wider than one distinct line per partition shuffles);
+    the flagging join is on that same key against a relation that is
+    small by construction (only lines crossing the ``min_docs`` bar) —
+    AQE broadcasts it in practice; one groupBy(id) rebuilds the text;
+    one id-equi-join restores the untouched columns. No step is
+    quadratic and nothing collects to the driver.
+    """
+    lines = _line_relation(_spread(df), text_col, id_col, sep)
+    common = (
+        lines.filter(F.trim("__line") != "")
+        .groupBy("__lh")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__lh", F.lit(True).alias("__dup"))
+    )
+    flagged = lines.join(common, "__lh", "left")
+    rebuilt = flagged.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line", "__dup"))
+                    ),
+                    lambda s: s["__dup"].isNull(),
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("__stripped")
+    )
+    out = df.join(rebuilt.withColumnRenamed("__id", id_col), id_col, "inner")
+    return out.select(
+        *[
+            F.col("__stripped").alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _norm_text(text_col: str) -> Column:
     """Lowercased, whitespace-folded view of a text column."""
     return F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))

@@ -1,0 +1,75 @@
+"""Line-level exact substring dedup (operators/dedup.py repeated_lines /
+strip_repeated_lines): the CCNet/RefinedWeb boilerplate-stripping pass.
+Pins the semantic contract: cross-document lines go, within-document
+repeats stay, blank lines are structure (kept, never counted), line
+order survives, all-boilerplate documents survive with empty text, and
+the separator is a literal (not a regex)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators import dedup
+
+
+def _docs(spark):
+    rows = [
+        (1, "subscribe now\nalpha beta\n\ngamma", "a"),
+        (2, "subscribe now\ndelta delta\ndelta delta", "b"),
+        (3, "subscribe now", "c"),          # all-boilerplate
+        (4, None, "d"),                      # null text
+        (5, "epsilon\nepsilon", "e"),        # within-doc repeat only
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "src"])
+
+
+def test_repeated_lines_report(spark):
+    rep = dedup.repeated_lines(_docs(spark), "text", "doc_id").collect()
+    assert {(r.line, r.n_docs, r.n_occurrences) for r in rep} == {
+        ("subscribe now", 3, 3)
+    }
+    # within-doc repeats ("delta delta", "epsilon") and blank lines never
+    # cross the distinct-document bar
+
+
+def test_strip_repeated_lines(spark):
+    out = {
+        r.doc_id: (r.text, r.src)
+        for r in dedup.strip_repeated_lines(_docs(spark), "text", "doc_id").collect()
+    }
+    assert out[1] == ("alpha beta\n\ngamma", "a")  # blank line + order kept
+    assert out[2] == ("delta delta\ndelta delta", "b")  # within-doc repeat kept
+    assert out[3] == ("", "c")  # all-boilerplate doc survives, empty
+    assert out[4] == ("", "d")  # null text survives as empty
+    assert out[5] == ("epsilon\nepsilon", "e")
+    assert len(out) == 5
+
+
+def test_min_docs_threshold(spark):
+    out = {
+        r.doc_id: r.text
+        for r in dedup.strip_repeated_lines(
+            _docs(spark), "text", "doc_id", min_docs=4
+        ).collect()
+    }
+    # "subscribe now" is in only 3 docs: below the bar, nothing stripped
+    assert out[1] == "subscribe now\nalpha beta\n\ngamma"
+
+
+def test_separator_is_literal(spark):
+    # "." is a regex metacharacter; a regex split would explode per char
+    df = spark.createDataFrame(
+        [(1, "boiler.keep one"), (2, "boiler.keep two")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup.strip_repeated_lines(df, "text", "doc_id", sep=".").collect()
+    }
+    assert out == {1: "keep one", 2: "keep two"}
+
+
+def test_report_blank_and_whitespace_never_reported(spark):
+    df = spark.createDataFrame(
+        [(1, "  \nx y\n"), (2, "  \nx y\n")], ["doc_id", "text"]
+    )
+    rep = dedup.repeated_lines(df, "text", "doc_id").collect()
+    assert {r.line for r in rep} == {"x y"}
