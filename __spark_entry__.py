@@ -1339,6 +1339,15 @@ def _segmented_docs(spark: SparkSession, sf_dir: str, words_per_line: int = 8) -
     )
 
 
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality score (functions/text.py
+    unigram_logprob): per-document mean token log-probability under the
+    corpus's own unigram distribution — the distributed shape of
+    CCNet-style perplexity filtering."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.unigram_logprob(docs, "text", "doc_id")
+
+
 def repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level exact substring dedup, report form (operators/dedup.py
     repeated_lines): lines occurring in >=2 distinct documents — the
@@ -1457,12 +1466,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_lines_docs": repeated_lines_docs,
         "strip_repeated_lines_docs": strip_repeated_lines_docs,
         "cube_qty": cube_qty,
+        # unigram_logprob_docs: corpus-LM quality score; ungroup_explode
+        # (green r1-r4) rotates out, explode family stays in-window via
+        # chunk_documents
+        "unigram_logprob_docs": unigram_logprob_docs,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
         "column_stats": column_stats,
         "interpolate_linear": interpolate_linear,
-        "ungroup_explode": ungroup_explode,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "ols_price_qty": ols_price_qty,
         "pandas_map_column": pandas_map_column,
@@ -1474,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_qty": rollup_qty,
         "join_revenue_topn": join_revenue_topn,
         "dedup_exact_docs": dedup_exact_docs,
+        "ungroup_explode": ungroup_explode,
         "join_region_revenue": join_region_revenue,
         "first_last_by_type": first_last_by_type,
         "semi_join_parts": semi_join_parts,
@@ -1912,6 +1925,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_occurrences
             FROM lines WHERE trim(line) <> ''
             GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "unigram_logprob_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, count(*) AS c FROM toks GROUP BY token
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(c / t)), 6) AS avg_logprob
+            FROM toks JOIN counts USING (token), tot
+            GROUP BY doc_id
         """,
         "strip_repeated_lines_docs": """
             WITH docs AS (

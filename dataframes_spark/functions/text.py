@@ -196,6 +196,41 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model: ``(id, n_tokens, avg_logprob)``. The distributed form
+    of CCNet-style language-model quality filtering — documents whose
+    token distribution diverges from the corpus (gibberish, boilerplate,
+    wrong language) score low and can be threshold-filtered.
+
+    Plan: one explode pass; token counts via hash aggregate (map-side
+    partial combine, shuffle keyed by token); the corpus total folds in
+    as a 1-row broadcast aggregate (construction launches no job); one
+    join tokens->counts (shuffle on token, AQE-broadcast when the
+    vocabulary is small); final per-document aggregate. Tokenization is
+    identical to ``vocab_topk`` (lowercased whitespace split)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").cast("double").alias("__t"))
+    return (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("__c") / F.col("__t"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
 # tiny per-language marker vocabularies for the n-gram heuristic
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "is", "that", "with"),
