@@ -1305,6 +1305,27 @@ def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", "simhash")
 
 
+def bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloom.py bloom_semi_join):
+    orders of BUILDING-segment customers, pruned scan-side by a Bloom
+    bitmap embedded as a plan literal before the exact semi join — the
+    shape for key sets too large to broadcast as a hash relation. Exact
+    mode: result is identical to the plain semi join."""
+    from dataframes_spark.operators import bloom as dbloom
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    out = dbloom.bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all grouping-set combinations with subtotal/total rows —
     completes the rollup/pivot grouping-set family (rollup_qty)."""
@@ -1470,10 +1491,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green r1-r4) rotates out, explode family stays in-window via
         # chunk_documents
         "unigram_logprob_docs": unigram_logprob_docs,
+        # bloom_semi_orders: bloom-pruned semi join; column_stats (green
+        # r1-r4) rotates out, aggregate surface stays via
+        # aggregate_contract
+        "bloom_semi_orders": bloom_semi_orders,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "aggregate_contract": aggregate_contract,
-        "column_stats": column_stats,
         "interpolate_linear": interpolate_linear,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "ols_price_qty": ols_price_qty,
@@ -1487,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_topn": join_revenue_topn,
         "dedup_exact_docs": dedup_exact_docs,
         "ungroup_explode": ungroup_explode,
+        "column_stats": column_stats,
         "join_region_revenue": join_region_revenue,
         "first_last_by_type": first_last_by_type,
         "semi_join_parts": semi_join_parts,
@@ -1904,6 +1929,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS representative_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "bloom_semi_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderpriority
         """,
         "cube_qty": """
             SELECT l_returnflag, l_linestatus,

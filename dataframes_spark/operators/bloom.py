@@ -1,0 +1,119 @@
+"""Bloom-filter semi join: prune a large relation against a key set that
+is too large to broadcast as a hash relation but whose Bloom bitmap fits
+anywhere.
+
+The niche at 100 TB: a plain broadcast semi join ships the whole build
+key set to every executor (~8 B+ per key — 1e8 keys is ~1 GB and
+broadcast stops being an option), while a shuffle semi join shuffles the
+ENTIRE probe side. A Bloom bitmap needs ~1.2 bytes per key at 1% false
+positives, so the same 1e8-key prune rides the plan as a ~150 MB literal
+— and far smaller at the dimension sizes that dominate in practice —
+then every probe row is tested scan-side with pure JVM expressions
+before any shuffle. This mirrors Spark's own runtime bloom-filter join
+(`spark.sql.optimizer.runtime.bloomFilter.*`), whose expressions
+(`bloom_filter_agg` / `might_contain`) are optimizer-internal and not
+callable from the public API — so the bitmap here is built from public
+expressions only: xxhash64 positions, bit_or word aggregation.
+
+Build cost is ONE small job over the build side (the same sanctioned
+driver-tiny action as IVF centroids in operators/similarity.py): the
+bitmap words collect to the driver (m/8 bytes, e.g. 128 KiB at the
+default 2^20 bits) and embed as an array<long> literal, evaluated once
+per task thereafter. The probe never shuffles, collects, or calls
+Python.
+
+With ``exact=True`` (default) a real left-semi join runs AFTER the bloom
+prune, so the result is exactly the semi join — the bloom only shrinks
+what reaches the shuffle; false positives cost nothing but the bytes
+they fail to prune. With ``exact=False`` the caller accepts the bloom's
+false-positive rate (~(1 - e^(-kn/m))^k) in exchange for running no join
+at all.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_bitmap(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 20, num_hashes: int = 5
+) -> list[int]:
+    """Build the Bloom bitmap for a key column: ``num_bits`` bits as a
+    dense list of 64-bit words. One aggregation job; the result is
+    driver-tiny by construction (num_bits/8 bytes, independent of the
+    number of keys)."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    n_words = num_bits // 64
+    key = F.col(key_col)
+    # k positions per key; seed folded in by hashing (key, seed) together
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(key, F.lit(j)), F.lit(num_bits))
+                for j in range(num_hashes)
+            ]
+        )
+    ).alias("p")
+    words = (
+        df.where(key.isNotNull())
+        .select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # shiftleft's Python wrapper only takes a literal shift; the
+            # SQL form accepts an expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r.w] = r.bits
+    return bitmap
+
+
+def bloom_might_contain(
+    bitmap: list[int], key: Column, num_hashes: int = 5
+) -> Column:
+    """Pure-expression Bloom membership test against an embedded bitmap
+    literal: true iff all ``num_hashes`` bit positions of ``key`` are
+    set. Nulls test false (a semi join never matches null keys)."""
+    num_bits = len(bitmap) * 64
+    lit_bitmap = F.lit(bitmap)
+    tests = []
+    for j in range(num_hashes):
+        h = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(num_bits))
+        word = F.element_at(lit_bitmap, (h / 64).cast("int") + F.lit(1))
+        tests.append(F.getbit(word, (h % 64).cast("int")) == 1)
+    return key.isNotNull() & functools.reduce(operator.and_, tests)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Rows of ``big`` whose ``big_key`` appears in ``small``'s
+    ``small_key`` set, pruned scan-side by a Bloom bitmap before any
+    shuffle. ``exact=True`` finishes with a true left-semi join (result
+    identical to the plain semi join); ``exact=False`` skips it and
+    keeps the bloom's false positives."""
+    small_key = small_key or big_key
+    bitmap = bloom_bitmap(small, small_key, num_bits, num_hashes)
+    pruned = big.where(
+        bloom_might_contain(bitmap, F.col(big_key), num_hashes)
+    )
+    if not exact:
+        return pruned
+    keys = small.select(F.col(small_key).alias(big_key)).distinct()
+    return pruned.join(keys, big_key, "left_semi")

@@ -1,0 +1,66 @@
+"""Bloom-filter semi join (operators/bloom.py): exact mode must equal a
+plain left-semi join regardless of bitmap size (false positives are
+pruning misses, never result rows); approx mode is a superset containing
+every true match; null build keys are ignored and null probe keys never
+pass."""
+
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators import bloom
+
+
+def _sides(spark):
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 50)] + [(None,)], "k long"
+    )
+    return big, small
+
+
+def test_exact_equals_semi_join(spark):
+    big, small = _sides(spark)
+    out = sorted(map(tuple, bloom.bloom_semi_join(big, small, "k").collect()))
+    ref = sorted(
+        map(
+            tuple,
+            big.join(small.dropna().distinct(), "k", "left_semi").collect(),
+        )
+    )
+    assert out == ref and len(out) == 100
+
+
+def test_exact_survives_saturated_bitmap(spark):
+    # 64-bit bitmap saturates: the bloom prunes nothing, the exact join
+    # still removes every false positive
+    big, small = _sides(spark)
+    out = sorted(
+        map(tuple, bloom.bloom_semi_join(big, small, "k", num_bits=64).collect())
+    )
+    ref = sorted(
+        map(
+            tuple,
+            big.join(small.dropna().distinct(), "k", "left_semi").collect(),
+        )
+    )
+    assert out == ref
+
+
+def test_approx_superset_and_null_probe(spark):
+    big, small = _sides(spark)
+    big_with_null = big.union(
+        big.sparkSession.createDataFrame([(None, -1)], big.schema)
+    )
+    approx = bloom.bloom_semi_join(big_with_null, small, "k", exact=False)
+    got = set(r.k for r in approx.collect())
+    assert set(range(0, 500, 50)) <= got
+    assert None not in got  # null probe keys never pass
+
+
+def test_bitmap_small_and_deterministic(spark):
+    _, small = _sides(spark)
+    b1 = bloom.bloom_bitmap(small, "k", num_bits=1 << 12)
+    b2 = bloom.bloom_bitmap(small, "k", num_bits=1 << 12)
+    assert b1 == b2
+    assert len(b1) == (1 << 12) // 64
