@@ -1305,6 +1305,14 @@ def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", "simhash")
 
 
+def length_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed equal-width histogram (functions/stats.py histogram):
+    document-length distribution in 20 bins — range folded in as a
+    1-row broadcast aggregate, two aggregation passes total."""
+    docs = _t(spark, sf_dir, "documents")
+    return dstats.histogram(docs, "n_chars", bins=20)
+
+
 def bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi join (operators/bloom.py bloom_semi_join):
     orders of BUILDING-segment customers, pruned scan-side by a Bloom
@@ -1495,9 +1503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1-r4) rotates out, aggregate surface stays via
         # aggregate_contract
         "bloom_semi_orders": bloom_semi_orders,
+        # length_histogram_docs: distributed binning; aggregate_contract
+        # (green r1-r4) rotates out, the aggregate surface stays via
+        # cube_qty + q1 + the histogram's own two-pass aggregation
+        "length_histogram_docs": length_histogram_docs,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
-        "aggregate_contract": aggregate_contract,
         "interpolate_linear": interpolate_linear,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "ols_price_qty": ols_price_qty,
@@ -1512,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "ungroup_explode": ungroup_explode,
         "column_stats": column_stats,
+        "aggregate_contract": aggregate_contract,
         "join_region_revenue": join_region_revenue,
         "first_last_by_type": first_last_by_type,
         "semi_join_parts": semi_join_parts,
@@ -1929,6 +1941,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS representative_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "length_histogram_docs": """
+            WITH rng AS (
+                SELECT min(CAST(n_chars AS DOUBLE)) AS mn,
+                       max(CAST(n_chars AS DOUBLE)) AS mx
+                FROM documents WHERE n_chars IS NOT NULL
+            ), binned AS (
+                SELECT CASE WHEN mx = mn THEN 0
+                            ELSE CAST(least(floor(
+                                (CAST(n_chars AS DOUBLE) - mn)
+                                / ((mx - mn) / 20.0)), 19) AS INT)
+                       END AS bin, mn, mx
+                FROM documents, rng WHERE n_chars IS NOT NULL
+            )
+            SELECT bin,
+                   round(mn + bin * ((mx - mn) / 20.0), 6) AS lo,
+                   round(mn + (bin + 1) * ((mx - mn) / 20.0), 6) AS hi,
+                   count(*) AS n
+            FROM binned GROUP BY bin, mn, mx
         """,
         "bloom_semi_orders": """
             SELECT o_orderpriority, count(*) AS n_orders,

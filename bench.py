@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "split_documents",
     "upsert_documents",
     "fuzzy_part_names",
+    "repeated_lines_docs",
+    "strip_repeated_lines_docs",
+    "unigram_logprob_docs",
+    "bloom_semi_orders",
+    "cube_qty",
     # md5-mode twins (minhash_signatures_md5, lsh_buckets_md5) are
     # verification paths, not perf paths — the xxhash64 defaults above
     # are what a pipeline runs; benching the md5 lanes would measure

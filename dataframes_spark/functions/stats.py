@@ -223,3 +223,43 @@ def auto_corr(df: DataFrame, col: str, order_by: str, lag: int = 1) -> DataFrame
     w = W.orderBy(order_by)
     lagged = df.select(F.col(col), F.lag(col, lag).over(w).alias("__lag"))
     return lagged.agg(F.corr(col, "__lag").alias("autocorr"))
+
+
+def histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
+    """Distributed equal-width histogram as a DataFrame:
+    ``(bin, lo, hi, n)`` — the data-plane twin of ``viz.histogram``
+    (which collects only the already-binned counts for plotting).
+
+    The min/max range folds into the plan as a 1-row broadcast
+    aggregate, so construction launches no job and the whole thing is
+    two aggregation passes over the column (range + counts), map-side
+    partial both times. Values exactly at the upper edge land in the
+    last bin (the standard closed-last-bin rule); nulls are dropped;
+    a constant column collapses into one bin. Empty bins are absent
+    from the output (count is by presence, not a dense bin spine).
+    ``lo``/``hi`` are rounded to 6dp for cross-engine stability."""
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    x = F.col(col).cast("double")
+    rng = df.where(x.isNotNull()).agg(
+        F.min(x).alias("__mn"), F.max(x).alias("__mx")
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    bin_ = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("__mn")) / width), F.lit(bins - 1)
+        )
+    ).cast("int")
+    return (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(rng))
+        .select(bin_.alias("bin"), "__mn", "__mx")
+        .groupBy("bin", "__mn", "__mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("__mn") + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.col("__mn") + (F.col("bin") + 1) * width, 6).alias("hi"),
+            "n",
+        )
+    )
