@@ -1305,6 +1305,46 @@ def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", "simhash")
 
 
+def resample_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-spine hourly resample (operators/window.py resample): one
+    row per (event_type, hour) from each type's first hour to its last,
+    gap hours zero-filled — what the sparse time_rollup cannot express.
+    Spine derives from the already-aggregated buckets, never a driver
+    range probe."""
+    ev = _t(spark, sf_dir, "events")
+    out = dwindow.resample(
+        ev,
+        "ts",
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+        group_by=["event_type"],
+        fill="zero",
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "n",
+        "sum_value",
+    )
+
+
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile winsorization (functions/stats.py winsorize): clip
+    l_extendedprice to its [5%, 95%] quantiles — bounds folded in as a
+    1-row broadcast aggregate — then summarize the clipped column."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = dstats.winsorize(li, "l_extendedprice", 0.05, 0.95)
+    return w.agg(
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def length_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed equal-width histogram (functions/stats.py histogram):
     document-length distribution in 20 bins — range folded in as a
@@ -1507,6 +1547,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green r1-r4) rotates out, the aggregate surface stays via
         # cube_qty + q1 + the histogram's own two-pass aggregation
         "length_histogram_docs": length_histogram_docs,
+        # resample_events_hourly (dense-spine gap-filled downsample) and
+        # winsorize_prices (quantile clipping); window_topn_orders and
+        # near_dup_jaccard_lsh (both green r1-r4) rotate out — the window
+        # family stays via the resample spine + rolling history, dedup
+        # keeps six in-window rows
+        "resample_events_hourly": resample_events_hourly,
+        "winsorize_prices": winsorize_prices,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "interpolate_linear": interpolate_linear,
@@ -1514,10 +1561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_price_qty": ols_price_qty,
         "pandas_map_column": pandas_map_column,
         "setop_custkeys": setop_custkeys,
-        "window_topn_orders": window_topn_orders,
-        "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
         # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
         #    still covered locally by tools/check_oracle.py and tests/
+        "window_topn_orders": window_topn_orders,
+        "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
         "rollup_qty": rollup_qty,
         "join_revenue_topn": join_revenue_topn,
         "dedup_exact_docs": dedup_exact_docs,
@@ -1941,6 +1988,41 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS representative_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "resample_events_hourly": """
+            WITH agged AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket,
+                       count(*) AS n, round(sum(value), 4) AS sum_value
+                FROM events GROUP BY 1, 2
+            ), rng AS (
+                SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+                FROM agged GROUP BY 1
+            ), spine AS (
+                SELECT event_type,
+                       unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+                FROM rng
+            )
+            SELECT s.event_type, epoch_us(s.bucket) AS bucket_us,
+                   coalesce(a.n, 0) AS n,
+                   coalesce(a.sum_value, 0) AS sum_value
+            FROM spine s LEFT JOIN agged a USING (event_type, bucket)
+        """,
+        "winsorize_prices": """
+            WITH b AS (
+                SELECT quantile_cont(l_extendedprice, 0.05) AS qlo,
+                       quantile_cont(l_extendedprice, 0.95) AS qhi
+                FROM lineitem
+            ), clipped AS (
+                SELECT CASE WHEN l_extendedprice < qlo THEN qlo
+                            WHEN l_extendedprice > qhi THEN qhi
+                            ELSE CAST(l_extendedprice AS DOUBLE) END AS v
+                FROM lineitem, b
+            )
+            SELECT round(avg(v), 6) AS avg_price,
+                   round(min(v), 2) AS min_price,
+                   round(max(v), 2) AS max_price,
+                   count(*) AS n
+            FROM clipped
         """,
         "length_histogram_docs": """
             WITH rng AS (

@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "unigram_logprob_docs",
     "bloom_semi_orders",
     "cube_qty",
+    "length_histogram_docs",
+    "resample_events_hourly",
+    "winsorize_prices",
     # md5-mode twins (minhash_signatures_md5, lsh_buckets_md5) are
     # verification paths, not perf paths — the xxhash64 defaults above
     # are what a pipeline runs; benching the md5 lanes would measure

@@ -263,3 +263,30 @@ def histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
             "n",
         )
     )
+
+
+def winsorize(
+    df: DataFrame, col: str, lower: float = 0.01, upper: float = 0.99
+) -> DataFrame:
+    """Clip a column to its [``lower``, ``upper``] quantiles — the
+    standard outlier-taming pass before training-statistics or
+    normalization. The two bounds fold into the plan as a 1-row
+    broadcast aggregate (Spark's exact distributed ``percentile``), so
+    construction launches no job and the clip itself is a pure
+    projection. The clipped column comes back as DOUBLE (quantiles
+    interpolate); nulls stay null; all other columns pass through."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
+    x = F.col(col).cast("double")
+    bounds = df.agg(
+        F.expr(f"percentile({_bq(col)}, {lower!r})").alias("__qlo"),
+        F.expr(f"percentile({_bq(col)}, {upper!r})").alias("__qhi"),
+    )
+    clipped = (
+        F.when(x < F.col("__qlo"), F.col("__qlo"))
+        .when(x > F.col("__qhi"), F.col("__qhi"))
+        .otherwise(x)
+    )
+    return df.crossJoin(F.broadcast(bounds)).select(
+        *[clipped.alias(c) if c == col else F.col(c) for c in df.columns]
+    )

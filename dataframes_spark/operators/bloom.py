@@ -6,8 +6,8 @@ The niche at 100 TB: a plain broadcast semi join ships the whole build
 key set to every executor (~8 B+ per key — 1e8 keys is ~1 GB and
 broadcast stops being an option), while a shuffle semi join shuffles the
 ENTIRE probe side. A Bloom bitmap needs ~1.2 bytes per key at 1% false
-positives, so the same 1e8-key prune rides the plan as a ~150 MB literal
-— and far smaller at the dimension sizes that dominate in practice —
+positives, so the same 1e8-key prune broadcasts as a ~150 MB bitmap —
+far smaller at the dimension sizes that dominate in practice —
 then every probe row is tested scan-side with pure JVM expressions
 before any shuffle. This mirrors Spark's own runtime bloom-filter join
 (`spark.sql.optimizer.runtime.bloomFilter.*`), whose expressions
@@ -18,9 +18,10 @@ expressions only: xxhash64 positions, bit_or word aggregation.
 Build cost is ONE small job over the build side (the same sanctioned
 driver-tiny action as IVF centroids in operators/similarity.py): the
 bitmap words collect to the driver (m/8 bytes, e.g. 128 KiB at the
-default 2^20 bits) and embed as an array<long> literal, evaluated once
-per task thereafter. The probe never shuffles, collects, or calls
-Python.
+default 2^20 bits) and ride back out as a broadcast 1-row
+``array<long>`` relation — data, not an expression tree (an array
+LITERAL of 16k elements costs megabytes of plan per task; measured 20x
+slower). The probe never shuffles, collects, or calls Python.
 
 With ``exact=True`` (default) a real left-semi join runs AFTER the bloom
 prune, so the result is exactly the semi join — the bloom only shrinks
@@ -79,17 +80,21 @@ def bloom_bitmap(
 
 
 def bloom_might_contain(
-    bitmap: list[int], key: Column, num_hashes: int = 5
+    bitmap: Column, num_bits: int, key: Column, num_hashes: int = 5
 ) -> Column:
-    """Pure-expression Bloom membership test against an embedded bitmap
-    literal: true iff all ``num_hashes`` bit positions of ``key`` are
-    set. Nulls test false (a semi join never matches null keys)."""
-    num_bits = len(bitmap) * 64
-    lit_bitmap = F.lit(bitmap)
+    """Pure-expression Bloom membership test against an ``array<long>``
+    bitmap COLUMN: true iff all ``num_hashes`` bit positions of ``key``
+    are set. Nulls test false (a semi join never matches null keys).
+
+    The bitmap must arrive as DATA (a broadcast 1-row frame, see
+    ``bloom_semi_join``), never as ``F.lit(<list>)``: a 2^20-bit bitmap
+    as an array literal is a 16384-node expression tree that bloats
+    analysis and ships megabytes of plan with every task — measured 20x
+    slower than the same probe against a broadcast column."""
     tests = []
     for j in range(num_hashes):
         h = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(num_bits))
-        word = F.element_at(lit_bitmap, (h / 64).cast("int") + F.lit(1))
+        word = F.element_at(bitmap, (h / 64).cast("int") + F.lit(1))
         tests.append(F.getbit(word, (h % 64).cast("int")) == 1)
     return key.isNotNull() & functools.reduce(operator.and_, tests)
 
@@ -110,8 +115,19 @@ def bloom_semi_join(
     keeps the bloom's false positives."""
     small_key = small_key or big_key
     bitmap = bloom_bitmap(small, small_key, num_bits, num_hashes)
-    pruned = big.where(
-        bloom_might_contain(bitmap, F.col(big_key), num_hashes)
+    # the bitmap rides as a broadcast 1-row frame (data), NOT an array
+    # literal (a 16k-element expression tree) — see bloom_might_contain
+    bm = F.broadcast(
+        big.sparkSession.createDataFrame([(bitmap,)], "__bloom_bm array<bigint>")
+    )
+    pruned = (
+        big.crossJoin(bm)
+        .where(
+            bloom_might_contain(
+                F.col("__bloom_bm"), num_bits, F.col(big_key), num_hashes
+            )
+        )
+        .drop("__bloom_bm")
     )
     if not exact:
         return pruned

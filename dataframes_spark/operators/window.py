@@ -160,3 +160,80 @@ def time_rollup(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    every: str,
+    aggs: Sequence[Column],
+    group_by: Sequence[str] = (),
+    fill: str = "null",
+) -> DataFrame:
+    """Downsample to a fixed interval on a DENSE per-group time spine:
+    one row per (group, bucket) from each group's first bucket to its
+    last, with buckets that saw no data present as gap rows — what
+    ``time_rollup`` (sparse, bucket-per-datum) cannot express and every
+    time-series consumer eventually needs (charts, diff-vs-previous,
+    gap detection).
+
+    ``fill`` controls gap rows: ``"null"`` keeps the aggregates null,
+    ``"zero"`` coalesces them to 0, ``"ffill"`` carries the last seen
+    value forward within the group (ordered by bucket).
+
+    Scale shape: the source aggregates ONCE (hash agg on
+    (bucket, group), map-side partial combine — the only pass over the
+    data); the spine derives from that already-bucket-sized result (a
+    per-group min/max agg + one ``sequence`` explode, never a
+    driver-side range probe), and the gap join runs at bucket
+    granularity, so everything after the first aggregate is
+    output-sized. The ffill window partitions by group — with no
+    ``group_by`` it is the documented single-reducer global form, at
+    bucket (not datum) cardinality.
+    """
+    if fill not in ("null", "zero", "ffill"):
+        raise ValueError(f"fill must be null|zero|ffill, got {fill}")
+    gb = [F.col(g) for g in group_by]
+    bucket = F.window(F.col(ts_col), every)
+    agged0 = df.groupBy(bucket.alias("__w"), *gb).agg(*aggs)
+    agg_cols = [c for c in agged0.columns if c not in ("__w", *group_by)]
+    agged = agged0.select(
+        F.col("__w.start").alias("bucket"), *group_by, *agg_cols
+    )
+    step = F.expr(f"interval {every}")
+    spine = (
+        agged.groupBy(*gb)
+        .agg(F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
+        .select(
+            *group_by,
+            F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias(
+                "bucket"
+            ),
+        )
+    )
+    out = spine.join(agged, [*group_by, "bucket"], "left")
+    if fill == "zero":
+        out = out.select(
+            *group_by,
+            "bucket",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in agg_cols],
+        )
+    elif fill == "ffill":
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy(*group_by)
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        out = out.select(
+            *group_by,
+            "bucket",
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                for c in agg_cols
+            ],
+        )
+    else:
+        out = out.select(*group_by, "bucket", *agg_cols)
+    return out

@@ -265,3 +265,62 @@ def test_tfidf_construction_is_action_free(spark, sf_dir):
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert list(sc.statusTracker().getJobIdsForGroup("tfidf_lazy_probe")) == []
     assert df.columns == ["source", "token", "tf", "df", "tfidf", "rnk"]
+
+
+def test_histogram_construction_is_action_free(spark, sf_dir):
+    """The min/max range folds into the plan as a 1-row broadcast
+    aggregate — building the histogram must launch zero jobs (a
+    driver-side range probe would full-scan the column before the
+    query even runs)."""
+    from dataframes_spark.functions import stats as dstats
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")  # footer read outside probe
+    sc = spark.sparkContext
+    sc.setJobGroup("hist_lazy_probe", "histogram construction")
+    try:
+        h = dstats.histogram(docs, "n_chars", bins=20)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("hist_lazy_probe")) == []
+    assert h.columns == ["bin", "lo", "hi", "n"]
+
+
+def test_unigram_logprob_construction_is_action_free(spark, sf_dir):
+    """The corpus token total folds in as a 1-row broadcast aggregate;
+    construction must launch zero jobs."""
+    from dataframes_spark.functions import text as dtext
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    sc.setJobGroup("unigram_lazy_probe", "unigram construction")
+    try:
+        s = dtext.unigram_logprob(docs, "text", "doc_id")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("unigram_lazy_probe")) == []
+    assert s.columns == ["doc_id", "n_tokens", "avg_logprob"]
+
+
+def test_line_dedup_counts_on_content_key(plans):
+    """repeated_lines must aggregate on the collision-safe content-hash
+    struct (xxhash64 + md5 in the plan), partial-then-final, one
+    exchange — never a groupBy on raw line text without map-side
+    combine."""
+    p = plans("repeated_lines_docs")
+    assert "xxhash64" in p and "md5" in p
+    assert p.count("HashAggregate") >= 2
+    # count-distinct expands to two aggregate pairs over one shuffle pair
+    assert p.count("Exchange") <= 3
+
+
+def test_bloom_probe_is_scan_side_filter(plans):
+    """bloom_semi_join's bloom test must run as a plain Filter (getbit
+    against the embedded bitmap literal) BEFORE the exact semi join —
+    pruning on the scan side of the shuffle, inside codegen, no Python."""
+    p = plans("bloom_semi_orders")
+    assert "getbit" in p
+    assert "Filter" in p
+    assert "LeftSemi" in p
+    assert "pythonUDF" not in p.lower()

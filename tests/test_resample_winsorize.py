@@ -1,0 +1,77 @@
+"""Dense-spine resample (operators/window.py resample) and quantile
+winsorization (functions/stats.py winsorize)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.functions import stats
+from dataframes_spark.operators import window as dwindow
+
+
+def _events(spark):
+    rows = [
+        # type a: hours 10, 12 — hour 11 is a gap
+        ("a", datetime(2024, 1, 1, 10, 5), 1.0),
+        ("a", datetime(2024, 1, 1, 10, 55), 2.0),
+        ("a", datetime(2024, 1, 1, 12, 0), 4.0),
+        # type b: single hour — spine must NOT cover a's range
+        ("b", datetime(2024, 1, 1, 23, 30), 8.0),
+    ]
+    return spark.createDataFrame(rows, ["t", "ts", "v"])
+
+
+def _resample(spark, fill):
+    return dwindow.resample(
+        _events(spark),
+        "ts",
+        "1 hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+        group_by=["t"],
+        fill=fill,
+    )
+
+
+def test_resample_gap_rows_zero_filled(spark):
+    out = {(r.t, r.bucket.hour): (r.n, r.s) for r in _resample(spark, "zero").collect()}
+    assert out[("a", 10)] == (2, 3.0)
+    assert out[("a", 11)] == (0, 0.0)  # gap hour present, zero-filled
+    assert out[("a", 12)] == (1, 4.0)
+    assert out[("b", 23)] == (1, 8.0)
+    assert len(out) == 4  # b's spine is one bucket, not a's range
+
+
+def test_resample_null_and_ffill(spark):
+    nulls = {(r.t, r.bucket.hour): r.s for r in _resample(spark, "null").collect()}
+    assert nulls[("a", 11)] is None
+    ffill = {(r.t, r.bucket.hour): r.s for r in _resample(spark, "ffill").collect()}
+    assert ffill[("a", 11)] == 3.0  # carried forward from hour 10
+    assert ffill[("a", 12)] == 4.0  # real data wins over the carry
+
+
+def test_resample_rejects_bad_fill(spark):
+    with pytest.raises(ValueError):
+        _resample(spark, "interpolate")
+
+
+def test_winsorize_clips_and_passes_through(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 10, 20, 30, 40, 50, 60, 70, 80, 1000])],
+        ["id", "x"],
+    )
+    out = {r.id: r.x for r in stats.winsorize(df, "x", 0.1, 0.9).collect()}
+    # (N-1)*q rule: lo = 0.9th idx -> 9.0, hi = 8.1th idx -> ~172.0
+    assert out[0] == pytest.approx(9.0)
+    assert out[9] == pytest.approx(172.0)
+    assert out[5] == 50.0  # interior values untouched
+    assert len(out) == 10
+
+
+def test_winsorize_keeps_nulls_and_validates(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, 3.0)], ["id", "x"])
+    out = {r.id: r.x for r in stats.winsorize(df, "x", 0.0, 1.0).collect()}
+    assert out[2] is None
+    assert out[1] == 1.0 and out[3] == 3.0
+    with pytest.raises(ValueError):
+        stats.winsorize(df, "x", 0.9, 0.1)
