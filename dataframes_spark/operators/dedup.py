@@ -143,17 +143,20 @@ def repeated_lines(
     reference has no dedup at all; this extends the training-pipeline
     family (SURVEY §2.14).
 
-    Scale: the groupBy key is the ~32 B content struct, so the shuffle
-    carries one (hash, line, id) row per distinct line per map partition
-    after partial aggregation — never the full corpus text. Blank lines
-    (empty after trim) are structure, not content, and are never reported.
+    Scale: the report's output must carry the line text anyway, so the
+    groupBy key IS the line (string grouping keys stay inside
+    HashAggregate; putting the text in the aggregation BUFFER instead —
+    e.g. ``min(line)`` keyed by hash — demotes the whole aggregation to
+    SortAggregate and sorts the exploded corpus). Map-side partial
+    aggregation still reduces the shuffle to one row per distinct
+    (line, id) per partition. Blank lines (empty after trim) are
+    structure, not content, and are never reported.
     """
     lines = _line_relation(_spread(df), text_col, id_col, sep)
     return (
         lines.filter(F.trim("__line") != "")
-        .groupBy("__lh")
+        .groupBy(F.col("__line").alias("line"))
         .agg(
-            F.min("__line").alias("line"),
             F.count_distinct("__id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
         )

@@ -303,16 +303,29 @@ def test_unigram_logprob_construction_is_action_free(spark, sf_dir):
     assert s.columns == ["doc_id", "n_tokens", "avg_logprob"]
 
 
-def test_line_dedup_counts_on_content_key(plans):
-    """repeated_lines must aggregate on the collision-safe content-hash
-    struct (xxhash64 + md5 in the plan), partial-then-final, one
-    exchange — never a groupBy on raw line text without map-side
-    combine."""
+def test_line_dedup_stays_in_hash_aggregate(plans):
+    """repeated_lines groups by the line text itself (string KEYS stay
+    inside HashAggregate; text in the aggregation BUFFER — min(line)
+    keyed by hash — would demote the whole plan to SortAggregate and
+    sort the exploded corpus). Partial-then-final combine, bounded
+    exchanges."""
     p = plans("repeated_lines_docs")
-    assert "xxhash64" in p and "md5" in p
     assert p.count("HashAggregate") >= 2
-    # count-distinct expands to two aggregate pairs over one shuffle pair
-    assert p.count("Exchange") <= 3
+    assert "SortAggregate" not in p
+    # count-distinct expands to two aggregate pairs over two exchanges,
+    # plus the small-file spread repartition; formatted explain names
+    # each node twice (tree + detail), so 3 nodes -> 6 mentions
+    assert p.count("Exchange") <= 6
+
+
+def test_strip_repeated_lines_hash_flag_join(plans):
+    """strip_repeated_lines counts on the collision-safe content struct
+    (xxhash64 + md5) and never demotes to SortAggregate; the rebuild's
+    collect_list runs in ObjectHashAggregate."""
+    p = plans("strip_repeated_lines_docs")
+    assert "xxhash64" in p and "md5" in p
+    assert "SortAggregate" not in p
+    assert "ObjectHashAggregate" in p
 
 
 def test_bloom_probe_is_scan_side_filter(plans):
