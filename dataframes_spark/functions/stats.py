@@ -290,3 +290,69 @@ def winsorize(
     return df.crossJoin(F.broadcast(bounds)).select(
         *[clipped.alias(c) if c == col else F.col(c) for c in df.columns]
     )
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    method: str = "zscore",
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Feature scaling in place: replace each of ``cols`` with its
+    z-score (``(x - mean) / std``, population std) or min-max
+    (``(x - min) / (max - min)``) scaled DOUBLE value — globally, or
+    within ``by`` groups.
+
+    Global statistics fold in as a 1-row broadcast aggregate
+    (construction launches no job); grouped statistics are unbounded
+    window aggregates over the group — one shuffle on the group key,
+    no self-join. Degenerate spans (std = 0 / max = min) scale to 0.0
+    by convention rather than null-ing out a constant feature; nulls
+    stay null; all other columns pass through unchanged.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"method must be zscore|minmax, got {method}")
+    cols = list(cols)
+
+    def scaled(c: str, lo: Column, span: Column) -> Column:
+        x = F.col(c).cast("double")
+        return F.when(x.isNull(), None).otherwise(
+            F.when(span == 0, F.lit(0.0)).otherwise((x - lo) / span)
+        )
+
+    if by:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*by)
+        out_cols = []
+        for c in df.columns:
+            if c not in cols:
+                out_cols.append(F.col(c))
+                continue
+            x = F.col(c).cast("double")
+            if method == "zscore":
+                lo, span = F.avg(x).over(w), F.stddev_pop(x).over(w)
+            else:
+                lo, span = F.min(x).over(w), F.max(x).over(w) - F.min(x).over(w)
+            out_cols.append(scaled(c, lo, span).alias(c))
+        return df.select(*out_cols)
+
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "zscore":
+            aggs += [F.avg(x).alias(f"__lo_{c}"), F.stddev_pop(x).alias(f"__sp_{c}")]
+        else:
+            aggs += [
+                F.min(x).alias(f"__lo_{c}"),
+                (F.max(x) - F.min(x)).alias(f"__sp_{c}"),
+            ]
+    stats_row = df.agg(*aggs)
+    return df.crossJoin(F.broadcast(stats_row)).select(
+        *[
+            scaled(c, F.col(f"__lo_{c}"), F.col(f"__sp_{c}")).alias(c)
+            if c in cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -168,3 +168,39 @@ def replicate_join(
     )
     out = salted_fact.join(salted_dim, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, key_cols: str | Sequence[str], top_n: int = 20
+) -> DataFrame:
+    """Heavy-key diagnosis for a prospective join/aggregation key:
+    the ``top_n`` most frequent key values with row count, share of the
+    table, and a skew ratio vs the mean key size — the numbers that
+    decide whether a key needs salting (``aggregate_by_skew_safe``),
+    replication (``replicate_join``), or nothing.
+
+    One hash aggregate keyed by the key columns (map-side combine), the
+    table total and distinct-key mean folded in as a 1-row broadcast
+    aggregate, and a top-n heap (TakeOrderedAndProject) — no global
+    sort, no collect. Null keys count as a key value (they hot-spot
+    joins like any other value).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("double").alias("__total"),
+        F.avg("n_rows").alias("__mean_sz"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n_rows") / F.col("__mean_sz"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_n)
+    )
