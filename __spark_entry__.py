@@ -1505,46 +1505,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness gate samples the FIRST
-    # 50 entries. Round-5 rotation: the two round-4 queries
-    # (pack_documents_cumsum, chunk_documents) move INTO the window as
-    # promised last round, joined by the two new round-5 queries
-    # (pack_documents_greedy — recursive-CTE oracle for the exact stateful
-    # kernel; minhash_signatures_md5 — first hash-verified row of the
-    # minhash family; decontaminate_docs — eval-set n-gram overlap;
-    # lsh_buckets_md5 + simhash_fingerprints_md5 — value-checked ANN
-    # bucketing and simhash arithmetic; salted_agg_events — first driver
-    # row for the skew tooling, oracle = the plain GROUP BY salting must
-    # be invisible against; interval_overlap_purchases — two-sided
-    # interval join; near_dup_clusters — connected-components closure of
-    # the LSH pair relation vs a recursive-CTE oracle; repetition_docs —
-    # Gopher-style repetition signals; mix_corpus_sources — md5-threshold
-    # weighted mixture; vocab_topk_docs — explode->agg->top-k heap;
-    # tfidf_top_terms — per-source tf-idf ranking; weighted_sample_docs
-    # — Efraimidis-Spirakis weighted sampling with md5 uniforms;
-    # split_documents — deterministic train/val/test hash bands;
-    # upsert_documents — MERGE via one full-outer join;
-    # fuzzy_part_names — edit-distance join with lossless length-band
-    # blocking). To make room for the last nine, pivot_returnflag,
-    # jaccard_pairs_3gram, concat_horizontal, doc_profile,
-    # embedding_topk, join_region_revenue, semi_join_parts,
-    # anti_join_customers, and first_last_by_type (all green r1-r4;
-    # families still in-window via rollup_qty, dedup_exact_docs +
-    # near_dup_jaccard_lsh, ungroup_explode, repetition_docs +
-    # winnow/shared_passages, embedding_norms +
-    # embedding_near_dup_pairs, join_revenue_topn + the upsert
-    # full-outer join, and aggregate_contract + column_stats) also
-    # rotate out. Nine more multiply-green rows (count_values,
-    # slice_offset, ungroup_list_column, setop_union_except, dropna_rows,
-    # fillna_zero, group_collect_lists, media_decode_stats, rsi_by_flag —
-    # all green r1-r4) rotate out to make room; their families stay
-    # represented in-window (aggregate_contract + column_stats +
-    # first_last_by_type, sort family via window_topn, the ungroup
-    # family via ungroup_explode, set ops via setop_custkeys, nulls via
-    # interpolate_linear, multimodal via frame_sample_timestamps) and
-    # every rotated-out row remains covered by tools/check_oracle.py +
-    # unit tests. Keep this discipline: any NEW query must enter within
-    # the first 50 in the round it ships.
+    # Ordering is deliberate: the driver's correctness gate samples the
+    # FIRST 50 entries, so every query new in round 5 sits inside that
+    # window. Composition (second half of round 5): 15 first-batch rows
+    # (md5-mode ANN verification, salted agg, interval/fuzzy/upsert
+    # joins, clustering, repetition, mixtures, sampling, splits, vocab,
+    # tf-idf, packing) + 11 second-batch rows (line-level dedup report
+    # and strip, cube, unigram LM score, bloom semi join, histogram,
+    # dense-spine resample, winsorize, nearest as-of, skew report,
+    # grouped z-score) + the long-standing never-rotated core. Rows-only
+    # queries in-window are down to minhash_lsh_candidates +
+    # ivf_topk_probe (their md5 twins ARE hash-verified);
+    # simhash_fingerprints and lsh_similarity_topk rotated below the
+    # window in favor of those twins. Every rotated-out row is multiply
+    # driver-green (r1-r4) and stays covered by tools/check_oracle.py
+    # (full 97-query sweeps at sf0.01 AND sf0.1 this round: 0 failed)
+    # and the unit suite. Keep this discipline: any NEW query must enter
+    # within the first 50 in the round it ships.
     return {
         # -- never driver-checked through r03: must occupy the first-50 window
         "embedding_norms": embedding_norms,
