@@ -1305,6 +1305,22 @@ def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", "simhash")
 
 
+def melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (operators/reshape.py melt): three lineitem
+    measures melted in ONE Expand scan (the oracle unions three scans —
+    same rows, 3x the reads), then summarized per variable."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = dreshape.melt(
+        li,
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return m.groupBy("variable").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of join (operators/asof.py asof_nearest):
     each click picks the purchase minimizing |Δts| for its user —
@@ -1598,9 +1614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_purchase": asof_nearest_purchase,
         "skew_report_orders": skew_report_orders,
         "standardize_prices": standardize_prices,
+        # melt_lineitem: single-scan unpivot; interpolate_linear (green
+        # r1-r4) rotates out, nulls family stays via fillna/dropna history
+        "melt_lineitem": melt_lineitem,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
-        "interpolate_linear": interpolate_linear,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "ols_price_qty": ols_price_qty,
         "pandas_map_column": pandas_map_column,
@@ -1612,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "lsh_similarity_topk": lsh_similarity_topk,
         "asof_last_purchase": asof_last_purchase,
+        "interpolate_linear": interpolate_linear,
         "rollup_qty": rollup_qty,
         "join_revenue_topn": join_revenue_topn,
         "dedup_exact_docs": dedup_exact_docs,
@@ -2035,6 +2054,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS representative_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "melt_lineitem": """
+            SELECT variable, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM (
+                SELECT 'l_quantity' AS variable,
+                       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice',
+                       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT 'l_discount',
+                       CAST(l_discount AS DOUBLE) FROM lineitem
+            ) GROUP BY variable
         """,
         "asof_nearest_purchase": """
             SELECT c.event_id, c.user_id,

@@ -66,3 +66,25 @@ def slice_rows(df: DataFrame, begin: int, count: int, order_by: Sequence[str]) -
     if begin:
         out = out.offset(begin)
     return out.limit(count)
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide-to-long unpivot: one output row per (id row, value column),
+    ``(ids..., variable, value)`` — the inverse of pivot and the other
+    half of the reshape family (§2.10). Values are cast to DOUBLE (the
+    unpivoted column must have one type; the reference's numeric model
+    is INT64/DOUBLE and DOUBLE is the join of both).
+
+    Runs as a single-scan Expand node (each input row fans out to
+    len(value_cols) output rows in the same task) — not a UNION of
+    per-column scans, so the source is read once however many columns
+    unpivot and column pruning still reaches the scan."""
+    return df.select(
+        *id_cols, *[F.col(c).cast("double").alias(c) for c in value_cols]
+    ).unpivot(list(id_cols), list(value_cols), var_name, value_name)

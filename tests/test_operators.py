@@ -415,3 +415,19 @@ def test_interval_overlap_join_no_duplicate_pairs(spark):
     R = spark.createDataFrame([(2, 40.0, 45.0)], ["rid", "rs", "re"])
     out = interval_overlap_join(L, R, "ls", "le", "rs", "re", bucket_width=10.0)
     assert out.count() == 1
+
+
+def test_melt_single_scan_and_null_retention(spark):
+    from dataframes_spark.operators import reshape
+
+    df = spark.createDataFrame(
+        [(1, 10.0, None), (2, 20.0, 5.0)], ["id", "a", "b"]
+    )
+    out = reshape.melt(df, ["id"], ["a", "b"]).collect()
+    got = {(r.id, r.variable): r.value for r in out}
+    assert got == {
+        (1, "a"): 10.0, (1, "b"): None, (2, "a"): 20.0, (2, "b"): 5.0,
+    }
+    # single-scan Expand, not a union of per-column scans
+    plan = reshape.melt(df, ["id"], ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Union" not in plan
