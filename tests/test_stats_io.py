@@ -249,3 +249,22 @@ def test_write_parquet_sized_caps_file_rows(spark, sf_dir, tmp_path):
     # i.e. strictly narrower than the global range on average
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
+
+
+def test_orc_and_jsonl_roundtrip(spark, tmp_path):
+    """ORC and JSON lines route through Spark's native distributed
+    readers/writers via extension detection — both directions."""
+    from dataframes_spark.io import readers, writers
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, 'q"uote', 2.5)],
+        ["id", "s", "v"],
+    )
+    for ext in ("orc", "jsonl"):
+        path = str(tmp_path / f"t.{ext}")
+        writers.write_auto(df, path)
+        back = readers.read_auto(spark, path)
+        got = sorted(
+            (r.id, r.s, r.v) for r in back.select("id", "s", "v").collect()
+        )
+        assert got == [(1, "a", 1.5), (2, "b", None), (3, 'q"uote', 2.5)]
