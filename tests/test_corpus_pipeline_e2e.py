@@ -1,9 +1,10 @@
 """End-to-end corpus preparation: every training-data operator composed
 the way a real pipeline runs them, on the driver's synthetic documents.
 
-read -> redact -> quality/repetition gate -> exact dedup -> near-dup
-clustering (keep one per cluster) -> eval decontamination -> train/val/
-test split -> context-window packing -> size-capped clustered write.
+read -> redact -> boilerplate line strip -> quality/repetition/LM
+gate -> exact dedup -> near-dup clustering (keep one per cluster) ->
+eval decontamination -> train/val/test split -> context-window packing
+-> size-capped clustered write.
 
 The point is integration: each stage consumes the previous stage's
 frame, the whole chain stays lazy until the final write, and invariants
@@ -16,10 +17,19 @@ import glob
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from dataframes_spark.functions.text import redact, repetition_profile, quality_score
+from dataframes_spark.functions.text import (
+    redact,
+    repetition_profile,
+    quality_score,
+    unigram_logprob,
+)
 from dataframes_spark.io.writers import write_parquet_sized
 from dataframes_spark.operators.decontaminate import decontaminate
-from dataframes_spark.operators.dedup import exact_dedup, near_dup_pairs
+from dataframes_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs,
+    strip_repeated_lines,
+)
 from dataframes_spark.operators.graph import dedup_representatives
 from dataframes_spark.operators.pack import pack_by_cumsum
 from dataframes_spark.operators.sample import assign_split
@@ -30,18 +40,39 @@ def test_corpus_prep_pipeline(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     n_raw = docs.count()
 
-    # 1. redact PII (no-op on the synthetic corpus, but stays in-plan)
+    # 1. redact PII (no-op on the synthetic corpus, but stays in-plan),
+    #    then strip cross-document boilerplate lines (8-word segments
+    #    stand in for lines; the synthetic corpus has no newlines)
     clean = docs.withColumn("text", redact(F.col("text")))
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    seg = clean.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size(words) / F.lit(8)).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, (i - F.lit(1)) * 8 + F.lit(1), F.lit(8))
+                ),
+            ),
+        ),
+    )
+    stripped = strip_repeated_lines(seg, "text", "doc_id", min_docs=4)
 
-    # 2. quality + repetition gate
-    rep = repetition_profile(clean, "text", "doc_id").select(
+    # 2. quality + repetition + corpus-LM gate
+    rep = repetition_profile(stripped, "text", "doc_id").select(
         "doc_id", "top_word_frac"
     )
+    lm = unigram_logprob(stripped, "text", "doc_id").select(
+        "doc_id", "avg_logprob"
+    )
     gated = (
-        clean.join(rep, "doc_id")
+        stripped.join(rep, "doc_id")
+        .join(lm, "doc_id")
         .filter(quality_score(F.col("text")) >= 0.5)
         .filter(F.col("top_word_frac") < 0.5)
-        .drop("top_word_frac")
+        .filter(F.col("avg_logprob") > -10.0)
+        .drop("top_word_frac", "avg_logprob")
     )
 
     # 3. exact dedup, then near-dup clustering with keep-one pullback
