@@ -1305,6 +1305,43 @@ def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", "simhash")
 
 
+def facade_column_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-facade column surgery end to end (core/table.py): columns ->
+    addColumn at position -> rename -> remove -> filterColumns ->
+    aggregateBy with the reference's `<col>_<fn>` naming — the facade
+    conveniences that previously had only unit coverage, driven through
+    a hash-checked aggregation."""
+    t = Table(_t(spark, sf_dir, "lineitem"))
+    t = (
+        t.columns(
+            ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+        )
+        .addColumn(
+            2,
+            "disc_price",
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+        )
+        .rename("l_returnflag", "flag")
+        .remove("l_discount")
+        .filterColumns(lambda name, dtype: name in ("flag", "disc_price"))
+        .aggregateBy("flag", [("disc_price", ["sum", "mean"])])
+    )
+    return t.df.select(
+        "flag",
+        F.round("disc_price_sum", 2).alias("disc_price_sum"),
+        F.round("disc_price_mean", 6).alias("disc_price_mean"),
+    )
+
+
+def facade_from_columns_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fromColumns null-padding + createIndex + horizontal concat
+    (core/table.py / operators/reshape.py): driver-checked against a
+    VALUES literal oracle."""
+    t = Table.fromColumns(spark, {"k": ["a", "b", "c"], "v": [1, 2]})
+    idx = Table.createIndex(spark, "idx", 3)
+    return idx.concat(t, ["idx"], ["k"]).df
+
+
 def melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot (operators/reshape.py melt): three lineitem
     measures melted in ONE Expand scan (the oracle unions three scans —
@@ -1540,14 +1577,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within the first 50 in the round it ships.
     return {
         # -- never driver-checked through r03: must occupy the first-50 window
-        "embedding_norms": embedding_norms,
         "minhash_lsh_candidates": minhash_lsh_candidates,
         "ivf_topk_probe": ivf_topk_probe,
         "frame_sample_timestamps": frame_sample_timestamps,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "sessionize_events": sessionize_events,
         "reproducible_sample": reproducible_sample,
-        "distinct_users_per_type": distinct_users_per_type,
         "json_props_rollup": json_props_rollup,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "range_join_purchase_clicks": range_join_purchase_clicks,
@@ -1617,6 +1652,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # melt_lineitem: single-scan unpivot; interpolate_linear (green
         # r1-r4) rotates out, nulls family stays via fillna/dropna history
         "melt_lineitem": melt_lineitem,
+        # facade_column_surgery + facade_from_columns_index: first driver
+        # rows for the facade conveniences (addColumn/rename/remove/
+        # filterColumns/fromColumns/createIndex/concat); embedding_norms
+        # and distinct_users_per_type (green r1-r4 / r2-r4) rotate out,
+        # embeddings stay via embedding_near_dup_pairs, plain aggs via
+        # q1 + cube
+        "facade_column_surgery": facade_column_surgery,
+        "facade_from_columns_index": facade_from_columns_index,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "csv_roundtrip_agg": csv_roundtrip_agg,
@@ -1631,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_similarity_topk": lsh_similarity_topk,
         "asof_last_purchase": asof_last_purchase,
         "interpolate_linear": interpolate_linear,
+        "embedding_norms": embedding_norms,
+        "distinct_users_per_type": distinct_users_per_type,
         "rollup_qty": rollup_qty,
         "join_revenue_topn": join_revenue_topn,
         "dedup_exact_docs": dedup_exact_docs,
@@ -2054,6 +2099,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS representative_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "facade_column_surgery": """
+            SELECT l_returnflag AS flag,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS disc_price_sum,
+                   round(avg(l_extendedprice * (1 - l_discount)), 6)
+                       AS disc_price_mean
+            FROM lineitem GROUP BY 1
+        """,
+        "facade_from_columns_index": """
+            SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 'a', CAST(1 AS BIGINT)),
+                (1, 'b', 2),
+                (2, 'c', NULL)
+            ) AS t(idx, k, v)
         """,
         "melt_lineitem": """
             SELECT variable, count(*) AS n,

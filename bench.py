@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "skew_report_orders",
     "standardize_prices",
     "melt_lineitem",
+    "facade_column_surgery",
     # md5-mode twins (minhash_signatures_md5, lsh_buckets_md5) are
     # verification paths, not perf paths — the xxhash64 defaults above
     # are what a pipeline runs; benching the md5 lanes would measure
