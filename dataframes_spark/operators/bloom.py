@@ -47,8 +47,12 @@ def bloom_bitmap(
     dense list of 64-bit words. One aggregation job; the result is
     driver-tiny by construction (num_bits/8 bytes, independent of the
     number of keys)."""
-    if num_bits % 64:
-        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64, got {num_bits}"
+        )
+    if num_hashes <= 0:
+        raise ValueError(f"num_hashes must be positive, got {num_hashes}")
     n_words = num_bits // 64
     key = F.col(key_col)
     # k positions per key; seed folded in by hashing (key, seed) together

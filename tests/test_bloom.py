@@ -64,3 +64,15 @@ def test_bitmap_small_and_deterministic(spark):
     b2 = bloom.bloom_bitmap(small, "k", num_bits=1 << 12)
     assert b1 == b2
     assert len(b1) == (1 << 12) // 64
+
+
+def test_bloom_rejects_degenerate_params(spark):
+    import pytest
+
+    _, small = _sides(spark)
+    with pytest.raises(ValueError):
+        bloom.bloom_bitmap(small, "k", num_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom.bloom_bitmap(small, "k", num_bits=0)
+    with pytest.raises(ValueError):
+        bloom.bloom_bitmap(small, "k", num_hashes=0)
