@@ -1305,6 +1305,46 @@ def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", "simhash")
 
 
+def read_text_csv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readText CSV-from-string (io/readers.py read_csv_text, reference
+    src/IO.luna:91-92): RFC-4180 edges — quoted comma, doubled quote,
+    embedded newline, empty cell -> null — parsed through Spark's own
+    CSV parser + type inference, checked against a VALUES oracle."""
+    from dataframes_spark.io.readers import read_csv_text
+
+    text = (
+        'k,v,s\n'
+        'a,1,"x,y"\n'
+        'b,2,"he said ""hi"""\n'
+        'c,,"line1\nline2"\n'
+    )
+    df = read_csv_text(spark, text)
+    return df.select("k", "v", "s")
+
+
+def feather_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feather (Arrow IPC) write -> read roundtrip (io/writers.py /
+    io/readers.py; reference Feather.cpp) on the nation table, then
+    aggregate — the reference's native interchange format, driver-side
+    by design (small-data convenience; parquet is the distributed
+    path)."""
+    import os
+
+    from dataframes_spark.io import readers as dio_r
+    from dataframes_spark.io import writers as dio_w
+
+    nation = _t(spark, sf_dir, "nation")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_feather_{tag}/nation.feather"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    dio_w.write_auto(nation, path)
+    back = dio_r.read_auto(spark, path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
 def facade_column_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-facade column surgery end to end (core/table.py): columns ->
     addColumn at position -> rename -> remove -> filterColumns ->
@@ -1582,11 +1622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_timestamps": frame_sample_timestamps,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "sessionize_events": sessionize_events,
-        "reproducible_sample": reproducible_sample,
         "json_props_rollup": json_props_rollup,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "range_join_purchase_clicks": range_join_purchase_clicks,
-        "ewma_user_value": ewma_user_value,
         "time_rollup_events": time_rollup_events,
         "shared_passages_docs": shared_passages_docs,
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
@@ -1660,6 +1698,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q1 + cube
         "facade_column_surgery": facade_column_surgery,
         "facade_from_columns_index": facade_from_columns_index,
+        # read_text_csv_agg (readText RFC-4180 edges) + feather_roundtrip
+        # (the reference's interchange format): last unit-only IO
+        # surfaces gain driver rows; reproducible_sample and
+        # ewma_user_value (green r1-r4 / r04) rotate out — sampling
+        # stays via weighted_sample/split/mix, streaming via sessionize
+        "read_text_csv_agg": read_text_csv_agg,
+        "feather_roundtrip_agg": feather_roundtrip_agg,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "csv_roundtrip_agg": csv_roundtrip_agg,
@@ -1676,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": interpolate_linear,
         "embedding_norms": embedding_norms,
         "distinct_users_per_type": distinct_users_per_type,
+        "reproducible_sample": reproducible_sample,
+        "ewma_user_value": ewma_user_value,
         "rollup_qty": rollup_qty,
         "join_revenue_topn": join_revenue_topn,
         "dedup_exact_docs": dedup_exact_docs,
@@ -2099,6 +2146,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS representative_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "read_text_csv_agg": """
+            SELECT * FROM (VALUES
+                ('a', CAST(1 AS BIGINT), 'x,y'),
+                ('b', 2, 'he said "hi"'),
+                ('c', NULL, concat('line1', chr(10), 'line2'))
+            ) AS t(k, v, s)
+        """,
+        "feather_roundtrip_agg": """
+            SELECT n_regionkey, count(*) AS n_nations,
+                   min(n_name) AS first_name
+            FROM nation GROUP BY 1
         """,
         "facade_column_surgery": """
             SELECT l_returnflag AS flag,
