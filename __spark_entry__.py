@@ -505,8 +505,11 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_csv_{tag}/lineitem.csv"
+    import tempfile
+
+    # per-process temp dir: a fixed shared path would race when two
+    # harness runs at the same scale write/read the same location
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_csv_"), "lineitem.csv")
     dio_w.write_auto(li, path)
     back = dio_r.read_csv(spark, path)
     # sum in exact fixed-point (the source data has <=2 decimals): double
@@ -1333,10 +1336,12 @@ def feather_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframes_spark.io import readers as dio_r
     from dataframes_spark.io import writers as dio_w
 
+    import tempfile
+
     nation = _t(spark, sf_dir, "nation")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_feather_{tag}/nation.feather"
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # per-process temp dir: a fixed shared path would race when two
+    # harness runs at the same scale write/read the same file
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_feather_"), "nation.feather")
     dio_w.write_auto(nation, path)
     back = dio_r.read_auto(spark, path)
     return back.groupBy("n_regionkey").agg(
@@ -1508,9 +1513,11 @@ def length_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi join (operators/bloom.py bloom_semi_join):
     orders of BUILDING-segment customers, pruned scan-side by a Bloom
-    bitmap embedded as a plan literal before the exact semi join — the
-    shape for key sets too large to broadcast as a hash relation. Exact
-    mode: result is identical to the plain semi join."""
+    bitmap shipped as a broadcast 1-row relation (data, not a plan
+    literal — see bloom.py on why the literal form is 20x slower)
+    before the exact semi join — the shape for key sets too large to
+    broadcast as a hash relation. Exact mode: result is identical to
+    the plain semi join."""
     from dataframes_spark.operators import bloom as dbloom
 
     orders = _t(spark, sf_dir, "orders")
@@ -2325,14 +2332,17 @@ def oracle_sql() -> dict[str, str]:
                        unnest(regexp_split_to_array(
                            lower(trim(coalesce(text, ''))), '\\s+')) AS token
                 FROM documents
+            ), dt AS (
+                SELECT doc_id, token, count(*) AS m
+                FROM toks GROUP BY 1, 2
             ), counts AS (
-                SELECT token, count(*) AS c FROM toks GROUP BY token
+                SELECT token, sum(m) AS c FROM dt GROUP BY token
             ), tot AS (
                 SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
             )
-            SELECT doc_id, count(*) AS n_tokens,
-                   round(avg(ln(c / t)), 6) AS avg_logprob
-            FROM toks JOIN counts USING (token), tot
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                   round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
+            FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
         """,
         "strip_repeated_lines_docs": """

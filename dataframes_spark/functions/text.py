@@ -203,29 +203,40 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     token distribution diverges from the corpus (gibberish, boilerplate,
     wrong language) score low and can be threshold-filtered.
 
-    Plan: one explode pass; token counts via hash aggregate (map-side
-    partial combine, shuffle keyed by token); the corpus total folds in
-    as a 1-row broadcast aggregate (construction launches no job); one
-    join tokens->counts (shuffle on token, AQE-broadcast when the
-    vocabulary is small); final per-document aggregate. Tokenization is
-    identical to ``vocab_topk`` (lowercased whitespace split)."""
+    Plan: ONE scan+explode of the corpus per action. Everything
+    downstream derives from the per-(document, token) count relation,
+    whose shuffle exchange is a common subtree of both the
+    vocabulary-count branch and the scoring join — AQE's runtime
+    exchange reuse (ReusedExchange in the final adaptive plan; the
+    static plan still prints the branches separately) evaluates it
+    once, where a naive tokens-join-counts formulation genuinely
+    re-explodes the corpus per branch (no shared exchange exists to
+    reuse). The corpus total folds in as a
+    1-row broadcast aggregate (construction launches no job); the
+    per-document mean is the occurrence-weighted form
+    ``sum(m * ln(c/t)) / sum(m)``, identical in value to the plain mean
+    over occurrences. Tokenization matches ``vocab_topk`` (lowercased
+    whitespace split)."""
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
         ).alias("token"),
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    dt = toks.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("__m"))
+    counts = dt.groupBy("token").agg(F.sum("__m").alias("__c"))
     total = counts.agg(F.sum("__c").cast("double").alias("__t"))
     return (
-        toks.join(counts, "token")
+        dt.join(counts, "token")
         .crossJoin(F.broadcast(total))
         .groupBy("__id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("__c") / F.col("__t"))), 6).alias(
-                "avg_logprob"
-            ),
+            F.sum("__m").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__m") * F.log(F.col("__c") / F.col("__t")))
+                / F.sum("__m"),
+                6,
+            ).alias("avg_logprob"),
         )
         .select(F.col("__id").alias(id_col), "n_tokens", "avg_logprob")
     )

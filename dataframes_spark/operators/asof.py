@@ -118,10 +118,11 @@ def asof_nearest(
     row minimizing ``|left.ts - right.ts|`` within its ``by`` keys;
     equidistant candidates resolve BACKWARD (the earlier right row wins
     — deterministic, matching the lateral ``ORDER BY abs(diff), ts``
-    oracle). ``left_id`` must name a column unique per left row: nearest
-    composes one backward and one forward pass and re-joins them on it
-    (a generated id would be recomputation-unstable across the two
-    lazy branches).
+    oracle). ``left_id`` must name a column unique per left row AND
+    non-null (a null id never matches the backward/forward re-join and
+    that left row would silently vanish): nearest composes one backward
+    and one forward pass and re-joins them on it (a generated id would
+    be recomputation-unstable across the two lazy branches).
 
     Cost is exactly two union-window passes plus one id-equi-join — no
     pair blowup, same scale shape as the single-direction form run

@@ -54,7 +54,12 @@ def bloom_bitmap(
     if num_hashes <= 0:
         raise ValueError(f"num_hashes must be positive, got {num_hashes}")
     n_words = num_bits // 64
-    key = F.col(key_col)
+    # xxhash64 is TYPE-sensitive: the same value hashes differently as
+    # int vs bigint, so an un-coerced int probe against a bigint build
+    # silently prunes every true match. Both sides therefore hash the
+    # STRING form of the key — the one coercion that is total and
+    # type-agnostic (an equi-join would coerce for us; a hash cannot).
+    key = F.col(key_col).cast("string")
     # k positions per key; seed folded in by hashing (key, seed) together
     pos = F.explode(
         F.array(
@@ -95,9 +100,10 @@ def bloom_might_contain(
     as an array literal is a 16384-node expression tree that bloats
     analysis and ships megabytes of plan with every task — measured 20x
     slower than the same probe against a broadcast column."""
+    probe = key.cast("string")  # match bloom_bitmap's type coercion
     tests = []
     for j in range(num_hashes):
-        h = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(num_bits))
+        h = F.pmod(F.xxhash64(probe, F.lit(j)), F.lit(num_bits))
         word = F.element_at(bitmap, (h / 64).cast("int") + F.lit(1))
         tests.append(F.getbit(word, (h % 64).cast("int")) == 1)
     return key.isNotNull() & functools.reduce(operator.and_, tests)

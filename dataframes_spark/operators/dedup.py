@@ -151,6 +151,11 @@ def repeated_lines(
     aggregation still reduces the shuffle to one row per distinct
     (line, id) per partition. Blank lines (empty after trim) are
     structure, not content, and are never reported.
+
+    Precondition (shared with ``strip_repeated_lines``): ``id_col`` must
+    be NON-NULL — ``count_distinct`` skips nulls, so lines shared only
+    among null-id documents would undercount and never cross the
+    ``min_docs`` bar.
     """
     lines = _line_relation(_spread(df), text_col, id_col, sep)
     return (
@@ -179,14 +184,22 @@ def strip_repeated_lines(
     preserved. Blank lines are structure, not content: they are kept and
     never counted toward duplication.
 
-    Plan shape (explain-audited): one explode pass; the duplicated-line
-    set is built by a groupBy on the 32 B content key (map-side partial
-    agg, no text wider than one distinct line per partition shuffles);
-    the flagging join is on that same key against a relation that is
-    small by construction (only lines crossing the ``min_docs`` bar) —
-    AQE broadcasts it in practice; one groupBy(id) rebuilds the text;
-    one id-equi-join restores the untouched columns. No step is
-    quadratic and nothing collects to the driver.
+    Plan shape (explain-audited): the line relation is evaluated twice —
+    once under the duplicated-line aggregate (groupBy on the 32 B
+    content key, map-side partial agg, no text wider than one distinct
+    line per partition shuffles) and once as the flag-join probe (Spark
+    shares no common subtree across the two branches, so the source
+    scans+explodes twice per action); the flagging join is on that same
+    key against a relation that is small by construction (only lines
+    crossing the ``min_docs`` bar) — AQE broadcasts it in practice; one
+    groupBy(id) rebuilds the text; one id-equi-join restores the
+    untouched columns. No step is quadratic and nothing collects to the
+    driver.
+
+    Precondition: ``id_col`` must be NON-NULL and UNIQUE per document —
+    the same contract as ``merge.upsert``. A null id never matches the
+    rebuild join (the document would vanish); duplicate ids would merge
+    both documents' lines into one rebuilt text.
     """
     lines = _line_relation(_spread(df), text_col, id_col, sep)
     common = (

@@ -76,3 +76,16 @@ def test_bloom_rejects_degenerate_params(spark):
         bloom.bloom_bitmap(small, "k", num_bits=0)
     with pytest.raises(ValueError):
         bloom.bloom_bitmap(small, "k", num_hashes=0)
+
+
+def test_bloom_coerces_mismatched_key_types(spark):
+    # xxhash64 hashes int and bigint differently; without string
+    # coercion an int probe against a bigint build pruned EVERY match
+    big = spark.createDataFrame(
+        [(i,) for i in range(100)], "k int"
+    ).withColumn("v", F.col("k") * 2)
+    small = spark.createDataFrame([(i,) for i in range(0, 100, 10)], "k long")
+    out = bloom.bloom_semi_join(big, small, "k")
+    ref = big.join(small.distinct(), "k", "left_semi")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+    assert out.count() == 10

@@ -330,10 +330,25 @@ def test_strip_repeated_lines_hash_flag_join(plans):
 
 def test_bloom_probe_is_scan_side_filter(plans):
     """bloom_semi_join's bloom test must run as a plain Filter (getbit
-    against the embedded bitmap literal) BEFORE the exact semi join —
+    against the broadcast bitmap row) BEFORE the exact semi join —
     pruning on the scan side of the shuffle, inside codegen, no Python."""
     p = plans("bloom_semi_orders")
     assert "getbit" in p
     assert "Filter" in p
     assert "LeftSemi" in p
     assert "pythonUDF" not in p.lower()
+
+
+def test_unigram_logprob_reuses_exploded_exchange(spark, sf_dir):
+    """The corpus must scan+explode ONCE per action: the per-(doc,token)
+    exchange is a common subtree of the count branch and the scoring
+    join, and AQE's runtime exchange reuse must kick in (the naive
+    tokens-join-counts form re-explodes the corpus per branch)."""
+    from dataframes_spark.functions import text as dtext
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dtext.unigram_logprob(docs, "text", "doc_id")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ReusedExchange") >= 2, p[:2000]
