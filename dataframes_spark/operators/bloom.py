@@ -39,14 +39,43 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# integral widths all coerce losslessly to bigint; int/long mixed with
+# float/double coerce to double (lossy above 2^53 — but BOTH sides round
+# identically, so that can only add false positives, which the exact
+# semi join removes; never false negatives)
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_FRACTIONAL = {"float", "double"}
+
+
+def _key_cast_type(build_type: str, probe_type: str) -> str:
+    """xxhash64 is TYPE-sensitive (int 7 and bigint 7 hash differently),
+    so both sides must hash one common type. Numeric pairs keep a cheap
+    numeric cast; everything else falls back to the total, type-agnostic
+    string form."""
+    b, p = build_type.split("(")[0], probe_type.split("(")[0]
+    if b in _INTEGRAL and p in _INTEGRAL:
+        return "bigint"
+    if b in _INTEGRAL | _FRACTIONAL and p in _INTEGRAL | _FRACTIONAL:
+        return "double"
+    if b == "string" and p == "string":
+        return "string"
+    return "string"
+
 
 def bloom_bitmap(
-    df: DataFrame, key_col: str, num_bits: int = 1 << 20, num_hashes: int = 5
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    cast_to: str = "string",
 ) -> list[int]:
     """Build the Bloom bitmap for a key column: ``num_bits`` bits as a
     dense list of 64-bit words. One aggregation job; the result is
     driver-tiny by construction (num_bits/8 bytes, independent of the
-    number of keys)."""
+    number of keys). ``cast_to`` must match the probe side's
+    (``bloom_might_contain``) — ``bloom_semi_join`` derives the cheapest
+    common type from both schemas; standalone callers get the safe
+    string default."""
     if num_bits <= 0 or num_bits % 64:
         raise ValueError(
             f"num_bits must be a positive multiple of 64, got {num_bits}"
@@ -54,12 +83,9 @@ def bloom_bitmap(
     if num_hashes <= 0:
         raise ValueError(f"num_hashes must be positive, got {num_hashes}")
     n_words = num_bits // 64
-    # xxhash64 is TYPE-sensitive: the same value hashes differently as
-    # int vs bigint, so an un-coerced int probe against a bigint build
-    # silently prunes every true match. Both sides therefore hash the
-    # STRING form of the key — the one coercion that is total and
-    # type-agnostic (an equi-join would coerce for us; a hash cannot).
-    key = F.col(key_col).cast("string")
+    # see _key_cast_type: both sides must hash ONE common type, or an
+    # int probe against a bigint build silently prunes every true match
+    key = F.col(key_col).cast(cast_to)
     # k positions per key; seed folded in by hashing (key, seed) together
     pos = F.explode(
         F.array(
@@ -89,7 +115,11 @@ def bloom_bitmap(
 
 
 def bloom_might_contain(
-    bitmap: Column, num_bits: int, key: Column, num_hashes: int = 5
+    bitmap: Column,
+    num_bits: int,
+    key: Column,
+    num_hashes: int = 5,
+    cast_to: str = "string",
 ) -> Column:
     """Pure-expression Bloom membership test against an ``array<long>``
     bitmap COLUMN: true iff all ``num_hashes`` bit positions of ``key``
@@ -100,7 +130,7 @@ def bloom_might_contain(
     as an array literal is a 16384-node expression tree that bloats
     analysis and ships megabytes of plan with every task — measured 20x
     slower than the same probe against a broadcast column."""
-    probe = key.cast("string")  # match bloom_bitmap's type coercion
+    probe = key.cast(cast_to)  # MUST match bloom_bitmap's cast_to
     tests = []
     for j in range(num_hashes):
         h = F.pmod(F.xxhash64(probe, F.lit(j)), F.lit(num_bits))
@@ -124,7 +154,10 @@ def bloom_semi_join(
     identical to the plain semi join); ``exact=False`` skips it and
     keeps the bloom's false positives."""
     small_key = small_key or big_key
-    bitmap = bloom_bitmap(small, small_key, num_bits, num_hashes)
+    cast_to = _key_cast_type(
+        dict(small.dtypes)[small_key], dict(big.dtypes)[big_key]
+    )
+    bitmap = bloom_bitmap(small, small_key, num_bits, num_hashes, cast_to)
     # the bitmap rides as a broadcast 1-row frame (data), NOT an array
     # literal (a 16k-element expression tree) — see bloom_might_contain
     bm = F.broadcast(
@@ -134,7 +167,7 @@ def bloom_semi_join(
         big.crossJoin(bm)
         .where(
             bloom_might_contain(
-                F.col("__bloom_bm"), num_bits, F.col(big_key), num_hashes
+                F.col("__bloom_bm"), num_bits, F.col(big_key), num_hashes, cast_to
             )
         )
         .drop("__bloom_bm")

@@ -89,3 +89,11 @@ def test_bloom_coerces_mismatched_key_types(spark):
     ref = big.join(small.distinct(), "k", "left_semi")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
     assert out.count() == 10
+
+
+def test_bloom_mixed_numeric_types(spark):
+    # int build vs double probe coerce to double: 1 matches 1.0
+    big = spark.createDataFrame([(float(i),) for i in range(20)], "k double")
+    small = spark.createDataFrame([(0,), (5,), (19,)], "k int")
+    out = bloom.bloom_semi_join(big, small, "k")
+    assert sorted(r.k for r in out.collect()) == [0.0, 5.0, 19.0]
