@@ -40,6 +40,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-process scratch dir for roundtrip queries, removed at
+    interpreter exit. The returned DataFrames are lazy — the driver
+    materializes them AFTER the query function returns — so the dir
+    cannot be deleted inside the query; without the atexit hook every
+    harness invocation leaked a full table copy into /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
 def _events_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with deterministic injected nulls (the synthetic tables are
     null-free; both engines inject identically: value -> NULL when
@@ -505,11 +527,10 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
     )
-    import tempfile
-
-    # per-process temp dir: a fixed shared path would race when two
-    # harness runs at the same scale write/read the same location
-    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_csv_"), "lineitem.csv")
+    # per-process temp dir (a fixed shared path would race when two
+    # harness runs at the same scale write/read the same location),
+    # removed at interpreter exit — see _scratch_dir
+    path = os.path.join(_scratch_dir("spark_graft_csv_"), "lineitem.csv")
     dio_w.write_auto(li, path)
     back = dio_r.read_csv(spark, path)
     # sum in exact fixed-point (the source data has <=2 decimals): double
@@ -1336,12 +1357,9 @@ def feather_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframes_spark.io import readers as dio_r
     from dataframes_spark.io import writers as dio_w
 
-    import tempfile
-
     nation = _t(spark, sf_dir, "nation")
-    # per-process temp dir: a fixed shared path would race when two
-    # harness runs at the same scale write/read the same file
-    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_feather_"), "nation.feather")
+    # per-process temp dir, removed at interpreter exit — see _scratch_dir
+    path = os.path.join(_scratch_dir("spark_graft_feather_"), "nation.feather")
     dio_w.write_auto(nation, path)
     back = dio_r.read_auto(spark, path)
     return back.groupBy("n_regionkey").agg(
@@ -1454,10 +1472,14 @@ def standardize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="zscore",
         by=["l_returnflag"],
     )
+    # `+ 0.0` after the round: the per-group mean of a z-scored column is
+    # ~0 by construction, and IEEE `round` can land on -0.0 in one engine
+    # and 0.0 in the other; adding +0.0 canonicalizes (-0.0 + 0.0 == 0.0,
+    # identity for every other value). Mirrored in the DuckDB oracle.
     return z.groupBy("l_returnflag").agg(
-        F.round(F.avg("l_extendedprice"), 6).alias("z_mean"),
+        (F.round(F.avg("l_extendedprice"), 6) + F.lit(0.0)).alias("z_mean"),
         F.round(F.stddev_pop("l_extendedprice"), 6).alias("z_std"),
-        F.round(F.max("l_extendedprice"), 6).alias("z_max"),
+        (F.round(F.max("l_extendedprice"), 6) + F.lit(0.0)).alias("z_max"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2237,9 +2259,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
             )
             SELECT l_returnflag,
-                   round(avg(v), 6) AS z_mean,
+                   round(avg(v), 6) + 0.0 AS z_mean,
                    round(stddev_pop(v), 6) AS z_std,
-                   round(max(v), 6) AS z_max,
+                   round(max(v), 6) + 0.0 AS z_max,
                    count(*) AS n
             FROM z GROUP BY l_returnflag
         """,
@@ -2334,7 +2356,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), dt AS (
                 SELECT doc_id, token, count(*) AS m
-                FROM toks GROUP BY 1, 2
+                FROM toks WHERE token <> '' GROUP BY 1, 2
             ), counts AS (
                 SELECT token, sum(m) AS c FROM dt GROUP BY token
             ), tot AS (
@@ -2524,8 +2546,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN h < 52429 THEN 'train'
                         WHEN h < 58982 THEN 'val'
                         ELSE 'test' END AS split,
-                   count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM banded GROUP BY 1
         """,
         "upsert_documents": """

@@ -223,6 +223,11 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
         ).alias("token"),
     )
+    # split('') returns [''] — without this filter an empty/whitespace-only
+    # document would contribute a phantom '' token to the vocabulary and
+    # the corpus total, perturbing every document's avg_logprob; such
+    # documents carry no tokens and drop from the result entirely
+    toks = toks.filter(F.col("token") != "")
     dt = toks.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("__m"))
     counts = dt.groupBy("token").agg(F.sum("__m").alias("__c"))
     total = counts.agg(F.sum("__c").cast("double").alias("__t"))

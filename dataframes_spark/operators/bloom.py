@@ -40,26 +40,52 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # integral widths all coerce losslessly to bigint; int/long mixed with
-# float/double coerce to double (lossy above 2^53 — but BOTH sides round
-# identically, so that can only add false positives, which the exact
-# semi join removes; never false negatives)
+# float/double/decimal coerce to double (lossy above 2^53 — but BOTH
+# sides round identically, so that can only add false positives, which
+# the exact semi join removes; never false negatives)
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 _FRACTIONAL = {"float", "double"}
+_NUMERIC = _INTEGRAL | _FRACTIONAL | {"decimal"}
 
 
 def _key_cast_type(build_type: str, probe_type: str) -> str:
     """xxhash64 is TYPE-sensitive (int 7 and bigint 7 hash differently),
-    so both sides must hash one common type. Numeric pairs keep a cheap
-    numeric cast; everything else falls back to the total, type-agnostic
-    string form."""
+    so both sides must hash one common type — and that type must agree
+    wherever Spark's own equi-join coercion would call the keys equal,
+    or the bloom prunes TRUE matches (false negatives, which no exact
+    pass can recover). String is NOT a safe universal fallback:
+    decimal(12,2) 7.00 renders '7.00' while bigint 7 renders '7', yet
+    the plain join matches them. So the common type is derived from the
+    same coercion Spark applies, and a pair with no agreement-preserving
+    cast raises instead of silently mis-hashing."""
     b, p = build_type.split("(")[0], probe_type.split("(")[0]
+    if build_type == probe_type:
+        # identical types (incl. identical decimal precision/scale)
+        # hash identically with no cast at all
+        return build_type
     if b in _INTEGRAL and p in _INTEGRAL:
         return "bigint"
-    if b in _INTEGRAL | _FRACTIONAL and p in _INTEGRAL | _FRACTIONAL:
+    if b in _NUMERIC and p in _NUMERIC:
+        # any mix involving float/double/decimal (incl. two decimals of
+        # differing scale): double agrees wherever the join coercion
+        # matches; >2^53 loss → false positives only (exact pass removes)
         return "double"
-    if b == "string" and p == "string":
-        return "string"
-    return "string"
+    if {b, p} <= _INTEGRAL | {"string"}:
+        # ANSI comparison coercion promotes string-vs-integral to bigint
+        # ('07' matches 7); a malformed string throws here exactly as the
+        # plain equi-join would, so behavior stays identical
+        return "bigint"
+    if {b, p} <= _NUMERIC | {"string"}:
+        return "double"
+    if {b, p} == {"date", "timestamp"}:
+        return "timestamp"
+    if {b, p} == {"date", "timestamp_ntz"}:
+        return "timestamp_ntz"
+    raise ValueError(
+        "bloom_semi_join: no agreement-preserving common hash type for "
+        f"key types {build_type!r} vs {probe_type!r}; cast the join keys "
+        "to a common type explicitly before calling"
+    )
 
 
 def bloom_bitmap(
@@ -73,9 +99,10 @@ def bloom_bitmap(
     dense list of 64-bit words. One aggregation job; the result is
     driver-tiny by construction (num_bits/8 bytes, independent of the
     number of keys). ``cast_to`` must match the probe side's
-    (``bloom_might_contain``) — ``bloom_semi_join`` derives the cheapest
-    common type from both schemas; standalone callers get the safe
-    string default."""
+    (``bloom_might_contain``) — ``bloom_semi_join`` derives an
+    agreement-preserving common type from both schemas; the string
+    default is safe for standalone callers only when both sides hold
+    the SAME key type (identical values then render identically)."""
     if num_bits <= 0 or num_bits % 64:
         raise ValueError(
             f"num_bits must be a positive multiple of 64, got {num_bits}"

@@ -162,6 +162,43 @@ def time_rollup(
     return out
 
 
+_DURATION_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _duration_micros(every: str) -> int:
+    """Parse a FIXED-duration interval string ("1 hour", "90 minutes",
+    "1 day 12 hours") to microseconds. Calendar units (month/year) are
+    rejected: ``resample`` buckets with ``F.window``, whose durations
+    are fixed from the epoch, and a calendar spine would drift from
+    those buckets across DST transitions."""
+    toks = every.strip().lower().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"resample every={every!r}: expected '<n> <unit>' pairs"
+        )
+    total = 0
+    for num, unit in zip(toks[::2], toks[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _DURATION_US:
+            raise ValueError(
+                f"resample every={every!r}: {unit!r} is not a fixed "
+                "duration (month/year would drift from F.window's "
+                "epoch-fixed buckets); use microsecond..week units"
+            )
+        total += int(num) * _DURATION_US[unit]
+    if total <= 0:
+        raise ValueError(f"resample every={every!r}: must be positive")
+    return total
+
+
 def resample(
     df: DataFrame,
     ts_col: str,
@@ -193,6 +230,14 @@ def resample(
     """
     if fill not in ("null", "zero", "ffill"):
         raise ValueError(f"fill must be null|zero|ffill, got {fill}")
+    # spine arithmetic must match F.window's: window buckets are FIXED
+    # durations from the epoch, while sequence(ts, ts, interval) is
+    # calendar arithmetic (DST-aware) — for day-or-larger steps in a DST
+    # session timezone the calendar spine drifts an hour past a
+    # transition and every real bucket after it would miss the join.
+    # So the step is validated as a fixed duration and the spine is
+    # generated in epoch-microsecond space.
+    step_us = _duration_micros(every)
     gb = [F.col(g) for g in group_by]
     bucket = F.window(F.col(ts_col), every)
     agged0 = df.groupBy(bucket.alias("__w"), *gb).agg(*aggs)
@@ -200,15 +245,22 @@ def resample(
     agged = agged0.select(
         F.col("__w.start").alias("bucket"), *group_by, *agg_cols
     )
-    step = F.expr(f"interval {every}")
     spine = (
         agged.groupBy(*gb)
         .agg(F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
         .select(
             *group_by,
-            F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias(
-                "bucket"
-            ),
+            F.explode(
+                F.sequence(
+                    F.unix_micros(F.col("__mn")),
+                    F.unix_micros(F.col("__mx")),
+                    F.lit(step_us),
+                )
+            ).alias("__bucket_us"),
+        )
+        .select(
+            *group_by,
+            F.timestamp_micros(F.col("__bucket_us")).alias("bucket"),
         )
     )
     out = spine.join(agged, [*group_by, "bucket"], "left")

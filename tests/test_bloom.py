@@ -97,3 +97,79 @@ def test_bloom_mixed_numeric_types(spark):
     small = spark.createDataFrame([(0,), (5,), (19,)], "k int")
     out = bloom.bloom_semi_join(big, small, "k")
     assert sorted(r.k for r in out.collect()) == [0.0, 5.0, 19.0]
+
+
+def test_bloom_decimal_vs_bigint_no_false_negatives(spark):
+    # decimal(12,2) 7.00 renders '7.00' while bigint 7 renders '7' — a
+    # string-cast bloom pruned every true match; the cast type must
+    # follow the join coercion (double) instead
+    big = spark.sql(
+        "SELECT CAST(id AS DECIMAL(12,2)) AS k, id AS v FROM range(100)"
+    )
+    small = spark.createDataFrame([(0,), (7,), (42,)], "k long")
+    out = bloom.bloom_semi_join(big, small, "k")
+    ref = big.join(small.distinct(), big["k"] == small["k"], "left_semi")
+    assert sorted(r.v for r in out.collect()) == sorted(
+        r.v for r in ref.collect()
+    )
+    assert out.count() == 3
+
+
+def test_bloom_mismatched_decimal_scales(spark):
+    big = spark.sql(
+        "SELECT CAST(id AS DECIMAL(12,2)) AS k, id AS v FROM range(50)"
+    )
+    small = spark.sql(
+        "SELECT CAST(id * 10 AS DECIMAL(10,3)) AS k FROM range(5)"
+    )
+    out = bloom.bloom_semi_join(big, small, "k")
+    assert sorted(r.v for r in out.collect()) == [0, 10, 20, 30, 40]
+
+
+def test_bloom_date_vs_timestamp(spark):
+    big = spark.sql(
+        "SELECT CAST(date_add(DATE '2024-01-01', CAST(id AS INT)) AS TIMESTAMP)"
+        " AS k, id AS v FROM range(30)"
+    )
+    small = spark.sql(
+        "SELECT date_add(DATE '2024-01-01', CAST(id * 7 AS INT)) AS k"
+        " FROM range(4)"
+    )
+    out = bloom.bloom_semi_join(big, small, "k")
+    assert sorted(r.v for r in out.collect()) == [0, 7, 14, 21]
+
+
+def test_bloom_string_vs_int_join_coercion(spark):
+    # ANSI comparison coercion promotes string-vs-int to bigint, so '07'
+    # matches 7; the bloom must agree ('07' as a string hash never would).
+    # (Malformed strings throw in the plain join too — same contract.)
+    big = spark.createDataFrame([("07", 1), ("8", 2), ("19", 3)], "k string, v int")
+    small = spark.createDataFrame([(7,), (9,)], "k int")
+    out = bloom.bloom_semi_join(big, small, "k")
+    ref = big.join(small.distinct(), big["k"] == small["k"], "left_semi")
+    assert sorted(r.v for r in out.collect()) == sorted(
+        r.v for r in ref.collect()
+    ) == [1]
+
+
+def test_bloom_raises_on_uncoercible_key_pair(spark):
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], "k string, v int")
+    small = spark.sql("SELECT DATE '2024-01-01' AS k")
+    with pytest.raises(ValueError, match="agreement-preserving"):
+        bloom.bloom_semi_join(big, small, "k")
+
+
+def test_bloom_identical_exotic_types_passthrough(spark):
+    # identical types on both sides need no cast at all — dates here
+    big = spark.sql(
+        "SELECT date_add(DATE '2024-01-01', CAST(id AS INT)) AS k, id AS v"
+        " FROM range(20)"
+    )
+    small = spark.sql(
+        "SELECT date_add(DATE '2024-01-01', CAST(id * 5 AS INT)) AS k"
+        " FROM range(3)"
+    )
+    out = bloom.bloom_semi_join(big, small, "k")
+    assert sorted(r.v for r in out.collect()) == [0, 5, 10]

@@ -75,3 +75,50 @@ def test_winsorize_keeps_nulls_and_validates(spark):
     assert out[1] == 1.0 and out[3] == 3.0
     with pytest.raises(ValueError):
         stats.winsorize(df, "x", 0.9, 0.1)
+
+
+def test_resample_rejects_calendar_units(spark):
+    # F.window buckets are fixed durations from the epoch; a calendar
+    # (month/year) spine would drift across DST — reject up front
+    with pytest.raises(ValueError, match="fixed"):
+        _ = dwindow.resample(
+            _events(spark), "ts", "1 month",
+            aggs=[F.count(F.lit(1)).alias("n")], group_by=["t"],
+        )
+
+
+def test_duration_micros_parses_compound():
+    assert dwindow._duration_micros("1 hour") == 3_600_000_000
+    assert dwindow._duration_micros("1 day 12 hours") == 129_600_000_000
+    assert dwindow._duration_micros("90 minutes") == 5_400_000_000
+    with pytest.raises(ValueError):
+        dwindow._duration_micros("0 seconds")
+    with pytest.raises(ValueError):
+        dwindow._duration_micros("hourly")
+
+
+def test_resample_spine_fixed_duration_across_dst(spark):
+    # In a DST timezone (America/New_York, spring-forward 2024-03-10),
+    # daily fixed-duration buckets from F.window must still all join the
+    # spine — the calendar-arithmetic spine lost every bucket after the
+    # transition (they became gap rows silently).
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [
+            ("x", datetime(2024, 3, 8, 12, 0), 1.0),
+            ("x", datetime(2024, 3, 9, 12, 0), 2.0),
+            ("x", datetime(2024, 3, 11, 12, 0), 3.0),  # after spring-forward
+            ("x", datetime(2024, 3, 12, 12, 0), 4.0),
+        ]
+        df = spark.createDataFrame(rows, ["t", "ts", "v"])
+        out = dwindow.resample(
+            df, "ts", "1 day",
+            aggs=[F.sum("v").alias("s")], group_by=["t"], fill="zero",
+        ).collect()
+        # every day with data must carry its real sum (not a zero gap)
+        sums = sorted(r.s for r in out)
+        assert sums.count(0.0) <= 1  # at most the genuine 3-10 gap day
+        assert {1.0, 2.0, 3.0, 4.0} <= set(sums)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
