@@ -945,6 +945,44 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=8)
 
 
+def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs in md5 verification mode
+    (operators/dedup.py minhash_lsh_pairs lane_hash="md5"): lane hashes
+    derive from md5(shingle) and the band bucket is the serialized band
+    slice itself, so bucket grouping is exact value equality — the
+    DuckDB twin reproduces the IDENTICAL candidate set and the banded
+    candidate generator itself (not just its downstream exact-verified
+    consumers) becomes a hash-verified row. 4 rows per band over a
+    16-lane signature puts the S-curve threshold near 0.71."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, lane_hash="md5"
+    )
+
+
+def ivf_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with PINNED centroids (operators/similarity.py
+    ivf_assign + ivf_topk): the KMeans fit is inherently un-oracle-able
+    (ivf_topk_probe stays rows-only), but given fixed centroids —
+    here the unit directions of vec_ids 1..8, a deterministic
+    data-derived choice both engines can make — assignment, driver-side
+    nprobe centroid ranking, and the in-cluster cosine top-k are exact
+    relational algebra, so the whole probe machinery hash-verifies."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cent_rows = (
+        emb.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centers = [[float(x) for x in r.embedding] for r in cent_rows]
+    base = emb.filter(F.col("vec_id") > 8)
+    assigned = dsim.ivf_assign(base, "embedding", centers)
+    out = dsim.ivf_topk(assigned, centers, "embedding", "vec_id", q, k=10, nprobe=2)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1635,19 +1673,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tf-idf, packing) + 11 second-batch rows (line-level dedup report
     # and strip, cube, unigram LM score, bloom semi join, histogram,
     # dense-spine resample, winsorize, nearest as-of, skew report,
-    # grouped z-score) + the long-standing never-rotated core. Rows-only
-    # queries in-window are down to minhash_lsh_candidates +
-    # ivf_topk_probe (their md5 twins ARE hash-verified);
-    # simhash_fingerprints and lsh_similarity_topk rotated below the
-    # window in favor of those twins. Every rotated-out row is multiply
+    # grouped z-score) + the long-standing never-rotated core. Round 6:
+    # ZERO rows-only queries remain in-window — minhash_lsh_pairs_md5
+    # and ivf_probe_pinned (both hash-verified) replace
+    # minhash_lsh_candidates and ivf_topk_probe, which rotate below;
+    # simhash_fingerprints and lsh_similarity_topk already sit below the
+    # window in favor of their md5 twins. Every rotated-out row is multiply
     # driver-green (r1-r4) and stays covered by tools/check_oracle.py
     # (full 97-query sweeps at sf0.01 AND sf0.1 this round: 0 failed)
     # and the unit suite. Keep this discipline: any NEW query must enter
     # within the first 50 in the round it ships.
     return {
-        # -- never driver-checked through r03: must occupy the first-50 window
-        "minhash_lsh_candidates": minhash_lsh_candidates,
-        "ivf_topk_probe": ivf_topk_probe,
+        # -- round 6: the last two in-window rows-only queries are
+        #    replaced by hash-VERIFIED twins. minhash_lsh_pairs_md5
+        #    verifies the banded candidate generator itself (md5 lanes +
+        #    exact value buckets); ivf_probe_pinned verifies the whole
+        #    IVF probe stage given pinned centroids. The xxhash64/KMeans
+        #    originals (minhash_lsh_candidates, ivf_topk_probe) rotate
+        #    below the window — still rows-only by nature, still run.
+        "minhash_lsh_pairs_md5": minhash_lsh_pairs_md5,
+        "ivf_probe_pinned": ivf_probe_pinned,
         "frame_sample_timestamps": frame_sample_timestamps,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "sessionize_events": sessionize_events,
@@ -1742,6 +1787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_custkeys": setop_custkeys,
         # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
         #    still covered locally by tools/check_oracle.py and tests/
+        "minhash_lsh_candidates": minhash_lsh_candidates,
+        "ivf_topk_probe": ivf_topk_probe,
         "window_topn_orders": window_topn_orders,
         "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
         "simhash_fingerprints": simhash_fingerprints,
@@ -3012,8 +3059,85 @@ def oracle_sql() -> dict[str, str]:
                    min((h * (2 * lane + 1) + 7919 * (lane + 1)) % 2147483647) AS minhash
             FROM lanes GROUP BY doc_id, lane
         """,
+        "minhash_lsh_pairs_md5": """
+            WITH norm AS (
+                SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+                FROM norm
+            ), sh AS (
+                SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+                FROM pos
+            ), hv AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+                FROM sh
+            ), lanes AS (
+                SELECT doc_id, h, unnest(range(0, 16)) AS lane FROM hv
+            ), sig AS (
+                SELECT doc_id, lane,
+                       min((h * (2 * lane + 1) + 7919 * (lane + 1)) % 2147483647) AS mh
+                FROM lanes GROUP BY doc_id, lane
+            ), sigarr AS (
+                SELECT doc_id, list(mh ORDER BY lane) AS sg FROM sig GROUP BY doc_id
+            ), banded AS (
+                SELECT doc_id, band,
+                       array_to_string(list_slice(sg, band * 4 + 1, band * 4 + 4), ',') AS bucket
+                FROM sigarr, (SELECT unnest(range(0, 4)) AS band)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "ivf_probe_pinned": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            cents AS (
+                SELECT vec_id AS cid, embedding AS ce,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+                FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+            ), base AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8
+            ), scored AS (
+                SELECT b.vec_id, c.cid, b.embedding,
+                       list_sum(list_transform(range(1, len(b.embedding) + 1),
+                           i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(c.ce[CAST(i AS INT)] AS DOUBLE))) / c.cn AS s
+                FROM base b CROSS JOIN cents c
+            ), assigned AS (
+                SELECT vec_id, cid, embedding FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+                    FROM scored) WHERE rn = 1
+            ), probes AS (
+                SELECT c.cid FROM cents c, q
+                ORDER BY list_sum(list_transform(range(1, len(c.ce) + 1),
+                             i -> CAST(c.ce[CAST(i AS INT)] AS DOUBLE)
+                                * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))
+                         / (c.cn * sqrt(list_sum(list_transform(q.qe,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+                         c.cid ASC
+                LIMIT 2
+            ), final AS (
+                SELECT a.vec_id,
+                       list_sum(list_transform(range(1, len(a.embedding) + 1),
+                           i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qe,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+                FROM assigned a, q WHERE a.cid IN (SELECT cid FROM probes)
+            )
+            SELECT vec_id, round(c, 6) AS cosine FROM final
+            ORDER BY c DESC, vec_id ASC LIMIT 10
+        """,
         # minhash_lsh_candidates / simhash_fingerprints / lsh_similarity_topk /
         # ivf_topk_probe: intentionally no oracle (xxhash64 / KMeans have no
         # DuckDB equivalent) -> driver records rows-only checks; the minhash
-        # signature ARITHMETIC is hash-verified via minhash_signatures_md5.
+        # signature ARITHMETIC is hash-verified via minhash_signatures_md5,
+        # the banded candidate generator via minhash_lsh_pairs_md5, and the
+        # full IVF probe stage via ivf_probe_pinned.
     }

@@ -355,6 +355,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    lane_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -364,12 +365,20 @@ def minhash_lsh_pairs(
     so the cross product never materializes. AQE's skew-join handles the
     pathological all-identical-docs bucket.
 
+    ``lane_hash`` follows ``minhash_signatures``: ``"xxhash64"`` is the
+    fast path (band buckets are an xxhash64 of the band slice, compact
+    at scale, not reproducible outside Spark); ``"md5"`` is the
+    verification mode — lane hashes come from md5 AND the band bucket is
+    the band slice ITSELF (serialized), so bucket grouping is exact
+    value equality and any engine reproduces the identical candidate
+    set (no hash-collision delta is even possible).
+
     Returns (id_a, id_b) with id_a < id_b; verify with ``jaccard_verify``.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).select(
-        F.col(id_col).alias("id"), "signature"
-    )
-    return _banded_pairs(sigs, num_hashes, bands)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, lane_hash=lane_hash
+    ).select(F.col(id_col).alias("id"), "signature")
+    return _banded_pairs(sigs, num_hashes, bands, exact_buckets=lane_hash == "md5")
 
 
 def _bucket_pair_expand(banded: DataFrame) -> DataFrame:
@@ -408,26 +417,37 @@ def _bucket_pair_expand(banded: DataFrame) -> DataFrame:
     )
 
 
-def _banded_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _banded_pairs(
+    sigs: DataFrame, num_hashes: int, bands: int, exact_buckets: bool = False
+) -> DataFrame:
     """Banded-LSH candidate pairs from a (id, signature) relation.
 
     Bands are generated from ONE reference to the signature (transform
     over a band-index sequence) — a per-band literal array would inline
-    the whole signature fold once per band after projection collapse."""
+    the whole signature fold once per band after projection collapse.
+
+    ``exact_buckets`` swaps the compact xxhash64 band bucket for the
+    serialized band slice itself: grouping becomes exact value equality
+    (no collision-induced extra candidates), and — because serialization
+    is plain comma-joined decimal — any engine reproduces the identical
+    bucket key, which is what makes the md5 verification lane of
+    ``minhash_lsh_pairs`` cross-engine hash-checkable."""
     rows_per_band = num_hashes // bands
+
+    def bucket_of(b):
+        sl = F.slice(
+            F.col("signature"), b * rows_per_band + 1, F.lit(rows_per_band)
+        )
+        if exact_buckets:
+            return F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+        return F.xxhash64(sl)
+
     banded = sigs.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(
-                            F.col("signature"), b * rows_per_band + 1, F.lit(rows_per_band)
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")

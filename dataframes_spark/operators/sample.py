@@ -130,6 +130,13 @@ def weighted_sample_topk(
     because u is a pure content hash the same rows are chosen on any
     engine, any partitioning, any rerun.
 
+    The GLOBAL form (``stratum_col=None``) runs two-phase: a
+    per-input-partition rank keeps k rows per partition (Spark's
+    WindowGroupLimit cuts map-side, so at most k*P rows cross the one
+    exchange, spread over all reducers), then the global rank runs over
+    those survivors only — identical result, no single-reducer pass of
+    the full table.
+
     u = (int(md5[:13], 16) + 1) / 2^52 is exact in doubles (52-bit
     numerator, power-of-two denominator), so both engines see
     bit-identical u; ln() may differ in the last ulp across libm
@@ -142,11 +149,30 @@ def weighted_sample_topk(
         float(2**52)
     )
     es = F.log(u) / F.col(weight_col).cast("double")
-    part = [stratum_col] if stratum_col else [F.lit(1)]
+    base = df.withColumn("__es", es)
+    if stratum_col is None:
+        # two-phase global top-k: a single row_number over lit(1) pulls
+        # EVERY row through one reducer at corpus scale. Phase 1 ranks
+        # within each INPUT partition (pid stamped in the scan stage, so
+        # the window shuffle spreads over all reducers instead of one)
+        # and keeps k rows per partition; phase 2 ranks only the
+        # <= k * num_partitions survivors. Identical result: the global
+        # top-k is a subset of the union of per-partition top-ks.
+        wl = W.partitionBy("__pid").orderBy(
+            F.col("__es").desc(), F.col(key_col).asc()
+        )
+        base = (
+            base.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrnk", F.row_number().over(wl))
+            .filter(F.col("__lrnk") <= k)
+            .drop("__lrnk", "__pid")
+        )
+        part = [F.lit(1)]
+    else:
+        part = [stratum_col]
     w = W.partitionBy(*part).orderBy(F.col("__es").desc(), F.col(key_col).asc())
     return (
-        df.withColumn("__es", es)
-        .withColumn("__rnk", F.row_number().over(w))
+        base.withColumn("__rnk", F.row_number().over(w))
         .filter(F.col("__rnk") <= k)
         .drop("__rnk")
         .withColumnRenamed("__es", "es_key")

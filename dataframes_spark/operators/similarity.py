@@ -213,6 +213,31 @@ def ivf_build(
     return assigned, centers
 
 
+def ivf_assign(df: DataFrame, vec_col: str, centers: list) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) PINNED centroid —
+    the probe half of IVF split from the KMeans fit. Given fixed
+    centroids this is exact relational algebra (per-centroid dot
+    product, argmax), so a pinned-centroid index is fully
+    cross-engine-verifiable even though the fit itself is not; it is
+    also the path for re-assigning fresh data into an EXISTING index
+    without refitting.
+
+    Pure JVM expressions: one score per centroid (dot(v, c)/|c| — the
+    shared |v| factor cannot change the argmax and is skipped), argmax
+    via ``array_position(scores, array_max(scores))`` with
+    first-lowest-index tie-break. Map-only, no shuffle; centroids ride
+    as plan literals (n_clusters x dim doubles — tiny)."""
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scores = []
+    for c in centers:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        ccol = F.array(*[F.lit(float(x)) for x in c])
+        scores.append(_dot(vd, ccol) / F.lit(cn))
+    sarr = F.array(*scores)
+    cluster = (F.array_position(sarr, F.array_max(sarr)) - 1).cast("int")
+    return df.withColumn("cluster", cluster)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centers: list,

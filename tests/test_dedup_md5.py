@@ -123,3 +123,37 @@ def test_bucket_pair_expand_no_self_pairs_on_duplicate_ids(spark):
     }
     assert (7, 7) not in pairs
     assert (7, 8) in pairs
+
+
+def test_minhash_lsh_pairs_md5_matches_xxhash_candidates(spark):
+    """The md5 verification lane (exact value buckets) and the fast
+    xxhash64 lane group by the SAME band slices — on a corpus with no
+    64-bit hash collisions the candidate sets are identical."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",
+        "completely different text about distributed query processing",
+        "another unrelated document concerning parquet column pruning",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    kw = dict(num_hashes=16, bands=4, shingle_k=5)
+    fast = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(df, "text", "doc_id", **kw).collect()
+    }
+    md5 = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(
+            df, "text", "doc_id", lane_hash="md5", **kw
+        ).collect()
+    }
+    assert md5 == fast
+    assert (0, 1) in md5  # the near-identical pair must collide
+
+
+def test_minhash_lsh_pairs_rejects_bad_lane_hash(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dd.minhash_lsh_pairs(df, "text", "doc_id", lane_hash="sha1")

@@ -249,3 +249,33 @@ def test_fuzzy_join_drops_null_strings(spark):
     b = spark.createDataFrame([("abd",), (None,)], "sb string")
     rows = fuzzy_join(a, b, "sa", "sb", max_dist=1).collect()
     assert [(r["sa"], r["sb"], r["dist"]) for r in rows] == [("abc", "abd", 1)]
+
+
+def test_weighted_sample_global_two_phase_same_result(spark):
+    """The two-phase global top-k (per-input-partition prefilter, then
+    rank the <= k*P survivors) must select exactly the rows a single
+    global rank would, at any partitioning."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from dataframes_spark.operators.sample import weighted_sample_topk
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 9 + 1).cast("double").alias("w")
+    )
+    got = sorted(
+        r["id"] for r in weighted_sample_topk(df.repartition(13), "w", "id", k=25).collect()
+    )
+    # naive single-window reference on the same deterministic es scores
+    scored = weighted_sample_topk(df, "w", "id", k=500)  # k >= N: keeps all
+    ref = sorted(
+        r["id"]
+        for r in scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.col("es_key").desc(), F.col("id").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= 25)
+        .collect()
+    )
+    assert got == ref and len(got) == 25

@@ -211,3 +211,36 @@ def test_duplicate_groups_report(spark):
         for r in duplicate_groups(df, "text", "doc_id").collect()
     }
     assert got == {"aa": (1, 3), "bb": (2, 1), "cc": (5, 1)}
+
+
+def test_ivf_assign_picks_nearest_pinned_centroid(spark):
+    from dataframes_spark.operators import similarity
+
+    centers = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 2.0]), (3, [-5.0, 0.2]), (4, [0.7, 0.7])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r.cluster for r in similarity.ivf_assign(df, "embedding", centers).collect()}
+    # vec 4 ties between centroids 0 and 1 (cos 45° to both): the
+    # first-lowest-index tie-break must pick 0
+    assert out == {1: 0, 2: 1, 3: 2, 4: 0}
+
+
+def test_ivf_assign_plus_topk_equals_brute_force_full_probe(spark):
+    from dataframes_spark.operators import similarity
+    from dataframes_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").between(1, 4)).orderBy("vec_id").collect()
+    ]
+    base = emb.filter(F.col("vec_id") > 4)
+    assigned = similarity.ivf_assign(base, "embedding", cents)
+    # probing every cluster must recover exact brute-force top-k
+    ivf = [r.vec_id for r in similarity.ivf_topk(assigned, cents, "embedding", "vec_id", q, 10, nprobe=4).collect()]
+    bf = [r.vec_id for r in similarity.brute_force_topk(base, "embedding", "vec_id", q, 10).collect()]
+    assert ivf == bf

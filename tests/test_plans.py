@@ -352,3 +352,29 @@ def test_unigram_logprob_reuses_exploded_exchange(spark, sf_dir):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("ReusedExchange") >= 2, p[:2000]
+
+
+def test_weighted_sample_global_no_single_reducer_full_window(spark, sf_dir):
+    """The global (stratum_col=None) weighted top-k must NOT flow the
+    whole table through one single-partition window: the first Window in
+    the plan partitions on the stamped input-partition id, and only the
+    k-per-partition survivors reach the SinglePartition exchange."""
+    from dataframes_spark.operators.sample import weighted_sample_topk
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = weighted_sample_topk(docs, "n_chars", "doc_id", k=5)
+    jqe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = jqe.explainString(mode)
+    # phase-1 window keyed by the partition-id stamp
+    assert "__pid" in p
+    # the only full-table exchange hash-partitions on __pid (parallel),
+    # and WindowGroupLimit cuts to k rows per partition MAP-SIDE, before
+    # that exchange — so at most k*P rows ever cross the wire
+    assert "hashpartitioning(__pid" in p
+    assert "row_number(), 5, Partial" in p
+    # phase 2 over the survivors collapses to a TakeOrdered (or a
+    # single-partition exchange of <= k*P rows) — never a global sort
+    # of the full table
+    assert "TakeOrderedAndProject" in p or "SinglePartition" in p
