@@ -75,3 +75,127 @@ def test_histogram_empty_column_returns_empty_axes(spark):
     df = spark.createDataFrame([(None,), (None,)], "v double")
     fig = viz.histogram(df, "v", bins=10)
     assert fig is not None
+
+
+# ---------------------------------------------------------------------------
+# distributed reduction stages: run WITHOUT matplotlib — the cluster-side
+# half of every plot is real tested code; only rendering is gated
+# ---------------------------------------------------------------------------
+
+
+def test_kde_grid_integrates_to_one_and_peaks_at_mode(spark):
+    import numpy as np
+
+    from dataframes_spark import viz
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.normal(0, 1, 4000), rng.normal(8, 0.5, 2000)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    xs, dens = viz.kde_grid(df, "x", grid=256)
+    assert len(xs) == len(dens) == 256
+    width = xs[1] - xs[0]
+    mass = sum(dens) * width
+    assert 0.97 < mass < 1.03  # integrates to ~1 (tails truncated at 3h)
+    # bimodal: density near 0 and near 8 both dominate the valley at 4
+    d = dict(zip(xs, dens))
+    near = lambda t: max(v for x, v in d.items() if abs(x - t) < 0.5)
+    assert near(0) > 4 * near(4) and near(8) > 4 * near(4)
+
+
+def test_kde_grid_degenerate_inputs(spark):
+    from dataframes_spark import viz
+
+    one = spark.createDataFrame([(1.0,)], "x double")
+    assert viz.kde_grid(one, "x") == ([], [])
+    const = spark.createDataFrame([(2.0,), (2.0,), (2.0,)], "x double")
+    assert viz.kde_grid(const, "x") == ([], [])
+
+
+def test_kde2_grid_mass_and_shape(spark):
+    import numpy as np
+
+    from dataframes_spark import viz
+
+    rng = np.random.RandomState(3)
+    pts = rng.normal(0, 1, size=(3000, 2))
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in pts], "x double, y double"
+    )
+    xs, ys, Z = viz.kde2_grid(df, "x", "y", grid=48)
+    assert len(xs) == len(ys) == 48 and len(Z) == 48 and len(Z[0]) == 48
+    Z = np.asarray(Z)
+    mass = Z.sum() * (xs[1] - xs[0]) * (ys[1] - ys[0])
+    assert 0.9 < mass < 1.1
+    # unimodal standard normal: the peak sits near the origin
+    i, j = np.unravel_index(Z.argmax(), Z.shape)
+    assert abs(xs[i]) < 1 and abs(ys[j]) < 1
+
+
+def test_heatmap_matrix_labels_and_cap(spark):
+    import pytest
+
+    from dataframes_spark import viz
+
+    m = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, None)], "lbl string, c1 double, c2 double"
+    )
+    rows, cols, vals = viz.heatmap_matrix(m)
+    assert rows == ["a", "b"] and cols == ["c1", "c2"]
+    assert vals[0] == [1.0, 2.0] and vals[1][0] == 3.0
+    assert vals[1][1] != vals[1][1]  # NaN for the null cell
+    big = spark.range(0, 2000).selectExpr("CAST(id AS DOUBLE) c1", "CAST(id AS DOUBLE) c2")
+    with pytest.raises(ValueError, match="max_cells"):
+        viz.heatmap_matrix(big, max_cells=100)
+
+
+def test_series_data_small_passthrough_and_bucketed_downsample(spark):
+    from pyspark.sql import functions as F
+
+    from dataframes_spark import viz
+
+    df = spark.range(0, 50_000).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    small = viz.series_data(df.limit(100), "x", ["y"], max_points=1000)
+    assert len(small) == 100
+    assert [r["x"] for r in small] == sorted(r["x"] for r in small)
+    down = viz.series_data(df, "x", ["y"], max_points=500)
+    assert len(down) <= 500
+    xs = [r["x"] for r in down]
+    assert xs == sorted(xs)
+    # bucket means preserve the linear relation y = 2x
+    assert all(abs(r["y"] - 2 * r["x"]) < 1e-6 for r in down)
+
+
+def test_series_data_timestamp_axis_round_trips(spark):
+    from datetime import datetime
+
+    from dataframes_spark import viz
+
+    rows = [(datetime(2024, 1, 1, h), float(h)) for h in range(24)]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = viz.series_data(df, "ts", ["v"], max_points=6)
+    assert len(out) <= 6
+    assert all(isinstance(r["ts"], datetime) for r in out)
+    assert [r["ts"] for r in out] == sorted(r["ts"] for r in out)
+
+
+def test_render_functions_gated_without_matplotlib(spark):
+    import pytest
+
+    from dataframes_spark import viz
+
+    if HAS_MPL:
+        pytest.skip("matplotlib installed; error path n/a")
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    for fn in (
+        lambda: viz.kde(df, "x"),
+        lambda: viz.kde2(df, "x", "y"),
+        lambda: viz.heatmap(df),
+        lambda: viz.plot(df, "x", "y"),
+        lambda: viz.plot_date(df, "x", "y"),
+        lambda: viz.fill_between(df, "x", "y", "y"),
+    ):
+        with pytest.raises(NotImplementedError, match="matplotlib"):
+            fn()
