@@ -1406,6 +1406,34 @@ def feather_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xlsx_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.write -> Table.read XLSX roundtrip (SURVEY §2.1) through the
+    self-contained stdlib SpreadsheetML implementation (io/xlsx.py — no
+    openpyxl, closing the reference's xlnt optionality gap,
+    src/IO.luna:94-123), then aggregate — proves the XLSX path is
+    lossless for long/double/string columns."""
+    import os
+
+    from dataframes_spark.io import readers as dio_r
+    from dataframes_spark.io import writers as dio_w
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = os.path.join(_scratch_dir("spark_graft_xlsx_"), "supplier.xlsx")
+    dio_w.write_auto(supp, path)
+    back = dio_r.read_auto(spark, path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        # acctbal has exactly 2 decimals: exact fixed-point sum (same
+        # rationale as csv_roundtrip_agg)
+        (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")) / 100.0).alias(
+            "sum_bal"
+        ),
+        F.min("s_name").alias("first_name"),
+    )
+
+
 def facade_column_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-facade column surgery end to end (core/table.py): columns ->
     addColumn at position -> rename -> remove -> filterColumns ->
@@ -1779,6 +1807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays via weighted_sample/split/mix, streaming via sessionize
         "read_text_csv_agg": read_text_csv_agg,
         "feather_roundtrip_agg": feather_roundtrip_agg,
+        # round 6: XLSX loses its optional-dependency gate (stdlib
+        # SpreadsheetML in io/xlsx.py) and gains its first driver row
+        "xlsx_roundtrip_agg": xlsx_roundtrip_agg,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "csv_roundtrip_agg": csv_roundtrip_agg,
@@ -2234,6 +2265,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, count(*) AS n_nations,
                    min(n_name) AS first_name
             FROM nation GROUP BY 1
+        """,
+        "xlsx_roundtrip_agg": """
+            SELECT s_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_supp,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS sum_bal,
+                   min(s_name) AS first_name
+            FROM supplier GROUP BY 1
         """,
         "facade_column_surgery": """
             SELECT l_returnflag AS flag,

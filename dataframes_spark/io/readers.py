@@ -223,14 +223,10 @@ def _read_feather(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _read_xlsx(spark: SparkSession, path: str) -> DataFrame:
-    """XLSX via openpyxl/pandas on the driver if available, else a clear
-    error (the xlnt dependency is optional in the reference too,
-    src/IO.luna:94-123)."""
-    try:
-        import pandas as pd
+    """XLSX via the self-contained stdlib SpreadsheetML parser
+    (io/xlsx.py) — no optional dependency, unlike the reference's xlnt
+    gate (src/IO.luna:94-123). Driver-side like feather: a spreadsheet
+    is a single-machine interchange artifact."""
+    from dataframes_spark.io.xlsx import read_xlsx
 
-        return spark.createDataFrame(pd.read_excel(path))
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx reading requires openpyxl; install it or convert to csv/parquet"
-        ) from e
+    return read_xlsx(spark, path)

@@ -58,13 +58,11 @@ def write_auto(df: DataFrame, path: str, mode: str = "overwrite", single_file: b
         pf.write_feather(out.toArrow(), path)
         return
     if fmt == "xlsx":
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "xlsx output needs openpyxl (not in this environment); "
-                "write csv/parquet/feather instead"
-            ) from e
-        out.toPandas().to_excel(path, index=False)
+        # self-contained stdlib SpreadsheetML writer (io/xlsx.py) — no
+        # openpyxl; driver-side by design with a max_rows guard (a
+        # spreadsheet is a single-machine artifact; Excel caps ~1M rows)
+        from dataframes_spark.io.xlsx import write_xlsx
+
+        write_xlsx(out, path)
         return
     writer.format(fmt).save(path)

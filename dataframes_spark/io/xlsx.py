@@ -1,0 +1,226 @@
+"""Self-contained XLSX read/write on the Python standard library
+(zipfile + ElementTree) — no openpyxl/pandas-excel dependency.
+
+An .xlsx file is a zip of SpreadsheetML XML parts; the subset a data
+table needs (one worksheet, inline or shared strings, numeric cells) is
+small enough to implement directly, which removes the optional-
+dependency gate the reference carries for its xlnt backend
+(src/IO.luna:94-123) — here XLSX works everywhere the engine does.
+
+Scale posture matches feather: a spreadsheet is a single-machine
+artifact by definition (one zip, one XML stream — Excel itself caps at
+~1M rows), so both directions run driver-side on plot/interchange-sized
+data; large data belongs in parquet. The writer guards with ``max_rows``
+so a fact table cannot be serialized by mistake.
+
+Writer output uses inline strings (``t="inlineStr"``) — self-contained
+cells, no sharedStrings table to build. The reader handles both inline
+and shared strings, so files from Excel/openpyxl (which write shared
+strings) parse too.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame, SparkSession
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>"""
+
+_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+</workbook>"""
+
+_WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+
+
+def _col_letter(idx: int) -> str:
+    """0-based column index -> A, B, ..., Z, AA, ..."""
+    s = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        s = chr(65 + rem) + s
+    return s
+
+
+def _col_index(ref: str) -> int:
+    """A1-style cell reference -> 0-based column index."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - 64)
+    return n - 1
+
+
+def _cell_xml(ref: str, v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            return f'<c r="{ref}" t="inlineStr"><is><t>{v!r}</t></is></c>'
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(v))}</t></is></c>'
+
+
+def write_xlsx(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
+    """Write a DataFrame as a one-sheet .xlsx with a header row.
+    Driver-side by design (a spreadsheet is a single-machine
+    interchange artifact); ``max_rows`` guards against serializing a
+    fact table — Excel's own sheet limit is 1,048,576 rows."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"xlsx write: {n} rows > max_rows={max_rows} (Excel caps at "
+            "~1M rows; write parquet for data this size)"
+        )
+    rows = df.collect()
+    cols = df.columns
+    parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>']
+    parts.append(
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+    )
+    header = "".join(
+        _cell_xml(f"{_col_letter(j)}1", c) for j, c in enumerate(cols)
+    )
+    parts.append(f'<row r="1">{header}</row>')
+    for i, r in enumerate(rows, start=2):
+        body = "".join(
+            _cell_xml(f"{_col_letter(j)}{i}", r[j]) for j in range(len(cols))
+        )
+        parts.append(f'<row r="{i}">{body}</row>')
+    parts.append("</sheetData></worksheet>")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", "".join(parts))
+
+
+def _shared_strings(z: zipfile.ZipFile) -> list[str]:
+    try:
+        data = z.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    out = []
+    for si in ET.fromstring(data).iter(f"{_NS}si"):
+        # an <si> may be one <t> or several <r><t> runs; concatenate
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return out
+
+
+def _first_sheet_name(z: zipfile.ZipFile) -> str:
+    names = z.namelist()
+    if "xl/worksheets/sheet1.xml" in names:
+        return "xl/worksheets/sheet1.xml"
+    sheets = sorted(
+        n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+    )
+    if not sheets:
+        raise ValueError("xlsx: no worksheet part found")
+    return sheets[0]
+
+
+def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
+    """Parse the first worksheet into (header, rows) of Python values:
+    numeric cells -> float, boolean -> bool, strings (shared or inline)
+    -> str, absent cells -> None. Pure stdlib."""
+    with zipfile.ZipFile(path) as z:
+        shared = _shared_strings(z)
+        sheet = ET.fromstring(z.read(_first_sheet_name(z)))
+    raw: list[list] = []
+    width = 0
+    for row in sheet.iter(f"{_NS}row"):
+        cells: dict[int, object] = {}
+        for c in row.iter(f"{_NS}c"):
+            idx = _col_index(c.get("r", ""))
+            if idx < 0:
+                idx = max(cells, default=-1) + 1
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                is_el = c.find(f"{_NS}is")
+                val = (
+                    "".join(x.text or "" for x in is_el.iter(f"{_NS}t"))
+                    if is_el is not None
+                    else None
+                )
+            else:
+                v_el = c.find(f"{_NS}v")
+                if v_el is None or v_el.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v_el.text)]
+                elif t == "b":
+                    val = v_el.text == "1"
+                elif t == "str":
+                    val = v_el.text
+                else:
+                    val = float(v_el.text)
+            cells[idx] = val
+        width = max(width, max(cells, default=-1) + 1)
+        raw.append([cells.get(j) for j in range(max(cells, default=-1) + 1)])
+    if not raw:
+        return [], []
+    raw = [r + [None] * (width - len(r)) for r in raw]
+    header = [str(v) if v is not None else f"_c{j}" for j, v in enumerate(raw[0])]
+    return header, raw[1:]
+
+
+def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
+    """XLSX -> DataFrame with the reference's type conformance (INT64 for
+    whole-number columns, DOUBLE otherwise, string fallback on mixed
+    columns — the same rule as CSV inference, csv.cpp:153-188; XLSX
+    stores every number as a double, so int-ness is recovered by
+    inspection)."""
+    header, rows = read_xlsx_rows(path)
+    if not header:
+        raise ValueError(f"xlsx: {path} has no header row")
+    cols: list[list] = list(map(list, zip(*rows))) if rows else [[] for _ in header]
+    out_cols = []
+    types = []
+    for vals in cols:
+        present = [v for v in vals if v is not None]
+        if present and all(isinstance(v, float) for v in present):
+            if all(float(v).is_integer() and abs(v) < 2**53 for v in present):
+                out_cols.append([int(v) if v is not None else None for v in vals])
+                types.append("long")
+            else:
+                out_cols.append(vals)
+                types.append("double")
+        elif present and all(isinstance(v, bool) for v in present):
+            out_cols.append(vals)
+            types.append("boolean")
+        else:
+            out_cols.append(
+                [str(v) if v is not None and not isinstance(v, str) else v for v in vals]
+            )
+            types.append("string")
+    schema = ", ".join(
+        f"`{c}` {t}" for c, t in zip(header, types)
+    )
+    data = [tuple(col[i] for col in out_cols) for i in range(len(rows))]
+    return spark.createDataFrame(data, schema)
