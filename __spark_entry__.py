@@ -1434,6 +1434,37 @@ def xlsx_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_quartiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing (functions/stats.py qcut): documents split into
+    length quartiles — the curriculum/quality-band primitive. Boundaries
+    from ONE array-percentile aggregate broadcast as data; assignment is
+    a map-only fold (never an ntile global sort). Per-band count and
+    range are hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    b = dstats.qcut(docs, "n_chars", 4)
+    return b.groupBy("n_chars_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sample.py cap_per_group): at
+    most 50 docs per source, chosen by md5 content-hash order — the
+    per-domain cap every web-corpus pipeline applies (C4/RefinedWeb
+    style). Deterministic across engines, so the post-cap per-source
+    totals hash-verify."""
+    from dataframes_spark.operators.sample import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", 50, "doc_id", salt="cap")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def facade_column_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-facade column surgery end to end (core/table.py): columns ->
     addColumn at position -> rename -> remove -> filterColumns ->
@@ -1728,7 +1759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "range_join_purchase_clicks": range_join_purchase_clicks,
         "time_rollup_events": time_rollup_events,
-        "shared_passages_docs": shared_passages_docs,
+        # shared_passages_docs (green r4-r5) rotated below in round 6 to
+        # hold the window at 50; its winnowing family stays in-window via
+        # winnow_fingerprints_docs, which it composes on
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
         # -- entered the window round 5 (rotation promise + new queries)
         "pack_documents_cumsum": pack_documents_cumsum,
@@ -1810,14 +1843,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: XLSX loses its optional-dependency gate (stdlib
         # SpreadsheetML in io/xlsx.py) and gains its first driver row
         "xlsx_roundtrip_agg": xlsx_roundtrip_agg,
+        # round 6: quantile bucketing (curriculum bands, no ntile global
+        # sort) and the per-domain cap (md5-deterministic, so the capped
+        # totals hash-verify). To stay within the 50-row window,
+        # pandas_map_column and setop_custkeys (green r1-r5; their
+        # families stay covered via media_decode_stats +
+        # pack_documents_greedy and the cube/rollup/join rows) rotate out
+        "quality_quartiles_docs": quality_quartiles_docs,
+        "cap_docs_per_source": cap_docs_per_source,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "ols_price_qty": ols_price_qty,
+        # -- rotated out of the window: multiply green (r01-r05),
+        #    still covered locally by tools/check_oracle.py and tests/
         "pandas_map_column": pandas_map_column,
         "setop_custkeys": setop_custkeys,
-        # -- rotated out of the window: multiply green (r01-r03 or r01-r04),
-        #    still covered locally by tools/check_oracle.py and tests/
+        "shared_passages_docs": shared_passages_docs,
         "minhash_lsh_candidates": minhash_lsh_candidates,
         "ivf_topk_probe": ivf_topk_probe,
         "window_topn_orders": window_topn_orders,
@@ -2273,6 +2315,30 @@ def oracle_sql() -> dict[str, str]:
                        / 100.0 AS sum_bal,
                    min(s_name) AS first_name
             FROM supplier GROUP BY 1
+        """,
+        "quality_quartiles_docs": """
+            WITH b AS (
+                SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+                FROM documents
+            )
+            SELECT CAST(1 + len(list_filter(b.qs, q -> d.n_chars > q)) AS INT)
+                       AS n_chars_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents d, b GROUP BY 1
+        """,
+        "cap_docs_per_source": """
+            WITH ranked AS (
+                SELECT source, n_chars, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '/cap') ASC,
+                             doc_id ASC) AS rnk
+                FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM ranked WHERE rnk <= 50 GROUP BY source
         """,
         "facade_column_surgery": """
             SELECT l_returnflag AS flag,

@@ -386,3 +386,57 @@ def standardize(
             for c in df.columns
         ]
     )
+
+
+def qcut(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quantile bucketing (pandas ``qcut`` shape): adds an INT bucket
+    column 1..``n_buckets`` assigning each row to its quantile band of
+    ``col`` — the curriculum/quality-band primitive (e.g. split a corpus
+    into quality quartiles, then mix per band).
+
+    NOT ``ntile``: a global ntile is a single-reducer sort of the whole
+    table. Here the n-1 boundaries come from ONE percentile aggregate
+    (array-argument — one buffer, same layout as ``describe``), ride
+    into the plan as a broadcast 1-row frame (data, not a literal), and
+    assignment is a map-only fold: ``bucket = 1 + #(boundaries <
+    value)``. Row order never matters, no shuffle of the table, and the
+    same boundaries give the same assignment on any engine. Ties AT a
+    boundary go to the lower bucket (value <= b_i). With heavy value
+    skew duplicate boundaries leave intermediate buckets empty rather
+    than splitting equal values arbitrarily — deterministic by design.
+
+    ``exact=False`` swaps in ``percentile_approx`` (bounded-memory
+    sketch) for corpus scale; nulls get bucket NULL."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    out_col = out_col or f"{col}_bucket"
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    x = F.col(col).cast("double")
+    if exact:
+        qlist = ", ".join(f"{q}D" for q in qs)
+        bounds = F.expr(f"percentile({_bq(col)}, array({qlist}))")
+    else:
+        bounds = F.percentile_approx(col, qs, accuracy)
+    brow = df.agg(bounds.alias("__qb"))
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("__qb"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(x > b.cast("double"), 1).otherwise(0),
+        )
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(brow))
+        .select(
+            *df.columns,
+            F.when(x.isNotNull(), bucket).alias(out_col),
+        )
+    )

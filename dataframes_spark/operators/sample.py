@@ -193,3 +193,33 @@ def stratified_sample(
             (F.col(stratum_col) == F.lit(value)) & (h < int(frac * buckets))
         )
     return df.filter(cond)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen DETERMINISTICALLY by
+    content hash — the per-domain/per-source cap every web-corpus
+    pipeline applies so one giant domain cannot dominate the mixture
+    (C4/RefinedWeb-style). md5(key/salt) ordering means the survivors
+    are a stable pseudo-random sample: same rows on any engine, any
+    partitioning, any rerun, and changing ``salt`` redraws them.
+
+    One rank window per group; Spark's rank-limit pushdown
+    (WindowGroupLimit) cuts each partition to k candidates MAP-SIDE
+    before the exchange, so giant groups do not funnel their full row
+    count through one reducer — the same two-phase shape as
+    ``weighted_sample_topk``."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("/" + salt)))
+    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .drop("__rnk")
+    )

@@ -279,3 +279,34 @@ def test_weighted_sample_global_two_phase_same_result(spark):
         .collect()
     )
     assert got == ref and len(got) == 25
+
+
+def test_cap_per_group_deterministic_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+    from dataframes_spark.operators.sample import cap_per_group
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    a = sorted(r["id"] for r in cap_per_group(df, "src", 10, "id").collect())
+    b = sorted(
+        r["id"] for r in cap_per_group(df.repartition(17), "src", 10, "id").collect()
+    )
+    assert a == b and len(a) == 30
+    # per-group sizes exactly k (every group has >= k rows here)
+    sizes = (
+        cap_per_group(df, "src", 10, "id").groupBy("src").count().collect()
+    )
+    assert all(r["count"] == 10 for r in sizes)
+    # a different salt redraws the survivors
+    c = sorted(r["id"] for r in cap_per_group(df, "src", 10, "id", salt="x").collect())
+    assert c != a
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from pyspark.sql import functions as F
+    from dataframes_spark.operators.sample import cap_per_group
+
+    df = spark.range(5).select(F.col("id"), F.lit("only").alias("src"))
+    out = cap_per_group(df, "src", 10, "id")
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3, 4]

@@ -122,3 +122,49 @@ def test_resample_spine_fixed_duration_across_dst(spark):
         assert {1.0, 2.0, 3.0, 4.0} <= set(sums)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+# ---------------------------------------------------------------------------
+# qcut quantile bucketing
+# ---------------------------------------------------------------------------
+
+
+def test_qcut_quartiles_balanced_and_ordered(spark):
+    df = spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+    out = stats.qcut(df, "v", 4)
+    assert "v_bucket" in out.columns
+    counts = {r["v_bucket"]: r["n"] for r in out.groupBy("v_bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {1, 2, 3, 4}
+    assert all(20 <= c <= 30 for c in counts.values())
+    # monotone: every value in bucket b is <= every value in bucket b+1
+    rows = out.collect()
+    hi = {b: max(r["v"] for r in rows if r["v_bucket"] == b) for b in (1, 2, 3)}
+    lo = {b: min(r["v"] for r in rows if r["v_bucket"] == b) for b in (2, 3, 4)}
+    assert hi[1] <= lo[2] and hi[2] <= lo[3] and hi[3] <= lo[4]
+
+
+def test_qcut_nulls_skew_and_validation(spark):
+    df = spark.createDataFrame(
+        [(None,)] + [(1.0,)] * 90 + [(100.0,)] * 10, "v double"
+    )
+    out = stats.qcut(df, "v", 4).collect()
+    assert any(r["v_bucket"] is None and r["v"] is None for r in out)
+    # heavy skew: all the 1.0s share one bucket (ties never split), the
+    # 100.0s land above
+    b1 = {r["v_bucket"] for r in out if r["v"] == 1.0}
+    b100 = {r["v_bucket"] for r in out if r["v"] == 100.0}
+    assert len(b1) == 1 and len(b100) == 1 and max(b1) < max(b100)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stats.qcut(df, "v", 1)
+
+
+def test_qcut_approx_mode_close_to_exact(spark):
+    df = spark.range(0, 10_000).selectExpr("CAST(id AS DOUBLE) AS v")
+    exact = stats.qcut(df, "v", 10)
+    approx = stats.qcut(df, "v", 10, exact=False)
+    ne = exact.groupBy("v_bucket").count().collect()
+    na = {r["v_bucket"]: r["count"] for r in approx.groupBy("v_bucket").count().collect()}
+    for r in ne:
+        assert abs(na[r["v_bucket"]] - r["count"]) <= 200  # 2% of rows
