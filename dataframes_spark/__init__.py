@@ -26,7 +26,7 @@ Layout:
 
 from dataframes_spark.session import get_spark, load_table
 
-__all__ = ["get_spark", "load_table", "Table", "read_auto"]
+__all__ = ["get_spark", "load_table", "Table", "read_auto", "plan_report", "assert_scalable"]
 __version__ = "0.1.0"
 
 
@@ -42,4 +42,8 @@ def __getattr__(name):
         from dataframes_spark.io.readers import read_auto
 
         return read_auto
+    if name in ("plan_report", "assert_scalable"):
+        from dataframes_spark import plan
+
+        return getattr(plan, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,105 @@
+"""Physical-plan audit: the scale checklist as a runtime tool.
+
+``plan_report(df)`` inspects a DataFrame's compiled physical plan
+(plan-time only — nothing executes) and returns the properties that
+decide whether a query survives a 100 TB scale-up: how many shuffles,
+whether filters reached the parquet scan, which columns the scan reads,
+whether Python sits in the hot path, and a ``warnings`` list naming the
+known scale-killers (single-partition exchanges, row-at-a-time Python
+UDFs, cartesian products). The same checks ``tests/test_plans.py`` pins
+for the shipped queries, packaged so users can audit their own.
+
+``assert_scalable(df)`` turns the warnings into an exception — drop it
+into a pipeline's tests the way this repo's own plan tests do.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _explain(df: DataFrame, mode: str) -> str:
+    jqe = df._jdf.queryExecution()
+    m = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jqe.explainString(m)
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Audit the compiled physical plan; see the keys below. Plan-time
+    only: no job runs, so this is safe on any size of input."""
+    p = _explain(df, "formatted")
+    simple = _explain(df, "simple")
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    scan_columns = [
+        [c.split(":")[0] for c in s.split(",") if c] for s in schemas
+    ]
+
+    report = {
+        # every Exchange is a shuffle (or broadcast) — the dominant cost
+        "exchanges": len(re.findall(r"\bExchange\b", p)),
+        "broadcast_exchanges": len(re.findall(r"BroadcastExchange", p)),
+        # formatted mode prints the distribution on the Arguments line
+        # ("Arguments: SinglePartition, ..."); simple mode inlines it
+        "single_partition_exchanges": len(
+            re.findall(
+                r"Exchange SinglePartition|Arguments: SinglePartition", p
+            )
+        ),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", p)),
+        "broadcast_hash_joins": len(re.findall(r"BroadcastHashJoin", p)),
+        "cartesian_products": len(re.findall(r"CartesianProduct", p)),
+        # scan health: predicate pushdown + column pruning
+        "pushed_filters": [s for s in pushed if s.strip()],
+        "scan_columns": scan_columns,
+        # Python in the plan: Arrow-batched pandas UDFs are the
+        # sanctioned escape hatch; BatchEvalPython is row-at-a-time
+        "pandas_udf_nodes": len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", p)
+        ),
+        "row_python_udf_nodes": len(re.findall(r"BatchEvalPython", p)),
+        # whole-stage codegen spans from the simple plan ("*(n)" prefixes)
+        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
+        "plan": p,
+    }
+
+    warnings = []
+    if report["row_python_udf_nodes"]:
+        warnings.append(
+            "row-at-a-time Python UDF (BatchEvalPython) in the plan — "
+            "10-100x slower than a pandas_udf; rewrite with built-in "
+            "functions or an Arrow-batched UDF"
+        )
+    if report["cartesian_products"]:
+        warnings.append(
+            "CartesianProduct in the plan — O(N*M) pairs; add an equi-join "
+            "key (bucketize ranges, LSH-block similarity) or broadcast a "
+            "provably tiny side"
+        )
+    if report["single_partition_exchanges"]:
+        warnings.append(
+            "Exchange SinglePartition — the full input flows through ONE "
+            "reducer (global window/sort without partitioning?); "
+            "partition the window, or pre-reduce per partition first"
+        )
+    report["warnings"] = warnings
+    return report
+
+
+def assert_scalable(df: DataFrame, allow: tuple[str, ...] = ()) -> dict:
+    """Raise ``AssertionError`` if the plan carries a known scale-killer
+    (any ``plan_report`` warning whose text contains none of the
+    ``allow`` substrings). Returns the report when clean — use in
+    pipeline tests exactly like this repo's tests/test_plans.py."""
+    report = plan_report(df)
+    bad = [
+        w for w in report["warnings"] if not any(a in w for a in allow)
+    ]
+    if bad:
+        raise AssertionError(
+            "plan has scale hazards:\n- " + "\n- ".join(bad)
+        )
+    return report

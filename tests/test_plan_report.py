@@ -1,0 +1,82 @@
+"""plan_report / assert_scalable (dataframes_spark/plan.py): the scale
+checklist as a runtime tool — pushdown visibility, Python-in-plan
+detection, and the scale-killer warnings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark import plan as dplan
+from dataframes_spark.session import load_table
+
+
+def test_report_sees_pushdown_and_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 10).select("l_orderkey", "l_quantity")
+    r = dplan.plan_report(df)
+    assert any("l_quantity" in f for f in r["pushed_filters"])
+    assert r["scan_columns"] and set(r["scan_columns"][0]) == {
+        "l_orderkey", "l_quantity"
+    }
+    assert r["warnings"] == []
+    assert r["exchanges"] == 0  # map-only plan
+
+
+def test_report_counts_exchanges_and_joins(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").count()
+    j = agg.join(F.broadcast(cust), agg["o_custkey"] == cust["c_custkey"])
+    r = dplan.plan_report(j)
+    assert r["exchanges"] >= 1
+    assert r["broadcast_hash_joins"] >= 1
+    assert r["warnings"] == []
+
+
+def test_report_flags_row_python_udf(spark):
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda x: x + 1, "bigint")
+    df = spark.range(10).select(slow("id").alias("y"))
+    r = dplan.plan_report(df)
+    assert r["row_python_udf_nodes"] >= 1
+    assert any("row-at-a-time" in w for w in r["warnings"])
+    with pytest.raises(AssertionError, match="row-at-a-time"):
+        dplan.assert_scalable(df)
+
+
+def test_report_flags_single_partition_window(spark):
+    from pyspark.sql import Window as W
+
+    df = spark.range(100).withColumn(
+        "r", F.row_number().over(W.partitionBy(F.lit(1)).orderBy("id"))
+    )
+    r = dplan.plan_report(df)
+    assert r["single_partition_exchanges"] >= 1
+    assert any("ONE reducer" in w for w in r["warnings"])
+    # allow-listing the known hazard passes
+    out = dplan.assert_scalable(df, allow=("SinglePartition",))
+    assert out["single_partition_exchanges"] >= 1
+
+
+def test_pandas_udf_is_not_flagged(spark):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def fast(x: pd.Series) -> pd.Series:
+        return x + 1
+
+    df = spark.range(10).select(fast("id").alias("y"))
+    r = dplan.plan_report(df)
+    assert r["pandas_udf_nodes"] >= 1
+    assert r["row_python_udf_nodes"] == 0
+    assert r["warnings"] == []
+
+
+def test_shipped_queries_pass_assert_scalable(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    # the flagship + a pipeline heavyweight compile clean
+    for name in ("q1_pricing_summary", "pipeline_clean_corpus", "cap_docs_per_source"):
+        dplan.assert_scalable(qs[name](spark, sf_dir))
