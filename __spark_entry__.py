@@ -1465,6 +1465,27 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL roundtrip through write_auto/read_auto (Spark-native
+    distributed json source — THE interchange format for LLM corpora),
+    then aggregate. Numbers survive as longs/doubles, strings with
+    quotes/escapes survive verbatim."""
+    import os
+
+    from dataframes_spark.io import readers as dio_r
+    from dataframes_spark.io import writers as dio_w
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = os.path.join(_scratch_dir("spark_graft_jsonl_"), "docs.jsonl")
+    dio_w.write_auto(docs, path)
+    back = dio_r.read_auto(spark, path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def facade_column_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-facade column surgery end to end (core/table.py): columns ->
     addColumn at position -> rename -> remove -> filterColumns ->
@@ -1914,6 +1935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rows_100": rolling_rows_100,
         "rolling_rsi_100": rolling_rsi_100,
         "rolling_range_numeric": rolling_range_numeric,
+        # round 6, below window (IO family already has 4 in-window rows):
+        # JSONL — the LLM-corpus interchange format — through the native
+        # distributed json source; verified by the local sweep + tests
+        "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
     }
 
 
@@ -2339,6 +2364,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM ranked WHERE rnk <= 50 GROUP BY source
+        """,
+        "jsonl_roundtrip_agg": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS first_doc
+            FROM documents GROUP BY source
         """,
         "facade_column_surgery": """
             SELECT l_returnflag AS flag,

@@ -268,3 +268,17 @@ def test_orc_and_jsonl_roundtrip(spark, tmp_path):
             (r.id, r.s, r.v) for r in back.select("id", "s", "v").collect()
         )
         assert got == [(1, "a", 1.5), (2, "b", None), (3, 'q"uote', 2.5)]
+
+
+def test_jsonl_roundtrip_auto(spark, tmp_path):
+    from dataframes_spark.io.readers import read_auto
+    from dataframes_spark.io.writers import write_auto
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, 'b "quoted"', None)], ["id", "s", "v"]
+    )
+    path = str(tmp_path / "docs.jsonl")
+    write_auto(df, path)
+    back = read_auto(spark, path)
+    got = {r["id"]: (r["s"], r["v"]) for r in back.collect()}
+    assert got == {1: ("a", 1.5), 2: ('b "quoted"', None)}
