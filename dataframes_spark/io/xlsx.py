@@ -75,14 +75,28 @@ def _col_index(ref: str) -> int:
 
 
 def _cell_xml(ref: str, v) -> str:
+    import datetime as _dt
+    from decimal import Decimal
+
     if v is None:
         return ""
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, Decimal):
+        # decimal text is a legal xlsx number; reads back as DOUBLE
+        # (same INT64/DOUBLE conformance as the CSV path)
+        return f'<c r="{ref}"><v>{v}</v></c>'
     if isinstance(v, (int, float)):
         if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
             return f'<c r="{ref}" t="inlineStr"><is><t>{v!r}</t></is></c>'
         return f'<c r="{ref}"><v>{v!r}</v></c>'
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        # ISO-8601 string cell (no epoch-serial ambiguity; reads back as
+        # a string column, parseable with to_timestamp)
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t>{v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()}'
+            "</t></is></c>"
+        )
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(v))}</t></is></c>'
 
 

@@ -267,3 +267,20 @@ def test_render_functions_gated_without_matplotlib(spark):
     ):
         with pytest.raises(NotImplementedError, match="matplotlib"):
             fn()
+
+
+def test_xlsx_decimal_and_timestamp_cells(spark, tmp_path):
+    from dataframes_spark.io.readers import read_auto
+    from dataframes_spark.io.writers import write_auto
+
+    df = spark.sql(
+        "SELECT 1 AS id, CAST(7.25 AS DECIMAL(10,2)) AS d,"
+        " TIMESTAMP '2024-03-01 12:30:00' AS ts, DATE '2024-03-01' AS dt"
+    )
+    path = str(tmp_path / "tt.xlsx")
+    write_auto(df, path)
+    back = read_auto(spark, path)
+    r = back.collect()[0]
+    assert r["d"] == 7.25  # decimal -> number cell -> DOUBLE
+    assert r["ts"] == "2024-03-01 12:30:00"  # ISO string, to_timestamp-able
+    assert r["dt"] == "2024-03-01"
