@@ -284,3 +284,19 @@ def test_xlsx_decimal_and_timestamp_cells(spark, tmp_path):
     assert r["d"] == 7.25  # decimal -> number cell -> DOUBLE
     assert r["ts"] == "2024-03-01 12:30:00"  # ISO string, to_timestamp-able
     assert r["dt"] == "2024-03-01"
+
+
+def test_xlsx_wide_table_beyond_column_z(spark, tmp_path):
+    # 30 columns exercises AA/AB/... cell references in both directions
+    from dataframes_spark.io.xlsx import read_xlsx, write_xlsx
+
+    cols = [f"c{i:02d}" for i in range(30)]
+    df = spark.createDataFrame(
+        [tuple(range(30)), tuple(range(100, 130))], ", ".join(f"{c} long" for c in cols)
+    )
+    path = str(tmp_path / "wide.xlsx")
+    write_xlsx(df, path)
+    back = read_xlsx(spark, path)
+    assert back.columns == cols
+    rows = sorted(map(tuple, back.collect()))
+    assert rows == [tuple(range(30)), tuple(range(100, 130))]
