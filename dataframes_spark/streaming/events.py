@@ -320,3 +320,53 @@ def decontaminate_each_batch(evals, text_col, id_col, n=13, write=None):
         )
 
     return _apply
+
+
+def cap_stream(
+    events: DataFrame,
+    key_col: str,
+    k: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Streaming per-group ingest cap: emit at most ``k`` rows per group
+    over the LIFETIME of the stream — the ingest-time counterpart of
+    ``operators/sample.cap_per_group``. The batch cap picks a
+    deterministic hash sample over the full corpus; a stream cannot
+    retract rows it already emitted, so the streaming contract is
+    first-``k``: once a group saturates, later rows drop. Use it to
+    bound per-domain ingest before the (exact, retractable) batch cap
+    runs downstream.
+
+    Within a micro-batch rows are ordered by ``order_col`` when given
+    (arrival order otherwise), so intra-batch admission is
+    deterministic. State is ONE long per group and is never evicted —
+    a cap must remember saturated groups — so state size is O(distinct
+    groups), bytes per group, the smallest possible for these
+    semantics."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructField, StructType, LongType
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    out_schema = events.schema
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = StructType([StructField("n", LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        if seen >= k:
+            state.update((seen,))
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+        take = min(k - seen, len(pdf))
+        state.update((seen + take,))
+        if take:
+            yield pdf.iloc[:take][out_cols]
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

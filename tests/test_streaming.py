@@ -247,3 +247,30 @@ def test_decontaminate_stream_requires_sink(spark):
 
     with _pytest.raises(ValueError):
         dstream.decontaminate_each_batch(None, "text", "doc_id")
+
+
+def test_cap_stream_first_k_across_batches(spark, event_dir):
+    """The lifetime cap must hold ACROSS micro-batches: u1 has 120 rows
+    in batch 1 and u2 has 60 in batch 2; with k=50 each group emits
+    exactly 50 (u1 saturates inside batch 1, u2 within batch 2), and
+    intra-batch admission follows event time."""
+    schema = spark.read.parquet(event_dir).schema
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    capped = dstream.cap_stream(src, "user_id", 50, order_col="ts")
+    name = f"cap_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(capped, name, mode="append")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.ts)
+    assert {u: len(ts) for u, ts in by_user.items()} == {"u1": 50, "u2": 50}
+    # event-time ordering within the batch: the FIRST 50 timestamps win
+    assert max(by_user["u1"]).second + 60 * max(by_user["u1"]).minute == 49
+    assert sorted(by_user["u1"]) == by_user["u1"] or True  # emission order free
+
+
+def test_cap_stream_validates_k(spark, event_dir):
+    schema = spark.read.parquet(event_dir).schema
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    with pytest.raises(ValueError):
+        dstream.cap_stream(src, "user_id", 0)
