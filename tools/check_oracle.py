@@ -81,11 +81,11 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
-            print(f"✗ {name}: SPARK ERROR {str(e)[:200]}")
+            print(f"✗ {name}: SPARK ERROR {str(e)[:200]}", flush=True)
             continue
         if name not in oracles:
             no_oracle.append(name)
-            print(f"~ {name}: rows-only ({len(srows)} rows, no oracle)")
+            print(f"~ {name}: rows-only ({len(srows)} rows, no oracle)", flush=True)
             continue
         try:
             rel = con.sql(oracles[name])
@@ -93,7 +93,7 @@ def main() -> int:
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
-            print(f"✗ {name}: ORACLE ERROR {str(e)[:200]}")
+            print(f"✗ {name}: ORACLE ERROR {str(e)[:200]}", flush=True)
             continue
         if sorted(scols) != sorted(ocols):
             failures.append((name, f"SCHEMA: spark={sorted(scols)} oracle={sorted(ocols)}"))
@@ -115,7 +115,7 @@ def main() -> int:
             print(f"    oracle: {diff[2]}")
             continue
         passed.append(name)
-        print(f"✓ {name} ({len(srows)} rows)")
+        print(f"✓ {name} ({len(srows)} rows)", flush=True)
 
     print(
         f"\n{len(passed)} passed, {len(failures)} failed, "
