@@ -1465,6 +1465,24 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.py
+    exact_dedup_incremental): even-id documents stand in for the
+    historical fingerprint store; the full table arrives as the new
+    batch. Fresh = batch-deduped (min-id representative) contents absent
+    from history — O(batch) per increment instead of O(corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = ddedup.content_fingerprints(
+        docs.filter(F.col("doc_id") % 2 == 0), "text"
+    )
+    fresh, _updated = ddedup.exact_dedup_incremental(docs, seen, "text", "doc_id")
+    return fresh.agg(
+        F.count(F.lit(1)).alias("n_fresh"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL roundtrip through write_auto/read_auto (Spark-native
     distributed json source — THE interchange format for LLM corpora),
@@ -1939,6 +1957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JSONL — the LLM-corpus interchange format — through the native
         # distributed json source; verified by the local sweep + tests
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
+        # round 6, below window (dedup family has 6 in-window rows):
+        # arriving-batch dedup against a persisted fingerprint store
+        "dedup_incremental_docs": dedup_incremental_docs,
     }
 
 
@@ -2370,6 +2391,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    min(doc_id) AS first_doc
             FROM documents GROUP BY source
+        """,
+        "dedup_incremental_docs": """
+            WITH seen AS (
+                SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+            ), batch_rep AS (
+                SELECT text, min(doc_id) AS doc_id
+                FROM documents GROUP BY text
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_fresh,
+                   CAST(sum(length(b.text)) AS BIGINT) AS total_chars,
+                   min(b.doc_id) AS first_doc
+            FROM batch_rep b LEFT JOIN seen s ON b.text = s.text
+            WHERE s.text IS NULL
         """,
         "facade_column_surgery": """
             SELECT l_returnflag AS flag,

@@ -907,3 +907,61 @@ def embedding_near_dups(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": m[ia, ib]})
 
     return prepped.groupBy("ti", "tj").applyInPandas(score_block, out_schema)
+
+
+def content_fingerprints(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct ``(len, xx, md5)`` content keys of a corpus — the
+    persistable fingerprint STORE for incremental dedup (write it
+    partitioned/bucketed by ``xx`` and the incremental anti join below
+    becomes co-located). Same collision-safe compound key as
+    ``exact_dedup``: ~32 bytes per distinct content, no text retained."""
+    return df.select(
+        F.struct(
+            F.length(F.col(text_col)).alias("len"),
+            F.xxhash64(F.col(text_col)).alias("xx"),
+            F.unhex(F.md5(F.col(text_col).cast("binary"))).alias("md5"),
+        ).alias("fp")
+    ).distinct()
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: the arriving-batch problem every
+    continuously-ingesting corpus has. Returns ``(fresh, updated_fps)``:
+
+    - ``fresh`` — rows of ``new_df`` whose content appears neither in
+      the historical ``seen_fps`` store (``content_fingerprints``) nor
+      earlier within the batch itself (min-id representative, the
+      ``exact_dedup`` rule);
+    - ``updated_fps`` — the store plus the fresh batch's keys, ready to
+      persist for the next increment.
+
+    Scale shape: the batch deduplicates internally first (32 B key
+    shuffle), then ONE anti join of batch-distinct keys against the
+    store — text bodies never join anything. The store is key-only, so
+    at 1e10 seen documents it is ~300 GB spread across the cluster,
+    joinable by hash (or co-located if both sides are bucketed by
+    ``fp.xx``); history never rescans, which is the point — re-running
+    full-corpus ``exact_dedup`` per increment is O(corpus) per batch,
+    this is O(batch + matching keys)."""
+    in_batch = exact_dedup(new_df, text_col, id_col)
+    fp = F.struct(
+        F.length(F.col(text_col)).alias("len"),
+        F.xxhash64(F.col(text_col)).alias("xx"),
+        F.unhex(F.md5(F.col(text_col).cast("binary"))).alias("md5"),
+    )
+    keyed = in_batch.withColumn("__fp", fp)
+    fresh = (
+        keyed.join(
+            seen_fps, keyed["__fp"] == seen_fps["fp"], "left_anti"
+        )
+        .drop("__fp")
+    )
+    updated = seen_fps.unionByName(
+        content_fingerprints(fresh, text_col)
+    ).distinct()
+    return fresh, updated

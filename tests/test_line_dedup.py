@@ -73,3 +73,34 @@ def test_report_blank_and_whitespace_never_reported(spark):
     )
     rep = dedup.repeated_lines(df, "text", "doc_id").collect()
     assert {r.line for r in rep} == {"x y"}
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup (content_fingerprints + exact_dedup_incremental)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_two_batches(spark):
+    from dataframes_spark.operators import dedup as dd
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    empty = dd.content_fingerprints(b1.limit(0), "text")
+    fresh1, store1 = dd.exact_dedup_incremental(b1, empty, "text", "doc_id")
+    got1 = sorted((r.doc_id, r.text) for r in fresh1.collect())
+    assert got1 == [(1, "alpha"), (2, "beta")]  # in-batch min-id dedup
+    assert store1.count() == 2
+
+    # batch 2: one already-seen content, one new, an internal dup pair
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")], ["doc_id", "text"]
+    )
+    fresh2, store2 = dd.exact_dedup_incremental(b2, store1, "text", "doc_id")
+    got2 = sorted((r.doc_id, r.text) for r in fresh2.collect())
+    assert got2 == [(11, "gamma")]  # alpha blocked by history, gamma deduped
+    assert store2.count() == 3
+
+    # replay of batch 2 against the updated store emits nothing
+    fresh3, store3 = dd.exact_dedup_incremental(b2, store2, "text", "doc_id")
+    assert fresh3.count() == 0 and store3.count() == 3
