@@ -402,7 +402,9 @@ def plot_date(
     plt = _plt()
     rows = series_data(df, x, [y], max_points)
     fig, ax = plt.subplots()
-    ax.plot_date([r[0] for r in rows], [r[1] for r in rows], "-")
+    # plain plot(): datetime x-values get date locators automatically;
+    # ax.plot_date was deprecated and removed in matplotlib >= 3.9
+    ax.plot([r[0] for r in rows], [r[1] for r in rows], "-")
     ax.set_xlabel(x)
     ax.set_ylabel(y)
     fig.autofmt_xdate()
