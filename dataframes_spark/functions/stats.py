@@ -393,24 +393,28 @@ def qcut(
     col: str,
     n_buckets: int,
     out_col: str | None = None,
+    by: Sequence[str] | None = None,
     exact: bool = True,
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Quantile bucketing (pandas ``qcut`` shape): adds an INT bucket
     column 1..``n_buckets`` assigning each row to its quantile band of
     ``col`` — the curriculum/quality-band primitive (e.g. split a corpus
-    into quality quartiles, then mix per band).
+    into quality quartiles, then mix per band). With ``by``, boundaries
+    are computed PER GROUP (e.g. length quartiles within each language,
+    so short-form languages aren't all banded low by long-form ones).
 
     NOT ``ntile``: a global ntile is a single-reducer sort of the whole
     table. Here the n-1 boundaries come from ONE percentile aggregate
     (array-argument — one buffer, same layout as ``describe``), ride
-    into the plan as a broadcast 1-row frame (data, not a literal), and
-    assignment is a map-only fold: ``bucket = 1 + #(boundaries <
-    value)``. Row order never matters, no shuffle of the table, and the
-    same boundaries give the same assignment on any engine. Ties AT a
-    boundary go to the lower bucket (value <= b_i). With heavy value
-    skew duplicate boundaries leave intermediate buckets empty rather
-    than splitting equal values arbitrarily — deterministic by design.
+    into the plan as a broadcast 1-row frame (data, not a literal; a
+    group-count-sized frame with ``by``), and assignment is a map-only
+    fold: ``bucket = 1 + #(boundaries < value)``. Row order never
+    matters, no shuffle of the table, and the same boundaries give the
+    same assignment on any engine. Ties AT a boundary go to the lower
+    bucket (value <= b_i). With heavy value skew duplicate boundaries
+    leave intermediate buckets empty rather than splitting equal values
+    arbitrarily — deterministic by design.
 
     ``exact=False`` swaps in ``percentile_approx`` (bounded-memory
     sketch) for corpus scale; nulls get bucket NULL."""
@@ -424,7 +428,6 @@ def qcut(
         bounds = F.expr(f"percentile({_bq(col)}, array({qlist}))")
     else:
         bounds = F.percentile_approx(col, qs, accuracy)
-    brow = df.agg(bounds.alias("__qb"))
     bucket = (
         F.lit(1)
         + F.aggregate(
@@ -433,10 +436,13 @@ def qcut(
             lambda acc, b: acc + F.when(x > b.cast("double"), 1).otherwise(0),
         )
     ).cast("int")
-    return (
-        df.crossJoin(F.broadcast(brow))
-        .select(
-            *df.columns,
-            F.when(x.isNotNull(), bucket).alias(out_col),
-        )
+    if by:
+        bframe = df.groupBy(*by).agg(bounds.alias("__qb"))
+        joined = df.join(F.broadcast(bframe), list(by), "left")
+    else:
+        bframe = df.agg(bounds.alias("__qb"))
+        joined = df.crossJoin(F.broadcast(bframe))
+    return joined.select(
+        *df.columns,
+        F.when(x.isNotNull(), bucket).alias(out_col),
     )

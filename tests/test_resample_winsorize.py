@@ -168,3 +168,22 @@ def test_qcut_approx_mode_close_to_exact(spark):
     na = {r["v_bucket"]: r["count"] for r in approx.groupBy("v_bucket").count().collect()}
     for r in ne:
         assert abs(na[r["v_bucket"]] - r["count"]) <= 200  # 2% of rows
+
+
+def test_qcut_per_group_boundaries(spark):
+    # group a: values 1..100; group b: values 1000..1100 — per-group
+    # quartiles must band each group within itself (a global qcut would
+    # put ALL of a in bucket 1)
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) v", "'a' g").union(
+        spark.range(1000, 1100).selectExpr("CAST(id AS DOUBLE) v", "'b' g")
+    )
+    out = stats.qcut(df, "v", 4, by=["g"])
+    counts = {
+        (r["g"], r["v_bucket"]): r["n"]
+        for r in out.groupBy("g", "v_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    for g in ("a", "b"):
+        assert {b for (gg, b) in counts if gg == g} == {1, 2, 3, 4}
+        assert all(20 <= counts[(g, b)] <= 30 for b in (1, 2, 3, 4))
