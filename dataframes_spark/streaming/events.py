@@ -370,3 +370,52 @@ def cap_stream(
     return events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def attribution_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time interval join — the streaming twin of
+    the batch range join (operators/interval.py): pair each ``left`` row
+    (e.g. a click) with every ``right`` row (e.g. a purchase) for the
+    same key whose timestamp falls in ``[left_ts, left_ts + within]``.
+    The classic attribution shape.
+
+    Both sides carry watermarks and the join condition bounds
+    ``right_ts`` relative to ``left_ts``, which is what lets Spark
+    EVICT buffered rows: a side's state holds only rows newer than
+    (max event time - watermark - within), so state is O(recent
+    traffic), not O(stream history) — without the time-range predicate
+    a stream-stream join must buffer both streams forever, which the
+    engine rejects in append mode. Columns are prefixed ``l_``/``r_``
+    to keep the two sides' schemas from colliding."""
+    l = left.select(
+        F.col(key_col).alias("l_key"),
+        F.col(left_ts).alias("l_ts"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c not in (key_col, left_ts)
+        ],
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key_col).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key_col, right_ts)
+        ],
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond, "inner")

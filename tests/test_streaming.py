@@ -274,3 +274,40 @@ def test_cap_stream_validates_k(spark, event_dir):
     src = dstream.stream_from_directory(spark, event_dir, schema)
     with pytest.raises(ValueError):
         dstream.cap_stream(src, "user_id", 0)
+
+
+def test_attribution_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the equivalent batch join: clicks
+    paired with purchases of the same user within 10 minutes."""
+    clicks = [
+        (1, "u1", "2024-01-01 10:00:00"),
+        (2, "u1", "2024-01-01 10:30:00"),
+        (3, "u2", "2024-01-01 10:05:00"),
+    ]
+    purchases = [
+        (101, "u1", "2024-01-01 10:07:00"),  # within 10m of click 1
+        (102, "u1", "2024-01-01 10:31:00"),  # within 10m of click 2
+        (103, "u2", "2024-01-01 11:00:00"),  # outside u2's window
+    ]
+    cdf = spark.createDataFrame(clicks, ["click_id", "user_id", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    pdf = spark.createDataFrame(purchases, ["purchase_id", "user_id", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    cdf.coalesce(1).write.parquet(cdir)
+    pdf.coalesce(1).write.parquet(pdir)
+
+    cs = dstream.stream_from_directory(spark, cdir, cdf.schema)
+    ps = dstream.stream_from_directory(spark, pdir, pdf.schema)
+    joined = dstream.attribution_join_stream(
+        cs, ps, "user_id", "ts", "ts", within="10 minutes"
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(joined, name, mode="append")
+    got = sorted(
+        (r.l_click_id, r.r_purchase_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert got == [(1, 101), (2, 102)]
