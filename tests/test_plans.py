@@ -378,3 +378,30 @@ def test_weighted_sample_global_no_single_reducer_full_window(spark, sf_dir):
     # single-partition exchange of <= k*P rows) — never a global sort
     # of the full table
     assert "TakeOrderedAndProject" in p or "SinglePartition" in p
+
+
+def test_qcut_assignment_is_map_only_fold(plans):
+    """qcut: boundaries fold in via a broadcast 1-row frame; the
+    assignment pass is a projection over the scan — no window, no sort,
+    no ntile-style SinglePartition exchange of the table."""
+    p = plans("quality_quartiles_docs")
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "Window" not in p
+    assert "Arguments: SinglePartition" not in p.split("ObjectHashAggregate")[0]
+
+
+def test_cap_per_group_cuts_map_side(plans):
+    """cap_per_group: the rank-limit pushdown must cut to k rows per
+    group BEFORE the exchange (Partial WindowGroupLimit)."""
+    p = plans("cap_docs_per_source")
+    assert "WindowGroupLimit" in p
+    assert "row_number(), 50, Partial" in p
+
+
+def test_incremental_dedup_is_anti_join_not_rescan(plans):
+    """Incremental dedup: fresh rows come from ONE anti join of batch
+    keys against the store — no cartesian, no Python."""
+    p = plans("dedup_incremental_docs")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "pythonUDF" not in p.lower()
