@@ -185,3 +185,71 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
         payload = bytes((i * 37 + j * 11) % 256 for j in range(128 + i))
         rows.append((i, payload, ("image/png", None, None, 5000 + i * 250, "png")))
     return spark.createDataFrame(rows, media_schema())
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode audio blobs to (sample_rate, n_samples, duration, RMS
+    energy) via mapInPandas — the audio lane of the multimodal family,
+    same Arrow-batched plumbing as ``decode_image``.
+
+    Real decoding needs soundfile/librosa (not in this container);
+    ``fake=True`` runs the deterministic stand-in: the payload bytes ARE
+    the 8-bit PCM signal (sample rate from the blob hash), so n_samples,
+    duration and RMS are exact arithmetic any engine could replicate —
+    the plan (binary in, numeric batch out, bounded memory) is identical
+    to the real decoder's."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding needs soundfile/librosa (not in this "
+            "container); pass fake=True for the deterministic stand-in"
+        )
+
+    def _decode(batches: Iterator) -> Iterator:
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        rates = (8000, 16000, 22050, 44100)
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "rms": [],
+            }
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                if blob is None:
+                    for k in ("sample_rate", "n_samples", "duration_ms", "rms"):
+                        out[k].append(None)
+                    continue
+                b = bytes(blob)
+                sr = rates[hashlib.sha256(b).digest()[0] % 4]
+                n = len(b)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(1000.0 * n / sr)
+                out["rms"].append(
+                    math.sqrt(sum((x - 128.0) ** 2 for x in b) / n) / 128.0
+                    if n
+                    else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema=_AUDIO_SCHEMA)

@@ -244,3 +244,34 @@ def test_ivf_assign_plus_topk_equals_brute_force_full_probe(spark):
     ivf = [r.vec_id for r in similarity.ivf_topk(assigned, cents, "embedding", "vec_id", q, 10, nprobe=4).collect()]
     bf = [r.vec_id for r in similarity.brute_force_topk(base, "embedding", "vec_id", q, 10).collect()]
     assert ivf == bf
+
+
+def test_decode_audio_fake_deterministic(spark):
+    import math
+
+    from dataframes_spark.operators import multimodal
+
+    media = multimodal.make_fake_media(spark, 8)
+    out = {r.media_id: r for r in multimodal.decode_audio(media, fake=True).collect()}
+    assert len(out) == 8
+    # recompute one row's stand-in arithmetic exactly
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, b in src.items():
+        r = out[mid]
+        assert r.n_samples == len(b)
+        assert abs(r.duration_ms - 1000.0 * len(b) / r.sample_rate) < 1e-9
+        want_rms = math.sqrt(sum((x - 128.0) ** 2 for x in b) / len(b)) / 128.0
+        assert abs(r.rms - want_rms) < 1e-12
+    # identical runs give identical results (no RNG anywhere)
+    again = {r.media_id: r.rms for r in multimodal.decode_audio(media, fake=True).collect()}
+    assert again == {m: r.rms for m, r in out.items()}
+
+
+def test_decode_audio_gated_without_libs(spark):
+    import pytest
+
+    from dataframes_spark.operators import multimodal
+
+    media = multimodal.make_fake_media(spark, 1)
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        multimodal.decode_audio(media)
