@@ -417,7 +417,10 @@ def qcut(
     arbitrarily — deterministic by design.
 
     ``exact=False`` swaps in ``percentile_approx`` (bounded-memory
-    sketch) for corpus scale; nulls get bucket NULL."""
+    sketch) for corpus scale; null values get bucket NULL, and with
+    ``by`` so do rows whose GROUP key is null (standard join semantics:
+    a null key matches no boundary row — a band within an unknown group
+    is meaningless)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     out_col = out_col or f"{col}_bucket"

@@ -187,3 +187,13 @@ def test_qcut_per_group_boundaries(spark):
     for g in ("a", "b"):
         assert {b for (gg, b) in counts if gg == g} == {1, 2, 3, 4}
         assert all(20 <= counts[(g, b)] <= 30 for b in (1, 2, 3, 4))
+
+
+def test_qcut_null_group_key_gets_null_bucket(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a"), (4.0, "a"), (9.0, None)],
+        "v double, g string",
+    )
+    out = {(r["v"], r["g"]): r["v_bucket"] for r in stats.qcut(df, "v", 2, by=["g"]).collect()}
+    assert out[(9.0, None)] is None  # unknown group -> no band
+    assert out[(1.0, "a")] == 1 and out[(4.0, "a")] == 2
