@@ -955,9 +955,13 @@ def exact_dedup_incremental(
         F.unhex(F.md5(F.col(text_col).cast("binary"))).alias("md5"),
     )
     keyed = in_batch.withColumn("__fp", fp)
+    # eqNullSafe, not ==: a null text yields a null-fielded key, and a
+    # plain equality would never match it against the store — null-text
+    # rows would re-emit as "fresh" every batch, diverging from
+    # exact_dedup's groupBy (whose grouping treats nulls as equal)
     fresh = (
         keyed.join(
-            seen_fps, keyed["__fp"] == seen_fps["fp"], "left_anti"
+            seen_fps, keyed["__fp"].eqNullSafe(seen_fps["fp"]), "left_anti"
         )
         .drop("__fp")
     )

@@ -104,3 +104,18 @@ def test_incremental_dedup_two_batches(spark):
     # replay of batch 2 against the updated store emits nothing
     fresh3, store3 = dd.exact_dedup_incremental(b2, store2, "text", "doc_id")
     assert fresh3.count() == 0 and store3.count() == 3
+
+
+def test_incremental_dedup_null_text_blocked_by_history(spark):
+    from dataframes_spark.operators import dedup as dd
+
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    )
+    empty = dd.content_fingerprints(b1.limit(0), "text")
+    fresh1, store1 = dd.exact_dedup_incremental(b1, empty, "text", "doc_id")
+    assert fresh1.count() == 2  # the one null-text doc + 'x'
+    b2 = spark.createDataFrame([(10, None)], "doc_id long, text string")
+    fresh2, _ = dd.exact_dedup_incremental(b2, store1, "text", "doc_id")
+    # a second null-text doc is a duplicate of the stored null content
+    assert fresh2.count() == 0
