@@ -213,7 +213,12 @@ def cap_per_group(
     (WindowGroupLimit) cuts each partition to k candidates MAP-SIDE
     before the exchange, so giant groups do not funnel their full row
     count through one reducer — the same two-phase shape as
-    ``weighted_sample_topk``."""
+    ``weighted_sample_topk``.
+
+    Precondition (shared with ``weighted_sample_topk``): ``key_col``
+    must be unique and non-null — duplicate or null keys tie in the
+    hash order and the survivors among them become
+    partitioning-dependent."""
     from pyspark.sql import Window as W
 
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("/" + salt)))

@@ -193,7 +193,15 @@ def _duration_micros(every: str) -> int:
                 "duration (month/year would drift from F.window's "
                 "epoch-fixed buckets); use microsecond..week units"
             )
-        total += int(num) * _DURATION_US[unit]
+        try:
+            n = int(num)
+        except ValueError:
+            raise ValueError(
+                f"resample every={every!r}: {num!r} is not an integer "
+                "count (fractional durations: use a smaller unit, "
+                "e.g. '90 minutes' for 1.5 hours)"
+            ) from None
+        total += n * _DURATION_US[unit]
     if total <= 0:
         raise ValueError(f"resample every={every!r}: must be positive")
     return total
