@@ -2402,8 +2402,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_fresh,
                    CAST(sum(length(b.text)) AS BIGINT) AS total_chars,
                    min(b.doc_id) AS first_doc
-            FROM batch_rep b LEFT JOIN seen s ON b.text = s.text
-            WHERE s.text IS NULL
+            FROM batch_rep b
+            -- NOT EXISTS + IS NOT DISTINCT FROM mirrors the Spark
+            -- side's eqNullSafe anti join: a NULL text in history
+            -- blocks NULL-text batch rows (a LEFT JOIN .. = .. WHERE
+            -- IS NULL form would call them fresh forever)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM seen s WHERE s.text IS NOT DISTINCT FROM b.text
+            )
         """,
         "facade_column_surgery": """
             SELECT l_returnflag AS flag,

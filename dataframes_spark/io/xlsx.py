@@ -74,6 +74,34 @@ def _col_index(ref: str) -> int:
     return n - 1
 
 
+# NaN/±inf have no xlsx number representation; they travel as these
+# canonical inline-string tokens, which the reader folds back into a
+# DOUBLE column when they appear alongside (or instead of) numbers
+_FLOAT_TOKENS = {"NaN": float("nan"), "INF": float("inf"), "-INF": float("-inf")}
+
+_ESCAPE_SEQ = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _esc_text(s: str) -> str:
+    """Cell-text escaping: XML 1.0 cannot carry C0 control characters at
+    all (not even as entities), so they use Excel's own ``_xHHHH_``
+    convention — a literal ``_xHHHH_`` in the data gets its underscore
+    escaped first (``_x005F_``), exactly as openpyxl/Excel do. The
+    XML metacharacters &<> go through the normal entity escape."""
+    s = _ESCAPE_SEQ.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    s = "".join(
+        f"_x{ord(ch):04X}_"
+        if (ord(ch) < 0x20 and ch not in "\t\n\r") or ord(ch) == 0x7F
+        else ch
+        for ch in s
+    )
+    return escape(s)
+
+
+def _unesc_text(s: str) -> str:
+    return _ESCAPE_SEQ.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _cell_xml(ref: str, v) -> str:
     import datetime as _dt
     from decimal import Decimal
@@ -88,7 +116,8 @@ def _cell_xml(ref: str, v) -> str:
         return f'<c r="{ref}"><v>{v}</v></c>'
     if isinstance(v, (int, float)):
         if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
-            return f'<c r="{ref}" t="inlineStr"><is><t>{v!r}</t></is></c>'
+            tok = "NaN" if v != v else ("INF" if v > 0 else "-INF")
+            return f'<c r="{ref}" t="inlineStr"><is><t>{tok}</t></is></c>'
         return f'<c r="{ref}"><v>{v!r}</v></c>'
     if isinstance(v, (_dt.datetime, _dt.date)):
         # ISO-8601 string cell (no epoch-serial ambiguity; reads back as
@@ -97,7 +126,7 @@ def _cell_xml(ref: str, v) -> str:
             f'<c r="{ref}" t="inlineStr"><is><t>{v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()}'
             "</t></is></c>"
         )
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(v))}</t></is></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc_text(str(v))}</t></is></c>'
 
 
 def write_xlsx(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
@@ -143,7 +172,9 @@ def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     out = []
     for si in ET.fromstring(data).iter(f"{_NS}si"):
         # an <si> may be one <t> or several <r><t> runs; concatenate
-        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        out.append(
+            _unesc_text("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        )
     return out
 
 
@@ -161,8 +192,12 @@ def _first_sheet_name(z: zipfile.ZipFile) -> str:
 
 def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
     """Parse the first worksheet into (header, rows) of Python values:
-    numeric cells -> float, boolean -> bool, strings (shared or inline)
-    -> str, absent cells -> None. Pure stdlib."""
+    integral number cells -> int (exact, no 2^53 rounding), fractional
+    -> float, boolean -> bool, strings (shared or inline, ``_xHHHH_``
+    unescaped) -> str, absent cells -> None. Pure stdlib. Cell STYLES
+    are not interpreted: a date-styled numeric serial from Excel comes
+    back as its raw number (write dates as ISO strings, as
+    ``write_xlsx`` does, to carry them through)."""
     with zipfile.ZipFile(path) as z:
         shared = _shared_strings(z)
         sheet = ET.fromstring(z.read(_first_sheet_name(z)))
@@ -178,7 +213,9 @@ def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
             if t == "inlineStr":
                 is_el = c.find(f"{_NS}is")
                 val = (
-                    "".join(x.text or "" for x in is_el.iter(f"{_NS}t"))
+                    _unesc_text(
+                        "".join(x.text or "" for x in is_el.iter(f"{_NS}t"))
+                    )
                     if is_el is not None
                     else None
                 )
@@ -191,7 +228,11 @@ def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
                 elif t == "b":
                     val = v_el.text == "1"
                 elif t == "str":
-                    val = v_el.text
+                    val = _unesc_text(v_el.text)
+                elif re.fullmatch(r"-?\d+", v_el.text):
+                    # integral text parses EXACTLY: float() would round
+                    # 64-bit ids/hashes past 2^53 (silent off-by-one)
+                    val = int(v_el.text)
                 else:
                     val = float(v_el.text)
             cells[idx] = val
@@ -214,17 +255,39 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
     if not header:
         raise ValueError(f"xlsx: {path} has no header row")
     cols: list[list] = list(map(list, zip(*rows))) if rows else [[] for _ in header]
+    int64_min, int64_max = -(2**63), 2**63 - 1
+
+    def is_num(v) -> bool:
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
     out_cols = []
     types = []
     for vals in cols:
         present = [v for v in vals if v is not None]
-        if present and all(isinstance(v, float) for v in present):
-            if all(float(v).is_integer() and abs(v) < 2**53 for v in present):
-                out_cols.append([int(v) if v is not None else None for v in vals])
-                types.append("long")
-            else:
-                out_cols.append(vals)
-                types.append("double")
+        # NaN/INF travel as inline-string tokens (xlsx numbers cannot
+        # carry them); a column whose non-null cells are all numbers
+        # and/or those tokens is a DOUBLE column
+        numericish = present and all(
+            is_num(v) or (isinstance(v, str) and v in _FLOAT_TOKENS)
+            for v in present
+        )
+        if numericish and all(
+            isinstance(v, int) and int64_min <= v <= int64_max for v in present
+        ):
+            out_cols.append(vals)
+            types.append("long")
+        elif numericish:
+            out_cols.append(
+                [
+                    None
+                    if v is None
+                    else _FLOAT_TOKENS[v]
+                    if isinstance(v, str)
+                    else float(v)
+                    for v in vals
+                ]
+            )
+            types.append("double")
         elif present and all(isinstance(v, bool) for v in present):
             out_cols.append(vals)
             types.append("boolean")

@@ -38,29 +38,44 @@ def plan_report(df: DataFrame) -> dict:
         [c.split(":")[0] for c in s.split(",") if c] for s in schemas
     ]
 
+    # formatted mode prints every node TWICE — once in the tree sketch
+    # and once as a "(n) NodeName" detail header — so substring counts
+    # over the whole text double every metric. Count the detail headers
+    # only: exactly one per physical node.
+    nodes = re.findall(r"^\(\d+\) (\S+)", p, re.M)
+
+    def n_nodes(*names: str) -> int:
+        return sum(1 for n in nodes if any(n.startswith(x) for x in names))
+
     report = {
-        # every Exchange is a shuffle (or broadcast) — the dominant cost
-        "exchanges": len(re.findall(r"\bExchange\b", p)),
-        "broadcast_exchanges": len(re.findall(r"BroadcastExchange", p)),
-        # formatted mode prints the distribution on the Arguments line
-        # ("Arguments: SinglePartition, ..."); simple mode inlines it
+        # shuffle exchanges (broadcasts counted separately below) — the
+        # dominant cost at scale
+        "exchanges": n_nodes("Exchange"),
+        "broadcast_exchanges": n_nodes("BroadcastExchange"),
+        # the distribution is on the Arguments line in formatted mode
+        # ("Arguments: SinglePartition, ..."), one line per exchange
         "single_partition_exchanges": len(
-            re.findall(
-                r"Exchange SinglePartition|Arguments: SinglePartition", p
-            )
+            re.findall(r"Arguments: SinglePartition", p)
         ),
-        "sort_merge_joins": len(re.findall(r"SortMergeJoin", p)),
-        "broadcast_hash_joins": len(re.findall(r"BroadcastHashJoin", p)),
-        "cartesian_products": len(re.findall(r"CartesianProduct", p)),
+        "sort_merge_joins": n_nodes("SortMergeJoin"),
+        "broadcast_hash_joins": n_nodes("BroadcastHashJoin"),
+        "cartesian_products": n_nodes("CartesianProduct"),
         # scan health: predicate pushdown + column pruning
         "pushed_filters": [s for s in pushed if s.strip()],
         "scan_columns": scan_columns,
         # Python in the plan: Arrow-batched pandas UDFs are the
-        # sanctioned escape hatch; BatchEvalPython is row-at-a-time
-        "pandas_udf_nodes": len(
-            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", p)
+        # sanctioned escape hatch; BatchEvalPython is row-at-a-time.
+        # The list covers ALL Arrow-batched node shapes: scalar/grouped
+        # pandas UDFs, mapInPandas, applyInPandas (grouped, cogrouped)
+        # and applyInPandasWithState.
+        "pandas_udf_nodes": n_nodes(
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",      # prefix also covers ...WithState
+            "FlatMapCoGroupsInPandas",
+            "AggregateInPandas",
         ),
-        "row_python_udf_nodes": len(re.findall(r"BatchEvalPython", p)),
+        "row_python_udf_nodes": n_nodes("BatchEvalPython"),
         # whole-stage codegen spans from the simple plan ("*(n)" prefixes)
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
         "plan": p,

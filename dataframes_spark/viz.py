@@ -195,8 +195,34 @@ def kde2_grid(
     import numpy as np
 
     pts = df.select(x, y).dropna()
-    hx, nx, lox, hix = _silverman_bandwidth(pts, x)
-    hy, ny, loy, hiy = _silverman_bandwidth(pts, y)
+    # one combined aggregation for both axes' bandwidth stats — two
+    # per-axis _silverman_bandwidth calls would scan the input twice
+    row = pts.agg(
+        F.count(x).alias("n"),
+        F.stddev_samp(x).alias("sdx"),
+        F.min(x).alias("lox"),
+        F.max(x).alias("hix"),
+        F.percentile_approx(x, 0.25).alias("q1x"),
+        F.percentile_approx(x, 0.75).alias("q3x"),
+        F.stddev_samp(y).alias("sdy"),
+        F.min(y).alias("loy"),
+        F.max(y).alias("hiy"),
+        F.percentile_approx(y, 0.25).alias("q1y"),
+        F.percentile_approx(y, 0.75).alias("q3y"),
+    ).first()
+    nx = int(row["n"] or 0)
+
+    def silverman(sd, q1, q3) -> float:
+        if nx < 2 or sd is None:
+            return 0.0
+        iqr = float(q3) - float(q1)
+        spreads = [s for s in (float(sd), iqr / 1.34) if s > 0]
+        return 0.9 * min(spreads) * nx ** (-1 / 5) if spreads else 0.0
+
+    hx = silverman(row["sdx"], row["q1x"], row["q3x"])
+    hy = silverman(row["sdy"], row["q1y"], row["q3y"])
+    lox, hix = float(row["lox"] or 0.0), float(row["hix"] or 0.0)
+    loy, hiy = float(row["loy"] or 0.0), float(row["hiy"] or 0.0)
     if bandwidths is not None:
         hx, hy = float(bandwidths[0]), float(bandwidths[1])
     if nx < 2 or hx <= 0 or hy <= 0:

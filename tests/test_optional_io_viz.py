@@ -300,3 +300,54 @@ def test_xlsx_wide_table_beyond_column_z(spark, tmp_path):
     assert back.columns == cols
     rows = sorted(map(tuple, back.collect()))
     assert rows == [tuple(range(30)), tuple(range(100, 130))]
+
+
+def test_xlsx_control_chars_roundtrip(spark, tmp_path):
+    # C0 controls are illegal in XML 1.0 even as entities; they use
+    # Excel's _xHHHH_ convention — and a literal '_x0001_' in the data
+    # must survive too (underscore-escaped on write)
+    from dataframes_spark.io.xlsx import read_xlsx, write_xlsx
+
+    df = spark.createDataFrame(
+        [(1, "bad\x01char"), (2, "tab\tok\nnewline"), (3, "literal _x0001_ text")],
+        "id long, s string",
+    )
+    path = str(tmp_path / "ctrl.xlsx")
+    write_xlsx(df, path)
+    got = {r["id"]: r["s"] for r in read_xlsx(spark, path).collect()}
+    assert got[1] == "bad\x01char"
+    assert got[2] == "tab\tok\nnewline"
+    assert got[3] == "literal _x0001_ text"
+
+
+def test_xlsx_int64_exact_roundtrip(spark, tmp_path):
+    # 64-bit ids/hashes past 2^53 must NOT round through float
+    from dataframes_spark.io.xlsx import read_xlsx, write_xlsx
+
+    big = 9007199254740993  # 2^53 + 1
+    df = spark.createDataFrame(
+        [(big,), (-(2**62),), (7,)], "k long"
+    )
+    path = str(tmp_path / "big.xlsx")
+    write_xlsx(df, path)
+    back = read_xlsx(spark, path)
+    assert dict(back.dtypes) == {"k": "bigint"}
+    assert sorted(r["k"] for r in back.collect()) == sorted([big, -(2**62), 7])
+
+
+def test_xlsx_nan_inf_keep_double_column(spark, tmp_path):
+    import math
+
+    from dataframes_spark.io.xlsx import read_xlsx, write_xlsx
+
+    df = spark.createDataFrame(
+        [(1, 1.5e300), (2, float("nan")), (3, float("inf")), (4, float("-inf")), (5, None)],
+        "id long, x double",
+    )
+    path = str(tmp_path / "nan.xlsx")
+    write_xlsx(df, path)
+    back = read_xlsx(spark, path)
+    assert dict(back.dtypes)["x"] == "double"
+    got = {r["id"]: r["x"] for r in back.collect()}
+    assert got[1] == 1.5e300 and math.isnan(got[2])
+    assert got[3] == float("inf") and got[4] == float("-inf") and got[5] is None

@@ -80,3 +80,25 @@ def test_shipped_queries_pass_assert_scalable(spark, sf_dir):
     # the flagship + a pipeline heavyweight compile clean
     for name in ("q1_pricing_summary", "pipeline_clean_corpus", "cap_docs_per_source"):
         dplan.assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_report_counts_nodes_once_not_twice(spark):
+    # formatted explain prints each node in the tree sketch AND as a
+    # "(n) Node" detail header; the report must count each node ONCE
+    df = spark.range(100).groupBy((F.col("id") % 10).alias("k")).count()
+    r = dplan.plan_report(df)
+    assert r["exchanges"] == 1
+    assert r["broadcast_exchanges"] == 0
+
+
+def test_report_sees_stateful_pandas_nodes(spark, sf_dir):
+    from dataframes_spark.operators import pack as dpack
+    from dataframes_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    packed = dpack.pack_greedy(docs, "n_chars", 4096, "doc_id")
+    r = dplan.plan_report(packed)
+    assert r["pandas_udf_nodes"] >= 1  # applyInPandas (FlatMapGroupsInPandas)
+    assert r["row_python_udf_nodes"] == 0
