@@ -1483,6 +1483,27 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality suite (dataframes_spark/quality.py): five
+    declarative checks over lineitem evaluated in ONE aggregation pass;
+    the report frame (check, column, passed, observed, expected) is the
+    pipeline gate artifact. The DuckDB twin recomputes every verdict
+    from the same aggregates."""
+    from dataframes_spark import quality as Q
+
+    li = _t(spark, sf_dir, "lineitem")
+    return Q.check_report(
+        li,
+        [
+            Q.row_count(1),
+            Q.not_null("l_quantity"),
+            Q.unique("l_orderkey"),
+            Q.in_range("l_discount", 0.0, 0.5),
+            Q.values_in("l_returnflag", ["A", "N", "R"]),
+        ],
+    )
+
+
 def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL roundtrip through write_auto/read_auto (Spark-native
     distributed json source — THE interchange format for LLM corpora),
@@ -1960,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6, below window (dedup family has 6 in-window rows):
         # arriving-batch dedup against a persisted fingerprint store
         "dedup_incremental_docs": dedup_incremental_docs,
+        # round 6, below window: one-pass Deequ-style quality gate
+        "quality_report_lineitem": quality_report_lineitem,
     }
 
 
@@ -2391,6 +2414,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    min(doc_id) AS first_doc
             FROM documents GROUP BY source
+        """,
+        "quality_report_lineitem": """
+            WITH s AS (
+                SELECT count(*) AS n,
+                       count(l_orderkey) AS nn,
+                       count(DISTINCT l_orderkey) AS nd,
+                       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+                       sum(CASE WHEN l_discount IS NOT NULL
+                                 AND (l_discount < 0.0 OR l_discount > 0.5)
+                                THEN 1 ELSE 0 END) AS nout,
+                       sum(CASE WHEN l_returnflag IS NOT NULL
+                                 AND l_returnflag NOT IN ('A', 'N', 'R')
+                                THEN 1 ELSE 0 END) AS sout
+                FROM lineitem
+            )
+            SELECT 'row_count' AS "check", '*' AS "column", n >= 1 AS passed,
+                   CAST(n AS VARCHAR) AS observed, '[1, inf]' AS expected
+            FROM s
+            UNION ALL
+            SELECT 'not_null', 'l_quantity',
+                   (CAST(nulls AS DOUBLE) / greatest(n, 1)) <= 0.0,
+                   printf('%.6f', CAST(nulls AS DOUBLE) / greatest(n, 1)),
+                   'null fraction <= 0.0'
+            FROM s
+            UNION ALL
+            SELECT 'unique', 'l_orderkey', nn = nd,
+                   CAST(nn - nd AS VARCHAR) || ' duplicates', '0 duplicates'
+            FROM s
+            UNION ALL
+            SELECT 'in_range', 'l_discount', nout = 0,
+                   CAST(nout AS VARCHAR) || ' out of range', '[0.0, 0.5]'
+            FROM s
+            UNION ALL
+            SELECT 'values_in', 'l_returnflag', sout = 0,
+                   CAST(sout AS VARCHAR) || ' outside set',
+                   'in [''A'', ''N'', ''R'']'
+            FROM s
         """,
         "dedup_incremental_docs": """
             WITH seen AS (

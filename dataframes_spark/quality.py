@@ -1,0 +1,208 @@
+"""Data-quality validation: Deequ-style declarative checks, computed in
+ONE aggregation pass.
+
+A training-data pipeline gates every ingest on expectations — row count
+bounds, null fractions, uniqueness, value ranges, set membership,
+pattern conformance. Running each check as its own action re-scans the
+input per check; here every check compiles to an aggregate expression
+and the whole suite is a single ``df.agg(...)`` (map-side partial
+combine, one job), returning a tiny report frame:
+
+    (check, column, passed, observed, expected)
+
+``observed``/``expected`` are strings for uniform schema; ``passed`` is
+the gate. ``validate(df, checks)`` raises on failure for pipeline use.
+
+Check constructors (all return a ``Check``):
+- ``row_count(min_rows, max_rows)``
+- ``not_null(col, max_null_fraction=0.0)``
+- ``unique(col)`` — no duplicate non-null values
+- ``in_range(col, lo, hi)`` — every non-null value inside [lo, hi]
+- ``values_in(col, allowed)`` — every non-null value in the set
+- ``matches(col, regex, min_fraction=1.0)`` — anchored full-match
+- ``mean_between(col, lo, hi)``
+
+Uniqueness uses ``count_distinct`` in the same aggregate — Catalyst
+plans the mixed distinct/non-distinct aggregation with its standard
+Expand strategy, still one pass over the data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    column: str
+    # aggregate expressions whose results feed the verdict
+    aggs: tuple  # tuple[Column, ...]
+    # (observed_values...) -> (passed: bool expr over result row, expected: str)
+    verdict: Callable
+    expected: str
+
+
+def _frac(cond: Column) -> Column:
+    """Fraction of rows satisfying ``cond`` (0.0 on an empty input)."""
+    return F.coalesce(
+        F.sum(F.when(cond, 1).otherwise(0)) / F.greatest(F.count(F.lit(1)), F.lit(1)),
+        F.lit(0.0),
+    )
+
+
+def row_count(min_rows: int = 0, max_rows: int | None = None) -> Check:
+    hi = "inf" if max_rows is None else str(max_rows)
+
+    def verdict(n):
+        ok = n >= min_rows and (max_rows is None or n <= max_rows)
+        return ok, str(n)
+
+    return Check(
+        "row_count", "*", (F.count(F.lit(1)),), verdict, f"[{min_rows}, {hi}]"
+    )
+
+
+def not_null(col: str, max_null_fraction: float = 0.0) -> Check:
+    def verdict(frac):
+        return frac <= max_null_fraction, f"{frac:.6f}"
+
+    return Check(
+        "not_null",
+        col,
+        (_frac(F.col(col).isNull()),),
+        verdict,
+        f"null fraction <= {max_null_fraction}",
+    )
+
+
+def unique(col: str) -> Check:
+    def verdict(n_non_null, n_distinct):
+        return n_non_null == n_distinct, f"{n_non_null - n_distinct} duplicates"
+
+    return Check(
+        "unique",
+        col,
+        (F.count(F.col(col)), F.count_distinct(F.col(col))),
+        verdict,
+        "0 duplicates",
+    )
+
+
+def in_range(col: str, lo, hi) -> Check:
+    def verdict(n_out):
+        return n_out == 0, f"{n_out} out of range"
+
+    c = F.col(col)
+    return Check(
+        "in_range",
+        col,
+        (F.sum(F.when(c.isNotNull() & ((c < lo) | (c > hi)), 1).otherwise(0)),),
+        verdict,
+        f"[{lo}, {hi}]",
+    )
+
+
+def values_in(col: str, allowed) -> Check:
+    allowed = list(allowed)
+
+    def verdict(n_out):
+        return n_out == 0, f"{n_out} outside set"
+
+    c = F.col(col)
+    return Check(
+        "values_in",
+        col,
+        (F.sum(F.when(c.isNotNull() & ~c.isin(allowed), 1).otherwise(0)),),
+        verdict,
+        f"in {sorted(map(str, allowed))}",
+    )
+
+
+def matches(col: str, regex: str, min_fraction: float = 1.0) -> Check:
+    def verdict(frac):
+        return frac >= min_fraction, f"{frac:.6f}"
+
+    c = F.col(col)
+    return Check(
+        "matches",
+        col,
+        (
+            F.coalesce(
+                F.sum(F.when(c.rlike(f"^(?:{regex})$"), 1).otherwise(0))
+                / F.greatest(F.count(c), F.lit(1)),
+                F.lit(0.0),
+            ),
+        ),
+        verdict,
+        f"match fraction >= {min_fraction}",
+    )
+
+
+def mean_between(col: str, lo: float, hi: float) -> Check:
+    def verdict(mean):
+        ok = mean is not None and lo <= mean <= hi
+        return ok, "null" if mean is None else f"{mean:.6f}"
+
+    return Check(
+        "mean_between", col, (F.avg(F.col(col)),), verdict, f"[{lo}, {hi}]"
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> list[dict]:
+    """Evaluate every check in ONE aggregation job; returns a list of
+    ``{check, column, passed, observed, expected}`` dicts (tiny by
+    construction — one entry per check)."""
+    if not checks:
+        return []
+    aggs, slots = [], []
+    for i, ch in enumerate(checks):
+        idx = []
+        for j, a in enumerate(ch.aggs):
+            aggs.append(a.alias(f"__c{i}_{j}"))
+            idx.append(f"__c{i}_{j}")
+        slots.append(idx)
+    row = df.agg(*aggs).first()
+    report = []
+    for ch, idx in zip(checks, slots):
+        passed, observed = ch.verdict(*[row[k] for k in idx])
+        report.append(
+            {
+                "check": ch.name,
+                "column": ch.column,
+                "passed": bool(passed),
+                "observed": observed,
+                "expected": ch.expected,
+            }
+        )
+    return report
+
+
+def check_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """``run_checks`` as a DataFrame: (check, column, passed, observed,
+    expected) — one row per check, driver-tiny."""
+    spark = df.sparkSession
+    rows = [
+        (r["check"], r["column"], r["passed"], r["observed"], r["expected"])
+        for r in run_checks(df, checks)
+    ]
+    return spark.createDataFrame(
+        rows, "check string, column string, passed boolean, observed string, expected string"
+    )
+
+
+def validate(df: DataFrame, checks: list[Check]) -> None:
+    """Raise ``ValueError`` naming every failed check — the pipeline
+    gate form. One aggregation job either way."""
+    failed = [r for r in run_checks(df, checks) if not r["passed"]]
+    if failed:
+        lines = [
+            f"{r['check']}({r['column']}): observed {r['observed']}, "
+            f"expected {r['expected']}"
+            for r in failed
+        ]
+        raise ValueError("data-quality checks failed:\n  " + "\n  ".join(lines))
