@@ -46,4 +46,11 @@ def __getattr__(name):
         from dataframes_spark import plan
 
         return getattr(plan, name)
+    if name == "quality":
+        # importlib, not `from dataframes_spark import quality`: the
+        # from-import re-enters this __getattr__ before the submodule
+        # attribute exists and recurses
+        import importlib
+
+        return importlib.import_module("dataframes_spark.quality")
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

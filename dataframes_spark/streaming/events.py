@@ -419,3 +419,42 @@ def attribution_join_stream(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {within}"))
     )
     return l.join(r, cond, "inner")
+
+
+def validate_each_batch(checks, on_fail: str = "raise", log=None):
+    """Streaming ingest gate: a ``foreachBatch`` callback running the
+    one-pass data-quality suite (``dataframes_spark.quality``) on every
+    micro-batch BEFORE it lands anywhere.
+
+    ``on_fail``: ``"raise"`` stops the stream (a poisoned batch halts
+    ingest — the posture for training-data pipelines where bad data is
+    worse than late data); ``"skip"`` drops the failing batch and
+    continues; ``"log"`` only records. ``log`` receives
+    ``(epoch_id, report_rows)`` for every failing batch (defaults to a
+    no-op). Wire it up as
+    ``stream.writeStream.foreachBatch(validate_each_batch(checks))``, or
+    compose inside a larger callback that writes the batch after the
+    gate passes."""
+    from dataframes_spark import quality as Q
+
+    if on_fail not in ("raise", "skip", "log"):
+        raise ValueError(f"on_fail must be raise|skip|log, got {on_fail}")
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        report = Q.run_checks(batch_df, checks)
+        failed = [r for r in report if not r["passed"]]
+        if failed:
+            if log is not None:
+                log(epoch_id, failed)
+            if on_fail == "raise":
+                lines = [
+                    f"{r['check']}({r['column']}): observed {r['observed']}, "
+                    f"expected {r['expected']}"
+                    for r in failed
+                ]
+                raise ValueError(
+                    f"batch {epoch_id} failed data-quality checks:\n  "
+                    + "\n  ".join(lines)
+                )
+
+    return _apply

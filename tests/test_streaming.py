@@ -311,3 +311,33 @@ def test_attribution_join_stream_matches_batch(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     )
     assert got == [(1, 101), (2, 102)]
+
+
+def test_validate_each_batch_gates_the_stream(spark, event_dir):
+    from dataframes_spark import quality as Q
+
+    schema = spark.read.parquet(event_dir).schema
+    failures = []
+
+    # passing suite: stream completes
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    cb = dstream.validate_each_batch(
+        [Q.not_null("user_id"), Q.in_range("value", 0, 100)],
+        on_fail="log",
+        log=lambda e, f: failures.append((e, f)),
+    )
+    q = src.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert failures == []
+
+    # failing suite in raise mode: the stream stops with the check error
+    src2 = dstream.stream_from_directory(spark, event_dir, schema)
+    cb2 = dstream.validate_each_batch(
+        [Q.in_range("value", 100, 200)],  # all values are 1.0/2.0
+        log=lambda e, f: failures.append((e, f)),
+    )
+    q2 = src2.writeStream.foreachBatch(cb2).trigger(availableNow=True).start()
+    with pytest.raises(Exception) as err:
+        q2.awaitTermination(120)
+    assert "in_range" in str(err.value)
+    assert failures  # the failing report reached the log hook
