@@ -84,11 +84,16 @@ _ESCAPE_SEQ = re.compile(r"_x([0-9A-Fa-f]{4})_")
 
 def _esc_text(s: str) -> str:
     """Cell-text escaping: XML 1.0 cannot carry C0 control characters at
-    all (not even as entities), so they use Excel's own ``_xHHHH_``
-    convention — a literal ``_xHHHH_`` in the data gets its underscore
-    escaped first (``_x005F_``), exactly as openpyxl/Excel do. The
-    XML metacharacters &<> go through the normal entity escape."""
-    s = _ESCAPE_SEQ.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    all (not even as entities), so they use Excel's ``_xHHHH_``
+    convention. EVERY literal underscore is escaped (``_x005F_``), not
+    just those starting a candidate sequence: the selective form
+    corrupts overlapping candidates like ``_x005F_x0001_`` (the shared
+    underscore can only be escaped once), while with unconditional
+    escaping every underscore in the output belongs to exactly one
+    marker and the left-to-right unescape provably restores the
+    original. The XML metacharacters &<> go through the normal entity
+    escape."""
+    s = s.replace("_", "_x005F_")
     s = "".join(
         f"_x{ord(ch):04X}_"
         if (ord(ch) < 0x20 and ch not in "\t\n\r") or ord(ch) == 0x7F
@@ -116,8 +121,11 @@ def _cell_xml(ref: str, v) -> str:
         return f'<c r="{ref}"><v>{v}</v></c>'
     if isinstance(v, (int, float)):
         if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            # t="str" (formula-string cell), NOT inlineStr: the cell
+            # TYPE marks this as a float token, so a literal text value
+            # "NaN" (always written as inlineStr) stays a string on read
             tok = "NaN" if v != v else ("INF" if v > 0 else "-INF")
-            return f'<c r="{ref}" t="inlineStr"><is><t>{tok}</t></is></c>'
+            return f'<c r="{ref}" t="str"><v>{tok}</v></c>'
         return f'<c r="{ref}"><v>{v!r}</v></c>'
     if isinstance(v, (_dt.datetime, _dt.date)):
         # ISO-8601 string cell (no epoch-serial ambiguity; reads back as
@@ -228,7 +236,12 @@ def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
                 elif t == "b":
                     val = v_el.text == "1"
                 elif t == "str":
-                    val = _unesc_text(v_el.text)
+                    # our writer emits NaN/inf as t="str" token cells;
+                    # other producers' formula-string results pass
+                    # through as text
+                    val = _FLOAT_TOKENS.get(
+                        v_el.text, _unesc_text(v_el.text)
+                    )
                 elif re.fullmatch(r"-?\d+", v_el.text):
                     # integral text parses EXACTLY: float() would round
                     # 64-bit ids/hashes past 2^53 (silent off-by-one)
@@ -264,13 +277,10 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
     types = []
     for vals in cols:
         present = [v for v in vals if v is not None]
-        # NaN/INF travel as inline-string tokens (xlsx numbers cannot
-        # carry them); a column whose non-null cells are all numbers
-        # and/or those tokens is a DOUBLE column
-        numericish = present and all(
-            is_num(v) or (isinstance(v, str) and v in _FLOAT_TOKENS)
-            for v in present
-        )
+        # NaN/inf already arrive as floats (t="str" token cells decode
+        # at parse time), so numeric inference is purely type-driven —
+        # a literal "NaN" STRING (inlineStr) never flips a text column
+        numericish = present and all(is_num(v) for v in present)
         if numericish and all(
             isinstance(v, int) and int64_min <= v <= int64_max for v in present
         ):
@@ -278,14 +288,7 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
             types.append("long")
         elif numericish:
             out_cols.append(
-                [
-                    None
-                    if v is None
-                    else _FLOAT_TOKENS[v]
-                    if isinstance(v, str)
-                    else float(v)
-                    for v in vals
-                ]
+                [None if v is None else float(v) for v in vals]
             )
             types.append("double")
         elif present and all(isinstance(v, bool) for v in present):

@@ -65,15 +65,18 @@ def plan_report(df: DataFrame) -> dict:
         "scan_columns": scan_columns,
         # Python in the plan: Arrow-batched pandas UDFs are the
         # sanctioned escape hatch; BatchEvalPython is row-at-a-time.
-        # The list covers ALL Arrow-batched node shapes: scalar/grouped
-        # pandas UDFs, mapInPandas, applyInPandas (grouped, cogrouped)
-        # and applyInPandasWithState.
+        # The list covers the Arrow-batched node shapes: scalar/grouped/
+        # window pandas UDFs, mapInPandas, mapInArrow, applyInPandas
+        # (grouped, cogrouped) and applyInPandasWithState.
         "pandas_udf_nodes": n_nodes(
             "ArrowEvalPython",
             "MapInPandas",
             "FlatMapGroupsInPandas",      # prefix also covers ...WithState
             "FlatMapCoGroupsInPandas",
             "AggregateInPandas",
+            "WindowInPandas",
+            "MapInArrow",
+            "PythonMapInArrow",
         ),
         "row_python_udf_nodes": n_nodes("BatchEvalPython"),
         # whole-stage codegen spans from the simple plan ("*(n)" prefixes)

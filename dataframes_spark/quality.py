@@ -98,10 +98,18 @@ def in_range(col: str, lo, hi) -> Check:
         return n_out == 0, f"{n_out} out of range"
 
     c = F.col(col)
+    # coalesce: F.sum over a zero-row input is NULL, and None == 0 is
+    # False — a vacuously-true check would fail on an empty micro-batch
+    # (and permanently kill a validate_each_batch stream in raise mode)
     return Check(
         "in_range",
         col,
-        (F.sum(F.when(c.isNotNull() & ((c < lo) | (c > hi)), 1).otherwise(0)),),
+        (
+            F.coalesce(
+                F.sum(F.when(c.isNotNull() & ((c < lo) | (c > hi)), 1).otherwise(0)),
+                F.lit(0),
+            ),
+        ),
         verdict,
         f"[{lo}, {hi}]",
     )
@@ -114,10 +122,16 @@ def values_in(col: str, allowed) -> Check:
         return n_out == 0, f"{n_out} outside set"
 
     c = F.col(col)
+    # coalesce: see in_range — empty input must be vacuously true
     return Check(
         "values_in",
         col,
-        (F.sum(F.when(c.isNotNull() & ~c.isin(allowed), 1).otherwise(0)),),
+        (
+            F.coalesce(
+                F.sum(F.when(c.isNotNull() & ~c.isin(allowed), 1).otherwise(0)),
+                F.lit(0),
+            ),
+        ),
         verdict,
         f"in {sorted(map(str, allowed))}",
     )
@@ -195,14 +209,23 @@ def check_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def format_failures(report: list[dict]) -> str:
+    """One line per failed check — shared by ``validate`` and the
+    streaming ``validate_each_batch`` gate so their messages never
+    drift."""
+    return "\n  ".join(
+        f"{r['check']}({r['column']}): observed {r['observed']}, "
+        f"expected {r['expected']}"
+        for r in report
+        if not r["passed"]
+    )
+
+
 def validate(df: DataFrame, checks: list[Check]) -> None:
     """Raise ``ValueError`` naming every failed check — the pipeline
     gate form. One aggregation job either way."""
     failed = [r for r in run_checks(df, checks) if not r["passed"]]
     if failed:
-        lines = [
-            f"{r['check']}({r['column']}): observed {r['observed']}, "
-            f"expected {r['expected']}"
-            for r in failed
-        ]
-        raise ValueError("data-quality checks failed:\n  " + "\n  ".join(lines))
+        raise ValueError(
+            "data-quality checks failed:\n  " + format_failures(failed)
+        )

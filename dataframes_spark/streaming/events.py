@@ -421,24 +421,37 @@ def attribution_join_stream(
     return l.join(r, cond, "inner")
 
 
-def validate_each_batch(checks, on_fail: str = "raise", log=None):
+def validate_each_batch(checks, on_fail: str = "raise", log=None, write=None):
     """Streaming ingest gate: a ``foreachBatch`` callback running the
     one-pass data-quality suite (``dataframes_spark.quality``) on every
     micro-batch BEFORE it lands anywhere.
 
-    ``on_fail``: ``"raise"`` stops the stream (a poisoned batch halts
-    ingest — the posture for training-data pipelines where bad data is
-    worse than late data); ``"skip"`` drops the failing batch and
-    continues; ``"log"`` only records. ``log`` receives
-    ``(epoch_id, report_rows)`` for every failing batch (defaults to a
-    no-op). Wire it up as
-    ``stream.writeStream.foreachBatch(validate_each_batch(checks))``, or
-    compose inside a larger callback that writes the batch after the
-    gate passes."""
+    ``write(batch_df, epoch_id)`` is the sink stage the gate guards
+    (e.g. a parquet append); omit it to only check. ``on_fail`` decides
+    what happens to a failing batch:
+
+    - ``"raise"`` — stop the stream (a poisoned batch halts ingest; the
+      posture for training pipelines where bad data is worse than late
+      data);
+    - ``"skip"`` — do NOT call ``write`` for the failing batch, keep
+      the stream running (requires ``write``: without a sink to
+      withhold there is nothing to skip, so that combination raises at
+      construction instead of silently behaving like ``"log"``);
+    - ``"log"`` — record and write anyway.
+
+    ``log`` receives ``(epoch_id, failed_report_rows)`` for every
+    failing batch. Wire it up as
+    ``stream.writeStream.foreachBatch(validate_each_batch(checks,
+    write=lambda df, e: df.write.mode("append").parquet(out)))``."""
     from dataframes_spark import quality as Q
 
     if on_fail not in ("raise", "skip", "log"):
         raise ValueError(f"on_fail must be raise|skip|log, got {on_fail}")
+    if on_fail == "skip" and write is None:
+        raise ValueError(
+            "on_fail='skip' needs a write callback to withhold; pass "
+            "write=, or use on_fail='log'/'raise'"
+        )
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         report = Q.run_checks(batch_df, checks)
@@ -447,14 +460,13 @@ def validate_each_batch(checks, on_fail: str = "raise", log=None):
             if log is not None:
                 log(epoch_id, failed)
             if on_fail == "raise":
-                lines = [
-                    f"{r['check']}({r['column']}): observed {r['observed']}, "
-                    f"expected {r['expected']}"
-                    for r in failed
-                ]
                 raise ValueError(
                     f"batch {epoch_id} failed data-quality checks:\n  "
-                    + "\n  ".join(lines)
+                    + Q.format_failures(failed)
                 )
+            if on_fail == "skip":
+                return
+        if write is not None:
+            write(batch_df, epoch_id)
 
     return _apply

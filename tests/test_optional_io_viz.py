@@ -351,3 +351,37 @@ def test_xlsx_nan_inf_keep_double_column(spark, tmp_path):
     got = {r["id"]: r["x"] for r in back.collect()}
     assert got[1] == 1.5e300 and math.isnan(got[2])
     assert got[3] == float("inf") and got[4] == float("-inf") and got[5] is None
+
+
+def test_xlsx_literal_token_strings_stay_strings(spark, tmp_path):
+    # literal text "NaN"/"INF" must NOT fold into a double column —
+    # float tokens travel as t="str" cells, real strings as inlineStr
+    from dataframes_spark.io.xlsx import read_xlsx, write_xlsx
+
+    df = spark.createDataFrame(
+        [(1, "NaN"), (2, "INF"), (3, "-INF")], "id long, s string"
+    )
+    path = str(tmp_path / "tok.xlsx")
+    write_xlsx(df, path)
+    back = read_xlsx(spark, path)
+    assert dict(back.dtypes)["s"] == "string"
+    assert {r["s"] for r in back.collect()} == {"NaN", "INF", "-INF"}
+
+
+def test_xlsx_overlapping_escape_sequences_roundtrip(spark, tmp_path):
+    # '_x005F_x0001_' shares an underscore between two candidate
+    # sequences; the selective escape corrupted it (13 chars -> 7)
+    from dataframes_spark.io.xlsx import read_xlsx, write_xlsx
+
+    tricky = [
+        "_x005F_x0001_",
+        "_x005F_",
+        "__x0041__",
+        "a_b_c",
+        "_x005F" + "\x01",
+    ]
+    df = spark.createDataFrame(list(enumerate(tricky)), "id long, s string")
+    path = str(tmp_path / "esc.xlsx")
+    write_xlsx(df, path)
+    got = {r["id"]: r["s"] for r in read_xlsx(spark, path).collect()}
+    assert got == dict(enumerate(tricky))

@@ -99,3 +99,14 @@ def test_check_report_frame(frame):
     rep = Q.check_report(frame, [Q.row_count(1), Q.unique("id")])
     assert rep.columns == ["check", "column", "passed", "observed", "expected"]
     assert rep.count() == 2
+
+
+def test_empty_frame_range_and_set_checks_vacuously_true(spark):
+    # F.sum over zero rows is NULL; the checks must coalesce it to 0 —
+    # an empty micro-batch killed a raise-mode stream gate otherwise
+    df = spark.createDataFrame([], "id long, v double, lang string")
+    report = {r["check"]: r for r in Q.run_checks(
+        df, [Q.in_range("v", 0, 100), Q.values_in("lang", ["en"])]
+    )}
+    assert report["in_range"]["passed"]
+    assert report["values_in"]["passed"]

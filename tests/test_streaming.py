@@ -341,3 +341,37 @@ def test_validate_each_batch_gates_the_stream(spark, event_dir):
         q2.awaitTermination(120)
     assert "in_range" in str(err.value)
     assert failures  # the failing report reached the log hook
+
+
+def test_validate_each_batch_skip_withholds_write(spark, event_dir):
+    from dataframes_spark import quality as Q
+
+    schema = spark.read.parquet(event_dir).schema
+    written, failures = [], []
+
+    # failing suite in skip mode: write is withheld, stream completes
+    src = dstream.stream_from_directory(spark, event_dir, schema)
+    cb = dstream.validate_each_batch(
+        [Q.in_range("value", 100, 200)],  # every batch fails
+        on_fail="skip",
+        log=lambda e, f: failures.append(e),
+        write=lambda df, e: written.append(e),
+    )
+    q = src.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert failures and written == []  # all batches failed, none written
+
+    # passing suite: every batch reaches the sink
+    src2 = dstream.stream_from_directory(spark, event_dir, schema)
+    cb2 = dstream.validate_each_batch(
+        [Q.in_range("value", 0, 100)],
+        on_fail="skip",
+        write=lambda df, e: written.append(e),
+    )
+    q2 = src2.writeStream.foreachBatch(cb2).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert written  # passing batches written
+
+    # skip without a sink is a contract error, not a silent no-op
+    with pytest.raises(ValueError, match="write"):
+        dstream.validate_each_batch([Q.row_count(1)], on_fail="skip")
