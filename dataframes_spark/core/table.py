@@ -283,6 +283,25 @@ class Table:
     def except_(self, other: "Table") -> "Table":
         return Table(self.df.exceptAll(other.df))
 
+    # -- beyond-reference: pipeline hooks (plan audit + quality gate) --------
+    def assert_scalable(self, allow: tuple[str, ...] = ()) -> "Table":
+        """Raise if this table's plan carries a known scale-killer
+        (dataframes_spark.plan.assert_scalable); returns self so it
+        chains inside a pipeline expression."""
+        from dataframes_spark.plan import assert_scalable
+
+        assert_scalable(self.df, allow=allow)
+        return self
+
+    def validate(self, checks) -> "Table":
+        """Run the one-pass data-quality suite
+        (dataframes_spark.quality.validate) and raise naming every
+        failed check; returns self for chaining."""
+        from dataframes_spark.quality import validate
+
+        validate(self.df, checks)
+        return self
+
     # -- materialization ------------------------------------------------------
     def toList(self):
         return self.df.collect()

@@ -41,3 +41,32 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table (bucket metadata flows from the catalog, so
     joins/aggregations on the bucket key skip their shuffle)."""
     return spark.table(table)
+
+
+def write_fingerprints(
+    fps: DataFrame, table: str, num_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist an incremental-dedup fingerprint store
+    (``dedup.content_fingerprints``) BUCKETED BY its xxhash64 component:
+    the next increment's anti join against the store
+    (``dedup.exact_dedup_incremental``) then co-locates on the bucket
+    key instead of shuffling the full store every batch — the layout
+    that makes per-batch dedup O(batch) in shuffle volume as history
+    grows toward 1e10 keys."""
+    flat = fps.select(
+        "fp.len", "fp.xx", "fp.md5"
+    )
+    write_bucketed(flat, table, bucket_by="xx", num_buckets=num_buckets, mode=mode)
+
+
+def read_fingerprints(spark: SparkSession, table: str) -> DataFrame:
+    """Read a persisted fingerprint store back into the ``(fp struct)``
+    shape ``exact_dedup_incremental`` consumes; bucket metadata flows
+    from the catalog so the anti join keys stay co-located."""
+    from pyspark.sql import functions as F
+
+    return spark.table(table).select(
+        F.struct(
+            F.col("len"), F.col("xx"), F.col("md5")
+        ).alias("fp")
+    )

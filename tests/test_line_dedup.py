@@ -119,3 +119,42 @@ def test_incremental_dedup_null_text_blocked_by_history(spark):
     fresh2, _ = dd.exact_dedup_incremental(b2, store1, "text", "doc_id")
     # a second null-text doc is a duplicate of the stored null content
     assert fresh2.count() == 0
+
+
+def test_fingerprint_store_roundtrip_bucketed(spark):
+    import uuid
+
+    from dataframes_spark.io import bucketed as B
+    from dataframes_spark.operators import dedup as dd
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    fps = dd.content_fingerprints(b1, "text")
+    tbl = f"fps_{uuid.uuid4().hex[:8]}"
+    try:
+        B.write_fingerprints(fps, tbl, num_buckets=4)
+        store = B.read_fingerprints(spark, tbl)
+        assert store.count() == 2
+        # the restored store blocks previously-seen content
+        b2 = spark.createDataFrame(
+            [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
+        )
+        fresh, _ = dd.exact_dedup_incremental(b2, store, "text", "doc_id")
+        assert [r.text for r in fresh.collect()] == ["gamma"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_table_facade_pipeline_hooks(spark):
+    from dataframes_spark import quality as Q
+    from dataframes_spark.core.table import Table
+
+    t = Table(spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) v"))
+    # both hooks chain on success
+    out = t.assert_scalable().validate([Q.row_count(1), Q.unique("id")])
+    assert out.df.count() == 10
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="row_count"):
+        t.validate([Q.row_count(100)])
