@@ -138,7 +138,11 @@ def values_in(col: str, allowed) -> Check:
 
 
 def matches(col: str, regex: str, min_fraction: float = 1.0) -> Check:
-    def verdict(frac):
+    # vacuously true with no non-null values (like in_range/values_in):
+    # an empty micro-batch must not kill a raise-mode stream gate
+    def verdict(frac, n_non_null):
+        if n_non_null == 0:
+            return True, "no values"
         return frac >= min_fraction, f"{frac:.6f}"
 
     c = F.col(col)
@@ -151,6 +155,7 @@ def matches(col: str, regex: str, min_fraction: float = 1.0) -> Check:
                 / F.greatest(F.count(c), F.lit(1)),
                 F.lit(0.0),
             ),
+            F.count(c),
         ),
         verdict,
         f"match fraction >= {min_fraction}",
@@ -158,12 +163,19 @@ def matches(col: str, regex: str, min_fraction: float = 1.0) -> Check:
 
 
 def mean_between(col: str, lo: float, hi: float) -> Check:
-    def verdict(mean):
+    # vacuously true with no non-null values — see matches
+    def verdict(mean, n_non_null):
+        if n_non_null == 0:
+            return True, "no values"
         ok = mean is not None and lo <= mean <= hi
         return ok, "null" if mean is None else f"{mean:.6f}"
 
     return Check(
-        "mean_between", col, (F.avg(F.col(col)),), verdict, f"[{lo}, {hi}]"
+        "mean_between",
+        col,
+        (F.avg(F.col(col)), F.count(F.col(col))),
+        verdict,
+        f"[{lo}, {hi}]",
     )
 
 

@@ -110,3 +110,13 @@ def test_empty_frame_range_and_set_checks_vacuously_true(spark):
     )}
     assert report["in_range"]["passed"]
     assert report["values_in"]["passed"]
+
+
+def test_matches_and_mean_vacuous_on_empty(spark):
+    df = spark.createDataFrame([], "s string, v double")
+    report = {r["check"]: r for r in Q.run_checks(
+        df, [Q.matches("s", r"[a-z]+"), Q.mean_between("v", 0, 1)]
+    )}
+    assert report["matches"]["passed"]
+    assert report["mean_between"]["passed"]
+    assert report["matches"]["observed"] == "no values"
