@@ -299,6 +299,8 @@ def series_data(
     downsample, never a raw collect. Timestamps bucket in epoch-micro
     space and come back as timestamps. Returns a list of Rows ordered
     by x."""
+    if max_points <= 0:
+        raise ValueError(f"max_points must be positive, got {max_points}")
     ts = dict(df.dtypes)[x] in ("timestamp", "timestamp_ntz", "date")
     pts = df.select(x, *y_cols).dropna()
     n = pts.count()
