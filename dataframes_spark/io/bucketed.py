@@ -47,26 +47,20 @@ def write_fingerprints(
     fps: DataFrame, table: str, num_buckets: int = 32, mode: str = "overwrite"
 ) -> None:
     """Persist an incremental-dedup fingerprint store
-    (``dedup.content_fingerprints``) BUCKETED BY its xxhash64 component:
-    the next increment's anti join against the store
-    (``dedup.exact_dedup_incremental``) then co-locates on the bucket
-    key instead of shuffling the full store every batch — the layout
-    that makes per-batch dedup O(batch) in shuffle volume as history
-    grows toward 1e10 keys."""
-    flat = fps.select(
-        "fp.len", "fp.xx", "fp.md5"
-    )
-    write_bucketed(flat, table, bucket_by="xx", num_buckets=num_buckets, mode=mode)
+    (``dedup.content_fingerprints``, flat ``(len, xx, md5)`` schema)
+    BUCKETED BY its xxhash64 component. ``exact_dedup_incremental``'s
+    anti join uses ``xx`` as its single equi-key, so the bucketed
+    store's scan-time partitioning satisfies the join's required
+    distribution and the history side never reshuffles — per-batch
+    dedup stays O(batch) in shuffle volume as the store grows toward
+    1e10 keys (the no-Exchange plan is pinned in tests/test_plans.py)."""
+    write_bucketed(fps, table, bucket_by="xx", num_buckets=num_buckets, mode=mode)
 
 
 def read_fingerprints(spark: SparkSession, table: str) -> DataFrame:
-    """Read a persisted fingerprint store back into the ``(fp struct)``
-    shape ``exact_dedup_incremental`` consumes; bucket metadata flows
-    from the catalog so the anti join keys stay co-located."""
-    from pyspark.sql import functions as F
-
-    return spark.table(table).select(
-        F.struct(
-            F.col("len"), F.col("xx"), F.col("md5")
-        ).alias("fp")
-    )
+    """Read a persisted fingerprint store (flat ``(len, xx, md5)``) —
+    bucket metadata flows from the catalog, so the incremental anti
+    join's xx equi-key stays co-located. Do NOT project the columns
+    into a struct or reorder them with expressions: a projection over
+    the scan discards its bucketed output partitioning."""
+    return spark.table(table)

@@ -910,17 +910,20 @@ def embedding_near_dups(
 
 
 def content_fingerprints(df: DataFrame, text_col: str) -> DataFrame:
-    """Distinct ``(len, xx, md5)`` content keys of a corpus — the
-    persistable fingerprint STORE for incremental dedup (write it
-    partitioned/bucketed by ``xx`` and the incremental anti join below
-    becomes co-located). Same collision-safe compound key as
-    ``exact_dedup``: ~32 bytes per distinct content, no text retained."""
+    """Distinct FLAT ``(len, xx, md5)`` content keys of a corpus — the
+    persistable fingerprint STORE for incremental dedup. Same
+    collision-safe compound key as ``exact_dedup``: ~32 bytes per
+    distinct content, no text retained.
+
+    The schema is flat (not a struct) ON PURPOSE: the incremental anti
+    join extracts ``xx`` alone as its equi-key, so a store bucketed by
+    ``xx`` (``io.bucketed.write_fingerprints``) satisfies the join's
+    required distribution and never reshuffles — a struct key would
+    force hashing the whole struct and destroy the co-location."""
     return df.select(
-        F.struct(
-            F.length(F.col(text_col)).alias("len"),
-            F.xxhash64(F.col(text_col)).alias("xx"),
-            F.unhex(F.md5(F.col(text_col).cast("binary"))).alias("md5"),
-        ).alias("fp")
+        F.length(F.col(text_col)).alias("len"),
+        F.xxhash64(F.col(text_col)).alias("xx"),
+        F.unhex(F.md5(F.col(text_col).cast("binary"))).alias("md5"),
     ).distinct()
 
 
@@ -941,29 +944,42 @@ def exact_dedup_incremental(
       persist for the next increment.
 
     Scale shape: the batch deduplicates internally first (32 B key
-    shuffle), then ONE anti join of batch-distinct keys against the
-    store — text bodies never join anything. The store is key-only, so
-    at 1e10 seen documents it is ~300 GB spread across the cluster,
-    joinable by hash (or co-located if both sides are bucketed by
-    ``fp.xx``); history never rescans, which is the point — re-running
-    full-corpus ``exact_dedup`` per increment is O(corpus) per batch,
-    this is O(batch + matching keys)."""
+    shuffle), then ONE anti join of the batch against the store — text
+    bodies never join anything. The join's SINGLE equi-key is ``xx``
+    (``len``/``md5`` ride as null-safe residual conditions): Spark's
+    required distribution is then hashpartitioning(xx), which a store
+    bucketed by ``xx`` (``io.bucketed.write_fingerprints``) satisfies
+    AS SCANNED — the history side never reshuffles, so per-batch cost
+    is O(batch + matching buckets) even at 1e10 stored keys
+    (``tests/test_plans.py`` pins the store-side no-Exchange plan).
+    xxhash64 never returns null (null input folds to the seed), so the
+    equi-key is safe; the null-text content key lives in the null-safe
+    len/md5 conditions — null-text rows still dedup against history
+    exactly like ``exact_dedup``'s null-equal grouping."""
     in_batch = exact_dedup(new_df, text_col, id_col)
-    fp = F.struct(
-        F.length(F.col(text_col)).alias("len"),
-        F.xxhash64(F.col(text_col)).alias("xx"),
-        F.unhex(F.md5(F.col(text_col).cast("binary"))).alias("md5"),
+    keyed = (
+        in_batch.withColumn("__len", F.length(F.col(text_col)))
+        .withColumn("__xx", F.xxhash64(F.col(text_col)))
+        .withColumn("__md5", F.unhex(F.md5(F.col(text_col).cast("binary"))))
     )
-    keyed = in_batch.withColumn("__fp", fp)
-    # eqNullSafe, not ==: a null text yields a null-fielded key, and a
-    # plain equality would never match it against the store — null-text
-    # rows would re-emit as "fresh" every batch, diverging from
-    # exact_dedup's groupBy (whose grouping treats nulls as equal)
-    fresh = (
-        keyed.join(
-            seen_fps, keyed["__fp"].eqNullSafe(seen_fps["fp"]), "left_anti"
-        )
-        .drop("__fp")
+    # the len/md5 conditions are null-safe equalities WRAPPED IN
+    # coalesce so Catalyst cannot extract them as equi-join keys:
+    # EqualNullSafe at the top level becomes a (coalesce, isnull) key
+    # pair, the join would then require hashpartitioning on all five
+    # expressions, and the xx-bucketed store layout would be discarded
+    # ("Bucketed: false (disabled by query planner)"). With xx as the
+    # SOLE equi-key the bucketed scan satisfies the join's distribution
+    # as-is and only the (small) batch side shuffles.
+    def _nse(a: Column, b: Column) -> Column:
+        return F.coalesce(a == b, a.isNull() & b.isNull())
+
+    cond = (
+        (keyed["__xx"] == seen_fps["xx"])
+        & _nse(keyed["__len"], seen_fps["len"])
+        & _nse(keyed["__md5"], seen_fps["md5"])
+    )
+    fresh = keyed.join(seen_fps, cond, "left_anti").drop(
+        "__len", "__xx", "__md5"
     )
     updated = seen_fps.unionByName(
         content_fingerprints(fresh, text_col)

@@ -80,8 +80,13 @@ def top_k_by_group(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # nulls_last in BOTH directions: plain asc() is nulls-first, so a
+    # null would claim a smallest-k slot and push out real data; a null
+    # is never among the "top k by value" either way
     order = [
-        F.col(order_col).desc() if descending else F.col(order_col).asc()
+        F.col(order_col).desc_nulls_last()
+        if descending
+        else F.col(order_col).asc_nulls_last()
     ]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())

@@ -167,8 +167,8 @@ def mean_between(col: str, lo: float, hi: float) -> Check:
     def verdict(mean, n_non_null):
         if n_non_null == 0:
             return True, "no values"
-        ok = mean is not None and lo <= mean <= hi
-        return ok, "null" if mean is None else f"{mean:.6f}"
+        # n_non_null > 0 guarantees avg() is non-null here
+        return lo <= mean <= hi, f"{mean:.6f}"
 
     return Check(
         "mean_between",

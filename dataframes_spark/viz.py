@@ -92,6 +92,8 @@ def scatter(
 ):
     """Scatter plot of two numeric columns; inputs larger than
     ``max_points`` are uniformly sampled in the cluster before collect."""
+    if max_points <= 0:
+        raise ValueError(f"max_points must be positive, got {max_points}")
     plt = _plt()
     pts = df.select(x, y).dropna()
     n = pts.count()

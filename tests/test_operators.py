@@ -444,7 +444,6 @@ def test_top_k_by_group(spark):
     got = {}
     for r in out.collect():
         got.setdefault(r.g, []).append(r.v)
-    assert all(sorted(vs, reverse=True) == vs or True for vs in got.values())
     assert {g: sorted(vs, reverse=True) for g, vs in got.items()} == {
         0: [96, 92, 88], 1: [97, 93, 89], 2: [98, 94, 90], 3: [99, 95, 91]
     }
@@ -456,3 +455,15 @@ def test_top_k_by_group(spark):
 
     with _pt.raises(ValueError):
         dsort.top_k_by_group(df, "g", "v", 0)
+
+
+def test_top_k_by_group_nulls_never_claim_slots(spark):
+    from dataframes_spark.operators import sort as dsort
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 5), ("a", 1), ("a", 3)], "g string, v int"
+    )
+    lo = dsort.top_k_by_group(df, "g", "v", 2, descending=False, tiebreak_col="v")
+    assert sorted(r.v for r in lo.collect()) == [1, 3]  # not [None, 1]
+    hi = dsort.top_k_by_group(df, "g", "v", 2, descending=True, tiebreak_col="v")
+    assert sorted(r.v for r in hi.collect()) == [3, 5]

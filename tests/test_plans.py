@@ -405,3 +405,37 @@ def test_incremental_dedup_is_anti_join_not_rescan(plans):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert "pythonUDF" not in p.lower()
+
+
+def test_incremental_dedup_bucketed_store_never_reshuffles(spark, tmp_path):
+    """The fingerprint store's whole point is that history co-locates:
+    with the store bucketed by xx and xx as the join's sole equi-key,
+    the store branch must read Bucketed: true with NO Exchange above
+    the scan — only the (small) batch side shuffles."""
+    import uuid
+
+    from dataframes_spark.io import bucketed as B
+    from dataframes_spark.operators import dedup as dd
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tbl = f"fps_plan_{uuid.uuid4().hex[:8]}"
+    try:
+        b1 = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+        )
+        B.write_fingerprints(dd.content_fingerprints(b1, "text"), tbl, num_buckets=4)
+        store = B.read_fingerprints(spark, tbl)
+        b2 = spark.createDataFrame(
+            [(i + 900, f"other {i}") for i in range(50)], "doc_id long, text string"
+        )
+        fresh, _ = dd.exact_dedup_incremental(b2, store, "text", "doc_id")
+        p = fresh._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p
+        # no Exchange between the bucketed scan and its Sort/join
+        store_branch = p[p.find("+- Sort [xx") :]
+        assert "Exchange" not in store_branch.split("FileScan")[0]
+        assert fresh.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
