@@ -1166,6 +1166,21 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end state: transitively-closed clusters over the
+    embedding-cosine near-dup pair relation (dedup.embedding_near_dups ->
+    graph.connected_components) — the embedding twin of
+    near_dup_clusters' text-LSH closure, labeling each vector with its
+    cluster's smallest vec_id. Oracle: exact all-pairs cosine relation +
+    recursive-CTE closure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = ddedup.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4)
+    out = dgraph.connected_components(pairs, "id_a", "id_b")
+    return out.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_rep")
+    )
+
+
 def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): each click event picks up
     the latest purchase value at-or-before it for the same user — the
@@ -1983,6 +1998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_docs": dedup_incremental_docs,
         # round 6, below window: one-pass Deequ-style quality gate
         "quality_report_lineitem": quality_report_lineitem,
+        # round 6, below window: semantic-dedup closure (embedding twin
+        # of near_dup_clusters, which holds the window's graph row)
+        "embedding_near_dup_clusters": embedding_near_dup_clusters,
     }
 
 
@@ -3070,6 +3088,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM u a JOIN u b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.4
+        """,
+        "embedding_near_dup_clusters": """
+            WITH RECURSIVE u AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+                FROM embeddings
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM u a JOIN u b ON a.vec_id < b.vec_id
+                WHERE list_sum(list_transform(range(1, len(a.unit) + 1),
+                          i -> a.unit[CAST(i AS INT)] * b.unit[CAST(i AS INT)])) >= 0.4
+            ), und AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u2.b FROM reach r JOIN und u2 ON r.b = u2.a
+                WHERE u2.b <> r.a
+            )
+            SELECT a AS vec_id, least(a, min(b)) AS cluster_rep
+            FROM reach GROUP BY a
         """,
         "asof_last_purchase": """
             SELECT c.event_id, c.user_id,
