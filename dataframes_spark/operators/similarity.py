@@ -184,6 +184,7 @@ def ivf_build(
     id_col: str,
     n_clusters: int = 16,
     seed: int = 42,
+    fit_sample_rows: int | None = None,
 ):
     """IVF (inverted-file) index build: KMeans centroids over the corpus,
     every vector assigned to its nearest centroid.
@@ -193,23 +194,50 @@ def ivf_build(
     probe-time cluster filters then become partition pruning and a
     query touches ``nprobe/n_clusters`` of the data on disk);
     ``centers`` is the tiny driver-side centroid list (n_clusters x dim
-    floats) that travels into query plans as literals."""
+    floats) that travels into query plans as literals.
+
+    ``fit_sample_rows`` is the 100 TB knob: KMeans iterates over its
+    input several times, and fitting on the FULL corpus is both slow
+    and pointless — centroid quality saturates long before corpus size.
+    When set, the fit runs on a DETERMINISTIC content-hash sample of
+    ~that many rows (xxhash64 of ``id_col`` — same rows on any
+    partitioning or rerun, unlike ``df.sample``) and the pure-expression
+    ``ivf_assign`` then assigns EVERY row against those centroids, one
+    map-only pass. Standard IVF practice (FAISS trains on a sample for
+    the same reason)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     # cluster UNIT vectors: euclidean k-means on the unit sphere is
     # monotone in cosine, so centroid regions align with the cosine
     # neighborhoods the probe stage searches
     base = df.withColumn("__vd", _unit(vd))
-    from pyspark.ml.functions import array_to_vector
+    fit_input = base
+    sampled = False
+    if fit_sample_rows is not None:
+        n = df.count()
+        if n > fit_sample_rows:
+            from dataframes_spark.operators.sample import hash_sample
 
-    feat = base.withColumn("__features", array_to_vector("__vd"))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="__features", predictionCol="cluster")
+            fit_input = hash_sample(
+                base, id_col, fit_sample_rows / n, salt=f"ivf{seed}"
+            )
+            sampled = True
+    feat = fit_input.withColumn("__features", array_to_vector("__vd"))
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__features", predictionCol="cluster"
+    )
     model = km.fit(feat)
-    assigned = model.transform(feat).drop("__features", "__vd")
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    if sampled:
+        # assign the FULL corpus against the sample-fit centroids with
+        # the pure-expression argmax — no second MLlib pass
+        assigned = ivf_assign(df, vec_col, centers)
+    else:
+        assigned = model.transform(
+            base.withColumn("__features", array_to_vector("__vd"))
+        ).drop("__features", "__vd")
     return assigned, centers
 
 

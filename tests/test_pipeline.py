@@ -275,3 +275,27 @@ def test_decode_audio_gated_without_libs(spark):
     media = multimodal.make_fake_media(spark, 1)
     with pytest.raises(NotImplementedError, match="soundfile"):
         multimodal.decode_audio(media)
+
+
+def test_ivf_sample_fit_exact_when_probing_all(spark):
+    from pyspark.sql import functions as F
+    from dataframes_spark.operators import similarity
+    from dataframes_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = emb.filter(F.col("vec_id") != 0)
+    # fit on ~25% of the corpus, assign everything; probing every
+    # cluster must still recover exact brute-force top-k
+    assigned, cs = similarity.ivf_build(
+        rest, "embedding", "vec_id", n_clusters=8, fit_sample_rows=rest.count() // 4
+    )
+    assert assigned.count() == rest.count()  # every row assigned
+    ivf = [r.vec_id for r in similarity.ivf_topk(assigned, cs, "embedding", "vec_id", q, 10, nprobe=8).collect()]
+    bf = [r.vec_id for r in similarity.brute_force_topk(rest, "embedding", "vec_id", q, 10).collect()]
+    assert ivf == bf
+    # determinism: the same sample-fit returns identical centroids
+    _, cs2 = similarity.ivf_build(
+        rest, "embedding", "vec_id", n_clusters=8, fit_sample_rows=rest.count() // 4
+    )
+    assert cs == cs2
