@@ -92,7 +92,12 @@ def assign_split(
     assignments (the property random splits lack). ``fractions`` maps
     split name -> fraction, must sum to ~1; bands are cumulative over
     the first 4 hex chars (65536 buckets, so fractions resolve to
-    ~0.002%). One map-only expression, no shuffle."""
+    ~0.002%). One map-only expression, no shuffle.
+
+    Leakage note: pass the GROUP key (user, domain, dedup cluster
+    representative) as ``key_col`` to make the group the unit of
+    assignment — every row of a group then lands in the same split, so
+    near-duplicates within a group can never straddle train/test."""
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     if abs(sum(fractions.values()) - 1.0) > 1e-6:
         raise ValueError(f"fractions must sum to 1, got {fractions}")
