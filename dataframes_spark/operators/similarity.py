@@ -185,6 +185,7 @@ def ivf_build(
     n_clusters: int = 16,
     seed: int = 42,
     fit_sample_rows: int | None = None,
+    fit_sample_fraction: float | None = None,
 ):
     """IVF (inverted-file) index build: KMeans centroids over the corpus,
     every vector assigned to its nearest centroid.
@@ -201,10 +202,20 @@ def ivf_build(
     and pointless — centroid quality saturates long before corpus size.
     When set, the fit runs on a DETERMINISTIC content-hash sample of
     ~that many rows (xxhash64 of ``id_col`` — same rows on any
-    partitioning or rerun, unlike ``df.sample``) and the pure-expression
-    ``ivf_assign`` then assigns EVERY row against those centroids, one
-    map-only pass. Standard IVF practice (FAISS trains on a sample for
-    the same reason)."""
+    partitioning or rerun, unlike ``df.sample``); sizing the fraction
+    costs one ``count()`` of the input, so corpora that already know
+    their size should pass ``fit_sample_fraction`` instead (no count).
+    The threshold CEILs (never truncates to an empty sample at extreme
+    fractions) and the row target is floored at ``20 * n_clusters`` so
+    the fit always has enough points.
+
+    Assignment ALWAYS uses the pure-expression max-cosine argmax
+    (``ivf_assign``) against the fitted centroids — one metric whether
+    or not the fit was sampled, and the SAME metric the probe stage
+    ranks centroids with (KMeans' own euclidean ``transform`` disagrees
+    with cosine when centroid norms differ, which would make cluster
+    membership depend on whether sampling kicked in). Standard IVF
+    practice (FAISS trains on a sample for the same reason)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -213,32 +224,36 @@ def ivf_build(
     # monotone in cosine, so centroid regions align with the cosine
     # neighborhoods the probe stage searches
     base = df.withColumn("__vd", _unit(vd))
-    fit_input = base
-    sampled = False
-    if fit_sample_rows is not None:
+    fraction = fit_sample_fraction
+    if fraction is None and fit_sample_rows is not None:
+        target = max(int(fit_sample_rows), 20 * n_clusters)
         n = df.count()
-        if n > fit_sample_rows:
-            from dataframes_spark.operators.sample import hash_sample
-
-            fit_input = hash_sample(
-                base, id_col, fit_sample_rows / n, salt=f"ivf{seed}"
-            )
-            sampled = True
+        fraction = target / n if n > target else None
+    fit_input = base
+    if fraction is not None and fraction < 1.0:
+        buckets = 1 << 20
+        # ceil, not int(): a 100 TB corpus with a modest row target
+        # gives fraction * 2^20 < 1, which int() truncates to an EMPTY
+        # sample (h < 0) and a cryptic KMeans failure
+        thr = max(1, math.ceil(fraction * buckets))
+        h = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(f"ivf{seed}")),
+            F.lit(buckets),
+        )
+        fit_input = base.filter(h < thr)
+        # chance guard: on a SMALL input an aggressive fraction can
+        # still hash to fewer rows than the fit needs — fall back to
+        # the full input (the one extra count runs only on the already
+        # filtered sample)
+        if fit_input.count() < n_clusters:
+            fit_input = base
     feat = fit_input.withColumn("__features", array_to_vector("__vd"))
     km = KMeans(
         k=n_clusters, seed=seed, featuresCol="__features", predictionCol="cluster"
     )
     model = km.fit(feat)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    if sampled:
-        # assign the FULL corpus against the sample-fit centroids with
-        # the pure-expression argmax — no second MLlib pass
-        assigned = ivf_assign(df, vec_col, centers)
-    else:
-        assigned = model.transform(
-            base.withColumn("__features", array_to_vector("__vd"))
-        ).drop("__features", "__vd")
-    return assigned, centers
+    return ivf_assign(df, vec_col, centers), centers
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centers: list) -> DataFrame:

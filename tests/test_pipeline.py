@@ -299,3 +299,17 @@ def test_ivf_sample_fit_exact_when_probing_all(spark):
         rest, "embedding", "vec_id", n_clusters=8, fit_sample_rows=rest.count() // 4
     )
     assert cs == cs2
+
+
+def test_ivf_sample_fraction_tiny_never_empty(spark):
+    # an extreme fraction must CEIL to at least one hash bucket, not
+    # truncate to an empty fit
+    from pyspark.sql import functions as F
+    from dataframes_spark.operators import similarity
+    from dataframes_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, cs = similarity.ivf_build(
+        emb, "embedding", "vec_id", n_clusters=2, fit_sample_fraction=1e-7
+    )
+    assert len(cs) == 2 and assigned.count() == emb.count()
