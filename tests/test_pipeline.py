@@ -1,10 +1,15 @@
 """Dedup / similarity / text / multimodal pipeline operator tests."""
 
+import importlib.util
+
 import pytest
 from pyspark.sql import functions as F
 
 from dataframes_spark.functions import text as dtext
 from dataframes_spark.operators import dedup, multimodal, similarity
+
+HAS_PIL = importlib.util.find_spec("PIL") is not None
+HAS_SOUNDFILE = importlib.util.find_spec("soundfile") is not None
 
 
 @pytest.fixture(scope="module")
@@ -80,10 +85,75 @@ def test_multimodal_fake_decode_roundtrip(spark):
     assert all(len(r.feature) == 8 for r in rows)
 
 
+@pytest.mark.skipif(HAS_PIL, reason="Pillow installed; error path n/a")
 def test_multimodal_decode_stub_raises(spark):
     media = multimodal.make_fake_media(spark, 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="Pillow"):
         multimodal.decode_image(media)
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
+def test_decode_image_real_lane(spark):
+    # real lane: a true PNG decodes to its true dimensions; a corrupt
+    # blob yields NULLs instead of failing the job
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 30), (255, 0, 0)).save(buf, format="PNG")
+    rows = [
+        (1, buf.getvalue(), ("image/png", None, None, None, "png")),
+        (2, b"not an image", ("image/png", None, None, None, "png")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.media_schema())
+    out = {r.media_id: r for r in multimodal.decode_image(media).collect()}
+    assert (out[1].width, out[1].height, out[1].n_pixels) == (40, 30, 1200)
+    assert len(out[1].feature) == 8
+    assert out[1].feature[0] == pytest.approx(1.0)  # solid red: mean R = 1
+    assert out[1].feature[1] == pytest.approx(0.0)  # mean G = 0
+    assert out[2].width is None and out[2].feature is None
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
+def test_resize_images_real_lane(spark):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 48), (0, 128, 255)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, buf.getvalue(), ("image/png", None, None, None, "png"))],
+        multimodal.media_schema(),
+    )
+    row = multimodal.resize_images(media, target=16).first()
+    assert (row.width, row.height) == (16, 16)
+    with Image.open(io.BytesIO(bytes(row.payload))) as img:
+        assert img.size == (16, 16)
+
+
+@pytest.mark.skipif(not HAS_SOUNDFILE, reason="soundfile not installed")
+def test_decode_audio_real_lane(spark):
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    sr, seconds = 8000, 0.5
+    signal = 0.25 * np.sin(2 * np.pi * 440 * np.arange(int(sr * seconds)) / sr)
+    buf = io.BytesIO()
+    sf.write(buf, signal, sr, format="WAV", subtype="FLOAT")
+    media = spark.createDataFrame(
+        [(1, buf.getvalue(), ("audio/wav", None, None, None, "pcm"))],
+        multimodal.media_schema(),
+    )
+    row = multimodal.decode_audio(media).first()
+    assert row.sample_rate == sr
+    assert row.n_samples == int(sr * seconds)
+    assert row.duration_ms == pytest.approx(500.0)
+    # RMS of a sine of amplitude A is A/sqrt(2)
+    assert row.rms == pytest.approx(0.25 / 2**0.5, rel=1e-3)
 
 
 def test_frame_sample_counts(spark):
@@ -134,8 +204,9 @@ def test_resize_images_fake_plan(spark):
     out = multimodal.resize_images(media, target=32, fake=True).collect()
     assert all(r.width == 32 and r.height == 32 for r in out)
     assert all(len(r.payload) == 32 * 4 for r in out)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media)
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal.resize_images(media)
 
 
 def test_embedding_near_dups_exact_and_lsh(spark):
@@ -267,11 +338,8 @@ def test_decode_audio_fake_deterministic(spark):
     assert again == {m: r.rms for m, r in out.items()}
 
 
+@pytest.mark.skipif(HAS_SOUNDFILE, reason="soundfile installed; error path n/a")
 def test_decode_audio_gated_without_libs(spark):
-    import pytest
-
-    from dataframes_spark.operators import multimodal
-
     media = multimodal.make_fake_media(spark, 1)
     with pytest.raises(NotImplementedError, match="soundfile"):
         multimodal.decode_audio(media)
