@@ -130,10 +130,33 @@ def quantile(
     )
 
 
+# Exact percentile buffers every value of each aggregated column in the
+# aggregation buffer — fine on a dimension table, memory-unbounded on a
+# 100 TB fact. `exact=None` (the auto default for describe/qcut)
+# resolves per call from Catalyst's optimized-plan size estimate for the
+# input: exact when the estimate is <= this bound, approx (bounded-
+# memory t-digest sketch) when larger or unknown.
+AUTO_EXACT_MAX_BYTES = 256 << 20
+
+
+def _resolve_exact(df: DataFrame, exact: bool | None) -> bool:
+    """Resolve an ``exact=None`` auto request against the input's
+    Catalyst size estimate; an explicit True/False always wins."""
+    if exact is not None:
+        return exact
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        # no JVM plan handle (e.g. Spark Connect): unknown size, so take
+        # the bounded-memory form — the only safe default at any scale
+        return False
+    return size <= AUTO_EXACT_MAX_BYTES
+
+
 def describe(
     df: DataFrame,
     cols: Sequence[str] | None = None,
-    exact: bool = True,
+    exact: bool | None = None,
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-numeric-column mean/std/min/q25/median/q75/max, one row per
@@ -150,8 +173,15 @@ def describe(
     inherent to exactness — so ``exact=False`` is the 100 TB twin:
     ``percentile_approx`` (t-digest-style sketch, bounded memory at any
     scale, rank error <= 1/``accuracy``), same contract as the
-    ``median``/``median_approx`` pair in ``aggregate.py``."""
+    ``median``/``median_approx`` pair in ``aggregate.py``.
+
+    ``exact=None`` (default) auto-resolves: exact when Catalyst
+    estimates the input under ``AUTO_EXACT_MAX_BYTES``, approx
+    otherwise — a naive ``describe(huge_table)`` can no longer OOM an
+    executor. Pass ``exact=True`` when reference-exact quantiles are
+    required regardless of size."""
     cols = list(cols) if cols is not None else numeric_columns(df)
+    exact = _resolve_exact(df, exact)
     aggs: list[Column] = []
     for c in cols:
         if exact:
@@ -394,7 +424,7 @@ def qcut(
     n_buckets: int,
     out_col: str | None = None,
     by: Sequence[str] | None = None,
-    exact: bool = True,
+    exact: bool | None = None,
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Quantile bucketing (pandas ``qcut`` shape): adds an INT bucket
@@ -417,12 +447,15 @@ def qcut(
     arbitrarily — deterministic by design.
 
     ``exact=False`` swaps in ``percentile_approx`` (bounded-memory
-    sketch) for corpus scale; null values get bucket NULL, and with
-    ``by`` so do rows whose GROUP key is null (standard join semantics:
-    a null key matches no boundary row — a band within an unknown group
-    is meaningless)."""
+    sketch) for corpus scale; ``exact=None`` (default) auto-resolves
+    from Catalyst's input-size estimate (exact under
+    ``AUTO_EXACT_MAX_BYTES``, approx above — see ``describe``). Null
+    values get bucket NULL, and with ``by`` so do rows whose GROUP key
+    is null (standard join semantics: a null key matches no boundary
+    row — a band within an unknown group is meaningless)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    exact = _resolve_exact(df, exact)
     out_col = out_col or f"{col}_bucket"
     qs = [i / n_buckets for i in range(1, n_buckets)]
     x = F.col(col).cast("double")

@@ -16,7 +16,9 @@ the gate. ``validate(df, checks)`` raises on failure for pipeline use.
 Check constructors (all return a ``Check``):
 - ``row_count(min_rows, max_rows)``
 - ``not_null(col, max_null_fraction=0.0)``
-- ``unique(col)`` — no duplicate non-null values
+- ``unique(col, approx=False, rsd=0.05)`` — no duplicate non-null
+  values; ``approx=True`` uses HyperLogLog++ (constant memory, 3·rsd
+  error band) for cheap corpus-scale gates
 - ``in_range(col, lo, hi)`` — every non-null value inside [lo, hi]
 - ``values_in(col, allowed)`` — every non-null value in the set
 - ``matches(col, regex, min_fraction=1.0)`` — anchored full-match
@@ -80,7 +82,37 @@ def not_null(col: str, max_null_fraction: float = 0.0) -> Check:
     )
 
 
-def unique(col: str) -> Check:
+def unique(col: str, *, approx: bool = False, rsd: float = 0.05) -> Check:
+    """No duplicate non-null values in ``col``.
+
+    Exact mode (default) uses ``count_distinct`` — one pass via
+    Catalyst's Expand strategy, but a distinct aggregation over a
+    near-unique key is itself heavy at corpus scale (the distinct-key
+    state is ~the size of the column). ``approx=True`` swaps in
+    ``approx_count_distinct`` (HyperLogLog++, bounded ~relative standard
+    deviation ``rsd``, constant memory): the check passes when the
+    estimated duplicate fraction is within the estimator's 3·rsd error
+    band — i.e. a duplicate mass statistically indistinguishable from
+    HLL noise passes; anything beyond it fails. Use approx for cheap
+    gates on 100 TB ingests, exact when the answer must be a proof.
+    """
+    if approx:
+        band = 3 * rsd
+
+        def verdict_approx(n_non_null, n_distinct_est):
+            if not n_non_null:
+                return True, "no values"
+            est_dup_frac = max(0.0, 1.0 - n_distinct_est / n_non_null)
+            return est_dup_frac <= band, f"~{est_dup_frac:.6f} duplicate fraction"
+
+        return Check(
+            "unique_approx",
+            col,
+            (F.count(F.col(col)), F.approx_count_distinct(F.col(col), rsd)),
+            verdict_approx,
+            f"duplicate fraction <= {band:.4f} (3*rsd error band, rsd={rsd})",
+        )
+
     def verdict(n_non_null, n_distinct):
         return n_non_null == n_distinct, f"{n_non_null - n_distinct} duplicates"
 

@@ -120,3 +120,26 @@ def test_matches_and_mean_vacuous_on_empty(spark):
     assert report["matches"]["passed"]
     assert report["mean_between"]["passed"]
     assert report["matches"]["observed"] == "no values"
+
+
+def test_unique_approx_mode(spark):
+    # a truly-unique column passes the approx gate; a ~50%-duplicate
+    # column fails it (dup mass far beyond the 3*rsd error band); exact
+    # mode still reports the precise duplicate count alongside
+    df = spark.createDataFrame([(i, i // 2) for i in range(1000)], ["id", "half"])
+    rep = {
+        (r["check"], r["column"]): r
+        for r in Q.run_checks(
+            df,
+            [Q.unique("id", approx=True), Q.unique("half", approx=True), Q.unique("half")],
+        )
+    }
+    assert rep[("unique_approx", "id")]["passed"]
+    assert not rep[("unique_approx", "half")]["passed"]
+    assert "rsd" in rep[("unique_approx", "half")]["expected"]
+    assert "500 duplicates" in rep[("unique", "half")]["observed"]
+
+
+def test_unique_approx_empty_vacuously_true(spark):
+    df = spark.createDataFrame([], "id long")
+    assert Q.run_checks(df, [Q.unique("id", approx=True)])[0]["passed"]

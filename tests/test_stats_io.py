@@ -282,3 +282,30 @@ def test_jsonl_roundtrip_auto(spark, tmp_path):
     back = read_auto(spark, path)
     got = {r["id"]: (r["s"], r["v"]) for r in back.collect()}
     assert got == {1: ("a", 1.5), 2: ('b "quoted"', None)}
+
+
+def test_describe_qcut_auto_scale_resolution(spark):
+    # exact=None resolves from Catalyst's size estimate: a small input
+    # keeps reference-exact percentile; an input estimated over
+    # AUTO_EXACT_MAX_BYTES plans the bounded-memory approx_percentile
+    # form instead. Plan-only assertions — nothing executes.
+    big = spark.range(200_000_000).select(F.col("id").cast("double").alias("v"))
+    small = spark.range(1_000).select(F.col("id").cast("double").alias("v"))
+    assert dstats._resolve_exact(small, None) is True
+    assert dstats._resolve_exact(big, None) is False
+    assert dstats._resolve_exact(big, True) is True  # explicit wins
+
+    def plan(df) -> str:
+        jqe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+        return jqe.explainString(mode)
+
+    big_desc = plan(dstats.describe(big, ["v"]))
+    assert "percentile_approx" in big_desc  # bounded-memory sketch aggregate
+    small_desc = plan(dstats.describe(small, ["v"]))
+    assert "percentile_approx" not in small_desc and "percentile(" in small_desc
+
+    big_qcut = plan(dstats.qcut(big, "v", 4))
+    assert "percentile_approx" in big_qcut
+    small_qcut = plan(dstats.qcut(small, "v", 4))
+    assert "percentile_approx" not in small_qcut and "percentile(" in small_qcut
