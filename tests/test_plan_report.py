@@ -102,3 +102,65 @@ def test_report_sees_stateful_pandas_nodes(spark, sf_dir):
     r = dplan.plan_report(packed)
     assert r["pandas_udf_nodes"] >= 1  # applyInPandas (FlatMapGroupsInPandas)
     assert r["row_python_udf_nodes"] == 0
+
+
+def test_report_flags_unpushed_filter_over_scan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # coalesce() defeats pushdown AND implies no IsNotNull constraint:
+    # the miss is REPORTED (the filter could be rewritten) but not
+    # warned — expression-wrapped predicates are unpushable by
+    # construction and often intrinsic to the query
+    df = docs.filter(F.coalesce(F.col("n_chars"), F.lit(0)) > 5)
+    r = dplan.plan_report(df)
+    assert r["unpushed_filter_scans"]
+    assert not any("pushed NOTHING" in w for w in r["warnings"])
+    # a pushdown-ELIGIBLE predicate that still pushed nothing is the
+    # warned misconfiguration case — parquet never produces this plan
+    # shape here (its scan metadata reports filters even with pushdown
+    # off), so pin the detector on the plan text directly
+    broken_plan = (
+        "== Physical Plan ==\n"
+        "* Filter (2)\n"
+        "+- Scan parquet  (1)\n"
+        "\n\n"
+        "(1) Scan parquet \n"
+        "Output [1]: [n_chars#4L]\n"
+        "ReadSchema: struct<n_chars:bigint>\n"
+        "\n"
+        "(2) Filter\n"
+        "Condition : (isnotnull(n_chars#4L) AND (n_chars#4L > 5))\n"
+    )
+    assert dplan._unpushed_filter_scans(broken_plan) == [
+        {"scan": "1", "pushable": True}
+    ]
+    # the healthy form is clean on both counts
+    clean = dplan.plan_report(docs.filter(F.col("n_chars") > 5))
+    assert clean["unpushed_filter_scans"] == []
+    assert clean["warnings"] == []
+
+
+def test_report_flags_smj_with_broadcastable_side(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")  # 25 rows — trivially broadcastable
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = orders.join(nation, orders["o_custkey"] % 25 == nation["n_nationkey"])
+        r = dplan.plan_report(j)
+        assert r["sort_merge_joins"] >= 1
+        assert any("broadcastable" in w for w in r["warnings"])
+        # a FULL OUTER join cannot broadcast either side: tiny side or
+        # not, sort-merge is the only legal plan — must NOT warn
+        fo = orders.withColumn("k", F.col("o_custkey") % 25).join(
+            nation.withColumnRenamed("n_nationkey", "k"), "k", "full_outer"
+        )
+        rfo = dplan.plan_report(fo)
+        assert rfo["sort_merge_joins"] >= 1
+        assert not any("broadcastable" in w for w in rfo["warnings"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # with auto-broadcast back on, Catalyst broadcasts it and the plan is clean
+    j2 = orders.join(nation, orders["o_custkey"] % 25 == nation["n_nationkey"])
+    r2 = dplan.plan_report(j2)
+    assert r2["broadcast_hash_joins"] >= 1
+    assert not any("broadcastable" in w for w in r2["warnings"])
