@@ -238,7 +238,11 @@ def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
                 elif t == "str":
                     # our writer emits NaN/inf as t="str" token cells;
                     # other producers' formula-string results pass
-                    # through as text
+                    # through as text. CAVEAT (documented in read_xlsx):
+                    # a third-party formula result whose text is exactly
+                    # 'NaN'/'INF'/'-INF' is also decoded as the float —
+                    # the price of roundtripping our own non-finite
+                    # doubles; all other formula strings stay text
                     val = _FLOAT_TOKENS.get(
                         v_el.text, _unesc_text(v_el.text)
                     )
@@ -263,7 +267,15 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
     whole-number columns, DOUBLE otherwise, string fallback on mixed
     columns — the same rule as CSV inference, csv.cpp:153-188; XLSX
     stores every number as a double, so int-ness is recovered by
-    inspection)."""
+    inspection).
+
+    Non-finite tokens: formula-string (``t="str"``) cells whose text is
+    exactly ``NaN``/``INF``/``-INF`` decode as the corresponding float —
+    this is how ``write_xlsx``'s own non-finite doubles roundtrip, and
+    it applies to third-party sheets too: a formula whose RESULT is the
+    literal text 'NaN' becomes a number (and can tip an otherwise-text
+    column to double under inference). Every other formula string stays
+    text."""
     header, rows = read_xlsx_rows(path)
     if not header:
         raise ValueError(f"xlsx: {path} has no header row")

@@ -72,8 +72,12 @@ def _key_cast_type(build_type: str, probe_type: str) -> str:
         return "double"
     if {b, p} <= _INTEGRAL | {"string"}:
         # ANSI comparison coercion promotes string-vs-integral to bigint
-        # ('07' matches 7); a malformed string throws here exactly as the
-        # plain equi-join would, so behavior stays identical
+        # ('07' matches 7). A malformed string: under ANSI mode (the
+        # Spark 4 default) the cast throws, exactly as the plain
+        # equi-join would; with spark.sql.ansi.enabled=false it yields
+        # NULL instead (no throw) — hashing a NULL can only ADD bloom
+        # false positives, never drop a match, so results stay correct
+        # in both modes
         return "bigint"
     if {b, p} <= _NUMERIC | {"string"}:
         return "double"

@@ -981,7 +981,10 @@ def exact_dedup_incremental(
     fresh = keyed.join(seen_fps, cond, "left_anti").drop(
         "__len", "__xx", "__md5"
     )
-    updated = seen_fps.unionByName(
-        content_fingerprints(fresh, text_col)
-    ).distinct()
+    # no .distinct() on the union: fresh is provably disjoint from the
+    # store (the anti join above removed every key already present, on
+    # the same null-safe compound key) and content_fingerprints is
+    # internally distinct — a distinct here would re-shuffle the FULL
+    # store on every increment, breaking the O(batch) contract
+    updated = seen_fps.unionByName(content_fingerprints(fresh, text_col))
     return fresh, updated

@@ -267,9 +267,21 @@ def heatmap_matrix(
     cannot be pulled to the driver by mistake. Returns
     ``(row_labels, col_labels, values)``."""
     cols = list(df.columns)
-    if label_col is None and cols and dict(df.dtypes)[cols[0]] == "string":
+    dtypes = dict(df.dtypes)
+    if label_col is None and cols and dtypes[cols[0]] == "string":
         label_col = cols[0]
     value_cols = [c for c in cols if c != label_col]
+    # validate BEFORE collecting: a non-numeric value column would
+    # otherwise surface as an opaque float() TypeError after the data
+    # already crossed to the driver
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    bad = [c for c in value_cols if not dtypes[c].startswith(numeric)]
+    if bad:
+        raise ValueError(
+            f"heatmap value column(s) {bad} are non-numeric "
+            f"({[dtypes[c] for c in bad]}); select numeric columns, or "
+            "pass label_col to mark the label column explicitly"
+        )
     n = df.count()
     if n * len(value_cols) > max_cells:
         raise ValueError(

@@ -158,3 +158,26 @@ def test_table_facade_pipeline_hooks(spark):
 
     with _pt.raises(ValueError, match="row_count"):
         t.validate([Q.row_count(100)])
+
+
+def test_incremental_dedup_store_update_has_no_distinct_over_union(spark):
+    """The updated store is store UNION fresh-keys with NO distinct on
+    top: fresh is disjoint from the store by the anti join and
+    content_fingerprints is internally distinct, so a distinct would
+    only re-shuffle the full store each increment. Pin: no aggregate
+    node sits ABOVE the Union in the physical plan."""
+    from dataframes_spark import plan as dplan
+    from dataframes_spark.operators import dedup as dd
+
+    b1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    store = dd.content_fingerprints(b1, "text")
+    b2 = spark.createDataFrame([(3, "gamma"), (4, "alpha")], ["doc_id", "text"])
+    _, updated = dd.exact_dedup_incremental(b2, store, "text", "doc_id")
+    nodes = dplan._tree_nodes(dplan._explain(updated, "formatted"))
+    union_depths = [d for d, n, _ in nodes if n == "Union"]
+    assert union_depths, "expected a Union in the updated-store plan"
+    agg_above = [
+        n for d, n, _ in nodes
+        if "Aggregate" in n and d < min(union_depths)
+    ]
+    assert agg_above == []

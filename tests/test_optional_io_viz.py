@@ -385,3 +385,18 @@ def test_xlsx_overlapping_escape_sequences_roundtrip(spark, tmp_path):
     write_xlsx(df, path)
     got = {r["id"]: r["s"] for r in read_xlsx(spark, path).collect()}
     assert got == dict(enumerate(tricky))
+
+
+def test_heatmap_matrix_rejects_non_numeric_value_columns(spark):
+    from dataframes_spark import viz
+
+    df = spark.createDataFrame(
+        [("r1", 1.0, "oops"), ("r2", 2.0, "nope")], ["label", "a", "b"]
+    )
+    with pytest.raises(ValueError, match=r"\['b'\].*non-numeric"):
+        viz.heatmap_matrix(df)
+    # numeric-only value columns still work, including decimals
+    ok = spark.createDataFrame([("r1", 1.0, 2), ("r2", 3.0, 4)], ["label", "a", "b"])
+    rows, cols, vals = viz.heatmap_matrix(ok)
+    assert rows == ["r1", "r2"] and cols == ["a", "b"]
+    assert vals == [[1.0, 2.0], [3.0, 4.0]]
