@@ -13,10 +13,12 @@ artifact by definition (one zip, one XML stream — Excel itself caps at
 data; large data belongs in parquet. The writer guards with ``max_rows``
 so a fact table cannot be serialized by mistake.
 
-Writer output uses inline strings (``t="inlineStr"``) — self-contained
-cells, no sharedStrings table to build. The reader handles both inline
-and shared strings, so files from Excel/openpyxl (which write shared
-strings) parse too.
+Writer output defaults to inline strings (``t="inlineStr"``) —
+self-contained cells, no sharedStrings table to build;
+``write_xlsx(..., shared_strings=True)`` switches to the deduplicated
+workbook-level string table Excel itself writes (smaller files on
+repetitive text). The reader handles both forms, any sheet count
+(``sheet=`` name or index), and files from Excel/openpyxl.
 """
 
 from __future__ import annotations
@@ -107,12 +109,18 @@ def _unesc_text(s: str) -> str:
     return _ESCAPE_SEQ.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 
-def _cell_xml(ref: str, v) -> str:
+def _cell_xml(ref: str, v, sst: dict | None = None) -> str:
     import datetime as _dt
     from decimal import Decimal
 
     if v is None:
         return ""
+    if sst is not None and isinstance(v, str):
+        # shared-strings mode: the cell stores an index into the
+        # workbook-level string table — much smaller files when values
+        # repeat (the reader handles t="s" and inlineStr alike)
+        idx = sst.setdefault(v, len(sst))
+        return f'<c r="{ref}" t="s"><v>{idx}</v></c>'
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
     if isinstance(v, Decimal):
@@ -137,11 +145,32 @@ def _cell_xml(ref: str, v) -> str:
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc_text(str(v))}</t></is></c>'
 
 
-def write_xlsx(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
+_SST_CONTENT_TYPE = (
+    '<Override PartName="/xl/sharedStrings.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+)
+_SST_REL = (
+    '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+)
+
+
+def write_xlsx(
+    df: DataFrame,
+    path: str,
+    max_rows: int = 1_000_000,
+    shared_strings: bool = False,
+) -> None:
     """Write a DataFrame as a one-sheet .xlsx with a header row.
     Driver-side by design (a spreadsheet is a single-machine
     interchange artifact); ``max_rows`` guards against serializing a
-    fact table — Excel's own sheet limit is 1,048,576 rows."""
+    fact table — Excel's own sheet limit is 1,048,576 rows.
+
+    ``shared_strings=True`` stores each distinct string ONCE in a
+    workbook-level table and cells as indexes into it (the layout Excel
+    itself writes) — smaller files when string values repeat; the
+    default inline mode keeps cells self-contained. Both read back
+    identically."""
     n = df.count()
     if n > max_rows:
         raise ValueError(
@@ -150,26 +179,43 @@ def write_xlsx(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
         )
     rows = df.collect()
     cols = df.columns
+    sst: dict | None = {} if shared_strings else None
     parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>']
     parts.append(
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
     )
     header = "".join(
-        _cell_xml(f"{_col_letter(j)}1", c) for j, c in enumerate(cols)
+        _cell_xml(f"{_col_letter(j)}1", c, sst) for j, c in enumerate(cols)
     )
     parts.append(f'<row r="1">{header}</row>')
     for i, r in enumerate(rows, start=2):
         body = "".join(
-            _cell_xml(f"{_col_letter(j)}{i}", r[j]) for j in range(len(cols))
+            _cell_xml(f"{_col_letter(j)}{i}", r[j], sst) for j in range(len(cols))
         )
         parts.append(f'<row r="{i}">{body}</row>')
     parts.append("</sheetData></worksheet>")
+    content_types = _CONTENT_TYPES
+    wb_rels = _WORKBOOK_RELS
+    if shared_strings:
+        content_types = content_types.replace("</Types>", _SST_CONTENT_TYPE + "</Types>")
+        wb_rels = wb_rels.replace("</Relationships>", _SST_REL + "</Relationships>")
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("[Content_Types].xml", content_types)
         z.writestr("_rels/.rels", _RELS)
         z.writestr("xl/workbook.xml", _WORKBOOK)
-        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         z.writestr("xl/worksheets/sheet1.xml", "".join(parts))
+        if sst is not None:
+            sis = "".join(
+                f'<si><t xml:space="preserve">{_esc_text(s)}</t></si>'
+                for s in sst  # dict preserves insertion order = index order
+            )
+            z.writestr(
+                "xl/sharedStrings.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+                f' count="{len(sst)}" uniqueCount="{len(sst)}">{sis}</sst>',
+            )
 
 
 def _shared_strings(z: zipfile.ZipFile) -> list[str]:
@@ -198,20 +244,81 @@ def _first_sheet_name(z: zipfile.ZipFile) -> str:
     return sheets[0]
 
 
-def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
-    """Parse the first worksheet into (header, rows) of Python values:
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def sheet_names(z_or_path) -> list[str]:
+    """Workbook sheet names in workbook order (pure stdlib)."""
+    if isinstance(z_or_path, zipfile.ZipFile):
+        return [name for name, _ in _sheet_parts(z_or_path)]
+    with zipfile.ZipFile(z_or_path) as z:
+        return [name for name, _ in _sheet_parts(z)]
+
+
+def _sheet_parts(z: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """Ordered ``(sheet_name, part_path)`` for every worksheet, from
+    xl/workbook.xml + its rels (the authoritative name->part mapping;
+    part numbering need not match workbook order). Falls back to the
+    filename scan for minimal producers without a workbook part."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    except KeyError:
+        return [("Sheet1", _first_sheet_name(z))]
+    targets = {
+        rel.get("Id"): rel.get("Target")
+        for rel in rels.iter()
+        if rel.tag.endswith("Relationship")
+    }
+    out = []
+    for s in wb.iter(f"{_NS}sheet"):
+        target = targets.get(s.get(f"{_R_NS}id"))
+        if not target:
+            continue
+        part = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+        if part in z.namelist():
+            out.append((s.get("name") or f"Sheet{len(out) + 1}", part))
+    return out or [("Sheet1", _first_sheet_name(z))]
+
+
+def _resolve_sheet(z: zipfile.ZipFile, sheet) -> str:
+    """``sheet=None`` -> first sheet; int -> 0-based workbook-order
+    index; str -> sheet name (exact match)."""
+    if sheet is None:
+        return _sheet_parts(z)[0][1]
+    parts = _sheet_parts(z)
+    if isinstance(sheet, int):
+        if not 0 <= sheet < len(parts):
+            raise ValueError(
+                f"xlsx: sheet index {sheet} out of range (workbook has "
+                f"{len(parts)} sheet(s))"
+            )
+        return parts[sheet][1]
+    for name, part in parts:
+        if name == sheet:
+            return part
+    raise ValueError(
+        f"xlsx: no sheet named {sheet!r}; workbook has "
+        f"{[n for n, _ in parts]}"
+    )
+
+
+def read_xlsx_rows(path: str, sheet=None) -> tuple[list[str], list[list]]:
+    """Parse one worksheet into (header, rows) of Python values:
     integral number cells -> int (exact, no 2^53 rounding), fractional
     -> float, boolean -> bool, strings (shared or inline, ``_xHHHH_``
-    unescaped) -> str, absent cells -> None. Pure stdlib. Cell STYLES
+    unescaped) -> str, absent cells -> None. Pure stdlib. ``sheet``
+    selects the worksheet: None = first, int = 0-based workbook-order
+    index, str = sheet name (``sheet_names`` lists them). Cell STYLES
     are not interpreted: a date-styled numeric serial from Excel comes
     back as its raw number (write dates as ISO strings, as
     ``write_xlsx`` does, to carry them through)."""
     with zipfile.ZipFile(path) as z:
         shared = _shared_strings(z)
-        sheet = ET.fromstring(z.read(_first_sheet_name(z)))
+        sheet_xml = ET.fromstring(z.read(_resolve_sheet(z, sheet)))
     raw: list[list] = []
     width = 0
-    for row in sheet.iter(f"{_NS}row"):
+    for row in sheet_xml.iter(f"{_NS}row"):
         cells: dict[int, object] = {}
         for c in row.iter(f"{_NS}c"):
             idx = _col_index(c.get("r", ""))
@@ -262,7 +369,7 @@ def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
     return header, raw[1:]
 
 
-def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
+def read_xlsx(spark: SparkSession, path: str, sheet=None) -> DataFrame:
     """XLSX -> DataFrame with the reference's type conformance (INT64 for
     whole-number columns, DOUBLE otherwise, string fallback on mixed
     columns — the same rule as CSV inference, csv.cpp:153-188; XLSX
@@ -276,7 +383,7 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
     literal text 'NaN' becomes a number (and can tip an otherwise-text
     column to double under inference). Every other formula string stays
     text."""
-    header, rows = read_xlsx_rows(path)
+    header, rows = read_xlsx_rows(path, sheet)
     if not header:
         raise ValueError(f"xlsx: {path} has no header row")
     cols: list[list] = list(map(list, zip(*rows))) if rows else [[] for _ in header]

@@ -400,3 +400,90 @@ def test_heatmap_matrix_rejects_non_numeric_value_columns(spark):
     rows, cols, vals = viz.heatmap_matrix(ok)
     assert rows == ["r1", "r2"] and cols == ["a", "b"]
     assert vals == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_xlsx_multi_sheet_read(spark, tmp_path):
+    """sheet= selects by name or 0-based workbook-order index; the
+    workbook.xml + rels mapping is authoritative (here deliberately
+    CROSSED against part filenames), not sheetN.xml numbering."""
+    import zipfile
+
+    from dataframes_spark.io import xlsx as X
+
+    def ws(cells_rows):
+        body = "".join(f'<row r="{i + 1}">{r}</row>' for i, r in enumerate(cells_rows))
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{body}</sheetData></worksheet>"
+        )
+
+    istr = lambda ref, s: f'<c r="{ref}" t="inlineStr"><is><t>{s}</t></is></c>'
+    num = lambda ref, v: f'<c r="{ref}"><v>{v}</v></c>'
+    # "alpha" lives in sheet2.xml, "beta" in sheet1.xml
+    alpha = ws([istr("A1", "a") + istr("B1", "b"), num("A2", 1) + num("B2", 2)])
+    beta = ws([istr("A1", "x"), istr("A2", "hi")])
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="alpha" sheetId="1" r:id="rA"/>'
+        '<sheet name="beta" sheetId="2" r:id="rB"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rA" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rB" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    path = str(tmp_path / "two.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", X._CONTENT_TYPES)
+        z.writestr("_rels/.rels", X._RELS)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", beta)
+        z.writestr("xl/worksheets/sheet2.xml", alpha)
+
+    assert X.sheet_names(path) == ["alpha", "beta"]
+    header, rows = X.read_xlsx_rows(path)  # default: first in workbook order
+    assert header == ["a", "b"] and rows == [[1, 2]]
+    header, rows = X.read_xlsx_rows(path, sheet="beta")
+    assert header == ["x"] and rows == [["hi"]]
+    header, _ = X.read_xlsx_rows(path, sheet=1)
+    assert header == ["x"]
+    df = X.read_xlsx(spark, path, sheet="beta")
+    assert df.columns == ["x"] and df.first().x == "hi"
+    with pytest.raises(ValueError, match="no sheet named"):
+        X.read_xlsx_rows(path, sheet="gamma")
+    with pytest.raises(ValueError, match="out of range"):
+        X.read_xlsx_rows(path, sheet=2)
+
+
+def test_xlsx_shared_strings_writer_roundtrip(spark, tmp_path):
+    import zipfile
+
+    from dataframes_spark.io import xlsx as X
+
+    rows = [(i, "repeated_value", f"u_{i % 3}\x01tail") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "const", "grp"])
+    inline_p = str(tmp_path / "inline.xlsx")
+    shared_p = str(tmp_path / "shared.xlsx")
+    X.write_xlsx(df, inline_p)
+    X.write_xlsx(df, shared_p, shared_strings=True)
+    with zipfile.ZipFile(shared_p) as z:
+        assert "xl/sharedStrings.xml" in z.namelist()
+    # identical data back from both forms (incl. control-char escaping)
+    a = sorted(map(tuple, X.read_xlsx_rows(inline_p)[1]))
+    b = sorted(map(tuple, X.read_xlsx_rows(shared_p)[1]))
+    assert a == b
+    assert b[0][1] == "repeated_value" and b[0][2].startswith("u_0\x01")
+    # the dedup is the point: each distinct string is stored once, so
+    # the total UNCOMPRESSED payload shrinks (zip-level DEFLATE can mask
+    # this on tiny files, so compare the structural size, not the file)
+    def raw_bytes(p):
+        with zipfile.ZipFile(p) as z:
+            return sum(i.file_size for i in z.infolist())
+
+    assert raw_bytes(shared_p) < raw_bytes(inline_p)
