@@ -961,6 +961,57 @@ def minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates (operators/dedup.py
+    near_dup_incremental) in md5 verification mode: the corpus's
+    persisted LSH banding (docs with doc_id % 5 != 0 playing the
+    history store) joined against an arriving batch (doc_id % 5 == 0).
+    Returns (id_new, id_seen) — which new documents look like something
+    already seen, plus earlier-in-batch collisions — without re-banding
+    history. md5 lanes + exact value buckets make the candidate set
+    engine-independent, so the DuckDB twin reproduces it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    store = ddedup.lsh_bucket_store(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        lane_hash="md5",
+    )
+    cands, _ = ddedup.near_dup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        store,
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        lane_hash="md5",
+    )
+    return cands
+
+
+def shard_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way training-shard assignment
+    (operators/sample.py assign_shards: top-60-bits-of-md5 mod n, a
+    map-only expression) with per-shard counts/char volume/id range —
+    the balance report a shard writer checks before materializing. md5
+    arithmetic is engine-universal, so the assignment hash-verifies."""
+    from dataframes_spark.operators.sample import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_shards(docs, "doc_id", 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 def ivf_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe with PINNED centroids (operators/similarity.py
     ivf_assign + ivf_topk): the KMeans fit is inherently un-oracle-able
@@ -1893,7 +1944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- entered the window round 5 (rotation promise + new queries)
         "pack_documents_cumsum": pack_documents_cumsum,
         "chunk_documents": chunk_documents,
-        "pack_documents_greedy": pack_documents_greedy,
         "minhash_signatures_md5": minhash_signatures_md5,
         "decontaminate_docs": decontaminate_docs,
         "lsh_buckets_md5": lsh_buckets_md5,
@@ -1959,7 +2009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings stay via embedding_near_dup_pairs, plain aggs via
         # q1 + cube
         "facade_column_surgery": facade_column_surgery,
-        "facade_from_columns_index": facade_from_columns_index,
         # read_text_csv_agg (readText RFC-4180 edges) + feather_roundtrip
         # (the reference's interchange format): last unit-only IO
         # surfaces gain driver rows; reproducible_sample and
@@ -1987,12 +2036,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays in-window via xlsx_roundtrip_agg + feather_roundtrip_agg
         # + read_text_csv_agg.
         "attribution_stream_clicks": attribution_stream_clicks,
+        # round 7 (continuation): incremental near-dup candidates vs a
+        # persisted LSH bucket store (the fuzzy twin of
+        # dedup_incremental_docs — arriving batch, history never
+        # re-banded; md5 lane, so the candidate set hash-verifies) and
+        # the deterministic md5-mod shard assignment report. To hold the
+        # window at 50, pack_documents_greedy and facade_from_columns_index
+        # (both green r5-r6) rotate out — packing stays in-window via
+        # pack_documents_cumsum + chunk_documents, the facade via
+        # facade_column_surgery.
+        "near_dup_incremental_docs": near_dup_incremental_docs,
+        "shard_report_docs": shard_report_docs,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "ols_price_qty": ols_price_qty,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
         "csv_roundtrip_agg": csv_roundtrip_agg,
+        "pack_documents_greedy": pack_documents_greedy,
+        "facade_from_columns_index": facade_from_columns_index,
         "pandas_map_column": pandas_map_column,
         "setop_custkeys": setop_custkeys,
         "shared_passages_docs": shared_passages_docs,
@@ -3440,6 +3502,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b USING (band, bucket)
             WHERE a.doc_id < b.doc_id
+        """,
+        "near_dup_incremental_docs": """
+            WITH norm AS (
+                SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+                FROM norm
+            ), sh AS (
+                SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+                FROM pos
+            ), hv AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+                FROM sh
+            ), lanes AS (
+                SELECT doc_id, h, unnest(range(0, 16)) AS lane FROM hv
+            ), sig AS (
+                SELECT doc_id, lane,
+                       min((h * (2 * lane + 1) + 7919 * (lane + 1)) % 2147483647) AS mh
+                FROM lanes GROUP BY doc_id, lane
+            ), sigarr AS (
+                SELECT doc_id, list(mh ORDER BY lane) AS sg FROM sig GROUP BY doc_id
+            ), banded AS (
+                SELECT doc_id, band,
+                       array_to_string(list_slice(sg, band * 4 + 1, band * 4 + 4), ',') AS bucket
+                FROM sigarr, (SELECT unnest(range(0, 4)) AS band)
+            ), newb AS (
+                SELECT * FROM banded WHERE doc_id % 5 = 0
+            ), oldb AS (
+                SELECT * FROM banded WHERE doc_id % 5 <> 0
+            )
+            SELECT DISTINCT id_new, id_seen FROM (
+                SELECT b.doc_id AS id_new, a.doc_id AS id_seen
+                FROM newb a JOIN newb b USING (band, bucket)
+                WHERE a.doc_id < b.doc_id
+                UNION ALL
+                SELECT n.doc_id AS id_new, o.doc_id AS id_seen
+                FROM newb n JOIN oldb o USING (band, bucket)
+            )
+        """,
+        "shard_report_docs": """
+            WITH sharded AS (
+                SELECT n_chars, doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/shard'), 1, 15))::BIGINT % 8 AS INT) AS shard
+                FROM documents
+            )
+            SELECT shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM sharded GROUP BY shard
         """,
         "ivf_probe_pinned": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -57,6 +57,31 @@ def write_fingerprints(
     write_bucketed(fps, table, bucket_by="xx", num_buckets=num_buckets, mode=mode)
 
 
+def write_lsh_store(
+    banded: DataFrame, table: str, num_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist an incremental near-dup LSH store
+    (``dedup.lsh_bucket_store``, flat ``(id, band, bucket)`` schema)
+    BUCKETED BY ``(band, bucket)``. ``near_dup_incremental``'s candidate
+    join uses exactly those equi-keys, so the bucketed store's scan-time
+    partitioning satisfies the join's required distribution and the
+    history side never reshuffles — per-batch near-dup detection stays
+    O(batch) in shuffle volume as the store grows (plan pinned in
+    tests/test_plans.py)."""
+    write_bucketed(
+        banded, table, bucket_by=("band", "bucket"), num_buckets=num_buckets, mode=mode
+    )
+
+
+def read_lsh_store(spark: SparkSession, table: str) -> DataFrame:
+    """Read a persisted LSH bucket store (flat ``(id, band, bucket)``) —
+    bucket metadata flows from the catalog, so the candidate join's
+    ``(band, bucket)`` equi-keys stay co-located. Do NOT project the
+    columns through expressions: a projection over the scan discards
+    its bucketed output partitioning."""
+    return spark.table(table)
+
+
 def read_fingerprints(spark: SparkSession, table: str) -> DataFrame:
     """Read a persisted fingerprint store (flat ``(len, xx, md5)``) —
     bucket metadata flows from the catalog, so the incremental anti

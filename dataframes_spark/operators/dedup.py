@@ -417,10 +417,12 @@ def _bucket_pair_expand(banded: DataFrame) -> DataFrame:
     )
 
 
-def _banded_pairs(
+def _banded_relation(
     sigs: DataFrame, num_hashes: int, bands: int, exact_buckets: bool = False
 ) -> DataFrame:
-    """Banded-LSH candidate pairs from a (id, signature) relation.
+    """``(id, band, bucket)`` relation from a (id, signature) relation —
+    the banding step of LSH, exposed flat so it can be PERSISTED as an
+    incremental-candidate store (see :func:`lsh_bucket_store`).
 
     Bands are generated from ONE reference to the signature (transform
     over a band-index sequence) — a per-band literal array would inline
@@ -431,7 +433,12 @@ def _banded_pairs(
     (no collision-induced extra candidates), and — because serialization
     is plain comma-joined decimal — any engine reproduces the identical
     bucket key, which is what makes the md5 verification lane of
-    ``minhash_lsh_pairs`` cross-engine hash-checkable."""
+    ``minhash_lsh_pairs`` cross-engine hash-checkable.
+
+    Bucket values are deterministic and seed-free (affine coefficients
+    are fixed; the base hash is xxhash64 or md5 of the shingle), so
+    buckets computed in DIFFERENT runs are comparable — the property
+    the incremental store depends on."""
     rows_per_band = num_hashes // bands
 
     def bucket_of(b):
@@ -442,7 +449,7 @@ def _banded_pairs(
             return F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
         return F.xxhash64(sl)
 
-    banded = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.transform(
@@ -451,7 +458,14 @@ def _banded_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    return _bucket_pair_expand(banded)
+
+
+def _banded_pairs(
+    sigs: DataFrame, num_hashes: int, bands: int, exact_buckets: bool = False
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a (id, signature) relation: band
+    (see :func:`_banded_relation`), then expand in-bucket pairs."""
+    return _bucket_pair_expand(_banded_relation(sigs, num_hashes, bands, exact_buckets))
 
 
 def jaccard_pairs(
@@ -988,3 +1002,88 @@ def exact_dedup_incremental(
     # store on every increment, breaking the O(batch) contract
     updated = seen_fps.unionByName(content_fingerprints(fresh, text_col))
     return fresh, updated
+
+
+def lsh_bucket_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    lane_hash: str = "xxhash64",
+) -> DataFrame:
+    """Flat ``(id, band, bucket)`` LSH banding of a corpus — the
+    persistable candidate STORE for incremental NEAR-dup detection
+    (the :func:`exact_dedup_incremental` counterpart for fuzzy
+    duplicates). ~``bands`` small rows per document, no text retained.
+
+    Bucket values are deterministic and seed-free, so a store written
+    today is joinable against bands computed from tomorrow's batch —
+    provided (num_hashes, bands, shingle_k, lane_hash) match; the
+    caller owns keeping those constant across increments.
+
+    Persist with ``io.bucketed.write_lsh_store`` (bucketed by
+    ``(band, bucket)``): :func:`near_dup_incremental`'s candidate join
+    uses exactly those equi-keys, so the store side never reshuffles."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, lane_hash=lane_hash
+    ).select(F.col(id_col).alias("id"), "signature")
+    return _banded_relation(sigs, num_hashes, bands, exact_buckets=lane_hash == "md5")
+
+
+def near_dup_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    lane_hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-duplicate candidates: which arriving documents
+    look like something the corpus has ALREADY seen — without
+    re-banding history. Returns ``(candidates, updated_store)``:
+
+    - ``candidates`` — distinct ``(id_new, id_seen)`` pairs where
+      ``id_new`` is a batch document and ``id_seen`` is either a stored
+      document sharing an LSH bucket in ANY band, or an earlier
+      (smaller-id) batch document sharing one (the in-batch rule
+      mirrors ``exact_dedup``'s min-id representative: the later
+      arrival is the suspected duplicate);
+    - ``updated_store`` — the store plus the batch's banding, ready to
+      persist for the next increment.
+
+    Candidates are LSH candidates, not verified near-dups: fetch the
+    seen documents' text by id from the corpus and confirm with
+    ``jaccard_verify`` (the store keeps no text — at 1e10 documents the
+    store is ~32 B x bands per doc, the corpus stays where it lives).
+
+    Scale shape: the batch is shingled/hashed once (map-only), then ONE
+    equi-join on ``(band, bucket)`` against the store. A store bucketed
+    on exactly those keys (``io.bucketed.write_lsh_store``) satisfies
+    the join's required distribution as scanned — history never
+    reshuffles, so per-batch cost is O(batch + colliding buckets) no
+    matter how large the store grows (plan pinned in
+    ``tests/test_plans.py``). The in-batch pairs reuse the batch's own
+    banding (batch-sized groupBy). No .distinct() on the store union:
+    batch ids are assumed new (run ``exact_dedup_incremental`` first),
+    and a distinct would re-shuffle the FULL store every increment."""
+    fresh_banded = lsh_bucket_store(
+        new_df, text_col, id_col, num_hashes, bands, shingle_k, lane_hash
+    )
+    in_batch = _bucket_pair_expand(fresh_banded).select(
+        F.col("id_b").alias("id_new"), F.col("id_a").alias("id_seen")
+    )
+    vs_store = (
+        fresh_banded.alias("n")
+        .join(store.alias("s"), ["band", "bucket"])
+        .filter(F.col("n.id") != F.col("s.id"))
+        .select(F.col("n.id").alias("id_new"), F.col("s.id").alias("id_seen"))
+    )
+    # the union is candidate-pair-sized (post-LSH), so this distinct is
+    # cheap; it collapses multi-band collisions from the store join
+    candidates = in_batch.unionByName(vs_store).distinct()
+    updated = store.unionByName(fresh_banded)
+    return candidates, updated

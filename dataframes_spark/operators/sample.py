@@ -119,6 +119,38 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def assign_shards(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic uniform N-way shard assignment: a ``shard`` column
+    in ``[0, n_shards)`` from the top 60 bits of ``md5(key || '/' ||
+    salt)`` mod ``n_shards``. The training-shard writer's partitioner:
+    the same document lands in the same shard on any engine, cluster
+    size, or rerun (unlike ``repartition(n)``, whose assignment depends
+    on the input partitioning), so shard contents are reproducible and
+    incrementally appendable — new documents never move old ones.
+
+    md5 (not xxhash64) on purpose: the hex arithmetic is a universal
+    standard, so the assignment is verifiable bit-for-bit in DuckDB /
+    Trino / any md5-capable engine. 60 bits keeps the parsed value
+    positive in int64, so ``%`` and ``pmod`` agree everywhere.
+
+    One map-only expression, no shuffle. To materialize:
+    ``assign_shards(df, ...).write.partitionBy("shard")`` (or
+    ``repartition("shard")`` first for one file per shard), composing
+    with ``write_parquet_sized`` for bounded file sizes."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("/" + salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight_col: str,

@@ -146,6 +146,85 @@ def test_fingerprint_store_roundtrip_bucketed(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup (lsh_bucket_store + near_dup_incremental)
+# ---------------------------------------------------------------------------
+
+_LONG = (
+    "the quick brown fox jumps over the lazy dog while seventy two "
+    "pelicans argue about the correct partitioning of a hundred terabyte "
+    "corpus and the merits of banded locality sensitive hashing"
+)
+
+
+def test_near_dup_incremental_detects_seen_and_in_batch(spark):
+    from dataframes_spark.operators import dedup as dd
+
+    store_docs = spark.createDataFrame(
+        [(1, _LONG), (2, "completely unrelated content about spreadsheets")],
+        "doc_id long, text string",
+    )
+    store = dd.lsh_bucket_store(store_docs, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, _LONG),  # exact copy of stored doc 1: collides in EVERY band
+            (11, _LONG + " with a small suffix edit"),  # near-dup of 1 and 10
+            (12, "zebra xylophone quartz jigsaw vortex plasma nebula"),
+        ],
+        "doc_id long, text string",
+    )
+    cands, updated = dd.near_dup_incremental(batch, store, "text", "doc_id")
+    pairs = {(r.id_new, r.id_seen) for r in cands.collect()}
+    assert (10, 1) in pairs  # new vs stored
+    assert (11, 1) in pairs  # near-dup vs stored (deterministic: fixed texts)
+    assert (11, 10) in pairs  # in-batch: later arrival is the suspect
+    assert not any(12 in p for p in pairs)  # unrelated doc never pairs
+    # updated store appends exactly the batch's banding: bands rows per doc
+    assert updated.count() == store.count() + 16 * 3
+
+
+def test_near_dup_incremental_empty_batch_and_empty_store(spark):
+    from dataframes_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(1, _LONG)], "doc_id long, text string")
+    store = dd.lsh_bucket_store(docs, "text", "doc_id")
+    # empty batch: no candidates, store unchanged
+    cands, updated = dd.near_dup_incremental(
+        docs.limit(0), store, "text", "doc_id"
+    )
+    assert cands.count() == 0 and updated.count() == store.count()
+    # empty store: only in-batch pairs possible
+    batch = spark.createDataFrame(
+        [(10, _LONG), (11, _LONG)], "doc_id long, text string"
+    )
+    cands2, _ = dd.near_dup_incremental(
+        batch, store.limit(0), "text", "doc_id"
+    )
+    assert {(r.id_new, r.id_seen) for r in cands2.collect()} == {(11, 10)}
+
+
+def test_lsh_store_roundtrip_bucketed(spark):
+    import uuid
+
+    from dataframes_spark.io import bucketed as B
+    from dataframes_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, _LONG), (2, "other text entirely, about teapots")],
+        "doc_id long, text string",
+    )
+    tbl = f"lsh_{uuid.uuid4().hex[:8]}"
+    try:
+        B.write_lsh_store(dd.lsh_bucket_store(docs, "text", "doc_id"), tbl, num_buckets=4)
+        store = B.read_lsh_store(spark, tbl)
+        assert store.count() == 16 * 2
+        batch = spark.createDataFrame([(10, _LONG)], "doc_id long, text string")
+        cands, _ = dd.near_dup_incremental(batch, store, "text", "doc_id")
+        assert {(r.id_new, r.id_seen) for r in cands.collect()} == {(10, 1)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_table_facade_pipeline_hooks(spark):
     from dataframes_spark import quality as Q
     from dataframes_spark.core.table import Table

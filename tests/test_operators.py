@@ -467,3 +467,32 @@ def test_top_k_by_group_nulls_never_claim_slots(spark):
     assert sorted(r.v for r in lo.collect()) == [1, 3]  # not [None, 1]
     hi = dsort.top_k_by_group(df, "g", "v", 2, descending=True, tiebreak_col="v")
     assert sorted(r.v for r in hi.collect()) == [3, 5]
+
+
+def test_assign_shards_deterministic_and_uniformish(spark):
+    from dataframes_spark.operators.sample import assign_shards
+
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    out = assign_shards(df, "doc_id", 8)
+    rows = {r.doc_id: r.shard for r in out.collect()}
+    assert set(rows.values()) <= set(range(8))
+    # every shard is hit and no shard hogs the corpus (md5 is uniform)
+    counts = [list(rows.values()).count(s) for s in range(8)]
+    assert min(counts) > 0 and max(counts) < 2 * 2000 / 8
+    # deterministic under any physical partitioning
+    rows2 = {r.doc_id: r.shard for r in assign_shards(df.repartition(7), "doc_id", 8).collect()}
+    assert rows == rows2
+    # a different salt reshuffles assignments
+    rows3 = {r.doc_id: r.shard for r in assign_shards(df, "doc_id", 8, salt="v2").collect()}
+    assert rows != rows3
+
+
+def test_assign_shards_edge_cases(spark):
+    import pytest as _pytest
+
+    from dataframes_spark.operators.sample import assign_shards
+
+    df = spark.range(10).selectExpr("id AS doc_id")
+    assert {r.shard for r in assign_shards(df, "doc_id", 1).collect()} == {0}
+    with _pytest.raises(ValueError):
+        assign_shards(df, "doc_id", 0)

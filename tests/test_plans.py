@@ -439,3 +439,41 @@ def test_incremental_dedup_bucketed_store_never_reshuffles(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_near_dup_incremental_bucketed_store_never_reshuffles(spark, tmp_path):
+    """The LSH bucket store's point mirrors the fingerprint store's:
+    bucketed by exactly the candidate join's (band, bucket) equi-keys,
+    the history branch must read Bucketed: true with NO Exchange above
+    the scan — only the (small) arriving batch re-bands and shuffles."""
+    import uuid
+
+    from dataframes_spark.io import bucketed as B
+    from dataframes_spark.operators import dedup as dd
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tbl = f"lsh_plan_{uuid.uuid4().hex[:8]}"
+    try:
+        b1 = spark.createDataFrame(
+            [(i, f"document body number {i} with some shared phrasing") for i in range(200)],
+            "doc_id long, text string",
+        )
+        B.write_lsh_store(dd.lsh_bucket_store(b1, "text", "doc_id"), tbl, num_buckets=4)
+        store = B.read_lsh_store(spark, tbl)
+        b2 = spark.createDataFrame(
+            [(900, "document body number 7 with some shared phrasing")],
+            "doc_id long, text string",
+        )
+        cands, _ = dd.near_dup_incremental(b2, store, "text", "doc_id")
+        p = cands._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p
+        # the store branch (the subtree ending at the bucketed FileScan)
+        # must contain no Exchange between its Sort and the scan
+        idx = p.find("+- Sort [band")
+        assert idx != -1, p  # a missing marker must not pass vacuously
+        assert "Exchange" not in p[idx:].split("FileScan")[0]
+        assert cands.count() >= 1  # doc 7 collides with the new arrival
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
