@@ -1371,6 +1371,31 @@ def pack_documents_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_materialize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack assignment -> MATERIALIZED training rows
+    (operators/pack.py materialize_packs): per-source cumsum packing,
+    then one budget-bounded groupBy that concatenates each pack's
+    documents in order. md5 of the packed text pins every byte of
+    every window while keeping the hash compare small."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", "text", F.length("text").alias("sz")
+    )
+    packed = dpack.pack_by_cumsum(
+        sized, "sz", 4096, "doc_id", partition_by="source"
+    )
+    out = dpack.materialize_packs(
+        packed, "text", "doc_id", "doc_id", partition_by="source"
+    )
+    return out.select(
+        "source",
+        "pack_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars_packed"),
+        F.md5(F.col("text").cast("binary")).alias("pack_md5"),
+    )
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size chunking (500 chars, 50 overlap) — pure
     expression explode, no shuffle. md5 stands in for the chunk body so
@@ -1942,7 +1967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnow_fingerprints_docs, which it composes on
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
         # -- entered the window round 5 (rotation promise + new queries)
-        "pack_documents_cumsum": pack_documents_cumsum,
         "chunk_documents": chunk_documents,
         "minhash_signatures_md5": minhash_signatures_md5,
         "decontaminate_docs": decontaminate_docs,
@@ -2047,12 +2071,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # facade_column_surgery.
         "near_dup_incremental_docs": near_dup_incremental_docs,
         "shard_report_docs": shard_report_docs,
+        # round 7 (continuation): pack materialization — the packed
+        # windows themselves, every byte pinned via md5. SUBSUMES the
+        # cumsum assignment it composes, so pack_documents_cumsum
+        # (green r5-r6) rotates below; packing keeps two in-window rows
+        # (chunk_documents + this).
+        "pack_materialize_docs": pack_materialize_docs,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "ols_price_qty": ols_price_qty,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
         "csv_roundtrip_agg": csv_roundtrip_agg,
+        "pack_documents_cumsum": pack_documents_cumsum,
         "pack_documents_greedy": pack_documents_greedy,
         "facade_from_columns_index": facade_from_columns_index,
         "pandas_map_column": pandas_map_column,
@@ -3316,6 +3347,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_size,
                    round(SUM(n_chars) / 4096.0, 6) AS fill
             FROM cum GROUP BY 1
+        """,
+        "pack_materialize_docs": """
+            WITH sized AS (
+                SELECT source, doc_id, text, length(text) AS sz FROM documents
+            ), cum AS (
+                SELECT source, doc_id, text, sz,
+                       COALESCE(SUM(sz) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS c
+                FROM sized
+            ), packed AS (
+                SELECT source, doc_id, text,
+                       CAST(FLOOR(c / 4096) AS BIGINT) AS pack_id
+                FROM cum
+            )
+            SELECT source, pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(length(string_agg(coalesce(text, ''),
+                        chr(10) || chr(10) ORDER BY doc_id, doc_id))
+                        AS BIGINT) AS n_chars_packed,
+                   md5(string_agg(coalesce(text, ''),
+                        chr(10) || chr(10) ORDER BY doc_id, doc_id)) AS pack_md5
+            FROM packed GROUP BY source, pack_id
         """,
         "chunk_documents": """
             WITH n AS (

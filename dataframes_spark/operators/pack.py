@@ -166,6 +166,54 @@ def pack_greedy(
     )
 
 
+def materialize_packs(
+    packed: DataFrame,
+    text_col: str,
+    id_col: str,
+    order_by: str,
+    sep: str = "\n\n",
+    partition_by: str | None = None,
+) -> DataFrame:
+    """ONE training row per pack: the pack's documents concatenated in
+    ``order_by`` order with ``sep`` between them — the materialization
+    step after :func:`pack_by_cumsum` / :func:`pack_greedy` assign
+    ``pack_id``. Returns the pack keys plus ``text`` (the packed
+    window), ``doc_ids`` (provenance, in concatenation order),
+    ``n_docs`` and ``n_chars``.
+
+    Scale shape: one groupBy on the pack keys — the ONLY shuffle, and
+    it moves each document's text exactly once. Ordering happens
+    inside the aggregation buffer (collect structs, ``array_sort``,
+    join) instead of a window sort over the whole corpus; pack groups
+    are budget-bounded (~budget chars of text each), so buffers stay
+    small no matter the corpus size. NULL texts concatenate as ''
+    (mirroring ``chunk_text``'s rule: the document still occupies its
+    slot and its id stays in provenance)."""
+    keys = ([partition_by] if partition_by else []) + ["pack_id"]
+    # array_sort on structs orders by field position: order_by, then id
+    # as the deterministic tiebreaker for duplicate order values
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_by).alias("o"),
+                F.col(id_col).alias("i"),
+                F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+            )
+        )
+    )
+    return (
+        packed.groupBy(*keys)
+        .agg(members.alias("__m"))
+        .select(
+            *keys,
+            F.array_join(F.transform("__m", lambda s: s["t"]), sep).alias("text"),
+            F.transform("__m", lambda s: s["i"]).alias("doc_ids"),
+            F.size("__m").alias("n_docs"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+
+
 def pack_stats(packed: DataFrame, size_col: str, budget: int) -> DataFrame:
     """Utilization report for a packed frame: one row per pack plus the
     ``fill`` ratio — the monitoring twin every packing job should emit."""

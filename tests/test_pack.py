@@ -181,3 +181,36 @@ def test_chunk_text_null_text_keeps_row(spark):
     got = {(r.id, r.chunk_index): r.chunk for r in dpack.chunk_text(df, "text", "doc_id", 4).collect()}
     assert got[(1, 0)] == ""
     assert got[(2, 0)] == "abcd"
+
+
+def test_materialize_packs_orders_and_concats(spark):
+    from dataframes_spark.operators import pack as P
+
+    df = spark.createDataFrame(
+        [("a", 3, "ccc", 1), ("a", 1, "aaa", 1), ("a", 2, None, 1),
+         ("b", 9, "zz", 0)],
+        "src string, doc_id long, text string, pack_id long",
+    )
+    out = P.materialize_packs(df, "text", "doc_id", "doc_id", sep="|", partition_by="src")
+    rows = {(r.src, r.pack_id): r for r in out.collect()}
+    a = rows[("a", 1)]
+    # ordered by doc_id; NULL text concatenates as ''
+    assert a.text == "aaa||ccc"
+    assert a.doc_ids == [1, 2, 3]
+    assert a.n_docs == 3 and a.n_chars == len("aaa||ccc")
+    b = rows[("b", 0)]
+    assert b.text == "zz" and b.doc_ids == [9]
+
+
+def test_materialize_packs_composes_with_cumsum(spark):
+    from dataframes_spark.operators import pack as P
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 40) for i in range(10)], "doc_id long, text string"
+    ).selectExpr("doc_id", "text", "length(text) AS sz")
+    packed = P.pack_by_cumsum(docs, "sz", 100, "doc_id")
+    out = P.materialize_packs(packed, "text", "doc_id", "doc_id")
+    got = sorted((r.pack_id, r.n_docs) for r in out.collect())
+    # 40-char docs vs 100 budget: exclusive-cumsum rule packs 3,2,3,2
+    assert [n for _, n in got] == [3, 2, 3, 2]
+    assert all(r.n_chars == r.n_docs * 40 + (r.n_docs - 1) * 2 for r in out.collect())
