@@ -2340,6 +2340,11 @@ def oracle_sql() -> dict[str, str]:
                          AND CURRENT ROW)
         """,
         "interpolate_linear": f"""
+            -- O(n log n) formulation on purpose: DuckDB 1.0 executes
+            -- IGNORE NULLS over unbounded frames with a per-row frame
+            -- scan (quadratic — ~20 min at the 100k-row sf0.1 events
+            -- table). min/max frames stream through segment trees, and
+            -- the neighbor VALUES come back via two equi-joins on pos.
             WITH base AS (
                 SELECT event_id,
                        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
@@ -2347,20 +2352,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ), w AS (
                 SELECT event_id, pos, v,
-                    last_value(v IGNORE NULLS) OVER wb AS pv,
-                    first_value(v IGNORE NULLS) OVER wf AS nv,
-                    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wb AS pp,
-                    first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS np
+                    max(CASE WHEN v IS NOT NULL THEN pos END) OVER
+                        (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+                    min(CASE WHEN v IS NOT NULL THEN pos END) OVER
+                        (ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
                 FROM base
-                WINDOW wb AS (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                       wf AS (ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
             )
-            SELECT event_id,
-                   round(CASE WHEN v IS NOT NULL THEN v
-                              WHEN pv IS NULL THEN nv
-                              WHEN nv IS NULL THEN pv
-                              ELSE pv + (nv - pv) * (pos - pp) / (np - pp) END, 6) AS value
+            SELECT w.event_id,
+                   round(CASE WHEN w.v IS NOT NULL THEN w.v
+                              WHEN bp.v IS NULL THEN bn.v
+                              WHEN bn.v IS NULL THEN bp.v
+                              ELSE bp.v + (bn.v - bp.v) * (w.pos - w.pp) / (w.np - w.pp) END,
+                         6) AS value
             FROM w
+            LEFT JOIN base bp ON bp.pos = w.pp
+            LEFT JOIN base bn ON bn.pos = w.np
         """,
         "fillna_zero": f"""
             WITH ev AS ({_EVENTS_NULLS_SQL})
