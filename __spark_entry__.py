@@ -516,6 +516,34 @@ def correlations_with_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("column", F.round("corr", 6).alias("corr"))
 
 
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip through write_auto/read_auto (Spark's second
+    native columnar format — magic-byte sniffed like the reference's
+    signature chain, IO.cpp:182-216), then aggregate. Types survive
+    natively (no inference), so longs/doubles/strings come back exact;
+    the oracle aggregates the source table directly, proving
+    losslessness."""
+    import os
+
+    from dataframes_spark.io import readers as dio_r
+    from dataframes_spark.io import writers as dio_w
+
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = os.path.join(_scratch_dir("spark_graft_orc_"), "orders.orc")
+    dio_w.write_auto(ords, path)
+    back = dio_r.read_auto(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_orderkey").alias("first_order"),
+        F.max("o_custkey").alias("last_cust"),
+    )
+
+
 def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table.write -> Table.read CSV roundtrip (SURVEY §2.1: RFC-4180
     parser + type inference), then aggregate — proves the IO path is
@@ -2147,6 +2175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JSONL — the LLM-corpus interchange format — through the native
         # distributed json source; verified by the local sweep + tests
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
+        # round 7, below window (same reasoning): ORC — Spark's second
+        # native columnar format — through write_auto/read_auto
+        "orc_roundtrip_agg": orc_roundtrip_agg,
         # round 6, below window (dedup family has 6 in-window rows):
         # arriving-batch dedup against a persisted fingerprint store
         "dedup_incremental_docs": dedup_incremental_docs,
@@ -2592,6 +2623,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    min(doc_id) AS first_doc
             FROM documents GROUP BY source
+        """,
+        "orc_roundtrip_agg": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                   min(o_orderkey) AS first_order,
+                   max(o_custkey) AS last_cust
+            FROM orders GROUP BY o_orderstatus
         """,
         "quality_report_lineitem": """
             WITH s AS (
