@@ -123,3 +123,50 @@ def dedup_representatives(
     return df.join(
         F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
     )
+
+
+def dedup_representatives_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    keep: str = "max",
+) -> DataFrame:
+    """Keep-one-per-cluster dedup that picks the BEST row per duplicate
+    cluster instead of the smallest id: within each connected component
+    the survivor is the row with the ``keep`` (``"max"``/``"min"``)
+    value of ``score_col``, ties broken by smallest id — the form real
+    corpus dedup wants (keep the longest / highest-quality / newest
+    copy, drop the rest). Singletons always survive; NULL scores lose
+    to any non-null score.
+
+    Scale shape mirrors :func:`dedup_representatives`: components,
+    scores, and the ranking window all live on the PAIR-sized member
+    relation (tiny vs the corpus — one broadcast join pulls the
+    members' scores out of the corpus), and the corpus itself is
+    touched only by the final broadcast anti join — it never
+    shuffles."""
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
+    from pyspark.sql import Window as W
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+    ).join(F.broadcast(comp), "id")
+    order = (
+        F.col("__s").desc_nulls_last()
+        if keep == "max"
+        else F.col("__s").asc_nulls_last()
+    )
+    w = W.partitionBy("component").orderBy(order, F.col("id").asc())
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select("id")
+    )
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
+    )

@@ -310,3 +310,37 @@ def test_cap_per_group_small_groups_untouched(spark):
     df = spark.range(5).select(F.col("id"), F.lit("only").alias("src"))
     out = cap_per_group(df, "src", 10, "id")
     assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_dedup_representatives_by_keeps_best(spark):
+    from dataframes_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, 5.0), (9, 1.0)],
+        "doc_id long, score double",
+    )
+    # cluster {1,2,3} (transitive via 2), {4} via no edges, 9 singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = G.dedup_representatives_by(df, pairs, "doc_id", "score", keep="max")
+    # max score 30.0 tie between 2 and 3 -> smaller id 2 wins; singletons survive
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4, 9]
+    low = G.dedup_representatives_by(df, pairs, "doc_id", "score", keep="min")
+    assert sorted(r.doc_id for r in low.collect()) == [1, 4, 9]
+
+
+def test_dedup_representatives_by_null_scores_lose(spark):
+    import pytest as _pytest
+
+    from dataframes_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 7.0)], "doc_id long, score double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = G.dedup_representatives_by(df, pairs, "doc_id", "score", keep="max")
+    assert [r.doc_id for r in kept.collect()] == [2]
+    # and for keep="min" a NULL still loses to any real score
+    kept2 = G.dedup_representatives_by(df, pairs, "doc_id", "score", keep="min")
+    assert [r.doc_id for r in kept2.collect()] == [2]
+    with _pytest.raises(ValueError):
+        G.dedup_representatives_by(df, pairs, "doc_id", "score", keep="best")
