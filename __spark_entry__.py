@@ -544,6 +544,39 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + planning-time partition pruning: events
+    written ``event_type=<v>/...`` via write_partitioned (pre-shuffled,
+    so exactly ONE file per partition value — the small-files fix), read
+    back filtered to two of the five types. The filter prunes whole
+    directories before any file is opened (PartitionFilters on the scan
+    — pinned in tests/test_plans.py); the oracle aggregates the source
+    table under the same predicate, proving the partitioned layout is
+    lossless AND the pruned read still sees every matching row."""
+    import os
+
+    from dataframes_spark.io import writers as dio_w
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(_scratch_dir("spark_graft_part_"), "events_by_type")
+    dio_w.write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("user_id").alias("last_user"),
+        )
+    )
+
+
 def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table.write -> Table.read CSV roundtrip (SURVEY §2.1: RFC-4180
     parser + type inference), then aggregate — proves the IO path is
@@ -1991,8 +2024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window in favor of their md5 twins. Every rotated-out row is multiply
     # driver-green (r1-r4) and stays covered by tools/check_oracle.py
     # (full 97-query sweeps at sf0.01 AND sf0.1 this round: 0 failed)
-    # and the unit suite. Keep this discipline: any NEW query must enter
-    # within the first 50 in the round it ships.
+    # and the unit suite. Round 7: every query that shipped in rounds 6-7
+    # without ever receiving a driver row enters the window (see the
+    # rotation-sweep comment below) — driver coverage now reaches the
+    # whole inventory at least once. Keep this discipline: any NEW query
+    # must enter within the first 50 in the round it ships.
     return {
         # -- round 6: the last two in-window rows-only queries are
         #    replaced by hash-VERIFIED twins. minhash_lsh_pairs_md5
@@ -2005,15 +2041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_pinned": ivf_probe_pinned,
         "frame_sample_timestamps": frame_sample_timestamps,
         "pipeline_clean_corpus": pipeline_clean_corpus,
-        "sessionize_events": sessionize_events,
-        "json_props_rollup": json_props_rollup,
-        "embedding_near_dup_pairs": embedding_near_dup_pairs,
-        "range_join_purchase_clicks": range_join_purchase_clicks,
-        "time_rollup_events": time_rollup_events,
-        # shared_passages_docs (green r4-r5) rotated below in round 6 to
-        # hold the window at 50; its winnowing family stays in-window via
-        # winnow_fingerprints_docs, which it composes on
-        "winnow_fingerprints_docs": winnow_fingerprints_docs,
         # -- entered the window round 5 (rotation promise + new queries)
         "chunk_documents": chunk_documents,
         "minhash_signatures_md5": minhash_signatures_md5,
@@ -2131,6 +2158,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green r5-r6) rotates below; the graph family stays in-window
         # via this row.
         "dedup_best_quality_docs": dedup_best_quality_docs,
+        # round 7 (rotation sweep): the five queries that shipped in
+        # rounds 6-7 but had never had a driver row enter the window —
+        # driver coverage should reach every query at least once. To
+        # hold the window at 50, five TRIPLY-green (r4-r6) rows rotate
+        # below, each with its family still in-window:
+        #   sessionize_events -> streaming stays via
+        #     attribution_stream_clicks (a stream that actually runs);
+        #   embedding_near_dup_pairs -> embeddings stay via
+        #     embedding_near_dup_clusters, which COMPOSES the pair stage;
+        #   range_join_purchase_clicks -> range joins stay via
+        #     interval_overlap_purchases + the stream twin above;
+        #   time_rollup_events -> time bucketing stays via
+        #     resample_events_hourly;
+        #   json_props_rollup -> JSON parsing stays via
+        #     jsonl_roundtrip_agg (the distributed json source lane).
+        "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
+        "orc_roundtrip_agg": orc_roundtrip_agg,
+        "dedup_incremental_docs": dedup_incremental_docs,
+        "quality_report_lineitem": quality_report_lineitem,
+        "embedding_near_dup_clusters": embedding_near_dup_clusters,
+        # round 7 (new): hive-partitioned write + planning-time partition
+        # pruning — the 100 TB layout primitive (write_partitioned solves
+        # the P*K small-files explosion; the read prunes directories via
+        # PartitionFilters). winnow_fingerprints_docs (green r4-r6, the
+        # last remaining triply-green row) rotates below; the
+        # fingerprinting family stays in-window via
+        # minhash_signatures_md5 + simhash_fingerprints_md5, and winnow
+        # itself stays in the full local sweep + unit suite.
+        "partitioned_prune_events": partitioned_prune_events,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         "ols_price_qty": ols_price_qty,
@@ -2198,21 +2254,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rows_100": rolling_rows_100,
         "rolling_rsi_100": rolling_rsi_100,
         "rolling_range_numeric": rolling_range_numeric,
-        # round 6, below window (IO family already has 4 in-window rows):
-        # JSONL — the LLM-corpus interchange format — through the native
-        # distributed json source; verified by the local sweep + tests
-        "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
-        # round 7, below window (same reasoning): ORC — Spark's second
-        # native columnar format — through write_auto/read_auto
-        "orc_roundtrip_agg": orc_roundtrip_agg,
-        # round 6, below window (dedup family has 6 in-window rows):
-        # arriving-batch dedup against a persisted fingerprint store
-        "dedup_incremental_docs": dedup_incremental_docs,
-        # round 6, below window: one-pass Deequ-style quality gate
-        "quality_report_lineitem": quality_report_lineitem,
-        # round 6, below window: semantic-dedup closure (embedding twin
-        # of near_dup_clusters, which holds the window's graph row)
-        "embedding_near_dup_clusters": embedding_near_dup_clusters,
+        # round 7: rotated below after 3 consecutive green rounds
+        # (r4-r6) to make room for the five never-driver-checked queries
+        # and the new partitioned-write row above; families documented
+        # at the swap sites in-window
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        "sessionize_events": sessionize_events,
+        "json_props_rollup": json_props_rollup,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "range_join_purchase_clicks": range_join_purchase_clicks,
+        "time_rollup_events": time_rollup_events,
     }
 
 
@@ -2658,6 +2709,16 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderkey) AS first_order,
                    max(o_custkey) AS last_cust
             FROM orders GROUP BY o_orderstatus
+        """,
+        "partitioned_prune_events": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+                   min(event_id) AS first_event,
+                   max(user_id) AS last_user
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY event_type
         """,
         "quality_report_lineitem": """
             WITH s AS (

@@ -39,6 +39,76 @@ def write_parquet_sized(
     )
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Hive-style partitioned layout (``path/col=value/...``) with the
+    small-files problem solved at write time.
+
+    A naive ``df.write.partitionBy(cols)`` lets EVERY task that holds
+    rows for a partition value open its own file there: P shuffle
+    partitions x K partition values = up to P*K files — at 100 TB that
+    is millions of kilobyte-sized parquet files, and the next scan dies
+    on open() overhead and footer reads. This writer pre-shuffles on the
+    partition columns first, so each value's rows land on exactly
+    ``files_per_partition`` writer tasks and the layout comes out with
+    exactly that many files per directory (raise it only for partition
+    values too large for one task; a deterministic per-row salt —
+    xxhash64 of the row — spreads rows across the N writers).
+
+    ``files_per_partition`` is an UPPER bound: each value's rows are
+    salted across exactly that many writer tasks (deterministic xxhash64
+    row salt, so reruns produce the same layout), and a task emits one
+    file per directory — two of a value's salts hash-colliding into the
+    same task merge into one file, so counts land in [1, N], nearly
+    always N. For a deterministic file-SIZE bound instead, set
+    ``rows_per_file`` (``maxRecordsPerFile``): each value then gets
+    ceil(rows / rows_per_file) files regardless of task layout.
+
+    Readers that filter on ``partition_cols`` prune whole directories at
+    PLANNING time: the predicate shows up as ``PartitionFilters`` on the
+    scan and non-matching directories are never listed, let alone read
+    (pinned in tests/test_plans.py). Choose low-cardinality, always-
+    filtered columns (ingest date, source, language) — high-cardinality
+    partition keys recreate the small-files problem as a directory
+    explosion.
+    """
+    from pyspark.sql import functions as F
+
+    if not partition_cols:
+        raise ValueError("write_partitioned: partition_cols must be non-empty")
+    rows_per_file = options.pop("rows_per_file", None)
+    # explicit numPartitions: REPARTITION_BY_NUM, which AQE will not
+    # coalesce — column-only repartition is coalescible, and on a small
+    # write AQE merges every shuffle partition into one task, silently
+    # collapsing the salted layout back to one file per value
+    num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if files_per_partition <= 1:
+        out = df.repartition(num, *partition_cols)
+    else:
+        # deterministic salt: same data -> same file layout (a rand()
+        # salt would make reruns non-reproducible)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        out = df.withColumn("__fpp_salt", salt).repartition(
+            num, *partition_cols, "__fpp_salt"
+        ).drop("__fpp_salt")
+    writer = out.write.mode(mode).partitionBy(*partition_cols)
+    if rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(rows_per_file))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
+
+
 def write_auto(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False, **options) -> None:
     fmt = detect_format(path)
     out = df.coalesce(1) if single_file else df

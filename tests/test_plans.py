@@ -125,20 +125,78 @@ def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
-    """Hive-partitioned layout: a filter on the partition column must
-    become PartitionFilters (pruned at planning, unmatched directories
-    never opened) — the on-disk analog of predicate pushdown."""
+    """Hive-partitioned layout via write_partitioned: a filter on the
+    partition column must become PartitionFilters (pruned at planning,
+    unmatched directories never opened) — the on-disk analog of
+    predicate pushdown — and the scan must only list files under the
+    matching directory."""
+    from dataframes_spark.io.writers import write_partitioned
     from dataframes_spark.session import load_table
 
     ev = load_table(spark, sf_dir, "events")
     out = str(tmp_path / "events_by_type")
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    write_partitioned(ev, out, ["event_type"])
     back = spark.read.parquet(out).filter("event_type = 'click'")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     p = back._jdf.queryExecution().explainString(mode)
     assert "PartitionFilters: [isnotnull(event_type" in p
+    # the equality itself prunes at planning time (not a post-read
+    # Filter): it appears inside PartitionFilters on the scan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p).group(1)
+    assert "event_type" in pf and "click" in pf
     # the data filter moved entirely into partition pruning, not a scan filter
     assert back.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_partitioned_write_small_files_control(spark, sf_dir, tmp_path):
+    """write_partitioned pre-shuffles on the partition columns, so the
+    default layout has exactly ONE data file per partition value —
+    never the tasks x values explosion a naive partitionBy produces.
+    The salted multi-file mode bounds each value at N files (exact N up
+    to salt-bucket hash collisions), and rows_per_file gives the
+    deterministic ceil(rows/cap) size bound."""
+    import collections
+    import re
+
+    from dataframes_spark.io.writers import write_partitioned
+    from dataframes_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def files_per_value(path: str) -> dict[str, int]:
+        got = collections.Counter()
+        for f in spark.read.parquet(path).inputFiles():
+            m = re.search(r"event_type=([^/]+)/", f)
+            got[m.group(1)] += 1
+        return dict(got)
+
+    one = str(tmp_path / "one_file")
+    write_partitioned(ev, one, ["event_type"])
+    assert set(files_per_value(one).values()) == {1}
+
+    three = str(tmp_path / "three_files")
+    write_partitioned(ev, three, ["event_type"], files_per_partition=3)
+    counts = files_per_value(three)
+    assert all(1 <= c <= 3 for c in counts.values())
+    # the salting genuinely parallelized the write (AQE did not collapse
+    # the layout back to one task per value)
+    assert max(counts.values()) > 1
+
+    # rows_per_file: deterministic per-value file count = ceil(rows/cap)
+    value_rows = dict(
+        (r["event_type"], r["count"])
+        for r in ev.groupBy("event_type").count().collect()
+    )
+    cap = 512
+    sized = str(tmp_path / "sized")
+    write_partitioned(ev, sized, ["event_type"], rows_per_file=cap)
+    got = files_per_value(sized)
+    assert got == {v: -(-n // cap) for v, n in value_rows.items()}
+
+    # lossless: same rows back from every layout
+    a = spark.read.parquet(one).groupBy("event_type").count()
+    b = spark.read.parquet(three).groupBy("event_type").count()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
 def test_asof_join_is_one_window_no_join(plans):
