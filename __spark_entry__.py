@@ -236,8 +236,13 @@ def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe: per-numeric-column summary rows (SURVEY §2.5)."""
+    # exact=True pinned: this row is compared against an exact DuckDB
+    # oracle, so the auto exact/approx switch must never downgrade it
+    # (it would at any scale where Catalyst's size estimate > 256 MB)
     out = dstats.describe(
-        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        exact=True,
     )
     return out.select(
         "column",
@@ -1665,7 +1670,8 @@ def quality_quartiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-only fold (never an ntile global sort). Per-band count and
     range are hash-checked."""
     docs = _t(spark, sf_dir, "documents")
-    b = dstats.qcut(docs, "n_chars", 4)
+    # exact=True pinned: hash-compared against an exact DuckDB oracle
+    b = dstats.qcut(docs, "n_chars", 4, exact=True)
     return b.groupBy("n_chars_bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").alias("min_chars"),

@@ -141,7 +141,14 @@ AUTO_EXACT_MAX_BYTES = 256 << 20
 
 def _resolve_exact(df: DataFrame, exact: bool | None) -> bool:
     """Resolve an ``exact=None`` auto request against the input's
-    Catalyst size estimate; an explicit True/False always wins."""
+    Catalyst size estimate; an explicit True/False always wins.
+
+    When auto downgrades to approx a warning is emitted: the switch
+    changes the ANSWER (approximate quantiles), not just the plan, and
+    callers comparing against an exact oracle must pass ``exact=True``
+    themselves rather than rely on the estimate staying small."""
+    import warnings
+
     if exact is not None:
         return exact
     try:
@@ -149,8 +156,22 @@ def _resolve_exact(df: DataFrame, exact: bool | None) -> bool:
     except Exception:
         # no JVM plan handle (e.g. Spark Connect): unknown size, so take
         # the bounded-memory form — the only safe default at any scale
+        warnings.warn(
+            "exact=None with no plan-size estimate available (e.g. Spark "
+            "Connect): resolving to APPROXIMATE quantiles; pass exact=True "
+            "if exact answers are required",
+            stacklevel=3,
+        )
         return False
-    return size <= AUTO_EXACT_MAX_BYTES
+    if size <= AUTO_EXACT_MAX_BYTES:
+        return True
+    warnings.warn(
+        f"exact=None auto-resolved to APPROXIMATE quantiles (input size "
+        f"estimate {size} B > {AUTO_EXACT_MAX_BYTES} B); pass exact=True "
+        "if exact answers are required",
+        stacklevel=3,
+    )
+    return False
 
 
 def describe(

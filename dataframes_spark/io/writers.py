@@ -88,7 +88,16 @@ def write_partitioned(
     # coalesce — column-only repartition is coalescible, and on a small
     # write AQE merges every shuffle partition into one task, silently
     # collapsing the salted layout back to one file per value
-    num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        # some platforms set the conf to a non-numeric token (e.g.
+        # "auto" under AQE-managed shuffles); fall back to the input's
+        # current partition count, then a conventional default
+        try:
+            num = df.rdd.getNumPartitions() or 200
+        except Exception:
+            num = 200
     if files_per_partition <= 1:
         out = df.repartition(num, *partition_cols)
     else:

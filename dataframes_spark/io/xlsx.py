@@ -210,11 +210,16 @@ def write_xlsx(
                 f'<si><t xml:space="preserve">{_esc_text(s)}</t></si>'
                 for s in sst  # dict preserves insertion order = index order
             )
+            # per OOXML spec count = TOTAL string-cell references in the
+            # workbook, uniqueCount = distinct entries; each shared-string
+            # cell emits exactly one t="s" token (and nothing else does —
+            # t="str"/t="b"/t="inlineStr" don't match the closing quote)
+            total_refs = sum(p.count(' t="s"') for p in parts)
             z.writestr(
                 "xl/sharedStrings.xml",
                 '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
-                f' count="{len(sst)}" uniqueCount="{len(sst)}">{sis}</sst>',
+                f' count="{total_refs}" uniqueCount="{len(sst)}">{sis}</sst>',
             )
 
 
@@ -275,7 +280,12 @@ def _sheet_parts(z: zipfile.ZipFile) -> list[tuple[str, str]]:
         target = targets.get(s.get(f"{_R_NS}id"))
         if not target:
             continue
-        part = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+        # valid OOXML producers may emit absolute targets like
+        # "/xl/worksheets/sheet1.xml" — strip the leading "/" BEFORE the
+        # xl/ check, else the path doubles to "xl/xl/..." and the sheet
+        # silently vanishes from the listing
+        stripped = target.lstrip("/")
+        part = stripped if stripped.startswith("xl/") else "xl/" + stripped
         if part in z.namelist():
             out.append((s.get("name") or f"Sheet{len(out) + 1}", part))
     return out or [("Sheet1", _first_sheet_name(z))]

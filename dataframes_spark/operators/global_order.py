@@ -1,0 +1,355 @@
+"""Distributed lane for the reference's GLOBAL-row-order operators.
+
+The reference runs ``shift`` / ``interpolate`` / ``rollingInterval`` over
+one implicit global row order — free on its single-threaded engine
+(reference: native_libs/src/Processing.cpp:534-559 shift,
+Processing.cpp:271-321 interpolate, Analysis.cpp:735-918 rolling) — but
+the naive Spark translation (``Window.orderBy(key)`` with no partition)
+plans an ``Exchange SinglePartition``: one reducer sorts the whole table.
+This module makes the PARTITION-FREE call itself scale:
+
+1. **Bucketize.** The order key splits into n contiguous ranges —
+   quantile boundaries (one ``percentile_approx`` aggregate riding into
+   the plan as a broadcast 1-row frame, the ``qcut`` pattern) for the
+   positional operators, fixed-width ranges (``max(width, span/n)`` wide,
+   from a min/max aggregate) for the range-window operators so a row's
+   trailing window can reach AT MOST one bucket back. Equal keys always
+   colocate (assignment is a monotonic pure function of the key), so
+   range frames never split a tie group.
+2. **Local pass.** Each bucket computes the operator with an ordinary
+   window partitioned by bucket id — n-way parallel sort, the same
+   per-bucket plan Spark builds for an explicit ``partition_by``.
+3. **Boundary exchange.** Only rows whose frame crosses a bucket edge
+   move: k skinny ``(pos, value)`` rows per bucket for shift-k, four
+   scalars per bucket per column for interpolate, the trailing ``width``
+   key-span for rolling windows (ghost copies unioned into the next
+   bucket, aggregated, then dropped). All are broadcast-sized relations.
+
+Global positions come from per-bucket ``row_number`` plus a running
+offset over the bucket-count relation — the only single-partition
+work anywhere is over ≤ n-buckets-row aggregates (the same shape as any
+``df.agg()``); the full table is never sorted on one reducer
+(pinned in tests/test_plans.py: every ``Exchange SinglePartition`` in
+these plans sits directly above an aggregate, never above a scan).
+
+Results are bucketing-independent: the boundary exchange reconstructs
+exactly the rows a global window would have seen, so the same inputs
+produce the same answers as the single-partition form (the driver's
+DuckDB oracle rows for ``shift_lag`` / ``interpolate_linear`` /
+``rolling_1h`` hold across both lanes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators.aggregate import build_aggregate
+
+# dtypes an order key must have for range bucketization (percentile /
+# arithmetic over the key); anything else falls back to the legacy
+# single-partition lane at the call site
+BUCKETABLE_PREFIXES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+    "date",
+    "timestamp",
+)
+
+
+def default_buckets(df: DataFrame) -> int:
+    """Bucket count for the global lane: the session's shuffle-partition
+    setting (the parallelism every other shuffle in the job gets)."""
+    try:
+        return max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except (ValueError, TypeError):
+        return 200
+
+
+def is_bucketable(df: DataFrame, order_by: str) -> bool:
+    dt = dict(df.dtypes).get(order_by, "")
+    return dt.startswith(BUCKETABLE_PREFIXES)
+
+
+def _bucketize_quantile(
+    df: DataFrame, order: Column, n_buckets: int, accuracy: int = 10_000
+) -> DataFrame:
+    """Add ``__go_b``: the row's range bucket from n-1 approximate
+    quantile boundaries of the order key. Boundaries only steer load
+    balance — results never depend on where a row lands, so the sketch's
+    approximation is free. Null order keys take bucket 0 (the global
+    nulls-first sort position)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    x = order.cast("double")
+    bounds = df.agg(F.percentile_approx(x, qs, accuracy).alias("__go_bnds"))
+    bucket = F.aggregate(
+        F.col("__go_bnds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__go_b", F.coalesce(bucket, F.lit(0)))
+        .drop("__go_bnds")
+    )
+
+
+def _with_positions(
+    bdf: DataFrame, order: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Per-bucket row numbers + global positions. Returns the positioned
+    frame (``__go_lrn``, ``__go_cnt``, ``__go_off``, ``__go_pos``) and the
+    tiny per-bucket offsets relation (``__go_b``, ``__go_cnt``,
+    ``__go_off``). The running-offset window runs over ≤ n-buckets rows —
+    the only single-partition step, at bucket (not row) cardinality."""
+    counts = bdf.groupBy("__go_b").agg(F.count(F.lit(1)).alias("__go_cnt"))
+    woff = W.orderBy("__go_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__go_b",
+        "__go_cnt",
+        F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0)).alias("__go_off"),
+    )
+    w = W.partitionBy("__go_b").orderBy(order)
+    pos = bdf.withColumn("__go_lrn", F.row_number().over(w)).join(
+        F.broadcast(offsets), "__go_b"
+    )
+    return (
+        pos.withColumn(
+            "__go_pos", (F.col("__go_off") + F.col("__go_lrn")).cast("bigint")
+        ),
+        offsets,
+    )
+
+
+def shift_global(
+    df: DataFrame,
+    col: str,
+    periods: int,
+    order_by: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Partition-free lag/lead WITHOUT a single-reducer sort. Per-bucket
+    lag/lead is correct everywhere except the first/last k rows of each
+    bucket; those receive their value via a broadcast join against the
+    ≤ k·n_buckets exported boundary rows (a row at global position p
+    needs position p-k, which provably sits within the last k rows of
+    ITS bucket — rows only ever move as skinny (pos, value) pairs)."""
+    k = abs(periods)
+    if k == 0:
+        return df.withColumn(f"{col}_shift_0", F.col(col))
+    n = n_buckets or default_buckets(df)
+    order = F.col(order_by)
+    bdf, _ = _with_positions(_bucketize_quantile(df, order, n), order)
+
+    w = W.partitionBy("__go_b").orderBy(order)
+    local = (
+        F.lag(col, periods).over(w)
+        if periods >= 0
+        else F.lead(col, -periods).over(w)
+    )
+    bdf = bdf.withColumn("__go_local", local)
+    if periods > 0:  # lag: receivers = first k of bucket, exports = last k
+        needs = F.col("__go_lrn") <= k
+        export_filter = F.col("__go_lrn") > F.col("__go_cnt") - k
+    else:  # lead: mirror image
+        needs = F.col("__go_lrn") > F.col("__go_cnt") - k
+        export_filter = F.col("__go_lrn") <= k
+    exports = bdf.filter(export_filter).select(
+        (F.col("__go_pos") + periods).alias("__go_tpos"),
+        F.col(col).alias("__go_xval"),
+    )
+    out_col = f"{col}_shift_{periods}"
+    joined = bdf.join(
+        F.broadcast(exports), F.col("__go_pos") == F.col("__go_tpos"), "left"
+    )
+    return joined.withColumn(
+        out_col, F.when(needs, F.col("__go_xval")).otherwise(F.col("__go_local"))
+    ).select(*df.columns, out_col)
+
+
+def interpolate_global(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Partition-free linear interpolation. In-bucket windows find the
+    nearest valid neighbours as usual; null runs that CROSS a bucket edge
+    take them from a per-bucket edge summary (last/first valid value+pos,
+    4 scalars per bucket per column) carried across buckets on the tiny
+    relation and broadcast back. Edge rules match the single-partition
+    form: leading nulls take the first valid value, trailing nulls the
+    last, all-null columns stay null (Tests.cpp:1023-1033)."""
+    n = n_buckets or default_buckets(df)
+    order = F.col(order_by)
+    bdf, _ = _with_positions(_bucketize_quantile(df, order, n), order)
+
+    # per-bucket edge summary: last/first valid (value, position) per col
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        vp = F.when(v.isNotNull(), F.col("__go_pos"))
+        aggs += [
+            F.max_by(v, vp).alias(f"__go_lv_{c}"),
+            F.max(vp).alias(f"__go_lp_{c}"),
+            F.min_by(v, vp).alias(f"__go_fv_{c}"),
+            F.min(vp).alias(f"__go_fp_{c}"),
+        ]
+    edges = bdf.groupBy("__go_b").agg(*aggs)
+    # cross-bucket carry over the ≤ n-buckets-row edges relation
+    wprev = W.orderBy("__go_b").rowsBetween(W.unboundedPreceding, -1)
+    wnext = W.orderBy("__go_b").rowsBetween(1, W.unboundedFollowing)
+    carry = [F.col("__go_b")]
+    for c in cols:
+        carry += [
+            F.last(f"__go_lv_{c}", ignorenulls=True).over(wprev).alias(f"__go_pv_{c}"),
+            F.last(f"__go_lp_{c}", ignorenulls=True).over(wprev).alias(f"__go_pp_{c}"),
+            F.first(f"__go_fv_{c}", ignorenulls=True).over(wnext).alias(f"__go_nv_{c}"),
+            F.first(f"__go_fp_{c}", ignorenulls=True).over(wnext).alias(f"__go_np_{c}"),
+        ]
+    out = bdf.join(F.broadcast(edges.select(*carry)), "__go_b")
+
+    base = W.partitionBy("__go_b").orderBy(order)
+    w_back = base.rowsBetween(W.unboundedPreceding, 0)
+    w_fwd = base.rowsBetween(0, W.unboundedFollowing)
+    for c in cols:
+        v = F.col(c).cast("double")
+        pos = F.col("__go_pos")
+        prev_val = F.coalesce(
+            F.last(v, ignorenulls=True).over(w_back), F.col(f"__go_pv_{c}")
+        )
+        prev_pos = F.coalesce(
+            F.last(F.when(v.isNotNull(), pos), ignorenulls=True).over(w_back),
+            F.col(f"__go_pp_{c}"),
+        )
+        next_val = F.coalesce(
+            F.first(v, ignorenulls=True).over(w_fwd), F.col(f"__go_nv_{c}")
+        )
+        next_pos = F.coalesce(
+            F.first(F.when(v.isNotNull(), pos), ignorenulls=True).over(w_fwd),
+            F.col(f"__go_np_{c}"),
+        )
+        lerp = prev_val + (next_val - prev_val) * (pos - prev_pos) / (
+            next_pos - prev_pos
+        )
+        filled = (
+            F.when(v.isNotNull(), v)
+            .when(prev_val.isNull(), next_val)  # leading nulls <- first valid
+            .when(next_val.isNull(), prev_val)  # trailing nulls <- last valid
+            .otherwise(lerp)
+        )
+        out = out.withColumn(c, filled)
+    return out.select(*df.columns)
+
+
+def rolling_range_global(
+    df: DataFrame,
+    order: Column,
+    width: int,
+    pairs: Iterable[tuple[str, Sequence[str]]],
+    inclusive_left: bool = True,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Partition-free trailing range window ``[k - width, k]`` (strict
+    left edge with ``inclusive_left=False``) without a single-reducer
+    sort. Buckets are FIXED-WIDTH ranges at least ``width`` wide
+    (``max(width, key_span/n)``), so a row's trailing window reaches at
+    most ONE bucket back: rows whose key+width crosses their bucket's
+    right edge get a single ghost copy unioned into the next bucket,
+    the per-bucket range frame aggregates over reals+ghosts (exactly the
+    rows a global frame would see), and ghost output rows drop. Data
+    moves once for the bucket shuffle plus the ≤ width-span boundary
+    ghosts — never through one reducer. Bucket membership uses the same
+    floor arithmetic as the ghost test, so boundary rounding can only
+    ADD a harmless ghost, never lose a frame row."""
+    n = n_buckets or default_buckets(df)
+    x = order.cast("double")
+    span = df.agg(
+        F.min(x).alias("__go_mn"),
+        F.greatest(
+            (F.max(x) - F.min(x)) / F.lit(float(n)), F.lit(float(width))
+        ).alias("__go_bw"),
+    )
+    bucket = F.floor((x - F.col("__go_mn")) / F.col("__go_bw")).cast("int")
+    bdf = df.crossJoin(F.broadcast(span)).withColumn(
+        "__go_b", F.coalesce(bucket, F.lit(-1))  # null keys: own bucket
+    )
+    # ghost = the row's key+width lands in a later bucket (same floor
+    # arithmetic as assignment: monotone, so every needed sender ghosts)
+    reach = F.floor((x + F.lit(float(width)) - F.col("__go_mn")) / F.col("__go_bw")).cast("int")
+    ghosts = (
+        bdf.filter(F.col("__go_b") >= 0)
+        .filter(reach > F.col("__go_b"))
+        .withColumn("__go_b", F.col("__go_b") + 1)
+        .withColumn("__go_ghost", F.lit(1))
+    )
+    union = bdf.withColumn("__go_ghost", F.lit(0)).unionByName(ghosts)
+
+    w = W.partitionBy("__go_b").orderBy(order)
+    lo = -int(width) if inclusive_left else -int(width) + 1
+    frame = w.rangeBetween(lo, 0)
+    pairs = [(c, list(fns)) for c, fns in pairs]
+    exprs = [
+        build_aggregate(fn, col, wrap=lambda e, f=frame: e.over(f))
+        for col, fns in pairs
+        for fn in fns
+    ]
+    agg_names = [f"{col}_{fn.lower()}" for col, fns in pairs for fn in fns]
+    return (
+        union.select("*", *exprs)
+        .filter(F.col("__go_ghost") == 0)
+        .select(*df.columns, *agg_names)
+    )
+
+
+def rolling_rows_global(
+    df: DataFrame,
+    col: str,
+    n_rows: int,
+    fns: Sequence[str],
+    order_by: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Partition-free trailing n-row window. Quantile buckets + global
+    positions; the n-1 rows at the global positions immediately before
+    each bucket's start ghost into that bucket (exact, via the broadcast
+    offsets relation — a ghost may come from several buckets back when
+    buckets are tiny), the per-bucket row frame aggregates reals+ghosts,
+    ghost rows drop."""
+    n = n_buckets or default_buckets(df)
+    order = F.col(order_by)
+    bdf, offsets = _with_positions(_bucketize_quantile(df, order, n), order)
+
+    targets = offsets.select(
+        F.col("__go_b").alias("__go_tb"), F.col("__go_off").alias("__go_toff")
+    )
+    ghosts = (
+        bdf.join(
+            F.broadcast(targets),
+            (F.col("__go_pos") > F.col("__go_toff") - n_rows)
+            & (F.col("__go_pos") <= F.col("__go_toff")),
+        )
+        .withColumn("__go_b", F.col("__go_tb"))
+        .drop("__go_tb", "__go_toff")
+        .withColumn("__go_ghost", F.lit(1))
+    )
+    union = bdf.withColumn("__go_ghost", F.lit(0)).unionByName(ghosts)
+
+    # order by the (unique, total) global position: ghosts are exactly
+    # the contiguous positions ending at the bucket's start, so each real
+    # row's trailing n-1 rows are present and nothing else precedes it
+    w = W.partitionBy("__go_b").orderBy("__go_pos").rowsBetween(-(n_rows - 1), 0)
+    exprs = [build_aggregate(fn, col, wrap=lambda e, f=w: e.over(f)) for fn in fns]
+    agg_names = [f"{col}_{fn.lower()}" for fn in fns]
+    return (
+        union.select("*", *exprs)
+        .filter(F.col("__go_ghost") == 0)
+        .select(*df.columns, *agg_names)
+    )

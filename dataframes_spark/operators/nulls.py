@@ -109,9 +109,16 @@ def interpolate(
     Plan shape: two window passes (last-valid-before and first-valid-after)
     plus a positional lerp between them — all built-in window aggregates,
     no UDF. With ``partition_by`` the windows are per-partition and scale
-    horizontally; without it the global order degrades to a single-reducer
-    sort, which is inherent to the semantics.
+    horizontally; WITHOUT it (and an orderable numeric/timestamp key) the
+    call routes through the distributed global-order lane
+    (``global_order.interpolate_global``: per-bucket windows + a tiny
+    cross-bucket edge carry) instead of a single-reducer sort.
     """
+    if not partition_by:
+        from dataframes_spark.operators import global_order as go
+
+        if go.is_bucketable(df, order_by):
+            return go.interpolate_global(df, list(cols), order_by)
     parts = list(partition_by) if partition_by else []
     base = W.partitionBy(*parts).orderBy(order_by) if parts else W.orderBy(order_by)
     w_back = base.rowsBetween(W.unboundedPreceding, 0)

@@ -13,10 +13,16 @@ Spark-first: both are ``Window`` frame specs — ``rowsBetween`` for shift,
 interval. The frame aggregation runs inside the sort, no recompute-per-row
 pass like the reference's O(n*w) loop.
 
-Scale note: the reference assumes one global row order. Distributed, an
-un-partitioned window is a single-reducer bottleneck; every entry point
-takes ``partition_by`` so callers with a natural key (user_id, device,
-symbol) get full parallelism, and the global-order fallback is explicit.
+Scale note: the reference assumes one global row order. Distributed, a
+naive un-partitioned window is a single-reducer bottleneck; every entry
+point takes ``partition_by`` so callers with a natural key (user_id,
+device, symbol) get the plain per-key window. Partition-FREE calls with
+an orderable numeric/timestamp key now route through the range-bucketed
+two-pass lane in ``operators/global_order.py`` (per-bucket window +
+broadcast boundary exchange — same answers, no SinglePartition sort of
+the data; pinned in tests/test_plans.py). Non-bucketable order keys
+(strings) keep the legacy global window, which is inherent to their
+semantics.
 """
 
 from __future__ import annotations
@@ -40,9 +46,20 @@ def shift(
     periods: int,
     order_by: str,
     partition_by: Sequence[str] | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Lag (periods>0) / lead (periods<0) by k rows, null-filled, appended
-    as ``<col>_shift_<k>`` (reference naming: src/Table.luna:1463-1468)."""
+    as ``<col>_shift_<k>`` (reference naming: src/Table.luna:1463-1468).
+
+    Without ``partition_by`` and with an orderable numeric/timestamp
+    key, runs on the distributed global-order lane (range buckets +
+    boundary exchange, ``global_order.shift_global``) instead of a
+    single-partition window; same answers, scalable plan."""
+    if not partition_by:
+        from dataframes_spark.operators import global_order as go
+
+        if go.is_bucketable(df, order_by):
+            return go.shift_global(df, col, periods, order_by, n_buckets)
     w = _window(order_by, partition_by)
     expr = F.lag(col, periods).over(w) if periods >= 0 else F.lead(col, -periods).over(w)
     return df.withColumn(f"{col}_shift_{periods}", expr)
@@ -62,10 +79,19 @@ def rolling_interval(
 
     Implemented as ``rangeBetween`` over the timestamp cast to epoch
     microseconds — Spark evaluates the sliding frame inside the sorted
-    partition, one pass.
+    partition, one pass. Without ``partition_by``, runs on the
+    distributed fixed-width-bucket lane (``global_order.
+    rolling_range_global``): per-bucket frames + boundary ghost rows,
+    no single-reducer sort.
     """
     validate_aggregate_types(df, pairs := [(c, list(fns)) for c, fns in pairs])
     order = F.unix_micros(F.col(ts_col))
+    if not partition_by:
+        from dataframes_spark.operators import global_order as go
+
+        return go.rolling_range_global(
+            df, order, int(interval_us), pairs, inclusive_left
+        )
     w = _window(order, partition_by)
     lo = -int(interval_us) if inclusive_left else -int(interval_us) + 1
     frame = w.rangeBetween(lo, 0)
@@ -91,8 +117,16 @@ def rolling_range(
     two-pointer engine supports INT64/DOUBLE interval keys
     (native_libs/src/Core/ArrowUtilities.h:111,160; Analysis.cpp:775-801)
     even though only TIMESTAMP is reachable from its Luna API — this is
-    the numeric twin of ``rolling_interval``."""
+    the numeric twin of ``rolling_interval`` (partition-free calls run
+    on the distributed fixed-width-bucket lane, see
+    ``rolling_interval``)."""
     validate_aggregate_types(df, pairs := [(c, list(fns)) for c, fns in pairs])
+    if not partition_by:
+        from dataframes_spark.operators import global_order as go
+
+        return go.rolling_range_global(
+            df, F.col(key_col), int(width), pairs, inclusive_left
+        )
     w = _window(F.col(key_col), partition_by)
     lo = -int(width) if inclusive_left else -int(width) + 1
     frame = w.rangeBetween(lo, 0)
@@ -113,8 +147,14 @@ def rolling_rows(
     partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Trailing n-row window (Spark-native companion to the time-interval
-    variant)."""
+    variant). Partition-free calls with an orderable key run on the
+    distributed positional lane (``global_order.rolling_rows_global``)."""
     validate_aggregate_types(df, [(col, list(fns))])
+    if not partition_by:
+        from dataframes_spark.operators import global_order as go
+
+        if go.is_bucketable(df, order_by):
+            return go.rolling_rows_global(df, col, n, fns, order_by)
     w = _window(order_by, partition_by).rowsBetween(-(n - 1), 0)
     exprs = [build_aggregate(fn, col, wrap=lambda e, f=w: e.over(f)) for fn in fns]
     return df.select("*", *exprs)

@@ -82,7 +82,13 @@ def not_null(col: str, max_null_fraction: float = 0.0) -> Check:
     )
 
 
-def unique(col: str, *, approx: bool = False, rsd: float = 0.05) -> Check:
+def unique(
+    col: str,
+    *,
+    approx: bool = False,
+    rsd: float = 0.01,
+    max_duplicate_fraction: float | None = None,
+) -> Check:
     """No duplicate non-null values in ``col``.
 
     Exact mode (default) uses ``count_distinct`` — one pass via
@@ -90,14 +96,17 @@ def unique(col: str, *, approx: bool = False, rsd: float = 0.05) -> Check:
     near-unique key is itself heavy at corpus scale (the distinct-key
     state is ~the size of the column). ``approx=True`` swaps in
     ``approx_count_distinct`` (HyperLogLog++, bounded ~relative standard
-    deviation ``rsd``, constant memory): the check passes when the
-    estimated duplicate fraction is within the estimator's 3·rsd error
-    band — i.e. a duplicate mass statistically indistinguishable from
-    HLL noise passes; anything beyond it fails. Use approx for cheap
-    gates on 100 TB ingests, exact when the answer must be a proof.
+    deviation ``rsd``, constant memory). An HLL estimate cannot prove
+    zero duplicates, so the approx gate needs a visible tolerance:
+    ``max_duplicate_fraction`` is the estimated duplicate mass the check
+    accepts; it defaults to the estimator's 3·rsd error band (0.03 at
+    the default rsd=0.01 — duplicate mass statistically
+    indistinguishable from HLL noise). Pass it explicitly to make the
+    looseness a call-site decision. Use approx for cheap gates on
+    100 TB ingests, exact when the answer must be a proof.
     """
     if approx:
-        band = 3 * rsd
+        band = 3 * rsd if max_duplicate_fraction is None else max_duplicate_fraction
 
         def verdict_approx(n_non_null, n_distinct_est):
             if not n_non_null:
@@ -110,7 +119,8 @@ def unique(col: str, *, approx: bool = False, rsd: float = 0.05) -> Check:
             col,
             (F.count(F.col(col)), F.approx_count_distinct(F.col(col), rsd)),
             verdict_approx,
-            f"duplicate fraction <= {band:.4f} (3*rsd error band, rsd={rsd})",
+            f"duplicate fraction <= {band:.4f}"
+            + ("" if max_duplicate_fraction is not None else f" (3*rsd error band, rsd={rsd})"),
         )
 
     def verdict(n_non_null, n_distinct):

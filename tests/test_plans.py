@@ -535,3 +535,38 @@ def test_near_dup_incremental_bucketed_store_never_reshuffles(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+GLOBAL_ORDER_QUERIES = (
+    "shift_lag",
+    "interpolate_linear",
+    "rolling_1h",
+    "rolling_1h_strict",
+    "rolling_range_numeric",
+    "rolling_rsi_100",
+)
+
+
+@pytest.mark.parametrize("query", GLOBAL_ORDER_QUERIES)
+def test_global_order_lane_never_single_partitions_the_data(spark, sf_dir, query):
+    """The reference-parity global-order operators (shift/interpolate/
+    rolling without partition_by) run on the range-bucketed two-pass lane
+    (operators/global_order.py): the window over the DATA is hash-
+    partitioned on the bucket id, and every Exchange SinglePartition left
+    in the plan sits directly above an aggregate (the 1-row bounds agg /
+    the bucket-cardinality offsets relation) — never above a scan,
+    project, or the data-carrying sort the old plans had."""
+    df = entry.queries()[query](spark, sf_dir)
+    jqe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    p = jqe.explainString(mode)
+    assert "__go_b" in p, f"{query} did not route through the bucketed lane:\n{p}"
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert re.search(r"HashAggregate|ObjectHashAggregate|SortAggregate", child), (
+            f"{query}: Exchange SinglePartition over non-aggregate:\n"
+            f"{ln}\n{child}"
+        )
