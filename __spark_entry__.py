@@ -1121,6 +1121,74 @@ def ivf_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def ivf_probe_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against a CLUSTER-PARTITIONED on-disk index
+    (operators/similarity.py ivf_write_partitioned + ivf_topk_partitioned):
+    the same pinned-centroid recipe as ivf_probe_pinned, but the assigned
+    corpus is materialized as hive-partitioned parquet on ``cluster`` and
+    the probe reads it BACK from disk — the nprobe filter lands on the
+    partition column, so only the probed cluster DIRECTORIES are listed
+    and read (PartitionFilters on the scan, pinned in tests/test_plans.py).
+    The oracle (identical to ivf_probe_pinned's) proves the partitioned
+    layout is lossless and the pruned read ranks the same top-k — the
+    missing physical link between the ANN family and partitioned storage."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cent_rows = (
+        emb.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centers = [[float(x) for x in r.embedding] for r in cent_rows]
+    assigned = dsim.ivf_assign(emb.filter(F.col("vec_id") > 8), "embedding", centers)
+    path = os.path.join(_scratch_dir("spark_graft_ivf_"), "ivf_store")
+    dsim.ivf_write_partitioned(assigned, path)
+    out = dsim.ivf_topk_partitioned(
+        spark, path, centers, "embedding", "vec_id", q, k=10, nprobe=2
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality dial (operators/similarity.py recall_report): recall@10
+    of the hyperplane-LSH bucket path and the pinned-centroid IVF nprobe
+    path against exact brute force, over 13 PINNED query ids
+    (vec_id 3, 44, ..., 495). With pinned queries, pinned centers (the
+    vectors of vec_ids 1..8, as in ivf_probe_pinned) and md5 plane
+    hashing, every stage — exact ranking, bucket collision, centroid
+    argmax, nprobe ranking, the recall ratio itself — is exact relational
+    algebra, so the whole report hash-verifies against DuckDB. This is
+    the dial a deployment reads before trusting num_planes/nprobe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centers = [[float(x) for x in r.embedding] for r in cent_rows]
+    rep = dsim.recall_report(
+        emb,
+        "embedding",
+        "vec_id",
+        k=10,
+        num_planes=4,
+        centers=centers,
+        nprobe=4,
+        plane_hash="md5",
+        query_ids=list(range(3, 500, 41)),
+    )
+    return rep.select(
+        "method",
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        "n_queries",
+        "k",
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2036,6 +2104,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whole inventory at least once. Keep this discipline: any NEW query
     # must enter within the first 50 in the round it ships.
     return {
+        # -- round 8: (a) the partition-free global-order operators
+        #    (shift/interpolate/rollingInterval) moved to the distributed
+        #    range-bucketed lane (operators/global_order.py) — a NEW code
+        #    path under long-green names, so shift_lag, interpolate_linear
+        #    and rolling_1h re-enter the window for driver re-verification;
+        #    (b) ivf_probe_partitioned proves the cluster-partitioned
+        #    on-disk IVF index (PartitionFilters pruning, same oracle as
+        #    ivf_probe_pinned); (c) ann_recall_report hash-verifies the
+        #    recall@k quality dial (pinned queries + centers + md5 planes).
+        #    To hold the window at 50, five TRIPLY-green (r5-r7) rows
+        #    rotate below, families still in-window: vocab_topk_docs +
+        #    tfidf_top_terms + weighted_sample_docs (text/sampling stay
+        #    via unigram_logprob_docs, repetition_docs, mix_corpus_sources,
+        #    cap_docs_per_source, split_documents), upsert_documents +
+        #    fuzzy_part_names (join family stays via interval_overlap_
+        #    purchases + asof_nearest_purchase + attribution_stream_clicks).
+        "ivf_probe_partitioned": ivf_probe_partitioned,
+        "ann_recall_report": ann_recall_report,
+        "shift_lag": shift_lag,
+        "interpolate_linear": interpolate_linear,
+        "rolling_1h": rolling_1h,
         # -- round 6: the last two in-window rows-only queries are
         #    replaced by hash-VERIFIED twins. minhash_lsh_pairs_md5
         #    verifies the banded candidate generator itself (md5 lanes +
@@ -2057,12 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_purchases": interval_overlap_purchases,
         "repetition_docs": repetition_docs,
         "mix_corpus_sources": mix_corpus_sources,
-        "vocab_topk_docs": vocab_topk_docs,
-        "tfidf_top_terms": tfidf_top_terms,
-        "weighted_sample_docs": weighted_sample_docs,
         "split_documents": split_documents,
-        "upsert_documents": upsert_documents,
-        "fuzzy_part_names": fuzzy_part_names,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
         #    rewrite, the CCNet/RefinedWeb boilerplate pass) and cube_qty
@@ -2198,6 +2282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_price_qty": ols_price_qty,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
+        "vocab_topk_docs": vocab_topk_docs,
+        "tfidf_top_terms": tfidf_top_terms,
+        "weighted_sample_docs": weighted_sample_docs,
+        "upsert_documents": upsert_documents,
+        "fuzzy_part_names": fuzzy_part_names,
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "pack_documents_cumsum": pack_documents_cumsum,
         "pack_documents_greedy": pack_documents_greedy,
@@ -2213,7 +2302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "lsh_similarity_topk": lsh_similarity_topk,
         "asof_last_purchase": asof_last_purchase,
-        "interpolate_linear": interpolate_linear,
         "embedding_norms": embedding_norms,
         "distinct_users_per_type": distinct_users_per_type,
         "reproducible_sample": reproducible_sample,
@@ -2253,9 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlations_with_price": correlations_with_price,
         "autocorr": autocorr,
         "sort_slice": sort_slice,
-        "shift_lag": shift_lag,
         "shift_by_user": shift_by_user,
-        "rolling_1h": rolling_1h,
         "rolling_1h_strict": rolling_1h_strict,
         "rolling_rows_100": rolling_rows_100,
         "rolling_rsi_100": rolling_rsi_100,
@@ -2274,7 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -3841,6 +3927,107 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(c, 6) AS cosine FROM final
             ORDER BY c DESC, vec_id ASC LIMIT 10
         """,
+        # recall@10 of LSH(md5, 4 planes) and IVF(nprobe=4, centers =
+        # vectors of vec_ids 1..8) vs exact brute force over 13 pinned
+        # query ids — every stage exact relational algebra, mirroring
+        # similarity.recall_report: one shared scored relation (query x
+        # corpus cosine, self excluded), per-lane candidate restriction,
+        # per-query top-10 with (score DESC, cid ASC) tie-break, recall =
+        # |exact ∩ approx| / |exact|
+        "ann_recall_report": """
+            WITH corpus AS (
+                SELECT vec_id AS cid, embedding AS vec,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings
+            ), qs AS (
+                SELECT cid AS qid, vec AS qvec, nrm AS qnrm FROM corpus
+                WHERE cid % 41 = 3 AND cid < 500
+            ), scored AS (
+                SELECT q.qid, c.cid,
+                       list_sum(list_transform(range(1, len(c.vec) + 1),
+                           i -> CAST(c.vec[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(q.qvec[CAST(i AS INT)] AS DOUBLE)))
+                       / (c.nrm * q.qnrm) AS s
+                FROM corpus c CROSS JOIN qs q WHERE c.cid <> q.qid
+            ), exact AS (
+                SELECT qid, cid FROM (
+                    SELECT qid, cid, row_number() OVER (
+                        PARTITION BY qid ORDER BY s DESC, cid ASC) AS rn
+                    FROM scored) WHERE rn <= 10
+            ), ex AS (
+                SELECT vec_id, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            ), comp AS (
+                SELECT vec_id, i,
+                       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+                FROM ex
+            ), pl AS (
+                SELECT vec_id, p,
+                       sum(v * (((('0x' || substr(md5('42:' || p || ':' || (i - 1)), 1, 15))::BIGINT)
+                            % 1048576) / 524288.0 - 1.0)) AS proj
+                FROM comp, (SELECT unnest(range(0, 4)) AS p) planes
+                GROUP BY vec_id, p
+            ), buck AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN proj >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                FROM pl GROUP BY vec_id
+            ), lsh_top AS (
+                SELECT qid, cid FROM (
+                    SELECT s.qid, s.cid, row_number() OVER (
+                        PARTITION BY s.qid ORDER BY s.s DESC, s.cid ASC) AS rn
+                    FROM scored s
+                    JOIN buck bq ON bq.vec_id = s.qid
+                    JOIN buck bc ON bc.vec_id = s.cid AND bc.bucket = bq.bucket
+                ) WHERE rn <= 10
+            ), cents AS (
+                SELECT vec_id AS ccl, embedding AS ce,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+                FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+            ), cscored AS (
+                SELECT c.cid, ct.ccl,
+                       list_sum(list_transform(range(1, len(c.vec) + 1),
+                           i -> CAST(c.vec[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(ct.ce[CAST(i AS INT)] AS DOUBLE))) / ct.cn AS s
+                FROM corpus c CROSS JOIN cents ct
+            ), assigned AS (
+                SELECT cid, ccl FROM (
+                    SELECT cid, ccl, row_number() OVER (
+                        PARTITION BY cid ORDER BY s DESC, ccl ASC) AS rn
+                    FROM cscored) WHERE rn = 1
+            ), probes AS (
+                SELECT qid, ccl FROM (
+                    SELECT q.qid, ct.ccl, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                            list_sum(list_transform(range(1, len(ct.ce) + 1),
+                                i -> CAST(ct.ce[CAST(i AS INT)] AS DOUBLE)
+                                   * CAST(q.qvec[CAST(i AS INT)] AS DOUBLE))) / ct.cn
+                            DESC, ct.ccl ASC) AS rn
+                    FROM qs q CROSS JOIN cents ct) WHERE rn <= 4
+            ), ivf_top AS (
+                SELECT qid, cid FROM (
+                    SELECT s.qid, s.cid, row_number() OVER (
+                        PARTITION BY s.qid ORDER BY s.s DESC, s.cid ASC) AS rn
+                    FROM scored s
+                    JOIN assigned a ON a.cid = s.cid
+                    JOIN probes p ON p.qid = s.qid AND p.ccl = a.ccl
+                ) WHERE rn <= 10
+            )
+            SELECT 'lsh_buckets' AS method,
+                   round(CAST((SELECT count(*) FROM exact e
+                               JOIN lsh_top l ON e.qid = l.qid AND e.cid = l.cid) AS DOUBLE)
+                       / (SELECT count(*) FROM exact), 6) AS recall_at_k,
+                   CAST(13 AS INT) AS n_queries, CAST(10 AS INT) AS k
+            UNION ALL
+            SELECT 'ivf_nprobe' AS method,
+                   round(CAST((SELECT count(*) FROM exact e
+                               JOIN ivf_top v ON e.qid = v.qid AND e.cid = v.cid) AS DOUBLE)
+                       / (SELECT count(*) FROM exact), 6) AS recall_at_k,
+                   CAST(13 AS INT) AS n_queries, CAST(10 AS INT) AS k
+        """,
         # minhash_lsh_candidates / simhash_fingerprints / lsh_similarity_topk /
         # ivf_topk_probe: intentionally no oracle (xxhash64 / KMeans have no
         # DuckDB equivalent) -> driver records rows-only checks; the minhash
@@ -3848,3 +4035,9 @@ def oracle_sql() -> dict[str, str]:
         # the banded candidate generator via minhash_lsh_pairs_md5, and the
         # full IVF probe stage via ivf_probe_pinned.
     }
+    # ivf_probe_partitioned produces the same answer as ivf_probe_pinned
+    # by construction — the only difference is PHYSICAL (the assigned
+    # corpus roundtrips through cluster-partitioned parquet and the probe
+    # prunes directories), which is exactly what sharing the oracle proves
+    oracles["ivf_probe_partitioned"] = oracles["ivf_probe_pinned"]
+    return oracles

@@ -53,6 +53,19 @@ EXCLUDED = {
     "jaccard_pairs_3gram": "verification-grade quadratic baseline; LSH is the scale path",
 }
 
+# Structured Streaming queries measure the streaming runtime's FIXED
+# overhead (source discovery, state store, microbatch scheduling), not
+# operator cost — attribution_stream_clicks runs ~9 s where its batch
+# twin (range_join_purchase_clicks) runs ~0.5 s. Folding that constant
+# into the batch headline would mask real batch regressions, so these
+# are measured in their own lane and reported as `streaming_total`.
+STREAMING = {
+    "attribution_stream_clicks": (
+        "real availableNow streaming run; cost is streaming fixed "
+        "overhead, batch twin is range_join_purchase_clicks"
+    ),
+}
+
 # Legacy headline ordering kept first for continuity with BENCH_r01-r05
 # (round-over-round diffs track this prefix); the remainder of
 # entry.queries() is appended at import time in main().
@@ -131,7 +144,9 @@ def main() -> None:
     # full coverage: every queries() entry not explicitly excluded is
     # measured — new queries enter the bench automatically
     bench_set = BENCH_QUERIES + [
-        n for n in queries if n not in BENCH_QUERIES and n not in EXCLUDED
+        n
+        for n in queries
+        if n not in BENCH_QUERIES and n not in EXCLUDED and n not in STREAMING
     ]
 
     # warm the JVM + parquet footer caches with one untimed pass
@@ -163,6 +178,21 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {name: round(t, 4) for name, t in timings.items()}
     total = round(sum(timings.values()), 4)
+    # streaming lane: measured (a regression here is still a regression)
+    # but reported under its own total so the batch headline stays
+    # comparable round-over-round; best-of-2 — the number is dominated by
+    # the streaming runtime's fixed overhead, not sampling noise
+    streaming_timings: dict[str, float] = {}
+    for name in STREAMING:
+        if name not in queries:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        streaming_timings[name] = round(best, 4)
+    streaming_total = round(sum(streaming_timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -170,6 +200,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "streaming_total": streaming_total,
+        "streaming": streaming_timings,
+        "streaming_reasons": STREAMING,
         "excluded": EXCLUDED,
         "sf": sf_val,
     }
@@ -193,6 +226,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "streaming_total": streaming_total,
                 "sf": sf_val,
                 "detail": "BENCH_LOCAL.json",
             }

@@ -355,3 +355,173 @@ def lsh_bucket_topk(
     )
     w = W.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_write_partitioned(
+    assigned: DataFrame, path: str, files_per_partition: int = 1, **options
+) -> None:
+    """Materialize an IVF index as cluster-partitioned parquet
+    (``cluster=<id>/...`` hive layout via ``io.writers.write_partitioned``
+    — pre-shuffled so each cluster gets a bounded file count, not one
+    file per task per cluster). This is the missing physical half of the
+    probe: once the corpus lives under cluster directories, a probe's
+    ``cluster IN (...)`` filter prunes at PLANNING time and the scan
+    itself touches only ``nprobe/n_clusters`` of the bytes on disk —
+    the property that makes IVF the 100 TB path."""
+    from dataframes_spark.io.writers import write_partitioned
+
+    write_partitioned(
+        assigned, path, ["cluster"], files_per_partition=files_per_partition, **options
+    )
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    centers: list,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a cluster-partitioned IVF store written by
+    ``ivf_write_partitioned``: identical ranking to ``ivf_topk``, but the
+    nprobe cluster filter lands on the hive partition column, so the scan
+    lists and reads ONLY the probed cluster directories (PartitionFilters
+    on the scan — pinned in tests/test_plans.py)."""
+    assigned = spark.read.parquet(path)
+    return ivf_topk(assigned, centers, vec_col, id_col, query, k=k, nprobe=nprobe)
+
+
+def recall_report(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_queries: int = 16,
+    num_planes: int = 8,
+    seed: int = 42,
+    centers: list | None = None,
+    nprobe: int = 4,
+    plane_hash: str = "xxhash64",
+    query_ids: Sequence | None = None,
+) -> DataFrame:
+    """Recall@k of the approximate ANN paths against exact brute force —
+    the quality dial every ANN deployment needs before trusting its
+    ``num_planes``/``nprobe`` settings. One row per method:
+    ``(method, recall_at_k, n_queries, k)`` where recall is the fraction
+    of each query's exact top-k the approximate path recovered, averaged
+    over a DETERMINISTIC sample of ``n_queries`` query rows (smallest
+    ``xxhash64(id, seed)`` — same queries on any partitioning or rerun),
+    or over an explicit ``query_ids`` list (the cross-engine-verifiable
+    form: with pinned query ids, pinned centers, and
+    ``plane_hash="md5"`` every stage is exact relational algebra).
+
+    Methods: ``lsh_buckets`` (random-hyperplane buckets, candidates only
+    meet in-bucket) and, when ``centers`` is given, ``ivf_nprobe``
+    (in-cluster search of the ``nprobe`` best clusters per query).
+
+    Scale shape: the exact baseline scores n_queries x corpus pairs via
+    a BROADCAST of the tiny query set — linear in the corpus with a
+    constant factor, never a corpus self-join. Each approximate path
+    scores only its own candidate set. All ranking is windowed per
+    query id (hash-partitioned on n_queries keys)."""
+    from pyspark.sql import Window as W
+
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    corpus = df.select(
+        F.col(id_col).alias("__cid"), vd.alias("__cvec"), _norm(vd).alias("__cnrm")
+    )
+    qbase = df.select(
+        F.col(id_col).alias("__qid"), vd.alias("__qvec"), _norm(vd).alias("__qnrm")
+    )
+    if query_ids is not None:
+        queries = qbase.filter(F.col("__qid").isin(list(query_ids)))
+        n_queries = len(list(query_ids))
+    else:
+        queries = (
+            qbase.withColumn(
+                "__h",
+                F.xxhash64(F.col("__qid").cast("string"), F.lit(f"recall{seed}")),
+            )
+            .orderBy("__h", "__qid")
+            .limit(n_queries)
+            .drop("__h")
+        )
+    w = W.partitionBy("__qid").orderBy(F.col("__score").desc(), F.col("__cid").asc())
+    score = (
+        _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnrm") * F.col("__cnrm"))
+    ).alias("__score")
+
+    def topk(cands: DataFrame) -> DataFrame:
+        return (
+            cands.select("__qid", "__cid", score)
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .select("__qid", "__cid")
+        )
+
+    exact = topk(
+        corpus.join(F.broadcast(queries), F.col("__cid") != F.col("__qid"))
+    )
+
+    def recall_of(approx: DataFrame, method: str) -> DataFrame:
+        hits = exact.join(approx, ["__qid", "__cid"], "left_semi")
+        return (
+            exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+            .select(
+                F.lit(method).alias("method"),
+                (F.col("__n_hit") / F.col("__n_exact")).alias("recall_at_k"),
+                F.lit(n_queries).alias("n_queries"),
+                F.lit(k).alias("k"),
+            )
+        )
+
+    # LSH lane: queries meet only their bucket-mates
+    buckets = hyperplane_buckets(df, vec_col, id_col, num_planes, seed, plane_hash)
+    cb = buckets.select(
+        F.col(id_col).alias("__cid"), F.col("bucket").alias("__cb")
+    ).join(corpus, "__cid")
+    qb = (
+        buckets.select(F.col(id_col).alias("__qid"), F.col("bucket").alias("__qb"))
+        .join(queries, "__qid")
+    )
+    lsh_cands = cb.join(
+        F.broadcast(qb),
+        (F.col("__cb") == F.col("__qb")) & (F.col("__cid") != F.col("__qid")),
+    )
+    report = recall_of(topk(lsh_cands), "lsh_buckets")
+
+    if centers is not None:
+        assigned = ivf_assign(df, vec_col, centers).select(
+            F.col(id_col).alias("__cid"), F.col("cluster").alias("__ccl")
+        ).join(corpus, "__cid")
+        # per-query nprobe best clusters: score array over the centroid
+        # literals, sort (desc score, asc cluster id), slice, explode —
+        # pure expressions on the tiny query frame
+        cscores = []
+        for ci, c in enumerate(centers):
+            cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+            ccol = F.array(*[F.lit(float(x)) for x in c])
+            cscores.append(
+                F.struct(
+                    (-_dot(F.col("__qvec"), ccol) / F.lit(cn)).alias("neg"),
+                    F.lit(ci).alias("cid"),
+                )
+            )
+        probes = queries.select(
+            "__qid",
+            "__qvec",
+            "__qnrm",
+            F.explode(
+                F.slice(F.array_sort(F.array(*cscores)), 1, nprobe)
+            ).alias("__p"),
+        ).select("__qid", "__qvec", "__qnrm", F.col("__p.cid").alias("__ccl"))
+        ivf_cands = assigned.alias("a").join(
+            F.broadcast(probes).alias("p"),
+            (F.col("a.__ccl") == F.col("p.__ccl")) & (F.col("a.__cid") != F.col("p.__qid")),
+        ).select("a.__cid", "a.__cvec", "a.__cnrm", "p.__qid", "p.__qvec", "p.__qnrm")
+        report = report.unionByName(recall_of(topk(ivf_cands), "ivf_nprobe"))
+    return report

@@ -570,3 +570,13 @@ def test_global_order_lane_never_single_partitions_the_data(spark, sf_dir, query
             f"{query}: Exchange SinglePartition over non-aggregate:\n"
             f"{ln}\n{child}"
         )
+
+
+def test_ivf_partitioned_probe_prunes_cluster_directories(plans):
+    """The cluster-partitioned IVF store is only worth its write shuffle
+    if the probe's nprobe filter lands as PartitionFilters — directories
+    pruned at planning time, nothing read from unprobed clusters."""
+    p = plans("ivf_probe_partitioned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "cluster" in m.group(1) and "IN (" in m.group(1).upper(), m.group(1)
