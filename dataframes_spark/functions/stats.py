@@ -298,12 +298,13 @@ def correlations_with(df: DataFrame, target: str, cols: Sequence[str] | None = N
 def auto_corr(df: DataFrame, col: str, order_by: str, lag: int = 1) -> DataFrame:
     """Pearson corr of a column against its lag, over an explicit ordering
     (reference: Analysis.cpp:521-526 — implicit row order; distribution
-    requires the order to be named). Window-lag then one corr aggregate."""
-    from pyspark.sql import Window as W
+    requires the order to be named). The lag runs on the distributed
+    global-order lane (``operators.window.shift`` — range buckets +
+    boundary exchange, no single-reducer sort), then one corr aggregate."""
+    from dataframes_spark.operators.window import shift
 
-    w = W.orderBy(order_by)
-    lagged = df.select(F.col(col), F.lag(col, lag).over(w).alias("__lag"))
-    return lagged.agg(F.corr(col, "__lag").alias("autocorr"))
+    lagged = shift(df, col, lag, order_by)
+    return lagged.agg(F.corr(col, f"{col}_shift_{lag}").alias("autocorr"))
 
 
 def histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:

@@ -89,3 +89,82 @@ def read_fingerprints(spark: SparkSession, table: str) -> DataFrame:
     into a struct or reorder them with expressions: a projection over
     the scan discards its bucketed output partitioning."""
     return spark.table(table)
+
+
+def compact_store(
+    spark: SparkSession,
+    table: str,
+    bucket_by: str | Sequence[str],
+    num_buckets: int = 32,
+    sort_by: str | Sequence[str] | None = None,
+) -> dict:
+    """Rewrite a bucketed store in place, one file per bucket.
+
+    Incremental stores grow by APPEND: every increment adds at least one
+    file per bucket it touches (Spark writes one file per task-bucket
+    pair), so after many increments the per-bucket FILE COUNT — not the
+    data volume — dominates scan setup (open/footer-read per file). The
+    fix is the same one ``write_partitioned`` applies to hive layouts:
+    periodically rewrite. The source is read with auto-bucketed-scan
+    FORCED ON (one task per bucket, all of a bucket's files in that
+    task) — without this Spark reads the table as plain files, elides
+    any repartition on the bucket keys as "redundant" (the CATALOG says
+    the data is bucket-partitioned even when the physical scan isn't),
+    and the rewrite sprays each bucket across every input task. With
+    the bucketed scan each task holds exactly one bucket and the
+    rewrite yields ONE file per bucket. Bucket keys (and therefore
+    every downstream no-reshuffle join plan) are unchanged — pinned in
+    tests/test_plans.py.
+
+    Not transactional: the rewrite stages to ``<table>__compact`` and
+    swaps via DROP + RENAME; run it when no reader holds the table
+    (e.g. between increments — a natural cadence is every N appends or
+    when files-per-bucket exceeds ~10). Returns
+    ``{"files_before", "files_after", "rows"}``.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    df = spark.table(table)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    rows = df.count()
+    staging = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        write_bucketed(
+            spark.table(table),
+            staging,
+            bucket_by=cols,
+            num_buckets=num_buckets,
+            sort_by=sort_by,
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    files_after = (
+        spark.table(table).select(F.input_file_name()).distinct().count()
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }
+
+
+def compact_lsh_store(spark: SparkSession, table: str, num_buckets: int = 32) -> dict:
+    """Compact an LSH bucket store (``write_lsh_store`` layout): same
+    ``(band, bucket)`` keys, one file per bucket — identical candidates,
+    identical no-reshuffle join plan, bounded file count."""
+    return compact_store(spark, table, ("band", "bucket"), num_buckets)
+
+
+def compact_fingerprint_store(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> dict:
+    """Compact an exact-dedup fingerprint store (``write_fingerprints``
+    layout): same ``xx`` bucket key, one file per bucket."""
+    return compact_store(spark, table, "xx", num_buckets)

@@ -167,6 +167,25 @@ def _tiny_side_join_sizes(df: DataFrame, threshold: int) -> list[int]:
     return tiny
 
 
+_AGG_CHILD = re.compile(r"HashAggregate|ObjectHashAggregate|SortAggregate")
+
+
+def _single_partition_data_exchanges(simple: str) -> int:
+    """Count ``Exchange SinglePartition`` nodes whose immediate child (the
+    next line of the simple-mode tree) is NOT an aggregate — i.e. the
+    exchanges that funnel raw data rows, not pre-reduced aggregate
+    buffers, through one reducer."""
+    lines = simple.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if not _AGG_CHILD.search(child):
+            n += 1
+    return n
+
+
 def plan_report(df: DataFrame) -> dict:
     """Audit the compiled physical plan; see the keys below. Plan-time
     only: no job runs, so this is safe on any size of input."""
@@ -197,6 +216,15 @@ def plan_report(df: DataFrame) -> dict:
         # ("Arguments: SinglePartition, ..."), one line per exchange
         "single_partition_exchanges": len(
             re.findall(r"Arguments: SinglePartition", p)
+        ),
+        # the subset of those that carry DATA rows: a SinglePartition
+        # exchange whose child is an aggregate moves pre-reduced rows
+        # (one row per group of an un-keyed agg / a bucket-cardinality
+        # relation — every df.agg() has one; benign at any scale); one
+        # whose child is anything else moves the full input through one
+        # reducer — the global-sort/window shape that dies at 100 TB
+        "single_partition_data_exchanges": _single_partition_data_exchanges(
+            simple
         ),
         "sort_merge_joins": n_nodes("SortMergeJoin"),
         "broadcast_hash_joins": n_nodes("BroadcastHashJoin"),
@@ -238,7 +266,7 @@ def plan_report(df: DataFrame) -> dict:
             "key (bucketize ranges, LSH-block similarity) or broadcast a "
             "provably tiny side"
         )
-    if report["single_partition_exchanges"]:
+    if report["single_partition_data_exchanges"]:
         warnings.append(
             "Exchange SinglePartition — the full input flows through ONE "
             "reducer (global window/sort without partitioning?); "

@@ -164,3 +164,24 @@ def test_report_flags_smj_with_broadcastable_side(spark, sf_dir):
     r2 = dplan.plan_report(j2)
     assert r2["broadcast_hash_joins"] >= 1
     assert not any("broadcastable" in w for w in r2["warnings"])
+
+
+def test_single_partition_warning_distinguishes_data_from_aggregates(spark, sf_dir):
+    """The SinglePartition warning must fire only when RAW ROWS funnel
+    through one reducer (global window/sort), not on the final exchange
+    of an un-keyed aggregate — every df.agg() has one of those, carrying
+    one pre-reduced row."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # un-keyed aggregate: SinglePartition exchange exists but is benign
+    agg = li.agg(F.sum("l_quantity").alias("s"))
+    r = dplan.plan_report(agg)
+    assert r["single_partition_exchanges"] >= 1
+    assert r["single_partition_data_exchanges"] == 0
+    assert not any("SinglePartition" in w for w in r["warnings"])
+    # global window: full rows through one reducer — must warn
+    gw = li.withColumn("rn", F.row_number().over(W.orderBy("l_orderkey")))
+    rw = dplan.plan_report(gw)
+    assert rw["single_partition_data_exchanges"] >= 1
+    assert any("SinglePartition" in w for w in rw["warnings"])

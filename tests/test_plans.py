@@ -580,3 +580,99 @@ def test_ivf_partitioned_probe_prunes_cluster_directories(plans):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m, p
     assert "cluster" in m.group(1) and "IN (" in m.group(1).upper(), m.group(1)
+
+
+def test_compacted_lsh_store_same_candidates_and_no_reshuffle(spark):
+    """Appending increments to the LSH store grows files-per-bucket;
+    compact_lsh_store must shrink the file count WITHOUT changing the
+    candidate set or the store-side no-Exchange plan (same bucket keys)."""
+    import uuid
+
+    from dataframes_spark.io import bucketed as B
+    from dataframes_spark.operators import dedup as dd
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tbl = f"lsh_compact_{uuid.uuid4().hex[:8]}"
+    try:
+        b1 = spark.createDataFrame(
+            [(i, f"document body number {i} with some shared phrasing") for i in range(150)],
+            "doc_id long, text string",
+        )
+        B.write_lsh_store(dd.lsh_bucket_store(b1, "text", "doc_id"), tbl, num_buckets=4)
+        # three appended increments -> several files per bucket
+        for lo in (300, 400, 500):
+            inc = spark.createDataFrame(
+                [(lo + i, f"document body number {lo + i} with some shared phrasing") for i in range(30)],
+                "doc_id long, text string",
+            )
+            B.write_bucketed(
+                dd.lsh_bucket_store(inc, "text", "doc_id"),
+                tbl,
+                bucket_by=("band", "bucket"),
+                num_buckets=4,
+                mode="append",
+            )
+        batch = spark.createDataFrame(
+            [(900, "document body number 7 with some shared phrasing")],
+            "doc_id long, text string",
+        )
+
+        def candidates():
+            cands, _ = dd.near_dup_incremental(
+                batch, B.read_lsh_store(spark, tbl), "text", "doc_id"
+            )
+            return cands
+
+        before = sorted(tuple(r) for r in candidates().collect())
+        report = B.compact_lsh_store(spark, tbl, num_buckets=4)
+        assert report["files_after"] < report["files_before"]
+        assert report["files_after"] <= 4  # one file per bucket
+        after_df = candidates()
+        after = sorted(tuple(r) for r in after_df.collect())
+        assert before == after and len(after) >= 1
+        # the no-reshuffle pin still holds on the compacted store
+        p = after_df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p
+        idx = p.find("+- Sort [band")
+        assert idx != -1, p
+        assert "Exchange" not in p[idx:].split("FileScan")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
+
+
+# Every query with a DOCUMENTED reason to funnel data through one reducer
+# — the only entries allowed to carry a plan_report warning. Anything new
+# that lands here must bring its justification.
+SANCTIONED_WARNINGS = {
+    # global cumulative-sum pack assignment: reference-exact whole-corpus
+    # running total (scale twins: pack_greedy per group, chunk_documents)
+    "pack_documents_cumsum": "Exchange SinglePartition",
+    # row-POSITION semantics (the reference's implicit row order): a
+    # horizontal concat / createIndex pairs the i-th rows of two frames,
+    # which inherently needs one global row numbering
+    "facade_from_columns_index": "Exchange SinglePartition",
+    "concat_horizontal": "Exchange SinglePartition",
+}
+
+
+def test_every_registry_query_plans_scalable(spark, sf_dir):
+    """Registry-wide scale gate: plan_report over EVERY queries() entry;
+    the only tolerated warnings are the explicitly sanctioned
+    single-reducer shapes above. A new query with a cartesian product, a
+    row-at-a-time Python UDF, an unpushed pushable filter, or an
+    undocumented global sort fails here before it ever ships."""
+    from dataframes_spark.plan import plan_report
+
+    failures = {}
+    for name, fn in entry.queries().items():
+        rep = plan_report(fn(spark, sf_dir))
+        allowed = SANCTIONED_WARNINGS.get(name)
+        bad = [
+            w for w in rep["warnings"] if not (allowed and allowed in w)
+        ]
+        if bad:
+            failures[name] = bad
+    assert not failures, failures
