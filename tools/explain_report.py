@@ -56,6 +56,12 @@ SHOWCASE = [
     ("shard_report_docs", "md5-mod shard assignment: map-only expression -> partial+final agg"),
     ("pack_materialize_docs", "pack materialization: one groupBy, in-buffer array_sort, no corpus window"),
     ("dedup_best_quality_docs", "best-per-cluster dedup: pair-sized ranking window -> broadcast anti join"),
+    # round 8
+    ("shift_lag", "distributed global shift: quantile buckets -> per-bucket lag -> boundary-row broadcast join"),
+    ("interpolate_linear", "distributed global interpolate: per-bucket windows + cross-bucket edge carry"),
+    ("rolling_1h", "distributed global rolling: fixed-width buckets -> ghost rows -> per-bucket range frame"),
+    ("ivf_probe_partitioned", "on-disk IVF: cluster-partitioned store, probe prunes directories (PartitionFilters)"),
+    ("ann_recall_report", "recall@k: broadcast query set, per-lane candidates, windowed top-k, ratio aggs"),
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
