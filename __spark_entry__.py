@@ -1189,6 +1189,39 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (operators/funnel.py funnel): users reaching
+    view -> click -> purchase in STRICT timestamp order, restricted to
+    high-value events (value > 100) so the synthetic log's uniformity
+    doesn't trivially complete every user — at sf0.01 the three steps
+    retain 123/72/34 users. One shuffle of matching events keyed on
+    user; the ordered scan is a JVM sort_array+aggregate fold inside
+    the buffer (greedy earliest-match, provably exact for unwindowed
+    funnels); the report is a k-row aggregate. The oracle is the
+    textbook k-pass nested-min SQL — different algorithm, same answer."""
+    from dataframes_spark.operators import funnel as dfunnel
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 100)
+    return dfunnel.funnel(ev, ["view", "click", "purchase"])
+
+
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/funnel.py cohort_retention):
+    day-grain cohorts (first active day, value > 150 activity) x offset
+    in days -> active-user counts. ONE shuffle of (user, day) pairs —
+    per-user activity is a bounded collect_set of period starts, the
+    cohort is its array_min, offsets explode from the set; the event log
+    never shuffles twice (no distinct+join re-partitioning). The oracle
+    is the standard first-seen + distinct-activity join."""
+    from dataframes_spark.operators import funnel as dfunnel
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 150)
+    out = dfunnel.cohort_retention(ev, period="day")
+    return out.select(
+        "cohort", F.col("offset").alias("offset_days"), "users"
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2120,6 +2153,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    cap_docs_per_source, split_documents), upsert_documents +
         #    fuzzy_part_names (join family stays via interval_overlap_
         #    purchases + asof_nearest_purchase + attribution_stream_clicks).
+        # -- round 8 (continuation): event-analytics operators — the
+        #    ordered-step funnel (one groupBy fold, no k-way self-join)
+        #    and the cohort retention matrix (one (user,period) shuffle).
+        #    Both hash-verify against the textbook nested-min / first-
+        #    seen-join SQL. To hold the window at 50, two TRIPLY-green
+        #    (r5-r7) rows rotate below: unigram_logprob_docs (text
+        #    family stays via repetition_docs + quality_quartiles_docs)
+        #    and length_histogram_docs (distribution family stays via
+        #    quality_quartiles_docs + winsorize_prices).
+        "funnel_events": funnel_events,
+        "cohort_retention_daily": cohort_retention_daily,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2157,18 +2201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_lines_docs": repeated_lines_docs,
         "strip_repeated_lines_docs": strip_repeated_lines_docs,
         "cube_qty": cube_qty,
-        # unigram_logprob_docs: corpus-LM quality score; ungroup_explode
-        # (green r1-r4) rotates out, explode family stays in-window via
-        # chunk_documents
-        "unigram_logprob_docs": unigram_logprob_docs,
         # bloom_semi_orders: bloom-pruned semi join; column_stats (green
         # r1-r4) rotates out, aggregate surface stays via
         # aggregate_contract
         "bloom_semi_orders": bloom_semi_orders,
-        # length_histogram_docs: distributed binning; aggregate_contract
-        # (green r1-r4) rotates out, the aggregate surface stays via
-        # cube_qty + q1 + the histogram's own two-pass aggregation
-        "length_histogram_docs": length_histogram_docs,
         # resample_events_hourly (dense-spine gap-filled downsample) and
         # winsorize_prices (quantile clipping); window_topn_orders and
         # near_dup_jaccard_lsh (both green r1-r4) rotate out — the window
@@ -2351,6 +2387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the new partitioned-write row above; families documented
         # at the swap sites in-window
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        # round 8: rotated below after 3 consecutive green rounds
+        # (r5-r7) to make room for funnel_events + cohort_retention_daily
+        "unigram_logprob_docs": unigram_logprob_docs,
+        "length_histogram_docs": length_histogram_docs,
         "sessionize_events": sessionize_events,
         "json_props_rollup": json_props_rollup,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -3361,6 +3401,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(CAST(dur // 1000 AS INT))) * 1000 AS frame_ts_ms
             FROM m
+        """,
+        "funnel_events": """
+            WITH f AS (SELECT user_id, event_type, ts FROM events
+                       WHERE value > 100),
+            s1 AS (SELECT user_id, min(ts) AS t FROM f
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM f e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM f e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT count(*) FROM s1) AS users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ORDER BY step
+        """,
+        "cohort_retention_daily": """
+            WITH pu AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS p
+                FROM events
+                WHERE value > 150 AND ts IS NOT NULL AND user_id IS NOT NULL
+            ), agg AS (
+                SELECT user_id, min(p) AS cohort, list(DISTINCT p) AS ps
+                FROM pu GROUP BY 1
+            ), ex AS (SELECT cohort, unnest(ps) AS active FROM agg)
+            SELECT cohort,
+                   CAST(date_diff('day', cohort, active) AS INT) AS offset_days,
+                   count(*) AS users
+            FROM ex GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "sessionize_events": """
             WITH marked AS (

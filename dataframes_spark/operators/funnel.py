@@ -1,0 +1,194 @@
+"""Ordered-step funnel analysis and cohort retention over an event log.
+
+Product-analytics staples the reference's event tooling stops short of
+(its analysis surface ends at rolling windows, `Analysis.cpp:735-918`);
+both are first-class operators here because a training-data pipeline's
+telemetry — crawl fetches, filter passes, human review — is itself an
+event log that gets funnel'd ("fetched -> parsed -> kept") and
+cohorted ("docs first seen in week W still surviving dedup at W+k").
+
+Scale design (both operators):
+
+- ONE shuffle of the event log, keyed on the user/entity column. The
+  per-user event set is folded INSIDE the aggregation buffer with JVM
+  higher-order functions — no window over the full log, no repeated
+  self-joins (the textbook k-step funnel SQL joins the log k times).
+- The post-fold relation is user-sized, and the final report
+  aggregation reduces it to k rows (funnel) or |cohorts| x |offsets|
+  rows (retention) with a second, tiny shuffle.
+- Per-user state is bounded: the funnel buffers only events whose type
+  participates in a step (filtered BEFORE the shuffle, so the exchange
+  carries matching rows only); retention buffers one row per DISTINCT
+  (user, period) — bounded by the calendar, not the event volume.
+
+Funnel semantics (the standard "ordered funnel" definition): a user
+reaches step i when there exist events e_1 < e_2 < ... < e_i (strictly
+increasing timestamps) with the required types, in order. The fold takes
+the EARLIEST qualifying event for each step; the greedy choice is
+optimal (any later step-i event admits a superset of step-i+1
+continuations), so "deepest step reached" is exact, not heuristic.
+Equal timestamps never satisfy the strict `>`, making the result
+independent of the within-timestamp scan order — deterministic on any
+engine and any partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stage(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user deepest funnel step: ``(user_col, stage, completed_ts)``
+    with ``stage`` in 0..len(steps) (0 = never did step 1) and
+    ``completed_ts`` the timestamp at which that deepest stage was
+    reached (NULL at stage 0).
+
+    One groupBy shuffle carrying only step-typed events; the ordered
+    scan happens inside the buffer via ``sort_array`` + ``aggregate``
+    (pure JVM, no Python in the plan).
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    k = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+
+    per_user = (
+        df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t"))
+                )
+            ).alias("__ev")
+        )
+    )
+
+    acc0 = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("last_ts")
+    )
+    fold = F.aggregate(
+        F.col("__ev"),
+        acc0,
+        lambda acc, e: F.when(
+            (acc["stage"] < F.lit(k))
+            & (e["t"] == F.element_at(steps_lit, acc["stage"] + 1))
+            & (acc["last_ts"].isNull() | (e["ts"] > acc["last_ts"])),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"), e["ts"].alias("last_ts")
+            ),
+        ).otherwise(acc),
+    )
+    return per_user.select(
+        F.col(user_col),
+        fold["stage"].alias("stage"),
+        fold["last_ts"].alias("completed_ts"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel report: one row per step — ``(step, step_name, users)``
+    where ``users`` counts users whose ordered event history reaches
+    that step (see module docstring for the exact semantics).
+
+    Cost: the `funnel_stage` shuffle, then a k-row aggregate. The
+    cumulative "reached >= i" sums happen on the k-row stage histogram
+    via a window — bounded by the step count, never by the data.
+    """
+    k = len(list(steps))
+    stages = funnel_stage(df, steps, user_col, type_col, ts_col)
+    hist = stages.groupBy("stage").agg(F.count(F.lit(1)).alias("__n"))
+    # users reaching step i = sum of histogram counts with stage >= i;
+    # computed by exploding each histogram row to the steps it satisfies
+    # (<= k rows out per row in) and re-aggregating — k*(k+1)/2 rows max.
+    reached = (
+        hist.filter(F.col("stage") >= 1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("stage"))).alias("step"),
+            F.col("__n"),
+        )
+        .groupBy("step")
+        .agg(F.sum("__n").alias("users"))
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    # left-join against the full step spine so zero-user steps still row
+    # (the <= k-row reached side broadcasts; the spine is driver-tiny)
+    spine = stages.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    return (
+        spine.join(F.broadcast(reached), "step", "left")
+        .select(
+            F.col("step"),
+            F.element_at(steps_lit, F.col("step")).alias("step_name"),
+            F.coalesce(F.col("users"), F.lit(0)).cast("long").alias("users"),
+        )
+        .orderBy("step")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix in long form: ``(cohort, offset, users)``
+    — users whose FIRST event falls in period ``cohort`` and who were
+    active again ``offset`` periods later (offset 0 = the cohort period
+    itself, so ``offset=0`` rows give cohort sizes). ``period`` is
+    ``"week"`` (ISO Monday start), ``"month"``, or ``"day"``.
+
+    ONE shuffle of (user, period) pairs: the per-user activity set is
+    collected as a ``collect_set`` of period starts (map-side partial
+    sets, bounded by the calendar span), the cohort is its array MIN,
+    and offsets explode from the set — the event log itself never
+    shuffles twice and no distinct+join re-partitioning happens.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period!r}")
+    p = F.date_trunc(period, F.col(ts_col))
+    per_user = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col), p.cast("date").alias("__p"))
+        .groupBy(user_col)
+        .agg(F.collect_set("__p").alias("__ps"))
+        .select(
+            F.array_min("__ps").alias("__cohort"),
+            F.explode("__ps").alias("__active"),
+        )
+    )
+    if period == "month":
+        off = (
+            (F.year("__active") - F.year("__cohort")) * 12
+            + (F.month("__active") - F.month("__cohort"))
+        ).cast("int")
+    elif period == "week":
+        off = (F.datediff("__active", "__cohort") / 7).cast("int")
+    else:
+        off = F.datediff("__active", "__cohort").cast("int")
+    return (
+        per_user.groupBy(
+            F.col("__cohort").alias("cohort"), off.alias("offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("cohort", "offset")
+    )

@@ -1,0 +1,113 @@
+"""Funnel + cohort retention semantics (operators/funnel.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators.funnel import cohort_retention, funnel, funnel_stage
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)) for u, t, m in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+STEPS = ["a", "b", "c"]
+
+
+def test_funnel_order_matters(spark):
+    # u1 completes in order; u2 has all three types but b before a ->
+    # stage 2 only via the later b?  a@10, b@5, c@20: after a@10 the only
+    # b is at 5 (not later) -> stage 1.  u3 never does a -> stage 0.
+    df = _ev(
+        spark,
+        [
+            (1, "a", 0), (1, "b", 1), (1, "c", 2),
+            (2, "b", 5), (2, "a", 10), (2, "c", 20),
+            (3, "b", 0), (3, "c", 1),
+        ],
+    )
+    stages = {r.user_id: r.stage for r in funnel_stage(df, STEPS).collect()}
+    assert stages == {1: 3, 2: 1, 3: 0}
+    rep = funnel(df, STEPS).collect()
+    assert [(r.step, r.step_name, r.users) for r in rep] == [
+        (1, "a", 2), (2, "b", 1), (3, "c", 1),
+    ]
+
+
+def test_funnel_strict_ts_and_greedy_optimality(spark):
+    # equal timestamps never advance (strict >): b at the same minute as
+    # a does not count, the later b does.
+    df = _ev(spark, [(1, "a", 0), (1, "b", 0), (1, "b", 3)])
+    assert funnel_stage(df, STEPS).collect()[0].stage == 2
+    # greedy earliest-a is optimal: a@0 (no b after) would fail if the
+    # fold latched a@5 -- but there is a b@6 after BOTH; the fold must
+    # still reach stage 2 via a@0 < b@6.
+    df2 = _ev(spark, [(2, "a", 0), (2, "a", 5), (2, "b", 6)])
+    assert funnel_stage(df2, STEPS).collect()[0].stage == 2
+
+
+def test_funnel_zero_user_steps_still_row(spark):
+    df = _ev(spark, [(1, "a", 0)])
+    rep = funnel(df, STEPS).collect()
+    assert [(r.step, r.users) for r in rep] == [(1, 1), (2, 0), (3, 0)]
+
+
+def test_funnel_validates_steps(spark):
+    df = _ev(spark, [(1, "a", 0)])
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        funnel(df, ["a"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(df, ["a", "a"])
+
+
+def test_funnel_completed_ts_is_earliest_completion(spark):
+    df = _ev(spark, [(1, "a", 0), (1, "b", 2), (1, "b", 9), (1, "c", 4)])
+    row = funnel_stage(df, STEPS).collect()[0]
+    assert row.stage == 3
+    assert row.completed_ts == dt.datetime(2024, 1, 1, 0, 4)
+
+
+def test_cohort_retention_matrix(spark):
+    # u1 first seen day0, active day0+day2; u2 first seen day2 only.
+    df = _ev(
+        spark,
+        [
+            (1, "x", 0), (1, "x", 10),          # day 0 twice -> one pair
+            (1, "x", 2 * 24 * 60),              # day 2
+            (2, "x", 2 * 24 * 60 + 30),         # day 2
+        ],
+    )
+    out = cohort_retention(df, period="day").collect()
+    got = [(r.cohort.isoformat(), r.offset, r.users) for r in out]
+    assert got == [
+        ("2024-01-01", 0, 1),
+        ("2024-01-01", 2, 1),
+        ("2024-01-03", 0, 1),
+    ]
+
+
+def test_cohort_retention_month_and_null_rows(spark):
+    df = _ev(spark, [(1, "x", 0), (1, "x", 40 * 24 * 60)]).union(
+        _ev(spark, []).select(
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit("x").alias("event_type"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    out = cohort_retention(df, period="month").collect()
+    assert [(r.offset, r.users) for r in out] == [(0, 1), (1, 1)]
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="year")
+
+
+def test_funnel_plan_shape(spark):
+    """No window over the event log and no self-join: exactly the
+    groupBy exchanges (user-keyed fold + tiny report aggs)."""
+    df = _ev(spark, [(1, "a", 0), (1, "b", 1)])
+    plan = funnel_stage(df, STEPS)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
