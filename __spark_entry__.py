@@ -615,6 +615,39 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered write (io/writers.py write_zordered: quantile-
+    banded Morton key, range-partitioned files) -> read back -> filtered
+    aggregate — the content gate: the oracle runs the same
+    filter+aggregate on the raw table, so any row lost, duplicated or
+    altered by the layout pass breaks the hash. (A scale-free modulo
+    filter rather than a range one — it selects the same rows at every
+    SF; the range-predicate file-skipping the layout exists for is
+    proven by footer-interval widths in tests/test_zorder.py.)"""
+    import os
+
+    from dataframes_spark.io import writers as dio_w
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    path = os.path.join(_scratch_dir("spark_graft_zorder_"), "lineitem_z")
+    dio_w.write_zordered(li, path, ["l_orderkey", "l_partkey"], bits=6, n_files=8)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("l_orderkey") % 10 < 3) & (F.col("l_partkey") % 7 < 2)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("sum_key"),
+            F.sum("l_partkey").alias("sum_part"),
+        )
+    )
+
+
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payload column -> Arrow-batched
     mapInPandas decode (deterministic stand-in decoder) -> per-media
@@ -2162,6 +2195,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family stays via repetition_docs + quality_quartiles_docs)
         #    and length_histogram_docs (distribution family stays via
         #    quality_quartiles_docs + winsorize_prices).
+        # -- round 8 (continuation): z-order clustered writes — the
+        #    multi-column locality layout (quantile-banded Morton key,
+        #    range-partitioned files; footer-interval proof in
+        #    tests/test_zorder.py). Content-identity hash-verified here.
+        #    csv_roundtrip_agg's slot effectively returns: it rotated
+        #    below in r7 and the IO-write family stays multiply covered
+        #    (xlsx/feather/orc/jsonl + this row).
+        "zorder_roundtrip_agg": zorder_roundtrip_agg,
         "funnel_events": funnel_events,
         "cohort_retention_daily": cohort_retention_daily,
         "ivf_probe_partitioned": ivf_probe_partitioned,
@@ -2211,7 +2252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family stays via the resample spine + rolling history, dedup
         # keeps six in-window rows
         "resample_events_hourly": resample_events_hourly,
-        "winsorize_prices": winsorize_prices,
         # asof_nearest_purchase (nearest-direction as-of, composes the
         # backward+forward passes), skew_report_orders (heavy-key
         # diagnosis), standardize_prices (grouped z-score). Rotated out
@@ -2389,8 +2429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
         # round 8: rotated below after 3 consecutive green rounds
         # (r5-r7) to make room for funnel_events + cohort_retention_daily
+        # + zorder_roundtrip_agg; winsorize_prices' quantile-stats family
+        # stays in-window via quality_quartiles_docs + standardize_prices
         "unigram_logprob_docs": unigram_logprob_docs,
         "length_histogram_docs": length_histogram_docs,
+        "winsorize_prices": winsorize_prices,
         "sessionize_events": sessionize_events,
         "json_props_rollup": json_props_rollup,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -3401,6 +3444,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(CAST(dur // 1000 AS INT))) * 1000 AS frame_ts_ms
             FROM m
+        """,
+        "zorder_roundtrip_agg": """
+            SELECT l_returnflag,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+                   count(*) AS n,
+                   sum(l_orderkey) AS sum_key,
+                   sum(l_partkey) AS sum_part
+            FROM lineitem
+            WHERE l_orderkey % 10 < 3 AND l_partkey % 7 < 2
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "funnel_events": """
             WITH f AS (SELECT user_id, event_type, ts FROM events

@@ -8,9 +8,26 @@ only sane for small outputs, so it's opt-in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from dataframes_spark.io.readers import detect_format
+
+
+def _default_num_partitions(df: DataFrame) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to the
+    input's current partition count then 200 — some platforms set the
+    conf to a non-numeric token (e.g. "auto" under AQE-managed
+    shuffles), and int() on it must not make a writer unusable."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        try:
+            return df.rdd.getNumPartitions() or 200
+        except Exception:
+            return 200
 
 
 def write_parquet_sized(
@@ -88,16 +105,7 @@ def write_partitioned(
     # coalesce — column-only repartition is coalescible, and on a small
     # write AQE merges every shuffle partition into one task, silently
     # collapsing the salted layout back to one file per value
-    try:
-        num = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (ValueError, TypeError):
-        # some platforms set the conf to a non-numeric token (e.g.
-        # "auto" under AQE-managed shuffles); fall back to the input's
-        # current partition count, then a conventional default
-        try:
-            num = df.rdd.getNumPartitions() or 200
-        except Exception:
-            num = 200
+    num = _default_num_partitions(df)
     if files_per_partition <= 1:
         out = df.repartition(num, *partition_cols)
     else:
@@ -116,6 +124,110 @@ def write_partitioned(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.format(fmt).save(path)
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    key_col: str = "__z",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Add a Morton (Z-order) key over ``cols``: each column is
+    rank-bucketed into ``2**bits`` quantile bands and the band indices'
+    bits are interleaved into one long. Rows close on the Z-curve are
+    close in EVERY listed column at once — the multi-column locality
+    that single-key clustering cannot give (sorting by col A leaves
+    col B uniformly scattered across every file).
+
+    Quantile banding (not min/max width) so value skew cannot collapse
+    the curve: a heavy hitter occupies many bands of rank space instead
+    of one band of value space. Boundaries come from ONE
+    ``percentile_approx`` aggregate (bounded-memory sketch — this keys a
+    LAYOUT, approximation cannot change any answer) and ride into the
+    plan as a broadcast 1-row frame, exactly like ``stats.qcut``; band
+    assignment is a map-only JVM fold, bit interleaving pure integer
+    expressions — no Python, no extra shuffle. NULL values band to 0
+    (nulls cluster first along their column's axis)."""
+    cols = list(cols)
+    if not 2 <= len(cols) <= 8:
+        raise ValueError(
+            f"zorder needs 2-8 columns (1 column is plain clustering — "
+            f"use write_parquet_sized(cluster_by=...)), got {cols!r}"
+        )
+    if bits < 1 or bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) must be in [1, 63] to fit a long, got "
+            f"{bits}*{len(cols)}"
+        )
+    if key_col in df.columns:
+        raise ValueError(f"key column {key_col!r} collides with input")
+    n = 1 << bits
+    qs = [i / n for i in range(1, n)]
+    bounds = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs, accuracy).alias(
+                f"__zb_{j}"
+            )
+            for j, c in enumerate(cols)
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    k = len(cols)
+    z: Column = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        band = F.coalesce(
+            F.aggregate(
+                F.col(f"__zb_{j}"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+            ),
+            F.lit(0),
+        ).cast("long")
+        for bit in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(band, bit).bitwiseAND(F.lit(1)), bit * k + j
+            )
+    return out.select(*df.columns, z.alias(key_col))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    n_files: int | None = None,
+    rows_per_file: int | None = None,
+    mode: str = "overwrite",
+    accuracy: int = 10_000,
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort on the Morton
+    key of ``cols`` (`with_zorder_key`), then write. The public prior
+    art is Delta Lake's OPTIMIZE ZORDER BY; this is the same layout
+    idea expressed as a plain one-pass Spark write.
+
+    Why it matters at 100 TB: parquet scans skip row groups whose
+    footer min/max excludes the predicate. After this write, every file
+    covers a small Z-range — a narrow rectangle in ALL ``cols`` at once
+    — so selective filters on ANY of them (or any conjunction) skip
+    most files outright, where single-key clustering only serves its
+    one key. The write costs one range-exchange of the data (the same
+    shuffle any explicit layout costs); ``repartitionByRange`` samples
+    the key so output files are even-sized even under skew. Layout
+    only: the row CONTENT is byte-identical to the input (hash-verified
+    by the roundtrip driver row)."""
+    keyed = with_zorder_key(df, cols, bits, accuracy=accuracy)
+    num = n_files or _default_num_partitions(df)
+    out = (
+        keyed.repartitionByRange(num, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.mode(mode)
+    if rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(rows_per_file))
+    writer.parquet(path)
 
 
 def write_auto(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False, **options) -> None:
