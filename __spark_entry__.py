@@ -953,6 +953,29 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtext.tfidf_top_terms(docs, "text", "source", k=3)
 
 
+def cms_heavy_tokens_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.py): tokens with
+    estimated frequency >= 200 from a 3x64 sketch in the md5 lane. A
+    deliberately NARROW width against the corpus vocabulary, so bucket
+    collisions actually happen and the min-over-rows estimate does real
+    work; the oracle rebuilds the identical sketch — every hash row,
+    every collided cell, every min — in DuckDB, hash-verifying the whole
+    estimation pipeline, not just its outputs' shape. The exact
+    `groupBy.count` this replaces at corpus scale shuffles one row per
+    distinct key; the sketch's exchange is bounded by depth*width cells
+    per partition regardless of cardinality."""
+    from dataframes_spark.operators import sketch as dsketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    out = dsketch.heavy_hitters(
+        toks, "token", min_count=200, depth=3, width=64, lane_hash="md5"
+    )
+    return out.orderBy("token")
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sampling without replacement, top-2 per source
     (operators/sample.py weighted_sample_topk: Efraimidis-Spirakis with
@@ -2205,6 +2228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_roundtrip_agg": zorder_roundtrip_agg,
         "funnel_events": funnel_events,
         "cohort_retention_daily": cohort_retention_daily,
+        # -- round 8 (continuation): count-min sketch heavy hitters,
+        #    md5 lane — the whole 3x64 sketch (collided cells included)
+        #    is rebuilt in DuckDB, so estimation hash-verifies cell for
+        #    cell. skew_report_orders (green r5-r7) rotates below; the
+        #    skew family stays in-window via salted_agg_events.
+        "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2261,7 +2290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strictly improves) and asof_last_purchase (green r04; family
         # exercised by the nearest composition)
         "asof_nearest_purchase": asof_nearest_purchase,
-        "skew_report_orders": skew_report_orders,
         "standardize_prices": standardize_prices,
         # melt_lineitem: single-scan unpivot; interpolate_linear (green
         # r1-r4) rotates out, nulls family stays via fillna/dropna history
@@ -2434,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_docs": unigram_logprob_docs,
         "length_histogram_docs": length_histogram_docs,
         "winsorize_prices": winsorize_prices,
+        "skew_report_orders": skew_report_orders,
         "sessionize_events": sessionize_events,
         "json_props_rollup": json_props_rollup,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -3444,6 +3473,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(CAST(dur // 1000 AS INT))) * 1000 AS frame_ts_ms
             FROM m
+        """,
+        "cms_heavy_tokens_md5": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            ), rows_ AS (SELECT unnest([0, 1, 2]) AS d),
+            cells AS (
+                SELECT d,
+                       ('0x' || substr(md5(d || ':' || token), 1, 15))::BIGINT % 64 AS bucket,
+                       count(*) AS cnt
+                FROM toks, rows_
+                GROUP BY 1, 2
+            ), cand AS (SELECT DISTINCT token FROM toks WHERE token IS NOT NULL),
+            probe AS (
+                SELECT token, d,
+                       ('0x' || substr(md5(d || ':' || token), 1, 15))::BIGINT % 64 AS bucket
+                FROM cand, rows_
+            )
+            SELECT token, min(coalesce(cnt, 0)) AS est
+            FROM probe LEFT JOIN cells USING (d, bucket)
+            GROUP BY token HAVING est >= 200 ORDER BY token
         """,
         "zorder_roundtrip_agg": """
             SELECT l_returnflag,
