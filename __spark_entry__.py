@@ -1278,6 +1278,23 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (operators/funnel.py funnel_windowed): users
+    completing view -> click -> purchase within 96 HOURS of the chain
+    start (high-value events, value > 100) — the "converted within T"
+    form. At sf0.01 the window bites hard: 123/34/4 vs the unwindowed
+    row's 123/72/34. The fold keeps one max-chain-start per stage
+    (scan order makes max-start a complete dominance order, so the
+    greedy fold is exact); the oracle is the exists-quantified triple
+    self-join — quadratic verification lane for a linear-state fold."""
+    from dataframes_spark.operators import funnel as dfunnel
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 100)
+    return dfunnel.funnel_windowed(
+        ev, ["view", "click", "purchase"], window_seconds=96 * 3600
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2227,6 +2244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (xlsx/feather/orc/jsonl + this row).
         "zorder_roundtrip_agg": zorder_roundtrip_agg,
         "funnel_events": funnel_events,
+        # windowed funnel ("converted within T"): exact linear-state
+        # fold vs the quadratic exists-join oracle. melt_lineitem
+        # (green r5-r7) rotates below; single-scan reshape stays
+        # in-window via chunk_documents + the pack rows.
+        "funnel_events_windowed": funnel_events_windowed,
         "cohort_retention_daily": cohort_retention_daily,
         # -- round 8 (continuation): count-min sketch heavy hitters,
         #    md5 lane — the whole 3x64 sketch (collided cells included)
@@ -2291,9 +2313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised by the nearest composition)
         "asof_nearest_purchase": asof_nearest_purchase,
         "standardize_prices": standardize_prices,
-        # melt_lineitem: single-scan unpivot; interpolate_linear (green
-        # r1-r4) rotates out, nulls family stays via fillna/dropna history
-        "melt_lineitem": melt_lineitem,
         # facade_column_surgery + facade_from_columns_index: first driver
         # rows for the facade conveniences (addColumn/rename/remove/
         # filterColumns/fromColumns/createIndex/concat); embedding_norms
@@ -2463,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram_docs": length_histogram_docs,
         "winsorize_prices": winsorize_prices,
         "skew_report_orders": skew_report_orders,
+        "melt_lineitem": melt_lineitem,
         "sessionize_events": sessionize_events,
         "json_props_rollup": json_props_rollup,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -3520,6 +3540,28 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM s1) AS users
             UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
             UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ORDER BY step
+        """,
+        "funnel_events_windowed": """
+            WITH f AS (SELECT user_id, event_type, ts FROM events
+                       WHERE value > 100),
+            u1 AS (SELECT DISTINCT user_id FROM f WHERE event_type = 'view'),
+            u2 AS (SELECT DISTINCT a.user_id FROM f a
+                   JOIN f b ON a.user_id = b.user_id
+                    AND a.event_type = 'view' AND b.event_type = 'click'
+                    AND b.ts >= a.ts
+                    AND b.ts <= a.ts + INTERVAL 345600 SECOND),
+            u3 AS (SELECT DISTINCT a.user_id FROM f a
+                   JOIN f b ON a.user_id = b.user_id
+                    AND a.event_type = 'view' AND b.event_type = 'click'
+                    AND b.ts >= a.ts
+                   JOIN f c ON c.user_id = a.user_id
+                    AND c.event_type = 'purchase' AND c.ts >= b.ts
+                    AND c.ts <= a.ts + INTERVAL 345600 SECOND)
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT count(*) FROM u1) AS users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)
             ORDER BY step
         """,
         "cohort_retention_daily": """

@@ -145,6 +145,114 @@ def funnel(
     )
 
 
+def funnel_stage_windowed(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_seconds: float,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user deepest funnel step WITHIN a time window:
+    ``(user_col, stage)`` where a user reaches stage i iff there exist
+    events e_1 .. e_i with the required types, NON-DECREASING
+    timestamps, and ``ts(e_i) - ts(e_1) <= window_seconds`` — the
+    "converted within T" question (same semantics family as
+    ClickHouse's windowFunnel). Note the ordering is non-strict here
+    (ties may chain, in step order), unlike the unwindowed `funnel`'s
+    strict ordering: with a window, non-strict is what makes the
+    exists-quantified semantics scan-order-free.
+
+    Same cost shape as `funnel_stage`: one groupBy shuffle of step-typed
+    events, then a JVM fold. The fold keeps, per stage, the MAXIMUM
+    chain-start timestamp seen so far; scanning in (ts, step-index)
+    order makes every stored chain extendable by the current event
+    (its last event cannot be later), so max-start is a complete
+    dominance order and the fold is exact, not heuristic: a larger
+    start can only admit MORE continuations within the window."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    k = len(steps)
+    w_us = int(window_seconds * 1_000_000)
+    # step index BEFORE the shuffle so the sort key is (us, step order)
+    idx = F.lit(None).cast("int")
+    for i in reversed(range(k)):
+        idx = F.when(F.col(type_col) == steps[i], F.lit(i + 1)).otherwise(idx)
+    per_user = (
+        df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col),
+            F.struct(
+                # NTZ-tolerant: unix_micros requires TIMESTAMP proper
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+                idx.alias("j"),
+            ).alias("__e"),
+        )
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list("__e")).alias("__ev"))
+    )
+    acc0 = F.array_repeat(F.lit(None).cast("long"), k)  # best chain start/stage
+    def merge(acc, e):
+        first = F.greatest(F.element_at(acc, 1), e["us"])
+        prev = F.element_at(acc, e["j"] - 1)  # null when j == 1 via guard
+        extended = F.when(
+            prev.isNotNull() & (e["us"] <= prev + F.lit(w_us)),
+            F.greatest(F.element_at(acc, e["j"]), prev),
+        ).otherwise(F.element_at(acc, e["j"]))
+        newv = F.when(e["j"] == 1, first).otherwise(extended)
+        return F.transform(
+            acc, lambda x, i: F.when(i == e["j"] - 1, newv).otherwise(x)
+        )
+
+    fold = F.aggregate(F.col("__ev"), acc0, merge)
+    stage = F.size(F.filter(fold, lambda x: x.isNotNull()))
+    return per_user.select(F.col(user_col), stage.alias("stage"))
+
+
+def funnel_windowed(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_seconds: float,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed funnel report: ``(step, step_name, users)`` with users
+    counted per `funnel_stage_windowed` (reached within the window)."""
+    k = len(list(steps))
+    stages = funnel_stage_windowed(
+        df, steps, window_seconds, user_col, type_col, ts_col
+    )
+    hist = stages.groupBy("stage").agg(F.count(F.lit(1)).alias("__n"))
+    reached = (
+        hist.filter(F.col("stage") >= 1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("stage"))).alias("step"),
+            F.col("__n"),
+        )
+        .groupBy("step")
+        .agg(F.sum("__n").alias("users"))
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    spine = stages.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    return (
+        spine.join(F.broadcast(reached), "step", "left")
+        .select(
+            F.col("step"),
+            F.element_at(steps_lit, F.col("step")).alias("step_name"),
+            F.coalesce(F.col("users"), F.lit(0)).cast("long").alias("users"),
+        )
+        .orderBy("step")
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",

@@ -5,7 +5,13 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from dataframes_spark.operators.funnel import cohort_retention, funnel, funnel_stage
+from dataframes_spark.operators.funnel import (
+    cohort_retention,
+    funnel,
+    funnel_stage,
+    funnel_stage_windowed,
+    funnel_windowed,
+)
 
 
 def _ev(spark, rows):
@@ -69,6 +75,49 @@ def test_funnel_completed_ts_is_earliest_completion(spark):
     row = funnel_stage(df, STEPS).collect()[0]
     assert row.stage == 3
     assert row.completed_ts == dt.datetime(2024, 1, 1, 0, 4)
+
+
+def _stage_w(spark, rows, window_s):
+    df = _ev(spark, rows)
+    return {
+        r.user_id: r.stage
+        for r in funnel_stage_windowed(df, STEPS, window_s).collect()
+    }
+
+
+def test_windowed_funnel_window_bounds(spark):
+    # chain a@0 b@10 c@20 (minutes): inside a 30-min window, outside 15
+    rows = [(1, "a", 0), (1, "b", 10), (1, "c", 20)]
+    assert _stage_w(spark, rows, 30 * 60) == {1: 3}
+    assert _stage_w(spark, rows, 15 * 60) == {1: 2}
+    assert _stage_w(spark, rows, 5 * 60) == {1: 1}
+
+
+def test_windowed_funnel_later_start_rescues(spark):
+    # a@0 cannot reach b@100 within 50 min, but a@90 can — the fold's
+    # max-start dominance must pick the later chain start
+    rows = [(1, "a", 0), (1, "a", 90), (1, "b", 100)]
+    assert _stage_w(spark, rows, 50 * 60) == {1: 2}
+    # and the window is measured from the CHAIN start, not per hop:
+    # a@0 b@30 c@60 with window 40 fails at c (60 > 0+40) even though
+    # each hop is 30 apart; a@0->b@30 still gives stage 2
+    rows2 = [(2, "a", 0), (2, "b", 30), (2, "c", 60)]
+    assert _stage_w(spark, rows2, 40 * 60) == {2: 2}
+
+
+def test_windowed_funnel_nonstrict_ties_and_order(spark):
+    # non-strict: equal timestamps chain (in step order)
+    assert _stage_w(spark, [(1, "a", 5), (1, "b", 5)], 600) == {1: 2}
+    # but order still matters: b strictly before a does not chain
+    assert _stage_w(spark, [(2, "b", 0), (2, "a", 5)], 600) == {2: 1}
+
+
+def test_windowed_funnel_report_and_validation(spark):
+    df = _ev(spark, [(1, "a", 0), (1, "b", 10), (2, "a", 0)])
+    rep = funnel_windowed(df, STEPS, 3600)
+    assert [(r.step, r.users) for r in rep.collect()] == [(1, 2), (2, 1), (3, 0)]
+    with pytest.raises(ValueError, match="window_seconds"):
+        funnel_windowed(df, STEPS, 0)
 
 
 def test_cohort_retention_matrix(spark):
