@@ -62,6 +62,11 @@ SHOWCASE = [
     ("rolling_1h", "distributed global rolling: fixed-width buckets -> ghost rows -> per-bucket range frame"),
     ("ivf_probe_partitioned", "on-disk IVF: cluster-partitioned store, probe prunes directories (PartitionFilters)"),
     ("ann_recall_report", "recall@k: broadcast query set, per-lane candidates, windowed top-k, ratio aggs"),
+    ("funnel_events", "ordered funnel: user-keyed fold in the agg buffer, no k-way self-join, k-row report"),
+    ("funnel_events_windowed", "windowed funnel: max-chain-start fold, linear state vs the quadratic exists-join"),
+    ("cohort_retention_daily", "cohort matrix: ONE (user,period) shuffle, collect_set + array_min + explode"),
+    ("cms_heavy_tokens_md5", "count-min sketch: cell-bounded partial agg, broadcast estimation join"),
+    ("zorder_roundtrip_agg", "z-order write roundtrip: broadcast quantile bands, JVM bit interleave, range exchange"),
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
