@@ -137,6 +137,44 @@ def cms_estimate(
     )
 
 
+def cms_store_update(spark, table: str, batch_sketch: DataFrame) -> dict:
+    """Fold a batch's sketch into a persisted CMS store (catalog parquet
+    table, same staging-swap idiom as ``io.bucketed.compact_store``) —
+    the incremental-epoch loop: sketch each arriving batch (one scan of
+    the batch, never of history), ``cms_merge`` it with the stored
+    cells, swap. The store is AT MOST depth*width rows no matter how
+    many epochs fold in, so the update is a constant-size job and the
+    store never needs compaction. Not transactional: run between
+    increments, like the other stores. Returns ``{"cells", "total"}``
+    (non-zero cells and the stream length folded so far — cnt sums in
+    any one hash row equal the total stream length)."""
+    from py4j.protocol import Py4JError
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        existing = spark.table(table)
+        merged = cms_merge(existing, batch_sketch)
+    except (AnalysisException, Py4JError):
+        merged = batch_sketch
+    staging = f"{table}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    merged.write.format("parquet").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    out = spark.table(table)
+    cells = out.count()
+    total = (
+        out.filter(F.col("d") == 0).agg(F.sum("cnt").alias("t")).first()["t"]
+    )
+    return {"cells": cells, "total": int(total or 0)}
+
+
+def cms_store_read(spark, table: str) -> DataFrame:
+    """Read a persisted CMS cell store (``(d, bucket, cnt)``) for
+    `cms_estimate` / `heavy_hitters` probing."""
+    return spark.table(table)
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

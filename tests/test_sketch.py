@@ -7,6 +7,8 @@ from dataframes_spark.operators.sketch import (
     cms_build,
     cms_estimate,
     cms_merge,
+    cms_store_read,
+    cms_store_update,
     heavy_hitters,
 )
 
@@ -94,6 +96,30 @@ def test_sketch_plan_shape(spark, stream):
     ep = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in ep
     assert "SortMergeJoin" not in ep
+
+
+def test_incremental_store_equals_whole(spark, stream):
+    a = stream.filter(F.length("v") == 2)
+    b = stream.filter(F.length("v") == 3)
+    table = "cms_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    r1 = cms_store_update(spark, table, cms_build(a, "v", depth=3, width=32))
+    r2 = cms_store_update(spark, table, cms_build(b, "v", depth=3, width=32))
+    assert r2["total"] == stream.count() and r2["total"] > r1["total"]
+    store = cms_store_read(spark, table)
+    whole = cms_build(stream, "v", depth=3, width=32)
+    assert store.exceptAll(whole).count() == 0
+    assert whole.exceptAll(store).count() == 0
+    # estimates probe the store exactly like a fresh sketch
+    true = _true_counts(stream)
+    est = {
+        r.v: r.est
+        for r in cms_estimate(
+            store, stream.select("v").distinct(), "v", depth=3, width=32
+        ).collect()
+    }
+    assert all(est[k] >= true[k] for k in true)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
 def test_validation(spark, stream):
