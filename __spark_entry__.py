@@ -976,6 +976,37 @@ def cms_heavy_tokens_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("token")
 
 
+def hll_distinct_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimation (operators/sketch.py
+    hll_build/hll_estimate), md5 lane, p=8: per-event-type distinct
+    users (n=150 < 2.5m=640 — exercises the linear-counting branch)
+    plus one `__all_event_ids` row over 10k distinct event ids (the raw
+    harmonic-mean branch). The oracle rebuilds the identical sketch in
+    DuckDB — the same 60-bit md5 hash, the same bit-smear rank, the
+    same exact-BIGINT harmonic denominator — so BOTH estimate branches
+    hash-verify end to end. The exact `countDistinct` this replaces at
+    corpus scale shuffles one row per distinct key; the HLL exchange is
+    bounded at 2^p register rows per group key regardless of
+    cardinality, and the register frame merges by max (incremental,
+    idempotent — see hll_store_update)."""
+    from dataframes_spark.operators.sketch import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = hll_estimate(
+        hll_build(ev, "user_id", key_cols=("event_type",), p=8, lane_hash="md5"),
+        key_cols=("event_type",),
+        p=8,
+    )
+    all_ids = hll_estimate(
+        hll_build(ev, "event_id", p=8, lane_hash="md5"), p=8
+    ).select(F.lit("__all_event_ids").alias("event_type"), "est_ndv")
+    return (
+        per_type.unionByName(all_ids)
+        .select("event_type", F.round("est_ndv", 6).alias("est_ndv"))
+        .orderBy("event_type")
+    )
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sampling without replacement, top-2 per source
     (operators/sample.py weighted_sample_topk: Efraimidis-Spirakis with
@@ -2256,6 +2287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    cell. skew_report_orders (green r5-r7) rotates below; the
         #    skew family stays in-window via salted_agg_events.
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
+        # -- round 8 (continuation): HyperLogLog distinct sketch, md5
+        #    lane — the whole register frame (60-bit hash split,
+        #    bit-smear ranks, exact-BIGINT harmonic denominator) is
+        #    rebuilt in DuckDB; both estimate branches (linear counting
+        #    AND raw harmonic) hash-verify. resample_events_hourly
+        #    (green r5-r7) rotates below; the time-bucketing family
+        #    stays in-window via rolling_1h + interval_overlap_purchases.
+        "hll_distinct_users_md5": hll_distinct_users_md5,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2297,12 +2336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1-r4) rotates out, aggregate surface stays via
         # aggregate_contract
         "bloom_semi_orders": bloom_semi_orders,
-        # resample_events_hourly (dense-spine gap-filled downsample) and
         # winsorize_prices (quantile clipping); window_topn_orders and
         # near_dup_jaccard_lsh (both green r1-r4) rotate out — the window
         # family stays via the resample spine + rolling history, dedup
-        # keeps six in-window rows
-        "resample_events_hourly": resample_events_hourly,
+        # keeps six in-window rows. (resample_events_hourly rotated
+        # below in r8 after going green r5-r7 — see the HLL comment.)
         # asof_nearest_purchase (nearest-direction as-of, composes the
         # backward+forward passes), skew_report_orders (heavy-key
         # diagnosis), standardize_prices (grouped z-score). Rotated out
@@ -2405,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_price_qty": ols_price_qty,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
+        "resample_events_hourly": resample_events_hourly,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3514,6 +3553,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, min(coalesce(cnt, 0)) AS est
             FROM probe LEFT JOIN cells USING (d, bucket)
             GROUP BY token HAVING est >= 200 ORDER BY token
+        """,
+        "hll_distinct_users_md5": """
+            -- full HLL replica: 60-bit md5 hash, p=8 -> w=52 index
+            -- split, rank via exact bit-smear + bit_count (never
+            -- floor(log2): libm rounds up near powers of two), and an
+            -- exact-BIGINT harmonic denominator so summation order
+            -- cannot perturb the estimate. Constants: mask 2^52-1,
+            -- 2^R = 2^53, C = alpha(256)*256^2*2^53, 2.5m = 640.
+            WITH src AS (
+                SELECT event_type, CAST(user_id AS VARCHAR) AS val
+                FROM events WHERE user_id IS NOT NULL
+                UNION ALL
+                SELECT '__all_event_ids', CAST(event_id AS VARCHAR)
+                FROM events WHERE event_id IS NOT NULL
+            ),
+            h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5('hll:' || val), 1, 15))::BIGINT AS h
+                FROM src
+            ),
+            c AS (SELECT event_type, h >> 52 AS r,
+                         h & 4503599627370495 AS v FROM h),
+            s1 AS (SELECT event_type, r, v | (v >> 1) AS s FROM c),
+            s2 AS (SELECT event_type, r, s | (s >> 2) AS s FROM s1),
+            s3 AS (SELECT event_type, r, s | (s >> 4) AS s FROM s2),
+            s4 AS (SELECT event_type, r, s | (s >> 8) AS s FROM s3),
+            s5 AS (SELECT event_type, r, s | (s >> 16) AS s FROM s4),
+            s6 AS (SELECT event_type, r, s | (s >> 32) AS s FROM s5),
+            regs AS (
+                SELECT event_type, r,
+                       max(53 - bit_count(CAST(s AS BIGINT))) AS maxrho
+                FROM s6 GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(1::BIGINT << (53 - maxrho)) AS BIGINT) AS dp
+                FROM regs GROUP BY 1
+            ),
+            est AS (
+                SELECT event_type,
+                       4.2399330249068963e+20
+                         / CAST(dp + (256 - n) * 9007199254740992 AS DOUBLE)
+                         AS raw,
+                       256 - n AS zeros
+                FROM agg
+            )
+            SELECT event_type,
+                   round(CASE WHEN raw <= 640.0 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / zeros)
+                              ELSE raw END, 6) AS est_ndv
+            FROM est ORDER BY event_type
         """,
         "zorder_roundtrip_agg": """
             SELECT l_returnflag,

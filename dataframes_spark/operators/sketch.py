@@ -1,4 +1,4 @@
-"""Count-min sketch: mergeable sublinear frequency estimation.
+"""Mergeable sketches: count-min (frequency) and HyperLogLog (distinct).
 
 The Cormode-Muthukrishnan CMS (J. Algorithms 55, 2005): ``depth``
 pairwise-independent hash rows of ``width`` counters; an item's count
@@ -22,6 +22,22 @@ non-zero cells — absent cells are zero, so estimation coalesces misses
 to 0. Hash lanes mirror the dedup family: ``xxhash64`` (fast JVM path)
 or ``md5`` (hash-verifiable in any engine with md5 — the driver oracle
 replicates the whole sketch, cell for cell, in DuckDB).
+
+HyperLogLog (`hll_build`/`hll_estimate`, Flajolet et al., AofA 2007) is
+the distinct-count dual: where CMS bounds frequency state, HLL bounds
+CARDINALITY state. An exact `countDistinct(col)` shuffles one row per
+distinct value; the HLL register frame is at most ``m = 2^p`` rows per
+group key no matter the cardinality, registers MERGE by max (union +
+group-max — the same incremental idiom as `cms_merge`), and the
+estimate is computed entirely from the register frame. Everything is
+deterministic expression arithmetic: the 60-bit hash is split into a
+``p``-bit register index and a ``w = 60 - p``-bit suffix, the rank
+rho = leading zeros + 1 comes from an exact bit-smear + ``bit_count``
+(never ``floor(log2)`` — libm rounding differs across engines near
+powers of two), and the harmonic denominator is an EXACT BIGINT
+``sum(2^(R - rho))`` (R = w + 1; max m * 2^R = 2^61 < 2^63 by the
+60-bit choice) so partial-aggregation order can never perturb the
+estimate — the md5 lane is replayable cell-for-cell in DuckDB.
 """
 
 from __future__ import annotations
@@ -200,3 +216,199 @@ def heavy_hitters(
     cand = (candidates or df).select(col).filter(F.col(col).isNotNull()).distinct()
     est = cms_estimate(sk, cand, col, depth, width, lane_hash)
     return est.filter(F.col("est") >= min_count)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count estimation
+# --------------------------------------------------------------------------
+
+_HLL_BITS = 60  # both lanes use 60 hash bits: md5's 15 hex chars, and
+# xxhash64 masked to its low 60 — so m * 2^(w+1) = 2^61 always fits a
+# signed BIGINT and the harmonic denominator stays exact integer math.
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_hash60(col: Column, lane_hash: str) -> Column:
+    """60-bit nonnegative hash of ``col``. The md5 lane mirrors the CMS
+    convention (15 hex chars -> conv base 16, exactly replayable as
+    ``('0x' || substr(md5('hll:' || x), 1, 15))::BIGINT`` in any engine
+    with md5); xxhash64 is the fast JVM lane, masked to 60 bits."""
+    if lane_hash == "xxhash64":
+        return F.xxhash64(F.lit("hll:"), col).bitwiseAND(
+            F.lit((1 << _HLL_BITS) - 1)
+        )
+    if lane_hash == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll:"), col.cast("string")).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"lane_hash must be xxhash64|md5, got {lane_hash!r}")
+
+
+def _bit_length(v: Column) -> Column:
+    """Exact bit length of a nonnegative long: smear the top bit down
+    (6 shifted ORs cover 60 bits), then popcount. Deliberately NOT
+    ``floor(log2(v))`` — near powers of two libm log2 can round up
+    (log2(2^55 - 1) rounds to 55.0 in double), and the rounding is
+    engine-specific; bit ops are exact everywhere."""
+    s = v
+    for k in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, k))
+    return F.bit_count(s)
+
+
+def hll_build(
+    df: DataFrame,
+    col: str,
+    key_cols: tuple[str, ...] = (),
+    p: int = 12,
+    lane_hash: str = "xxhash64",
+) -> DataFrame:
+    """Per-``key_cols``-group HLL register frame for ``df[col]``:
+    ``(*key_cols, r, maxrho)`` with ``r`` in [0, 2^p) and ``maxrho`` the
+    max rank observed in that register.
+
+    ONE scan, ONE hash aggregation; the partial max-combine bounds any
+    partition's shuffle contribution at ``2^p`` rows per group key —
+    the exchange carries registers, never values. NULLs are skipped
+    (they contribute no distinct value). Registers are sparse: absent
+    rows mean rho 0 (an empty register), which `hll_estimate` counts
+    via ``m - n_present``."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"need 4 <= p <= 16, got p={p}")
+    w = _HLL_BITS - p
+    h = _hll_hash60(F.col(col), lane_hash)
+    idx = F.shiftright(h, w).cast("int").alias("r")
+    v = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = (F.lit(w + 1) - _bit_length(v)).cast("int").alias("rho")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*key_cols, idx, rho)
+        .groupBy(*key_cols, "r")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+
+
+def hll_merge(*frames: DataFrame, key_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Register-wise max of same-``p`` register frames — the
+    mergeability that makes HLL incremental: union, re-take the max.
+    A merge of sketches over disjoint (or overlapping!) data equals the
+    sketch of the union — max is idempotent, so re-folding the same
+    batch twice cannot inflate the estimate (unlike CMS addition)."""
+    if not frames:
+        raise ValueError("hll_merge needs at least one register frame")
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.groupBy(*key_cols, "r").agg(F.max("maxrho").alias("maxrho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    key_cols: tuple[str, ...] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Distinct-count estimate per group from a register frame:
+    ``(*key_cols, est_ndv double)``.
+
+    The harmonic mean is computed in EXACT integer arithmetic:
+    ``denom = sum(2^(R - maxrho)) + (m - n_present) * 2^R`` (R = w + 1)
+    is a BIGINT — float summation order (which differs between engines
+    and between partial-agg schedules) can never perturb it; only the
+    final ``alpha * m^2 * 2^R / denom`` division is floating point, a
+    single IEEE-exact operation. Small-range (linear counting) kicks in
+    below 2.5m when empty registers remain, per the standard algorithm.
+    Relative error ~= 1.04 / sqrt(2^p)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"need 4 <= p <= 16, got p={p}")
+    m = 1 << p
+    w = _HLL_BITS - p
+    big_r = w + 1
+    c_num = _hll_alpha(m) * m * m * float(2**big_r)
+    per_key = registers.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.expr(f"shiftleft(1L, {big_r} - maxrho)")).alias("__dp"),
+    )
+    denom = (
+        F.col("__dp")
+        + (F.lit(m).cast("long") - F.col("__n")) * F.lit(1 << big_r).cast("long")
+    ).cast("double")
+    raw = F.lit(c_num) / denom
+    zeros = (F.lit(m).cast("long") - F.col("__n")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per_key.select(*key_cols, est.alias("est_ndv"))
+
+
+def approx_distinct(
+    df: DataFrame,
+    col: str,
+    key_cols: tuple[str, ...] = (),
+    p: int = 12,
+    lane_hash: str = "xxhash64",
+) -> DataFrame:
+    """`hll_build` + `hll_estimate` in one call: per-group approximate
+    distinct count with ``2^p``-bounded state. The one-shot convenience;
+    keep the register frame (build/merge/store) when incrementality or
+    re-estimation matters."""
+    return hll_estimate(
+        hll_build(df, col, key_cols, p, lane_hash), key_cols, p
+    )
+
+
+def hll_store_update(
+    spark,
+    table: str,
+    batch_registers: DataFrame,
+    key_cols: tuple[str, ...] = (),
+) -> dict:
+    """Fold a batch's register frame into a persisted HLL store (catalog
+    parquet table, staging-swap idiom shared with `cms_store_update`):
+    sketch each arriving batch (one scan of the batch, never of
+    history), `hll_merge` with the stored registers, swap. The store is
+    at most ``keys x 2^p`` rows however many epochs fold in, and because
+    merge is max (idempotent), re-running a batch is harmless. Not
+    transactional: run between increments, like the other stores.
+    Returns ``{"registers", "keys"}``."""
+    from py4j.protocol import Py4JError
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        existing = spark.table(table)
+        merged = hll_merge(existing, batch_registers, key_cols=key_cols)
+    except (AnalysisException, Py4JError):
+        merged = batch_registers
+    staging = f"{table}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    merged.write.format("parquet").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    out = spark.table(table)
+    registers = out.count()
+    keys = (
+        out.select(*key_cols).distinct().count() if key_cols else min(registers, 1)
+    )
+    return {"registers": registers, "keys": keys}
+
+
+def hll_store_read(spark, table: str) -> DataFrame:
+    """Read a persisted HLL register store for `hll_estimate` /
+    further `hll_merge` folding."""
+    return spark.table(table)

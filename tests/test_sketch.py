@@ -129,3 +129,133 @@ def test_validation(spark, stream):
         cms_build(stream, "v", lane_hash="sha1")
     with pytest.raises(ValueError, match="at least one"):
         cms_merge()
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+from dataframes_spark.operators.sketch import (  # noqa: E402
+    approx_distinct,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+    hll_store_read,
+    hll_store_update,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 5000 distinct string ids across 2 groups (g0: 2000, g1: 3000)
+    rows = [(f"g{0 if i < 2000 else 1}", f"id{i}") for i in range(5000)]
+    # duplicates must not move the estimate (distinct-count semantics)
+    rows += [(f"g{0 if i < 2000 else 1}", f"id{i}") for i in range(0, 5000, 7)]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_hll_accuracy_both_regimes(spark, ids):
+    # raw-harmonic regime: ndv >> 2.5m for p=8 (m=256)
+    est = {
+        r.g: r.est_ndv
+        for r in approx_distinct(ids, "v", key_cols=("g",), p=8).collect()
+    }
+    assert abs(est["g0"] - 2000) / 2000 < 0.20  # ~3 sigma at 6.5% rse
+    assert abs(est["g1"] - 3000) / 3000 < 0.20
+    # linear-counting regime: ndv << 2.5m for p=12 (m=4096)
+    est12 = {
+        r.g: r.est_ndv
+        for r in approx_distinct(ids, "v", key_cols=("g",), p=12).collect()
+    }
+    assert abs(est12["g0"] - 2000) / 2000 < 0.10
+    assert abs(est12["g1"] - 3000) / 3000 < 0.10
+
+
+def test_hll_merge_equals_whole_and_is_idempotent(spark, ids):
+    a = ids.filter(F.col("v") < "id3")
+    b = ids.filter(F.col("v") >= "id3")
+    merged = hll_merge(
+        hll_build(a, "v", ("g",), p=10),
+        hll_build(b, "v", ("g",), p=10),
+        key_cols=("g",),
+    )
+    whole = hll_build(ids, "v", ("g",), p=10)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # max-merge is idempotent: folding the SAME batch twice changes nothing
+    again = hll_merge(merged, hll_build(a, "v", ("g",), p=10), key_cols=("g",))
+    assert again.exceptAll(whole).count() == 0
+    assert whole.exceptAll(again).count() == 0
+
+
+def test_hll_md5_lane_matches_independent_arithmetic(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("x",), ("x",), ("y",), (None,)], "v string")
+    regs = {
+        r.r: r.maxrho
+        for r in hll_build(df, "v", p=8, lane_hash="md5").collect()
+    }
+    expect = {}
+    for val in ("x", "y"):
+        h = int(hashlib.md5(f"hll:{val}".encode()).hexdigest()[:15], 16)
+        idx, v = h >> 52, h & ((1 << 52) - 1)
+        rho = 52 - v.bit_length() + 1
+        expect[idx] = max(expect.get(idx, 0), rho)
+    assert regs == expect
+
+
+def test_hll_estimate_deterministic_under_repartition(spark, ids):
+    """The exact-BIGINT harmonic denominator makes the estimate
+    independent of partitioning/summation order — bit-for-bit."""
+    e1 = {
+        r.g: r.est_ndv
+        for r in approx_distinct(ids, "v", ("g",), p=9).collect()
+    }
+    e2 = {
+        r.g: r.est_ndv
+        for r in approx_distinct(ids.repartition(13), "v", ("g",), p=9).collect()
+    }
+    assert e1 == e2
+
+
+def test_hll_store_incremental_equals_whole(spark, ids):
+    table = "hll_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    a = ids.filter(F.col("v") < "id3")
+    b = ids.filter(F.col("v") >= "id3")
+    r1 = hll_store_update(spark, table, hll_build(a, "v", ("g",), p=10), key_cols=("g",))
+    r2 = hll_store_update(spark, table, hll_build(b, "v", ("g",), p=10), key_cols=("g",))
+    assert r2["keys"] == 2 and r2["registers"] >= r1["registers"]
+    store = hll_store_read(spark, table)
+    whole = hll_build(ids, "v", ("g",), p=10)
+    assert store.exceptAll(whole).count() == 0
+    assert whole.exceptAll(store).count() == 0
+    # estimates off the store match estimates off a fresh one-shot build
+    se = {r.g: r.est_ndv for r in hll_estimate(store, ("g",), p=10).collect()}
+    we = {r.g: r.est_ndv for r in hll_estimate(whole, ("g",), p=10).collect()}
+    assert se == we
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_hll_plan_shape(spark, ids):
+    """Build is one partial-then-final hash aggregation (register-
+    bounded shuffle); the whole build+estimate chain plans without a
+    single-partition exchange."""
+    regs = hll_build(ids, "v", ("g",), p=10)
+    bp = regs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in bp
+    est = hll_estimate(regs, ("g",), p=10)
+    ep = est._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in ep
+
+
+def test_hll_validation(spark, ids):
+    with pytest.raises(ValueError, match="4 <= p"):
+        hll_build(ids, "v", p=3)
+    with pytest.raises(ValueError, match="4 <= p"):
+        hll_estimate(hll_build(ids, "v", p=8), p=17)
+    with pytest.raises(ValueError, match="lane_hash"):
+        hll_build(ids, "v", lane_hash="sha1")
+    with pytest.raises(ValueError, match="at least one"):
+        hll_merge()
