@@ -1007,6 +1007,23 @@ def hll_distinct_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (functions/text.py bm25_topk): top-12
+    documents for the query "hash join vector". Document lengths are a
+    map-only size(split(...)) — no corpus shuffle; the posting relation
+    is filtered to the query's terms AT the explode so the only
+    (doc, token) shuffle carries query-term postings, never the
+    vocabulary; term document-frequencies and the corpus stats
+    broadcast; the ranking is a TakeOrderedAndProject k-heap over the
+    ROUNDED score with an id tiebreak (duplicate-content score ties
+    stay deterministic across engines). The oracle recomputes idf, the
+    saturation term, and the rounded ranking in DuckDB."""
+    from dataframes_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", "hash join vector", k=12)
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sampling without replacement, top-2 per source
     (operators/sample.py weighted_sample_topk: Efraimidis-Spirakis with
@@ -2295,6 +2312,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (green r5-r7) rotates below; the time-bucketing family
         #    stays in-window via rolling_1h + interval_overlap_purchases.
         "hll_distinct_users_md5": hll_distinct_users_md5,
+        # -- round 8 (continuation): BM25 retrieval — the query-ranking
+        #    dual of tfidf_top_terms; postings filtered to query terms
+        #    at the explode, map-only doc lengths, broadcast stats,
+        #    k-heap ranking on the rounded score. mix_corpus_sources
+        #    (green r5-r7) rotates below; the sampling family keeps
+        #    three in-window rows (split_documents, cap_docs_per_source,
+        #    shard_report_docs).
+        "bm25_docs": bm25_docs,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2320,7 +2345,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": salted_agg_events,
         "interval_overlap_purchases": interval_overlap_purchases,
         "repetition_docs": repetition_docs,
-        "mix_corpus_sources": mix_corpus_sources,
         "split_documents": split_documents,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
@@ -2444,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
         "resample_events_hourly": resample_events_hourly,
+        "mix_corpus_sources": mix_corpus_sources,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3553,6 +3578,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, min(coalesce(cnt, 0)) AS est
             FROM probe LEFT JOIN cells USING (d, bucket)
             GROUP BY token HAVING est >= 200 ORDER BY token
+        """,
+        "bm25_docs": """
+            -- BM25 replica: same tokenization as vocab_topk, exact
+            -- BIGINT dl sum behind avgdl (one IEEE division), Lucene
+            -- idf, and Catalyst's folded saturation term
+            -- (0.75*dl)/avgdl + 0.25 mirrored operation-for-operation;
+            -- ranking on the ROUNDED score with doc_id tiebreak.
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                                 '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ),
+            lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+                FROM lens
+            ),
+            posts AS (
+                SELECT doc_id, dl, token, count(*) AS tf
+                FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                             unnest(toks) AS token
+                      FROM docs)
+                WHERE token IN ('hash', 'join', 'vector')
+                GROUP BY 1, 2, 3
+            ),
+            dft AS (SELECT token, count(*) AS df_t FROM posts GROUP BY 1),
+            scored AS (
+                SELECT p.doc_id, p.dl,
+                       ln(1.0 + ((s.n_docs - d.df_t) + 0.5) / (d.df_t + 0.5))
+                         * (p.tf * 2.2)
+                         / (p.tf + 1.2 * ((0.75 * p.dl) / s.avgdl + 0.25)) AS c
+                FROM posts p JOIN dft d USING (token) CROSS JOIN stats s
+            )
+            SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(sum(c), 6) AS bm25
+            FROM scored GROUP BY 1, 2
+            ORDER BY bm25 DESC, doc_id LIMIT 12
         """,
         "hll_distinct_users_md5": """
             -- full HLL replica: 60-bit md5 hash, p=8 -> w=52 index

@@ -196,6 +196,81 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query: str | list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` documents for ``query``, scored
+    ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    the Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    Returns ``(id, dl, n_terms, bm25)`` — the retrieval dual of
+    `tfidf_top_terms` (which characterizes groups; this ranks documents
+    against a query).
+
+    Scale shape: document length is a map-only ``size(split(...))`` —
+    no corpus-wide shuffle for lengths; the posting relation is filtered
+    to the QUERY'S terms right at the explode, so the only shuffle keyed
+    by (doc, token) carries query-term postings, never the vocabulary;
+    the per-term document frequencies and the 2-value corpus stats
+    broadcast. avgdl derives from an exact BIGINT token-count sum (one
+    IEEE division), so partitioning cannot perturb scores; the final
+    ranking orders by the ROUNDED score with an id tiebreak, keeping
+    duplicate-content ties deterministic across engines. Tokenization
+    matches `vocab_topk` (lowercased whitespace split; empty-split
+    artifacts dropped)."""
+    if isinstance(query, str):
+        terms = sorted({t for t in query.lower().split() if t})
+    else:
+        terms = sorted({t.lower() for t in query if t})
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    docs = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    lens = docs.select("__id", F.size("__toks").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    posts = (
+        docs.select("__id", F.size("__toks").cast("long").alias("dl"),
+                    F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("__id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        posts.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id", "dl")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("__id").asc())
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "dl", "n_terms", "bm25")
+    )
+
+
 def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram model: ``(id, n_tokens, avg_logprob)``. The distributed form

@@ -79,3 +79,98 @@ def test_assign_split_bands_and_growth_stability(spark):
 
     with _pt.raises(ValueError, match="sum to 1"):
         assign_split(df, "id", {"a": 0.5, "b": 0.4})
+
+
+def _bm25_ref(docs, query_terms, k1=1.2, b=0.75):
+    """Independent textbook BM25 for cross-checking the Spark plan."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dft = {
+        q: sum(1 for v in toks.values() if q in v) for q in query_terms
+    }
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for q in query_terms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dft[q] + 0.5) / (dft[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_reference_arithmetic(spark):
+    from dataframes_spark.functions.text import bm25_topk
+
+    docs = [
+        (1, "hash join hash join hash"),
+        (2, "hash join vector scan filter sort merge batch row column"),
+        (3, "vector vector vector"),
+        (4, "scan filter sort"),
+        (5, "hash"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(df, "text", "doc_id", "hash vector", k=10).collect()
+    }
+    ref = _bm25_ref(docs, ["hash", "vector"])
+    assert set(got) == set(ref)  # only matching docs appear
+    for i in ref:
+        assert got[i] == pytest.approx(ref[i], abs=1e-6)
+    # per-doc term count and length-normalization sanity: doc 5 (short,
+    # tf=1) outranks nothing with tf>=2 but appears with one term
+    rows = {
+        r.doc_id: r
+        for r in bm25_topk(df, "text", "doc_id", "hash vector", k=10).collect()
+    }
+    assert rows[2].n_terms == 2 and rows[5].n_terms == 1
+
+
+def test_bm25_topk_truncation_and_ties(spark):
+    from dataframes_spark.functions.text import bm25_topk
+
+    # identical docs -> identical scores; tie broken by doc_id, k cuts
+    df = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)] + [(99, "alpha alpha beta")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "text", "doc_id", "alpha", k=3).collect()
+    assert [r.doc_id for r in out] == [99, 0, 1]  # higher tf first, then ids
+
+
+def test_bm25_nulls_and_validation(spark):
+    from dataframes_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "hash join"), (2, None), (3, "   ")], "doc_id long, text string"
+    )
+    out = bm25_topk(df, "text", "doc_id", ["HASH"], k=5).collect()
+    assert [r.doc_id for r in out] == [1]  # null/blank docs never match
+    # ...but they DO count toward N and avgdl cannot divide by zero
+    assert out[0].dl == 2
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(df, "text", "doc_id", [])
+    with pytest.raises(ValueError, match="k >= 1"):
+        bm25_topk(df, "text", "doc_id", "hash", k=0)
+
+
+def test_bm25_plan_is_topk_heap_with_broadcasts(spark):
+    from dataframes_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "hash join vector") for i in range(100)], "doc_id long, text string"
+    )
+    out = bm25_topk(df, "text", "doc_id", "hash vector", k=5)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p  # k-heap, never a global sort
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the only SinglePartition shape is the sanctioned 1-row stats agg:
+    # the scale gate's plan_report must see nothing to warn about
+    from dataframes_spark.plan import plan_report
+
+    assert plan_report(out)["warnings"] == []
