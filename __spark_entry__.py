@@ -1024,6 +1024,32 @@ def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", "hash join vector", k=12)
 
 
+def outlier_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flagging (functions/stats.py
+    robust_outliers): per-event-type robust z-scores at the
+    Iglewicz-Hoaglin-style 2.5 cut, reported as per-type counts and
+    extreme scores. Both exact percentiles (median, then MAD of the
+    deviations) are unbounded window aggregates over ONE exchange on
+    the group key — the robust fence that mean/std flagging lacks
+    (breakdown point 50%: the outliers cannot drag the fence). The
+    oracle recomputes median/MAD via quantile_cont (same (N-1)*q
+    interpolation as Spark's percentile) and the same fence arithmetic."""
+    from dataframes_spark.functions.stats import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_outliers(ev, "value", threshold=2.5, by=["event_type"])
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.round(F.max("robust_z"), 6).alias("max_z"),
+            F.round(F.min("robust_z"), 6).alias("min_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sampling without replacement, top-2 per source
     (operators/sample.py weighted_sample_topk: Efraimidis-Spirakis with
@@ -2320,6 +2346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    three in-window rows (split_documents, cap_docs_per_source,
         #    shard_report_docs).
         "bm25_docs": bm25_docs,
+        # -- round 8 (continuation): median/MAD robust outlier fences —
+        #    grouped exact percentiles over one exchange; the robust
+        #    dual of standardize's mean/std. feather_roundtrip_agg
+        #    (green r5-r7) rotates below; the IO-roundtrip family keeps
+        #    four in-window rows (xlsx/orc/jsonl/read_text_csv).
+        "outlier_events_value": outlier_events_value,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2388,7 +2420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ewma_user_value (green r1-r4 / r04) rotate out — sampling
         # stays via weighted_sample/split/mix, streaming via sessionize
         "read_text_csv_agg": read_text_csv_agg,
-        "feather_roundtrip_agg": feather_roundtrip_agg,
         # round 6: XLSX loses its optional-dependency gate (stdlib
         # SpreadsheetML in io/xlsx.py) and gains its first driver row
         "xlsx_roundtrip_agg": xlsx_roundtrip_agg,
@@ -2469,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    still covered locally by tools/check_oracle.py and tests/
         "resample_events_hourly": resample_events_hourly,
         "mix_corpus_sources": mix_corpus_sources,
+        "feather_roundtrip_agg": feather_roundtrip_agg,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3578,6 +3610,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, min(coalesce(cnt, 0)) AS est
             FROM probe LEFT JOIN cells USING (d, bucket)
             GROUP BY token HAVING est >= 200 ORDER BY token
+        """,
+        "outlier_events_value": """
+            -- median/MAD fence replica: quantile_cont matches Spark's
+            -- exact percentile ((N-1)*q interpolation); the robust
+            -- z and the 2.5 cut are row arithmetic, so only the
+            -- aggregated extremes need rounding.
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY 1
+            ),
+            mad AS (
+                SELECT e.event_type,
+                       quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                FROM events e JOIN med m USING (event_type) GROUP BY 1
+            ),
+            z AS (
+                SELECT e.event_type,
+                       CASE WHEN e.value IS NULL THEN NULL
+                            WHEN mad.mad = 0 THEN 0.0
+                            ELSE (e.value - med.med) / (1.4826 * mad.mad)
+                       END AS rz
+                FROM events e
+                JOIN med USING (event_type) JOIN mad USING (event_type)
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN abs(rz) > 2.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   round(max(rz), 6) AS max_z,
+                   round(min(rz), 6) AS min_z
+            FROM z GROUP BY 1 ORDER BY 1
         """,
         "bm25_docs": """
             -- BM25 replica: same tokenization as vocab_topk, exact

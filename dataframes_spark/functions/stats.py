@@ -440,6 +440,71 @@ def standardize(
     )
 
 
+def robust_outliers(
+    df: DataFrame,
+    col: str,
+    threshold: float = 3.5,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Median/MAD outlier flagging (Iglewicz-Hoaglin robust z-score):
+    appends ``robust_z = (x - median) / (1.4826 * MAD)`` and
+    ``is_outlier = |robust_z| > threshold``. Unlike mean/std flagging
+    (`standardize`), the breakdown point is 50% — the outliers being
+    hunted cannot drag the fence toward themselves. 1.4826 is the
+    standard normal-consistency factor (1 / Phi^-1(3/4)); 3.5 is the
+    Iglewicz-Hoaglin recommended cut.
+
+    Two exact-percentile passes by construction (MAD needs the median
+    first). Globally both fold in as 1-row broadcast aggregates — the
+    data rows never shuffle; with ``by``, both are unbounded window
+    aggregates over ONE exchange on the group key (the second window
+    reuses the first's partitioning). Degenerate MAD = 0 scores 0.0
+    (the `standardize` span convention); nulls stay null and never
+    flag; all other columns pass through."""
+    if threshold <= 0:
+        raise ValueError(f"need threshold > 0, got {threshold}")
+    x = F.col(col).cast("double")
+
+    def z(med: Column, mad: Column) -> Column:
+        return F.when(x.isNull(), None).otherwise(
+            F.when(mad == 0, F.lit(0.0)).otherwise(
+                (x - med) / (F.lit(1.4826) * mad)
+            )
+        )
+
+    if by:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*list(by))
+        with_med = df.select(
+            "*", F.expr(f"percentile({_bq(col)}, 0.5)").over(w).alias("__med")
+        )
+        with_mad = with_med.select(
+            "*",
+            F.expr(
+                f"percentile(abs({_bq(col)} - __med), 0.5)"
+            ).over(w).alias("__mad"),
+        )
+        zc = z(F.col("__med"), F.col("__mad"))
+    else:
+        med_row = df.agg(
+            F.expr(f"percentile({_bq(col)}, 0.5)").alias("__med")
+        )
+        with_med = df.crossJoin(F.broadcast(med_row))
+        mad_row = with_med.agg(
+            F.expr(f"percentile(abs({_bq(col)} - __med), 0.5)").alias("__mad")
+        )
+        with_mad = with_med.crossJoin(F.broadcast(mad_row))
+        zc = z(F.col("__med"), F.col("__mad"))
+    return with_mad.select(
+        *df.columns,
+        zc.alias("robust_z"),
+        F.when(x.isNull(), None)
+        .otherwise(F.abs(zc) > threshold)
+        .alias("is_outlier"),
+    )
+
+
 def qcut(
     df: DataFrame,
     col: str,

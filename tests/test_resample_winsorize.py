@@ -197,3 +197,78 @@ def test_qcut_null_group_key_gets_null_bucket(spark):
     out = {(r["v"], r["g"]): r["v_bucket"] for r in stats.qcut(df, "v", 2, by=["g"]).collect()}
     assert out[(9.0, None)] is None  # unknown group -> no band
     assert out[(1.0, "a")] == 1 and out[(4.0, "a")] == 2
+
+
+class TestRobustOutliers:
+    def test_hand_computed_fence(self, spark):
+        from dataframes_spark.functions.stats import robust_outliers
+
+        # values 1..9 plus a wild 1000: median 5.5, |x-med| sorted ->
+        # MAD = median(0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5) = 2.5
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 10)] + [(1000.0,)], "v double"
+        )
+        rows = {r.v: r for r in robust_outliers(df, "v").collect()}
+        assert rows[1000.0].is_outlier
+        assert rows[1000.0].robust_z == pytest.approx(
+            (1000.0 - 5.5) / (1.4826 * 2.5)
+        )
+        assert not any(rows[float(i)].is_outlier for i in range(1, 10))
+        # the 50% breakdown point: the wild value did not drag the fence
+        assert rows[9.0].robust_z == pytest.approx((9.0 - 5.5) / (1.4826 * 2.5))
+
+    def test_grouped_equals_per_group_global(self, spark):
+        from dataframes_spark.functions.stats import robust_outliers
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(20)]
+            + [("a", 500.0), ("b", 3.0), ("b", 4.0), ("b", 5.0), ("b", 90.0)],
+            "g string, v double",
+        )
+        grouped = {
+            (r.g, r.v): (r.robust_z, r.is_outlier)
+            for r in robust_outliers(df, "v", by=["g"]).collect()
+        }
+        for g in ("a", "b"):
+            solo = {
+                (g, r.v): (r.robust_z, r.is_outlier)
+                for r in robust_outliers(
+                    df.filter(F.col("g") == g), "v"
+                ).collect()
+            }
+            for k, v in solo.items():
+                assert grouped[k] == pytest.approx(v)
+        assert grouped[("a", 500.0)][1] and grouped[("b", 90.0)][1]
+
+    def test_degenerate_mad_and_nulls(self, spark):
+        from dataframes_spark.functions.stats import robust_outliers
+
+        df = spark.createDataFrame(
+            [(5.0,), (5.0,), (5.0,), (None,)], "v double"
+        )
+        rows = robust_outliers(df, "v").collect()
+        by_v = {r.v: r for r in rows}
+        assert by_v[5.0].robust_z == 0.0 and by_v[5.0].is_outlier is False
+        assert by_v[None].robust_z is None and by_v[None].is_outlier is None
+
+    def test_validation_and_passthrough(self, spark):
+        from dataframes_spark.functions.stats import robust_outliers
+
+        df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+        with pytest.raises(ValueError, match="threshold"):
+            robust_outliers(df, "v", threshold=0)
+        out = robust_outliers(df, "v")
+        assert out.columns == ["id", "v", "robust_z", "is_outlier"]
+
+    def test_grouped_plan_single_exchange(self, spark):
+        from dataframes_spark.functions.stats import robust_outliers
+
+        df = spark.createDataFrame(
+            [("g%d" % (i % 3), float(i)) for i in range(100)],
+            "g string, v double",
+        )
+        out = robust_outliers(df, "v", by=["g"])
+        p = out._jdf.queryExecution().executedPlan().toString()
+        # the second percentile window REUSES the first's partitioning:
+        # one hashpartitioning exchange total, never two
+        assert p.count("Exchange hashpartitioning") == 1
