@@ -1050,6 +1050,29 @@ def outlier_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sample sketch (operators/sketch.py bottomk_build):
+    per-source bottom-3 documents under the fixed md5(id/salt)
+    permutation — the deterministic uniform sample whose union-merge
+    property backs the persisted sample store (bottomk_store_update:
+    an always-current k-per-key sample of everything ever folded in,
+    maintained in O(batch)). Rank-limit pushdown (WindowGroupLimit)
+    cuts each partition to k candidates map-side before the exchange.
+    The oracle reproduces the identical permutation and cut via md5 +
+    ROW_NUMBER, hash-verifying sample membership, order, and payload."""
+    from dataframes_spark.operators.sketch import bottomk_build
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bottomk_build(
+        docs, "doc_id", 3, key_cols=("source",),
+        payload_cols=("n_chars",), salt="bk8",
+    )
+    return out.select(
+        "source", F.col("rnk").cast("bigint").alias("rnk"),
+        "bk_hash", "doc_id", "n_chars",
+    ).orderBy("source", "rnk")
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sampling without replacement, top-2 per source
     (operators/sample.py weighted_sample_topk: Efraimidis-Spirakis with
@@ -2352,6 +2375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (green r5-r7) rotates below; the IO-roundtrip family keeps
         #    four in-window rows (xlsx/orc/jsonl/read_text_csv).
         "outlier_events_value": outlier_events_value,
+        # -- round 8 (continuation): bottom-k sample sketch — the
+        #    deterministic mergeable uniform sample behind the persisted
+        #    sample store; WindowGroupLimit map-side cut, md5-permutation
+        #    membership hash-verified. repetition_docs (green r5-r7)
+        #    rotates below; text quality stays in-window via bm25_docs +
+        #    quality_quartiles_docs + pipeline_clean_corpus's gates.
+        "bottomk_sample_docs": bottomk_sample_docs,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2376,7 +2406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "salted_agg_events": salted_agg_events,
         "interval_overlap_purchases": interval_overlap_purchases,
-        "repetition_docs": repetition_docs,
         "split_documents": split_documents,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
@@ -2501,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events_hourly": resample_events_hourly,
         "mix_corpus_sources": mix_corpus_sources,
         "feather_roundtrip_agg": feather_roundtrip_agg,
+        "repetition_docs": repetition_docs,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3610,6 +3640,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, min(coalesce(cnt, 0)) AS est
             FROM probe LEFT JOIN cells USING (d, bucket)
             GROUP BY token HAVING est >= 200 ORDER BY token
+        """,
+        "bottomk_sample_docs": """
+            -- identical fixed permutation: md5 hex of 'id/salt', rank
+            -- by (hash, id), cut at k=3 per source.
+            WITH h AS (
+                SELECT source,
+                       md5(CAST(doc_id AS VARCHAR) || '/bk8') AS bk_hash,
+                       doc_id, n_chars
+                FROM documents
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY source ORDER BY bk_hash, doc_id) AS rnk
+                FROM h
+            )
+            SELECT source, CAST(rnk AS BIGINT) AS rnk, bk_hash,
+                   doc_id, n_chars
+            FROM r WHERE rnk <= 3 ORDER BY source, rnk
         """,
         "outlier_events_value": """
             -- median/MAD fence replica: quantile_cont matches Spark's

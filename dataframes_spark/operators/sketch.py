@@ -412,3 +412,166 @@ def hll_store_read(spark, table: str) -> DataFrame:
     """Read a persisted HLL register store for `hll_estimate` /
     further `hll_merge` folding."""
     return spark.table(table)
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sample sketch: deterministic mergeable uniform sample
+# --------------------------------------------------------------------------
+
+
+def _bk_hash(id_col: str, salt: str) -> Column:
+    """md5 hex of ``id/salt`` — the same deterministic ordering key as
+    ``operators.sample.cap_per_group``: lexicographic hex order is a
+    fixed uniform-random permutation of ids, identical in any engine."""
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit("/" + salt)))
+
+
+def bottomk_build(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    key_cols: tuple[str, ...] = (),
+    payload_cols: tuple[str, ...] = (),
+    salt: str = "",
+) -> DataFrame:
+    """Bottom-k sample sketch (Cohen & Kaplan, PODS 2007): per
+    ``key_cols`` group, the ``k`` rows whose ``md5(id/salt)`` sorts
+    lowest — a uniform random sample UNDER A FIXED PERMUTATION, so it
+    is deterministic across engines, partitionings, and reruns, and
+    (the sketch property) bottom-k of a union equals bottom-k of the
+    merged bottom-k's: `bottomk_merge` folds batches without rescanning
+    history. Returns ``(*key_cols, bk_hash, id, *payload_cols, rnk)``.
+
+    Scale shape: grouped builds rank with one window whose rank-limit
+    pushdown (WindowGroupLimit) cuts each partition to k candidates
+    MAP-SIDE before the exchange; the global build is a
+    TakeOrderedAndProject k-heap — giant inputs never funnel whole
+    groups through one reducer. Precondition (as for cap_per_group):
+    ``id_col`` unique and non-null, else hash ties make survivors
+    partitioning-dependent."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    base = df.select(
+        *key_cols,
+        _bk_hash(id_col, salt).alias("bk_hash"),
+        F.col(id_col),
+        *payload_cols,
+    )
+    return _bottomk_cut(base, id_col, k, key_cols)
+
+
+def _bottomk_cut(
+    frame: DataFrame, id_col: str, k: int, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Rank a ``bk_hash``-carrying frame and keep the k lowest per
+    group (window + WindowGroupLimit) or globally (k-heap)."""
+    cols = [c for c in frame.columns if c != "rnk"]
+    if key_cols:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*key_cols).orderBy(
+            F.col("bk_hash").asc(), F.col(id_col).asc()
+        )
+        return (
+            frame.select(*cols, F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= k)
+        )
+    ordered = frame.select(*cols).orderBy(
+        F.col("bk_hash").asc(), F.col(id_col).asc()
+    )
+    from pyspark.sql import Window as W
+
+    # global lane: the k-heap limit happens FIRST (TakeOrdered over the
+    # full input), then ranking the k survivors is a k-row window
+    return ordered.limit(k).select(
+        *cols,
+        F.row_number()
+        .over(W.orderBy(F.col("bk_hash").asc(), F.col(id_col).asc()))
+        .alias("rnk"),
+    )
+
+
+def bottomk_merge(
+    *frames: DataFrame,
+    id_col: str,
+    k: int,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge bottom-k frames: union, drop exact duplicates (same id in
+    two frames — refolding a batch is harmless), re-cut to k. Equals
+    `bottomk_build` over the concatenated raw data; the shuffle carries
+    only the k-sized frames, never the streams behind them."""
+    if not frames:
+        raise ValueError("bottomk_merge needs at least one frame")
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    deduped = out.drop("rnk").dropDuplicates([*key_cols, id_col])
+    return _bottomk_cut(deduped, id_col, k, key_cols)
+
+
+def bottomk_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Approximate stream quantiles from a bottom-k sample: exact
+    percentiles OF THE SAMPLE (the fixed-permutation uniform sample
+    makes them deterministic estimates of the stream's quantiles, with
+    standard sampling error ~ 1/sqrt(k)). Aggregates the k-row-per-key
+    sample frame — never the stream."""
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs}")
+    aggs = [
+        F.expr(f"percentile(`{value_col}`, {q!r})").alias(
+            f"q{str(q).replace('.', '_')}"
+        )
+        for q in qs
+    ]
+    return sample.groupBy(*key_cols).agg(*aggs)
+
+
+def bottomk_store_update(
+    spark,
+    table: str,
+    batch_frame: DataFrame,
+    id_col: str,
+    k: int,
+    key_cols: tuple[str, ...] = (),
+) -> dict:
+    """Fold a batch's bottom-k frame into a persisted sample store
+    (catalog parquet table, the staging-swap idiom of the other sketch
+    stores): an always-current deterministic uniform sample of
+    EVERYTHING ever folded in, at most ``keys x k`` rows, maintained in
+    O(batch) per epoch — the sample every profiling/debugging/eyeball
+    loop wants without rescanning a 100 TB corpus. Idempotent under
+    batch re-folds (dedup on id inside the merge). Returns
+    ``{"rows", "keys"}``."""
+    from py4j.protocol import Py4JError
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        existing = spark.table(table)
+        merged = bottomk_merge(
+            existing, batch_frame, id_col=id_col, k=k, key_cols=key_cols
+        )
+    except (AnalysisException, Py4JError):
+        merged = batch_frame
+    staging = f"{table}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    merged.write.format("parquet").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    out = spark.table(table)
+    rows = out.count()
+    keys = (
+        out.select(*key_cols).distinct().count() if key_cols else min(rows, 1)
+    )
+    return {"rows": rows, "keys": keys}
+
+
+def bottomk_store_read(spark, table: str) -> DataFrame:
+    """Read a persisted bottom-k sample store for further folding or
+    `bottomk_quantiles` estimation."""
+    return spark.table(table)

@@ -259,3 +259,110 @@ def test_hll_validation(spark, ids):
         hll_build(ids, "v", lane_hash="sha1")
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sample sketch
+# --------------------------------------------------------------------------
+
+from dataframes_spark.operators.sketch import (  # noqa: E402
+    bottomk_build,
+    bottomk_merge,
+    bottomk_quantiles,
+    bottomk_store_read,
+    bottomk_store_update,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"g{i % 3}", float(i * 10)) for i in range(300)]
+    return spark.createDataFrame(rows, "id long, g string, v double")
+
+
+def _rows(df):
+    # NOTE: sorted-collect compare, NOT exceptAll — Spark 4.1's
+    # ReplicateRows planning hits an ATTRIBUTE_NOT_FOUND internal error
+    # on exceptAll over these window+dropDuplicates lineages.
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bottomk_membership_matches_independent_permutation(spark, corpus):
+    import hashlib
+
+    got = bottomk_build(
+        corpus, "id", 4, key_cols=("g",), payload_cols=("v",), salt="s"
+    ).collect()
+    perm = {}
+    for i in range(300):
+        perm.setdefault(f"g{i % 3}", []).append(
+            (hashlib.md5(f"{i}/s".encode()).hexdigest(), i)
+        )
+    for g, pairs in perm.items():
+        pairs.sort()
+        expect_ids = [i for _, i in pairs[:4]]
+        got_ids = [r.id for r in sorted(got, key=lambda r: r.rnk) if r.g == g]
+        assert got_ids == expect_ids
+    assert all(r.v == r.id * 10.0 for r in got)  # payload rides along
+
+
+def test_bottomk_merge_equals_whole_and_refold_idempotent(spark, corpus):
+    a = corpus.filter(F.col("id") % 2 == 0)
+    b = corpus.filter(F.col("id") % 2 == 1)
+    ka = bottomk_build(a, "id", 5, ("g",), ("v",), "s")
+    kb = bottomk_build(b, "id", 5, ("g",), ("v",), "s")
+    merged = bottomk_merge(ka, kb, id_col="id", k=5, key_cols=("g",))
+    whole = bottomk_build(corpus, "id", 5, ("g",), ("v",), "s")
+    assert _rows(merged) == _rows(whole)
+    refold = bottomk_merge(merged, ka, id_col="id", k=5, key_cols=("g",))
+    assert _rows(refold) == _rows(whole)
+
+
+def test_bottomk_global_lane_is_topk_heap(spark, corpus):
+    out = bottomk_build(corpus, "id", 7, payload_cols=("v",), salt="s")
+    rows = out.collect()
+    assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == list(range(1, 8))
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bottomk_grouped_plan_has_windowgrouplimit(spark, corpus):
+    out = bottomk_build(corpus, "id", 4, key_cols=("g",), salt="s")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p  # map-side cut before the exchange
+
+
+def test_bottomk_store_incremental_and_quantiles(spark, corpus):
+    table = "bk_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    a = corpus.filter(F.col("id") < 100)
+    b = corpus.filter(F.col("id") >= 100)
+    r1 = bottomk_store_update(
+        spark, table, bottomk_build(a, "id", 20, ("g",), ("v",), "s"),
+        id_col="id", k=20, key_cols=("g",),
+    )
+    r2 = bottomk_store_update(
+        spark, table, bottomk_build(b, "id", 20, ("g",), ("v",), "s"),
+        id_col="id", k=20, key_cols=("g",),
+    )
+    assert r1["keys"] == r2["keys"] == 3 and r2["rows"] == 60
+    store = bottomk_store_read(spark, table)
+    whole = bottomk_build(corpus, "id", 20, ("g",), ("v",), "s")
+    assert _rows(store) == _rows(whole)
+    # sample quantiles approximate the stream's (v uniform on 0..2990)
+    q = {
+        r.g: r.q0_5
+        for r in bottomk_quantiles(store, "v", (0.5,), ("g",)).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        assert 500.0 < q[g] < 2500.0  # crude but partitioning-independent
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bottomk_validation(spark, corpus):
+    with pytest.raises(ValueError, match="k >= 1"):
+        bottomk_build(corpus, "id", 0)
+    with pytest.raises(ValueError, match="at least one"):
+        bottomk_merge(id_col="id", k=3)
+    with pytest.raises(ValueError, match="fractions"):
+        bottomk_quantiles(corpus, "v", (1.5,))
