@@ -375,3 +375,62 @@ def test_validate_each_batch_skip_withholds_write(spark, event_dir):
     # skip without a sink is a contract error, not a silent no-op
     with pytest.raises(ValueError, match="write"):
         dstream.validate_each_batch([Q.row_count(1)], on_fail="skip")
+
+
+def test_sketch_stores_fold_stream_equals_batch(spark, tmp_path):
+    """The sketch stores' merge laws (CMS cell-sum, HLL register-max,
+    bottom-k cut) are micro-batch-boundary-free: folding each streaming
+    micro-batch into the persisted store via foreachBatch must equal the
+    one-shot batch sketch over all rows, whatever the file/batch split."""
+    from dataframes_spark.operators.sketch import (
+        bottomk_build,
+        bottomk_store_read,
+        bottomk_store_update,
+        cms_build,
+        cms_store_read,
+        cms_store_update,
+        hll_build,
+        hll_store_read,
+        hll_store_update,
+    )
+
+    out = str(tmp_path / "toks")
+    rows = [(i, f"k{i % 17}") for i in range(400)]
+    for lo, hi in ((0, 150), (150, 280), (280, 400)):
+        spark.createDataFrame(rows[lo:hi], "id long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(out)
+    whole = spark.read.parquet(out)
+    for t in ("cms_stream_t", "hll_stream_t", "bk_stream_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def fold(batch_df, epoch_id):
+        cms_store_update(spark, "cms_stream_t", cms_build(batch_df, "v", depth=2, width=32))
+        hll_store_update(spark, "hll_stream_t", hll_build(batch_df, "v", p=8))
+        bottomk_store_update(
+            spark, "bk_stream_t", bottomk_build(batch_df, "id", 9, salt="st"),
+            id_col="id", k=9,
+        )
+
+    src = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)  # force >= 3 micro-batches
+        .parquet(out)
+    )
+    q = src.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows_of(cms_store_read(spark, "cms_stream_t")) == rows_of(
+        cms_build(whole, "v", depth=2, width=32)
+    )
+    assert rows_of(hll_store_read(spark, "hll_stream_t")) == rows_of(
+        hll_build(whole, "v", p=8)
+    )
+    assert rows_of(bottomk_store_read(spark, "bk_stream_t")) == rows_of(
+        bottomk_build(whole, "id", 9, salt="st")
+    )
+    for t in ("cms_stream_t", "hll_stream_t", "bk_stream_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
