@@ -67,6 +67,10 @@ SHOWCASE = [
     ("cohort_retention_daily", "cohort matrix: ONE (user,period) shuffle, collect_set + array_min + explode"),
     ("cms_heavy_tokens_md5", "count-min sketch: cell-bounded partial agg, broadcast estimation join"),
     ("zorder_roundtrip_agg", "z-order write roundtrip: broadcast quantile bands, JVM bit interleave, range exchange"),
+    ("hll_distinct_users_md5", "HyperLogLog: bit-smear ranks, register-bounded partial max, exact-BIGINT harmonic estimate"),
+    ("bm25_docs", "BM25: map-only doc lengths, query-filtered postings, broadcast stats, k-heap on rounded score"),
+    ("outlier_events_value", "median/MAD fences: two percentile windows over ONE exchange"),
+    ("bottomk_sample_docs", "bottom-k sample: md5 permutation, WindowGroupLimit map-side cut"),
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
