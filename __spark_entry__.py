@@ -1073,6 +1073,35 @@ def bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "rnk")
 
 
+def weighted_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample MERGE law (operators/sample.py
+    weighted_sample_merge): the corpus arrives as two disjoint batches,
+    each reduced to its per-source ES top-2; merging the two k-frames
+    must equal the one-shot weighted sample over the whole corpus —
+    the invariant that lets a persisted weighted sample store
+    (weighted_store_update) stay a weight-proportional
+    without-replacement sample of everything folded in, at O(batch)
+    per epoch. The oracle is the ONE-SHOT SQL (same salt as
+    weighted_sample_docs), so the driver hash-verifies the merge path
+    against the unsplit computation."""
+    from dataframes_spark.operators.sample import (
+        weighted_sample_merge,
+        weighted_sample_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    ka = weighted_sample_topk(a, "n_chars", "doc_id", k=2, stratum_col="source", salt="ws")
+    kb = weighted_sample_topk(b, "n_chars", "doc_id", k=2, stratum_col="source", salt="ws")
+    merged = weighted_sample_merge(
+        ka, kb, key_col="doc_id", k=2, stratum_col="source"
+    )
+    return merged.select(
+        "doc_id", "source", "n_chars", F.round("es_key", 6).alias("es_key")
+    )
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sampling without replacement, top-2 per source
     (operators/sample.py weighted_sample_topk: Efraimidis-Spirakis with
@@ -2382,6 +2411,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotates below; text quality stays in-window via bm25_docs +
         #    quality_quartiles_docs + pipeline_clean_corpus's gates.
         "bottomk_sample_docs": bottomk_sample_docs,
+        # -- round 8 (continuation): the weighted-sample merge law —
+        #    two batch top-k frames merged must equal the one-shot
+        #    sample (the oracle IS the unsplit SQL), the invariant
+        #    behind weighted_store_update. interval_overlap_purchases
+        #    (green r5-r7) rotates below; the range/interval family
+        #    stays in-window via attribution_stream_clicks, which RUNS
+        #    the same interval join as a stream.
+        "weighted_merge_docs": weighted_merge_docs,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2405,7 +2442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets_md5": lsh_buckets_md5,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "salted_agg_events": salted_agg_events,
-        "interval_overlap_purchases": interval_overlap_purchases,
         "split_documents": split_documents,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
@@ -2531,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus_sources": mix_corpus_sources,
         "feather_roundtrip_agg": feather_roundtrip_agg,
         "repetition_docs": repetition_docs,
+        "interval_overlap_purchases": interval_overlap_purchases,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3640,6 +3677,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, min(coalesce(cnt, 0)) AS est
             FROM probe LEFT JOIN cells USING (d, bucket)
             GROUP BY token HAVING est >= 200 ORDER BY token
+        """,
+        "weighted_merge_docs": """
+            -- the ONE-SHOT weighted sample: the merge of two batch
+            -- top-k frames must reproduce this exactly (merge law).
+            WITH scored AS (
+                SELECT doc_id, source, n_chars,
+                       ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/ws'), 1, 13))::BIGINT + 1)
+                          / 4503599627370496.0)
+                       / CAST(n_chars AS DOUBLE) AS es
+                FROM documents
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY es DESC, doc_id ASC) AS rnk
+                FROM scored
+            )
+            SELECT doc_id, source, n_chars, round(es, 6) AS es_key
+            FROM ranked WHERE rnk <= 2
         """,
         "bottomk_sample_docs": """
             -- identical fixed permutation: md5 hex of 'id/salt', rank

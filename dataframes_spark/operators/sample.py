@@ -265,3 +265,83 @@ def cap_per_group(
         .filter(F.col("__rnk") <= k)
         .drop("__rnk")
     )
+
+
+def weighted_sample_merge(
+    *frames: DataFrame,
+    key_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Merge `weighted_sample_topk` frames: union, drop duplicate keys
+    (refolding a batch is harmless), keep the k LARGEST ``es_key`` per
+    stratum. Because the Efraimidis-Spirakis key is a pure function of
+    (key, weight), top-k-by-es of merged top-k's equals top-k-by-es of
+    the union — the same sketch law as the bottom-k sample, so a
+    persisted weighted sample store (`weighted_store_update`) stays a
+    without-replacement weight-proportional sample of EVERYTHING folded
+    in, maintained in O(batch). The shuffle carries only the k-sized
+    frames; the ranking window runs over at most k * n_frames rows per
+    stratum."""
+    if not frames:
+        raise ValueError("weighted_sample_merge needs at least one frame")
+    from pyspark.sql import Window as W
+
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    dedup_keys = [stratum_col, key_col] if stratum_col else [key_col]
+    deduped = out.dropDuplicates(dedup_keys)
+    part = [stratum_col] if stratum_col else [F.lit(1)]
+    w = W.partitionBy(*part).orderBy(
+        F.col("es_key").desc(), F.col(key_col).asc()
+    )
+    return (
+        deduped.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .drop("__rnk")
+    )
+
+
+def weighted_store_update(
+    spark,
+    table: str,
+    batch_frame: DataFrame,
+    key_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> dict:
+    """Fold a batch's `weighted_sample_topk` frame into a persisted
+    weighted sample store (catalog parquet table, the staging-swap idiom
+    of the sketch stores): an always-current weight-proportional
+    without-replacement sample of everything ever folded in, at most
+    ``strata x k`` rows, updated in O(batch) — the quality-weighted
+    eyeball/eval set a corpus pipeline keeps fresh without rescanning
+    history. Idempotent under batch refolds. Returns ``{"rows",
+    "strata"}``."""
+    from py4j.protocol import Py4JError
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        existing = spark.table(table)
+        merged = weighted_sample_merge(
+            existing, batch_frame, key_col=key_col, k=k, stratum_col=stratum_col
+        )
+    except (AnalysisException, Py4JError):
+        merged = batch_frame
+    staging = f"{table}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    merged.write.format("parquet").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    out = spark.table(table)
+    rows = out.count()
+    strata = (
+        out.select(stratum_col).distinct().count() if stratum_col else min(rows, 1)
+    )
+    return {"rows": rows, "strata": strata}
+
+
+def weighted_store_read(spark, table: str) -> DataFrame:
+    """Read a persisted weighted sample store for further folding."""
+    return spark.table(table)

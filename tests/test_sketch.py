@@ -366,3 +366,47 @@ def test_bottomk_validation(spark, corpus):
         bottomk_merge(id_col="id", k=3)
     with pytest.raises(ValueError, match="fractions"):
         bottomk_quantiles(corpus, "v", (1.5,))
+
+
+# --------------------------------------------------------------------------
+# Weighted sample store (operators/sample.py — same merge-law family)
+# --------------------------------------------------------------------------
+
+
+def test_weighted_merge_equals_whole_and_store(spark):
+    from dataframes_spark.operators.sample import (
+        weighted_sample_merge,
+        weighted_sample_topk,
+        weighted_store_read,
+        weighted_store_update,
+    )
+
+    rows = [(i, f"s{i % 2}", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string, w double")
+    a = df.filter(F.col("id") < 80)
+    b = df.filter(F.col("id") >= 80)
+    ka = weighted_sample_topk(a, "w", "id", k=5, stratum_col="s", salt="t")
+    kb = weighted_sample_topk(b, "w", "id", k=5, stratum_col="s", salt="t")
+    whole = weighted_sample_topk(df, "w", "id", k=5, stratum_col="s", salt="t")
+    merged = weighted_sample_merge(ka, kb, key_col="id", k=5, stratum_col="s")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # refold idempotence
+    refold = weighted_sample_merge(merged, ka, key_col="id", k=5, stratum_col="s")
+    assert sorted(map(tuple, refold.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # the persisted store follows the same law
+    table = "ws_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    r1 = weighted_store_update(spark, table, ka, key_col="id", k=5, stratum_col="s")
+    r2 = weighted_store_update(spark, table, kb, key_col="id", k=5, stratum_col="s")
+    assert r1["strata"] == r2["strata"] == 2 and r2["rows"] == 10
+    store = weighted_store_read(spark, table)
+    assert sorted(map(tuple, store.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    with pytest.raises(ValueError, match="at least one"):
+        weighted_sample_merge(key_col="id", k=5)
