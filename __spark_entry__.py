@@ -1007,6 +1007,35 @@ def hll_distinct_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_overlap_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types
+    (operators/sketch.py hll_pairwise_overlap): ONE scan builds
+    per-type HLL register frames (p=8, md5 lane), then every unordered
+    type pair gets ndv_a / ndv_b / ndv_union (register-wise max) and
+    the inclusion-exclusion overlap + jaccard — the cross-source
+    contamination report. The exact plan per pair is an INTERSECT +
+    countDistinct shuffling one row per shared value per pair; here the
+    pairwise stage touches only sketch cells (pairs x 256 rows,
+    independent of data size) and every estimate is exact-integer
+    deterministic, so the oracle replays the whole report —
+    registers, union registers, both estimate branches,
+    inclusion-exclusion — cell-for-cell in DuckDB."""
+    from dataframes_spark.operators.sketch import hll_build, hll_pairwise_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_build(ev, "user_id", key_cols=("event_type",), p=8, lane_hash="md5")
+    out = hll_pairwise_overlap(regs, "event_type", p=8)
+    return out.select(
+        "ga",
+        "gb",
+        F.round("ndv_a", 6).alias("ndv_a"),
+        F.round("ndv_b", 6).alias("ndv_b"),
+        F.round("ndv_union", 6).alias("ndv_union"),
+        F.round("overlap", 6).alias("overlap"),
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("ga", "gb")
+
+
 def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval (functions/text.py bm25_topk): top-12
     documents for the query "hash join vector". Document lengths are a
@@ -2419,6 +2448,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    stays in-window via attribution_stream_clicks, which RUNS
         #    the same interval join as a stream.
         "weighted_merge_docs": weighted_merge_docs,
+        # -- round 8 (continuation): pairwise HLL overlap — the
+        #    audience-overlap / cross-source-contamination report from
+        #    one register frame, hash-verified cell-for-cell (both
+        #    estimate branches + inclusion-exclusion) in DuckDB.
+        #    cap_docs_per_source (green r5-r7) rotates below; the
+        #    sampling family stays in-window via split_documents +
+        #    bottomk_sample_docs + weighted_merge_docs.
+        "hll_overlap_users_md5": hll_overlap_users_md5,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2495,7 +2532,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # families stay covered via media_decode_stats +
         # pack_documents_greedy and the cube/rollup/join rows) rotate out
         "quality_quartiles_docs": quality_quartiles_docs,
-        "cap_docs_per_source": cap_docs_per_source,
         # round 7: the streaming interval join gains a driver row — the
         # stream actually RUNS (availableNow → memory sink) and its
         # materialized pairs hash-check against the exact batch SQL,
@@ -2568,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feather_roundtrip_agg": feather_roundtrip_agg,
         "repetition_docs": repetition_docs,
         "interval_overlap_purchases": interval_overlap_purchases,
+        "cap_docs_per_source": cap_docs_per_source,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3783,6 +3820,87 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c), 6) AS bm25
             FROM scored GROUP BY 1, 2
             ORDER BY bm25 DESC, doc_id LIMIT 12
+        """,
+        "hll_overlap_users_md5": """
+            -- full pairwise-overlap replica: the same 60-bit md5
+            -- registers as hll_distinct_users_md5 (p=8), union sketch
+            -- = register-wise max per type pair, both estimate
+            -- branches in exact-BIGINT arithmetic, then
+            -- inclusion-exclusion. Constants: mask 2^52-1, 2^R = 2^53,
+            -- C = alpha(256)*256^2*2^53, 2.5m = 640.
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            c AS (SELECT event_type, h >> 52 AS r,
+                         h & 4503599627370495 AS v FROM h),
+            s1 AS (SELECT event_type, r, v | (v >> 1) AS s FROM c),
+            s2 AS (SELECT event_type, r, s | (s >> 2) AS s FROM s1),
+            s3 AS (SELECT event_type, r, s | (s >> 4) AS s FROM s2),
+            s4 AS (SELECT event_type, r, s | (s >> 8) AS s FROM s3),
+            s5 AS (SELECT event_type, r, s | (s >> 16) AS s FROM s4),
+            s6 AS (SELECT event_type, r, s | (s >> 32) AS s FROM s5),
+            regs AS (
+                SELECT event_type, r,
+                       max(53 - bit_count(CAST(s AS BIGINT))) AS maxrho
+                FROM s6 GROUP BY 1, 2
+            ),
+            keys AS (SELECT DISTINCT event_type AS g FROM regs),
+            pairs AS (
+                SELECT a.g AS ga, b.g AS gb FROM keys a, keys b
+                WHERE a.g < b.g
+            ),
+            uregs AS (
+                SELECT p.ga, p.gb, regs.r, max(regs.maxrho) AS maxrho
+                FROM regs JOIN pairs p
+                  ON regs.event_type IN (p.ga, p.gb)
+                GROUP BY 1, 2, 3
+            ),
+            est_g AS (
+                SELECT event_type AS g,
+                       4.2399330249068963e+20
+                         / CAST(sum(1::BIGINT << (53 - maxrho))
+                                + (256 - count(*)) * 9007199254740992 AS DOUBLE)
+                         AS raw,
+                       256 - count(*) AS zeros
+                FROM regs GROUP BY 1
+            ),
+            ndv_g AS (
+                SELECT g, CASE WHEN raw <= 640.0 AND zeros > 0
+                               THEN 256.0 * ln(256.0 / zeros)
+                               ELSE raw END AS ndv
+                FROM est_g
+            ),
+            est_u AS (
+                SELECT ga, gb,
+                       4.2399330249068963e+20
+                         / CAST(sum(1::BIGINT << (53 - maxrho))
+                                + (256 - count(*)) * 9007199254740992 AS DOUBLE)
+                         AS raw,
+                       256 - count(*) AS zeros
+                FROM uregs GROUP BY 1, 2
+            ),
+            ndv_u AS (
+                SELECT ga, gb, CASE WHEN raw <= 640.0 AND zeros > 0
+                                    THEN 256.0 * ln(256.0 / zeros)
+                                    ELSE raw END AS ndv_union
+                FROM est_u
+            ),
+            rep AS (
+                SELECT u.ga, u.gb, a.ndv AS ndv_a, b.ndv AS ndv_b,
+                       u.ndv_union,
+                       greatest(0.0, a.ndv + b.ndv - u.ndv_union) AS overlap
+                FROM ndv_u u
+                JOIN ndv_g a ON u.ga = a.g
+                JOIN ndv_g b ON u.gb = b.g
+            )
+            SELECT ga, gb, round(ndv_a, 6) AS ndv_a,
+                   round(ndv_b, 6) AS ndv_b,
+                   round(ndv_union, 6) AS ndv_union,
+                   round(overlap, 6) AS overlap,
+                   round(overlap / ndv_union, 6) AS jaccard
+            FROM rep ORDER BY ga, gb
         """,
         "hll_distinct_users_md5": """
             -- full HLL replica: 60-bit md5 hash, p=8 -> w=52 index

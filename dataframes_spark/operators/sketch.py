@@ -414,6 +414,86 @@ def hll_store_read(spark, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def hll_pairwise_overlap(
+    registers: DataFrame,
+    key_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Pairwise set-overlap report from ONE per-group register frame:
+    for every unordered group pair (a, b), estimate ``ndv_a``,
+    ``ndv_b``, ``ndv_union`` (register-wise max = the sketch of the
+    union, HLL's defining property), then inclusion-exclusion
+    ``overlap = max(0, ndv_a + ndv_b - ndv_union)`` and
+    ``jaccard = overlap / ndv_union``.
+
+    The audience-overlap / cross-source-contamination question ("how
+    many users/URLs/doc-hashes do sources A and B share?") answered
+    WITHOUT the exact plan's per-pair `countDistinct` over an
+    intersect — which at corpus scale shuffles one row per distinct
+    value PER PAIR. Here the data is scanned once (`hll_build`); this
+    report touches only register frames: the pair relation is the
+    groups' self-join on register index (<= g^2 * 2^p rows for g
+    groups — sketch-sized, independent of data cardinality), and every
+    estimate reuses `hll_estimate`'s exact-integer arithmetic, so the
+    md5 lane replays cell-for-cell in any engine. Overlap error
+    compounds three +-1.04/sqrt(2^p) estimates — size p for the
+    overlap magnitude you need to resolve.
+    """
+    a = registers.select(
+        F.col(key_col).alias("ga"), "r", F.col("maxrho").alias("rho_a")
+    )
+    b = registers.select(
+        F.col(key_col).alias("gb"), "r", F.col("maxrho").alias("rho_b")
+    )
+    # Union registers per pair: full outer on r within each (ga, gb)
+    # combination — expressed as a join on r (both-present cells take
+    # the max) unioned with each side's cells against the OTHER group's
+    # key universe (sparse absent-register handling). The pair/key
+    # relations are sketch-sized; broadcast joins throughout.
+    keys = registers.select(F.col(key_col).alias("g")).distinct()
+    pairs = (
+        keys.select(F.col("g").alias("ga"))
+        .join(F.broadcast(keys.select(F.col("g").alias("gb"))))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    # replicate each group's registers to every pair it belongs to,
+    # then re-take the max: union sketch per pair.
+    u = (
+        registers.join(
+            F.broadcast(pairs),
+            (F.col(key_col) == F.col("ga")) | (F.col(key_col) == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "r")
+        .agg(F.max("maxrho").alias("maxrho"))
+    )
+    est_u = hll_estimate(u, key_cols=("ga", "gb"), p=p).withColumnRenamed(
+        "est_ndv", "ndv_union"
+    )
+    est_g = hll_estimate(registers, key_cols=(key_col,), p=p)
+    est_a = est_g.select(
+        F.col(key_col).alias("ga"), F.col("est_ndv").alias("ndv_a")
+    )
+    est_b = est_g.select(
+        F.col(key_col).alias("gb"), F.col("est_ndv").alias("ndv_b")
+    )
+    overlap = F.greatest(
+        F.lit(0.0), F.col("ndv_a") + F.col("ndv_b") - F.col("ndv_union")
+    )
+    return (
+        est_u.join(F.broadcast(est_a), "ga")
+        .join(F.broadcast(est_b), "gb")
+        .select(
+            "ga",
+            "gb",
+            "ndv_a",
+            "ndv_b",
+            "ndv_union",
+            overlap.alias("overlap"),
+            (overlap / F.col("ndv_union")).alias("jaccard"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Bottom-k sample sketch: deterministic mergeable uniform sample
 # --------------------------------------------------------------------------

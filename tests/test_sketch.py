@@ -261,6 +261,40 @@ def test_hll_validation(spark, ids):
         hll_merge()
 
 
+def test_hll_pairwise_overlap_tracks_truth(spark):
+    from dataframes_spark.operators.sketch import hll_pairwise_overlap
+
+    # a: 0..2000, b: 1000..3000, c: 2800..3200
+    # truth: a∩b=1000, a∩c=0, b∩c=200
+    spans = {"a": (0, 2000), "b": (1000, 3000), "c": (2800, 3200)}
+    rows = [(g, f"u{i}") for g, (lo, hi) in spans.items() for i in range(lo, hi)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    regs = hll_build(df, "v", key_cols=("g",), p=12)
+    out = {
+        (r.ga, r.gb): r
+        for r in hll_pairwise_overlap(regs, "g", p=12).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab, ac, bc = out[("a", "b")], out[("a", "c")], out[("b", "c")]
+    # overlap error compounds three ±1.6%-rse estimates; 15% is ~3σ
+    assert abs(ab.overlap - 1000) / 1000 < 0.15
+    assert ac.overlap < 100  # disjoint pair stays near zero
+    assert abs(bc.overlap - 200) / 200 < 0.5
+    # union estimates are consistent: never below either side's estimate
+    for r in out.values():
+        assert r.ndv_union >= max(r.ndv_a, r.ndv_b) - 1e-9
+        assert 0.0 <= r.jaccard <= 1.0
+    # the report composes with the store: fold two halves, same report
+    half1 = hll_build(df.filter(F.col("v") < "u2"), "v", key_cols=("g",), p=12)
+    half2 = hll_build(df.filter(F.col("v") >= "u2"), "v", key_cols=("g",), p=12)
+    merged = hll_merge(half1, half2, key_cols=("g",))
+    out2 = {
+        (r.ga, r.gb): r.overlap
+        for r in hll_pairwise_overlap(merged, "g", p=12).collect()
+    }
+    assert all(abs(out2[k] - out[k].overlap) < 1e-9 for k in out)
+
+
 # --------------------------------------------------------------------------
 # Bottom-k sample sketch
 # --------------------------------------------------------------------------
