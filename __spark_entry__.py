@@ -1007,6 +1007,54 @@ def hll_distinct_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding table (ml.py
+    embedding_covariance): the SQL-oracle-able face of `pca_fit`. ONE
+    mapInPandas scan emits constant-size moment partials (n + the
+    dim + dim^2 sum/Gram array per Arrow batch — dense second moments
+    under the same state-bounding idiom as the sketches); the reduce
+    shuffles partial rows, never vectors, and the (i, j, cov) assembly
+    is broadcast joins over dim^2-sized frames. The naive plan explodes
+    N*dim^2 rows into a shuffle; this one's exchange is O(batches *
+    dim^2) regardless of N. Upper triangle, population covariance,
+    hash-verified against DuckDB covar_pop over exploded pairs."""
+    from dataframes_spark.ml import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(emb, "embedding", 64)
+    return cov.select(
+        "i", "j", F.round("cov", 6).alias("cov")
+    ).orderBy("i", "j")
+
+
+def pca_label_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + projection end-to-end (ml.py pca_fit / pca_project):
+    fit k=4 on the embedding table (one distributed moment scan +
+    driver eigh of the tiny 64x64 covariance — the same sanctioned
+    closing step as OLS normal equations), then project map-only (JVM
+    zip_with/aggregate dots against literal components, no Python in
+    the plan) and summarize per label. The eigendecomposition is not
+    SQL-expressible, so this row is rows-only by nature; its
+    hash-verified twin is embedding_covariance_upper, which pins the
+    exact matrix the eigh consumes (the ivf_topk_probe /
+    ivf_probe_pinned pattern)."""
+    from dataframes_spark.ml import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4, dim=64)
+    proj = pca_project(emb, "embedding", model)
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pc1"), 4).alias("mean_pc1"),
+            F.round(F.avg("pc2"), 4).alias("mean_pc2"),
+            F.round(F.stddev("pc1"), 4).alias("sd_pc1"),
+        )
+        .orderBy("label")
+    )
+
+
 def hll_overlap_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types
     (operators/sketch.py hll_pairwise_overlap): ONE scan builds
@@ -2456,6 +2504,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    sampling family stays in-window via split_documents +
         #    bottomk_sample_docs + weighted_merge_docs.
         "hll_overlap_users_md5": hll_overlap_users_md5,
+        # -- round 8 (continuation): PCA over embeddings — the
+        #    covariance face hash-verifies (one constant-state moment
+        #    scan vs DuckDB covar_pop), the eigh+projection face is
+        #    rows-only by nature with the covariance row as its pinned
+        #    twin. quality_quartiles_docs and xlsx_roundtrip_agg (both
+        #    green r6-r7) rotate below; the quantile family stays
+        #    in-window via describe-style rows downstream and the IO
+        #    family via feather/orc/read_text rows.
+        "embedding_covariance_upper": embedding_covariance_upper,
+        "pca_label_summary": pca_label_summary,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2522,16 +2580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ewma_user_value (green r1-r4 / r04) rotate out — sampling
         # stays via weighted_sample/split/mix, streaming via sessionize
         "read_text_csv_agg": read_text_csv_agg,
-        # round 6: XLSX loses its optional-dependency gate (stdlib
-        # SpreadsheetML in io/xlsx.py) and gains its first driver row
-        "xlsx_roundtrip_agg": xlsx_roundtrip_agg,
-        # round 6: quantile bucketing (curriculum bands, no ntile global
-        # sort) and the per-domain cap (md5-deterministic, so the capped
-        # totals hash-verify). To stay within the 50-row window,
-        # pandas_map_column and setop_custkeys (green r1-r5; their
-        # families stay covered via media_decode_stats +
-        # pack_documents_greedy and the cube/rollup/join rows) rotate out
-        "quality_quartiles_docs": quality_quartiles_docs,
         # round 7: the streaming interval join gains a driver row — the
         # stream actually RUNS (availableNow → memory sink) and its
         # materialized pairs hash-check against the exact batch SQL,
@@ -2605,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": repetition_docs,
         "interval_overlap_purchases": interval_overlap_purchases,
         "cap_docs_per_source": cap_docs_per_source,
+        "xlsx_roundtrip_agg": xlsx_roundtrip_agg,
+        "quality_quartiles_docs": quality_quartiles_docs,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3820,6 +3870,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c), 6) AS bm25
             FROM scored GROUP BY 1, 2
             ORDER BY bm25 DESC, doc_id LIMIT 12
+        """,
+        "embedding_covariance_upper": """
+            -- population covariance over exploded (vec_id, dim, value)
+            -- pairs: float32 cells convert exactly to float64 on both
+            -- engines, so covar_pop agrees with the one-scan
+            -- moment-kernel assembly to well inside round-6.
+            WITH e AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+            SELECT a.i - 1 AS i, b.i - 1 AS j,
+                   round(covar_pop(a.v, b.v), 6) AS cov
+            FROM e a JOIN e b USING (vec_id)
+            WHERE a.i <= b.i GROUP BY 1, 2 ORDER BY i, j
         """,
         "hll_overlap_users_md5": """
             -- full pairwise-overlap replica: the same 60-bit md5

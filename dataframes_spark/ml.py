@@ -123,3 +123,142 @@ def train_test_split(df: DataFrame, test_ratio: float = 0.25, seed: int = 42):
     test = df.filter(bucket < int(test_ratio * 10_000))
     train = df.filter(bucket >= int(test_ratio * 10_000))
     return train, test
+
+
+# --------------------------------------------------------------------------
+# PCA over embedding columns (array<float>)
+# --------------------------------------------------------------------------
+
+
+def embedding_moments(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """First/second moments of an embedding column in ONE scan:
+    ``(pos, val, n)`` where pos < dim holds the per-dimension SUM and
+    pos >= dim holds the flattened Gram matrix sum(x_i * x_j) at
+    ``dim + i*dim + j``.
+
+    The scan is a `mapInPandas` Arrow-batched numpy kernel emitting one
+    partial row per batch (``n`` + a ``dim + dim^2`` array — constant
+    size however many rows the batch holds: the classic map-side
+    combine, exactly the CMS/HLL state-bounding idiom applied to dense
+    second moments). The reduce shuffles only partial rows
+    (P * (dim + dim^2) values for P batches), never data. NULL and
+    wrong-length vectors are skipped and counted out of ``n``."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = [
+                v for v in pdf[vec_col] if v is not None and len(v) == dim
+            ]
+            if not vecs:
+                continue
+            x = np.asarray(vecs, dtype=np.float64)
+            sg = np.concatenate([x.sum(axis=0), (x.T @ x).ravel()])
+            yield pd.DataFrame({"n": [len(vecs)], "sg": [sg.tolist()]})
+
+    partials = df.select(vec_col).mapInPandas(kernel, "n long, sg array<double>")
+    n_total = partials.agg(F.sum("n").alias("n"))
+    reduced = (
+        partials.select(F.posexplode("sg").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+    )
+    return reduced.crossJoin(F.broadcast(n_total))
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """Population covariance matrix of an embedding column as an
+    ``(i, j, cov)`` frame (upper triangle, i <= j) — assembled
+    declaratively from `embedding_moments`: cov_ij = E[x_i x_j] -
+    E[x_i] E[x_j]. Everything after the one-scan moment pass joins
+    dim^2-sized frames (broadcast), so the plan's data-side cost is the
+    single mapInPandas scan. The SQL-oracle-able face of `pca_fit`."""
+    m = embedding_moments(df, vec_col, dim)
+    means = m.filter(F.col("pos") < dim).select(
+        F.col("pos").alias("__k"), (F.col("val") / F.col("n")).alias("mu")
+    )
+    gram = m.filter(F.col("pos") >= dim).select(
+        ((F.col("pos") - dim) / dim).cast("int").alias("i"),
+        ((F.col("pos") - dim) % dim).alias("j"),
+        "val",
+        "n",
+    )
+    mu_i = means.select(F.col("__k").alias("i"), F.col("mu").alias("mu_i"))
+    mu_j = means.select(F.col("__k").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        gram.filter(F.col("i") <= F.col("j"))
+        .join(F.broadcast(mu_i), "i")
+        .join(F.broadcast(mu_j), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("val") / F.col("n") - F.col("mu_i") * F.col("mu_j")).alias(
+                "cov"
+            ),
+        )
+    )
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int, dim: int) -> dict:
+    """Fit PCA: ONE distributed moment scan (`embedding_moments`), then
+    an eigendecomposition of the driver-tiny dim x dim covariance
+    (sanctioned collect: dim^2 doubles, the same driver-side closing
+    step as the OLS normal equations / KMeans centroids). Components
+    are sign-fixed (largest-|coefficient| positive) so the fit is
+    deterministic up to float-sum jitter in the moments. Returns
+    ``{"mean", "components" (k x dim, orthonormal rows),
+    "explained_variance", "explained_ratio"}``."""
+    import numpy as np
+
+    if not 1 <= k <= dim:
+        raise ValueError(f"need 1 <= k <= dim, got k={k}, dim={dim}")
+    rows = embedding_moments(df, vec_col, dim).collect()
+    if not rows:
+        raise ValueError("pca_fit: no valid vectors")
+    n = rows[0]["n"]
+    flat = np.zeros(dim + dim * dim)
+    for r in rows:
+        flat[r["pos"]] = r["val"]
+    mean = flat[:dim] / n
+    cov = flat[dim:].reshape(dim, dim) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k x dim
+    for c in comps:  # sign fix: largest-|coeff| positive
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    ev = np.maximum(evals[order], 0.0)
+    total = max(float(np.trace(cov)), 1e-300)
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": ev.tolist(),
+        "explained_ratio": (ev / total).tolist(),
+    }
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, model: dict, prefix: str = "pc"
+) -> DataFrame:
+    """Append ``pc1..pck`` projections: map-only JVM array arithmetic
+    (zip_with products + one aggregate fold per component, the
+    similarity-module dot idiom) against the fit's literal mean/
+    component arrays — no shuffle, no Python in the plan, survives any
+    scale the scan survives."""
+    mean = F.array(*[F.lit(float(v)) for v in model["mean"]])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean, lambda x, m: x - m
+    )
+    out = df.withColumn("__centered", centered)
+    for c_idx, comp in enumerate(model["components"], start=1):
+        carr = F.array(*[F.lit(float(v)) for v in comp])
+        dot = F.aggregate(
+            F.zip_with(F.col("__centered"), carr, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out.withColumn(f"{prefix}{c_idx}", dot)
+    return out.drop("__centered")

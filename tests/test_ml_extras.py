@@ -183,3 +183,101 @@ def test_jaccard_verify_matches_exact(spark):
     assert verified.keys() == exact.keys()
     for k in exact:
         assert math.isclose(verified[k], exact[k], rel_tol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# PCA over embedding columns (ml.py embedding_moments / pca_fit / project)
+# --------------------------------------------------------------------------
+
+
+def _toy_vectors(spark, n=300, dim=6, seed=7):
+    # deterministic anisotropic cloud: dim-0 dominates, dim-1 second
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, dim) * np.array([5.0, 2.0, 0.5, 0.3, 0.2, 0.1])
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "id long, embedding array<float>"),
+        x.astype("float32").astype("float64"),
+    )
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    df, x = _toy_vectors(spark)
+    got = {
+        (r.i, r.j): r.cov
+        for r in dml.embedding_covariance(df, "embedding", 6).collect()
+    }
+    truth = np.cov(x, rowvar=False, bias=True)
+    assert len(got) == 6 * 7 // 2
+    for (i, j), v in got.items():
+        assert i <= j and math.isclose(v, truth[i, j], abs_tol=1e-9)
+
+
+def test_embedding_covariance_skips_bad_vectors(spark):
+    df, x = _toy_vectors(spark)
+    import numpy as np
+
+    dirty = df.unionByName(
+        spark.createDataFrame(
+            [(1000, None), (1001, [1.0, 2.0])], "id long, embedding array<float>"
+        )
+    )
+    got = {
+        (r.i, r.j): r.cov
+        for r in dml.embedding_covariance(dirty, "embedding", 6).collect()
+    }
+    truth = np.cov(x, rowvar=False, bias=True)
+    for (i, j), v in got.items():
+        assert math.isclose(v, truth[i, j], abs_tol=1e-9)
+
+
+def test_pca_fit_components_orthonormal_and_ordered(spark):
+    import numpy as np
+
+    df, _ = _toy_vectors(spark)
+    m = dml.pca_fit(df, "embedding", k=3, dim=6)
+    c = np.asarray(m["components"])
+    assert c.shape == (3, 6)
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-9)
+    ev = m["explained_variance"]
+    assert ev[0] >= ev[1] >= ev[2] >= 0
+    # dominant direction is dim 0 (variance 25 vs 4): |c1[0]| near 1
+    assert abs(c[0][0]) > 0.95
+    # sign fix: largest-|coeff| entry is positive
+    for row in c:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    assert sum(m["explained_ratio"]) <= 1.0 + 1e-9
+
+
+def test_pca_project_variance_equals_eigenvalue(spark):
+    df, _ = _toy_vectors(spark)
+    m = dml.pca_fit(df, "embedding", k=2, dim=6)
+    proj = dml.pca_project(df, "embedding", m)
+    n = df.count()
+    got = proj.agg(
+        F.var_pop("pc1").alias("v1"), F.var_pop("pc2").alias("v2")
+    ).first()
+    assert math.isclose(got.v1, m["explained_variance"][0], rel_tol=1e-9)
+    assert math.isclose(got.v2, m["explained_variance"][1], rel_tol=1e-9)
+    # projections are centered
+    means = proj.agg(F.avg("pc1"), F.avg("pc2")).first()
+    assert abs(means[0]) < 1e-9 and abs(means[1]) < 1e-9
+
+
+def test_pca_project_stays_jvm_side(spark):
+    df, _ = _toy_vectors(spark)
+    m = dml.pca_fit(df, "embedding", k=2, dim=6)
+    plan = dml.pca_project(df, "embedding", m)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_pca_validation(spark):
+    df, _ = _toy_vectors(spark)
+    with pytest.raises(ValueError, match="1 <= k"):
+        dml.pca_fit(df, "embedding", k=0, dim=6)
+    with pytest.raises(ValueError, match="no valid vectors"):
+        dml.pca_fit(df.filter("id < 0"), "embedding", k=1, dim=6)
