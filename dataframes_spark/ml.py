@@ -218,6 +218,15 @@ def pca_fit(df: DataFrame, vec_col: str, k: int, dim: int) -> dict:
     rows = embedding_moments(df, vec_col, dim).collect()
     if not rows:
         raise ValueError("pca_fit: no valid vectors")
+    return _pca_from_moment_rows(rows, k, dim)
+
+
+def _pca_from_moment_rows(rows, k: int, dim: int) -> dict:
+    """Eigendecomposition of the covariance implied by collected
+    moment rows; components sign-fixed (largest-|coefficient|
+    positive) so the fit is deterministic up to float-sum jitter."""
+    import numpy as np
+
     n = rows[0]["n"]
     flat = np.zeros(dim + dim * dim)
     for r in rows:
@@ -262,3 +271,49 @@ def pca_project(
         )
         out = out.withColumn(f"{prefix}{c_idx}", dot)
     return out.drop("__centered")
+
+
+def moments_store_update(
+    spark, table: str, df: DataFrame, vec_col: str, dim: int
+) -> dict:
+    """Fold a batch's `embedding_moments` into a persisted moment store
+    (catalog parquet table, the sketch-store staging-swap idiom).
+    Moments are sums, so the merge is element-wise addition — the store
+    stays ``dim + dim^2 + 1`` values however many epochs fold in, and
+    `pca_fit_from_store` refits PCA over EVERYTHING ever folded in
+    at O(batch) per epoch: each batch is scanned once, history never.
+    NOT idempotent (sums double-count a refolded batch — CMS semantics,
+    not HLL): fold each batch exactly once. Returns ``{"n"}``."""
+    from py4j.protocol import Py4JError
+    from pyspark.sql.utils import AnalysisException
+
+    batch = embedding_moments(df, vec_col, dim)
+    try:
+        existing = spark.table(table)
+        merged = (
+            existing.unionByName(batch)
+            .groupBy("pos")
+            .agg(F.sum("val").alias("val"), F.sum("n").alias("n"))
+        )
+    except (AnalysisException, Py4JError):
+        merged = batch
+    staging = f"{table}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    merged.write.format("parquet").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    out = spark.table(table)
+    n = out.agg(F.max("n")).first()[0]
+    return {"n": int(n) if n is not None else 0}
+
+
+def pca_fit_from_store(spark, table: str, k: int, dim: int) -> dict:
+    """Fit PCA from a persisted moment store — same result as
+    `pca_fit` over the concatenation of every batch ever folded in,
+    without rescanning any of it. Same return shape as `pca_fit`."""
+    if not 1 <= k <= dim:
+        raise ValueError(f"need 1 <= k <= dim, got k={k}, dim={dim}")
+    rows = spark.table(table).collect()
+    if not rows:
+        raise ValueError("pca_fit_from_store: empty store")
+    return _pca_from_moment_rows(rows, k, dim)

@@ -281,3 +281,26 @@ def test_pca_validation(spark):
         dml.pca_fit(df, "embedding", k=0, dim=6)
     with pytest.raises(ValueError, match="no valid vectors"):
         dml.pca_fit(df.filter("id < 0"), "embedding", k=1, dim=6)
+
+
+def test_pca_moment_store_incremental_equals_whole(spark):
+    import numpy as np
+
+    df, _ = _toy_vectors(spark)
+    a = df.filter(F.col("id") < 120)
+    b = df.filter(F.col("id") >= 120)
+    table = "pca_moment_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    r1 = dml.moments_store_update(spark, table, a, "embedding", 6)
+    r2 = dml.moments_store_update(spark, table, b, "embedding", 6)
+    assert r1["n"] == 120 and r2["n"] == 300
+    whole = dml.pca_fit(df, "embedding", k=3, dim=6)
+    inc = dml.pca_fit_from_store(spark, table, k=3, dim=6)
+    assert np.allclose(inc["mean"], whole["mean"], atol=1e-12)
+    assert np.allclose(inc["components"], whole["components"], atol=1e-9)
+    assert np.allclose(
+        inc["explained_variance"], whole["explained_variance"], atol=1e-12
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    with pytest.raises(Exception, match="empty store|TABLE_OR_VIEW"):
+        dml.pca_fit_from_store(spark, "no_such_moment_store", k=1, dim=6)
