@@ -71,6 +71,10 @@ SHOWCASE = [
     ("bm25_docs", "BM25: map-only doc lengths, query-filtered postings, broadcast stats, k-heap on rounded score"),
     ("outlier_events_value", "median/MAD fences: two percentile windows over ONE exchange"),
     ("bottomk_sample_docs", "bottom-k sample: md5 permutation, WindowGroupLimit map-side cut"),
+    ("weighted_merge_docs", "weighted-sample merge law: k-frame union -> dedup -> rank, shuffle carries k rows"),
+    ("hll_overlap_users_md5", "pairwise HLL overlap: register broadcast joins, union-max per pair, sketch-sized stages"),
+    ("embedding_covariance_upper", "PCA covariance: constant-size moment partials, dim^2 reduce, broadcast assembly"),
+    ("pca_label_summary", "PCA projection: literal components, zip_with dots, no Python and no Exchange pre-agg"),
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
