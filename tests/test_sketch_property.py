@@ -77,3 +77,41 @@ def test_bottomk_is_k_smallest_under_permutation(spark, ids, k):
     perm = sorted((hashlib.md5(f"{i}/p".encode()).hexdigest(), i) for i in ids)
     expect = [(n + 1, i) for n, (_, i) in enumerate(perm[:k])]
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    cut=st.integers(min_value=0, max_value=500),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_weighted_merge_law_any_split(spark, rows, cut, k):
+    """Merging per-batch weighted top-k frames equals the one-shot
+    weighted sample for ANY split point, any weights, any k — the
+    invariant weighted_store_update rests on. Also idempotent:
+    refolding a batch never changes the result (the ES key is a pure
+    function of (id, weight), so dropDuplicates removes refolds)."""
+    from dataframes_spark.operators.sample import (
+        weighted_sample_merge,
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(rows, "id long, w int")
+    a = df.filter(F.col("id") < cut)
+    b = df.filter(F.col("id") >= cut)
+    whole = weighted_sample_topk(df, "w", "id", k=k, salt="p")
+    ka = weighted_sample_topk(a, "w", "id", k=k, salt="p")
+    kb = weighted_sample_topk(b, "w", "id", k=k, salt="p")
+    merged = weighted_sample_merge(ka, kb, key_col="id", k=k)
+    refold = weighted_sample_merge(merged, kb, key_col="id", k=k)
+    want = sorted(map(tuple, whole.collect()))
+    assert sorted(map(tuple, merged.collect())) == want
+    assert sorted(map(tuple, refold.collect())) == want
