@@ -434,3 +434,81 @@ def test_sketch_stores_fold_stream_equals_batch(spark, tmp_path):
     )
     for t in ("cms_stream_t", "hll_stream_t", "bk_stream_t"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_weighted_and_moment_stores_fold_stream_equals_batch(spark, tmp_path):
+    """The round-8 store-family additions obey the same
+    micro-batch-boundary-free law as the sketch trilogy: folding each
+    streaming micro-batch into the weighted-sample store
+    (ES-key top-k merge) and the PCA moment store (element-wise sum)
+    via foreachBatch equals the one-shot batch build over all rows,
+    whatever the file/batch split."""
+    import numpy as np
+
+    from dataframes_spark.ml import (
+        moments_store_update,
+        pca_fit,
+        pca_fit_from_store,
+    )
+    from dataframes_spark.operators.sample import (
+        weighted_sample_topk,
+        weighted_store_read,
+        weighted_store_update,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 4) * np.array([3.0, 1.0, 0.5, 0.1])
+    rows = [
+        (i, f"s{i % 3}", float(1 + i % 5), [float(v) for v in vecs[i]])
+        for i in range(300)
+    ]
+    schema = "id long, s string, w double, embedding array<float>"
+    out = str(tmp_path / "docs")
+    for lo, hi in ((0, 100), (100, 180), (180, 300)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    whole = spark.read.parquet(out)
+    for t in ("ws_stream_t", "mom_stream_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def fold(batch_df, epoch_id):
+        weighted_store_update(
+            spark,
+            "ws_stream_t",
+            weighted_sample_topk(batch_df, "w", "id", k=4, stratum_col="s", salt="st"),
+            key_col="id",
+            k=4,
+            stratum_col="s",
+        )
+        moments_store_update(spark, "mom_stream_t", batch_df, "embedding", 4)
+
+    src = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = src.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in weighted_store_read(spark, "ws_stream_t")
+        .select("id", "s", "w")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in weighted_sample_topk(
+            whole, "w", "id", k=4, stratum_col="s", salt="st"
+        )
+        .select("id", "s", "w")
+        .collect()
+    )
+    assert got == want
+    inc = pca_fit_from_store(spark, "mom_stream_t", k=2, dim=4)
+    one_shot = pca_fit(whole, "embedding", k=2, dim=4)
+    assert np.allclose(inc["mean"], one_shot["mean"], atol=1e-12)
+    assert np.allclose(inc["components"], one_shot["components"], atol=1e-9)
+    for t in ("ws_stream_t", "mom_stream_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
