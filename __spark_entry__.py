@@ -1055,6 +1055,32 @@ def pca_label_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_psi_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report (quality.py drift_psi):
+    l_extendedprice distribution of odd-orderkey lineitems vs the
+    even-orderkey reference, 10 fixed bins over an explicit [900,
+    105000] range (explicit bounds = reproducible across epochs).
+    Each side folds to a 10-row partial aggregate in one scan — the
+    exchange carries bins, never rows — and the Laplace-smoothed
+    probabilities make every term finite and engine-deterministic, so
+    the whole report (counts, probabilities, psi terms) hash-verifies
+    against DuckDB replaying the identical arithmetic."""
+    from dataframes_spark.quality import drift_psi
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = drift_psi(ref, cur, "l_extendedprice", bins=10, lo=900.0, hi=105000.0)
+    return out.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 8).alias("p_ref"),
+        F.round("p_cur", 8).alias("p_cur"),
+        F.round("psi_term", 10).alias("psi_term"),
+    ).orderBy("bin")
+
+
 def hll_overlap_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types
     (operators/sketch.py hll_pairwise_overlap): ONE scan builds
@@ -2514,6 +2540,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family via feather/orc/read_text rows.
         "embedding_covariance_upper": embedding_covariance_upper,
         "pca_label_summary": pca_label_summary,
+        # -- round 8 (continuation): PSI drift gate — the
+        #    continuously-ingesting pipeline's "did this batch's
+        #    distribution move?" check; bins-row exchanges only, whole
+        #    report hash-verified. attribution_stream_clicks (green r7)
+        #    rotates below; streaming stays covered by the stream==batch
+        #    pins and its batch twin interval rows in the full sweep.
+        "drift_psi_prices": drift_psi_prices,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2580,15 +2613,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ewma_user_value (green r1-r4 / r04) rotate out — sampling
         # stays via weighted_sample/split/mix, streaming via sessionize
         "read_text_csv_agg": read_text_csv_agg,
-        # round 7: the streaming interval join gains a driver row — the
-        # stream actually RUNS (availableNow → memory sink) and its
-        # materialized pairs hash-check against the exact batch SQL,
-        # closing the last stream==batch surface without driver
-        # coverage. csv_roundtrip_agg (green r1-r6, the most multiply
-        # green row in the window) rotates out; the write-read IO family
-        # stays in-window via xlsx_roundtrip_agg + feather_roundtrip_agg
-        # + read_text_csv_agg.
-        "attribution_stream_clicks": attribution_stream_clicks,
         # round 7 (continuation): incremental near-dup candidates vs a
         # persisted LSH bucket store (the fuzzy twin of
         # dedup_incremental_docs — arriving batch, history never
@@ -2655,6 +2679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_docs_per_source": cap_docs_per_source,
         "xlsx_roundtrip_agg": xlsx_roundtrip_agg,
         "quality_quartiles_docs": quality_quartiles_docs,
+        # attribution_stream_clicks rotated below in round 8 after its
+        # green r7 driver row (it RAN the stream end-to-end); the
+        # streaming surface stays pinned by the stream==batch tests and
+        # the full local sweeps still run it.
+        "attribution_stream_clicks": attribution_stream_clicks,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "weighted_sample_docs": weighted_sample_docs,
@@ -3870,6 +3899,50 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c), 6) AS bm25
             FROM scored GROUP BY 1, 2
             ORDER BY bm25 DESC, doc_id LIMIT 12
+        """,
+        "drift_psi_prices": """
+            -- identical PSI arithmetic: clamped equal-width bins over
+            -- [900, 105000], Laplace smoothing 0.5, (p_cur - p_ref) *
+            -- ln(p_cur / p_ref) per bin. ln agrees to the last ulp at
+            -- these magnitudes; round-8/round-10 absorb it.
+            WITH ref AS (
+                SELECT greatest(0, least(9, CAST(floor(
+                    (l_extendedprice - 900.0) / 104100.0 * 10) AS INT)))
+                    AS bin
+                FROM lineitem
+                WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL
+            ),
+            cur AS (
+                SELECT greatest(0, least(9, CAST(floor(
+                    (l_extendedprice - 900.0) / 104100.0 * 10) AS INT)))
+                    AS bin
+                FROM lineitem
+                WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+            ),
+            rc AS (SELECT bin, count(*) AS n_ref FROM ref GROUP BY 1),
+            cc AS (SELECT bin, count(*) AS n_cur FROM cur GROUP BY 1),
+            spine AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+            j AS (
+                SELECT s.bin,
+                       coalesce(rc.n_ref, 0) AS n_ref,
+                       coalesce(cc.n_cur, 0) AS n_cur
+                FROM spine s
+                LEFT JOIN rc ON s.bin = rc.bin
+                LEFT JOIN cc ON s.bin = cc.bin
+            ),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+            p AS (
+                SELECT bin, n_ref, n_cur,
+                       (n_ref + 0.5) / (tr + 5.0) AS p_ref,
+                       (n_cur + 0.5) / (tc + 5.0) AS p_cur
+                FROM j, t
+            )
+            SELECT bin, n_ref, n_cur,
+                   round(p_ref, 8) AS p_ref,
+                   round(p_cur, 8) AS p_cur,
+                   round((p_cur - p_ref) * ln(p_cur / p_ref), 10)
+                       AS psi_term
+            FROM p ORDER BY bin
         """,
         "embedding_covariance_upper": """
             -- population covariance over exploded (vec_id, dim, value)

@@ -283,3 +283,111 @@ def validate(df: DataFrame, checks: list[Check]) -> None:
         raise ValueError(
             "data-quality checks failed:\n  " + format_failures(failed)
         )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: Population Stability Index between two frames
+# --------------------------------------------------------------------------
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index of ``cur`` against ``ref`` over fixed
+    equal-width bins: per-bin rows ``(bin, p_ref, p_cur, psi_term)``
+    with ``psi_term = (p_cur - p_ref) * ln(p_cur / p_ref)``; the PSI is
+    their sum (industry reading: < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted). The continuously-ingesting pipeline's drift gate:
+    did this batch's length / quality-score / value distribution move
+    against the corpus it joins?
+
+    Each side costs ONE filtered scan folding to a bins-row partial
+    aggregate (the exchange carries bins rows, never data); the bin
+    frames join broadcast-small. Probabilities are Laplace-smoothed
+    ((count + smoothing) / (n + smoothing * bins)) so empty bins
+    contribute finite terms and the arithmetic is deterministic —
+    identical on any engine up to ln()'s last ulp. Values outside
+    [lo, hi] clamp into the edge bins (drift OUT of range must move
+    the index, not vanish); NULLs are excluded. ``lo``/``hi`` default
+    to the REFERENCE frame's min/max — pass them explicitly when the
+    gate must be reproducible across epochs."""
+    if bins < 2:
+        raise ValueError(f"need bins >= 2, got {bins}")
+    if smoothing <= 0:
+        raise ValueError(f"need smoothing > 0, got {smoothing}")
+    if lo is None or hi is None:
+        b = ref.agg(
+            F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+        ).first()
+        lo = float(b[0]) if lo is None else lo
+        hi = float(b[1]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+
+    def binned_counts(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins))
+        idx = F.greatest(
+            F.lit(0), F.least(F.lit(bins - 1), raw.cast("int"))
+        )
+        return (
+            df.filter(x.isNotNull())
+            .groupBy(idx.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rc = binned_counts(ref, "n_ref")
+    cc = binned_counts(cur, "n_cur")
+    spark = ref.sparkSession
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        spine.join(F.broadcast(rc), "bin", "left")
+        .join(F.broadcast(cc), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    s = float(smoothing)
+    p_ref = (F.col("n_ref") + F.lit(s)) / (F.col("tr") + F.lit(s * bins))
+    p_cur = (F.col("n_cur") + F.lit(s)) / (F.col("tc") + F.lit(s * bins))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def drift_gate(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    max_psi: float = 0.25,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> dict:
+    """Pass/fail form of `drift_psi`: returns ``{"psi", "passed"}``;
+    raise-on-drift is the caller's ``assert``/``validate`` choice."""
+    psi = drift_psi(ref, cur, col, bins=bins, lo=lo, hi=hi).agg(
+        F.sum("psi_term")
+    ).first()[0]
+    psi = float(psi or 0.0)
+    return {"psi": psi, "passed": psi <= max_psi}

@@ -143,3 +143,55 @@ def test_unique_approx_mode(spark):
 def test_unique_approx_empty_vacuously_true(spark):
     df = spark.createDataFrame([], "id long")
     assert Q.run_checks(df, [Q.unique("id", approx=True)])[0]["passed"]
+
+
+# --------------------------------------------------------------------------
+# Distribution drift (drift_psi / drift_gate)
+# --------------------------------------------------------------------------
+
+
+def test_drift_psi_zero_for_identical_frames(spark):
+    df = spark.createDataFrame([(float(i % 50),) for i in range(1000)], "v double")
+    rows = Q.drift_psi(df, df, "v", bins=10, lo=0.0, hi=50.0).collect()
+    assert len(rows) == 10
+    assert abs(sum(r.psi_term for r in rows)) < 1e-12  # identical -> PSI 0
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-9
+    g = Q.drift_gate(df, df, "v", lo=0.0, hi=50.0)
+    assert g["passed"] and g["psi"] < 1e-12
+
+
+def test_drift_psi_detects_shift_and_clamps_outliers(spark):
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(1000)], "v double")
+    # shifted AND partially out of range: the clamp must move the index
+    cur = spark.createDataFrame(
+        [(float(i % 50) + 40.0,) for i in range(1000)], "v double"
+    )
+    g = Q.drift_gate(ref, cur, "v", lo=0.0, hi=50.0)
+    assert not g["passed"] and g["psi"] > 0.25
+    rows = Q.drift_psi(ref, cur, "v", bins=10, lo=0.0, hi=50.0).collect()
+    top = [r for r in rows if r.bin == 9][0]
+    assert top.n_cur > top.n_ref  # out-of-range mass lands in the edge bin
+    # every term is finite even where a side has an empty bin (smoothing)
+    assert all(r.psi_term == r.psi_term for r in rows)  # no NaN
+
+
+def test_drift_psi_default_bounds_and_nulls(spark):
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(100)] + [(None,)], "v double"
+    )
+    cur = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    rows = Q.drift_psi(ref, cur, "v", bins=5).collect()  # lo/hi from ref
+    assert len(rows) == 5 and sum(r.n_ref for r in rows) == 100  # null dropped
+    assert abs(sum(r.psi_term for r in rows)) < 1e-10
+
+
+def test_drift_psi_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bins"):
+        Q.drift_psi(df, df, "v", bins=1)
+    with _pt.raises(ValueError, match="smoothing"):
+        Q.drift_psi(df, df, "v", smoothing=0.0)
+    with _pt.raises(ValueError, match="hi > lo"):
+        Q.drift_psi(df, df, "v", lo=5.0, hi=5.0)
