@@ -66,7 +66,7 @@ SHOWCASE = [
     ("funnel_events_windowed", "windowed funnel: max-chain-start fold, linear state vs the quadratic exists-join"),
     ("cohort_retention_daily", "cohort matrix: ONE (user,period) shuffle, collect_set + array_min + explode"),
     ("cms_heavy_tokens_md5", "count-min sketch: cell-bounded partial agg, broadcast estimation join"),
-    ("zorder_roundtrip_agg", "z-order write roundtrip: broadcast quantile bands, JVM bit interleave, range exchange"),
+    ("zorder_roundtrip_agg", "z-order write roundtrip: literal quantile bands (sampler-safe), JVM bit interleave, range exchange"),
     ("hll_distinct_users_md5", "HyperLogLog: bit-smear ranks, register-bounded partial max, exact-BIGINT harmonic estimate"),
     ("bm25_docs", "BM25: map-only doc lengths, query-filtered postings, broadcast stats, k-heap on rounded score"),
     ("outlier_events_value", "median/MAD fences: two percentile windows over ONE exchange"),
