@@ -330,21 +330,33 @@ def drift_psi(
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
 
-    def binned_counts(df: DataFrame, out: str) -> DataFrame:
-        x = F.col(col).cast("double")
-        raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins))
-        idx = F.greatest(
-            F.lit(0), F.least(F.lit(bins - 1), raw.cast("int"))
-        )
-        return (
-            df.filter(x.isNotNull())
-            .groupBy(idx.alias("bin"))
-            .agg(F.count(F.lit(1)).alias(out))
-        )
+    rc = _binned_counts(ref, col, bins, lo, hi, "n_ref")
+    cc = _binned_counts(cur, col, bins, lo, hi, "n_cur")
+    return _psi_report(ref.sparkSession, rc, cc, bins, smoothing)
 
-    rc = binned_counts(ref, "n_ref")
-    cc = binned_counts(cur, "n_cur")
-    spark = ref.sparkSession
+
+def _binned_counts(
+    df: DataFrame, col: str, bins: int, lo: float, hi: float, out: str
+) -> DataFrame:
+    """Clamped equal-width bin counts: ``(bin, out)``, NULLs excluded,
+    out-of-range values in the edge bins. ONE scan folding to a
+    bins-row partial aggregate."""
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins))
+    idx = F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw.cast("int")))
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def _psi_report(
+    spark, rc: DataFrame, cc: DataFrame, bins: int, smoothing: float
+) -> DataFrame:
+    """Per-bin PSI report from two bin-count frames (``(bin, n_ref)``
+    and ``(bin, n_cur)``) — shared by the two-frame form and the
+    persisted-histogram-store form."""
     spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
     j = (
         spine.join(F.broadcast(rc), "bin", "left")
@@ -355,9 +367,7 @@ def drift_psi(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    tot = j.agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
-    )
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
     s = float(smoothing)
     p_ref = (F.col("n_ref") + F.lit(s)) / (F.col("tr") + F.lit(s * bins))
     p_cur = (F.col("n_cur") + F.lit(s)) / (F.col("tc") + F.lit(s * bins))
@@ -389,5 +399,102 @@ def drift_gate(
     psi = drift_psi(ref, cur, col, bins=bins, lo=lo, hi=hi).agg(
         F.sum("psi_term")
     ).first()[0]
+    psi = float(psi or 0.0)
+    return {"psi": psi, "passed": psi <= max_psi}
+
+
+def hist_store_update(
+    spark,
+    table: str,
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> dict:
+    """Fold a batch's bin counts into a persisted histogram store
+    (catalog parquet table, the sketch-store staging-swap idiom) — the
+    reference side of an INCREMENTAL drift gate: production pipelines
+    keep the reference HISTOGRAM, not the reference data, so each epoch
+    costs one scan of the batch and the store stays ``bins`` rows
+    forever. ``lo``/``hi``/``bins`` are REQUIRED and stamped into the
+    store; an update with different binning raises (bins that change
+    meaning between epochs would make every stored count wrong).
+    Counts sum-merge (CMS semantics: NOT idempotent — fold each batch
+    exactly once). Returns ``{"n"}`` (total rows folded in)."""
+    if bins < 2:
+        raise ValueError(f"need bins >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    from py4j.protocol import Py4JError
+    from pyspark.sql.utils import AnalysisException
+
+    batch = _binned_counts(df, col, bins, float(lo), float(hi), "n").select(
+        "bin",
+        "n",
+        F.lit(col).alias("col"),
+        F.lit(int(bins)).alias("bins"),
+        F.lit(float(lo)).alias("lo"),
+        F.lit(float(hi)).alias("hi"),
+    )
+    try:
+        existing = spark.table(table)
+        meta = existing.select("col", "bins", "lo", "hi").first()
+        if meta is not None and (
+            meta["col"] != col
+            or meta["bins"] != bins
+            or meta["lo"] != float(lo)
+            or meta["hi"] != float(hi)
+        ):
+            raise ValueError(
+                f"histogram store {table!r} was built with "
+                f"(col={meta['col']!r}, bins={meta['bins']}, "
+                f"lo={meta['lo']}, hi={meta['hi']}); refusing to fold "
+                f"(col={col!r}, bins={bins}, lo={lo}, hi={hi})"
+            )
+        merged = (
+            existing.unionByName(batch)
+            .groupBy("bin", "col", "bins", "lo", "hi")
+            .agg(F.sum("n").alias("n"))
+            .select("bin", "n", "col", "bins", "lo", "hi")
+        )
+    except (AnalysisException, Py4JError):
+        merged = batch
+    staging = f"{table}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    merged.write.format("parquet").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    n = spark.table(table).agg(F.sum("n")).first()[0]
+    return {"n": int(n or 0)}
+
+
+def drift_psi_from_store(
+    spark, table: str, cur: DataFrame, smoothing: float = 0.5
+) -> DataFrame:
+    """`drift_psi` of ``cur`` against a persisted histogram store —
+    the incremental form: the reference side reads ``bins`` rows, the
+    batch side is one scan, and the store's stamped (col, bins, lo, hi)
+    guarantee both sides bin identically."""
+    store = spark.table(table)
+    meta = store.select("col", "bins", "lo", "hi").first()
+    if meta is None:
+        raise ValueError(f"histogram store {table!r} is empty")
+    rc = store.select("bin", F.col("n").alias("n_ref"))
+    cc = _binned_counts(
+        cur, meta["col"], meta["bins"], meta["lo"], meta["hi"], "n_cur"
+    )
+    return _psi_report(spark, rc, cc, meta["bins"], smoothing)
+
+
+def drift_gate_from_store(
+    spark, table: str, cur: DataFrame, max_psi: float = 0.25
+) -> dict:
+    """Pass/fail form of `drift_psi_from_store`."""
+    psi = (
+        drift_psi_from_store(spark, table, cur)
+        .agg(F.sum("psi_term"))
+        .first()[0]
+    )
     psi = float(psi or 0.0)
     return {"psi": psi, "passed": psi <= max_psi}

@@ -195,3 +195,29 @@ def test_drift_psi_validation(spark):
         Q.drift_psi(df, df, "v", smoothing=0.0)
     with _pt.raises(ValueError, match="hi > lo"):
         Q.drift_psi(df, df, "v", lo=5.0, hi=5.0)
+
+
+def test_hist_store_incremental_drift_equals_two_frame(spark):
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(1000)], "v double")
+    a = ref.filter(F.col("v") < 25)
+    b = ref.filter(F.col("v") >= 25)
+    cur = spark.createDataFrame(
+        [(float(i % 50) + 10.0,) for i in range(500)], "v double"
+    )
+    table = "hist_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    r1 = Q.hist_store_update(spark, table, a, "v", bins=10, lo=0.0, hi=50.0)
+    r2 = Q.hist_store_update(spark, table, b, "v", bins=10, lo=0.0, hi=50.0)
+    assert r1["n"] == 500 and r2["n"] == 1000
+    inc = Q.drift_psi_from_store(spark, table, cur).collect()
+    whole = Q.drift_psi(ref, cur, "v", bins=10, lo=0.0, hi=50.0).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in whole]
+    g = Q.drift_gate_from_store(spark, table, cur)
+    g2 = Q.drift_gate(ref, cur, "v", lo=0.0, hi=50.0)
+    assert abs(g["psi"] - g2["psi"]) < 1e-12
+    # binning is stamped: a mismatched fold refuses
+    with pytest.raises(ValueError, match="refusing to fold"):
+        Q.hist_store_update(spark, table, a, "v", bins=20, lo=0.0, hi=50.0)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    with pytest.raises(Exception, match="TABLE_OR_VIEW|empty"):
+        Q.drift_psi_from_store(spark, "no_such_hist_store", ref)
