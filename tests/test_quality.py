@@ -221,3 +221,26 @@ def test_hist_store_incremental_drift_equals_two_frame(spark):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     with pytest.raises(Exception, match="TABLE_OR_VIEW|empty"):
         Q.drift_psi_from_store(spark, "no_such_hist_store", ref)
+
+
+def test_drift_psi_terms_never_negative_any_data(spark):
+    """PSI is a sum of per-bin terms (p_cur - p_ref) * ln(p_cur / p_ref);
+    the factors always share sign, so every term is >= 0 whatever the
+    data — the property that makes a max_psi threshold meaningful (no
+    bin can cancel another's drift)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        a=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=40),
+        b=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=40),
+    )
+    def run(a, b):
+        ref = spark.createDataFrame([(v,) for v in a], "v double")
+        cur = spark.createDataFrame([(v,) for v in b], "v double")
+        rows = Q.drift_psi(ref, cur, "v", bins=5, lo=0.0, hi=100.0).collect()
+        assert all(r.psi_term >= -1e-15 for r in rows)
+        total = sum(r.psi_term for r in rows)
+        assert total >= -1e-15
+
+    run()
