@@ -498,3 +498,89 @@ def drift_gate_from_store(
     )
     psi = float(psi or 0.0)
     return {"psi": psi, "passed": psi <= max_psi}
+
+
+def drift_psi_multi(
+    ref: DataFrame,
+    cur: DataFrame,
+    specs: dict,
+    bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI drift for SEVERAL columns in ONE scan per side: ``specs``
+    maps column -> (lo, hi). Each row explodes to one (col, bin) cell
+    per listed column (map-side, nothing widens the exchange beyond
+    ``k * bins`` count rows), so a 20-column quality gate costs the
+    same two scans as a 1-column gate — at 100 TB the difference
+    between one pass and twenty. Returns per-(col, bin) rows with the
+    same columns as `drift_psi` plus ``col``; sum ``psi_term`` per
+    ``col`` for the per-column index. Binning semantics are identical
+    to `drift_psi` (clamped equal-width, NULLs excluded per column)."""
+    if not specs:
+        raise ValueError("specs must map at least one column to (lo, hi)")
+    if bins < 2:
+        raise ValueError(f"need bins >= 2, got {bins}")
+    if smoothing <= 0:
+        raise ValueError(f"need smoothing > 0, got {smoothing}")
+    for c, (lo, hi) in specs.items():
+        if not float(hi) > float(lo):
+            raise ValueError(f"need hi > lo for {c!r}, got [{lo}, {hi}]")
+
+    def cells(df: DataFrame, out: str) -> DataFrame:
+        structs = []
+        for c, (lo, hi) in specs.items():
+            x = F.col(c).cast("double")
+            raw = F.floor(
+                (x - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo))
+                * F.lit(bins)
+            )
+            idx = F.when(
+                x.isNotNull(),
+                F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw.cast("int"))),
+            )  # NULL value -> NULL bin, dropped below (per-column NULLs)
+            structs.append(F.struct(F.lit(c).alias("col"), idx.alias("bin")))
+        return (
+            df.select(F.explode(F.array(*structs)).alias("__c"))
+            .select("__c.col", "__c.bin")
+            .filter(F.col("bin").isNotNull())
+            .groupBy("col", "bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rc = cells(ref, "n_ref")
+    cc = cells(cur, "n_cur")
+    spark = ref.sparkSession
+    spine = (
+        spark.range(bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .crossJoin(
+            spark.createDataFrame([(c,) for c in specs], "col string")
+        )
+    )
+    j = (
+        spine.join(F.broadcast(rc), ["col", "bin"], "left")
+        .join(F.broadcast(cc), ["col", "bin"], "left")
+        .select(
+            "col",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tots = j.groupBy("col").agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    j = j.join(F.broadcast(tots), "col")
+    s = float(smoothing)
+    p_ref = (F.col("n_ref") + F.lit(s)) / (F.col("__tr") + F.lit(s * bins))
+    p_cur = (F.col("n_cur") + F.lit(s)) / (F.col("__tc") + F.lit(s * bins))
+    return j.select(
+        "col",
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+    ).orderBy("col", "bin")

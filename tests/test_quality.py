@@ -244,3 +244,43 @@ def test_drift_psi_terms_never_negative_any_data(spark):
         assert total >= -1e-15
 
     run()
+
+
+def test_drift_psi_multi_matches_per_column_and_scans_once(spark):
+    ref = spark.createDataFrame(
+        [(float(i % 50), float(i % 7)) for i in range(1000)], "a double, b double"
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 50) + 5.0, float(i % 7)) for i in range(800)],
+        "a double, b double",
+    )
+    specs = {"a": (0.0, 50.0), "b": (0.0, 7.0)}
+    multi = Q.drift_psi_multi(ref, cur, specs, bins=5)
+    rows = multi.collect()
+    assert len(rows) == 10  # 2 cols x 5 bins
+    for c in specs:
+        lo, hi = specs[c]
+        single = Q.drift_psi(ref, cur, c, bins=5, lo=lo, hi=hi).collect()
+        got = [tuple(r)[1:] for r in rows if r.col == c]
+        assert got == [tuple(r) for r in single]
+    # drifted column indexes high, undrifted near zero
+    psi = {
+        r["col"]: r["s"]
+        for r in multi.groupBy("col").agg(F.sum("psi_term").alias("s")).collect()
+    }
+    # b's residual is pure smoothing mismatch (ref n=1000 vs cur n=800)
+    assert psi["a"] > 0.05 and abs(psi["b"]) < 1e-3
+    # NULLs drop per column without dropping the row's other columns
+    dirty = ref.unionByName(
+        spark.createDataFrame([(None, 3.0)], "a double, b double")
+    )
+    m2 = Q.drift_psi_multi(dirty, cur, specs, bins=5)
+    tot = {
+        r["col"]: r["n"]
+        for r in m2.groupBy("col").agg(F.sum("n_ref").alias("n")).collect()
+    }
+    assert tot["a"] == 1000 and tot["b"] == 1001
+    with pytest.raises(ValueError, match="at least one"):
+        Q.drift_psi_multi(ref, cur, {})
+    with pytest.raises(ValueError, match="hi > lo"):
+        Q.drift_psi_multi(ref, cur, {"a": (5.0, 5.0)})
