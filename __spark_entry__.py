@@ -1081,6 +1081,42 @@ def drift_psi_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def drift_multi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column PSI drift in ONE scan per side (quality.py
+    drift_psi_multi): quantity/price/discount distributions of
+    odd-orderkey lineitems vs the even-orderkey reference, each row
+    exploding to its three (col, bin) cells map-side so the wide gate
+    costs the same two scans as a single-column one — the exchange
+    carries 3x10 count rows, never data. Explicit per-column bounds
+    (reproducible binning), Laplace smoothing 0.5; the whole per-
+    (col, bin) report hash-verifies against DuckDB replaying the
+    identical arithmetic per column."""
+    from dataframes_spark.quality import drift_psi_multi
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = drift_psi_multi(
+        ref,
+        cur,
+        {
+            "l_quantity": (1.0, 50.0),
+            "l_extendedprice": (900.0, 105000.0),
+            "l_discount": (0.0, 0.1),
+        },
+        bins=10,
+    )
+    return out.select(
+        "col",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 8).alias("p_ref"),
+        F.round("p_cur", 8).alias("p_cur"),
+        F.round("psi_term", 10).alias("psi_term"),
+    ).orderBy("col", "bin")
+
+
 def hll_overlap_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types
     (operators/sketch.py hll_pairwise_overlap): ONE scan builds
@@ -2547,6 +2583,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotates below; streaming stays covered by the stream==batch
         #    pins and its batch twin interval rows in the full sweep.
         "drift_psi_prices": drift_psi_prices,
+        # -- round 8 (continuation): the k-column drift gate in one
+        #    scan per side. ols_price_qty (green r1-r7, the most
+        #    multiply-green remaining row) rotates below; the
+        #    regression/ML family stays in-window via
+        #    embedding_covariance_upper + pca_label_summary +
+        #    ivf_probe_pinned.
+        "drift_multi_lineitem": drift_multi_lineitem,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
         "shift_lag": shift_lag,
@@ -2668,9 +2711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_prune_events": partitioned_prune_events,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
-        "ols_price_qty": ols_price_qty,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
+        "ols_price_qty": ols_price_qty,
         "resample_events_hourly": resample_events_hourly,
         "mix_corpus_sources": mix_corpus_sources,
         "feather_roundtrip_agg": feather_roundtrip_agg,
@@ -3943,6 +3986,59 @@ def oracle_sql() -> dict[str, str]:
                    round((p_cur - p_ref) * ln(p_cur / p_ref), 10)
                        AS psi_term
             FROM p ORDER BY bin
+        """,
+        "drift_multi_lineitem": """
+            -- identical per-column PSI arithmetic: clamped equal-width
+            -- bins with explicit bounds, Laplace 0.5, per-column
+            -- totals, (p_cur - p_ref) * ln(p_cur / p_ref).
+            WITH cells AS (
+                SELECT 'l_quantity' AS col,
+                       l_orderkey % 2 AS par,
+                       greatest(0, least(9, CAST(floor(
+                           (CAST(l_quantity AS DOUBLE) - 1.0) / 49.0 * 10) AS INT))) AS bin
+                FROM lineitem WHERE l_quantity IS NOT NULL
+                UNION ALL
+                SELECT 'l_extendedprice', l_orderkey % 2,
+                       greatest(0, least(9, CAST(floor(
+                           (CAST(l_extendedprice AS DOUBLE) - 900.0) / 104100.0 * 10) AS INT)))
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+                UNION ALL
+                SELECT 'l_discount', l_orderkey % 2,
+                       greatest(0, least(9, CAST(floor(
+                           (CAST(l_discount AS DOUBLE) - 0.0) / 0.1 * 10) AS INT)))
+                FROM lineitem WHERE l_discount IS NOT NULL
+            ),
+            rc AS (SELECT col, bin, count(*) AS n_ref FROM cells
+                   WHERE par = 0 GROUP BY 1, 2),
+            cc AS (SELECT col, bin, count(*) AS n_cur FROM cells
+                   WHERE par = 1 GROUP BY 1, 2),
+            spine AS (
+                SELECT c.col, CAST(r.range AS INT) AS bin
+                FROM (VALUES ('l_quantity'), ('l_extendedprice'),
+                             ('l_discount')) c(col), range(10) r
+            ),
+            j AS (
+                SELECT s.col, s.bin,
+                       coalesce(rc.n_ref, 0) AS n_ref,
+                       coalesce(cc.n_cur, 0) AS n_cur
+                FROM spine s
+                LEFT JOIN rc ON s.col = rc.col AND s.bin = rc.bin
+                LEFT JOIN cc ON s.col = cc.col AND s.bin = cc.bin
+            ),
+            t AS (SELECT col, sum(n_ref) AS tr, sum(n_cur) AS tc
+                  FROM j GROUP BY 1),
+            p AS (
+                SELECT j.col, j.bin, j.n_ref, j.n_cur,
+                       (j.n_ref + 0.5) / (t.tr + 5.0) AS p_ref,
+                       (j.n_cur + 0.5) / (t.tc + 5.0) AS p_cur
+                FROM j JOIN t ON j.col = t.col
+            )
+            SELECT col, bin, n_ref, n_cur,
+                   round(p_ref, 8) AS p_ref,
+                   round(p_cur, 8) AS p_cur,
+                   round((p_cur - p_ref) * ln(p_cur / p_ref), 10)
+                       AS psi_term
+            FROM p ORDER BY col, bin
         """,
         "embedding_covariance_upper": """
             -- population covariance over exploded (vec_id, dim, value)
