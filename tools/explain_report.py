@@ -76,6 +76,7 @@ SHOWCASE = [
     ("embedding_covariance_upper", "PCA covariance: constant-size moment partials, dim^2 reduce, broadcast assembly"),
     ("pca_label_summary", "PCA projection: literal components, zip_with dots, no Python and no Exchange pre-agg"),
     ("drift_psi_prices", "PSI drift: two scans fold to bins-row partials, broadcast spine joins, smoothed terms"),
+    ("drift_multi_lineitem", "k-column PSI in one scan per side: map-side (col,bin) explode, k*bins-row exchange"),
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
