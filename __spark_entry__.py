@@ -1022,8 +1022,11 @@ def embedding_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cov = embedding_covariance(emb, "embedding", 64)
+    # + 0.0 after the round: off-diagonal covariances can be ~0, and
+    # WHICH zero (-0.0 vs 0.0) the round lands on is engine-specific
+    # (ORACLE.md rule 7 — this was r8's actual hash-red: one -0.0 cell).
     return cov.select(
-        "i", "j", F.round("cov", 6).alias("cov")
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
     ).orderBy("i", "j")
 
 
@@ -1313,8 +1316,10 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("text")
     return docs.select(
         "doc_id",
-        dtext.whitespace_tokens(c).alias("n_tokens"),
-        dtext.bpe_ish_tokens(c).alias("n_bpe_tokens"),
+        # bigint per ORACLE.md rule 3: the canonical compare integer is
+        # 64-bit (the oracle's length()/count() arithmetic is BIGINT).
+        dtext.whitespace_tokens(c).cast("bigint").alias("n_tokens"),
+        dtext.bpe_ish_tokens(c).cast("bigint").alias("n_bpe_tokens"),
         F.round(dtext.punct_ratio(c), 6).alias("punct_ratio"),
         F.round(dtext.stopword_ratio(c), 6).alias("stopword_ratio"),
         F.round(dtext.mean_word_length(c), 6).alias("mean_word_len"),
@@ -1584,7 +1589,9 @@ def frame_sample_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframes_spark.operators import multimodal as dmm
 
     media = dmm.make_fake_media(spark, 64)
-    return dmm.frame_sample_plan(media, every_ms=1000)
+    out = dmm.frame_sample_plan(media, every_ms=1000)
+    # bigint per ORACLE.md rule 3 (the oracle's generate_series is BIGINT)
+    return out.withColumn("frame_ts_ms", F.col("frame_ts_ms").cast("bigint"))
 
 
 def lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3211,7 +3218,10 @@ def oracle_sql() -> dict[str, str]:
             FROM nation GROUP BY 1
         """,
         "xlsx_roundtrip_agg": """
-            SELECT s_nationkey,
+            -- s_nationkey cast to BIGINT: the XLSX reader re-infers
+            -- integer cells as long, so the Spark side is int64 while
+            -- the parquet column is int32 (ORACLE.md rule 3).
+            SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
                    CAST(count(*) AS BIGINT) AS n_supp,
                    CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
                        / 100.0 AS sum_bal,
@@ -4051,7 +4061,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             )
             SELECT a.i - 1 AS i, b.i - 1 AS j,
-                   round(covar_pop(a.v, b.v), 6) AS cov
+                   round(covar_pop(a.v, b.v), 6) + 0.0 AS cov
             FROM e a JOIN e b USING (vec_id)
             WHERE a.i <= b.i GROUP BY 1, 2 ORDER BY i, j
         """,
@@ -4191,8 +4201,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
                    count(*) AS n,
-                   sum(l_orderkey) AS sum_key,
-                   sum(l_partkey) AS sum_part
+                   CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+                   CAST(sum(l_partkey) AS BIGINT) AS sum_part
             FROM lineitem
             WHERE l_orderkey % 10 < 3 AND l_partkey % 7 < 2
             GROUP BY l_returnflag ORDER BY l_returnflag

@@ -181,8 +181,8 @@ def embedding_covariance(
         F.col("pos").alias("__k"), (F.col("val") / F.col("n")).alias("mu")
     )
     gram = m.filter(F.col("pos") >= dim).select(
-        ((F.col("pos") - dim) / dim).cast("int").alias("i"),
-        ((F.col("pos") - dim) % dim).alias("j"),
+        ((F.col("pos") - dim) / dim).cast("bigint").alias("i"),
+        ((F.col("pos") - dim) % dim).cast("bigint").alias("j"),
         "val",
         "n",
     )

@@ -4,10 +4,19 @@ row counts + canonicalized values — a local stand-in for the driver's
 CORRECTNESS gate.
 
 Canonicalization mirrors the driver contract described in the repo docs:
-columns sorted by name, rows sorted, values stringified (floats via repr
-after -0.0 normalization). Queries are expected to round any
+columns sorted by name, rows sorted, values stringified (floats via
+repr, -0.0 rendered faithfully). Queries are expected to round any
 floating-point aggregate identically on both sides, so exact string
 equality is the bar.
+
+Round 9: the driver's value hash is dtype-sensitive (round 8 shipped two
+hash-reds that were value-identical but differed in integer width /
+DuckDB HUGEINT float-rendering — ORACLE.md rules 3 and 8). This harness
+now ALSO compares a canonical per-column type signature: Spark ``int``
+must meet DuckDB ``INTEGER``, ``bigint`` must meet ``BIGINT``, and a
+DuckDB ``HUGEINT`` (uncast ``sum()`` over integers) never matches
+anything — exactly the two classes that slipped through ``str()``
+canonicalization in round 8.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -34,8 +43,10 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            v = 0.0  # normalize -0.0
+        # -0.0 is rendered faithfully ("-0.0" != "0.0"): the driver's
+        # hash distinguishes them (r8's embedding_covariance_upper red
+        # was a single -0.0 cell), so queries whose values can be ~0
+        # must normalize with `+ 0.0` on both sides — ORACLE.md rule 7.
         return repr(v)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
@@ -44,6 +55,82 @@ def canon_cell(v) -> str:
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
+
+
+_SPARK_SCALARS = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "bytes",
+    "void": "null",
+}
+
+_DUCK_SCALARS = {
+    "TINYINT": "int8",
+    "SMALLINT": "int16",
+    "INTEGER": "int32",
+    "BIGINT": "int64",
+    "HUGEINT": "int128",  # never matches a Spark type: cast the oracle
+    "UTINYINT": "uint8",
+    "USMALLINT": "uint16",
+    "UINTEGER": "uint32",
+    "UBIGINT": "uint64",
+    "FLOAT": "float32",
+    "DOUBLE": "float64",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "TIMESTAMP_MS": "timestamp",
+    "TIMESTAMP_S": "timestamp",
+    "BLOB": "bytes",
+    '"NULL"': "null",
+    "NULL": "null",
+}
+
+
+def canon_spark_type(t: str) -> str:
+    t = t.strip()
+    low = t.lower()
+    if low.startswith("array<") and low.endswith(">"):
+        return f"list<{canon_spark_type(t[6:-1])}>"
+    if low.startswith("decimal"):
+        return "decimal"
+    return _SPARK_SCALARS.get(low, low)
+
+
+def canon_duck_type(t) -> str:
+    s = str(t).strip()
+    up = s.upper()
+    if up.endswith("[]"):
+        return f"list<{canon_duck_type(s[:-2])}>"
+    if up.startswith("DECIMAL"):
+        return "decimal"
+    return _DUCK_SCALARS.get(up, up.lower())
+
+
+def dtype_mismatches(
+    sdtypes: list[tuple[str, str]], ocols: list[str], otypes: list
+) -> list[str]:
+    """Per-column canonical-type diffs between a Spark schema and a
+    DuckDB relation, matched by (sorted) column name. Empty = faithful."""
+    smap = {c: canon_spark_type(t) for c, t in sdtypes}
+    omap = {c: canon_duck_type(t) for c, t in zip(ocols, otypes)}
+    out = []
+    for c in sorted(set(smap) & set(omap)):
+        if smap[c] != omap[c]:
+            out.append(f"{c}: spark={smap[c]} oracle={omap[c]}")
+    return out
 
 
 def canon_frame(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
@@ -98,6 +185,11 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             failures.append((name, f"SCHEMA: spark={sorted(scols)} oracle={sorted(ocols)}"))
             print(f"✗ {name}: SCHEMA spark={sorted(scols)} oracle={sorted(ocols)}")
+            continue
+        tdiff = dtype_mismatches(sdf.dtypes, ocols, rel.types)
+        if tdiff:
+            failures.append((name, f"DTYPE: {'; '.join(tdiff)}"))
+            print(f"✗ {name}: DTYPE {'; '.join(tdiff)}")
             continue
         if len(srows) != len(orows):
             failures.append((name, f"ROWCOUNT: spark={len(srows)} oracle={len(orows)}"))
