@@ -1030,6 +1030,44 @@ def embedding_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i", "j")
 
 
+def pca_project_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection machinery with PINNED components (ml.py
+    pca_project, the ivf_probe_pinned pattern): the eigh fit is
+    inherently un-oracle-able (pca_label_summary stays rows-only below
+    the window), but given fixed mean/component vectors — the embedding
+    of vec_id 5 as the mean and vec_ids 1..4 as components, a
+    deterministic data-derived choice both engines can make — the
+    centering + per-component dot folds are exact JVM array arithmetic
+    DuckDB replays term-for-term. Verifies the exact projection code
+    path pca_label_summary runs, on literal inputs. + 0.0 after the
+    round: projections of near-orthogonal vectors can be ~0 (ORACLE.md
+    rule 7)."""
+    from dataframes_spark.ml import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp_rows = (
+        emb.filter(F.col("vec_id").between(1, 4))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    mean_vec = emb.filter(F.col("vec_id") == 5).select("embedding").first()[0]
+    model = {
+        "mean": [float(x) for x in mean_vec],
+        "components": [[float(x) for x in r.embedding] for r in comp_rows],
+    }
+    base = emb.filter((F.col("vec_id") > 8) & (F.col("vec_id") % 17 == 0))
+    out = pca_project(base, "embedding", model)
+    return out.select(
+        "vec_id",
+        "label",
+        *[
+            (F.round(f"pc{i}", 6) + F.lit(0.0)).alias(f"pc{i}")
+            for i in range(1, 5)
+        ],
+    ).orderBy("vec_id")
+
+
 def pca_label_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit + projection end-to-end (ml.py pca_fit / pca_project):
     fit k=4 on the embedding table (one distributed moment scan +
@@ -2575,14 +2613,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap_users_md5": hll_overlap_users_md5,
         # -- round 8 (continuation): PCA over embeddings — the
         #    covariance face hash-verifies (one constant-state moment
-        #    scan vs DuckDB covar_pop), the eigh+projection face is
-        #    rows-only by nature with the covariance row as its pinned
-        #    twin. quality_quartiles_docs and xlsx_roundtrip_agg (both
-        #    green r6-r7) rotate below; the quantile family stays
-        #    in-window via describe-style rows downstream and the IO
-        #    family via feather/orc/read_text rows.
+        #    scan vs DuckDB covar_pop). quality_quartiles_docs and
+        #    xlsx_roundtrip_agg (both green r6-r7) rotate below; the
+        #    quantile family stays in-window via describe-style rows
+        #    downstream and the IO family via feather/orc/read_text rows.
+        # -- round 9: pca_label_summary (rows-only: the eigh is not
+        #    SQL-expressible) broke the zero-rows-only-in-window rule in
+        #    r8; it rotates below and its slot goes to
+        #    pca_project_pinned, which hash-verifies the SAME projection
+        #    code path against pinned literal components (the
+        #    ivf_probe_pinned pattern).
         "embedding_covariance_upper": embedding_covariance_upper,
-        "pca_label_summary": pca_label_summary,
+        "pca_project_pinned": pca_project_pinned,
         # -- round 8 (continuation): PSI drift gate — the
         #    continuously-ingesting pipeline's "did this batch's
         #    distribution move?" check; bins-row exchanges only, whole
@@ -2809,6 +2851,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays in-window via quality_quartiles_docs + standardize_prices
         "unigram_logprob_docs": unigram_logprob_docs,
         "length_histogram_docs": length_histogram_docs,
+        # round 9: rows-only by nature (driver eigh), rotated below in
+        # its second round so the window stays rows-only-free; the
+        # projection code path it runs is hash-verified in-window by
+        # pca_project_pinned, the covariance it consumes by
+        # embedding_covariance_upper
+        "pca_label_summary": pca_label_summary,
         "winsorize_prices": winsorize_prices,
         "skew_report_orders": skew_report_orders,
         "melt_lineitem": melt_lineitem,
@@ -4781,6 +4829,32 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc,
                    max(doc_id) AS max_doc
             FROM sharded GROUP BY shard
+        """,
+        # pinned-component PCA projection: mean = embedding of vec_id 5,
+        # components = embeddings of vec_ids 1..4; centering + dot folds
+        # replayed term-for-term (list_sum over per-index products, the
+        # ivf_probe_pinned idiom); + 0.0 normalizes -0.0 (rule 7)
+        "pca_project_pinned": """
+            WITH m AS (SELECT embedding AS mv FROM embeddings
+                       WHERE vec_id = 5),
+            comps AS (SELECT vec_id AS k, embedding AS cv
+                      FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+            base AS (SELECT vec_id, label, embedding FROM embeddings
+                     WHERE vec_id > 8 AND vec_id % 17 = 0),
+            proj AS (
+                SELECT b.vec_id, b.label, c.k,
+                       list_sum(list_transform(range(1, len(b.embedding) + 1),
+                           i -> (CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                               - CAST(m.mv[CAST(i AS INT)] AS DOUBLE))
+                              * CAST(c.cv[CAST(i AS INT)] AS DOUBLE))) AS pc
+                FROM base b CROSS JOIN comps c, m
+            )
+            SELECT vec_id, label,
+                   round(max(CASE WHEN k = 1 THEN pc END), 6) + 0.0 AS pc1,
+                   round(max(CASE WHEN k = 2 THEN pc END), 6) + 0.0 AS pc2,
+                   round(max(CASE WHEN k = 3 THEN pc END), 6) + 0.0 AS pc3,
+                   round(max(CASE WHEN k = 4 THEN pc END), 6) + 0.0 AS pc4
+            FROM proj GROUP BY vec_id, label ORDER BY vec_id
         """,
         "ivf_probe_pinned": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
