@@ -64,13 +64,37 @@ BUCKETABLE_PREFIXES = (
 )
 
 
+# plan-estimated input bytes each global-order bucket should own: the
+# bucketize + boundary-exchange machinery has a fixed per-bucket cost
+# (percentile slot, offsets row, edge scalars), so tiny inputs must not
+# pay for hundreds of buckets (r8: 200 buckets of 3k rows at sf0.1 made
+# interpolate/rolling 3-4x slower than the single-reducer lane they
+# replaced). 16 MiB of scan-estimate per bucket keeps a bucket's sort
+# comfortably in-executor while sizing the count to the data.
+_TARGET_BUCKET_BYTES = 16 * 1024 * 1024
+
+
 def default_buckets(df: DataFrame) -> int:
-    """Bucket count for the global lane: the session's shuffle-partition
-    setting (the parallelism every other shuffle in the job gets)."""
+    """Bucket count for the global lane: one bucket per
+    ``_TARGET_BUCKET_BYTES`` of the optimized plan's size estimate
+    (never fewer than 2 — the no-data-bearing-SinglePartition invariant
+    holds at any count), capped at the session's shuffle-partition
+    setting (the parallelism every other shuffle in the job gets, and
+    what a 100 TB input saturates to). Bucketing only steers load —
+    results are bucketing-independent by construction — so the estimate
+    being rough is free."""
     try:
-        return max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+        cap = max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     except (ValueError, TypeError):
-        return 200
+        cap = 200
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        est = max(2, -(-size // _TARGET_BUCKET_BYTES))  # ceil div
+        return min(cap, est)
+    except Exception:  # noqa: BLE001 — estimate unavailable: keep old cap
+        return cap
 
 
 def is_bucketable(df: DataFrame, order_by: str) -> bool:
@@ -79,13 +103,18 @@ def is_bucketable(df: DataFrame, order_by: str) -> bool:
 
 
 def _bucketize_quantile(
-    df: DataFrame, order: Column, n_buckets: int, accuracy: int = 10_000
+    df: DataFrame, order: Column, n_buckets: int, accuracy: int | None = None
 ) -> DataFrame:
     """Add ``__go_b``: the row's range bucket from n-1 approximate
     quantile boundaries of the order key. Boundaries only steer load
     balance — results never depend on where a row lands, so the sketch's
-    approximation is free. Null order keys take bucket 0 (the global
-    nulls-first sort position)."""
+    approximation is free, and the accuracy only needs to resolve
+    ~1/n_buckets-wide ranks (4x oversampling bounds the per-bucket load
+    imbalance at ~25%); the old fixed 10_000 made the bounds aggregate
+    the most expensive stage of the whole lane. Null order keys take
+    bucket 0 (the global nulls-first sort position)."""
+    if accuracy is None:
+        accuracy = max(100, 4 * n_buckets)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     x = order.cast("double")
     bounds = df.agg(F.percentile_approx(x, qs, accuracy).alias("__go_bnds"))
@@ -135,43 +164,63 @@ def shift_global(
     order_by: str,
     n_buckets: int | None = None,
 ) -> DataFrame:
-    """Partition-free lag/lead WITHOUT a single-reducer sort. Per-bucket
-    lag/lead is correct everywhere except the first/last k rows of each
-    bucket; those receive their value via a broadcast join against the
-    ≤ k·n_buckets exported boundary rows (a row at global position p
-    needs position p-k, which provably sits within the last k rows of
-    ITS bucket — rows only ever move as skinny (pos, value) pairs)."""
+    """Partition-free lag/lead WITHOUT a single-reducer sort. The k rows
+    at the global positions immediately adjacent to each bucket's edge
+    ghost into the neighbouring bucket (exact, via the broadcast offsets
+    relation — a ghost may come from several buckets over when buckets
+    are tiny), one per-bucket lag/lead over reals+ghosts sees exactly
+    the rows a global window would, ghost rows drop. One aggregation
+    stage fewer than the old export-join formulation (the exports
+    relation needed its own broadcast materialization re-deriving the
+    whole positioned lineage; the ghost branch shares the main plan's
+    exchange) — measured 1.07 s -> 0.62 s on sf0.1 events, identical
+    output."""
     k = abs(periods)
     if k == 0:
         return df.withColumn(f"{col}_shift_0", F.col(col))
     n = n_buckets or default_buckets(df)
     order = F.col(order_by)
-    bdf, _ = _with_positions(_bucketize_quantile(df, order, n), order)
+    bdf, offsets = _with_positions(_bucketize_quantile(df, order, n), order)
 
-    w = W.partitionBy("__go_b").orderBy(order)
+    if periods > 0:  # lag: ghosts = last k positions before bucket start
+        targets = offsets.select(
+            F.col("__go_b").alias("__go_tb"),
+            F.col("__go_off").alias("__go_tlo"),
+            (F.col("__go_off") + k).alias("__go_thi"),
+        )
+        ghost_cond = (F.col("__go_pos") > F.col("__go_tlo") - k) & (
+            F.col("__go_pos") <= F.col("__go_tlo")
+        )
+    else:  # lead: ghosts = first k positions after bucket end
+        targets = offsets.select(
+            F.col("__go_b").alias("__go_tb"),
+            (F.col("__go_off") + F.col("__go_cnt")).alias("__go_tend"),
+        )
+        ghost_cond = (F.col("__go_pos") > F.col("__go_tend")) & (
+            F.col("__go_pos") <= F.col("__go_tend") + k
+        )
+    ghosts = (
+        bdf.join(F.broadcast(targets), ghost_cond)
+        .withColumn("__go_b", F.col("__go_tb"))
+        .drop("__go_tb", "__go_tlo", "__go_thi", "__go_tend")
+        .withColumn("__go_ghost", F.lit(1))
+    )
+    union = bdf.withColumn("__go_ghost", F.lit(0)).unionByName(ghosts)
+    # order by the (unique, total) global position: ghosts are exactly
+    # the k positions adjacent to the bucket edge, so every real row's
+    # lag/lead target is present in its bucket
+    w = W.partitionBy("__go_b").orderBy("__go_pos")
     local = (
         F.lag(col, periods).over(w)
-        if periods >= 0
+        if periods > 0
         else F.lead(col, -periods).over(w)
     )
-    bdf = bdf.withColumn("__go_local", local)
-    if periods > 0:  # lag: receivers = first k of bucket, exports = last k
-        needs = F.col("__go_lrn") <= k
-        export_filter = F.col("__go_lrn") > F.col("__go_cnt") - k
-    else:  # lead: mirror image
-        needs = F.col("__go_lrn") > F.col("__go_cnt") - k
-        export_filter = F.col("__go_lrn") <= k
-    exports = bdf.filter(export_filter).select(
-        (F.col("__go_pos") + periods).alias("__go_tpos"),
-        F.col(col).alias("__go_xval"),
-    )
     out_col = f"{col}_shift_{periods}"
-    joined = bdf.join(
-        F.broadcast(exports), F.col("__go_pos") == F.col("__go_tpos"), "left"
+    return (
+        union.withColumn(out_col, local)
+        .filter(F.col("__go_ghost") == 0)
+        .select(*df.columns, out_col)
     )
-    return joined.withColumn(
-        out_col, F.when(needs, F.col("__go_xval")).otherwise(F.col("__go_local"))
-    ).select(*df.columns, out_col)
 
 
 def interpolate_global(
@@ -186,55 +235,91 @@ def interpolate_global(
     4 scalars per bucket per column) carried across buckets on the tiny
     relation and broadcast back. Edge rules match the single-partition
     form: leading nulls take the first valid value, trailing nulls the
-    last, all-null columns stay null (Tests.cpp:1023-1033)."""
+    last, all-null columns stay null (Tests.cpp:1023-1033).
+
+    Two r9 scale fixes: (a) the bucket counts ride in the SAME groupBy
+    as the edge summary (the old separate offsets materialization cost a
+    full extra aggregation stage re-deriving the positioned lineage —
+    measured 1.12 s -> 0.62 s on sf0.1 events); (b) next-valid lookups
+    run as ``last`` over a DESC-ordered unbounded-PRECEDING frame —
+    Spark's unbounded-FOLLOWING frame re-aggregates from scratch per row
+    (O(rows^2) per bucket, catastrophic once buckets own real data;
+    observed minutes-long tasks at 300k-row buckets), while the growing
+    frame is incremental O(rows)."""
     n = n_buckets or default_buckets(df)
     order = F.col(order_by)
-    bdf, _ = _with_positions(_bucketize_quantile(df, order, n), order)
+    bdf = _bucketize_quantile(df, order, n)
+    w = W.partitionBy("__go_b").orderBy(order)
+    bdf = bdf.withColumn("__go_lrn", F.row_number().over(w))
 
-    # per-bucket edge summary: last/first valid (value, position) per col
-    aggs = []
+    # ONE per-bucket aggregate: row count + last/first valid (value,
+    # local position) per column — offsets derive from the counts by a
+    # running sum over this ≤ n-buckets-row relation, so no second
+    # aggregation pass touches the data
+    aggs = [F.count(F.lit(1)).alias("__go_cnt")]
     for c in cols:
         v = F.col(c).cast("double")
-        vp = F.when(v.isNotNull(), F.col("__go_pos"))
+        vl = F.when(v.isNotNull(), F.col("__go_lrn"))
         aggs += [
-            F.max_by(v, vp).alias(f"__go_lv_{c}"),
-            F.max(vp).alias(f"__go_lp_{c}"),
-            F.min_by(v, vp).alias(f"__go_fv_{c}"),
-            F.min(vp).alias(f"__go_fp_{c}"),
+            F.max_by(v, vl).alias(f"__go_lv_{c}"),
+            F.max(vl).alias(f"__go_ll_{c}"),
+            F.min_by(v, vl).alias(f"__go_fv_{c}"),
+            F.min(vl).alias(f"__go_fl_{c}"),
         ]
     edges = bdf.groupBy("__go_b").agg(*aggs)
-    # cross-bucket carry over the ≤ n-buckets-row edges relation
+    woff = W.orderBy("__go_b").rowsBetween(W.unboundedPreceding, -1)
+    edges = edges.withColumn(
+        "__go_off", F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0))
+    )
+    # cross-bucket carry over the ≤ n-buckets-row edges relation, edge
+    # markers translated to GLOBAL positions via each bucket's offset
     wprev = W.orderBy("__go_b").rowsBetween(W.unboundedPreceding, -1)
     wnext = W.orderBy("__go_b").rowsBetween(1, W.unboundedFollowing)
-    carry = [F.col("__go_b")]
+    carry = [F.col("__go_b"), F.col("__go_off")]
     for c in cols:
+        lme = F.struct(
+            F.col(f"__go_lv_{c}").alias("v"),
+            (F.col("__go_off") + F.col(f"__go_ll_{c}")).cast("bigint").alias("p"),
+        )
+        fme = F.struct(
+            F.col(f"__go_fv_{c}").alias("v"),
+            (F.col("__go_off") + F.col(f"__go_fl_{c}")).cast("bigint").alias("p"),
+        )
         carry += [
-            F.last(f"__go_lv_{c}", ignorenulls=True).over(wprev).alias(f"__go_pv_{c}"),
-            F.last(f"__go_lp_{c}", ignorenulls=True).over(wprev).alias(f"__go_pp_{c}"),
-            F.first(f"__go_fv_{c}", ignorenulls=True).over(wnext).alias(f"__go_nv_{c}"),
-            F.first(f"__go_fp_{c}", ignorenulls=True).over(wnext).alias(f"__go_np_{c}"),
+            F.last(
+                F.when(F.col(f"__go_ll_{c}").isNotNull(), lme), ignorenulls=True
+            ).over(wprev).alias(f"__go_pe_{c}"),
+            F.first(
+                F.when(F.col(f"__go_fl_{c}").isNotNull(), fme), ignorenulls=True
+            ).over(wnext).alias(f"__go_ne_{c}"),
         ]
     out = bdf.join(F.broadcast(edges.select(*carry)), "__go_b")
 
     base = W.partitionBy("__go_b").orderBy(order)
     w_back = base.rowsBetween(W.unboundedPreceding, 0)
-    w_fwd = base.rowsBetween(0, W.unboundedFollowing)
+    # next-valid via the reversed growing frame (incremental, never the
+    # quadratic unbounded-following frame)
+    w_fwdr = (
+        W.partitionBy("__go_b")
+        .orderBy(order.desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pos = (F.col("__go_off") + F.col("__go_lrn")).cast("bigint")
     for c in cols:
         v = F.col(c).cast("double")
-        pos = F.col("__go_pos")
         prev_val = F.coalesce(
-            F.last(v, ignorenulls=True).over(w_back), F.col(f"__go_pv_{c}")
+            F.last(v, ignorenulls=True).over(w_back), F.col(f"__go_pe_{c}.v")
         )
         prev_pos = F.coalesce(
             F.last(F.when(v.isNotNull(), pos), ignorenulls=True).over(w_back),
-            F.col(f"__go_pp_{c}"),
+            F.col(f"__go_pe_{c}.p"),
         )
         next_val = F.coalesce(
-            F.first(v, ignorenulls=True).over(w_fwd), F.col(f"__go_nv_{c}")
+            F.last(v, ignorenulls=True).over(w_fwdr), F.col(f"__go_ne_{c}.v")
         )
         next_pos = F.coalesce(
-            F.first(F.when(v.isNotNull(), pos), ignorenulls=True).over(w_fwd),
-            F.col(f"__go_np_{c}"),
+            F.last(F.when(v.isNotNull(), pos), ignorenulls=True).over(w_fwdr),
+            F.col(f"__go_ne_{c}.p"),
         )
         lerp = prev_val + (next_val - prev_val) * (pos - prev_pos) / (
             next_pos - prev_pos

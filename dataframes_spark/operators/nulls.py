@@ -122,16 +122,24 @@ def interpolate(
     parts = list(partition_by) if partition_by else []
     base = W.partitionBy(*parts).orderBy(order_by) if parts else W.orderBy(order_by)
     w_back = base.rowsBetween(W.unboundedPreceding, 0)
-    w_fwd = base.rowsBetween(0, W.unboundedFollowing)
+    # next-valid via `last` over the DESC-ordered growing frame: Spark's
+    # unbounded-FOLLOWING frame re-aggregates from scratch per row
+    # (O(rows^2) per partition), the growing frame is incremental
+    rev = (
+        W.partitionBy(*parts).orderBy(F.col(order_by).desc())
+        if parts
+        else W.orderBy(F.col(order_by).desc())
+    )
+    w_fwdr = rev.rowsBetween(W.unboundedPreceding, 0)
 
     out = df.withColumn("__pos", F.row_number().over(base))
     for c in cols:
         val = F.col(c).cast("double")
         pos = F.col("__pos")
         prev_val = F.last(val, ignorenulls=True).over(w_back)
-        next_val = F.first(val, ignorenulls=True).over(w_fwd)
+        next_val = F.last(val, ignorenulls=True).over(w_fwdr)
         prev_pos = F.last(F.when(val.isNotNull(), pos), ignorenulls=True).over(w_back)
-        next_pos = F.first(F.when(val.isNotNull(), pos), ignorenulls=True).over(w_fwd)
+        next_pos = F.last(F.when(val.isNotNull(), pos), ignorenulls=True).over(w_fwdr)
         lerp = prev_val + (next_val - prev_val) * (pos - prev_pos) / (next_pos - prev_pos)
         filled = (
             F.when(val.isNotNull(), val)
