@@ -35,7 +35,23 @@ _NUMERIC_KINDS = {"i", "u", "f", "b"}  # int / uint / float / bool
 
 
 def _list_parquet_files(path: str) -> list[str]:
-    """Recursive *.parquet listing (hive partition dirs included)."""
+    """Recursive *.parquet listing (hive partition dirs included).
+
+    LOCAL filesystem only: the listing walks with os.walk and the
+    footer kernel opens files with pyarrow directly, so remote URIs
+    (s3://, hdfs://, dbfs:/...) are rejected up front instead of
+    silently yielding zero files. Distributed-store layouts can be
+    audited by mounting (s3fs/fuse) or pointing at a local mirror;
+    the report itself is advisory tooling, not a data-plane operator."""
+    head = path.split("/", 1)[0]
+    scheme = head[:-1] if head.endswith(":") and len(head) > 1 else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            f"layout_report/skip_rate only support local filesystem "
+            f"paths; got {path!r} (scheme {scheme!r}). Mount the store "
+            "locally or run against a local mirror."
+        )
+    path = path.removeprefix("file://")
     out = []
     if os.path.isfile(path):
         return [path]

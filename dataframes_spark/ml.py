@@ -284,18 +284,17 @@ def moments_store_update(
     at O(batch) per epoch: each batch is scanned once, history never.
     NOT idempotent (sums double-count a refolded batch — CMS semantics,
     not HLL): fold each batch exactly once. Returns ``{"n"}``."""
-    from py4j.protocol import Py4JError
-    from pyspark.sql.utils import AnalysisException
-
     batch = embedding_moments(df, vec_col, dim)
-    try:
-        existing = spark.table(table)
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
         merged = (
-            existing.unionByName(batch)
+            spark.table(table)
+            .unionByName(batch)
             .groupBy("pos")
             .agg(F.sum("val").alias("val"), F.sum("n").alias("n"))
         )
-    except (AnalysisException, Py4JError):
+    else:
         merged = batch
     staging = f"{table}__staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")

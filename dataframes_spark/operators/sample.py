@@ -273,16 +273,19 @@ def weighted_sample_merge(
     k: int,
     stratum_col: str | None = None,
 ) -> DataFrame:
-    """Merge `weighted_sample_topk` frames: union, drop duplicate keys
-    (refolding a batch is harmless), keep the k LARGEST ``es_key`` per
-    stratum. Because the Efraimidis-Spirakis key is a pure function of
-    (key, weight), top-k-by-es of merged top-k's equals top-k-by-es of
-    the union — the same sketch law as the bottom-k sample, so a
-    persisted weighted sample store (`weighted_store_update`) stays a
-    without-replacement weight-proportional sample of EVERYTHING folded
-    in, maintained in O(batch). The shuffle carries only the k-sized
-    frames; the ranking window runs over at most k * n_frames rows per
-    stratum."""
+    """Merge `weighted_sample_topk` frames: union, collapse duplicate
+    keys to their MAX-``es_key`` row (refolding a batch is harmless,
+    and if a key reappears across epochs with a CHANGED weight the
+    survivor is deterministic — the arbitrary dropDuplicates pick was
+    partitioning-dependent, silently breaking the merge law), keep the
+    k LARGEST ``es_key`` per stratum. Because the Efraimidis-Spirakis
+    key is a pure function of (key, weight), top-k-by-es of merged
+    top-k's equals top-k-by-es of the union — the same sketch law as
+    the bottom-k sample, so a persisted weighted sample store
+    (`weighted_store_update`) stays a without-replacement
+    weight-proportional sample of EVERYTHING folded in, maintained in
+    O(batch). The shuffle carries only the k-sized frames; the ranking
+    windows run over at most k * n_frames rows per stratum."""
     if not frames:
         raise ValueError("weighted_sample_merge needs at least one frame")
     from pyspark.sql import Window as W
@@ -291,7 +294,12 @@ def weighted_sample_merge(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     dedup_keys = [stratum_col, key_col] if stratum_col else [key_col]
-    deduped = out.dropDuplicates(dedup_keys)
+    wdd = W.partitionBy(*dedup_keys).orderBy(F.col("es_key").desc())
+    deduped = (
+        out.withColumn("__dd", F.row_number().over(wdd))
+        .filter(F.col("__dd") == 1)
+        .drop("__dd")
+    )
     part = [stratum_col] if stratum_col else [F.lit(1)]
     w = W.partitionBy(*part).orderBy(
         F.col("es_key").desc(), F.col(key_col).asc()
@@ -319,15 +327,14 @@ def weighted_store_update(
     eyeball/eval set a corpus pipeline keeps fresh without rescanning
     history. Idempotent under batch refolds. Returns ``{"rows",
     "strata"}``."""
-    from py4j.protocol import Py4JError
-    from pyspark.sql.utils import AnalysisException
-
-    try:
-        existing = spark.table(table)
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
         merged = weighted_sample_merge(
-            existing, batch_frame, key_col=key_col, k=k, stratum_col=stratum_col
+            spark.table(table), batch_frame, key_col=key_col, k=k,
+            stratum_col=stratum_col,
         )
-    except (AnalysisException, Py4JError):
+    else:
         merged = batch_frame
     staging = f"{table}__staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")

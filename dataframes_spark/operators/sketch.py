@@ -164,13 +164,12 @@ def cms_store_update(spark, table: str, batch_sketch: DataFrame) -> dict:
     increments, like the other stores. Returns ``{"cells", "total"}``
     (non-zero cells and the stream length folded so far — cnt sums in
     any one hash row equal the total stream length)."""
-    from py4j.protocol import Py4JError
-    from pyspark.sql.utils import AnalysisException
-
-    try:
-        existing = spark.table(table)
-        merged = cms_merge(existing, batch_sketch)
-    except (AnalysisException, Py4JError):
+    # explicit existence check, NOT a broad except around spark.table:
+    # a transient JVM/connection error must propagate, never be read as
+    # "store absent" (which would silently discard all folded history)
+    if spark.catalog.tableExists(table):
+        merged = cms_merge(spark.table(table), batch_sketch)
+    else:
         merged = batch_sketch
     staging = f"{table}__staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -387,13 +386,11 @@ def hll_store_update(
     merge is max (idempotent), re-running a batch is harmless. Not
     transactional: run between increments, like the other stores.
     Returns ``{"registers", "keys"}``."""
-    from py4j.protocol import Py4JError
-    from pyspark.sql.utils import AnalysisException
-
-    try:
-        existing = spark.table(table)
-        merged = hll_merge(existing, batch_registers, key_cols=key_cols)
-    except (AnalysisException, Py4JError):
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
+        merged = hll_merge(spark.table(table), batch_registers, key_cols=key_cols)
+    else:
         merged = batch_registers
     staging = f"{table}__staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -628,15 +625,13 @@ def bottomk_store_update(
     loop wants without rescanning a 100 TB corpus. Idempotent under
     batch re-folds (dedup on id inside the merge). Returns
     ``{"rows", "keys"}``."""
-    from py4j.protocol import Py4JError
-    from pyspark.sql.utils import AnalysisException
-
-    try:
-        existing = spark.table(table)
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
         merged = bottomk_merge(
-            existing, batch_frame, id_col=id_col, k=k, key_cols=key_cols
+            spark.table(table), batch_frame, id_col=id_col, k=k, key_cols=key_cols
         )
-    except (AnalysisException, Py4JError):
+    else:
         merged = batch_frame
     staging = f"{table}__staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")

@@ -325,6 +325,11 @@ def drift_psi(
         b = ref.agg(
             F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
         ).first()
+        if b[0] is None or b[1] is None:
+            raise ValueError(
+                f"reference frame has no non-null values for {col!r}; "
+                "pass explicit lo/hi or a non-empty reference"
+            )
         lo = float(b[0]) if lo is None else lo
         hi = float(b[1]) if hi is None else hi
     if not hi > lo:
@@ -338,14 +343,22 @@ def drift_psi(
 def _binned_counts(
     df: DataFrame, col: str, bins: int, lo: float, hi: float, out: str
 ) -> DataFrame:
-    """Clamped equal-width bin counts: ``(bin, out)``, NULLs excluded,
-    out-of-range values in the edge bins. ONE scan folding to a
-    bins-row partial aggregate."""
+    """Clamped equal-width bin counts: ``(bin, out)``, NULLs and NaNs
+    excluded, out-of-range values in the edge bins. ONE scan folding to
+    a bins-row partial aggregate.
+
+    The clamp runs on floor()'s LongType result BEFORE the int cast —
+    casting first wraps once the scaled value passes 2^31 (an extreme
+    outlier would land in bin 0 or a random middle bin instead of the
+    edge bin the contract promises); +/-inf saturate at the long
+    extremes and clamp into the edge bins."""
     x = F.col(col).cast("double")
     raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins))
-    idx = F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw.cast("int")))
+    idx = F.greatest(
+        F.lit(0).cast("bigint"), F.least(F.lit(bins - 1).cast("bigint"), raw)
+    ).cast("int")
     return (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .groupBy(idx.alias("bin"))
         .agg(F.count(F.lit(1)).alias(out))
     )
@@ -426,9 +439,6 @@ def hist_store_update(
         raise ValueError(f"need bins >= 2, got {bins}")
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
-    from py4j.protocol import Py4JError
-    from pyspark.sql.utils import AnalysisException
-
     batch = _binned_counts(df, col, bins, float(lo), float(hi), "n").select(
         "bin",
         "n",
@@ -437,7 +447,9 @@ def hist_store_update(
         F.lit(float(lo)).alias("lo"),
         F.lit(float(hi)).alias("hi"),
     )
-    try:
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
         existing = spark.table(table)
         meta = existing.select("col", "bins", "lo", "hi").first()
         if meta is not None and (
@@ -458,7 +470,7 @@ def hist_store_update(
             .agg(F.sum("n").alias("n"))
             .select("bin", "n", "col", "bins", "lo", "hi")
         )
-    except (AnalysisException, Py4JError):
+    else:
         merged = batch
     staging = f"{table}__staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -535,10 +547,16 @@ def drift_psi_multi(
                 / F.lit(float(hi) - float(lo))
                 * F.lit(bins)
             )
+            # clamp on the LongType floor BEFORE the int cast (same
+            # wrap-around contract as _binned_counts); NULL/NaN value
+            # -> NULL bin, dropped below (per-column NULLs)
             idx = F.when(
-                x.isNotNull(),
-                F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw.cast("int"))),
-            )  # NULL value -> NULL bin, dropped below (per-column NULLs)
+                x.isNotNull() & ~F.isnan(x),
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.least(F.lit(bins - 1).cast("bigint"), raw),
+                ).cast("int"),
+            )
             structs.append(F.struct(F.lit(c).alias("col"), idx.alias("bin")))
         return (
             df.select(F.explode(F.array(*structs)).alias("__c"))

@@ -84,6 +84,16 @@ def test_skip_rate_one_sided_and_missing(spark, frames):
     assert missing["files"] == 0 and missing["skip_fraction"] == 0.0
 
 
+def test_remote_uri_rejected_up_front(spark):
+    """Remote URIs must fail with a clear message, not 'no parquet
+    files' (r8 ADVICE: os.walk silently yields nothing for s3://)."""
+    from dataframes_spark.io.layout import layout_report
+
+    for uri in ("s3://bucket/table", "hdfs://nn/table", "dbfs:/x"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            layout_report(spark, uri)
+
+
 def test_column_filter_and_validation(spark, frames):
     _df, plain, _z = frames
     rep = layout_report(spark, plain, columns=["a"])

@@ -185,6 +185,45 @@ def test_drift_psi_default_bounds_and_nulls(spark):
     assert abs(sum(r.psi_term for r in rows)) < 1e-10
 
 
+def test_drift_psi_extreme_values_clamp_to_edge_bins(spark):
+    """The clamp runs on the LongType floor BEFORE the int cast: values
+    whose scaled bin passes 2^31 (and +/-inf) must land in the edge
+    bins, not wrap into bin 0 / a middle bin; NaN is excluded like
+    NULL (r8 ADVICE: quality.py _binned_counts wrap-around)."""
+    ref = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    cur = spark.createDataFrame(
+        [
+            (3e9,),        # beyond int32 wrap: must clamp to top bin
+            (5e9,),        # deeper wrap (would land mid-range if cast first)
+            (float("inf"),),
+            (-3e9,),
+            (float("-inf"),),
+            (float("nan"),),  # excluded, like NULL
+            (50.0,),
+        ],
+        "v double",
+    )
+    rows = Q.drift_psi(ref, cur, "v", bins=10, lo=0.0, hi=100.0).collect()
+    by_bin = {r.bin: r for r in rows}
+    assert sum(r.n_cur for r in rows) == 6  # NaN dropped
+    assert by_bin[9].n_cur == 3  # 3e9, 5e9, +inf in the TOP edge bin
+    assert by_bin[0].n_cur == 2  # -3e9, -inf in the BOTTOM edge bin
+    assert by_bin[5].n_cur == 1  # 50.0 where it belongs
+    # multi-column lane shares the contract
+    m = Q.drift_psi_multi(ref, cur, {"v": (0.0, 100.0)}, bins=10).collect()
+    mb = {r.bin: r for r in m}
+    assert mb[9].n_cur == 3 and mb[0].n_cur == 2
+
+
+def test_drift_psi_empty_reference_raises_clearly(spark):
+    import pytest as _pt
+
+    ref = spark.createDataFrame([(None,)], "v double")
+    cur = spark.createDataFrame([(1.0,)], "v double")
+    with _pt.raises(ValueError, match="no non-null values"):
+        Q.drift_psi(ref, cur, "v")  # default lo/hi from an all-null ref
+
+
 def test_drift_psi_validation(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     import pytest as _pt

@@ -444,3 +444,26 @@ def test_weighted_merge_equals_whole_and_store(spark):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     with pytest.raises(ValueError, match="at least one"):
         weighted_sample_merge(key_col="id", k=5)
+
+
+def test_weighted_merge_reweighted_key_keeps_max_es_deterministically(spark):
+    """If a key reappears across epochs with a CHANGED weight (hence a
+    different es_key), the merge must keep the max-es_key row — not an
+    arbitrary partitioning-dependent survivor (r8 ADVICE:
+    dropDuplicates in weighted_sample_merge)."""
+    from dataframes_spark.operators.sample import weighted_sample_merge
+
+    schema = "id long, w double, es_key double"
+    epoch1 = spark.createDataFrame(
+        [(1, 1.0, 0.20), (2, 1.0, 0.90), (3, 1.0, 0.50)], schema
+    )
+    epoch2 = spark.createDataFrame(
+        [(1, 9.0, 0.95), (4, 1.0, 0.10)], schema  # id 1 reweighted UP
+    )
+    for a, b in [(epoch1, epoch2), (epoch2, epoch1)]:  # order-independent
+        got = {
+            r.id: (r.w, r.es_key)
+            for r in weighted_sample_merge(a, b, key_col="id", k=3).collect()
+        }
+        assert got[1] == (9.0, 0.95)  # max-es_key row survives
+        assert set(got) == {1, 2, 3}  # top-3 by es_key after dedup
