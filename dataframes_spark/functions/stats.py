@@ -78,18 +78,20 @@ def quantile(
     to ``[0, N-1]``, linear interpolation between the surrounding sorted
     values. Spark's ``percentile`` cannot express this directly (its
     percentage argument must be foldable, but ``h`` depends on the
-    aggregate N), so the plan ranks the non-null values, broadcasts the
-    one-row ``(N, h)`` frame onto the two bracketing ranks, and lerps —
-    action-free, one sort. Like any exact quantile (including Spark's
-    own ``percentile`` aggregate, which gathers values on one reducer)
-    this is a single-reducer shape; at scale prefer the
-    ``median_approx`` family unless bit-parity matters.
+    aggregate N), so the plan ranks the non-null values through the
+    DISTRIBUTED global-order lane (quantile buckets + per-bucket
+    row_number + a running offset over the bucket-cardinality counts
+    relation — ``global_order._with_positions``; the r8 form global-
+    windowed every value through one reducer), broadcasts the one-row
+    ``(N, h)`` frame onto the two bracketing ranks, and lerps —
+    action-free, no data-bearing single partition anywhere. Ties share
+    a value, so bucket-local tie order cannot change the lerp.
     """
     if method == "ansi":
         return df.agg(F.expr(f"percentile({_bq(col)}, {q!r})").alias("quantile"))
     if method != "reference":
         raise ValueError(f"method must be 'ansi' or 'reference', got {method!r}")
-    from pyspark.sql import Window as W
+    from dataframes_spark.operators import global_order as go
 
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q!r}")
@@ -97,9 +99,11 @@ def quantile(
         df.filter(F.col(col).isNotNull())
         .select(F.col(col).cast("double").alias("__v"))
     )
-    pos = vals.select(
-        "__v", (F.row_number().over(W.orderBy("__v")) - 1).alias("__i")
+    order = F.col("__v")
+    bdf, _ = go._with_positions(
+        go._bucketize_quantile(vals, order, go.default_buckets(vals)), order
     )
+    pos = bdf.select("__v", (F.col("__go_pos") - 1).alias("__i"))
     h = F.least(
         F.greatest(F.col("__n") * F.lit(float(q)) - F.lit(0.5), F.lit(0.0)),
         (F.col("__n") - 1).cast("double"),

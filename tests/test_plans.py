@@ -572,6 +572,34 @@ def test_global_order_lane_never_single_partitions_the_data(spark, sf_dir, query
         )
 
 
+def test_reference_quantile_never_single_partitions_the_data(spark, sf_dir):
+    """The opt-in reference-rule exact quantile (functions/stats.py
+    quantile(method="reference")) was the last data-bearing
+    SinglePartition outside the sanctioned row-position queries (it
+    global-windowed every non-null value through one reducer); since r9
+    it ranks through global_order._with_positions — same invariant as
+    the global-order lane: every remaining Exchange SinglePartition
+    sits directly above an aggregate."""
+    from dataframes_spark.functions.stats import quantile
+    from dataframes_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = quantile(li, "l_quantity", 0.5, method="reference")
+    jqe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    p = jqe.explainString(mode)
+    assert "__go_b" in p, f"reference quantile not on the bucketed lane:\n{p}"
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert re.search(r"HashAggregate|ObjectHashAggregate|SortAggregate", child), (
+            f"reference quantile: Exchange SinglePartition over "
+            f"non-aggregate:\n{ln}\n{child}"
+        )
+
+
 def test_ivf_partitioned_probe_prunes_cluster_directories(plans):
     """The cluster-partitioned IVF store is only worth its write shuffle
     if the probe's nprobe filter lands as PartitionFilters — directories
