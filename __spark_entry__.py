@@ -1158,6 +1158,36 @@ def drift_multi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col", "bin")
 
 
+def drift_categorical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical (value-bucket) PSI drift (quality.py
+    drift_psi_categorical): event_type distribution of odd-event_id
+    events vs the even-event_id reference — the drift gate for the
+    columns an LLM pipeline actually watches (language, source,
+    license), which numeric binning cannot express. Buckets are the
+    reference's top-3 categories (deterministic derivation: count desc,
+    value asc — DuckDB replays the ranking exactly) plus __other__;
+    each side folds to a per-distinct-value partial aggregate in one
+    scan (the exchange carries category counts, never rows) and the
+    report joins ≤ 4-row broadcast frames. Laplace smoothing over the
+    spine size keeps every term finite; + 0.0 normalizes a
+    rounds-to-zero term (ORACLE.md rule 7). Whole report
+    hash-verified."""
+    from dataframes_spark.quality import drift_psi_categorical
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = drift_psi_categorical(ref, cur, "event_type", top_k=3)
+    return out.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        (F.round("p_ref", 8) + F.lit(0.0)).alias("p_ref"),
+        (F.round("p_cur", 8) + F.lit(0.0)).alias("p_cur"),
+        (F.round("psi_term", 10) + F.lit(0.0)).alias("psi_term"),
+    ).orderBy("category")
+
+
 def hll_overlap_users_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types
     (operators/sketch.py hll_pairwise_overlap): ONE scan builds
@@ -2632,6 +2662,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotates below; streaming stays covered by the stream==batch
         #    pins and its batch twin interval rows in the full sweep.
         "drift_psi_prices": drift_psi_prices,
+        # -- round 9 (new): categorical (value-bucket) PSI drift — the
+        #    top-k + __other__ gate for language/source/license columns
+        #    numeric binning can't express; derivation, bucketing,
+        #    smoothing and terms all replayed in DuckDB.
+        #    minhash_signatures_md5 (green r5-r8) rotates below; the md5
+        #    fingerprint family stays in-window via
+        #    simhash_fingerprints_md5 + minhash_lsh_pairs_md5 (which
+        #    verifies the same minhash lanes end-to-end).
+        "drift_categorical_events": drift_categorical_events,
         # -- round 8 (continuation): the k-column drift gate in one
         #    scan per side. ols_price_qty (green r1-r7, the most
         #    multiply-green remaining row) rotates below; the
@@ -2657,7 +2696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": pipeline_clean_corpus,
         # -- entered the window round 5 (rotation promise + new queries)
         "chunk_documents": chunk_documents,
-        "minhash_signatures_md5": minhash_signatures_md5,
         "decontaminate_docs": decontaminate_docs,
         "lsh_buckets_md5": lsh_buckets_md5,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
@@ -2845,6 +2883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the new partitioned-write row above; families documented
         # at the swap sites in-window
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        # round 9: rotated below after 4 consecutive green rounds
+        # (r5-r8) to make room for drift_categorical_events; its md5
+        # lanes stay verified in-window by minhash_lsh_pairs_md5
+        "minhash_signatures_md5": minhash_signatures_md5,
         # round 8: rotated below after 3 consecutive green rounds
         # (r5-r7) to make room for funnel_events + cohort_retention_daily
         # + zorder_roundtrip_agg; winsorize_prices' quantile-stats family
@@ -4000,6 +4042,58 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c), 6) AS bm25
             FROM scored GROUP BY 1, 2
             ORDER BY bm25 DESC, doc_id LIMIT 12
+        """,
+        # categorical PSI: top-3 reference categories (count desc,
+        # value asc — the exact derivation drift_psi_categorical pins)
+        # + __other__; Laplace smoothing over the spine size; + 0.0
+        # normalizes rounds-to-zero terms (rule 7). Totals feed DOUBLE
+        # arithmetic only (rule 8 exemption); output counts are BIGINT.
+        "drift_categorical_events": """
+            WITH ref AS (
+                SELECT event_type FROM events
+                WHERE event_id % 2 = 0 AND event_type IS NOT NULL
+            ), cur AS (
+                SELECT event_type FROM events
+                WHERE event_id % 2 = 1 AND event_type IS NOT NULL
+            ), cats AS (
+                SELECT event_type AS v FROM ref
+                GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 3
+            ), rc AS (
+                SELECT CASE WHEN event_type IN (SELECT v FROM cats)
+                            THEN event_type ELSE '__other__' END AS category,
+                       count(*) AS n_ref
+                FROM ref GROUP BY 1
+            ), cc AS (
+                SELECT CASE WHEN event_type IN (SELECT v FROM cats)
+                            THEN event_type ELSE '__other__' END AS category,
+                       count(*) AS n_cur
+                FROM cur GROUP BY 1
+            ), spine AS (
+                SELECT v AS category FROM cats
+                UNION ALL SELECT '__other__'
+            ), j AS (
+                SELECT s.category,
+                       coalesce(rc.n_ref, 0) AS n_ref,
+                       coalesce(cc.n_cur, 0) AS n_cur
+                FROM spine s
+                LEFT JOIN rc USING (category) LEFT JOIN cc USING (category)
+            ), t AS (
+                SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                       CAST(sum(n_cur) AS DOUBLE) AS tc,
+                       CAST(count(*) AS DOUBLE) AS b
+                FROM j
+            )
+            SELECT category,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   round((n_ref + 0.5) / (tr + 0.5 * b), 8) + 0.0 AS p_ref,
+                   round((n_cur + 0.5) / (tc + 0.5 * b), 8) + 0.0 AS p_cur,
+                   round(((n_cur + 0.5) / (tc + 0.5 * b)
+                        - (n_ref + 0.5) / (tr + 0.5 * b))
+                       * ln(((n_cur + 0.5) / (tc + 0.5 * b))
+                          / ((n_ref + 0.5) / (tr + 0.5 * b))), 10) + 0.0
+                       AS psi_term
+            FROM j, t ORDER BY category
         """,
         "drift_psi_prices": """
             -- identical PSI arithmetic: clamped equal-width bins over

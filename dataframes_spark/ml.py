@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataframes_spark.io.store import staging_swap
+
 
 def _assemble(df: DataFrame, features: Sequence[str]):
     from pyspark.ml.feature import VectorAssembler
@@ -296,11 +298,7 @@ def moments_store_update(
         )
     else:
         merged = batch
-    staging = f"{table}__staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    merged.write.format("parquet").saveAsTable(staging)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    staging_swap(spark, table, merged)
     out = spark.table(table)
     n = out.agg(F.max("n")).first()[0]
     return {"n": int(n) if n is not None else 0}

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataframes_spark.io.store import staging_swap
+
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
     """Keep ~``fraction`` of rows by 64-bit content hash of ``key_col``.
@@ -336,11 +338,7 @@ def weighted_store_update(
         )
     else:
         merged = batch_frame
-    staging = f"{table}__staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    merged.write.format("parquet").saveAsTable(staging)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    staging_swap(spark, table, merged)
     out = spark.table(table)
     rows = out.count()
     strata = (

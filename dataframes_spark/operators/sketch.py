@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataframes_spark.io.store import staging_swap
+
 
 def _bucket(col: Column, row: int, width: int, lane_hash: str) -> Column:
     """Bucket of ``col`` under hash row ``row``: pmod(h_row(col), width).
@@ -171,11 +173,7 @@ def cms_store_update(spark, table: str, batch_sketch: DataFrame) -> dict:
         merged = cms_merge(spark.table(table), batch_sketch)
     else:
         merged = batch_sketch
-    staging = f"{table}__staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    merged.write.format("parquet").saveAsTable(staging)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    staging_swap(spark, table, merged)
     out = spark.table(table)
     cells = out.count()
     total = (
@@ -392,11 +390,7 @@ def hll_store_update(
         merged = hll_merge(spark.table(table), batch_registers, key_cols=key_cols)
     else:
         merged = batch_registers
-    staging = f"{table}__staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    merged.write.format("parquet").saveAsTable(staging)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    staging_swap(spark, table, merged)
     out = spark.table(table)
     registers = out.count()
     keys = (
@@ -633,11 +627,7 @@ def bottomk_store_update(
         )
     else:
         merged = batch_frame
-    staging = f"{table}__staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    merged.write.format("parquet").saveAsTable(staging)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    staging_swap(spark, table, merged)
     out = spark.table(table)
     rows = out.count()
     keys = (

@@ -37,6 +37,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataframes_spark.io.store import staging_swap
+
 
 @dataclass(frozen=True)
 class Check:
@@ -472,11 +474,7 @@ def hist_store_update(
         )
     else:
         merged = batch
-    staging = f"{table}__staging"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    merged.write.format("parquet").saveAsTable(staging)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    staging_swap(spark, table, merged)
     n = spark.table(table).agg(F.sum("n")).first()[0]
     return {"n": int(n or 0)}
 
@@ -537,44 +535,54 @@ def drift_psi_multi(
     for c, (lo, hi) in specs.items():
         if not float(hi) > float(lo):
             raise ValueError(f"need hi > lo for {c!r}, got [{lo}, {hi}]")
+    rc = _multi_cells(ref, specs, bins, "n_ref")
+    cc = _multi_cells(cur, specs, bins, "n_cur")
+    return _psi_report_multi(
+        ref.sparkSession, rc, cc, list(specs), bins, smoothing
+    )
 
-    def cells(df: DataFrame, out: str) -> DataFrame:
-        structs = []
-        for c, (lo, hi) in specs.items():
-            x = F.col(c).cast("double")
-            raw = F.floor(
-                (x - F.lit(float(lo)))
-                / F.lit(float(hi) - float(lo))
-                * F.lit(bins)
-            )
-            # clamp on the LongType floor BEFORE the int cast (same
-            # wrap-around contract as _binned_counts); NULL/NaN value
-            # -> NULL bin, dropped below (per-column NULLs)
-            idx = F.when(
-                x.isNotNull() & ~F.isnan(x),
-                F.greatest(
-                    F.lit(0).cast("bigint"),
-                    F.least(F.lit(bins - 1).cast("bigint"), raw),
-                ).cast("int"),
-            )
-            structs.append(F.struct(F.lit(c).alias("col"), idx.alias("bin")))
-        return (
-            df.select(F.explode(F.array(*structs)).alias("__c"))
-            .select("__c.col", "__c.bin")
-            .filter(F.col("bin").isNotNull())
-            .groupBy("col", "bin")
-            .agg(F.count(F.lit(1)).alias(out))
+
+def _multi_cells(df: DataFrame, specs: dict, bins: int, out: str) -> DataFrame:
+    """Per-(col, bin) counts for k columns in ONE scan: each row
+    explodes map-side to one cell per listed column, partial
+    aggregation folds before the exchange (it carries ≤ k * bins count
+    rows). Shared by the two-frame multi gate and the persisted
+    multi-column histogram store."""
+    structs = []
+    for c, (lo, hi) in specs.items():
+        x = F.col(c).cast("double")
+        raw = F.floor(
+            (x - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * F.lit(bins)
         )
+        # clamp on the LongType floor BEFORE the int cast (same
+        # wrap-around contract as _binned_counts); NULL/NaN value
+        # -> NULL bin, dropped below (per-column NULLs)
+        idx = F.when(
+            x.isNotNull() & ~F.isnan(x),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.lit(bins - 1).cast("bigint"), raw),
+            ).cast("int"),
+        )
+        structs.append(F.struct(F.lit(c).alias("col"), idx.alias("bin")))
+    return (
+        df.select(F.explode(F.array(*structs)).alias("__c"))
+        .select("__c.col", "__c.bin")
+        .filter(F.col("bin").isNotNull())
+        .groupBy("col", "bin")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
 
-    rc = cells(ref, "n_ref")
-    cc = cells(cur, "n_cur")
-    spark = ref.sparkSession
+
+def _psi_report_multi(
+    spark, rc: DataFrame, cc: DataFrame, cols: list, bins: int, smoothing: float
+) -> DataFrame:
+    """Per-(col, bin) PSI report from two (col, bin, count) frames —
+    shared by `drift_psi_multi` and `drift_psi_multi_from_store`."""
     spine = (
         spark.range(bins)
         .select(F.col("id").cast("int").alias("bin"))
-        .crossJoin(
-            spark.createDataFrame([(c,) for c in specs], "col string")
-        )
+        .crossJoin(spark.createDataFrame([(c,) for c in cols], "col string"))
     )
     j = (
         spine.join(F.broadcast(rc), ["col", "bin"], "left")
@@ -602,3 +610,333 @@ def drift_psi_multi(
         p_cur.alias("p_cur"),
         ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
     ).orderBy("col", "bin")
+
+
+def hist_store_update_multi(
+    spark, table: str, df: DataFrame, specs: dict, bins: int = 10
+) -> dict:
+    """Fold a batch's k-column binned counts into ONE persisted
+    multi-column histogram store (rows ``(col, bin, n, bins, lo, hi)``,
+    the staging-swap idiom of `hist_store_update`): the batch costs ONE
+    scan for all k columns (`_multi_cells`), the merged store stays at
+    most ``k * bins`` rows however many epochs fold in, and each
+    column's stamped (bins, lo, hi) guarantees every epoch binned
+    identically — the store refuses to fold a mismatched spec (changed
+    bounds silently corrupt a histogram sum). One store backs the whole
+    k-column drift gate (`drift_psi_multi_from_store`), where the
+    single-column `hist_store_update` needed k stores and k scans.
+    Returns ``{"n"}`` (total cells folded per column on average is
+    irrelevant — n is the row count folded so far for the FIRST listed
+    column, the shared denominator check)."""
+    if not specs:
+        raise ValueError("specs must map at least one column to (lo, hi)")
+    if bins < 2:
+        raise ValueError(f"need bins >= 2, got {bins}")
+    for c, (lo, hi) in specs.items():
+        if not float(hi) > float(lo):
+            raise ValueError(f"need hi > lo for {c!r}, got [{lo}, {hi}]")
+    meta_rows = spark.createDataFrame(
+        [(c, int(bins), float(lo), float(hi)) for c, (lo, hi) in specs.items()],
+        "col string, bins int, lo double, hi double",
+    )
+    batch = _multi_cells(df, specs, bins, "n").join(
+        F.broadcast(meta_rows), "col"
+    ).select("col", "bin", "n", "bins", "lo", "hi")
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
+        existing = spark.table(table)
+        stamped = {
+            r["col"]: (r["bins"], r["lo"], r["hi"])
+            for r in existing.select("col", "bins", "lo", "hi")
+            .distinct()
+            .collect()
+        }
+        asked = {
+            c: (int(bins), float(lo), float(hi)) for c, (lo, hi) in specs.items()
+        }
+        if stamped and stamped != asked:
+            raise ValueError(
+                f"multi-histogram store {table!r} was built with "
+                f"{stamped}; refusing to fold {asked}"
+            )
+        merged = (
+            existing.unionByName(batch)
+            .groupBy("col", "bin", "bins", "lo", "hi")
+            .agg(F.sum("n").alias("n"))
+            .select("col", "bin", "n", "bins", "lo", "hi")
+        )
+    else:
+        merged = batch
+    staging_swap(spark, table, merged)
+    first_col = next(iter(specs))
+    n = (
+        spark.table(table)
+        .filter(F.col("col") == first_col)
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    return {"n": int(n or 0)}
+
+
+def drift_psi_multi_from_store(
+    spark, table: str, cur: DataFrame, smoothing: float = 0.5
+) -> DataFrame:
+    """`drift_psi_multi` of ``cur`` against ONE persisted multi-column
+    histogram store — the incremental k-column gate: the reference side
+    reads ``k * bins`` rows, the batch side is ONE scan for all k
+    columns, and the store's stamped per-column (bins, lo, hi)
+    guarantee both sides bin identically. Store-backed == two-frame by
+    construction (same cells, same report arithmetic)."""
+    store = spark.table(table)
+    meta = store.select("col", "bins", "lo", "hi").distinct().collect()
+    if not meta:
+        raise ValueError(f"multi-histogram store {table!r} is empty")
+    bins_set = {r["bins"] for r in meta}
+    if len(bins_set) != 1:
+        raise ValueError(
+            f"multi-histogram store {table!r} has inconsistent bins {bins_set}"
+        )
+    bins = bins_set.pop()
+    specs = {r["col"]: (r["lo"], r["hi"]) for r in meta}
+    rc = store.select("col", "bin", F.col("n").alias("n_ref"))
+    cc = _multi_cells(cur, specs, bins, "n_cur")
+    return _psi_report_multi(spark, rc, cc, list(specs), bins, smoothing)
+
+
+# --------------------------------------------------------------------------
+# Categorical drift: value-bucket PSI (top-k categories + __other__)
+# --------------------------------------------------------------------------
+
+OTHER_BUCKET = "__other__"
+
+
+def _categorical_counts(
+    df: DataFrame, col: str, cats: DataFrame, out: str
+) -> DataFrame:
+    """Per-category counts with everything outside ``cats`` folded into
+    the ``__other__`` bucket: ONE scan folding to a per-distinct-value
+    partial aggregate (the exchange carries distinct values, never
+    rows), then a broadcast join against the ≤ k-row category frame and
+    a second tiny fold to ≤ k+1 buckets. NULLs are excluded (the
+    numeric `drift_psi` contract)."""
+    vc = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        vc.join(F.broadcast(cats.withColumn("__is_cat", F.lit(1))), "__v", "left")
+        .select(
+            F.when(F.col("__is_cat").isNotNull(), F.col("__v"))
+            .otherwise(F.lit(OTHER_BUCKET))
+            .alias("category"),
+            "__n",
+        )
+        .groupBy("category")
+        .agg(F.sum("__n").alias(out))
+    )
+
+
+def drift_psi_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    top_k: int = 20,
+    categories: list | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index over VALUE buckets — the drift gate
+    for the columns an LLM pipeline actually watches (language, source,
+    license), which `drift_psi`'s numeric binning cannot express.
+    Buckets are the top ``top_k`` categories of the REFERENCE frame
+    (deterministic: count desc, value asc tiebreak) plus ``__other__``;
+    pass ``categories`` explicitly when the gate must be reproducible
+    across epochs (the store variant stamps them). Returns per-bucket
+    rows ``(category, n_ref, n_cur, p_ref, p_cur, psi_term)``; the PSI
+    is their sum, same smoothing and reading as `drift_psi`.
+
+    Each side costs ONE scan folding to a per-distinct-value partial
+    aggregate (the exchange carries distinct values, never rows); the
+    bucket fold and the report join run over ≤ k+1-row broadcast
+    frames. With derived categories the reference is scanned twice
+    (once to rank values, once to count) — pass ``categories`` to make
+    it one scan per side. NULLs are excluded, like `drift_psi`."""
+    if smoothing <= 0:
+        raise ValueError(f"need smoothing > 0, got {smoothing}")
+    spark = ref.sparkSession
+    if categories is not None:
+        if not categories:
+            raise ValueError("categories must be non-empty when given")
+        if len(set(categories)) != len(categories):
+            raise ValueError("categories must be distinct")
+        if OTHER_BUCKET in categories:
+            raise ValueError(f"{OTHER_BUCKET!r} is the reserved overflow bucket")
+        cats = spark.createDataFrame([(str(c),) for c in categories], "__v string")
+    else:
+        if top_k < 1:
+            raise ValueError(f"need top_k >= 1, got {top_k}")
+        cats = (
+            ref.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("__v").asc())
+            .limit(int(top_k))
+            .select("__v")
+        )
+    rc = _categorical_counts(ref, col, cats, "n_ref")
+    cc = _categorical_counts(cur, col, cats, "n_cur")
+    spine = cats.select(F.col("__v").alias("category")).unionByName(
+        spark.createDataFrame([(OTHER_BUCKET,)], "category string")
+    )
+    # bucket count for the smoothing denominator: spine rows, computed
+    # in-plan (1-row broadcast) so derived-top-k stays action-free
+    nb = spine.agg(F.count(F.lit(1)).alias("__nb"))
+    j = (
+        spine.join(F.broadcast(rc), "category", "left")
+        .join(F.broadcast(cc), "category", "left")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.agg(F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"))
+    s = float(smoothing)
+    p_ref = (F.col("n_ref") + F.lit(s)) / (F.col("__tr") + F.lit(s) * F.col("__nb"))
+    p_cur = (F.col("n_cur") + F.lit(s)) / (F.col("__tc") + F.lit(s) * F.col("__nb"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "category",
+            "n_ref",
+            "n_cur",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
+        .orderBy("category")
+    )
+
+
+def drift_gate_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    max_psi: float = 0.25,
+    top_k: int = 20,
+    categories: list | None = None,
+) -> dict:
+    """Pass/fail form of `drift_psi_categorical`."""
+    psi = (
+        drift_psi_categorical(ref, cur, col, top_k=top_k, categories=categories)
+        .agg(F.sum("psi_term"))
+        .first()[0]
+    )
+    psi = float(psi or 0.0)
+    return {"psi": psi, "passed": psi <= max_psi}
+
+
+def cat_hist_store_update(
+    spark, table: str, df: DataFrame, col: str, categories: list
+) -> dict:
+    """Fold a batch's categorical counts into a persisted category
+    histogram store (rows ``(category, n, col, cats_md5)``, the
+    staging-swap idiom): at most ``len(categories) + 1`` rows however
+    many epochs fold in. The store is stamped with the column name and
+    an md5 of the SORTED category set and refuses to fold a mismatched
+    gate (a changed category set silently corrupts bucket sums — the
+    same guard as the numeric store's (bins, lo, hi) stamp). Explicit
+    categories are required: a per-epoch top-k would re-derive
+    different buckets per fold. Returns ``{"n"}``."""
+    import hashlib
+
+    if not categories:
+        raise ValueError("categories must be non-empty")
+    if len(set(categories)) != len(categories):
+        raise ValueError("categories must be distinct")
+    if OTHER_BUCKET in categories:
+        raise ValueError(f"{OTHER_BUCKET!r} is the reserved overflow bucket")
+    stamp = hashlib.md5(
+        "\x1f".join(sorted(str(c) for c in categories)).encode()
+    ).hexdigest()
+    cats = spark.createDataFrame([(str(c),) for c in categories], "__v string")
+    batch = _categorical_counts(df, col, cats, "n").select(
+        "category",
+        "n",
+        F.lit(col).alias("col"),
+        F.lit(stamp).alias("cats_md5"),
+    )
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
+        existing = spark.table(table)
+        meta = existing.select("col", "cats_md5").first()
+        if meta is not None and (meta["col"] != col or meta["cats_md5"] != stamp):
+            raise ValueError(
+                f"categorical store {table!r} was built with "
+                f"(col={meta['col']!r}, cats_md5={meta['cats_md5']}); "
+                f"refusing to fold (col={col!r}, cats_md5={stamp})"
+            )
+        merged = (
+            existing.unionByName(batch)
+            .groupBy("category", "col", "cats_md5")
+            .agg(F.sum("n").alias("n"))
+            .select("category", "n", "col", "cats_md5")
+        )
+    else:
+        merged = batch
+    staging_swap(spark, table, merged)
+    n = spark.table(table).agg(F.sum("n")).first()[0]
+    return {"n": int(n or 0)}
+
+
+def drift_psi_categorical_from_store(
+    spark, table: str, cur: DataFrame, smoothing: float = 0.5
+) -> DataFrame:
+    """`drift_psi_categorical` of ``cur`` against a persisted category
+    store — the incremental form: the reference side reads ≤ k+1 rows,
+    the batch side is one scan, and the store's stamped category set
+    guarantees both sides bucket identically. Store-backed == two-frame
+    with the same explicit categories, by construction."""
+    store = spark.table(table)
+    meta = store.select("col", "cats_md5").first()
+    if meta is None:
+        raise ValueError(f"categorical store {table!r} is empty")
+    cats = (
+        store.filter(F.col("category") != OTHER_BUCKET)
+        .select(F.col("category").alias("__v"))
+    )
+    rc = store.select("category", F.col("n").alias("n_ref"))
+    cc = _categorical_counts(cur, meta["col"], cats, "n_cur")
+    spine = cats.select(F.col("__v").alias("category")).unionByName(
+        spark.createDataFrame([(OTHER_BUCKET,)], "category string")
+    )
+    nb = spine.agg(F.count(F.lit(1)).alias("__nb"))
+    j = (
+        spine.join(F.broadcast(rc), "category", "left")
+        .join(F.broadcast(cc), "category", "left")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.agg(F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"))
+    s = float(smoothing)
+    p_ref = (F.col("n_ref") + F.lit(s)) / (F.col("__tr") + F.lit(s) * F.col("__nb"))
+    p_cur = (F.col("n_cur") + F.lit(s)) / (F.col("__tc") + F.lit(s) * F.col("__nb"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "category",
+            "n_ref",
+            "n_cur",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
+        .orderBy("category")
+    )

@@ -323,3 +323,145 @@ def test_drift_psi_multi_matches_per_column_and_scans_once(spark):
         Q.drift_psi_multi(ref, cur, {})
     with pytest.raises(ValueError, match="hi > lo"):
         Q.drift_psi_multi(ref, cur, {"a": (5.0, 5.0)})
+
+
+# --------------------------------------------------------------------------
+# Categorical PSI drift + stores (round 9)
+# --------------------------------------------------------------------------
+
+
+def _cat_frames(spark):
+    ref = spark.createDataFrame(
+        [("en",)] * 60 + [("de",)] * 25 + [("fr",)] * 10 + [("pl",)] * 4 + [("nl",)] * 1,
+        "lang string",
+    )
+    cur = spark.createDataFrame(
+        [("en",)] * 30 + [("de",)] * 25 + [("zh",)] * 40 + [("fr",)] * 5,
+        "lang string",
+    )
+    return ref, cur
+
+
+def test_drift_psi_categorical_identical_is_zero(spark):
+    ref, _ = _cat_frames(spark)
+    rows = Q.drift_psi_categorical(ref, ref, "lang", top_k=3).collect()
+    assert abs(sum(r.psi_term for r in rows)) < 1e-12
+    assert {r.category for r in rows} == {"en", "de", "fr", "__other__"}
+    other = [r for r in rows if r.category == "__other__"][0]
+    assert other.n_ref == 5  # pl + nl fold into __other__
+
+
+def test_drift_psi_categorical_detects_new_category(spark):
+    ref, cur = _cat_frames(spark)
+    g = Q.drift_gate_categorical(ref, cur, "lang", top_k=3)
+    assert not g["passed"] and g["psi"] > 0.25  # zh = 40% unseen mass
+    rows = Q.drift_psi_categorical(ref, cur, "lang", top_k=3).collect()
+    other = [r for r in rows if r.category == "__other__"][0]
+    assert other.n_cur == 40 and other.n_ref == 5
+    # every term finite (smoothing), none NaN
+    assert all(r.psi_term == r.psi_term for r in rows)
+
+
+def test_drift_psi_categorical_topk_tiebreak_and_nulls(spark):
+    # b and c tie on count: value-asc tiebreak keeps the derivation
+    # deterministic; NULLs excluded like the numeric gate
+    ref = spark.createDataFrame(
+        [("a",)] * 3 + [("c",)] * 2 + [("b",)] * 2 + [(None,)], "v string"
+    )
+    cur = spark.createDataFrame([("a",)], "v string")
+    rows = Q.drift_psi_categorical(ref, cur, "v", top_k=2).collect()
+    assert {r.category for r in rows} == {"a", "b", "__other__"}
+    assert sum(r.n_ref for r in rows) == 7  # null dropped
+
+
+def test_drift_psi_categorical_explicit_categories_and_validation(spark):
+    ref, cur = _cat_frames(spark)
+    rows = Q.drift_psi_categorical(
+        ref, cur, "lang", categories=["en", "zh"]
+    ).collect()
+    by = {r.category: r for r in rows}
+    assert set(by) == {"en", "zh", "__other__"}
+    assert by["zh"].n_ref == 0 and by["zh"].n_cur == 40
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="smoothing"):
+        Q.drift_psi_categorical(ref, cur, "lang", smoothing=0.0)
+    with _pt.raises(ValueError, match="non-empty"):
+        Q.drift_psi_categorical(ref, cur, "lang", categories=[])
+    with _pt.raises(ValueError, match="distinct"):
+        Q.drift_psi_categorical(ref, cur, "lang", categories=["a", "a"])
+    with _pt.raises(ValueError, match="reserved"):
+        Q.drift_psi_categorical(ref, cur, "lang", categories=["__other__"])
+    with _pt.raises(ValueError, match="top_k"):
+        Q.drift_psi_categorical(ref, cur, "lang", top_k=0)
+
+
+def test_cat_store_incremental_equals_two_frame(spark):
+    ref, cur = _cat_frames(spark)
+    cats = ["en", "de", "fr"]
+    a = ref.limit(40)
+    b = ref.exceptAll(a)  # the remaining 60 rows, multiplicity kept
+    table = "cat_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    r1 = Q.cat_hist_store_update(spark, table, a, "lang", cats)
+    r2 = Q.cat_hist_store_update(spark, table, b, "lang", cats)
+    assert r1["n"] == 40 and r2["n"] == 100
+    got = Q.drift_psi_categorical_from_store(spark, table, cur).collect()
+    want = Q.drift_psi_categorical(ref, cur, "lang", categories=cats).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # stamp guards: changed category set or column refuses to fold
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="refusing to fold"):
+        Q.cat_hist_store_update(spark, table, b, "lang", ["en", "de"])
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_multi_hist_store_equals_two_frame_multi(spark):
+    ref = spark.createDataFrame(
+        [(float(i % 50), float(i % 7)) for i in range(1000)], "v double, w double"
+    )
+    a = ref.filter(F.col("v") < 25)
+    b = ref.filter(F.col("v") >= 25)
+    cur = spark.createDataFrame(
+        [(float(i % 50) + 10.0, float(i % 3)) for i in range(500)],
+        "v double, w double",
+    )
+    specs = {"v": (0.0, 50.0), "w": (0.0, 7.0)}
+    table = "multi_hist_store_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    r1 = Q.hist_store_update_multi(spark, table, a, specs, bins=10)
+    r2 = Q.hist_store_update_multi(spark, table, b, specs, bins=10)
+    assert r1["n"] == 500 and r2["n"] == 1000
+    got = Q.drift_psi_multi_from_store(spark, table, cur).collect()
+    want = Q.drift_psi_multi(ref, cur, specs, bins=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # changed bounds refuse to fold
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="refusing to fold"):
+        Q.hist_store_update_multi(spark, table, b, {"v": (0.0, 60.0), "w": (0.0, 7.0)}, bins=10)
+    with _pt.raises(ValueError, match="refusing to fold"):
+        Q.hist_store_update_multi(spark, table, b, {"v": (0.0, 50.0)}, bins=10)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_store_fold_recovers_from_orphan_staging_dir(spark):
+    """A fold that crashes INSIDE the staging write leaves an
+    uncataloged staging directory; the next fold must clear it instead
+    of failing LOCATION_ALREADY_EXISTS forever (io/store.py
+    staging_swap)."""
+    import os
+
+    table = "orphan_recovery_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, f"{table}__staging")
+    os.makedirs(orphan, exist_ok=True)
+    open(os.path.join(orphan, "junk"), "w").write("crashed fold leftovers")
+    df = spark.createDataFrame([(1.0,)] * 10, "v double")
+    r = Q.hist_store_update(spark, table, df, "v", bins=2, lo=0.0, hi=2.0)
+    assert r["n"] == 10
+    assert not os.path.exists(os.path.join(orphan, "junk"))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
