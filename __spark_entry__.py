@@ -1307,8 +1307,14 @@ def weighted_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = weighted_sample_merge(
         ka, kb, key_col="doc_id", k=2, stratum_col="source"
     )
+    # + 0.0 after the round: es_key = ln(u)/w is <= 0 and can round to
+    # -0.0 vs 0.0 engine-specifically (ORACLE.md rule 7; surfaced by
+    # the r9 -0.0-faithful harness at sf0.1)
     return merged.select(
-        "doc_id", "source", "n_chars", F.round("es_key", 6).alias("es_key")
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.round("es_key", 6) + F.lit(0.0)).alias("es_key"),
     )
 
 
@@ -1323,8 +1329,12 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = weighted_sample_topk(
         docs, "n_chars", "doc_id", k=2, stratum_col="source", salt="ws"
     )
+    # + 0.0: es_key <= 0 can round to -0.0 vs 0.0 (ORACLE.md rule 7)
     return out.select(
-        "doc_id", "source", "n_chars", F.round("es_key", 6).alias("es_key")
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.round("es_key", 6) + F.lit(0.0)).alias("es_key"),
     )
 
 
@@ -3815,7 +3825,8 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY source ORDER BY es DESC, doc_id ASC) AS rnk
                 FROM scored
             )
-            SELECT doc_id, source, n_chars, round(es, 6) AS es_key
+            SELECT doc_id, source, n_chars,
+                   round(es, 6) + 0.0 AS es_key
             FROM ranked WHERE rnk <= 2
         """,
         "split_documents": """
@@ -3951,7 +3962,8 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY source ORDER BY es DESC, doc_id ASC) AS rnk
                 FROM scored
             )
-            SELECT doc_id, source, n_chars, round(es, 6) AS es_key
+            SELECT doc_id, source, n_chars,
+                   round(es, 6) + 0.0 AS es_key
             FROM ranked WHERE rnk <= 2
         """,
         "bottomk_sample_docs": """

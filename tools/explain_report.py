@@ -57,8 +57,8 @@ SHOWCASE = [
     ("pack_materialize_docs", "pack materialization: one groupBy, in-buffer array_sort, no corpus window"),
     ("dedup_best_quality_docs", "best-per-cluster dedup: pair-sized ranking window -> broadcast anti join"),
     # round 8
-    ("shift_lag", "distributed global shift: quantile buckets -> per-bucket lag -> boundary-row broadcast join"),
-    ("interpolate_linear", "distributed global interpolate: per-bucket windows + cross-bucket edge carry"),
+    ("shift_lag", "distributed global shift: quantile buckets -> boundary rows ghost through the main exchange -> per-bucket lag"),
+    ("interpolate_linear", "distributed global interpolate: per-bucket windows (next-valid via DESC growing frame) + fused edge/offset carry"),
     ("rolling_1h", "distributed global rolling: fixed-width buckets -> ghost rows -> per-bucket range frame"),
     ("ivf_probe_partitioned", "on-disk IVF: cluster-partitioned store, probe prunes directories (PartitionFilters)"),
     ("ann_recall_report", "recall@k: broadcast query set, per-lane candidates, windowed top-k, ratio aggs"),
@@ -75,7 +75,9 @@ SHOWCASE = [
     ("hll_overlap_users_md5", "pairwise HLL overlap: register broadcast joins, union-max per pair, sketch-sized stages"),
     ("embedding_covariance_upper", "PCA covariance: constant-size moment partials, dim^2 reduce, broadcast assembly"),
     ("pca_label_summary", "PCA projection: literal components, zip_with dots, no Python and no Exchange pre-agg"),
+    ("pca_project_pinned", "pinned-component PCA projection: literal mean/components, JVM zip_with dots, map-only"),
     ("drift_psi_prices", "PSI drift: two scans fold to bins-row partials, broadcast spine joins, smoothed terms"),
+    ("drift_categorical_events", "categorical PSI: per-value partials -> top-k+other broadcast buckets -> smoothed terms"),
     ("drift_multi_lineitem", "k-column PSI in one scan per side: map-side (col,bin) explode, k*bins-row exchange"),
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
