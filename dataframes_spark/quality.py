@@ -862,11 +862,22 @@ def cat_hist_store_update(
         "\x1f".join(sorted(str(c) for c in categories)).encode()
     ).hexdigest()
     cats = spark.createDataFrame([(str(c),) for c in categories], "__v string")
-    batch = _categorical_counts(df, col, cats, "n").select(
-        "category",
-        "n",
-        F.lit(col).alias("col"),
-        F.lit(stamp).alias("cats_md5"),
+    # persist the FULL spine (every category + __other__, zeros
+    # included): the read side derives the category set from the store
+    # ROWS, so a category that happened to count 0 in every fold must
+    # not vanish and silently re-bucket future batches into __other__
+    spine = cats.select(F.col("__v").alias("category")).unionByName(
+        spark.createDataFrame([(OTHER_BUCKET,)], "category string")
+    )
+    batch = (
+        spine.join(F.broadcast(_categorical_counts(df, col, cats, "n")),
+                   "category", "left")
+        .select(
+            "category",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.lit(col).alias("col"),
+            F.lit(stamp).alias("cats_md5"),
+        )
     )
     # existence check, not a broad except: transient JVM errors must
     # propagate, never be read as "store absent" (history reset)

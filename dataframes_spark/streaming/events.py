@@ -470,3 +470,92 @@ def validate_each_batch(checks, on_fail: str = "raise", log=None, write=None):
             write(batch_df, epoch_id)
 
     return _apply
+
+
+def drift_gate_each_batch(
+    table: str,
+    col: str,
+    *,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    categories: list | None = None,
+    max_psi: float = 0.25,
+    on_fail: str = "raise",
+    update_store: bool = True,
+    log=None,
+    write=None,
+):
+    """Streaming drift gate: a ``foreachBatch`` callback that scores
+    every micro-batch's PSI against a persisted histogram store BEFORE
+    it lands anywhere — the continuously-ingesting pipeline's "did this
+    batch's distribution move?" check, in the stream.
+
+    Numeric mode (default) gates ``col`` against the store built by
+    `quality.hist_store_update`; ``lo``/``hi`` are REQUIRED (the store
+    stamps its binning, and a drifting per-batch min/max would change
+    the bins under the gate). Categorical mode (``categories=[...]``)
+    gates against the `quality.cat_hist_store_update` store — explicit
+    categories for the same reproducibility reason.
+
+    Per batch: if the store exists, compute the PSI and gate it
+    (``on_fail`` = ``"raise"`` stop the stream / ``"skip"`` withhold
+    the sink and the fold / ``"log"`` record and continue — the
+    `validate_each_batch` postures); a passing (or logged) batch is
+    written via ``write(batch_df, epoch_id)`` and, with
+    ``update_store=True``, FOLDED into the store so the reference
+    tracks the accepted corpus at O(batch) per epoch. The first batch
+    seeds an absent store and passes vacuously. ``log`` receives
+    ``(epoch_id, psi)`` for every failing batch.
+
+    The per-batch cost is the store idiom's: one scan of the batch
+    folding to a bins-row (or ≤ k+1-row) partial aggregate, a
+    bins-row read of the store, and the constant-size store swap —
+    nothing rescans history, so the gate's cost is independent of how
+    much the stream has already ingested."""
+    from dataframes_spark import quality as Q
+
+    if on_fail not in ("raise", "skip", "log"):
+        raise ValueError(f"on_fail must be raise|skip|log, got {on_fail}")
+    if on_fail == "skip" and write is None:
+        raise ValueError(
+            "on_fail='skip' needs a write callback to withhold; pass "
+            "write=, or use on_fail='log'/'raise'"
+        )
+    if categories is None and (lo is None or hi is None):
+        raise ValueError(
+            "numeric drift_gate_each_batch needs explicit lo/hi (the "
+            "store stamps its binning); pass categories=[...] for the "
+            "categorical gate"
+        )
+
+    def _fold(spark, batch_df) -> None:
+        if categories is not None:
+            Q.cat_hist_store_update(spark, table, batch_df, col, categories)
+        else:
+            Q.hist_store_update(spark, table, batch_df, col, bins=bins, lo=lo, hi=hi)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(table):
+            if categories is not None:
+                rep = Q.drift_psi_categorical_from_store(spark, table, batch_df)
+            else:
+                rep = Q.drift_psi_from_store(spark, table, batch_df)
+            psi = float(rep.agg(F.sum("psi_term")).first()[0] or 0.0)
+            if psi > max_psi:
+                if log is not None:
+                    log(epoch_id, psi)
+                if on_fail == "raise":
+                    raise ValueError(
+                        f"batch {epoch_id} drifted: PSI {psi:.6f} > "
+                        f"{max_psi} against store {table!r}"
+                    )
+                if on_fail == "skip":
+                    return
+        if write is not None:
+            write(batch_df, epoch_id)
+        if update_store:
+            _fold(spark, batch_df)
+
+    return _apply

@@ -417,6 +417,26 @@ def test_cat_store_incremental_equals_two_frame(spark):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_cat_store_keeps_zero_count_categories(spark):
+    """A stamped category that counts 0 in every fold must stay a store
+    ROW — the read side derives the category set from the rows, and a
+    vanished category would silently re-bucket future batches into
+    __other__."""
+    table = "cat_store_zero_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    batch = spark.createDataFrame([("en",)] * 10, "lang string")
+    Q.cat_hist_store_update(spark, table, batch, "lang", ["en", "zh"])
+    got = {r.category: r.n for r in spark.table(table).collect()}
+    assert got == {"en": 10, "zh": 0, "__other__": 0}
+    # a later zh-heavy batch is bucketed as zh (not __other__) by the
+    # store-backed gate
+    cur = spark.createDataFrame([("zh",)] * 10, "lang string")
+    rows = {r.category: r.n_cur for r in
+            Q.drift_psi_categorical_from_store(spark, table, cur).collect()}
+    assert rows["zh"] == 10 and rows["__other__"] == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_multi_hist_store_equals_two_frame_multi(spark):
     ref = spark.createDataFrame(
         [(float(i % 50), float(i % 7)) for i in range(1000)], "v double, w double"

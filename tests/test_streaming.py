@@ -512,3 +512,101 @@ def test_weighted_and_moment_stores_fold_stream_equals_batch(spark, tmp_path):
     assert np.allclose(inc["components"], one_shot["components"], atol=1e-9)
     for t in ("ws_stream_t", "mom_stream_t"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_drift_gate_each_batch_stream_equals_batch_and_gates(spark, tmp_path):
+    """The streaming drift gate folds every accepted micro-batch into
+    the persisted store exactly like the batch-side loop (stream ==
+    batch, the store law), passes stationary batches, and raises /
+    skips drifted ones."""
+    import uuid
+
+    from dataframes_spark import quality as Q
+
+    table = f"drift_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # two stationary files + one drifted file (values shifted up)
+    d = str(tmp_path / "drift_src")
+    b1 = spark.createDataFrame([(float(i % 10),) for i in range(200)], "v double")
+    b2 = spark.createDataFrame([(float(i % 10),) for i in range(200)], "v double")
+    b1.coalesce(1).write.mode("append").parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    written = []
+    src = dstream.stream_from_directory(spark, d, schema)
+    cb = dstream.drift_gate_each_batch(
+        table, "v", bins=5, lo=0.0, hi=10.0,
+        write=lambda df, e: written.append(df.count()),
+    )
+    q = (
+        src.writeStream.foreachBatch(cb)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(written) == 400  # both stationary batches accepted
+    # store == batch-side folds of the same two batches
+    t2 = f"{table}_batchside"
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    Q.hist_store_update(spark, t2, b1, "v", bins=5, lo=0.0, hi=10.0)
+    Q.hist_store_update(spark, t2, b2, "v", bins=5, lo=0.0, hi=10.0)
+    got = sorted(map(tuple, spark.table(table).collect()))
+    want = sorted(map(tuple, spark.table(t2).collect()))
+    assert got == want
+
+    # a drifted batch in raise mode stops the stream and does NOT fold
+    drifted = spark.createDataFrame([(9.5,)] * 300, "v double")
+    d2 = str(tmp_path / "drift_src2")
+    drifted.coalesce(1).write.parquet(d2)
+    n_before = spark.table(table).agg(F.sum("n")).first()[0]
+    src2 = dstream.stream_from_directory(spark, d2, schema)
+    psis = []
+    cb2 = dstream.drift_gate_each_batch(
+        table, "v", bins=5, lo=0.0, hi=10.0, log=lambda e, p: psis.append(p)
+    )
+    q2 = src2.writeStream.foreachBatch(cb2).trigger(availableNow=True).start()
+    with pytest.raises(Exception) as err:
+        q2.awaitTermination(120)
+    assert "drifted" in str(err.value)
+    assert psis and psis[0] > 0.25
+    assert spark.table(table).agg(F.sum("n")).first()[0] == n_before
+
+    # skip mode withholds the sink and the fold but keeps running
+    src3 = dstream.stream_from_directory(spark, d2, schema)
+    sunk = []
+    cb3 = dstream.drift_gate_each_batch(
+        table, "v", bins=5, lo=0.0, hi=10.0, on_fail="skip",
+        write=lambda df, e: sunk.append(df.count()),
+    )
+    q3 = src3.writeStream.foreachBatch(cb3).trigger(availableNow=True).start()
+    q3.awaitTermination(120)
+    assert sunk == [] and spark.table(table).agg(F.sum("n")).first()[0] == n_before
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_drift_gate_each_batch_categorical_and_validation(spark, tmp_path):
+    import uuid
+
+    table = f"drift_cat_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    d = str(tmp_path / "cat_src")
+    b1 = spark.createDataFrame([("en",)] * 80 + [("de",)] * 20, "lang string")
+    b1.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    src = dstream.stream_from_directory(spark, d, schema)
+    cb = dstream.drift_gate_each_batch(table, "lang", categories=["en", "de"])
+    q = src.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {r.category: r.n for r in spark.table(table).collect()}
+    assert got == {"en": 80, "de": 20, "__other__": 0}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    with pytest.raises(ValueError, match="lo/hi"):
+        dstream.drift_gate_each_batch("t", "v")
+    with pytest.raises(ValueError, match="on_fail"):
+        dstream.drift_gate_each_batch("t", "v", lo=0.0, hi=1.0, on_fail="x")
+    with pytest.raises(ValueError, match="withhold"):
+        dstream.drift_gate_each_batch("t", "v", lo=0.0, hi=1.0, on_fail="skip")
