@@ -485,3 +485,39 @@ def test_store_fold_recovers_from_orphan_staging_dir(spark):
     assert r["n"] == 10
     assert not os.path.exists(os.path.join(orphan, "junk"))
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# property: categorical PSI store law for any batch split
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    langs=st.lists(
+        st.sampled_from(["en", "de", "fr", "zh", "pl"]),
+        min_size=2,
+        max_size=60,
+    ),
+    cut=st.integers(min_value=1, max_value=59),
+)
+def test_cat_store_fold_law_any_split(spark, langs, cut):
+    """Folding any 2-way split of a batch stream into the category
+    store equals one fold of the union — counts are sums, so the
+    law is exact for every split point and category mix."""
+    import uuid
+
+    cut = min(cut, len(langs) - 1)
+    cats = ["en", "de", "fr"]
+    df = spark.createDataFrame([(v,) for v in langs], "lang string")
+    a = spark.createDataFrame([(v,) for v in langs[:cut]], "lang string")
+    b = spark.createDataFrame([(v,) for v in langs[cut:]], "lang string")
+    t1 = f"cat_law_{uuid.uuid4().hex[:8]}"
+    t2 = f"{t1}_whole"
+    Q.cat_hist_store_update(spark, t1, a, "lang", cats)
+    Q.cat_hist_store_update(spark, t1, b, "lang", cats)
+    Q.cat_hist_store_update(spark, t2, df, "lang", cats)
+    got = sorted(map(tuple, spark.table(t1).collect()))
+    want = sorted(map(tuple, spark.table(t2).collect()))
+    spark.sql(f"DROP TABLE IF EXISTS {t1}")
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    assert got == want
