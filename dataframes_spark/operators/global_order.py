@@ -157,6 +157,98 @@ def _with_positions(
     )
 
 
+def _with_edge_ghosts(
+    df: DataFrame,
+    bdf: DataFrame,
+    order_by: str,
+    col: str,
+    k: int,
+    forward: bool = False,
+) -> DataFrame:
+    """Union ``bdf`` (bucketized ``df``) with ghost copies of the k data
+    rows adjacent to each bucket's edge — the boundary exchange shared
+    by the positional operators (trailing-row windows, lag/lead),
+    WITHOUT a global-offsets pass over the data.
+
+    The k rows preceding a bucket span at most k non-empty buckets, so:
+    per bucket, the last (first, when ``forward``) ``min(k, count)``
+    rows fold into ONE sorted tail array (a filter + groupBy sharing
+    the main plan's bucket exchange — the candidates are identified by
+    ``row_number``/``count`` windows, never a separate offsets
+    aggregation); the carry for each bucket is the flattened
+    concatenation of the ≤ k neighbouring tails sliced to its last
+    (first) k elements — bucket-cardinality work, ≤ k² carried structs
+    per bucket; the carried rows explode back as ghosts (order key +
+    local rank + ``col``; every other column NULL — aggregates only
+    ever read ``col``, and ghost output rows drop).
+
+    Exact for ANY bucket population (empty buckets contribute no tail
+    and no output; tiny buckets chain through the multi-tail flatten).
+    Ghost keys are strictly outside the target bucket's key range
+    (equal keys colocate), so ordering by ``(order, __go_lrn)`` places
+    every ghost before (after) all real rows deterministically; within
+    a tie group the row_number resolution is arbitrary-but-valid, the
+    same contract as a single-partition sort."""
+    order = F.col(order_by)
+    w_asc = W.partitionBy("__go_b").orderBy(order)
+    w_all = W.partitionBy("__go_b").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    pdf = bdf.withColumn("__go_lrn", F.row_number().over(w_asc)).withColumn(
+        "__go_cnt", F.count(F.lit(1)).over(w_all)
+    )
+    if forward:
+        cand = pdf.filter(F.col("__go_lrn") <= k)
+    else:
+        cand = pdf.filter(F.col("__go_lrn") > F.col("__go_cnt") - k)
+    tails = cand.groupBy("__go_b").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    order.alias("o"),
+                    F.col("__go_lrn").alias("l"),
+                    F.col(col).alias("v"),
+                )
+            )
+        ).alias("__t")
+    )
+    if forward:
+        wk = W.orderBy("__go_b").rowsBetween(1, k)
+        flat = F.flatten(F.collect_list("__t").over(wk))
+        carry = F.slice(flat, 1, k)
+    else:
+        wk = W.orderBy("__go_b").rowsBetween(-k, -1)
+        flat = F.flatten(F.collect_list("__t").over(wk))
+        carry = F.slice(
+            flat,
+            F.greatest(F.size(flat) - F.lit(k) + 1, F.lit(1)),
+            F.lit(k),
+        )
+    carried = tails.select("__go_b", carry.alias("__go_carry"))
+    dtypes = dict(df.dtypes)
+    gcols = []
+    for c in df.columns:
+        if c == col:
+            gcols.append(F.col("__g.v").alias(c))
+        elif c == order_by:
+            gcols.append(F.col("__g.o").alias(c))
+        else:
+            gcols.append(F.lit(None).cast(dtypes[c]).alias(c))
+    ghosts = carried.select(
+        "__go_b", F.explode("__go_carry").alias("__g")
+    ).select(
+        *gcols,
+        F.col("__go_b"),
+        F.col("__g.l").alias("__go_lrn"),
+        F.lit(1).alias("__go_ghost"),
+    )
+    return (
+        pdf.drop("__go_cnt")
+        .withColumn("__go_ghost", F.lit(0))
+        .unionByName(ghosts)
+    )
+
+
 def shift_global(
     df: DataFrame,
     col: str,
@@ -164,52 +256,20 @@ def shift_global(
     order_by: str,
     n_buckets: int | None = None,
 ) -> DataFrame:
-    """Partition-free lag/lead WITHOUT a single-reducer sort. The k rows
-    at the global positions immediately adjacent to each bucket's edge
-    ghost into the neighbouring bucket (exact, via the broadcast offsets
-    relation — a ghost may come from several buckets over when buckets
-    are tiny), one per-bucket lag/lead over reals+ghosts sees exactly
-    the rows a global window would, ghost rows drop. One aggregation
-    stage fewer than the old export-join formulation (the exports
-    relation needed its own broadcast materialization re-deriving the
-    whole positioned lineage; the ghost branch shares the main plan's
-    exchange) — measured 1.07 s -> 0.62 s on sf0.1 events, identical
-    output."""
+    """Partition-free lag/lead WITHOUT a single-reducer sort: the k rows
+    adjacent to each bucket edge ghost into the neighbouring bucket
+    through the tail-carry exchange (`_with_edge_ghosts` — no offsets
+    pass, two data consumers of one bucket exchange), one per-bucket
+    lag/lead over reals+ghosts sees exactly the rows a global window
+    would, ghost rows drop."""
     k = abs(periods)
     if k == 0:
         return df.withColumn(f"{col}_shift_0", F.col(col))
     n = n_buckets or default_buckets(df)
     order = F.col(order_by)
-    bdf, offsets = _with_positions(_bucketize_quantile(df, order, n), order)
-
-    if periods > 0:  # lag: ghosts = last k positions before bucket start
-        targets = offsets.select(
-            F.col("__go_b").alias("__go_tb"),
-            F.col("__go_off").alias("__go_tlo"),
-            (F.col("__go_off") + k).alias("__go_thi"),
-        )
-        ghost_cond = (F.col("__go_pos") > F.col("__go_tlo") - k) & (
-            F.col("__go_pos") <= F.col("__go_tlo")
-        )
-    else:  # lead: ghosts = first k positions after bucket end
-        targets = offsets.select(
-            F.col("__go_b").alias("__go_tb"),
-            (F.col("__go_off") + F.col("__go_cnt")).alias("__go_tend"),
-        )
-        ghost_cond = (F.col("__go_pos") > F.col("__go_tend")) & (
-            F.col("__go_pos") <= F.col("__go_tend") + k
-        )
-    ghosts = (
-        bdf.join(F.broadcast(targets), ghost_cond)
-        .withColumn("__go_b", F.col("__go_tb"))
-        .drop("__go_tb", "__go_tlo", "__go_thi", "__go_tend")
-        .withColumn("__go_ghost", F.lit(1))
-    )
-    union = bdf.withColumn("__go_ghost", F.lit(0)).unionByName(ghosts)
-    # order by the (unique, total) global position: ghosts are exactly
-    # the k positions adjacent to the bucket edge, so every real row's
-    # lag/lead target is present in its bucket
-    w = W.partitionBy("__go_b").orderBy("__go_pos")
+    bdf = _bucketize_quantile(df, order, n)
+    union = _with_edge_ghosts(df, bdf, order_by, col, k, forward=periods < 0)
+    w = W.partitionBy("__go_b").orderBy(order, "__go_lrn")
     local = (
         F.lag(col, periods).over(w)
         if periods > 0
@@ -402,35 +462,24 @@ def rolling_rows_global(
     order_by: str,
     n_buckets: int | None = None,
 ) -> DataFrame:
-    """Partition-free trailing n-row window. Quantile buckets + global
-    positions; the n-1 rows at the global positions immediately before
-    each bucket's start ghost into that bucket (exact, via the broadcast
-    offsets relation — a ghost may come from several buckets back when
-    buckets are tiny), the per-bucket row frame aggregates reals+ghosts,
-    ghost rows drop."""
+    """Partition-free trailing n-row window. Quantile buckets; the n-1
+    rows immediately before each bucket's start ghost into it through
+    the tail-carry exchange (`_with_edge_ghosts` — exact for any bucket
+    population, no offsets pass over the data), the per-bucket row
+    frame aggregates reals+ghosts, ghost rows drop."""
     n = n_buckets or default_buckets(df)
     order = F.col(order_by)
-    bdf, offsets = _with_positions(_bucketize_quantile(df, order, n), order)
+    bdf = _bucketize_quantile(df, order, n)
+    union = _with_edge_ghosts(df, bdf, order_by, col, n_rows - 1)
 
-    targets = offsets.select(
-        F.col("__go_b").alias("__go_tb"), F.col("__go_off").alias("__go_toff")
+    # ghosts are exactly the (at most) n-1 data rows preceding the
+    # bucket in global (order, local-rank) order, so each real row's
+    # trailing frame is complete and nothing else precedes it
+    w = (
+        W.partitionBy("__go_b")
+        .orderBy(order, "__go_lrn")
+        .rowsBetween(-(n_rows - 1), 0)
     )
-    ghosts = (
-        bdf.join(
-            F.broadcast(targets),
-            (F.col("__go_pos") > F.col("__go_toff") - n_rows)
-            & (F.col("__go_pos") <= F.col("__go_toff")),
-        )
-        .withColumn("__go_b", F.col("__go_tb"))
-        .drop("__go_tb", "__go_toff")
-        .withColumn("__go_ghost", F.lit(1))
-    )
-    union = bdf.withColumn("__go_ghost", F.lit(0)).unionByName(ghosts)
-
-    # order by the (unique, total) global position: ghosts are exactly
-    # the contiguous positions ending at the bucket's start, so each real
-    # row's trailing n-1 rows are present and nothing else precedes it
-    w = W.partitionBy("__go_b").orderBy("__go_pos").rowsBetween(-(n_rows - 1), 0)
     exprs = [build_aggregate(fn, col, wrap=lambda e, f=w: e.over(f)) for fn in fns]
     agg_names = [f"{col}_{fn.lower()}" for fn in fns]
     return (

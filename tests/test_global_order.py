@@ -195,3 +195,70 @@ def test_string_order_key_falls_back(spark):
     out = dwindow.shift(df, "v", 1, "k")
     got = {r["k"]: r["v_shift_1"] for r in out.collect()}
     assert got["a"] is None and got["b"] == 0.0 and got["e"] == 3.0
+
+
+def test_edge_ghost_lane_adversarial_bucket_populations(spark):
+    """The tail-carry boundary exchange (r9: _with_edge_ghosts replaces
+    the offsets pass) must equal the single-partition window for ANY
+    bucket count — more buckets than rows, duplicate-key quantile
+    collapse, nulls in the value column, frames spanning several tiny
+    buckets, lag and lead."""
+    from pyspark.sql import Window as W
+
+    from dataframes_spark.operators.global_order import (
+        rolling_rows_global,
+        shift_global,
+    )
+
+    rows = [(i, float(i % 5) if i % 7 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v double")
+
+    def truth_shift(p):
+        w = W.orderBy("k")
+        e = F.lag("v", p).over(w) if p > 0 else F.lead("v", -p).over(w)
+        return {r.k: r.s for r in df.withColumn("s", e).collect()}
+
+    def truth_roll(n):
+        # single-partition truth with the SAME reference aggregate
+        # semantics (all-null-frame sum = 0.0, length counts nulls)
+        from dataframes_spark.operators.aggregate import build_aggregate
+
+        w = W.orderBy("k").rowsBetween(-(n - 1), 0)
+        s = build_aggregate("sum", "v", wrap=lambda e: e.over(w)).alias("v_sum")
+        c = build_aggregate("length", "v", wrap=lambda e: e.over(w)).alias(
+            "v_length"
+        )
+        return {r.k: (r.v_sum, r.v_length) for r in df.select("k", s, c).collect()}
+
+    for nb in (2, 7, 300):  # 300 buckets over 200 rows: most are empty
+        for p in (1, 3, -2):
+            got = {
+                r.k: r[f"v_shift_{p}"]
+                for r in shift_global(df, "v", p, "k", n_buckets=nb).collect()
+            }
+            assert got == truth_shift(p), (nb, p)
+        for n in (1, 5, 150):  # 150-row frame chains through many buckets
+            got = {
+                r.k: (r.v_sum, r.v_length)
+                for r in rolling_rows_global(
+                    df, "v", n, ["sum", "length"], "k", n_buckets=nb
+                ).collect()
+            }
+            for k, (ws, wc) in truth_roll(n).items():
+                gs, gc = got[k]
+                assert gc == wc, (nb, n, k)
+                assert (gs is None) == (ws is None), (nb, n, k)
+                if gs is not None:
+                    assert abs(gs - ws) < 1e-9, (nb, n, k)
+
+    # 94% duplicate keys: quantile boundaries collapse to one value and
+    # most buckets are empty; count frames are tie-order independent
+    rows2 = [(5, float(i)) for i in range(50)] + [(1, 0.5), (9, 2.5), (9, 3.5)]
+    df2 = spark.createDataFrame(rows2, "k long, v double")
+    w10 = W.orderBy("k").rowsBetween(-9, 0)
+    want = sorted(
+        r.c for r in df2.select(F.count(F.lit(1)).over(w10).alias("c")).collect()
+    )
+    for nb in (2, 40):
+        out = rolling_rows_global(df2, "v", 10, ["length"], "k", n_buckets=nb).collect()
+        assert sorted(int(r.v_length) for r in out) == [int(x) for x in want], nb
