@@ -1525,6 +1525,47 @@ def ivf_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def pq_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with PINNED codebooks
+    (operators/similarity.py pq_encode + pq_topk — the billion-scale
+    IVF+PQ recipe's compression half): the k-means fit is inherently
+    un-oracle-able, but given fixed codebooks — subspace j's centroids
+    = the unit-normalized slice-j subvectors of vec_ids 1..8, a
+    deterministic data-derived choice both engines can make — encoding
+    (per-subspace argmin, lowest-index ties) and ADC scoring (m
+    literal-lookup-table reads added in subspace order) are exact
+    relational algebra, so the whole code path hash-verifies. m=4
+    subspaces of 16 dims, k=8 codes; query = vec_id 0; top-10 by
+    ascending ADC distance (on unit vectors squared L2 ranks exactly
+    like cosine)."""
+    from dataframes_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = (
+        emb.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    import math as _math
+
+    def unit(v):
+        v = [float(x) for x in v]
+        n = _math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    units = [unit(r.embedding) for r in src]
+    m, d_sub = 4, 16
+    codebooks = [
+        [u[j * d_sub : (j + 1) * d_sub] for u in units] for j in range(m)
+    ]
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") > 8)
+    enc = pq_encode(corpus, "embedding", codebooks)
+    out = pq_topk(enc, "vec_id", codebooks, q, k=10)
+    return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
 def ivf_probe_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe against a CLUSTER-PARTITIONED on-disk index
     (operators/similarity.py ivf_write_partitioned + ivf_topk_partitioned):
@@ -2690,6 +2731,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_multi_lineitem": drift_multi_lineitem,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "ann_recall_report": ann_recall_report,
+        # -- round 9 (new): product quantization — the IVF+PQ recipe's
+        #    compression half (dim floats -> m codes; ADC scoring reads
+        #    only codes + a literal lookup table). Pinned codebooks make
+        #    encode+score exact relational algebra (the ivf_probe_pinned
+        #    pattern). lsh_buckets_md5 (green r5-r8) rotates below; the
+        #    ANN family keeps three in-window rows (ivf_probe_pinned,
+        #    ivf_probe_partitioned, ann_recall_report).
+        "pq_probe_pinned": pq_probe_pinned,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -2707,7 +2756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- entered the window round 5 (rotation promise + new queries)
         "chunk_documents": chunk_documents,
         "decontaminate_docs": decontaminate_docs,
-        "lsh_buckets_md5": lsh_buckets_md5,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "salted_agg_events": salted_agg_events,
         "split_documents": split_documents,
@@ -2897,6 +2945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r5-r8) to make room for drift_categorical_events; its md5
         # lanes stay verified in-window by minhash_lsh_pairs_md5
         "minhash_signatures_md5": minhash_signatures_md5,
+        # round 9: rotated below (green r5-r8) to make room for
+        # pq_probe_pinned; the hyperplane-bucket family stays verified
+        # in-window via minhash_lsh_pairs_md5 + the ANN rows
+        "lsh_buckets_md5": lsh_buckets_md5,
         # round 8: rotated below after 3 consecutive green rounds
         # (r5-r7) to make room for funnel_events + cohort_retention_daily
         # + zorder_roundtrip_agg; winsorize_prices' quantile-stats family
@@ -4961,6 +5013,78 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CASE WHEN k = 3 THEN pc END), 6) + 0.0 AS pc3,
                    round(max(CASE WHEN k = 4 THEN pc END), 6) + 0.0 AS pc4
             FROM proj GROUP BY vec_id, label ORDER BY vec_id
+        """,
+        # pinned-codebook PQ: subspace j's 8 centroids = unit slice-j
+        # subvectors of vec_ids 1..8 (code = source vec_id, so the
+        # lowest-index argmin tie rule matches array_position); encode
+        # = per-(vec, subspace) argmin of the squared-L2 fold, ADC =
+        # the 4 lookup terms added in subspace order (left-assoc, the
+        # exact Spark expression shape)
+        "pq_probe_pinned": """
+            WITH srcs AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+            ), units AS (
+                SELECT vec_id AS code, list_transform(v, x -> x / n) AS uv
+                FROM (SELECT vec_id, v,
+                             sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+                      FROM srcs)
+            ), spaces AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            cbs AS (
+                SELECT s.j, u.code,
+                       list_slice(u.uv, s.j * 16 + 1, s.j * 16 + 16) AS cv
+                FROM units u CROSS JOIN spaces s
+            ), qu AS (
+                SELECT list_transform(v, x -> x / n) AS uv
+                FROM (SELECT v,
+                             sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+                      FROM (SELECT list_transform(embedding,
+                                   x -> CAST(x AS DOUBLE)) AS v
+                            FROM embeddings WHERE vec_id = 0))
+            ), corp AS (
+                SELECT vec_id, list_transform(v, x -> x / n) AS uv
+                FROM (SELECT vec_id, v,
+                             sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+                      FROM (SELECT vec_id,
+                                   list_transform(embedding,
+                                       x -> CAST(x AS DOUBLE)) AS v
+                            FROM embeddings WHERE vec_id > 8))
+            ), dists AS (
+                SELECT c.vec_id, b.j, b.code,
+                       list_sum(list_transform(range(1, 17),
+                           i -> (c.uv[CAST(b.j * 16 + i AS INT)]
+                               - b.cv[CAST(i AS INT)])
+                              * (c.uv[CAST(b.j * 16 + i AS INT)]
+                               - b.cv[CAST(i AS INT)]))) AS d2
+                FROM corp c CROSS JOIN cbs b
+            ), codes AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC
+                    ) AS rn FROM dists) WHERE rn = 1
+            ), qsubs AS (
+                SELECT s.j, list_slice(q.uv, s.j * 16 + 1, s.j * 16 + 16) AS qv
+                FROM qu q CROSS JOIN spaces s
+            ), lut AS (
+                SELECT b.j, b.code,
+                       list_sum(list_transform(range(1, 17),
+                           i -> (q.qv[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
+                              * (q.qv[CAST(i AS INT)] - b.cv[CAST(i AS INT)])))
+                       AS ld
+                FROM cbs b JOIN qsubs q ON b.j = q.j
+            ), scored AS (
+                SELECT c.vec_id,
+                       max(CASE WHEN c.j = 0 THEN l.ld END) AS l0,
+                       max(CASE WHEN c.j = 1 THEN l.ld END) AS l1,
+                       max(CASE WHEN c.j = 2 THEN l.ld END) AS l2,
+                       max(CASE WHEN c.j = 3 THEN l.ld END) AS l3
+                FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+                GROUP BY c.vec_id
+            )
+            SELECT vec_id, round(((l0 + l1) + l2) + l3, 6) AS adc_dist
+            FROM scored
+            ORDER BY ((l0 + l1) + l2) + l3 ASC, vec_id ASC LIMIT 10
         """,
         "ivf_probe_pinned": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

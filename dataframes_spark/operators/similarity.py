@@ -525,3 +525,161 @@ def recall_report(
         ).select("a.__cid", "a.__cvec", "a.__cnrm", "p.__qid", "p.__qvec", "p.__qnrm")
         report = report.unionByName(recall_of(topk(ivf_cands), "ivf_nprobe"))
     return report
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN codes
+# --------------------------------------------------------------------------
+#
+# The billion-scale half of the classic IVF+PQ recipe (Jégou, Douze,
+# Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+# 2011; FAISS IndexIVFPQ is the reference implementation): split the
+# dim-d unit vector into m contiguous subspaces, k-means each subspace
+# to k centroids (the codebooks — m * k * (dim/m) floats, driver-tiny),
+# and store each vector as its m argmin centroid indices — dim floats
+# compress to m small ints, so a 100 TB float corpus becomes a few TB
+# of codes that scan far faster than the vectors. Queries score codes
+# by Asymmetric Distance Computation (ADC): one m x k lookup table of
+# query-subvector-to-centroid distances, computed driver-side and
+# shipped as plan literals, turns per-row scoring into m array lookups
+# + adds — pure JVM expressions, no vectors touched at query time.
+# Vectors are unit-normalized first, so squared-L2 ADC ranks exactly
+# like cosine (||a-b||^2 = 2 - 2 cos on the unit sphere).
+
+
+def _pq_subspaces(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    return dim // m
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    fit_sample_rows: int = 4096,
+    iters: int = 20,
+) -> list:
+    """Fit PQ codebooks: per-subspace Lloyd k-means on a DETERMINISTIC
+    content-hash sample (the `ivf_build` sampling rationale — codebook
+    quality saturates long before corpus size, and a hash sample picks
+    the same rows on any partitioning or rerun). The driver-side fit is
+    the sanctioned small closing step (sample_rows x dim floats, like
+    the OLS normal equations / PCA eigh); init takes the first k
+    sample subvectors in md5-of-id order (deterministic, no RNG state),
+    ties in assignment break to the lowest centroid index. Returns
+    ``codebooks``: m lists of k centroids of dim/m doubles."""
+    import numpy as np
+
+    d_sub = _pq_subspaces(dim, m)
+    if k < 1 or m < 1:
+        raise ValueError(f"need m >= 1, k >= 1, got m={m}, k={k}")
+    sample = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"/pq{seed}")))
+            .alias("__h"),
+            _unit(
+                F.transform(F.col(vec_col), lambda v: v.cast("double"))
+            ).alias("__v"),
+        )
+        .orderBy("__h")
+        .limit(int(fit_sample_rows))
+        .collect()
+    )
+    if len(sample) < k:
+        raise ValueError(
+            f"pq_fit needs at least k={k} vectors, got {len(sample)}"
+        )
+    x = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+    codebooks = []
+    for j in range(m):
+        sub = x[:, j * d_sub : (j + 1) * d_sub]
+        cents = sub[:k].copy()  # first-k-by-hash-order init
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest index
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        codebooks.append([[float(v) for v in c] for c in cents])
+    return codebooks
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
+    """Append ``pq_code`` (array<int>, length m): each subspace's argmin
+    centroid under squared L2 on the unit-normalized vector. Map-only
+    JVM expressions — per subspace, k literal-centroid distance folds
+    and a first-match argmin (``array_position`` of the min — the same
+    lowest-index tie rule as the fit). At corpus scale this is the
+    write-time pass that shrinks dim floats to m codes."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    u = _unit(F.transform(F.col(vec_col), lambda v: v.cast("double")))
+    out = df.withColumn("__pq_u", u)
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col("__pq_u"), j * d_sub + 1, d_sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(v)) for v in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for cent in book
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return out.withColumn("pq_code", F.array(*codes)).drop("__pq_u")
+
+
+def pq_topk(
+    encoded: DataFrame,
+    id_col: str,
+    codebooks: list,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over PQ codes: the m x k table of query-subvector-to-
+    centroid squared distances is computed DRIVER-SIDE (tiny) and rides
+    into the plan as literal arrays; each row's approximate distance is
+    m ``element_at`` lookups added in subspace order — no vector column
+    is read, so the scan is as narrow as the codes. Ascending distance,
+    id tiebreak, TakeOrdered heap."""
+    import math as _math
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    q = [float(x) for x in query]
+    qn = _math.sqrt(sum(v * v for v in q)) or 1.0
+    qu = [v / qn for v in q]
+    luts = []
+    for j, book in enumerate(codebooks):
+        qs = qu[j * d_sub : (j + 1) * d_sub]
+        luts.append(
+            [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
+        )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in luts[j]]),
+            F.element_at(F.col("pq_code"), j + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        encoded.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -76,6 +76,7 @@ SHOWCASE = [
     ("embedding_covariance_upper", "PCA covariance: constant-size moment partials, dim^2 reduce, broadcast assembly"),
     ("pca_label_summary", "PCA projection: literal components, zip_with dots, no Python and no Exchange pre-agg"),
     ("pca_project_pinned", "pinned-component PCA projection: literal mean/components, JVM zip_with dots, map-only"),
+    ("pq_probe_pinned", "PQ ANN: literal codebooks, argmin encode + ADC lookup adds, no vector read at query"),
     ("drift_psi_prices", "PSI drift: two scans fold to bins-row partials, broadcast spine joins, smoothed terms"),
     ("drift_categorical_events", "categorical PSI: per-value partials -> top-k+other broadcast buckets -> smoothed terms"),
     ("drift_multi_lineitem", "k-column PSI in one scan per side: map-side (col,bin) explode, k*bins-row exchange"),
