@@ -683,3 +683,65 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_write_partitioned(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    centers: list,
+    codebooks: list,
+    files_per_partition: int = 1,
+    keep_vectors: bool = False,
+    **options,
+) -> None:
+    """Materialize the full IVF+PQ index: vectors assigned to their
+    nearest pinned centroid (`ivf_assign`), PQ-encoded (`pq_encode`),
+    and written cluster-partitioned WITHOUT the vector column (unless
+    ``keep_vectors`` — e.g. for a re-rank stage). This is the classic
+    billion-scale layout: a probe prunes whole cluster directories at
+    planning time AND the surviving scan reads m small ints per row
+    instead of dim floats — the two compressions multiply, so a
+    nprobe/n_clusters probe over codes touches a tiny fraction of the
+    bytes the raw corpus occupies."""
+    assigned = pq_encode(ivf_assign(df, vec_col, centers), vec_col, codebooks)
+    cols = [id_col, "cluster", "pq_code"] + ([vec_col] if keep_vectors else [])
+    ivf_write_partitioned(
+        assigned.select(*cols),
+        path,
+        files_per_partition=files_per_partition,
+        **options,
+    )
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    centers: list,
+    codebooks: list,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe an `ivfpq_write_partitioned` store: rank centroids against
+    the query driver-side, filter to the ``nprobe`` best clusters (hive
+    partition pruning — only those directories are listed or read),
+    then ADC-score the surviving codes (`pq_topk` — m lookup adds per
+    row, no vector bytes anywhere). Returns ``(id, adc_dist)``
+    ascending; on unit vectors ADC squared-L2 ranks like cosine, so the
+    result is directly comparable to the exact/IVF cosine lanes (e.g.
+    for a recall_report-style audit or a keep_vectors re-rank)."""
+    q = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+
+    def cos_to_query(center: list) -> float:
+        cn = math.sqrt(sum(x * x for x in center)) or 1.0
+        return sum(a * b for a, b in zip(center, q)) / (cn * qn)
+
+    probes = sorted(
+        range(len(centers)), key=lambda i: -cos_to_query(centers[i])
+    )[:nprobe]
+    store = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
+    return pq_topk(store, id_col, codebooks, q, k=k)

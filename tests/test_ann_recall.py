@@ -135,3 +135,60 @@ def test_pq_adc_recall_tracks_code_budget(spark):
     assert fine >= 0.7 and coarse >= 0.4
     assert fine >= coarse
     assert recall(16, 32, 10) >= 0.3  # measured 0.5
+
+
+def test_ivfpq_partitioned_store_prunes_and_scores(spark, tmp_path):
+    """The combined IVF+PQ store: cluster directories prune at planning
+    time (PartitionFilters on the scan), the stored rows carry codes
+    (m ints) instead of vectors, and the probe's ADC result equals
+    pq_topk restricted to the probed clusters."""
+    import re
+
+    from dataframes_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        ivfpq_write_partitioned,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb, corpus, q = _pq_setup(spark)
+    centers = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").between(1, 4))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    books = pq_fit(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_partitioned(corpus, path, "embedding", "vec_id", centers, books)
+
+    store = spark.read.parquet(path)
+    assert set(store.columns) == {"vec_id", "pq_code", "cluster"}  # no vectors
+
+    out = ivfpq_topk(spark, path, centers, books, "vec_id", q, k=10, nprobe=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "cluster" in m.group(1)  # directories pruned at planning
+
+    # equals pq_topk over the probed clusters of the in-memory encode
+    assigned = pq_encode(ivf_assign(corpus, "embedding", centers), "embedding", books)
+    got = [(r.vec_id, round(r.adc_dist, 9)) for r in out.collect()]
+    # recompute expected from the unpartitioned lane
+    import math as _math
+
+    qn = _math.sqrt(sum(float(x) ** 2 for x in q)) or 1.0
+
+    def cosq(c):
+        cn = _math.sqrt(sum(v * v for v in c)) or 1.0
+        return sum(a * float(b) for a, b in zip(c, q)) / (cn * qn)
+
+    probes = sorted(range(len(centers)), key=lambda i: -cosq(centers[i]))[:2]
+    want = [
+        (r.vec_id, round(r.adc_dist, 9))
+        for r in pq_topk(
+            assigned.filter(F.col("cluster").isin(probes)), "vec_id", books, q, k=10
+        ).collect()
+    ]
+    assert got == want
