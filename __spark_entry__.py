@@ -2569,6 +2569,25 @@ def strip_repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level duplicated-span report (operators/dedup.py
+    duplicate_spans): maximal runs of >=8 whitespace tokens shared
+    verbatim (case-folded) across >=2 documents — the window-hash scale
+    form of ExactSubstr training-data dedup (Lee et al. 2022)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddedup.duplicate_spans(docs, "text", "doc_id", n=8, min_docs=2)
+
+
+def strip_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level duplicated-span rewrite (operators/dedup.py
+    strip_duplicate_spans): every document with its cross-document
+    duplicated token spans cut out, surviving tokens rejoined."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddedup.strip_duplicate_spans(
+        docs, "text", "doc_id", n=8, min_docs=2
+    ).select("doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2739,6 +2758,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ANN family keeps three in-window rows (ivf_probe_pinned,
         #    ivf_probe_partitioned, ann_recall_report).
         "pq_probe_pinned": pq_probe_pinned,
+        # -- round 9 (new, second batch): token-level duplicated-span
+        #    dedup — the ExactSubstr pass of Lee et al. 2022 in its
+        #    window-hash form (report + rewrite, both hash-verified
+        #    against a term-for-term DuckDB replay). To keep the window
+        #    at 50, jsonl_roundtrip_agg and orc_roundtrip_agg (both
+        #    driver-green r8) rotate below; the distributed-source
+        #    family stays in-window via read_text_csv_agg and
+        #    zorder_roundtrip_agg.
+        "dup_spans_docs": dup_spans_docs,
+        "strip_dup_spans_docs": strip_dup_spans_docs,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -2840,8 +2869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     resample_events_hourly;
         #   json_props_rollup -> JSON parsing stays via
         #     jsonl_roundtrip_agg (the distributed json source lane).
-        "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
-        "orc_roundtrip_agg": orc_roundtrip_agg,
         "dedup_incremental_docs": dedup_incremental_docs,
         "quality_report_lineitem": quality_report_lineitem,
         "embedding_near_dup_clusters": embedding_near_dup_clusters,
@@ -2858,6 +2885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
+        # jsonl/orc roundtrips rotated below in round 9 (driver-green
+        # r8) to admit the duplicated-span dedup pair.
+        "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
+        "orc_roundtrip_agg": orc_roundtrip_agg,
         "ols_price_qty": ols_price_qty,
         "resample_events_hourly": resample_events_hourly,
         "mix_corpus_sources": mix_corpus_sources,
@@ -3685,6 +3716,105 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(a.text, '') AS text
             FROM (SELECT DISTINCT doc_id FROM docs) d
+            LEFT JOIN agg a USING (doc_id)
+        """,
+        "dup_spans_docs": """
+            -- term-for-term replay of the window-hash span pass:
+            -- identical tokenization (trim + split on \\s+), identical
+            -- window hash (md5 of the lowercased 8-token slice joined
+            -- on chr(31)), identical merge rule (windows <= 8 apart
+            -- coalesce), CAST per ORACLE.md rule 3/8.
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(coalesce(text, '')), '\\s+') AS rt
+                FROM documents
+            ), w AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       md5(array_to_string(
+                           list_transform(rt[i : i + 7], t -> lower(t)),
+                           chr(31))) AS wh
+                FROM d, LATERAL (
+                    SELECT unnest(generate_series(1, len(rt) - 7)) AS i)
+                WHERE len(rt) >= 8
+            ), dup AS (
+                SELECT wh FROM w GROUP BY wh
+                HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM w
+                WHERE wh IN (SELECT wh FROM dup)
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos) <= 8
+                            THEN 0 ELSE 1 END AS brk
+                FROM hits
+            ), s AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER
+                           (PARTITION BY doc_id ORDER BY pos) AS sid
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM s GROUP BY doc_id, sid
+        """,
+        "strip_dup_spans_docs": """
+            -- same span relation as dup_spans_docs, then the rewrite:
+            -- tokens covered by no span survive (raw casing), rejoined
+            -- on single spaces; all-duplicate docs keep empty text.
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(coalesce(text, '')), '\\s+') AS rt
+                FROM documents
+            ), w AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       md5(array_to_string(
+                           list_transform(rt[i : i + 7], t -> lower(t)),
+                           chr(31))) AS wh
+                FROM d, LATERAL (
+                    SELECT unnest(generate_series(1, len(rt) - 7)) AS i)
+                WHERE len(rt) >= 8
+            ), dup AS (
+                SELECT wh FROM w GROUP BY wh
+                HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM w
+                WHERE wh IN (SELECT wh FROM dup)
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos) <= 8
+                            THEN 0 ELSE 1 END AS brk
+                FROM hits
+            ), s AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER
+                           (PARTITION BY doc_id ORDER BY pos) AS sid
+                FROM b
+            ), spans AS (
+                SELECT doc_id, min(pos) AS a, max(pos) + 7 AS z
+                FROM s GROUP BY doc_id, sid
+            ), tk AS (
+                SELECT doc_id, unnest(rt) AS tok,
+                       generate_subscripts(rt, 1) - 1 AS idx
+                FROM d
+            ), kept AS (
+                SELECT tk.doc_id, tk.tok, tk.idx FROM tk
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tk.doc_id
+                      AND tk.idx BETWEEN sp.a AND sp.z)
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY idx) AS text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT dd.doc_id, coalesce(a.text, '') AS text
+            FROM (SELECT doc_id FROM documents) dd
             LEFT JOIN agg a USING (doc_id)
         """,
         "jaccard_pairs_3gram": """

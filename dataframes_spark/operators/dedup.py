@@ -28,7 +28,7 @@ import weakref
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -223,6 +223,200 @@ def strip_repeated_lines(
                 lambda s: s["__line"],
             ),
         ).alias("__stripped")
+    )
+    out = df.join(rebuilt.withColumnRenamed("__id", id_col), id_col, "inner")
+    return out.select(
+        *[
+            F.col("__stripped").alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _token_window_relation(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Token-stream relations for duplicated-span dedup.
+
+    Returns ``(tokens, windows)``:
+
+    - ``tokens``: ``(__id, __rtoks)`` — raw whitespace tokens per
+      document (``split(trim(text), '\\s+')``). Positions in this array
+      are the coordinate system every span refers to.
+    - ``windows``: ``(__id, __pos, __wh)`` — md5 of every sliding
+      ``n``-token window of the LOWERCASED token stream; ``__pos`` is
+      the 0-based index of the window's first token. Documents shorter
+      than ``n`` tokens contribute no windows.
+
+    The lowered token array is materialized in its own projection before
+    the per-window transform (same HOF re-evaluation pitfall documented
+    at `_shingles_of_norm`). Window tokens are joined on ``\\x1f`` before
+    hashing so token boundaries cannot alias (``"ab c"`` vs ``"a bc"``).
+    """
+    tokens = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__rtoks"),
+    )
+    lowered = tokens.select(
+        "__id", F.transform("__rtoks", lambda t: F.lower(t)).alias("__toks")
+    )
+    windows = lowered.filter(F.size("__toks") >= n).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                lambda i: F.md5(F.concat_ws("\x1f", F.slice("__toks", i, n))),
+            )
+        ).alias("__pos", "__wh"),
+    )
+    return tokens, windows
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated token spans, report form: maximal token
+    ranges covered by length-``n`` windows that appear in at least
+    ``min_docs`` DISTINCT documents. Returns
+    ``(id_col, span_start, span_end, n_windows)`` where the span bounds
+    are 0-based INCLUSIVE indexes into the document's whitespace token
+    array and ``n_windows`` counts the duplicated windows merged into
+    the span.
+
+    This is the token-level half of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): their suffix-array ExactSubstr pass marks any >=50-token
+    run shared verbatim across the corpus. A suffix array is a global,
+    memory-resident structure with no distributed construction on a
+    shuffle engine; the standard scale form is the one here — hash every
+    sliding ``n``-token window, keep windows whose hash recurs, and
+    merge overlapping/adjacent survivors into maximal spans (any shared
+    run of length >= n is covered end-to-end by its length-``n``
+    windows, so the merged span recovers it exactly; runs shorter than
+    ``n`` are below the dedup threshold by definition). Casing is
+    ignored for matching (windows hash the lowercased stream) but span
+    coordinates index the raw tokens. The reference has no dedup surface
+    (SURVEY §2.14); this extends the training-pipeline family alongside
+    the line-level pass (`repeated_lines` — fixed structural segments)
+    and document-level `exact_dedup`/`near_dup_pairs`.
+
+    Scale: tokenize + window-hash is map-only JVM work; the exploded
+    window relation is one row per token (the same volume every shingle
+    pass here carries). One groupBy on the 32 B window hash (map-side
+    partial agg) finds recurring windows; the semi join back is on that
+    same key; the merge is two window passes partitioned by document —
+    no step depends on corpus-squared anything, and no text wider than
+    one window ever shuffles. Skew note: a window shared by MANY
+    documents (classic boilerplate) fans out only in the semi-join
+    probe, one row per (doc, pos) — the same rows the report must carry.
+
+    Preconditions (shared with `strip_repeated_lines`): ``id_col``
+    non-null; ``min_docs >= 2`` and ``n >= 2`` (``n = 1`` would hash
+    bare tokens and flag every shared word).
+    """
+    if n < 2:
+        raise ValueError(f"need n >= 2, got n={n}")
+    _, win = _token_window_relation(df, text_col, id_col, n)
+    dup = (
+        win.groupBy("__wh")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__wh")
+    )
+    hits = win.join(dup, "__wh", "leftsemi")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    # Windows at p1 < p2 merge when their [p, p+n-1] ranges overlap or
+    # touch (p2 <= p1 + n); window starts are unique per doc, so the
+    # running max end is lag(pos) + n - 1 and one lag suffices.
+    brk = F.when(
+        F.col("__pos") - F.lag("__pos").over(w) <= n, F.lit(0)
+    ).otherwise(F.lit(1))
+    return (
+        hits.withColumn("__brk", brk)
+        .withColumn(
+            "__sid",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("__id", "__sid")
+        .agg(
+            F.min("__pos").cast("bigint").alias("span_start"),
+            (F.max("__pos") + F.lit(n - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "span_start", "span_end", "n_windows"
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rebuild each document with every cross-document duplicated token
+    span (as reported by `duplicate_spans`) removed — the rewrite half
+    of ExactSubstr dedup (Lee et al. 2022 cut the duplicated spans and
+    keep the remainder, rather than dropping whole documents). Keeps all
+    other columns; a document whose every token sits in a duplicated
+    span survives with empty text.
+
+    The rewrite operates on the whitespace TOKEN stream: surviving raw
+    tokens (original casing) are rejoined with single spaces, so runs of
+    whitespace fold — the same normalization contract the matching
+    domain uses. Token order is preserved.
+
+    Plan shape: `duplicate_spans`'s relation (window-hash groupBy + semi
+    join + per-doc merge) feeds a groupBy(id) that collects each doc's
+    span list — bounded by spans-per-doc, never tokens — and ONE
+    id-equi-join attaches it to the token relation; the surviving-token
+    fold is a JVM higher-order filter (no explode of the corpus on the
+    rebuild side). Nothing collects to the driver.
+
+    Preconditions: ``id_col`` non-null and UNIQUE per document (the
+    `strip_repeated_lines` / `merge.upsert` contract).
+    """
+    tokens, _ = _token_window_relation(df, text_col, id_col, n)
+    per_doc = (
+        duplicate_spans(df, text_col, id_col, n=n, min_docs=min_docs)
+        .groupBy(F.col(id_col).alias("__id"))
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias(
+                "__spans"
+            )
+        )
+    )
+    rebuilt = tokens.join(per_doc, "__id", "left").select(
+        "__id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.transform(
+                        "__rtoks",
+                        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                    ),
+                    # exists() over a doc with no spans is null -> keep.
+                    lambda s: ~F.coalesce(
+                        F.exists(
+                            "__spans",
+                            lambda sp: (s["i"] >= sp["span_start"])
+                            & (s["i"] <= sp["span_end"]),
+                        ),
+                        F.lit(False),
+                    ),
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("__stripped"),
     )
     out = df.join(rebuilt.withColumnRenamed("__id", id_col), id_col, "inner")
     return out.select(
