@@ -30,6 +30,7 @@ from dataframes_spark.operators import graph as dgraph
 from dataframes_spark.operators import nulls as dnulls
 from dataframes_spark.operators import pack as dpack
 from dataframes_spark.operators import reshape as dreshape
+from dataframes_spark.operators import sample as dsample
 from dataframes_spark.operators import similarity as dsim
 from dataframes_spark.operators import skew as dskew
 from dataframes_spark.operators import sort as dsort
@@ -1349,6 +1350,26 @@ def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def split_leak_safe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (operators/sample.py split_by_cluster): near-dup
+    clusters (LSH pairs -> connected components) are split as units so no
+    cluster straddles train/test. Per-document (doc_id, cluster_rep,
+    split); the oracle replays the exact-jaccard closure with a recursive
+    CTE and the md5 band arithmetic verbatim — a wrong representative or
+    band flips a row, so the hash pins both the closure and the
+    assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ddedup.near_dup_pairs(
+        docs, "text", "doc_id", min_jaccard=0.8, shingle_k=4, materialize=True
+    )
+    out = dsample.split_by_cluster(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select(
+        "doc_id", F.col("rep").alias("cluster_rep"), "split"
     )
 
 
@@ -2768,6 +2789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    zorder_roundtrip_agg.
         "dup_spans_docs": dup_spans_docs,
         "strip_dup_spans_docs": strip_dup_spans_docs,
+        # -- round 9 (new, second batch): leakage-safe splitting — the
+        #    near-dup closure assigned to train/val/test as units
+        #    (split_by_cluster). dedup_incremental_docs (driver-green
+        #    r7 AND r8) rotates below; the incremental-dedup family
+        #    stays in-window via near_dup_incremental_docs.
+        "split_leak_safe_docs": split_leak_safe_docs,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -2869,7 +2896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     resample_events_hourly;
         #   json_props_rollup -> JSON parsing stays via
         #     jsonl_roundtrip_agg (the distributed json source lane).
-        "dedup_incremental_docs": dedup_incremental_docs,
         "quality_report_lineitem": quality_report_lineitem,
         "embedding_near_dup_clusters": embedding_near_dup_clusters,
         # round 7 (new): hive-partitioned write + planning-time partition
@@ -2885,10 +2911,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
-        # jsonl/orc roundtrips rotated below in round 9 (driver-green
-        # r8) to admit the duplicated-span dedup pair.
+        # jsonl/orc roundtrips and dedup_incremental_docs rotated below
+        # in round 9 (all driver-green r8) to admit the duplicated-span
+        # dedup pair and the leakage-safe split.
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
         "orc_roundtrip_agg": orc_roundtrip_agg,
+        "dedup_incremental_docs": dedup_incremental_docs,
         "ols_price_qty": ols_price_qty,
         "resample_events_hourly": resample_events_hourly,
         "mix_corpus_sources": mix_corpus_sources,
@@ -4023,6 +4051,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM banded GROUP BY 1
+        """,
+        "split_leak_safe_docs": """
+            -- the near_dup_clusters closure (exact jaccard >= 0.8 on
+            -- 4-shingles, recursive-CTE transitive closure) feeding the
+            -- split_documents md5 band arithmetic, keyed on the cluster
+            -- representative instead of the document id.
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(t) - 3, 1) + 1),
+                           i -> substring(t, CAST(i AS INT), 4)))) AS g
+                FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                      FROM documents)
+            ), sizes AS (
+                SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+            ), co AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id
+            ), pairs AS (
+                SELECT id_a, id_b FROM co
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+            ), und AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+                WHERE u.b <> r.a
+            ), comp AS (
+                SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a
+            ), labeled AS (
+                SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS cluster_rep
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            ), banded AS (
+                SELECT doc_id, cluster_rep,
+                       ('0x' || substr(md5(
+                           CAST(cluster_rep AS VARCHAR) || '/split'),
+                           1, 4))::BIGINT AS h
+                FROM labeled
+            )
+            SELECT doc_id, cluster_rep,
+                   CASE WHEN h < 52429 THEN 'train'
+                        WHEN h < 58982 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM banded
         """,
         "upsert_documents": """
             WITH upd AS (

@@ -121,6 +121,49 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def split_by_cluster(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: dict | None = None,
+    salt: str = "split",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every duplicate/near-duplicate
+    CLUSTER is assigned as a unit, so no cluster can straddle train and
+    test (the contamination a per-document split permits — a test
+    document whose near-twin sits in train). ``pairs`` is any candidate
+    duplicate relation (LSH/jaccard, SimHash, embedding cosine, exact);
+    its transitive closure (`graph.connected_components`) labels each
+    clustered document with the cluster's smallest id, singletons stay
+    their own representative, and `assign_split`'s md5 hash bands run on
+    the representative. Adds ``rep`` and ``split`` columns; the same
+    guarantees as `assign_split` (engine-/rerun-stable, new singleton
+    rows never reshuffle old assignments) plus: documents joined by a
+    pair ALWAYS share a split.
+
+    Scale: component labels live on the pair-sized relation only; the
+    corpus sees ONE left equi-join against that label relation
+    (broadcastable — pairs are tiny vs the corpus by construction) and
+    the map-only band expression. Growth caveat: adding a pair that
+    BRIDGES two existing clusters re-labels one side (min id wins), so
+    its documents may migrate splits together — the price of keeping
+    the no-straddle invariant under new evidence.
+    """
+    from dataframes_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst).select(
+        F.col("id").alias("__cid"), F.col("component").alias("__comp")
+    )
+    withrep = (
+        df.join(comp, df[id_col] == comp["__cid"], "left")
+        .withColumn("rep", F.coalesce(F.col("__comp"), F.col(id_col)))
+        .drop("__cid", "__comp")
+    )
+    return assign_split(withrep, "rep", fractions=fractions, salt=salt)
+
+
 def assign_shards(
     df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"
 ) -> DataFrame:

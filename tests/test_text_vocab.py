@@ -81,6 +81,38 @@ def test_assign_split_bands_and_growth_stability(spark):
         assign_split(df, "id", {"a": 0.5, "b": 0.4})
 
 
+def test_split_by_cluster_no_straddle_and_singleton_parity(spark):
+    from dataframes_spark.operators.sample import assign_split, split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "id long, text string"
+    )
+    # clusters: {0,1,2} (chained), {10,11}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: (r["rep"], r["split"])
+        for r in split_by_cluster(docs, "id", pairs).collect()
+    }
+    assert len(out) == 200
+    # transitive closure labels with the min id; whole cluster co-splits
+    assert out[0][0] == out[1][0] == out[2][0] == 0
+    assert out[0][1] == out[1][1] == out[2][1]
+    assert out[10][0] == out[11][0] == 10
+    assert out[10][1] == out[11][1]
+    # singletons are their own representative and match plain assign_split
+    plain = {
+        r["id"]: r["split"] for r in assign_split(docs, "id").collect()
+    }
+    for i in range(200):
+        if i not in (1, 2, 11):
+            assert out[i][0] == i
+            assert out[i][1] == plain[i]
+    # clustered non-representatives inherit the REPRESENTATIVE's band
+    assert out[1][1] == plain[0] and out[11][1] == plain[10]
+
+
 def _bm25_ref(docs, query_terms, k1=1.2, b=0.75):
     """Independent textbook BM25 for cross-checking the Spark plan."""
     toks = {i: t.lower().split() for i, t in docs}
