@@ -2590,6 +2590,24 @@ def strip_repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_spans_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicated-span dedup (operators/dedup.py
+    duplicate_spans_incremental): documents with doc_id % 5 != 0 play the
+    persisted window-hash history (span_window_hashes), doc_id % 5 == 0
+    the arriving batch; the result is the batch's spans whose windows
+    duplicate history or >=2 batch documents — without re-hashing
+    history. The oracle rebuilds both window relations and the merge
+    verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    store = ddedup.span_window_hashes(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", n=8
+    )
+    spans, _ = ddedup.duplicate_spans_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0), store, "text", "doc_id", n=8
+    )
+    return spans
+
+
 def dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level duplicated-span report (operators/dedup.py
     duplicate_spans): maximal runs of >=8 whitespace tokens shared
@@ -2789,6 +2807,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    zorder_roundtrip_agg.
         "dup_spans_docs": dup_spans_docs,
         "strip_dup_spans_docs": strip_dup_spans_docs,
+        # -- round 9 (new, second batch): the incremental window-hash
+        #    store twin of the span pass (history never re-hashes; the
+        #    wh-bucketed store joins as-scanned, plan-pinned).
+        #    strip_repeated_lines_docs (driver-green r5-r8) rotates
+        #    below; the line-dedup family stays in-window via
+        #    repeated_lines_docs, and the rewrite lane via
+        #    strip_dup_spans_docs.
+        "dup_spans_incremental_docs": dup_spans_incremental_docs,
         # -- round 9 (new, second batch): leakage-safe splitting — the
         #    near-dup closure assigned to train/val/test as units
         #    (split_by_cluster). dedup_incremental_docs (driver-green
@@ -2823,7 +2849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotate out, families still in-window via cube_qty, the
         #    upsert/fuzzy/interval joins, and the md5 + line dedup rows)
         "repeated_lines_docs": repeated_lines_docs,
-        "strip_repeated_lines_docs": strip_repeated_lines_docs,
         "cube_qty": cube_qty,
         # bloom_semi_orders: bloom-pruned semi join; column_stats (green
         # r1-r4) rotates out, aggregate surface stays via
@@ -2911,9 +2936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
-        # jsonl/orc roundtrips and dedup_incremental_docs rotated below
-        # in round 9 (all driver-green r8) to admit the duplicated-span
-        # dedup pair and the leakage-safe split.
+        # jsonl/orc roundtrips, dedup_incremental_docs and
+        # strip_repeated_lines_docs rotated below in round 9 (all
+        # driver-green r8) to admit the duplicated-span dedup family
+        # and the leakage-safe split.
+        "strip_repeated_lines_docs": strip_repeated_lines_docs,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
         "orc_roundtrip_agg": orc_roundtrip_agg,
         "dedup_incremental_docs": dedup_incremental_docs,
@@ -3770,6 +3797,55 @@ def oracle_sql() -> dict[str, str]:
                 HAVING count(DISTINCT doc_id) >= 2
             ), hits AS (
                 SELECT doc_id, pos FROM w
+                WHERE wh IN (SELECT wh FROM dup)
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos) <= 8
+                            THEN 0 ELSE 1 END AS brk
+                FROM hits
+            ), s AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER
+                           (PARTITION BY doc_id ORDER BY pos) AS sid
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM s GROUP BY doc_id, sid
+        """,
+        "dup_spans_incremental_docs": """
+            -- the dup_spans_docs window relation split into history
+            -- (doc_id % 5 != 0 — distinct hashes only, what the store
+            -- persists) and batch (doc_id % 5 == 0); a batch window is
+            -- duplicated if its hash is in history OR in >= 2 distinct
+            -- batch documents; identical merge arithmetic.
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(coalesce(text, '')), '\\s+') AS rt
+                FROM documents
+            ), w AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       md5(array_to_string(
+                           list_transform(rt[i : i + 7], t -> lower(t)),
+                           chr(31))) AS wh
+                FROM d, LATERAL (
+                    SELECT unnest(generate_series(1, len(rt) - 7)) AS i)
+                WHERE len(rt) >= 8
+            ), hist AS (
+                SELECT DISTINCT wh FROM w WHERE doc_id % 5 <> 0
+            ), wb AS (
+                SELECT doc_id, pos, wh FROM w WHERE doc_id % 5 = 0
+            ), dup AS (
+                SELECT wh FROM hist
+                UNION
+                SELECT wh FROM wb GROUP BY wh
+                HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT doc_id, pos FROM wb
                 WHERE wh IN (SELECT wh FROM dup)
             ), b AS (
                 SELECT doc_id, pos,

@@ -82,6 +82,38 @@ def read_lsh_store(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_span_store(
+    hashes: DataFrame, table: str, num_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist an incremental span-dedup window-hash store
+    (``dedup.span_window_hashes``, flat ``(wh)`` schema) BUCKETED BY
+    ``wh``. ``duplicate_spans_incremental`` touches history through two
+    joins keyed solely on ``wh`` (the probe semi join, the store-update
+    anti join); the bucketed store's scan-time partitioning satisfies
+    both required distributions, so history never reshuffles — per-batch
+    span dedup stays O(batch) in shuffle volume as the store grows
+    toward trillions of windows (plan pinned in tests/test_plans.py)."""
+    write_bucketed(hashes, table, bucket_by="wh", num_buckets=num_buckets, mode=mode)
+
+
+def read_span_store(spark: SparkSession, table: str) -> DataFrame:
+    """Read a persisted window-hash store (flat ``(wh)``) — bucket
+    metadata flows from the catalog, so the incremental probe's ``wh``
+    equi-key stays co-located. Do NOT project the column through
+    expressions: a projection over the scan discards its bucketed
+    output partitioning."""
+    return spark.table(table)
+
+
+def compact_span_store(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> dict:
+    """Rewrite a window-hash store into one file per bucket (same keys,
+    same bucketing) — the `compact_lsh_store` maintenance pass for the
+    span store after many incremental appends."""
+    return compact_store(spark, table, "wh", num_buckets)
+
+
 def read_fingerprints(spark: SparkSession, table: str) -> DataFrame:
     """Read a persisted fingerprint store (flat ``(len, xx, md5)``) —
     bucket metadata flows from the catalog, so the incremental anti

@@ -330,6 +330,13 @@ def duplicate_spans(
         .select("__wh")
     )
     hits = win.join(dup, "__wh", "leftsemi")
+    return _merge_hit_windows(hits, id_col, n)
+
+
+def _merge_hit_windows(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Merge a ``(__id, __pos)`` duplicated-window relation into maximal
+    spans: two window passes partitioned by document (gaps-and-islands).
+    """
     w = Window.partitionBy("__id").orderBy("__pos")
     # Windows at p1 < p2 merge when their [p, p+n-1] ranges overlap or
     # touch (p2 <= p1 + n); window starts are unique per doc, so the
@@ -353,6 +360,96 @@ def duplicate_spans(
             F.col("__id").alias(id_col), "span_start", "span_end", "n_windows"
         )
     )
+
+
+def span_window_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Distinct window-hash relation ``(wh)`` of a corpus or batch — the
+    persistable STORE for `duplicate_spans_incremental` (one 32 B md5
+    per distinct ``n``-token window ever seen, no text, no positions).
+    Persist with ``io.bucketed.write_span_store`` (bucketed by ``wh``):
+    the incremental probe joins on exactly that key, so the store side
+    never reshuffles. Store size is bounded by corpus tokens (md5's
+    128 bits keep the collision budget negligible at trillions of
+    windows, where a 64-bit key would saturate)."""
+    _, win = _token_window_relation(df, text_col, id_col, n)
+    return win.select(F.col("__wh").alias("wh")).distinct()
+
+
+def duplicate_spans_incremental(
+    new_df: DataFrame,
+    seen_windows: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental duplicated-span dedup: which token spans of an
+    arriving batch duplicate anything the corpus has ALREADY seen —
+    without re-hashing history. Returns ``(spans, updated_windows)``:
+
+    - ``spans`` — `duplicate_spans`-shaped rows for BATCH documents; a
+      window counts as duplicated if its hash is in the historical
+      ``seen_windows`` store (>=1 prior document) OR in >=2 distinct
+      batch documents. With the store built from all prior batches this
+      equals the batch-restricted rows of batch-mode
+      ``duplicate_spans(history ∪ batch, min_docs=2)`` — the law the
+      unit suite pins over arbitrary splits.
+    - ``updated_windows`` — the store plus the batch's distinct NEW
+      hashes, ready to persist for the next increment. No ``.distinct``
+      on the union: the anti join makes the sides provably disjoint and
+      each is internally distinct — a distinct here would re-shuffle
+      the FULL store every increment (the `exact_dedup_incremental`
+      rule).
+
+    Scale shape: the batch is tokenized/hashed once (map-only); history
+    participates in exactly TWO joins keyed solely on ``wh`` (the probe
+    semi join and the store-update anti join), both satisfied as-scanned
+    by a ``wh``-bucketed store (``io.bucketed.write_span_store``) — the
+    store never reshuffles, so per-batch cost is O(batch + matching
+    buckets) however large history grows. The in-batch rule reuses the
+    batch's own window relation (batch-sized groupBy), and the span
+    merge runs on hit windows only.
+    """
+    if n < 2:
+        raise ValueError(f"need n >= 2, got n={n}")
+    _, win = _token_window_relation(new_df, text_col, id_col, n)
+    in_batch = (
+        win.groupBy("__wh")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__wh")
+    )
+    # two semi joins (NOT a union of the store into the batch probe —
+    # that would re-shuffle full history through a distinct every
+    # increment); the union of the two hit relations is hit-sized and
+    # its distinct collapses windows flagged by both rules. The store
+    # side joins UNPROJECTED (explicit condition, no rename) so a
+    # wh-bucketed scan's output partitioning survives to the join.
+    hits = (
+        win.join(in_batch, "__wh", "leftsemi")
+        .select("__id", "__pos")
+        .unionByName(
+            win.join(
+                seen_windows, win["__wh"] == seen_windows["wh"], "leftsemi"
+            ).select("__id", "__pos")
+        )
+        .distinct()
+    )
+    spans = _merge_hit_windows(hits, id_col, n)
+    # anti join BEFORE the distinct: a distinct-first batch side carries
+    # its own Exchange(wh, shuffle.partitions), which the planner then
+    # reuses for the join and RESHUFFLES THE STORE to match (the
+    # bucketed scan reads "disabled by query planner"); joining the raw
+    # window relation forces the batch side to shuffle to the store's
+    # bucketing instead, and the post-join distinct inherits that
+    # partitioning — same rows, zero history movement
+    fresh = (
+        win.select(F.col("__wh").alias("wh"))
+        .join(seen_windows, "wh", "left_anti")
+        .distinct()
+    )
+    return spans, seen_windows.unionByName(fresh)
 
 
 def strip_duplicate_spans(

@@ -537,6 +537,59 @@ def test_near_dup_incremental_bucketed_store_never_reshuffles(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_span_store_never_reshuffles(spark, tmp_path):
+    """The window-hash store mirrors the fingerprint store's contract:
+    bucketed by wh — the sole equi-key of both history joins (probe
+    semi join, update anti join) — the store branches must read
+    Bucketed: true with NO Exchange above their scans; only the
+    arriving batch hashes and shuffles."""
+    import uuid
+
+    from dataframes_spark.io import bucketed as B
+    from dataframes_spark.operators import dedup as dd
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tbl = f"spans_plan_{uuid.uuid4().hex[:8]}"
+    try:
+        phrase = "one two three four five six seven eight"
+        b1 = spark.createDataFrame(
+            [(i, f"{phrase} tail{i}") for i in range(100)],
+            "doc_id long, text string",
+        )
+        B.write_span_store(
+            dd.span_window_hashes(b1, "text", "doc_id"), tbl, num_buckets=4
+        )
+        store = B.read_span_store(spark, tbl)
+        b2 = spark.createDataFrame(
+            [(900, f"{phrase} and then some fresh material")],
+            "doc_id long, text string",
+        )
+        spans, updated = dd.duplicate_spans_incremental(
+            b2, store, "text", "doc_id"
+        )
+        import re
+
+        for frame, marker in ((spans, "probe"), (updated, "update")):
+            p = frame._jdf.queryExecution().executedPlan().toString()
+            # every bucketed store scan feeds its join through a Sort on
+            # wh with NO Exchange in between (history never reshuffles)
+            scans = [
+                m.start()
+                for m in re.finditer(r"FileScan parquet[^\n]*Bucketed: true", p)
+            ]
+            assert scans, (marker, p)  # must not pass vacuously
+            for s in scans:
+                sort_idx = p.rfind("Sort [wh", 0, s)
+                assert sort_idx != -1, (marker, p)
+                assert "Exchange" not in p[sort_idx:s], marker
+        assert spans.count() == 1  # the shared 8-token phrase
+        assert updated.count() > store.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 GLOBAL_ORDER_QUERIES = (
     "shift_lag",
     "interpolate_linear",

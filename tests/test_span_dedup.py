@@ -159,3 +159,83 @@ def test_n_below_two_rejected(spark):
     df = _docs(spark, [(1, "a b")])
     with pytest.raises(ValueError):
         dd.duplicate_spans(df, "text", "doc_id", n=1)
+    with pytest.raises(ValueError):
+        dd.duplicate_spans_incremental(
+            df, dd.span_window_hashes(df, "text", "doc_id"), "text", "doc_id", n=1
+        )
+
+
+# ---------------------------------------------------------------------------
+# incremental store
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_flags_history_and_in_batch(spark):
+    b1 = _docs(spark, [(1, "intro words then " + SHARED)])
+    b2 = _docs(
+        spark,
+        [
+            (10, SHARED + " novel continuation here"),  # vs history
+            (11, "k0 k1 k2 k3 k4 one"),  # in-batch pair with 12
+            (12, "k0 k1 k2 k3 k4 two"),
+            (13, "completely fresh text nothing shared"),
+        ],
+    )
+    store = dd.span_window_hashes(b1, "text", "doc_id", n=4)
+    spans, updated = dd.duplicate_spans_incremental(
+        b2, store, "text", "doc_id", n=4
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.collect()
+    }
+    assert got == {(10, 0, 5), (11, 0, 4), (12, 0, 4)}
+    # store grows by exactly the batch's new hashes, stays distinct
+    all_wh = dd.span_window_hashes(
+        b1.unionByName(b2), "text", "doc_id", n=4
+    )
+    assert updated.count() == updated.distinct().count() == all_wh.count()
+    assert updated.join(all_wh, "wh", "left_anti").count() == 0
+
+
+def test_incremental_equals_batch_mode_on_the_batch_rows(spark):
+    # the documented law: with the store built from all prior batches,
+    # incremental spans == batch-mode spans of the UNION restricted to
+    # batch documents — over an arbitrary split with cross-batch dups,
+    # in-batch dups, and a within-doc repeat
+    rows = [
+        (1, "pre " + SHARED + " post words here"),
+        (2, "k0 k1 k2 k3 k4 filler " + SHARED),
+        (3, "unique text one two three four five six"),
+        (4, "k0 k1 k2 k3 k4 other ending tokens"),
+        (5, SHARED + " mid " + SHARED),  # within-doc repeat + cross
+        (6, "nothing shared with anything at all ever"),
+    ]
+    for batch2_ids in [{4, 5, 6}, {2, 3}, {1, 2, 3, 4, 5, 6}]:
+        b1 = _docs(spark, [r for r in rows if r[0] not in batch2_ids])
+        b2 = _docs(spark, [r for r in rows if r[0] in batch2_ids])
+        store = dd.span_window_hashes(b1, "text", "doc_id", n=4)
+        inc, _ = dd.duplicate_spans_incremental(
+            b2, store, "text", "doc_id", n=4
+        )
+        full = dd.duplicate_spans(
+            _docs(spark, rows), "text", "doc_id", n=4, min_docs=2
+        ).filter(F.col("doc_id").isin(list(batch2_ids)))
+        got = {tuple(r) for r in inc.collect()}
+        want = {tuple(r) for r in full.collect()}
+        assert got == want, (batch2_ids, got, want)
+
+
+def test_incremental_empty_store_reduces_to_batch_mode(spark):
+    b = _docs(spark, [(1, SHARED + " a1 b1"), (2, SHARED + " a2 b2")])
+    empty = dd.span_window_hashes(_docs(spark, []), "text", "doc_id", n=4)
+    inc, updated = dd.duplicate_spans_incremental(
+        b, empty, "text", "doc_id", n=4
+    )
+    batch = dd.duplicate_spans(b, "text", "doc_id", n=4)
+    assert {tuple(r) for r in inc.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+    assert updated.count() == dd.span_window_hashes(
+        b, "text", "doc_id", n=4
+    ).count()
