@@ -2571,6 +2571,17 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtext.unigram_logprob(docs, "text", "doc_id")
 
 
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM quality score (functions/text.py bigram_logprob):
+    per-document mean log-probability under the corpus's own
+    Laplace-smoothed bigram model — the context-aware upgrade of the
+    unigram lane (CCNet-style KenLM filtering at any order has this
+    distributed shape); the oracle replays counts, smoothing and chain
+    rule term for term."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.bigram_logprob(docs, "text", "doc_id")
+
+
 def repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level exact substring dedup, report form (operators/dedup.py
     repeated_lines): lines occurring in >=2 distinct documents — the
@@ -2815,6 +2826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    repeated_lines_docs, and the rewrite lane via
         #    strip_dup_spans_docs.
         "dup_spans_incremental_docs": dup_spans_incremental_docs,
+        # -- round 9 (new, second batch): corpus-bigram LM scoring —
+        #    the context-aware upgrade of the unigram quality filter.
+        #    chunk_documents (driver-green r5-r8) rotates below; the
+        #    packing family stays in-window via pack_materialize_docs.
+        "bigram_logprob_docs": bigram_logprob_docs,
         # -- round 9 (new, second batch): leakage-safe splitting — the
         #    near-dup closure assigned to train/val/test as units
         #    (split_by_cluster). dedup_incremental_docs (driver-green
@@ -2836,7 +2852,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_timestamps": frame_sample_timestamps,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         # -- entered the window round 5 (rotation promise + new queries)
-        "chunk_documents": chunk_documents,
         "decontaminate_docs": decontaminate_docs,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "salted_agg_events": salted_agg_events,
@@ -2936,10 +2951,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
-        # jsonl/orc roundtrips, dedup_incremental_docs and
-        # strip_repeated_lines_docs rotated below in round 9 (all
-        # driver-green r8) to admit the duplicated-span dedup family
-        # and the leakage-safe split.
+        # jsonl/orc roundtrips, dedup_incremental_docs,
+        # strip_repeated_lines_docs and chunk_documents rotated below in
+        # round 9 (all driver-green r8) to admit the duplicated-span
+        # dedup family, the leakage-safe split and the bigram LM.
+        "chunk_documents": chunk_documents,
         "strip_repeated_lines_docs": strip_repeated_lines_docs,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
         "orc_roundtrip_agg": orc_roundtrip_agg,
@@ -3748,6 +3764,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
             FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
+        """,
+        "bigram_logprob_docs": """
+            -- identical tokenization, Laplace smoothing (alpha 0.5) and
+            -- chain rule as functions/text.py bigram_logprob: first
+            -- token under the smoothed unigram, later tokens under the
+            -- smoothed bigram conditional; weighted-mean form.
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(lower(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, unnest(toks) AS token FROM d
+            ), c1 AS (
+                SELECT token, count(*) AS c FROM tk GROUP BY token
+            ), vn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS v,
+                       CAST(sum(c) AS DOUBLE) AS n
+                FROM c1
+            ), bg AS (
+                SELECT doc_id, toks[i - 1] AS prev, toks[i] AS cur
+                FROM d, LATERAL (
+                    SELECT unnest(generate_series(2, len(toks))) AS i)
+                WHERE len(toks) >= 2
+            ), db AS (
+                SELECT doc_id, prev, cur, count(*) AS m
+                FROM bg GROUP BY 1, 2, 3
+            ), c2 AS (
+                SELECT prev, cur, sum(m) AS c2 FROM db GROUP BY 1, 2
+            ), terms AS (
+                SELECT f.doc_id, CAST(1 AS BIGINT) AS w,
+                       ln((c1.c + 0.5) / (vn.n + 0.5 * vn.v)) AS lp
+                FROM (SELECT doc_id, toks[1] AS token FROM d
+                      WHERE len(toks) >= 1) f
+                JOIN c1 USING (token), vn
+                UNION ALL
+                SELECT db.doc_id, db.m AS w,
+                       ln((c2.c2 + 0.5) / (p.c + 0.5 * vn.v)) AS lp
+                FROM db JOIN c2 USING (prev, cur)
+                JOIN c1 p ON p.token = db.prev, vn
+            )
+            SELECT doc_id, CAST(sum(w) AS BIGINT) AS n_tokens,
+                   round(sum(w * lp) / sum(w), 6) AS avg_logprob
+            FROM terms GROUP BY doc_id
         """,
         "strip_repeated_lines_docs": """
             WITH docs AS (

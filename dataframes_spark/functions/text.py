@@ -322,6 +322,101 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str, id_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    Laplace-smoothed BIGRAM model: ``(id, n_tokens, avg_logprob)`` — the
+    context-aware upgrade of `unigram_logprob` (CCNet filters on a
+    5-gram KenLM; the distributed shape is identical for any order, and
+    the bigram keeps the oracle replayable term for term). Chain rule:
+    the first token scores under the smoothed unigram
+    ``(c(w1)+a) / (N+a*V)``, every later token under
+    ``(c(prev,cur)+a) / (c(prev)+a*V)`` with ``V`` the corpus vocabulary
+    size — so gibberish with plausible unigrams but impossible
+    transitions (shuffled text, keyword stuffing) scores low where the
+    unigram model cannot see it.
+
+    Plan: the corpus tokenizes once into a materialized filtered token
+    array, then two generator branches (token explode for unigram
+    counts, index-transform explode for bigram occurrences) — each
+    branch's per-key count shuffle is shared between its corpus-count
+    and scoring roles (AQE exchange reuse, the `unigram_logprob`
+    layout). ``(V, N)`` fold in as a 1-row broadcast aggregate. Scoring
+    joins are per-distinct-(doc, bigram) — the weighted-mean form
+    ``sum(m * lp) / sum(m)``, value-identical to the per-occurrence
+    mean. Documents with no tokens drop from the result (the
+    `unigram_logprob` contract)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            ),
+            lambda t: t != "",
+        ).alias("__toks"),
+    )
+    tk = base.select("__id", F.explode("__toks").alias("token"))
+    c1 = tk.groupBy("token").agg(F.count(F.lit(1)).alias("__c1"))
+    vn = c1.agg(
+        F.count(F.lit(1)).cast("double").alias("__v"),
+        F.sum("__c1").cast("double").alias("__n"),
+    )
+    bg = base.filter(F.size("__toks") >= 2).select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("__toks")),
+                lambda i: F.struct(
+                    F.get("__toks", i - 2).alias("prev"),
+                    F.get("__toks", i - 1).alias("cur"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "__b.prev", "__b.cur")
+    db = bg.groupBy("__id", "prev", "cur").agg(F.count(F.lit(1)).alias("__m"))
+    c2 = db.groupBy("prev", "cur").agg(F.sum("__m").alias("__c2"))
+    cp = c1.select(F.col("token").alias("prev"), F.col("__c1").alias("__cp"))
+    a = F.lit(float(alpha))
+    bigram_terms = (
+        db.join(c2, ["prev", "cur"])
+        .join(cp, "prev")
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "__id",
+            F.col("__m").alias("__w"),
+            F.log((F.col("__c2") + a) / (F.col("__cp") + a * F.col("__v"))).alias(
+                "__lp"
+            ),
+        )
+    )
+    first_terms = (
+        base.filter(F.size("__toks") >= 1)
+        .select("__id", F.get("__toks", 0).alias("token"))
+        .join(c1, "token")
+        .crossJoin(F.broadcast(vn))
+        .select(
+            "__id",
+            F.lit(1).cast("long").alias("__w"),
+            F.log((F.col("__c1") + a) / (F.col("__n") + a * F.col("__v"))).alias(
+                "__lp"
+            ),
+        )
+    )
+    return (
+        first_terms.unionByName(bigram_terms)
+        .groupBy("__id")
+        .agg(
+            F.sum("__w").alias("n_tokens"),
+            F.round(F.sum(F.col("__w") * F.col("__lp")) / F.sum("__w"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
 # tiny per-language marker vocabularies for the n-gram heuristic
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "is", "that", "with"),
