@@ -481,15 +481,27 @@ def strip_duplicate_spans(
     Preconditions: ``id_col`` non-null and UNIQUE per document (the
     `strip_repeated_lines` / `merge.upsert` contract).
     """
+    spans = duplicate_spans(df, text_col, id_col, n=n, min_docs=min_docs)
+    return apply_span_removal(df, spans, text_col, id_col, n=n)
+
+
+def apply_span_removal(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Rewrite ``df`` cutting the given `duplicate_spans`-shaped spans
+    out of each document's whitespace token stream — the rewrite half of
+    `strip_duplicate_spans`, reusable with spans from ANY discovery pass
+    (batch, incremental store probe, streaming micro-batch). Same
+    contract: surviving raw tokens rejoined with single spaces, all
+    other columns kept, span-free documents pass through unchanged
+    (modulo whitespace folding)."""
     tokens, _ = _token_window_relation(df, text_col, id_col, n)
-    per_doc = (
-        duplicate_spans(df, text_col, id_col, n=n, min_docs=min_docs)
-        .groupBy(F.col(id_col).alias("__id"))
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias(
-                "__spans"
-            )
-        )
+    per_doc = spans.groupBy(F.col(id_col).alias("__id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     rebuilt = tokens.join(per_doc, "__id", "left").select(
         "__id",

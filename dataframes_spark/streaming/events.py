@@ -559,3 +559,87 @@ def drift_gate_each_batch(
             _fold(spark, batch_df)
 
     return _apply
+
+
+def span_dedup_each_batch(
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    mode: str = "strip",
+    num_buckets: int = 32,
+    write=None,
+    update_store: bool = True,
+):
+    """Streaming ExactSubstr dedup: a ``foreachBatch`` callback that cuts
+    (or drops/flags) every arriving micro-batch's duplicated token spans
+    against the persisted window-hash store BEFORE the batch lands — the
+    continuously-crawling pipeline's "have we already trained on this
+    passage?" pass, in the stream. The batch twin is
+    ``dedup.duplicate_spans_incremental`` and the semantics are its:
+    a window is duplicated if seen in ANY prior batch (the store) or in
+    >= 2 distinct documents of this batch.
+
+    ``mode``: ``"strip"`` rewrites each document with its spans cut
+    (``dedup.apply_span_removal``); ``"drop"`` withholds any document
+    containing a span; ``"flag"`` passes everything with a boolean
+    ``has_dup_span`` column. The processed batch goes to
+    ``write(df, epoch_id)``; with ``update_store=True`` the batch's NEW
+    window hashes then fold into the store. The first batch seeds an
+    absent store (its in-batch duplicates are still caught).
+
+    Per-batch cost is the span store's contract: the batch hashes once
+    (map-only), history joins as-scanned through the ``wh``-bucketed
+    table, and the fold APPENDS only the batch's fresh hashes (bucketed
+    append, no history rewrite — run ``io.bucketed.compact_span_store``
+    periodically to fold small files). Nothing rescans history, so the
+    gate's cost is independent of how much the stream has ingested.
+
+    Stream == batch: replaying the same batches through this callback
+    yields exactly ``duplicate_spans_incremental`` fold-by-fold (pinned
+    in tests/test_streaming.py).
+    """
+    from dataframes_spark.io.bucketed import write_span_store
+    from dataframes_spark.operators import dedup as D
+
+    if mode not in ("strip", "drop", "flag"):
+        raise ValueError(f"mode must be strip|drop|flag, got {mode}")
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        exists = spark.catalog.tableExists(table)
+        store = (
+            spark.table(table)
+            if exists
+            else spark.createDataFrame([], "wh string")
+        )
+        spans, _ = D.duplicate_spans_incremental(
+            batch_df, store, text_col, id_col, n=n
+        )
+        if mode == "strip":
+            out = D.apply_span_removal(batch_df, spans, text_col, id_col, n=n)
+        elif mode == "drop":
+            flagged = spans.select(F.col(id_col)).distinct()
+            out = batch_df.join(flagged, id_col, "left_anti")
+        else:
+            flagged = spans.select(
+                F.col(id_col), F.lit(True).alias("has_dup_span")
+            ).distinct()
+            out = batch_df.join(flagged, id_col, "left").withColumn(
+                "has_dup_span", F.coalesce("has_dup_span", F.lit(False))
+            )
+        if write is not None:
+            write(out, epoch_id)
+        if update_store:
+            fresh = D.span_window_hashes(batch_df, text_col, id_col, n=n)
+            if exists:
+                fresh = fresh.join(spark.table(table), "wh", "left_anti")
+            write_span_store(
+                fresh,
+                table,
+                num_buckets=num_buckets,
+                mode="append" if exists else "overwrite",
+            )
+
+    return _apply

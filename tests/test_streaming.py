@@ -610,3 +610,134 @@ def test_drift_gate_each_batch_categorical_and_validation(spark, tmp_path):
         dstream.drift_gate_each_batch("t", "v", lo=0.0, hi=1.0, on_fail="x")
     with pytest.raises(ValueError, match="withhold"):
         dstream.drift_gate_each_batch("t", "v", lo=0.0, hi=1.0, on_fail="skip")
+
+
+def test_span_dedup_each_batch_stream_equals_batch_twin(spark, tmp_path):
+    """The streaming span-dedup gate strips each micro-batch against the
+    persisted window-hash store exactly like running
+    duplicate_spans_incremental fold-by-fold (stream == batch), and the
+    store after the run equals the whole corpus's window hashes."""
+    import uuid
+
+    from dataframes_spark.operators import dedup as dd
+
+    table = f"span_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    d = str(tmp_path / "span_src")
+    b1 = spark.createDataFrame(
+        [(1, "intro " + shared + " outro"), (2, "unrelated text one two three")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, shared + " novel tail words"),  # dups history
+            (11, "k0 k1 k2 k3 k4 k5 k6 k7 one"),  # in-batch pair
+            (12, "k0 k1 k2 k3 k4 k5 k6 k7 two"),
+            (13, "fresh content nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    outs = []
+    cb = dstream.span_dedup_each_batch(
+        table, "text", "doc_id", n=8, mode="strip", num_buckets=4,
+        write=lambda df, e: outs.append(
+            {r.doc_id: r.text for r in df.collect()}
+        ),
+    )
+    # two explicit epochs (micro-batch boundaries are the law under test;
+    # a file-source run may coalesce files into one batch)
+    cb(b1, 0)
+    cb(b2, 1)
+    assert len(outs) == 2
+    got = {k: v for batch in outs for k, v in batch.items()}
+
+    # batch twin, fold by fold
+    empty = spark.createDataFrame([], "wh string")
+    s1, _ = dd.duplicate_spans_incremental(b1, empty, "text", "doc_id", n=8)
+    want1 = {
+        r.doc_id: r.text
+        for r in dd.apply_span_removal(b1, s1, "text", "doc_id", n=8).collect()
+    }
+    store1 = dd.span_window_hashes(b1, "text", "doc_id", n=8)
+    s2, _ = dd.duplicate_spans_incremental(b2, store1, "text", "doc_id", n=8)
+    want2 = {
+        r.doc_id: r.text
+        for r in dd.apply_span_removal(b2, s2, "text", "doc_id", n=8).collect()
+    }
+    assert got == {**want1, **want2}
+    # the shared run is cut from the batch-2 doc, kept in batch 1
+    assert shared in got[1] and shared not in got[10]
+    assert got[11] == "one" and got[12] == "two"
+    assert got[13] == "fresh content nothing shared here at all"
+    # store after the folds == whole-corpus window hashes
+    all_wh = dd.span_window_hashes(
+        b1.unionByName(b2), "text", "doc_id", n=8
+    )
+    assert spark.table(table).count() == all_wh.count()
+    assert spark.table(table).join(all_wh, "wh", "left_anti").count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # plumbing smoke: the same callback behind a real file-source stream
+    table2 = f"{table}_s"
+    b1.coalesce(1).write.mode("append").parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    seen = []
+    cb2 = dstream.span_dedup_each_batch(
+        table2, "text", "doc_id", n=8, mode="strip", num_buckets=4,
+        write=lambda df, e: seen.append(df.count()),
+    )
+    q = (
+        dstream.stream_from_directory(spark, d, schema)
+        .writeStream.foreachBatch(cb2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(seen) == 6
+    assert spark.table(table2).count() == all_wh.count()
+    spark.sql(f"DROP TABLE IF EXISTS {table2}")
+
+
+def test_span_dedup_each_batch_drop_and_flag_modes(spark, tmp_path):
+    import uuid
+
+    table = f"span_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shared = "p0 p1 p2 p3 p4 p5 p6 p7"
+    b1 = spark.createDataFrame(
+        [(1, shared + " a"), (2, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, shared + " b"), (11, "nothing shared at all in this doc")],
+        "doc_id long, text string",
+    )
+    dropped = []
+    cb = dstream.span_dedup_each_batch(
+        table, "text", "doc_id", n=8, mode="drop", num_buckets=4,
+        write=lambda df, e: dropped.append(sorted(r.doc_id for r in df.collect())),
+    )
+    cb(b1, 0)
+    cb(b2, 1)
+    assert dropped == [[1, 2], [11]]  # doc 10 withheld (history dup)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    flags = []
+    cb2 = dstream.span_dedup_each_batch(
+        table, "text", "doc_id", n=8, mode="flag", num_buckets=4,
+        write=lambda df, e: flags.append(
+            {r.doc_id: r.has_dup_span for r in df.collect()}
+        ),
+    )
+    cb2(b1, 0)
+    cb2(b2, 1)
+    assert flags[0] == {1: False, 2: False}
+    assert flags[1] == {10: True, 11: False}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="strip|drop|flag"):
+        dstream.span_dedup_each_batch(table, "text", "doc_id", mode="bogus")
