@@ -1941,6 +1941,37 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def embedding_dedup_incremental_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC near-dup (operators/dedup.py
+    embedding_dedup_incremental): vectors with vec_id % 5 != 0 play the
+    persisted hyperplane-bucketed store, vec_id % 5 == 0 the arriving
+    batch; md5 plane mode makes the bucketing engine-independent, so the
+    oracle replays planes, buckets, candidate join and the
+    dot-over-norms cosine verbatim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    store = ddedup.embedding_store(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        "embedding",
+        "vec_id",
+        num_planes=6,
+        seed=42,
+        plane_hash="md5",
+    )
+    dups, _ = ddedup.embedding_dedup_incremental(
+        emb.filter(F.col("vec_id") % 5 == 0),
+        store,
+        "embedding",
+        "vec_id",
+        threshold=0.25,
+        num_planes=6,
+        seed=42,
+        plane_hash="md5",
+    )
+    return dups.select(
+        "id_new", "id_seen", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup end state: transitively-closed clusters over the
     embedding-cosine near-dup pair relation (dedup.embedding_near_dups ->
@@ -2831,6 +2862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    chunk_documents (driver-green r5-r8) rotates below; the
         #    packing family stays in-window via pack_materialize_docs.
         "bigram_logprob_docs": bigram_logprob_docs,
+        # -- round 9 (new, second batch): the incremental family's
+        #    SEMANTIC modality — embedding near-dups against the
+        #    persisted hyperplane-bucketed store (md5 planes, replayed
+        #    end-to-end in DuckDB). near_dup_incremental_docs
+        #    (driver-green r7-r8) rotates below; the incremental family
+        #    stays in-window via this row and dup_spans_incremental_docs.
+        "embedding_dedup_incremental_vecs": embedding_dedup_incremental_vecs,
         # -- round 9 (new, second batch): leakage-safe splitting — the
         #    near-dup closure assigned to train/val/test as units
         #    (split_by_cluster). dedup_incremental_docs (driver-green
@@ -2906,7 +2944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (both green r5-r6) rotate out — packing stays in-window via
         # pack_documents_cumsum + chunk_documents, the facade via
         # facade_column_surgery.
-        "near_dup_incremental_docs": near_dup_incremental_docs,
         "shard_report_docs": shard_report_docs,
         # round 7 (continuation): pack materialization — the packed
         # windows themselves, every byte pinned via md5. SUBSUMES the
@@ -2957,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family, the leakage-safe split and the bigram LM.
         "chunk_documents": chunk_documents,
         "strip_repeated_lines_docs": strip_repeated_lines_docs,
+        "near_dup_incremental_docs": near_dup_incremental_docs,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
         "orc_roundtrip_agg": orc_roundtrip_agg,
         "dedup_incremental_docs": dedup_incremental_docs,
@@ -4975,6 +5013,58 @@ def oracle_sql() -> dict[str, str]:
                 FROM u a JOIN u b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.4
+        """,
+        "embedding_dedup_incremental_vecs": """
+            -- the lsh_buckets_md5 plane replay feeding the incremental
+            -- candidate join: history (vec_id % 5 != 0) vs batch
+            -- (vec_id % 5 == 0) on equal buckets plus the in-batch
+            -- smaller-id rule; cosine is dot over norm product exactly
+            -- as dedup.embedding_dedup_incremental computes it.
+            WITH ex AS (
+                SELECT vec_id, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            ), comp AS (
+                SELECT vec_id, i,
+                       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+                FROM ex
+            ), pl AS (
+                SELECT vec_id, p,
+                       sum(v * (((('0x' || substr(md5('42:' || p || ':' || (i - 1)), 1, 15))::BIGINT)
+                            % 1048576) / 524288.0 - 1.0)) AS proj
+                FROM comp, (SELECT unnest(range(0, 6)) AS p) planes
+                GROUP BY vec_id, p
+            ), bk AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN proj >= 0
+                            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                FROM pl GROUP BY vec_id
+            ), vv AS (
+                SELECT e.vec_id, b.bucket,
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vd,
+                       sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings e JOIN bk b USING (vec_id)
+            ), hist AS (
+                SELECT * FROM vv WHERE vec_id % 5 <> 0
+            ), bat AS (
+                SELECT * FROM vv WHERE vec_id % 5 = 0
+            ), cand AS (
+                SELECT n.vec_id AS id_new, s.vec_id AS id_seen,
+                       list_sum(list_transform(range(1, len(n.vd) + 1),
+                           i -> n.vd[CAST(i AS INT)] * s.vd[CAST(i AS INT)]))
+                           / (n.nrm * s.nrm) AS c
+                FROM bat n JOIN hist s ON n.bucket = s.bucket
+                UNION ALL
+                SELECT n.vec_id, s.vec_id,
+                       list_sum(list_transform(range(1, len(n.vd) + 1),
+                           i -> n.vd[CAST(i AS INT)] * s.vd[CAST(i AS INT)]))
+                           / (n.nrm * s.nrm) AS c
+                FROM bat n JOIN bat s
+                  ON n.bucket = s.bucket AND s.vec_id < n.vec_id
+            )
+            SELECT id_new, id_seen, round(c, 6) AS cosine
+            FROM cand WHERE c >= 0.25
         """,
         "embedding_near_dup_clusters": """
             WITH RECURSIVE u AS (

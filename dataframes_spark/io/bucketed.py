@@ -114,6 +114,39 @@ def compact_span_store(
     return compact_store(spark, table, "wh", num_buckets)
 
 
+def write_embedding_store(
+    vecs: DataFrame, table: str, num_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persist an incremental semantic near-dup store
+    (``dedup.embedding_store``, flat ``(id, bucket, vec, nrm)`` schema)
+    BUCKETED BY ``bucket`` — the sole equi-key of
+    ``embedding_dedup_incremental``'s candidate join, so the store's
+    scan-time partitioning satisfies the join's required distribution
+    and history never reshuffles or re-scores (plan pinned in
+    tests/test_plans.py)."""
+    write_bucketed(
+        vecs, table, bucket_by="bucket", num_buckets=num_buckets, mode=mode
+    )
+
+
+def read_embedding_store(spark: SparkSession, table: str) -> DataFrame:
+    """Read a persisted embedding store (flat ``(id, bucket, vec,
+    nrm)``) — bucket metadata flows from the catalog, so the candidate
+    join's ``bucket`` equi-key stays co-located. Do NOT project the
+    columns through expressions: a projection over the scan discards
+    its bucketed output partitioning."""
+    return spark.table(table)
+
+
+def compact_embedding_store(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> dict:
+    """Rewrite an embedding store into one file per bucket (same keys,
+    same bucketing) — the `compact_lsh_store` maintenance pass for the
+    semantic store after many incremental appends."""
+    return compact_store(spark, table, "bucket", num_buckets)
+
+
 def read_fingerprints(spark: SparkSession, table: str) -> DataFrame:
     """Read a persisted fingerprint store (flat ``(len, xx, md5)``) —
     bucket metadata flows from the catalog, so the incremental anti

@@ -1226,6 +1226,118 @@ def embedding_near_dups(
     return prepped.groupBy("ti", "tj").applyInPandas(score_block, out_schema)
 
 
+def embedding_store(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int = 8,
+    seed: int = 42,
+    plane_hash: str = "xxhash64",
+) -> DataFrame:
+    """Flat ``(id, bucket, vec, nrm)`` hyperplane bucketing of an
+    embedding corpus — the persistable candidate STORE for incremental
+    SEMANTIC near-dup detection (the `lsh_bucket_store` counterpart for
+    embeddings). Unlike the text-LSH store, verification needs the
+    vectors, so the store carries them with their precomputed norms: at
+    1e10 documents the store is the corpus's embedding column plus
+    ~16 B/row — it REPLACES that column for dedup purposes rather than
+    duplicating anything else.
+
+    Bucket ids are deterministic given ``(num_planes, seed,
+    plane_hash)`` (`similarity.hyperplane_buckets`); the caller owns
+    keeping those constant across increments. Persist with
+    ``io.bucketed.write_embedding_store`` (bucketed by ``bucket``):
+    `embedding_dedup_incremental`'s candidate join uses exactly that
+    equi-key, so the store side never reshuffles."""
+    from dataframes_spark.operators.similarity import (
+        _norm,
+        hyperplane_buckets,
+    )
+
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    base = hyperplane_buckets(
+        df, vec_col, id_col, num_planes, seed, plane_hash
+    )
+    return base.select(
+        F.col(id_col).alias("id"),
+        "bucket",
+        vd.alias("vec"),
+        _norm(vd).alias("nrm"),
+    )
+
+
+def embedding_dedup_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+    plane_hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental semantic near-dups: which arriving embeddings are
+    near-duplicates (cosine >= ``threshold``) of something the corpus
+    has ALREADY seen — without re-bucketing or re-scoring history.
+    Returns ``(dups, updated_store)``:
+
+    - ``dups`` — ``(id_new, id_seen, cosine)`` where ``id_new`` is a
+      batch vector scoring >= ``threshold`` against a STORED vector
+      sharing its hyperplane bucket, or against an earlier (smaller-id)
+      batch vector sharing one (the `near_dup_incremental` in-batch
+      rule). Single-band LSH gives each vector exactly one bucket, so
+      no pair is emitted twice.
+    - ``updated_store`` — the store plus the batch's bucketing, ready
+      to persist (ids are assumed new — run `exact_dedup_incremental`
+      first; no distinct, the `near_dup_incremental` contract).
+
+    Recall caveat (shared with `embedding_near_dups`' LSH mode): pairs
+    straddling a hyperplane are missed; raise recall by lowering
+    ``num_planes`` (bigger buckets) or unioning several seeds. This
+    completes the incremental family across all four dedup modalities:
+    exact content (`exact_dedup_incremental`), text shingles
+    (`near_dup_incremental`), token spans
+    (`duplicate_spans_incremental`), and embeddings (here).
+
+    Scale shape: the batch buckets map-only; ONE equi-join on
+    ``bucket`` against a store bucketed on exactly that key
+    (``io.bucketed.write_embedding_store``) satisfies the join's
+    required distribution as scanned — history never reshuffles, and
+    the dot-product verification runs JVM-side on candidates only
+    (plan pinned in ``tests/test_plans.py``). In-batch pairs reuse the
+    batch's own bucketing (batch-sized self-join)."""
+    from dataframes_spark.operators.similarity import _dot
+
+    fresh = embedding_store(
+        new_df, vec_col, id_col, num_planes, seed, plane_hash
+    )
+
+    cosine = (
+        _dot(F.col("n.vec"), F.col("s.vec")) / (F.col("n.nrm") * F.col("s.nrm"))
+    ).alias("cosine")
+    pick = [
+        F.col("n.id").alias("id_new"),
+        F.col("s.id").alias("id_seen"),
+        cosine,
+    ]
+    vs_store = (
+        fresh.alias("n")
+        .join(store.alias("s"), "bucket")
+        .filter(F.col("n.id") != F.col("s.id"))
+        .select(*pick)
+        .filter(F.col("cosine") >= threshold)
+    )
+    in_batch = (
+        fresh.alias("n")
+        .join(fresh.alias("s"), "bucket")
+        .filter(F.col("s.id") < F.col("n.id"))
+        .select(*pick)
+        .filter(F.col("cosine") >= threshold)
+    )
+    dups = vs_store.unionByName(in_batch)
+    return dups, store.unionByName(fresh)
+
+
 def content_fingerprints(df: DataFrame, text_col: str) -> DataFrame:
     """Distinct FLAT ``(len, xx, md5)`` content keys of a corpus — the
     persistable fingerprint STORE for incremental dedup. Same

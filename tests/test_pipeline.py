@@ -381,3 +381,90 @@ def test_ivf_sample_fraction_tiny_never_empty(spark):
         emb, "embedding", "vec_id", n_clusters=2, fit_sample_fraction=1e-7
     )
     assert len(cs) == 2 and assigned.count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# incremental semantic near-dup store (dedup.embedding_dedup_incremental)
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_dedup_incremental_history_and_in_batch(spark):
+    from dataframes_spark.operators import dedup as dd
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    a_near = [0.999, 0.04, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    hist = _vecs(spark, [(1, a), (2, b)])
+    store = dd.embedding_store(hist, "embedding", "vec_id", num_planes=4)
+    batch = _vecs(
+        spark,
+        [
+            (10, a_near),        # near-dups history vec 1
+            (11, [0.0, 0.0, 1.0, 0.0]),
+            (12, [0.0, 0.0, 0.999, 0.04]),  # in-batch pair with 11
+        ],
+    )
+    dups, updated = dd.embedding_dedup_incremental(
+        batch, store, "embedding", "vec_id", threshold=0.95, num_planes=4
+    )
+    got = {(r.id_new, r.id_seen) for r in dups.collect()}
+    assert (10, 1) in got
+    assert (12, 11) in got
+    assert all(new in (10, 11, 12) for new, _ in got)
+    # cosine values are genuine cosines
+    vals = {(r.id_new, r.id_seen): r.cosine for r in dups.collect()}
+    assert abs(vals[(10, 1)] - 0.999 / (0.999**2 + 0.04**2) ** 0.5) < 1e-9
+    # store grows by exactly the batch rows
+    assert updated.count() == 5
+    assert {r.id for r in updated.select("id").collect()} == {1, 2, 10, 11, 12}
+
+
+def test_embedding_dedup_incremental_matches_batch_lsh_pairs(spark):
+    # the incremental pair relation over (history, batch) equals the
+    # batch-mode LSH pair relation restricted to pairs touching the batch
+    from dataframes_spark.operators import dedup as dd
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        if i % 3 == 0:  # planted near-dup partner
+            rows.append(
+                (100 + i, [float(x + rng.uniform(-0.01, 0.01)) for x in base])
+            )
+    df = _vecs(spark, rows)
+    hist = df.filter("vec_id % 2 = 0")
+    batch = df.filter("vec_id % 2 = 1")
+    store = dd.embedding_store(hist, "embedding", "vec_id", num_planes=4, seed=3)
+    inc, _ = dd.embedding_dedup_incremental(
+        batch, store, "embedding", "vec_id", threshold=0.98, num_planes=4, seed=3
+    )
+    full = dd.embedding_near_dups(
+        df, "embedding", "vec_id", threshold=0.98, num_planes=4, seed=3
+    )
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    want = set()
+    for r in full.collect():
+        # batch-mode emits id_a < id_b; incremental emits (new, seen)
+        if r.id_b in batch_ids:
+            want.add((r.id_b, r.id_a))
+        elif r.id_a in batch_ids:
+            want.add((r.id_a, r.id_b))
+    got = {(r.id_new, r.id_seen) for r in inc.collect()}
+    # pairs where BOTH sides are history never appear incrementally;
+    # pairs with at least one batch side must match exactly, except
+    # history-seen/batch-new orientation where the batch id is SMALLER
+    # (batch-mode a<b emits it, incremental emits (new, seen) with
+    # new=batch regardless) — normalize by membership, not order
+    def norm(p):
+        x, y = p
+        return (min(x, y), max(x, y))
+
+    assert {norm(p) for p in got} == {norm(p) for p in want}

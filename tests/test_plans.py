@@ -590,6 +590,55 @@ def test_span_store_never_reshuffles(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_embedding_store_never_reshuffles(spark, tmp_path):
+    """The semantic store mirrors the LSH store's contract: bucketed by
+    bucket — the candidate join's sole equi-key — the store branch must
+    read Bucketed: true with NO Exchange above the scan; only the
+    arriving batch buckets and shuffles, and verification runs on
+    candidates only."""
+    import re
+    import uuid
+
+    from dataframes_spark.io import bucketed as B
+    from dataframes_spark.operators import dedup as dd
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tbl = f"emb_plan_{uuid.uuid4().hex[:8]}"
+    try:
+        b1 = spark.createDataFrame(
+            [(i, [float(i % 7), 1.0, 0.5, float(i % 3)]) for i in range(100)],
+            "vec_id long, embedding array<float>",
+        )
+        B.write_embedding_store(
+            dd.embedding_store(b1, "embedding", "vec_id", num_planes=4),
+            tbl,
+            num_buckets=4,
+        )
+        store = B.read_embedding_store(spark, tbl)
+        b2 = spark.createDataFrame(
+            [(900, [3.0, 1.0, 0.5, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        dups, _ = dd.embedding_dedup_incremental(
+            b2, store, "embedding", "vec_id", threshold=0.99, num_planes=4
+        )
+        p = dups._jdf.queryExecution().executedPlan().toString()
+        scans = [
+            m.start()
+            for m in re.finditer(r"FileScan parquet[^\n]*Bucketed: true", p)
+        ]
+        assert scans, p  # must not pass vacuously
+        for s in scans:
+            sort_idx = p.rfind("Sort [bucket", 0, s)
+            assert sort_idx != -1, p
+            assert "Exchange" not in p[sort_idx:s]
+        assert dups.count() >= 1  # vec 900 == vec 3 direction exactly
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 GLOBAL_ORDER_QUERIES = (
     "shift_lag",
     "interpolate_linear",
