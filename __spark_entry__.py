@@ -29,6 +29,7 @@ from dataframes_spark.operators import dedup as ddedup
 from dataframes_spark.operators import graph as dgraph
 from dataframes_spark.operators import nulls as dnulls
 from dataframes_spark.operators import pack as dpack
+from dataframes_spark import quality as dquality
 from dataframes_spark.operators import reshape as dreshape
 from dataframes_spark.operators import sample as dsample
 from dataframes_spark.operators import similarity as dsim
@@ -2650,6 +2651,15 @@ def dup_spans_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans
 
 
+def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (quality.py corpus_report): per-source volume,
+    token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
+    and dominant language with its share — the summary a pipeline
+    publishes alongside the data."""
+    docs = _t(spark, sf_dir, "documents")
+    return dquality.corpus_report(docs, "text", "source", label_col="lang")
+
+
 def dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level duplicated-span report (operators/dedup.py
     duplicate_spans): maximal runs of >=8 whitespace tokens shared
@@ -2869,6 +2879,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (driver-green r7-r8) rotates below; the incremental family
         #    stays in-window via this row and dup_spans_incremental_docs.
         "embedding_dedup_incremental_vecs": embedding_dedup_incremental_vecs,
+        # -- round 9 (new, second batch): the corpus data card — the
+        #    per-source summary a pipeline publishes (volume, tokens,
+        #    corpus-wide exact-dup exposure, dominant language).
+        #    standardize_prices (driver-green r8) rotates below.
+        "corpus_report_docs": corpus_report_docs,
         # -- round 9 (new, second batch): leakage-safe splitting — the
         #    near-dup closure assigned to train/val/test as units
         #    (split_by_cluster). dedup_incremental_docs (driver-green
@@ -2921,7 +2936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strictly improves) and asof_last_purchase (green r04; family
         # exercised by the nearest composition)
         "asof_nearest_purchase": asof_nearest_purchase,
-        "standardize_prices": standardize_prices,
         # facade_column_surgery + facade_from_columns_index: first driver
         # rows for the facade conveniences (addColumn/rename/remove/
         # filterColumns/fromColumns/createIndex/concat); embedding_norms
@@ -2995,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents,
         "strip_repeated_lines_docs": strip_repeated_lines_docs,
         "near_dup_incremental_docs": near_dup_incremental_docs,
+        "standardize_prices": standardize_prices,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
         "orc_roundtrip_agg": orc_roundtrip_agg,
         "dedup_incremental_docs": dedup_incremental_docs,
@@ -3871,6 +3886,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(a.text, '') AS text
             FROM (SELECT DISTINCT doc_id FROM docs) d
             LEFT JOIN agg a USING (doc_id)
+        """,
+        "corpus_report_docs": """
+            -- per-source data card: corpus-wide exact-dup flag (md5 of
+            -- raw text, null-equal grouping), whitespace token counts,
+            -- dominant language by count with alphabetical tiebreak.
+            WITH base AS (
+                SELECT source, lang, md5(text) AS fp,
+                       len(list_filter(regexp_split_to_array(
+                           trim(coalesce(text, '')), '\\s+'),
+                           t -> t <> '')) AS nt
+                FROM documents
+            ), dup AS (
+                SELECT fp FROM base GROUP BY fp HAVING count(*) >= 2
+            ), flagged AS (
+                SELECT b.*, (b.fp IN (SELECT fp FROM dup)
+                             OR (b.fp IS NULL AND EXISTS (
+                                 SELECT 1 FROM dup WHERE fp IS NULL)))
+                            AS is_dup
+                FROM base b
+            ), rep AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_docs,
+                       CAST(sum(nt) AS BIGINT) AS total_tokens,
+                       round(avg(nt), 6) AS avg_tokens
+                FROM flagged GROUP BY source
+            ), lg AS (
+                SELECT source, lang, count(*) AS c FROM base
+                GROUP BY source, lang
+            ), top AS (
+                SELECT source, lang AS top_label, c,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY c DESC, lang ASC NULLS LAST) AS rn
+                FROM lg
+            )
+            SELECT r.source, r.n_docs, r.n_dup_docs, r.total_tokens,
+                   r.avg_tokens, t.top_label,
+                   round(t.c / CAST(r.n_docs AS DOUBLE), 6)
+                       AS top_label_frac
+            FROM rep r JOIN top t ON t.source = r.source AND t.rn = 1
         """,
         "dup_spans_docs": """
             -- term-for-term replay of the window-hash span pass:

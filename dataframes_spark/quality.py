@@ -951,3 +951,94 @@ def drift_psi_categorical_from_store(
         )
         .orderBy("category")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Corpus data card: the per-``group_col`` (source/shard/snapshot)
+    summary a training-data pipeline publishes alongside the data —
+    volume, token mass, exact-duplicate exposure, and (with
+    ``label_col``, e.g. a language column) the dominant label and its
+    share. One row per group:
+
+    ``(group, n_docs, n_dup_docs, total_tokens, avg_tokens, top_label,
+    top_label_frac)`` — ``n_dup_docs`` counts documents whose exact
+    content (md5, case- and whitespace-sensitive like `exact_dedup`'s
+    grouping domain) appears more than once in the WHOLE corpus, so two
+    sources sharing a document each report it (cross-source
+    contamination is visible from both sides). Without ``label_col``
+    the two label columns are omitted. Ties on the label mode break to
+    the alphabetically-smallest label (deterministic report).
+
+    Scale: one scan computes fingerprint + token count per document
+    (map-only); the duplicate flag is the `strip_repeated_lines` shape
+    — a groupBy on the 32 B fingerprint and an AQE-broadcastable flag
+    join (only fingerprints crossing the bar join back); the label mode
+    is a per-(group, label) count plus a top-1 window — every relation
+    after the scan is group- or fingerprint-sized, never corpus-wide
+    text."""
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    label = [F.col(label_col).alias("__l")] if label_col else []
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        *label,
+        # null text -> null fingerprint; groupBy groups nulls together,
+        # so null-text documents dedup-count against each other exactly
+        # like exact_dedup's null-equal grouping — no sentinel needed
+        F.md5(F.col(text_col).cast("binary")).alias("__fp"),
+        toks.alias("__nt"),
+    )
+    dup = (
+        base.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("__fp").alias("__dfp"), F.lit(True).alias("__dup"))
+    )
+    # null-safe flag join: null-text documents share a null fingerprint
+    # (grouped together above) and must match their flag row too
+    flagged = base.join(
+        dup, base["__fp"].eqNullSafe(dup["__dfp"]), "left"
+    ).drop("__dfp")
+    report = flagged.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum("__nt").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__nt"), 6).alias("avg_tokens"),
+    )
+    if label_col is None:
+        return report.withColumnRenamed("__g", group_col)
+    from pyspark.sql import Window as _W
+
+    lg = base.groupBy("__g", "__l").agg(F.count(F.lit(1)).alias("__c"))
+    w = _W.partitionBy("__g").orderBy(
+        F.col("__c").desc(), F.col("__l").asc_nulls_last()
+    )
+    top = (
+        lg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__g",
+            F.col("__l").alias("top_label"),
+            F.col("__c").alias("__tc"),
+        )
+    )
+    return report.join(top, "__g").select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        "avg_tokens",
+        "top_label",
+        F.round(F.col("__tc") / F.col("n_docs"), 6).alias("top_label_frac"),
+    )

@@ -521,3 +521,63 @@ def test_cat_store_fold_law_any_split(spark, langs, cut):
     spark.sql(f"DROP TABLE IF EXISTS {t1}")
     spark.sql(f"DROP TABLE IF EXISTS {t2}")
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus data card (quality.corpus_report)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_report_hand_values(spark):
+    from dataframes_spark.quality import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared doc text", "a", "en"),
+            (2, "shared doc text", "b", "en"),  # cross-source dup
+            (3, "unique alpha beta", "a", "en"),
+            (4, "one two three four", "a", "de"),
+            (5, "solo text here", "b", "de"),
+            (6, "solo text here", "b", "de"),  # within-source dup
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {
+        r.source: r
+        for r in corpus_report(df, "text", "source", label_col="lang").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.n_dup_docs, a.total_tokens) == (3, 1, 10)
+    assert (b.n_docs, b.n_dup_docs, b.total_tokens) == (3, 3, 9)
+    assert a.avg_tokens == round(10 / 3, 6)
+    # source a: en=2 de=1 -> en; source b: en=1 de=2 -> de
+    assert (a.top_label, a.top_label_frac) == ("en", round(2 / 3, 6))
+    assert (b.top_label, b.top_label_frac) == ("de", round(2 / 3, 6))
+
+
+def test_corpus_report_label_tie_breaks_alphabetically_and_no_label(spark):
+    from dataframes_spark.quality import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "x y", "s", "fr"), (2, "z w", "s", "de")],
+        "doc_id long, text string, source string, lang string",
+    )
+    row = corpus_report(df, "text", "source", label_col="lang").collect()[0]
+    assert row.top_label == "de" and row.top_label_frac == 0.5
+    bare = corpus_report(df, "text", "source")
+    assert bare.columns == [
+        "source", "n_docs", "n_dup_docs", "total_tokens", "avg_tokens",
+    ]
+
+
+def test_corpus_report_null_text_dups_and_token_zero(spark):
+    from dataframes_spark.quality import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, None, "s"), (2, None, "s"), (3, "real words", "s")],
+        "doc_id long, text string, source string",
+    )
+    row = corpus_report(df, "text", "source").collect()[0]
+    # the two null-text docs dedup-count against each other (null-equal
+    # grouping, the exact_dedup rule) and carry zero tokens
+    assert (row.n_docs, row.n_dup_docs, row.total_tokens) == (3, 2, 2)
