@@ -406,6 +406,7 @@ def recall_report(
     nprobe: int = 4,
     plane_hash: str = "xxhash64",
     query_ids: Sequence | None = None,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """Recall@k of the approximate ANN paths against exact brute force —
     the quality dial every ANN deployment needs before trusting its
@@ -419,8 +420,10 @@ def recall_report(
     ``plane_hash="md5"`` every stage is exact relational algebra).
 
     Methods: ``lsh_buckets`` (random-hyperplane buckets, candidates only
-    meet in-bucket) and, when ``centers`` is given, ``ivf_nprobe``
-    (in-cluster search of the ``nprobe`` best clusters per query).
+    meet in-bucket); with ``centers``, ``ivf_nprobe`` (in-cluster search
+    of the ``nprobe`` best clusters per query); with ``codebooks``,
+    ``pq_adc`` (the whole corpus ranked by quantized ADC distance over
+    PQ codes — the compression path's quality dial).
 
     Scale shape: the exact baseline scores n_queries x corpus pairs via
     a BROADCAST of the tiny query set — linear in the corpus with a
@@ -524,6 +527,54 @@ def recall_report(
             (F.col("a.__ccl") == F.col("p.__ccl")) & (F.col("a.__cid") != F.col("p.__qid")),
         ).select("a.__cid", "a.__cvec", "a.__cnrm", "p.__qid", "p.__qvec", "p.__qnrm")
         report = report.unionByName(recall_of(topk(ivf_cands), "ivf_nprobe"))
+
+    if codebooks is not None:
+        # PQ lane: rank the WHOLE corpus by ADC distance over codes —
+        # PQ is a compression, not a pruning, so its recall loss is
+        # quantized scores reordering the top-k. On unit vectors
+        # ||q - c||^2 = 2 - 2 cos, so the L2-ADC ranking compares
+        # apples-to-apples with the exact cosine baseline. The chosen
+        # centroid is an element_at into a literal (k x d_sub) matrix
+        # by the stored code — same no-vector-read scan as `pq_topk`,
+        # generalized to a query FRAME (per-query LUTs are a driver
+        # loop; the fold below is one plan for any n_queries).
+        m = len(codebooks)
+        d_sub = len(codebooks[0][0])
+        encoded = pq_encode(df, vec_col, codebooks).select(
+            F.col(id_col).alias("__cid"), "pq_code"
+        )
+        pq_queries = queries.select("__qid", _unit(F.col("__qvec")).alias("__qu"))
+        pairs = encoded.join(
+            F.broadcast(pq_queries), F.col("__cid") != F.col("__qid")
+        )
+        dist = None
+        for j, book in enumerate(codebooks):
+            qsub = F.slice(F.col("__qu"), j * d_sub + 1, d_sub)
+            matrix = F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in cent])
+                    for cent in book
+                ]
+            )
+            chosen = F.element_at(
+                matrix, F.element_at(F.col("pq_code"), j + 1) + 1
+            )
+            term = F.aggregate(
+                F.zip_with(qsub, chosen, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dist = term if dist is None else dist + term
+        wpq = W.partitionBy("__qid").orderBy(
+            F.col("__d").asc(), F.col("__cid").asc()
+        )
+        pq_top = (
+            pairs.select("__qid", "__cid", dist.alias("__d"))
+            .withColumn("__rank", F.row_number().over(wpq))
+            .filter(F.col("__rank") <= k)
+            .select("__qid", "__cid")
+        )
+        report = report.unionByName(recall_of(pq_top, "pq_adc"))
     return report
 
 

@@ -192,3 +192,47 @@ def test_ivfpq_partitioned_store_prunes_and_scores(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_pq_adc_lane_bounds_and_lossless_codebooks(spark, emb):
+    from dataframes_spark.operators import similarity as S2
+
+    # real fitted codebooks: the quantized ranking recovers a solid
+    # fraction of the exact top-10 and the report stays in [0, 1]
+    books = S2.pq_fit(emb, "embedding", "vec_id", dim=64, m=16, k=16)
+    rep = S2.recall_report(
+        emb, "embedding", "vec_id", k=10, n_queries=8, codebooks=books
+    )
+    got = {r["method"]: r["recall_at_k"] for r in rep.collect()}
+    assert set(got) == {"lsh_buckets", "pq_adc"}
+    assert 0.0 <= got["pq_adc"] <= 1.0
+    assert got["pq_adc"] >= 0.35, got
+
+    # lossless case: a corpus drawn from few distinct subvector patterns
+    # quantizes exactly when every pattern is a centroid -> ADC distance
+    # equals the true distance and recall is exactly 1.0
+    import itertools
+
+    pats = [(1.0, 0.0), (0.0, 1.0), (0.5, 0.5), (1.0, 1.0)]
+    rows = [
+        (i, [float(x) for x in a + b])
+        for i, (a, b) in enumerate(itertools.product(pats, pats))
+    ]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # unit-normalized subvectors of each corpus vector, per subspace
+    import math
+
+    def norm_sub(row):
+        n = math.sqrt(sum(v * v for v in row))
+        return [v / n for v in row]
+
+    books2 = [
+        sorted({tuple(norm_sub(r[1])[0:2]) for r in rows}),
+        sorted({tuple(norm_sub(r[1])[2:4]) for r in rows}),
+    ]
+    books2 = [[list(c) for c in b] for b in books2]
+    rep2 = S2.recall_report(
+        tiny, "embedding", "vec_id", k=3, n_queries=6, codebooks=books2
+    )
+    got2 = {r["method"]: r["recall_at_k"] for r in rep2.collect()}
+    assert got2["pq_adc"] == pytest.approx(1.0), got2
