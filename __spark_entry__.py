@@ -26,6 +26,7 @@ from dataframes_spark.functions import text as dtext
 from dataframes_spark.operators import aggregate as dagg
 from dataframes_spark.operators import decontaminate as ddecon
 from dataframes_spark.operators import dedup as ddedup
+from dataframes_spark.operators import dsir as ddsir
 from dataframes_spark.operators import graph as dgraph
 from dataframes_spark.operators import nulls as dnulls
 from dataframes_spark.operators import pack as dpack
@@ -2614,6 +2615,36 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtext.bigram_logprob(docs, "text", "doc_id")
 
 
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    per-document log importance weight of every document under a hashed
+    n-gram bucket model fit with target = the English sub-corpus and
+    raw = the whole corpus. The oracle replays tokenization, md5
+    bucketing, Laplace smoothing and the weight fold term for term."""
+    docs = _t(spark, sf_dir, "documents")
+    model = ddsir.dsir_fit(
+        docs.filter(F.col("lang") == "en"), docs, "text", "doc_id", buckets=64
+    )
+    return ddsir.dsir_weights(docs, model, "text", "doc_id", buckets=64)
+
+
+def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resample (operators/dsir.py dsir_sample): the 40
+    documents drawn without replacement proportionally to their
+    importance weight (target = English sub-corpus), via the
+    deterministic md5 Gumbel key — fit, weigh and resample verified
+    end-to-end against the DuckDB replay."""
+    docs = _t(spark, sf_dir, "documents")
+    return ddsir.dsir_sample(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        "text",
+        "doc_id",
+        k=40,
+        buckets=64,
+    )
+
+
 def repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level exact substring dedup, report form (operators/dedup.py
     repeated_lines): lines occurring in >=2 distinct documents — the
@@ -2890,6 +2921,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r7 AND r8) rotates below; the incremental-dedup family
         #    stays in-window via near_dup_incremental_docs.
         "split_leak_safe_docs": split_leak_safe_docs,
+        # -- round 9 (continuation): DSIR importance resampling (Xie et
+        #    al. 2023) — hashed n-gram bucket model (md5 lane), per-doc
+        #    log importance weights, and the deterministic Gumbel top-k
+        #    resample; fit/weigh/resample each replayed term-for-term in
+        #    DuckDB. To hold the window at 50, split_documents (driver-
+        #    green r5-r8; split family stays via split_leak_safe_docs +
+        #    shard_report_docs) and read_text_csv_agg (driver-green
+        #    r7-r8; IO family stays via zorder_roundtrip_agg, csv/xlsx/
+        #    orc/jsonl roundtrips all multiply green below) rotate below.
+        "dsir_weights_docs": dsir_weights_docs,
+        "dsir_sample_docs": dsir_sample_docs,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -2908,7 +2950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "salted_agg_events": salted_agg_events,
-        "split_documents": split_documents,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
         #    rewrite, the CCNet/RefinedWeb boilerplate pass) and cube_qty
@@ -2947,8 +2988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the reference's interchange format): last unit-only IO
         # surfaces gain driver rows; reproducible_sample and
         # ewma_user_value (green r1-r4 / r04) rotate out — sampling
-        # stays via weighted_sample/split/mix, streaming via sessionize
-        "read_text_csv_agg": read_text_csv_agg,
+        # stays via weighted_sample/split/mix, streaming via sessionize.
+        # (read_text_csv_agg itself rotated below in round 9 for the
+        # DSIR family after going driver-green r7-r8.)
         # round 7 (continuation): incremental near-dup candidates vs a
         # persisted LSH bucket store (the fuzzy twin of
         # dedup_incremental_docs — arriving batch, history never
@@ -3008,6 +3050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family, the leakage-safe split and the bigram LM.
         "chunk_documents": chunk_documents,
         "strip_repeated_lines_docs": strip_repeated_lines_docs,
+        "split_documents": split_documents,
+        "read_text_csv_agg": read_text_csv_agg,
         "near_dup_incremental_docs": near_dup_incremental_docs,
         "standardize_prices": standardize_prices,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
@@ -3817,6 +3861,115 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
             FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
+        """,
+        "dsir_weights_docs": """
+            -- operators/dsir.py replayed term for term: unigram+bigram
+            -- features of the lowercased whitespace tokenization, md5
+            -- bucketing into 64 buckets, Laplace(1) smoothing over
+            -- target (lang='en') and raw (all documents), weight =
+            -- sum(cnt * (ln p_target - ln p_raw)).
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, lang, unnest(w) AS f FROM t
+                UNION ALL
+                SELECT doc_id, lang, w[g] || ' ' || w[g + 1] AS f
+                FROM (SELECT doc_id, lang, w,
+                             unnest(generate_series(1, len(w) - 1)) AS g
+                      FROM t)
+            ), fb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('dsir:' || f), 1, 15))::BIGINT
+                           % 64 AS bucket,
+                       count(*) AS cnt
+                FROM feats GROUP BY 1, 2, 3
+            ), tc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb
+                WHERE lang = 'en' GROUP BY 1
+            ), rc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb GROUP BY 1
+            ), tt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM tc
+            ), rt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM rc
+            ), model AS (
+                SELECT b.g AS bucket,
+                       ln((CAST(coalesce(tc.c, 0) AS DOUBLE) + 1.0)
+                          / (tt.t + 64.0))
+                     - ln((CAST(coalesce(rc.c, 0) AS DOUBLE) + 1.0)
+                          / (rt.t + 64.0)) AS log_ratio
+                FROM range(0, 64) b(g)
+                LEFT JOIN tc ON tc.bucket = b.g
+                LEFT JOIN rc ON rc.bucket = b.g, tt, rt
+            )
+            SELECT fb.doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_feats,
+                   round(sum(cnt * log_ratio), 6) AS log_weight
+            FROM fb JOIN model USING (bucket)
+            GROUP BY 1
+        """,
+        "dsir_sample_docs": """
+            -- dsir_sample end-to-end: the dsir_weights_docs relation
+            -- plus the deterministic md5 Gumbel key
+            -- round(log_weight - ln(-ln((h13+1)/2^52)), 6), top 40.
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, lang, unnest(w) AS f FROM t
+                UNION ALL
+                SELECT doc_id, lang, w[g] || ' ' || w[g + 1] AS f
+                FROM (SELECT doc_id, lang, w,
+                             unnest(generate_series(1, len(w) - 1)) AS g
+                      FROM t)
+            ), fb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('dsir:' || f), 1, 15))::BIGINT
+                           % 64 AS bucket,
+                       count(*) AS cnt
+                FROM feats GROUP BY 1, 2, 3
+            ), tc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb
+                WHERE lang = 'en' GROUP BY 1
+            ), rc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb GROUP BY 1
+            ), tt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM tc
+            ), rt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM rc
+            ), model AS (
+                SELECT b.g AS bucket,
+                       ln((CAST(coalesce(tc.c, 0) AS DOUBLE) + 1.0)
+                          / (tt.t + 64.0))
+                     - ln((CAST(coalesce(rc.c, 0) AS DOUBLE) + 1.0)
+                          / (rt.t + 64.0)) AS log_ratio
+                FROM range(0, 64) b(g)
+                LEFT JOIN tc ON tc.bucket = b.g
+                LEFT JOIN rc ON rc.bucket = b.g, tt, rt
+            ), weights AS (
+                SELECT fb.doc_id,
+                       CAST(sum(cnt) AS BIGINT) AS n_feats,
+                       round(sum(cnt * log_ratio), 6) AS log_weight
+                FROM fb JOIN model USING (bucket)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_feats, log_weight,
+                   round(log_weight - ln(-ln(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || '/dsir-g'), 1, 13))::BIGINT + 1)
+                       / 4503599627370496.0)), 6) AS gumbel_key
+            FROM weights
+            ORDER BY gumbel_key DESC, doc_id ASC
+            LIMIT 40
         """,
         "bigram_logprob_docs": """
             -- identical tokenization, Laplace smoothing (alpha 0.5) and

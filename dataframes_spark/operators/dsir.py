@@ -1,0 +1,192 @@
+"""DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) — select raw-corpus documents whose hashed n-gram
+distribution looks like a TARGET corpus.
+
+The published recipe, re-expressed as Spark relational algebra:
+
+1. Features: unigrams + bigrams of the lowercased whitespace
+   tokenization, hashed into ``B`` buckets (hashed n-gram features).
+   The md5 lane makes the bucket assignment bit-identical in any
+   engine with standard md5 (DuckDB, Trino), so the whole pipeline is
+   oracle-replayable — same trick as ``operators/sample.md5_sample``.
+2. Fit: two bag-of-buckets multinomials with Laplace smoothing —
+   ``p_target`` over the target corpus, ``p_raw`` over the raw corpus.
+   The model is EXACTLY ``B`` rows (every bucket, observed or not), so
+   it broadcasts and the scoring join never shuffles the model side.
+3. Weigh: per-document log importance weight
+   ``log w(d) = sum_f n_f(d) * (ln p_target[f] - ln p_raw[f])``.
+4. Resample: Gumbel top-k over ``log w`` — ``key = log w - ln(-ln u)``
+   with ``u`` a content-hash uniform, equivalent to sampling without
+   replacement proportionally to ``w`` (Efraimidis-Spirakis duality),
+   and deterministic per (doc, seed) like every sampler in this repo.
+
+Scale shape: each fit is ONE scan+explode folded to B rows; weighing is
+ONE scan+explode with a per-(doc,bucket) partial agg, then a broadcast
+join against the B-row model; resampling is a TakeOrdered heap — no
+all-pairs, no driver-side loop, nothing grows with corpus size except
+the per-document relation itself.
+
+The reference engine has no data-selection surface (its analysis ends at
+dataframes/Analysis.cpp); this extends the LLM-pipeline family
+(quality scores, unigram/bigram LM filters) with the importance-
+resampling selector those papers' pipelines pair them with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Laplace smoothing mass added to every bucket count.
+ALPHA = 1.0
+
+
+def hashed_ngram_features(
+    df: DataFrame, text_col: str, id_col: str, buckets: int = 256
+) -> DataFrame:
+    """Per-document hashed n-gram bag: ``(id, bucket, cnt)``.
+
+    Features are the unigrams plus adjacent bigrams of the lowercased
+    whitespace tokenization (the DSIR paper's hashed n-gram featurizer),
+    each hashed to ``[0, buckets)`` via the md5 lane. One scan, one
+    explode, one (id, bucket) partial aggregation — entirely JVM-side
+    higher-order functions, no Python in the row path."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
+    n = F.size("__w")
+    bigrams = F.zip_with(
+        F.slice("__w", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__w", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = base.select(
+        "__id", F.explode(F.concat(F.col("__w"), bigrams)).alias("__f")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("__f"))), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(buckets)
+    )
+    return (
+        feats.select("__id", bucket.alias("bucket"))
+        .groupBy("__id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bucket_model(
+    spark: SparkSession, feats: DataFrame, buckets: int, p_col: str
+) -> DataFrame:
+    """Fold a feature bag to a complete B-row smoothed log-prob column:
+    ``(bucket, ln((c + ALPHA) / (total + ALPHA * B)) AS p_col)``.
+    ``spark.range`` supplies the unobserved buckets so the model always
+    has exactly ``buckets`` rows (inner-joinable, broadcastable)."""
+    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("__c"))
+    total = counts.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("double").alias("__t")
+    )
+    full = (
+        spark.range(buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("__c"), F.lit(0)).alias("__c"))
+    )
+    return full.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.log(
+            (F.col("__c") + F.lit(ALPHA))
+            / (F.col("__t") + F.lit(ALPHA * buckets))
+        ).alias(p_col),
+    )
+
+
+def dsir_fit(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Fit the DSIR bucket model: ``(bucket, logp_target, logp_raw,
+    log_ratio)``, exactly ``buckets`` rows. Each side is one
+    scan+explode folded to B rows; the B-row join is broadcastable by
+    size (Spark's threshold catches it — B is hundreds to tens of
+    thousands)."""
+    spark = target.sparkSession
+    t = _bucket_model(
+        spark, hashed_ngram_features(target, text_col, id_col, buckets),
+        buckets, "logp_target",
+    )
+    r = _bucket_model(
+        spark, hashed_ngram_features(raw, text_col, id_col, buckets),
+        buckets, "logp_raw",
+    )
+    return t.join(r, "bucket").select(
+        "bucket",
+        "logp_target",
+        "logp_raw",
+        (F.col("logp_target") - F.col("logp_raw")).alias("log_ratio"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Per-document log importance weight under a fitted model:
+    ``(id, n_feats, log_weight)`` with ``log_weight = sum_f n_f *
+    log_ratio[f]`` rounded to 6 places (the repo's float-output
+    contract). Documents with no tokens carry no features and drop,
+    matching ``unigram_logprob``. ONE corpus scan; the model side rides
+    a broadcast join."""
+    feats = hashed_ngram_features(df, text_col, id_col, buckets)
+    return (
+        feats.join(F.broadcast(model.select("bucket", "log_ratio")), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias(
+                "log_weight"
+            ),
+        )
+        .select(F.col("__id").alias(id_col), "n_feats", "log_weight")
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    buckets: int = 256,
+    seed: str = "",
+) -> DataFrame:
+    """Gumbel top-k importance resample: the ``k`` raw documents with the
+    largest ``log_weight - ln(-ln(u))``, ``u = (int(md5(id + '/dsir-g' +
+    seed)[:13], 16) + 1) / 2^52`` — exact in doubles (52-bit numerator,
+    power-of-two denominator), so any md5 engine draws the same sample.
+    Equivalent to weight-proportional sampling without replacement
+    (Gumbel-max / Efraimidis-Spirakis duality). Returns ``(id, n_feats,
+    log_weight, gumbel_key)`` ordered by key descending; the sort is a
+    TakeOrderedAndProject heap, never a global sort."""
+    model = dsir_fit(target, df, text_col, id_col, buckets)
+    w = dsir_weights(df, model, text_col, id_col, buckets)
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit("/dsir-g" + seed))
+    )
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") + 1) / F.lit(
+        float(2**52)
+    )
+    keyed = w.withColumn(
+        "gumbel_key", F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    )
+    return keyed.orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    ).limit(k)
