@@ -2645,6 +2645,18 @@ def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-filtering rules (functions/text.py gopher_rules,
+    Rae et al. 2021 appendix A1.1) over the re-segmented corpus: one
+    map-only scan emitting per-document measurements, the seven 0/1 rule
+    verdicts and the composite — every ratio and verdict replayed in
+    DuckDB. Uses _segmented_docs so the line-level rules (bullets,
+    ellipses) see real multi-line structure."""
+    return dtext.gopher_rules(
+        _segmented_docs(spark, sf_dir), "text", "doc_id", min_words=30
+    )
+
+
 def repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level exact substring dedup, report form (operators/dedup.py
     repeated_lines): lines occurring in >=2 distinct documents — the
@@ -2932,6 +2944,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    orc/jsonl roundtrips all multiply green below) rotate below.
         "dsir_weights_docs": dsir_weights_docs,
         "dsir_sample_docs": dsir_sample_docs,
+        # -- round 9 (continuation): the Gopher filtering rules (Rae et
+        #    al. 2021) — per-document measurements + seven 0/1 verdicts
+        #    + composite, one map-only scan, replayed in DuckDB over the
+        #    same re-segmented corpus. simhash_fingerprints_md5
+        #    (driver-green r6-r8) rotates below; the fingerprint/dedup
+        #    family stays via minhash_lsh_pairs_md5 + the span-dedup and
+        #    near-dup rows.
+        "gopher_rules_docs": gopher_rules_docs,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -2948,7 +2968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": pipeline_clean_corpus,
         # -- entered the window round 5 (rotation promise + new queries)
         "decontaminate_docs": decontaminate_docs,
-        "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "salted_agg_events": salted_agg_events,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
@@ -3052,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_repeated_lines_docs": strip_repeated_lines_docs,
         "split_documents": split_documents,
         "read_text_csv_agg": read_text_csv_agg,
+        "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "near_dup_incremental_docs": near_dup_incremental_docs,
         "standardize_prices": standardize_prices,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
@@ -3861,6 +3881,89 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
             FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
+        """,
+        "gopher_rules_docs": """
+            -- functions/text.py gopher_rules replayed over the same
+            -- 8-word re-segmentation: token/line measurements, the
+            -- seven Gopher rule verdicts (Rae et al. 2021 A1.1) and the
+            -- composite, all from list higher-order functions.
+            WITH docs AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
+                FROM documents
+            ), seg AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           generate_series(
+                               1, CAST(ceil(len(w0) / 8.0) AS BIGINT)),
+                           i -> array_to_string(
+                               w0[(i - 1) * 8 + 1 : i * 8], ' ')
+                       ), chr(10)) AS text
+                FROM docs
+            ), g AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS words,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> len(trim(x)) > 0) AS lines,
+                       len(text) - len(replace(text, '#', '')) AS n_hash,
+                       (len(text) - len(replace(text, '...', ''))) / 3.0
+                           AS n_ell
+                FROM seg
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(words) AS INTEGER) AS n_words,
+                       CAST(greatest(len(words), 1) AS DOUBLE) AS nw,
+                       coalesce(list_sum(
+                           list_transform(words, x -> len(x))), 0) AS wlen,
+                       n_hash, n_ell,
+                       CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+                       len(list_filter(lines,
+                           x -> starts_with(ltrim(x), '- ')
+                             OR starts_with(ltrim(x), '* ')
+                             OR starts_with(ltrim(x), '•'))) AS n_bullet,
+                       len(list_filter(lines,
+                           x -> ends_with(rtrim(x), '...')
+                             OR ends_with(rtrim(x), '…'))) AS n_ellline,
+                       len(list_filter(words,
+                           x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                       CAST(len(list_filter(
+                           ['the','be','to','of','and','that','have','with'],
+                           s -> list_contains(
+                               list_transform(words, t -> lower(t)), s)))
+                           AS INTEGER) AS stop_hits
+                FROM g
+            ), v AS (
+                SELECT doc_id, n_words,
+                       round(wlen / nw, 6) AS mean_word_len,
+                       round((n_hash + n_ell) / nw, 6) AS symbol_ratio,
+                       round(n_bullet / nl, 6) AS bullet_frac,
+                       round(n_ellline / nl, 6) AS ellipsis_frac,
+                       round(n_alpha / nw, 6) AS alpha_frac,
+                       stop_hits,
+                       CASE WHEN n_words >= 30 AND n_words <= 100000
+                            THEN 1 ELSE 0 END AS pass_word_count,
+                       CASE WHEN wlen / nw >= 3.0 AND wlen / nw <= 10.0
+                            THEN 1 ELSE 0 END AS pass_word_len,
+                       CASE WHEN (n_hash + n_ell) / nw <= 0.1
+                            THEN 1 ELSE 0 END AS pass_symbol,
+                       CASE WHEN n_bullet / nl <= 0.90
+                            THEN 1 ELSE 0 END AS pass_bullet,
+                       CASE WHEN n_ellline / nl <= 0.30
+                            THEN 1 ELSE 0 END AS pass_ellipsis,
+                       CASE WHEN n_alpha / nw >= 0.80
+                            THEN 1 ELSE 0 END AS pass_alpha,
+                       CASE WHEN stop_hits >= 2
+                            THEN 1 ELSE 0 END AS pass_stopwords
+                FROM m
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+                   pass_word_count, pass_word_len, pass_symbol,
+                   pass_bullet, pass_ellipsis, pass_alpha, pass_stopwords,
+                   pass_word_count * pass_word_len * pass_symbol
+                       * pass_bullet * pass_ellipsis * pass_alpha
+                       * pass_stopwords AS pass_all
+            FROM v
         """,
         "dsir_weights_docs": """
             -- operators/dsir.py replayed term for term: unigram+bigram

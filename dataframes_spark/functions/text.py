@@ -595,3 +595,123 @@ def shared_passages(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+#: The Gopher quality-rule stopword list (Rae et al. 2021, appendix A1.1):
+#: a document must contain at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher corpus-filtering rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1) as ONE map-only scan:
+    per-document measurements plus a 0/1 verdict per rule and the
+    composite ``pass_all``.
+
+    Rules, in the paper's order:
+      1. word count in [min_words, max_words]
+      2. mean word length in [3, 10]
+      3. symbol-to-word ratio (``#`` and ``...``) <= 0.1
+      4. fraction of lines starting with a bullet (``- ``/``* ``/``•``)
+         <= 0.90
+      5. fraction of lines ending with an ellipsis (``...``/``…``)
+         <= 0.30
+      6. fraction of words containing an alphabetic character >= 0.80
+      7. at least 2 distinct hits from the 8-word stopword list
+
+    Everything is JVM higher-order functions over the token / line
+    arrays — no shuffle, no Python in the row path, so the filter runs
+    at scan speed and Catalyst pushes any downstream predicate on
+    ``pass_all`` into the same stage. Ratios round to 6 places (the
+    repo's float-output contract). Documents with no tokens fail rule 1
+    and report zero ratios rather than dropping (a filter must see
+    every row)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    mwl = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) / n_words_d
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell) / n_words_d
+    lines = F.filter(
+        F.split(text, r"\n"), lambda x: F.length(F.trim(x)) > F.lit(0)
+    )
+    n_lines_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.ltrim(x).startswith("- ")
+                | F.ltrim(x).startswith("* ")
+                | F.ltrim(x).startswith("•"),
+            )
+        )
+        / n_lines_d
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.rtrim(x).endswith("...")
+                | F.rtrim(x).endswith("…"),
+            )
+        )
+        / n_lines_d
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words_d
+    )
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(F.filter(sw, lambda s: F.array_contains(lowered, s)))
+    r1 = ((n_words >= min_words) & (n_words <= max_words)).cast("int")
+    r2 = ((mwl >= 3.0) & (mwl <= 10.0)).cast("int")
+    r3 = (symbol_ratio <= 0.1).cast("int")
+    r4 = (bullet_frac <= 0.90).cast("int")
+    r5 = (ellipsis_frac <= 0.30).cast("int")
+    r6 = (alpha_frac >= 0.80).cast("int")
+    r7 = (stop_hits >= 2).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        r1.alias("pass_word_count"),
+        r2.alias("pass_word_len"),
+        r3.alias("pass_symbol"),
+        r4.alias("pass_bullet"),
+        r5.alias("pass_ellipsis"),
+        r6.alias("pass_alpha"),
+        r7.alias("pass_stopwords"),
+        (r1 * r2 * r3 * r4 * r5 * r6 * r7).alias("pass_all"),
+    )
+
+
+def gopher_report(
+    df: DataFrame, text_col: str, id_col: str, group_col: str, **kw
+) -> DataFrame:
+    """Per-group Gopher rule report: document counts passing each rule
+    and the composite — the corpus-curation dashboard row. One scan +
+    one small groupBy (groups x 9 cells)."""
+    rules = gopher_rules(df, text_col, id_col, **kw)
+    keyed = df.select(F.col(id_col), F.col(group_col)).join(rules, id_col)
+    passes = [c for c in rules.columns if c.startswith("pass_")]
+    return keyed.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(p).cast("long").alias("n_" + p) for p in passes],
+    )
