@@ -2645,6 +2645,35 @@ def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR incremental-fit law (operators/dsir.py bucket_counts /
+    merge_counts / dsir_fit_from_counts): the corpus arrives as two
+    disjoint batches, each reduced ONCE to its bucket-count sufficient
+    statistic; the model fit from the per-bucket-added counts must equal
+    the one-shot fit — the invariant that lets a persisted DSIR count
+    store (dsir_store_update) refit over all history at O(batch) per
+    epoch. The oracle is the ONE-SHOT SQL (dsir_weights_docs), so the
+    driver hash-verifies the incremental path against the unsplit
+    computation."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    raw = ddsir.merge_counts(
+        ddsir.bucket_counts(a, "text", "doc_id", buckets=64),
+        ddsir.bucket_counts(b, "text", "doc_id", buckets=64),
+    )
+    tgt = ddsir.merge_counts(
+        ddsir.bucket_counts(
+            a.filter(F.col("lang") == "en"), "text", "doc_id", buckets=64
+        ),
+        ddsir.bucket_counts(
+            b.filter(F.col("lang") == "en"), "text", "doc_id", buckets=64
+        ),
+    )
+    model = ddsir.dsir_fit_from_counts(spark, tgt, raw, buckets=64)
+    return ddsir.dsir_weights(docs, model, "text", "doc_id", buckets=64)
+
+
 def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher corpus-filtering rules (functions/text.py gopher_rules,
     Rae et al. 2021 appendix A1.1) over the re-segmented corpus: one
@@ -2944,6 +2973,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    orc/jsonl roundtrips all multiply green below) rotate below.
         "dsir_weights_docs": dsir_weights_docs,
         "dsir_sample_docs": dsir_sample_docs,
+        # -- round 9 (continuation): the DSIR incremental-fit law —
+        #    bucket counts are the model's sufficient statistic, so the
+        #    fold over disjoint batches must reproduce the one-shot fit
+        #    (oracle = the unsplit SQL). pipeline_clean_corpus (driver-
+        #    green r5-r8) rotates below; every operator it composes
+        #    stays individually in-window via the dedup/quality/sampling
+        #    rows.
+        "dsir_incremental_docs": dsir_incremental_docs,
         # -- round 9 (continuation): the Gopher filtering rules (Rae et
         #    al. 2021) — per-document measurements + seven 0/1 verdicts
         #    + composite, one map-only scan, replayed in DuckDB over the
@@ -2965,7 +3002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_md5": minhash_lsh_pairs_md5,
         "ivf_probe_pinned": ivf_probe_pinned,
         "frame_sample_timestamps": frame_sample_timestamps,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
         # -- entered the window round 5 (rotation promise + new queries)
         "decontaminate_docs": decontaminate_docs,
         "salted_agg_events": salted_agg_events,
@@ -3072,6 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": split_documents,
         "read_text_csv_agg": read_text_csv_agg,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
         "near_dup_incremental_docs": near_dup_incremental_docs,
         "standardize_prices": standardize_prices,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
@@ -3964,6 +4001,60 @@ def oracle_sql() -> dict[str, str]:
                        * pass_bullet * pass_ellipsis * pass_alpha
                        * pass_stopwords AS pass_all
             FROM v
+        """,
+        "dsir_incremental_docs": """
+            -- the ONE-SHOT fit: the incremental path (two batch
+            -- count folds merged per bucket) must reproduce it
+            -- exactly — that equality IS what this row verifies.
+            -- operators/dsir.py replayed term for term: unigram+bigram
+            -- features of the lowercased whitespace tokenization, md5
+            -- bucketing into 64 buckets, Laplace(1) smoothing over
+            -- target (lang='en') and raw (all documents), weight =
+            -- sum(cnt * (ln p_target - ln p_raw)).
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, lang, unnest(w) AS f FROM t
+                UNION ALL
+                SELECT doc_id, lang, w[g] || ' ' || w[g + 1] AS f
+                FROM (SELECT doc_id, lang, w,
+                             unnest(generate_series(1, len(w) - 1)) AS g
+                      FROM t)
+            ), fb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('dsir:' || f), 1, 15))::BIGINT
+                           % 64 AS bucket,
+                       count(*) AS cnt
+                FROM feats GROUP BY 1, 2, 3
+            ), tc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb
+                WHERE lang = 'en' GROUP BY 1
+            ), rc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb GROUP BY 1
+            ), tt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM tc
+            ), rt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM rc
+            ), model AS (
+                SELECT b.g AS bucket,
+                       ln((CAST(coalesce(tc.c, 0) AS DOUBLE) + 1.0)
+                          / (tt.t + 64.0))
+                     - ln((CAST(coalesce(rc.c, 0) AS DOUBLE) + 1.0)
+                          / (rt.t + 64.0)) AS log_ratio
+                FROM range(0, 64) b(g)
+                LEFT JOIN tc ON tc.bucket = b.g
+                LEFT JOIN rc ON rc.bucket = b.g, tt, rt
+            )
+            SELECT fb.doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_feats,
+                   round(sum(cnt * log_ratio), 6) AS log_weight
+            FROM fb JOIN model USING (bucket)
+            GROUP BY 1
         """,
         "dsir_weights_docs": """
             -- operators/dsir.py replayed term for term: unigram+bigram

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataframes_spark.io.store import staging_swap
+
 #: Laplace smoothing mass added to every bucket count.
 ALPHA = 1.0
 
@@ -77,22 +79,71 @@ def hashed_ngram_features(
     )
 
 
-def _bucket_model(
-    spark: SparkSession, feats: DataFrame, buckets: int, p_col: str
+def bucket_counts(
+    df: DataFrame, text_col: str, id_col: str, buckets: int = 256
 ) -> DataFrame:
-    """Fold a feature bag to a complete B-row smoothed log-prob column:
+    """Corpus-level feature bucket counts ``(bucket, c)`` — the
+    SUFFICIENT STATISTIC of a DSIR side: the smoothed model is a pure
+    function of these at most ``buckets`` rows, and counts from disjoint
+    batches merge by per-bucket addition (``merge_counts``). This is
+    what makes the fit incremental: each arriving batch is scanned once,
+    folded into a constant-size relation, and history is never
+    re-tokenized."""
+    return (
+        hashed_ngram_features(df, text_col, id_col, buckets)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def merge_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two bucket-count relations by per-bucket addition —
+    associative, commutative, so any fold order over any batch split
+    yields the counts of the union (the store law pinned in tests)."""
+    return (
+        a.select("bucket", "c")
+        .unionByName(b.select("bucket", "c"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def dsir_store_update(spark, table: str, batch_counts: DataFrame) -> dict:
+    """Fold a batch's bucket counts into a persisted DSIR count store
+    (catalog parquet table, same staging-swap idiom as the CMS/HLL
+    stores): scan the batch once, add per bucket, swap. The store is at
+    most ``buckets`` rows however many epochs fold in — a constant-size
+    job. Not transactional: run between increments, like the other
+    stores. Returns ``{"buckets", "total"}``."""
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
+        merged = merge_counts(spark.table(table), batch_counts)
+    else:
+        merged = batch_counts
+    staging_swap(spark, table, merged)
+    out = spark.table(table)
+    row = out.agg(
+        F.count(F.lit(1)).alias("b"), F.sum("c").alias("t")
+    ).first()
+    return {"buckets": int(row["b"]), "total": int(row["t"] or 0)}
+
+
+def _model_from_counts(
+    spark: SparkSession, counts: DataFrame, buckets: int, p_col: str
+) -> DataFrame:
+    """Smoothed log-prob column from a bucket-count relation:
     ``(bucket, ln((c + ALPHA) / (total + ALPHA * B)) AS p_col)``.
     ``spark.range`` supplies the unobserved buckets so the model always
     has exactly ``buckets`` rows (inner-joinable, broadcastable)."""
-    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("__c"))
     total = counts.agg(
-        F.coalesce(F.sum("__c"), F.lit(0)).cast("double").alias("__t")
+        F.coalesce(F.sum("c"), F.lit(0)).cast("double").alias("__t")
     )
     full = (
         spark.range(buckets)
         .select(F.col("id").alias("bucket"))
         .join(counts, "bucket", "left")
-        .select("bucket", F.coalesce(F.col("__c"), F.lit(0)).alias("__c"))
+        .select("bucket", F.coalesce(F.col("c"), F.lit(0)).alias("__c"))
     )
     return full.crossJoin(F.broadcast(total)).select(
         "bucket",
@@ -100,6 +151,37 @@ def _bucket_model(
             (F.col("__c") + F.lit(ALPHA))
             / (F.col("__t") + F.lit(ALPHA * buckets))
         ).alias(p_col),
+    )
+
+
+def dsir_fit_from_counts(
+    spark: SparkSession,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int = 256,
+) -> DataFrame:
+    """Fit the DSIR model from two bucket-count relations (one-shot
+    ``bucket_counts`` or a persisted ``dsir_store_update`` store —
+    identical by the merge law). Same output contract as ``dsir_fit``."""
+    t = _model_from_counts(spark, target_counts, buckets, "logp_target")
+    r = _model_from_counts(spark, raw_counts, buckets, "logp_raw")
+    return t.join(r, "bucket").select(
+        "bucket",
+        "logp_target",
+        "logp_raw",
+        (F.col("logp_target") - F.col("logp_raw")).alias("log_ratio"),
+    )
+
+
+def dsir_fit_from_stores(
+    spark, target_table: str, raw_table: str, buckets: int = 256
+) -> DataFrame:
+    """Fit the DSIR model from two persisted count stores — the
+    incremental-epoch form: each corpus side folds in batch by batch at
+    O(batch), and the model over the stores equals the one-shot fit over
+    everything folded (count-merge associativity)."""
+    return dsir_fit_from_counts(
+        spark, spark.table(target_table), spark.table(raw_table), buckets
     )
 
 
@@ -116,19 +198,11 @@ def dsir_fit(
     size (Spark's threshold catches it — B is hundreds to tens of
     thousands)."""
     spark = target.sparkSession
-    t = _bucket_model(
-        spark, hashed_ngram_features(target, text_col, id_col, buckets),
-        buckets, "logp_target",
-    )
-    r = _bucket_model(
-        spark, hashed_ngram_features(raw, text_col, id_col, buckets),
-        buckets, "logp_raw",
-    )
-    return t.join(r, "bucket").select(
-        "bucket",
-        "logp_target",
-        "logp_raw",
-        (F.col("logp_target") - F.col("logp_raw")).alias("log_ratio"),
+    return dsir_fit_from_counts(
+        spark,
+        bucket_counts(target, text_col, id_col, buckets),
+        bucket_counts(raw, text_col, id_col, buckets),
+        buckets,
     )
 
 

@@ -117,3 +117,48 @@ def test_weights_drop_tokenless_documents(spark):
     assert [r["doc_id"] for r in out.collect()] == [1]
     # self-fit: target == raw -> every log_ratio is 0 -> weight 0
     assert out.collect()[0]["log_weight"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_merge_counts_law_over_arbitrary_splits(spark, sf_dir):
+    # counts(a) (+) counts(b) == counts(a UNION b) for any disjoint split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    whole = dsir.bucket_counts(docs, "text", "doc_id", buckets=32)
+    for mod in (2, 3, 7):
+        parts = [
+            dsir.bucket_counts(
+                docs.filter(F.col("doc_id") % mod == i), "text", "doc_id", buckets=32
+            )
+            for i in range(mod)
+        ]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = dsir.merge_counts(merged, p)
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+
+
+def test_store_fold_equals_one_shot_fit(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw_t, tgt_t = "dsir_raw_store_test", "dsir_tgt_store_test"
+    for t in (raw_t, tgt_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    r1 = dsir.dsir_store_update(
+        spark, raw_t, dsir.bucket_counts(a, "text", "doc_id", buckets=32))
+    r2 = dsir.dsir_store_update(
+        spark, raw_t, dsir.bucket_counts(b, "text", "doc_id", buckets=32))
+    assert r2["total"] > r1["total"] and r2["buckets"] <= 32
+    for half in (a, b):
+        dsir.dsir_store_update(
+            spark, tgt_t,
+            dsir.bucket_counts(
+                half.filter("lang = 'en'"), "text", "doc_id", buckets=32))
+    inc = dsir.dsir_fit_from_stores(spark, tgt_t, raw_t, buckets=32)
+    one = dsir.dsir_fit(
+        docs.filter("lang = 'en'"), docs, "text", "doc_id", buckets=32)
+    pairs = inc.alias("i").join(one.alias("o"), "bucket").select(
+        F.max(F.abs(F.col("i.log_ratio") - F.col("o.log_ratio"))).alias("d"))
+    assert pairs.collect()[0]["d"] < 1e-12
+    for t in (raw_t, tgt_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
