@@ -2686,6 +2686,33 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/funnel.py
+    event_transitions): per-user successor pairs via ONE user-partitioned
+    lag window, counts + row-normalized probabilities; the |types|^2
+    report relation folds its totals back with a broadcast join."""
+    from dataframes_spark.operators import funnel as dfunnel
+
+    ev = _t(spark, sf_dir, "events")
+    return dfunnel.event_transitions(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-step user journeys (operators/funnel.py top_paths):
+    rank window with a map-side WindowGroupLimit cut, per-user fold on
+    the SAME hash partitioning (no second exchange), TakeOrdered heap
+    for the final top-k."""
+    from dataframes_spark.operators import funnel as dfunnel
+
+    ev = _t(spark, sf_dir, "events")
+    return dfunnel.top_paths(
+        ev, "user_id", "ts", "event_type", steps=5, k=20,
+        tiebreak_col="event_id",
+    )
+
+
 def repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level exact substring dedup, report form (operators/dedup.py
     repeated_lines): lines occurring in >=2 distinct documents — the
@@ -2989,6 +3016,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family stays via minhash_lsh_pairs_md5 + the span-dedup and
         #    near-dup rows.
         "gopher_rules_docs": gopher_rules_docs,
+        # -- round 9 (continuation): path analytics completing the event
+        #    family (funnel/cohort/sessionize) — the first-order Markov
+        #    transition matrix and the top-k first-5-step journeys, both
+        #    one user-keyed exchange. To hold the window at 50, cube_qty
+        #    (driver-green r5-r8; grouping-set family stays multiply
+        #    green below via rollup_qty + pivot_returnflag) and
+        #    embedding_near_dup_clusters (driver-green r7-r8; semantic
+        #    family stays via embedding_dedup_incremental_vecs +
+        #    pq/ivf rows) rotate below.
+        "event_transitions_users": event_transitions_users,
+        "top_paths_events": top_paths_events,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -3013,7 +3051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotate out, families still in-window via cube_qty, the
         #    upsert/fuzzy/interval joins, and the md5 + line dedup rows)
         "repeated_lines_docs": repeated_lines_docs,
-        "cube_qty": cube_qty,
         # bloom_semi_orders: bloom-pruned semi join; column_stats (green
         # r1-r4) rotates out, aggregate surface stays via
         # aggregate_contract
@@ -3085,7 +3122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   json_props_rollup -> JSON parsing stays via
         #     jsonl_roundtrip_agg (the distributed json source lane).
         "quality_report_lineitem": quality_report_lineitem,
-        "embedding_near_dup_clusters": embedding_near_dup_clusters,
         # round 7 (new): hive-partitioned write + planning-time partition
         # pruning — the 100 TB layout primitive (write_partitioned solves
         # the P*K small-files explosion; the read prunes directories via
@@ -3109,6 +3145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_text_csv_agg": read_text_csv_agg,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "pipeline_clean_corpus": pipeline_clean_corpus,
+        "embedding_near_dup_clusters": embedding_near_dup_clusters,
+        "cube_qty": cube_qty,
         "near_dup_incremental_docs": near_dup_incremental_docs,
         "standardize_prices": standardize_prices,
         "jsonl_roundtrip_agg": jsonl_roundtrip_agg,
@@ -3918,6 +3956,45 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
             FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
+        """,
+        "event_transitions_users": """
+            -- operators/funnel.py event_transitions: per-user lag over
+            -- (ts, event_id), |types|^2 counts, row-normalized p.
+            WITH e AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_type
+                FROM events
+            ), pairs AS (
+                SELECT prev_type, event_type AS next_type,
+                       count(*) AS n
+                FROM e WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n,
+                   round(n / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                  AS DOUBLE), 6) AS p
+            FROM pairs
+        """,
+        "top_paths_events": """
+            -- operators/funnel.py top_paths: first 5 events per user by
+            -- (ts, event_id), '>'-joined, top 20 by (n_users, path).
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events
+            ), p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 5 GROUP BY 1
+            )
+            SELECT path, count(*) AS n_users
+            FROM p GROUP BY 1
+            ORDER BY n_users DESC, path ASC
+            LIMIT 20
         """,
         "gopher_rules_docs": """
             -- functions/text.py gopher_rules replayed over the same

@@ -300,3 +300,97 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
         .orderBy("cohort", "offset")
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition report over an event log:
+    ``(prev_type, next_type, n, p)`` where ``p`` is the row-normalized
+    transition probability (rounded 6) — the "what do users do next"
+    matrix and the input to journey/path diagnostics.
+
+    Per-user successor pairing is a lag window over (ts, tiebreak) —
+    PARTITIONED by user, so the one exchange it costs spreads over all
+    reducers and the per-partition sort is per-user-sized. The pair
+    counts relation is at most |types|^2 rows; its row totals fold back
+    with a broadcast join, never a second full shuffle. Ties on ``ts``
+    are ordered by ``tiebreak_col`` (default: the event id is
+    recommended) so the pairing is deterministic on any engine and any
+    partitioning."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = W.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(type_col).over(w)
+    pairs = (
+        df.select(prev.alias("prev_type"), F.col(type_col).alias("next_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("__t"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("p"),
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: int = 5,
+    k: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """The ``k`` most common first-``steps`` user journeys:
+    ``(path, n_users)`` with ``path`` the '>'-joined event types of each
+    user's first ``steps`` events — the path-analysis staple (sankey /
+    sunburst input).
+
+    Plan: ONE user-keyed exchange does all the work — the rank window
+    (map-side cut via WindowGroupLimit: at most ``steps`` rows per user
+    survive per input partition) and the per-user fold reuse the same
+    hash partitioning, so the fold adds no exchange. The path relation
+    is user-sized, its count is path-sized, and the final top-k is a
+    TakeOrdered heap, never a global sort. Deterministic: (ts, tiebreak)
+    totally orders each user's events."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = W.partitionBy(user_col).orderBy(*order)
+    ranked = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__e"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= steps)
+    )
+    paths = ranked.groupBy("__u").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__rn", "__e"))),
+                lambda s: s["__e"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(k)
+    )

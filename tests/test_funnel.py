@@ -5,6 +5,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
+from dataframes_spark.operators import funnel as _fmod
 from dataframes_spark.operators.funnel import (
     cohort_retention,
     funnel,
@@ -160,3 +161,72 @@ def test_funnel_plan_shape(spark):
     plan = funnel_stage(df, STEPS)._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_event_transitions_counts_and_probs(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "a"), (2, 1, "b"), (3, 1, "a"), (4, 1, "b"),
+            (5, 2, "a"), (6, 2, "a"),
+        ],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = _fmod.event_transitions(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+    rows = {(r["prev_type"], r["next_type"]): (r["n"], r["p"]) for r in out.collect()}
+    # user1: a>b, b>a, a>b ; user2: a>a
+    assert rows[("a", "b")][0] == 2 and rows[("b", "a")][0] == 1
+    assert rows[("a", "a")][0] == 1
+    # row-normalized: from 'a' -> b 2/3, a 1/3
+    assert rows[("a", "b")][1] == pytest.approx(0.666667)
+    assert rows[("a", "a")][1] == pytest.approx(0.333333)
+    assert rows[("b", "a")][1] == 1.0
+
+
+def test_event_transitions_tiebreak_determinism(spark):
+    # two events share a timestamp: the tiebreak column decides order
+    ev = spark.createDataFrame(
+        [(1, 1, "x"), (2, 1, "y"), (3, 1, "z")],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    out = _fmod.event_transitions(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+    rows = {(r["prev_type"], r["next_type"]) for r in out.collect()}
+    assert rows == {("x", "y"), ("y", "z")}
+
+
+def test_top_paths_orders_and_truncates(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1 and 2 share journey a>b>c (and user 1 has a 4th
+            # event that must be cut by steps=3)
+            (1, 1, "a"), (2, 1, "b"), (3, 1, "c"), (4, 1, "d"),
+            (5, 2, "a"), (6, 2, "b"), (7, 2, "c"),
+            (8, 3, "z"),
+        ],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = _fmod.top_paths(
+        ev, "user_id", "ts", "event_type", steps=3, k=10,
+        tiebreak_col="event_id",
+    )
+    rows = [(r["path"], r["n_users"]) for r in out.collect()]
+    assert rows[0] == ("a>b>c", 2)
+    assert ("z", 1) in rows
+    assert len(rows) == 2
+
+
+def test_top_paths_k_limit_and_tie_order(spark):
+    ev = spark.createDataFrame(
+        [(i, i, "t%d" % i) for i in range(1, 6)],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = _fmod.top_paths(
+        ev, "user_id", "ts", "event_type", steps=2, k=3,
+        tiebreak_col="event_id",
+    )
+    rows = [r["path"] for r in out.collect()]
+    # all ties at n_users=1 -> lexicographic path order, capped at k
+    assert rows == sorted(rows) and len(rows) == 3
