@@ -2713,6 +2713,43 @@ def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing report (operators/sample.py temperature_rates /
+    mix_by_temperature, tau=0.5): per-language target share, realized
+    keep rate (pure downsampling: the binding group keeps everything)
+    and the md5-deterministic kept count — share math AND row selection
+    replayed in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = dsample.temperature_rates(docs, "lang", tau=0.5)
+    kept = (
+        dsample.mix_by_temperature(docs, "lang", "doc_id", tau=0.5, salt="temp")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.round("q", 6).alias("q"),
+        F.round("rate", 6).alias("rate"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+def mix_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-assembly manifest (operators/sample.py mix_manifest): given
+    explicit per-language target weights and a 1M-token budget, the
+    planning table — available docs/tokens, normalized weight, target
+    tokens, epochs (upsampling factor) and the downsampling rate."""
+    docs = _t(spark, sf_dir, "documents")
+    return dsample.mix_manifest(
+        docs,
+        "lang",
+        "text",
+        {"en": 5, "de": 3, "fr": 1, "es": 1, "zh": 2},
+        1_000_000,
+    )
+
+
 def repeated_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level exact substring dedup, report form (operators/dedup.py
     repeated_lines): lines occurring in >=2 distinct documents — the
@@ -3027,6 +3064,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pq/ivf rows) rotate below.
         "event_transitions_users": event_transitions_users,
         "top_paths_events": top_paths_events,
+        # -- round 9 (continuation): corpus-mixing planning — the
+        #    temperature (n^tau) reshaping with its md5-deterministic
+        #    materialization, and the explicit-weights token-budget
+        #    manifest (epochs / sample_rate). To hold the window at 50,
+        #    repeated_lines_docs (driver-green r5-r8; the line/span
+        #    boilerplate family stays via dup_spans_docs +
+        #    strip_dup_spans_docs) and shard_report_docs (driver-green
+        #    r7-r8; sampling family stays via weighted_merge_docs +
+        #    bottomk_sample_docs + the dsir and mix rows) rotate below.
+        "mix_temperature_docs": mix_temperature_docs,
+        "mix_manifest_docs": mix_manifest_docs,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -3050,7 +3098,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    join_revenue_topn, dedup_exact_docs — all multiply green —
         #    rotate out, families still in-window via cube_qty, the
         #    upsert/fuzzy/interval joins, and the md5 + line dedup rows)
-        "repeated_lines_docs": repeated_lines_docs,
         # bloom_semi_orders: bloom-pruned semi join; column_stats (green
         # r1-r4) rotates out, aggregate surface stays via
         # aggregate_contract
@@ -3092,7 +3139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (both green r5-r6) rotate out — packing stays in-window via
         # pack_documents_cumsum + chunk_documents, the facade via
         # facade_column_surgery.
-        "shard_report_docs": shard_report_docs,
         # round 7 (continuation): pack materialization — the packed
         # windows themselves, every byte pinned via md5. SUBSUMES the
         # cumsum assignment it composes, so pack_documents_cumsum
@@ -3145,6 +3191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_text_csv_agg": read_text_csv_agg,
         "simhash_fingerprints_md5": simhash_fingerprints_md5,
         "pipeline_clean_corpus": pipeline_clean_corpus,
+        "repeated_lines_docs": repeated_lines_docs,
+        "shard_report_docs": shard_report_docs,
         "embedding_near_dup_clusters": embedding_near_dup_clusters,
         "cube_qty": cube_qty,
         "near_dup_incremental_docs": near_dup_incremental_docs,
@@ -3956,6 +4004,67 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
             FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
+        """,
+        "mix_temperature_docs": """
+            -- operators/sample.py temperature_rates + mix_by_temperature
+            -- (tau=0.5): q_s = n_s^tau / sum, N = min_s n_s/q_s,
+            -- rate_s = q_s*N/n_s; keep iff the md5 uniform
+            -- (h13+1)/2^52 < rate.
+            WITH c AS (
+                SELECT lang, count(*) AS n_total FROM documents GROUP BY 1
+            ), p AS (
+                SELECT lang, n_total,
+                       pow(CAST(n_total AS DOUBLE), 0.5) AS pw
+                FROM c
+            ), t AS (
+                SELECT sum(pw) AS tp FROM p
+            ), q AS (
+                SELECT lang, n_total, pw / tp AS q FROM p, t
+            ), nm AS (
+                SELECT min(n_total / q) AS n_cap FROM q
+            ), r AS (
+                SELECT lang, n_total, q, q * n_cap / n_total AS rate
+                FROM q, nm
+            ), kept AS (
+                SELECT d.lang, count(*) AS n_kept
+                FROM documents d JOIN r USING (lang)
+                WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || '/temp'), 1, 13))::BIGINT + 1)
+                      / 4503599627370496.0 < rate
+                GROUP BY 1
+            )
+            SELECT r.lang, r.n_total,
+                   round(r.q, 6) AS q,
+                   round(r.rate, 6) AS rate,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM r LEFT JOIN kept k USING (lang)
+        """,
+        "mix_manifest_docs": """
+            -- operators/sample.py mix_manifest: weights {en:5, de:3,
+            -- fr:1, es:1, zh:2} normalized, budget 1e6 tokens;
+            -- whitespace_tokens semantics (trimmed split, empty -> 0).
+            WITH w AS (
+                SELECT * FROM (VALUES
+                    ('de', 3.0 / 12.0), ('en', 5.0 / 12.0),
+                    ('es', 1.0 / 12.0), ('fr', 1.0 / 12.0),
+                    ('zh', 2.0 / 12.0)) AS t(lang, weight)
+            ), s AS (
+                SELECT lang, count(*) AS n_docs,
+                       CAST(sum(CASE WHEN len(trim(coalesce(text, ''))) = 0
+                                THEN 0
+                                ELSE len(regexp_split_to_array(
+                                    trim(text), '\\s+')) END) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY 1
+            )
+            SELECT s.lang, s.n_docs, s.n_tokens,
+                   round(w.weight, 6) AS weight,
+                   round(w.weight * 1000000.0, 2) AS target_tokens,
+                   round(w.weight * 1000000.0
+                         / CAST(s.n_tokens AS DOUBLE), 6) AS epochs,
+                   round(least(1.0, w.weight * 1000000.0
+                         / CAST(s.n_tokens AS DOUBLE)), 6) AS sample_rate
+            FROM s JOIN w USING (lang)
         """,
         "event_transitions_users": """
             -- operators/funnel.py event_transitions: per-user lag over

@@ -393,3 +393,122 @@ def weighted_store_update(
 def weighted_store_read(spark, table: str) -> DataFrame:
     """Read a persisted weighted sample store for further folding."""
     return spark.table(table)
+
+
+def temperature_rates(
+    df: DataFrame, group_col: str, tau: float = 0.7
+) -> DataFrame:
+    """Per-group keep rates that reshape the corpus to a TEMPERATURE
+    distribution (Conneau & Lample 2019; mT5): target share
+    ``q_s = n_s^tau / sum_t n_t^tau``, realized by pure DOWNSAMPLING —
+    the output size is the largest N with ``rate_s = q_s * N / n_s <= 1``
+    for every group, i.e. ``N = min_s n_s / q_s`` (the binding group
+    keeps everything). ``tau < 1`` flattens head groups toward the tail;
+    ``tau = 1`` is proportional (all rates 1); ``tau = 0`` is uniform.
+
+    Returns ``(group, n_total, q, rate)`` — group-cardinality rows built
+    from ONE count aggregation and two 1-row broadcast folds; feed to
+    `mix_by_temperature` or persist as the sampling plan."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_total"))
+    powed = counts.select(
+        group_col,
+        "n_total",
+        F.pow(F.col("n_total").cast("double"), F.lit(float(tau))).alias("__p"),
+    )
+    tot = powed.agg(F.sum("__p").alias("__tp"))
+    q = powed.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_total",
+        (F.col("__p") / F.col("__tp")).alias("__q"),
+    )
+    nmax = q.select(
+        (F.col("n_total") / F.col("__q")).alias("__cap")
+    ).agg(F.min("__cap").alias("__N"))
+    return q.crossJoin(F.broadcast(nmax)).select(
+        group_col,
+        "n_total",
+        F.col("__q").alias("q"),
+        (F.col("__q") * F.col("__N") / F.col("n_total")).alias("rate"),
+    )
+
+
+def mix_by_temperature(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tau: float = 0.7,
+    salt: str = "temp",
+) -> DataFrame:
+    """Materialize the temperature mixture: keep each row iff its
+    content-hash uniform ``u = (int(md5(key + '/' + salt)[:13], 16) + 1)
+    / 2^52`` falls under its group's `temperature_rates` rate —
+    deterministic per key (same selection on any engine/partitioning,
+    stable across reruns), one scan + a broadcast join of the
+    group-cardinality rate frame."""
+    rates = temperature_rates(df, group_col, tau).select(group_col, "rate")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("/" + salt)))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") + 1) / F.lit(
+        float(2**52)
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("rate"))
+        .drop("rate")
+    )
+
+
+def mix_manifest(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    weights: dict,
+    token_budget: int,
+) -> DataFrame:
+    """The corpus-assembly planning table (the published Pile/DoReMi
+    recipe shape): given explicit target mixture ``weights`` (any
+    positive scale; normalized internally) and a total ``token_budget``,
+    report per group the available mass and what hitting the target
+    takes — ``(group, n_docs, n_tokens, weight, target_tokens, epochs,
+    sample_rate)``. ``epochs > 1`` means the group must repeat
+    (upsample) to meet its share; ``sample_rate = min(1, target /
+    available)`` is the downsampling knob when it over-delivers. ONE
+    scan folds doc+token counts; the weight table is literal data."""
+    from dataframes_spark.functions.text import whitespace_tokens
+
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("mix_manifest needs positive weights")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v) / total_w) for k, v in sorted(weights.items())],
+        f"{group_col} string, weight double",
+    )
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return (
+        stats.join(F.broadcast(wdf), group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round("weight", 6).alias("weight"),
+            F.round(F.col("weight") * F.lit(float(token_budget)), 2).alias(
+                "target_tokens"
+            ),
+            F.round(
+                F.col("weight") * F.lit(float(token_budget))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("epochs"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("weight") * F.lit(float(token_budget))
+                    / F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+    )

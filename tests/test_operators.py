@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from dataframes_spark.operators import aggregate as dagg
 from dataframes_spark.operators import nulls as dnulls
 from dataframes_spark.operators import reshape as dreshape
+from dataframes_spark.operators import sample as dsample
 from dataframes_spark.operators import sort as dsort
 from dataframes_spark.operators import window as dwindow
 
@@ -496,3 +497,55 @@ def test_assign_shards_edge_cases(spark):
     assert {r.shard for r in assign_shards(df, "doc_id", 1).collect()} == {0}
     with _pytest.raises(ValueError):
         assign_shards(df, "doc_id", 0)
+
+
+def test_temperature_rates_laws(spark):
+    # 3 groups with skewed sizes; tau=0.5 must (a) sum q to 1, (b) give
+    # the smallest group rate exactly 1 (binding group keeps all),
+    # (c) order rates inversely to size
+    rows = [(i, "big") for i in range(100)] + [
+        (1000 + i, "mid") for i in range(25)
+    ] + [(2000 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    r = {x["g"]: x for x in dsample.temperature_rates(df, "g", tau=0.5).collect()}
+    assert sum(x["q"] for x in r.values()) == pytest.approx(1.0, abs=1e-12)
+    assert r["small"]["rate"] == pytest.approx(1.0, abs=1e-12)
+    assert r["small"]["rate"] >= r["mid"]["rate"] >= r["big"]["rate"]
+    # tau=1 is proportional: every rate 1 (no reshaping)
+    r1 = dsample.temperature_rates(df, "g", tau=1.0).collect()
+    assert all(x["rate"] == pytest.approx(1.0, abs=1e-12) for x in r1)
+
+
+def test_mix_by_temperature_deterministic_and_rate_shaped(spark):
+    rows = [(i, "big") for i in range(400)] + [
+        (10_000 + i, "small") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string")
+    m1 = dsample.mix_by_temperature(df, "g", "k", tau=0.3)
+    m2 = dsample.mix_by_temperature(df, "g", "k", tau=0.3)
+    assert sorted(r["k"] for r in m1.collect()) == sorted(
+        r["k"] for r in m2.collect()
+    )
+    counts = {r["g"]: r["cnt"] for r in m1.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts["small"] == 20  # binding group keeps everything
+    rate = {x["g"]: x["rate"] for x in dsample.temperature_rates(
+        df, "g", tau=0.3).collect()}["big"]
+    assert counts["big"] == pytest.approx(400 * rate, abs=40)
+
+
+def test_mix_manifest_math(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e", "x"), (3, "f", "y")],
+        "k long, text string, g string",
+    )
+    out = {r["g"]: r for r in dsample.mix_manifest(
+        df, "g", "text", {"x": 3, "y": 1}, 100).collect()}
+    assert out["x"]["n_docs"] == 2 and out["x"]["n_tokens"] == 5
+    assert out["x"]["weight"] == pytest.approx(0.75)
+    assert out["x"]["target_tokens"] == pytest.approx(75.0)
+    assert out["x"]["epochs"] == pytest.approx(15.0)
+    assert out["x"]["sample_rate"] == 1.0  # upsampling capped at 1
+    assert out["y"]["epochs"] == pytest.approx(25.0)
+    with pytest.raises(ValueError, match="positive"):
+        dsample.mix_manifest(df, "g", "text", {"x": 0}, 100)
