@@ -643,3 +643,71 @@ def span_dedup_each_batch(
             )
 
     return _apply
+
+
+def dsir_select_each_batch(
+    raw_table: str,
+    target_table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    buckets: int = 256,
+    min_log_weight: float = 0.0,
+    update_raw_store: bool = True,
+    log=None,
+    write=None,
+):
+    """Streaming DSIR selection: a ``foreachBatch`` callback that scores
+    every micro-batch's documents against the persisted DSIR count
+    stores (operators/dsir.py) and writes only those whose log
+    importance weight clears ``min_log_weight`` — importance-resampling
+    data selection in the ingest path.
+
+    The TARGET store is fixed reference data: seed it up front with
+    ``dsir_store_update(spark, target_table, bucket_counts(target,...))``.
+    The RAW store tracks everything the stream has seen: with
+    ``update_raw_store=True`` each batch's bucket counts fold in BEFORE
+    scoring, so the raw model is exactly the one-shot model over all
+    ingested batches (the count-merge law) and selection thresholds mean
+    the same thing as in the batch pipeline. The model therefore
+    SHARPENS as the stream runs — early and late batches are scored
+    against different raw models, which is inherent to any online
+    selector; replay the corpus through the batch path for a
+    fixed-model selection.
+
+    Per-batch cost is the store idiom's: one scan of the batch folded to
+    a <= ``buckets``-row partial, a constant-size store swap, and the
+    scoring join against the broadcast B-row model — independent of how
+    much the stream has already ingested. ``log`` receives
+    ``(epoch_id, n_in, n_kept)`` per batch."""
+    from dataframes_spark.operators import dsir as D
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(target_table):
+            raise ValueError(
+                f"dsir_select_each_batch needs a seeded target store; "
+                f"table {target_table!r} does not exist"
+            )
+        counts = D.bucket_counts(batch_df, text_col, id_col, buckets)
+        if update_raw_store:
+            D.dsir_store_update(spark, raw_table, counts)
+        elif not spark.catalog.tableExists(raw_table):
+            raise ValueError(
+                f"update_raw_store=False needs an existing raw store; "
+                f"table {raw_table!r} does not exist"
+            )
+        model = D.dsir_fit_from_stores(
+            spark, target_table, raw_table, buckets
+        )
+        w = D.dsir_weights(batch_df, model, text_col, id_col, buckets)
+        kept_ids = w.filter(
+            F.col("log_weight") >= F.lit(float(min_log_weight))
+        ).select(id_col)
+        kept = batch_df.join(F.broadcast(kept_ids), id_col)
+        if log is not None:
+            log(epoch_id, batch_df.count(), kept.count())
+        if write is not None:
+            write(kept, epoch_id)
+
+    return _apply

@@ -741,3 +741,68 @@ def test_span_dedup_each_batch_drop_and_flag_modes(spark, tmp_path):
 
     with _pt.raises(ValueError, match="strip|drop|flag"):
         dstream.span_dedup_each_batch(table, "text", "doc_id", mode="bogus")
+
+
+def test_dsir_select_each_batch_scores_against_folded_stores(spark):
+    """The streaming DSIR gate folds each batch into the raw store then
+    selects by log-weight against the store-fit model — equal, epoch by
+    epoch, to the batch path run with the same store state."""
+    import uuid
+
+    from dataframes_spark.operators import dsir as D
+
+    raw_t = f"dsir_raw_{uuid.uuid4().hex[:8]}"
+    tgt_t = f"dsir_tgt_{uuid.uuid4().hex[:8]}"
+    for t in (raw_t, tgt_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta"), (101, "alpha gamma delta")],
+        "doc_id long, text string",
+    )
+    D.dsir_store_update(
+        spark, tgt_t, D.bucket_counts(target, "text", "doc_id", 32)
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "alpha beta alpha beta"), (4, "omicron pi rho sigma tau")],
+        "doc_id long, text string",
+    )
+    outs, logged = [], []
+    cb = dstream.dsir_select_each_batch(
+        raw_t, tgt_t, "text", "doc_id", buckets=32, min_log_weight=-2.0,
+        log=lambda e, n_in, n_kept: logged.append((e, n_in, n_kept)),
+        write=lambda df, e: outs.append(sorted(r.doc_id for r in df.collect())),
+    )
+    cb(b1, 0)
+    cb(b2, 1)
+    # target-like docs selected, disjoint-vocabulary docs rejected
+    assert outs[0] == [1] and outs[1] == [3]
+    assert logged == [(0, 2, 1), (1, 2, 1)]
+    # raw store after the run == one-shot counts over both batches (law)
+    whole = D.bucket_counts(b1.unionByName(b2), "text", "doc_id", 32)
+    store = spark.table(raw_t)
+    assert store.exceptAll(whole).count() == 0
+    assert whole.exceptAll(store).count() == 0
+    # epoch-2 selection replays on the batch path with the same stores
+    model = D.dsir_fit_from_stores(spark, tgt_t, raw_t, 32)
+    w = D.dsir_weights(b2, model, "text", "doc_id", 32)
+    batch_kept = sorted(
+        r.doc_id for r in w.filter("log_weight >= -2.0").collect()
+    )
+    assert batch_kept == outs[1]
+    for t in (raw_t, tgt_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dsir_select_each_batch_requires_seeded_target(spark):
+    import pytest as _pt
+
+    cb = dstream.dsir_select_each_batch(
+        "dsir_no_raw", "dsir_no_target_xyz", "text", "doc_id", buckets=8
+    )
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="seeded target store"):
+        cb(df, 0)
