@@ -2713,6 +2713,16 @@ def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (functions/text.py zipf_report): slope /
+    intercept / r2 of ln(freq) on ln(rank) over the top-100 tokens —
+    natural language fits slope ~ -1; this corpus's flat synthetic
+    vocabulary scores far from it, which is exactly what the alarm is
+    for. Top-k is a TakeOrdered heap; the regression folds k rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.zipf_report(docs, "text", k=100)
+
+
 def mix_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixing report (operators/sample.py temperature_rates /
     mix_by_temperature, tau=0.5): per-language target share, realized
@@ -3075,6 +3085,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    bottomk_sample_docs + the dsir and mix rows) rotate below.
         "mix_temperature_docs": mix_temperature_docs,
         "mix_manifest_docs": mix_manifest_docs,
+        # -- round 9 (continuation): the Zipf corpus-health fit — the
+        #    one-number "does this batch still look like language?"
+        #    alarm. dedup_best_quality_docs (driver-green r5-r8) rotates
+        #    below; the dedup/cluster family stays via the span, minhash
+        #    and incremental rows.
+        "zipf_docs": zipf_docs,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -3151,7 +3167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relation and recursive-CTE oracle), so near_dup_clusters
         # (green r5-r6) rotates below; the graph family stays in-window
         # via this row.
-        "dedup_best_quality_docs": dedup_best_quality_docs,
         # round 7 (rotation sweep): the five queries that shipped in
         # rounds 6-7 but had never had a driver row enter the window —
         # driver coverage should reach every query at least once. To
@@ -3193,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "repeated_lines_docs": repeated_lines_docs,
         "shard_report_docs": shard_report_docs,
+        "dedup_best_quality_docs": dedup_best_quality_docs,
         "embedding_near_dup_clusters": embedding_near_dup_clusters,
         "cube_qty": cube_qty,
         "near_dup_incremental_docs": near_dup_incremental_docs,
@@ -4004,6 +4020,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
             FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
+        """,
+        "zipf_docs": """
+            -- functions/text.py zipf_report: top-100 tokens, ln-ln
+            -- regression via the regr_* aggregates (the ols_price_qty
+            -- idiom), lexicographic tiebreak.
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(
+                    lower(trim(coalesce(text, ''))), '\\s+')) AS token
+                FROM documents
+            ), c AS (
+                SELECT token, count(*) AS c FROM toks
+                WHERE token <> '' GROUP BY 1
+            ), top AS (
+                SELECT token, c FROM c
+                ORDER BY c DESC, token ASC LIMIT 100
+            ), r AS (
+                SELECT ln(CAST(row_number() OVER (
+                           ORDER BY c DESC, token ASC) AS DOUBLE)) AS x,
+                       ln(CAST(c AS DOUBLE)) AS y
+                FROM top
+            )
+            SELECT CAST(regr_count(y, x) AS BIGINT) AS n_tokens_ranked,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2
+            FROM r
         """,
         "mix_temperature_docs": """
             -- operators/sample.py temperature_rates + mix_by_temperature

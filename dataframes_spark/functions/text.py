@@ -715,3 +715,44 @@ def gopher_report(
         F.count(F.lit(1)).alias("n_docs"),
         *[F.sum(p).cast("long").alias("n_" + p) for p in passes],
     )
+
+
+def zipf_report(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Corpus-health Zipf fit: regress ``ln(freq)`` on ``ln(rank)`` over
+    the top-``k`` tokens and report ``(n_tokens_ranked, slope,
+    intercept, r2)`` — natural corpora fit slope ≈ −1 (Zipf's law);
+    machine-generated or template text bends the curve, so the slope is
+    a one-number drift alarm for "does this batch still look like
+    language?".
+
+    Plan: one scan+explode folds to token counts; the top-k is a
+    TakeOrdered heap; ranking and the regr_* fold run over the k-row
+    result (bounded by the literal ``k``, never by corpus size).
+    Deterministic: ties in frequency rank lexicographically."""
+    toks = df.select(
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            )
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(k)
+    from pyspark.sql import Window as W
+
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("c").desc(), F.col("token").asc())
+        ),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("__x"),
+        F.log(F.col("c").cast("double")).alias("__y"),
+    )
+    return ranked.agg(
+        F.expr("regr_count(__y, __x)").alias("n_tokens_ranked"),
+        F.round(F.expr("regr_slope(__y, __x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(__y, __x)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(__y, __x)"), 6).alias("r2"),
+    )

@@ -225,3 +225,4 @@ def pack_stats(packed: DataFrame, size_col: str, budget: int) -> DataFrame:
         )
         .withColumn("fill", F.round(F.col("total_size") / F.lit(budget), 6))
     )
+

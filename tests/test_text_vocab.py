@@ -4,6 +4,7 @@ import math
 
 import pytest
 
+from dataframes_spark.functions import text as dtext
 from dataframes_spark.functions.text import tfidf_top_terms, vocab_topk
 
 
@@ -206,3 +207,26 @@ def test_bm25_plan_is_topk_heap_with_broadcasts(spark):
     from dataframes_spark.plan import plan_report
 
     assert plan_report(out)["warnings"] == []
+
+
+def test_zipf_report_recovers_powerlaw_slope(spark):
+    # construct an exactly Zipfian corpus: token t_r appears
+    # round(1000 / r) times -> slope ~= -1, r2 ~= 1
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = dtext.zipf_report(df, "text", k=20).collect()[0]
+    assert row["n_tokens_ranked"] == 20
+    assert abs(row["slope"] + 1.0) < 0.05
+    assert row["r2"] > 0.99
+
+
+def test_zipf_report_flat_corpus_scores_far_from_language(spark):
+    # uniform frequencies -> slope 0
+    df = spark.createDataFrame(
+        [(1, (" ".join(f"t{i}" for i in range(50)) + " ") * 3)],
+        "doc_id long, text string",
+    )
+    row = dtext.zipf_report(df, "text", k=50).collect()[0]
+    assert abs(row["slope"]) < 1e-9
