@@ -2713,6 +2713,17 @@ def top_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (quality.histogram_counts +
+    hist_quantiles): estimates from the 50-bin clamped histogram of
+    events.value — the sketch-family quantile (bins-row mergeable state,
+    exact to one bin width), binning and interpolation replayed in
+    DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    h = dquality.histogram_counts(ev, "value", 50, 0.0, 500.0)
+    return dquality.hist_quantiles(h, [0.25, 0.5, 0.9, 0.99], 50, 0.0, 500.0)
+
+
 def zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit (functions/text.py zipf_report): slope /
     intercept / r2 of ln(freq) on ln(rank) over the top-100 tokens —
@@ -3091,6 +3102,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    below; the dedup/cluster family stays via the span, minhash
         #    and incremental rows.
         "zipf_docs": zipf_docs,
+        # -- round 9 (continuation): histogram-sketch quantiles — the
+        #    mergeable constant-size quantile estimate completing the
+        #    sketch family (CMS counts, HLL cardinality, bottom-k
+        #    sampling, histogram quantiles). quality_report_lineitem
+        #    (driver-green r7-r8) rotates below; the quality family
+        #    stays via the drift rows + corpus_report_docs.
+        "hist_quantiles_events": hist_quantiles_events,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -3182,7 +3200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     resample_events_hourly;
         #   json_props_rollup -> JSON parsing stays via
         #     jsonl_roundtrip_agg (the distributed json source lane).
-        "quality_report_lineitem": quality_report_lineitem,
         # round 7 (new): hive-partitioned write + planning-time partition
         # pruning — the 100 TB layout primitive (write_partitioned solves
         # the P*K small-files explosion; the read prunes directories via
@@ -3209,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_lines_docs": repeated_lines_docs,
         "shard_report_docs": shard_report_docs,
         "dedup_best_quality_docs": dedup_best_quality_docs,
+        "quality_report_lineitem": quality_report_lineitem,
         "embedding_near_dup_clusters": embedding_near_dup_clusters,
         "cube_qty": cube_qty,
         "near_dup_incremental_docs": near_dup_incremental_docs,
@@ -4020,6 +4038,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
             FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
+        """,
+        "hist_quantiles_events": """
+            -- quality.histogram_counts + hist_quantiles: clamped
+            -- equal-width binning, cumulative covering bin, linear
+            -- interpolation; bins=50 over [0, 500].
+            WITH h AS (
+                SELECT CAST(greatest(0, least(49,
+                           floor((value - 0.0) / 500.0 * 50)))
+                           AS INTEGER) AS bin,
+                       count(*) AS n
+                FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                GROUP BY 1
+            ), c AS (
+                SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM h
+            ), t AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS total FROM h
+            ), qs AS (
+                SELECT CAST(q AS DOUBLE) AS q
+                FROM (VALUES (0.25), (0.5), (0.9), (0.99)) v(q)
+            )
+            SELECT q,
+                   round(0.0 + 10.0 * (bin
+                       + (q * total - (cum - n)) / n), 6) AS est
+            FROM qs CROSS JOIN t CROSS JOIN c
+            WHERE cum >= q * total AND (cum - n) < q * total
         """,
         "zipf_docs": """
             -- functions/text.py zipf_report: top-100 tokens, ln-ln

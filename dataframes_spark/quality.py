@@ -1042,3 +1042,69 @@ def corpus_report(
         "top_label",
         F.round(F.col("__tc") / F.col("n_docs"), 6).alias("top_label_frac"),
     )
+
+
+def histogram_counts(
+    df: DataFrame, col: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """Public face of the clamped equal-width binning every drift/store
+    lane here shares: ``(bin, n)`` — one scan folding to a bins-row
+    partial aggregate; NULL/NaN excluded, out-of-range values clamped
+    into the edge bins. The mergeable constant-size summary
+    `hist_quantiles` estimates from (bin counts from disjoint batches
+    sum-merge — the `hist_store_update` law)."""
+    if bins < 2:
+        raise ValueError(f"need bins >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    return _binned_counts(df, col, bins, float(lo), float(hi), "n")
+
+
+def hist_quantiles(
+    hist: DataFrame, qs, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """Quantile estimates from a bins-row histogram (`histogram_counts`
+    output or a `hist_store_update` store): ``(q, est)`` by linear
+    interpolation inside the covering bin — the sketch-family quantile:
+    the state is ``bins`` rows regardless of data volume, merges by
+    addition, and the estimate is exact to within one bin width
+    ``(hi-lo)/bins`` for in-range data (clamped outliers pin to the
+    edges). ``qs`` must lie in (0, 1].
+
+    Everything after the (already bins-row) histogram touches only
+    bins-row relations: the cumulative window and the covering-bin join
+    run over at most ``bins`` rows — a deliberate, bounded
+    single-partition fold, never data-bearing."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    from pyspark.sql import Window as W
+
+    spark = hist.sparkSession
+    width = (float(hi) - float(lo)) / bins
+    cum = hist.select("bin", "n").withColumn(
+        "cum", F.sum("n").over(W.orderBy("bin"))
+    )
+    tot = hist.agg(F.sum("n").cast("double").alias("__N"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    j = qdf.crossJoin(F.broadcast(tot)).withColumn(
+        "__target", F.col("q") * F.col("__N")
+    )
+    covering = j.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("__target"))
+        & ((F.col("cum") - F.col("n")) < F.col("__target")),
+    )
+    return covering.select(
+        "q",
+        F.round(
+            F.lit(float(lo))
+            + F.lit(width)
+            * (
+                F.col("bin")
+                + (F.col("__target") - (F.col("cum") - F.col("n")))
+                / F.col("n")
+            ),
+            6,
+        ).alias("est"),
+    )

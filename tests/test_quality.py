@@ -581,3 +581,46 @@ def test_corpus_report_null_text_dups_and_token_zero(spark):
     # the two null-text docs dedup-count against each other (null-equal
     # grouping, the exact_dedup rule) and carry zero tokens
     assert (row.n_docs, row.n_dup_docs, row.total_tokens) == (3, 2, 2)
+
+
+def test_histogram_counts_validation_and_clamp(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in (-100, 0.5, 5.0, 9.5, 1e12)], "v double"
+    )
+    h = {r["bin"]: r["n"] for r in Q.histogram_counts(df, "v", 10, 0.0, 10.0).collect()}
+    assert h[0] == 2  # -100 clamps into bin 0 alongside 0.5
+    assert h[9] == 2  # 1e12 clamps into the top bin alongside 9.5
+    with pytest.raises(ValueError, match="bins"):
+        Q.histogram_counts(df, "v", 1, 0.0, 10.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        Q.histogram_counts(df, "v", 10, 5.0, 5.0)
+
+
+def test_hist_quantiles_exact_on_uniform_and_merge_law(spark):
+    # uniform integers 0..999 in [0, 1000) with 100 bins: interpolation
+    # is exact up to bin granularity
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    h = Q.histogram_counts(df, "v", 100, 0.0, 1000.0)
+    est = {r["q"]: r["est"] for r in Q.hist_quantiles(
+        h, [0.1, 0.5, 1.0], 100, 0.0, 1000.0).collect()}
+    assert abs(est[0.5] - 500.0) <= 10.0
+    assert abs(est[0.1] - 100.0) <= 10.0
+    assert est[1.0] == 1000.0  # q=1 hits the top of the last bin
+    # merge law: counts from disjoint halves sum to the whole, so the
+    # estimates from the merged histogram equal the one-shot ones
+    a = Q.histogram_counts(df.filter("v < 300"), "v", 100, 0.0, 1000.0)
+    b = Q.histogram_counts(df.filter("v >= 300"), "v", 100, 0.0, 1000.0)
+    merged = (
+        a.unionByName(b).groupBy("bin").agg(F.sum("n").alias("n"))
+    )
+    est2 = {r["q"]: r["est"] for r in Q.hist_quantiles(
+        merged, [0.1, 0.5, 1.0], 100, 0.0, 1000.0).collect()}
+    assert est2 == est
+
+
+def test_hist_quantiles_rejects_zero_and_out_of_range_q(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    h = Q.histogram_counts(df, "v", 4, 0.0, 2.0)
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="quantiles"):
+            Q.hist_quantiles(h, [bad], 4, 0.0, 2.0)
