@@ -80,6 +80,15 @@ SHOWCASE = [
     ("drift_psi_prices", "PSI drift: two scans fold to bins-row partials, broadcast spine joins, smoothed terms"),
     ("drift_categorical_events", "categorical PSI: per-value partials -> top-k+other broadcast buckets -> smoothed terms"),
     ("drift_multi_lineitem", "k-column PSI in one scan per side: map-side (col,bin) explode, k*bins-row exchange"),
+    # round 9 continuation
+    ("dsir_weights_docs", "DSIR weights: one scan+explode to (doc,bucket) partials, B-row broadcast model join"),
+    ("dsir_sample_docs", "DSIR Gumbel top-k: md5 uniform, log-weight shift, TakeOrdered heap"),
+    ("gopher_rules_docs", "Gopher rules: all seven verdicts from JVM higher-order functions, map-only"),
+    ("event_transitions_users", "Markov transitions: ONE user-partitioned lag window, broadcast row totals"),
+    ("top_paths_events", "top paths: WindowGroupLimit map-side cut, fold reuses the window's partitioning"),
+    ("mix_temperature_docs", "temperature mixing: count agg + two 1-row broadcast folds + md5 threshold scan"),
+    ("zipf_docs", "Zipf fit: explode to counts, TakeOrdered heap, regr_* fold over k rows"),
+    ("hist_quantiles_events", "histogram quantiles: bins-row partial agg, covering-bin broadcast join"),
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
