@@ -173,6 +173,21 @@ def dsir_fit_from_counts(
     )
 
 
+def materialize_model(model: DataFrame) -> DataFrame:
+    """Pin a fitted DSIR model as a LITERAL local relation (B rows of
+    four scalars — bounded by the ``buckets`` parameter, never by data
+    volume): the fit executes once, and later actions join a local
+    table instead of re-deriving the fit subtree. Use when ONE model
+    scores MANY separate actions/batches (fit once, score forever — the
+    production DSIR shape with a frozen model). For a single-action
+    query, DON'T: AQE's runtime exchange reuse already shares the fit's
+    shuffles inside the one plan, and splitting fit and scoring into
+    two jobs measured ~1.5x SLOWER at sf0.1 (extra job scheduling, no
+    shared scan)."""
+    spark = model.sparkSession
+    return spark.createDataFrame(model.collect(), model.schema)
+
+
 def dsir_fit_from_stores(
     spark, target_table: str, raw_table: str, buckets: int = 256
 ) -> DataFrame:
