@@ -711,3 +711,103 @@ def dsir_select_each_batch(
             write(kept, epoch_id)
 
     return _apply
+
+
+def transitions_each_batch(
+    counts_table: str,
+    last_table: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    *,
+    update_stores: bool = True,
+    write=None,
+):
+    """Streaming Markov transition counting: a ``foreachBatch`` callback
+    maintaining the `operators/funnel.py event_transitions` count matrix
+    incrementally — per batch, each user's FIRST event pairs with that
+    user's last event from prior batches (the persisted ``last_table``:
+    one row per user), in-batch successors pair with the usual lag
+    window, and the |types|^2 pair counts sum-merge into
+    ``counts_table``. With event-time-ordered micro-batches (per user),
+    the folded counts equal the one-shot batch matrix over everything
+    ingested — the stream==batch law this family pins.
+
+    Per-batch cost: the batch's user-keyed lag window, a user-sized
+    store join, and two constant-size swaps (|users| rows and |types|^2
+    rows) — nothing rescans history. ``write(transitions_df, epoch_id)``
+    receives the UPDATED cumulative matrix (counts only; normalize with
+    a final select when serving)."""
+    from pyspark.sql import Window as W
+
+    from dataframes_spark.io.store import staging_swap
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = batch_df.select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            F.col(tiebreak_col).alias("__tb"),
+            F.col(type_col).alias("__e"),
+        )
+        w = W.partitionBy("__u").orderBy(
+            F.col("__ts").asc(), F.col("__tb").asc()
+        )
+        lagged = ev.withColumn("__prev", F.lag("__e").over(w)).withColumn(
+            "__rn", F.row_number().over(w)
+        )
+        in_batch = lagged.filter(F.col("__prev").isNotNull()).select(
+            F.col("__prev").alias("prev_type"),
+            F.col("__e").alias("next_type"),
+        )
+        firsts = lagged.filter(F.col("__rn") == 1)
+        if spark.catalog.tableExists(last_table):
+            prior = spark.table(last_table)
+            cross_batch = firsts.join(
+                prior.select("__u", F.col("__e").alias("__last")), "__u"
+            ).select(
+                F.col("__last").alias("prev_type"),
+                F.col("__e").alias("next_type"),
+            )
+            pairs = in_batch.unionByName(cross_batch)
+        else:
+            pairs = in_batch
+        batch_counts = pairs.groupBy("prev_type", "next_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        if update_stores:
+            # counts store: |types|^2 rows, sum-merge
+            if spark.catalog.tableExists(counts_table):
+                merged = (
+                    spark.table(counts_table)
+                    .unionByName(batch_counts)
+                    .groupBy("prev_type", "next_type")
+                    .agg(F.sum("n").alias("n"))
+                )
+            else:
+                merged = batch_counts
+            staging_swap(spark, counts_table, merged)
+            # last-event store: one row per user ever seen; the batch's
+            # per-user LAST event wins over the stored one (in-order law)
+            lasts = lagged.withColumn(
+                "__rnd",
+                F.row_number().over(
+                    W.partitionBy("__u").orderBy(
+                        F.col("__ts").desc(), F.col("__tb").desc()
+                    )
+                ),
+            ).filter(F.col("__rnd") == 1).select("__u", "__e")
+            if spark.catalog.tableExists(last_table):
+                prior = spark.table(last_table)
+                upd = (
+                    prior.join(lasts.select("__u"), "__u", "left_anti")
+                    .unionByName(lasts)
+                )
+            else:
+                upd = lasts
+            staging_swap(spark, last_table, upd)
+        if write is not None:
+            write(spark.table(counts_table), epoch_id)
+
+    return _apply

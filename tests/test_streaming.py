@@ -806,3 +806,55 @@ def test_dsir_select_each_batch_requires_seeded_target(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pt.raises(ValueError, match="seeded target store"):
         cb(df, 0)
+
+
+def test_transitions_each_batch_stream_equals_batch(spark):
+    """Folding event-time-ordered micro-batches through
+    transitions_each_batch yields exactly the one-shot
+    event_transitions count matrix (cross-batch pairs included via the
+    per-user last-event store)."""
+    import uuid
+
+    from dataframes_spark.operators import funnel as fn
+
+    ct = f"trans_counts_{uuid.uuid4().hex[:8]}"
+    lt = f"trans_last_{uuid.uuid4().hex[:8]}"
+    for t in (ct, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rows = [
+        # user 1: a b | b a   (cross-batch pair b->b at the boundary)
+        (1, 1, 1, "a"), (2, 1, 2, "b"),
+        (5, 1, 5, "b"), (6, 1, 6, "a"),
+        # user 2: c | c c
+        (3, 2, 3, "c"),
+        (7, 2, 7, "c"), (8, 2, 8, "c"),
+        # user 3 appears only in batch 2
+        (9, 3, 9, "a"), (10, 3, 10, "b"),
+    ]
+    sch = "event_id long, user_id long, ts long, event_type string"
+    b1 = spark.createDataFrame([r for r in rows if r[0] <= 4], sch)
+    b2 = spark.createDataFrame([r for r in rows if r[0] > 4], sch)
+    seen = []
+    cb = dstream.transitions_each_batch(
+        ct, lt, "user_id", "ts", "event_type", "event_id",
+        write=lambda df, e: seen.append(
+            {(r.prev_type, r.next_type): r.n for r in df.collect()}
+        ),
+    )
+    cb(b1, 0)
+    cb(b2, 1)
+    whole = spark.createDataFrame(rows, sch)
+    want = {
+        (r.prev_type, r.next_type): r.n
+        for r in fn.event_transitions(
+            whole, "user_id", "ts", "event_type", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert seen[1] == want
+    # epoch 1 saw only batch-1 pairs
+    assert seen[0] == {("a", "b"): 1}
+    # last-event store has one row per user with their latest type
+    last = {r["__u"]: r["__e"] for r in spark.table(lt).collect()}
+    assert last == {1: "a", 2: "c", 3: "b"}
+    for t in (ct, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
