@@ -2724,6 +2724,37 @@ def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dquality.hist_quantiles(h, [0.25, 0.5, 0.9, 0.99], 50, 0.0, 500.0)
 
 
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebuild diff (operators/diff.py diff_summary): snapshot B
+    is a deterministic mutation of the documents table (drop doc_id%7,
+    retext %5, relabel %3, add %11 under shifted ids); the report —
+    row-status counts plus per-column changed counts — folds from ONE
+    null-safe full outer join, replayed in DuckDB."""
+    a = _t(spark, sf_dir, "documents")
+    mod = (
+        a.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+    )
+    added = a.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    b = mod.unionByName(added)
+    from dataframes_spark.operators import diff as ddiff
+
+    return ddiff.diff_summary(a, b, ["doc_id"])
+
+
 def zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit (functions/text.py zipf_report): slope /
     intercept / r2 of ln(freq) on ln(rank) over the top-100 tokens —
@@ -3109,6 +3140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (driver-green r7-r8) rotates below; the quality family
         #    stays via the drift rows + corpus_report_docs.
         "hist_quantiles_events": hist_quantiles_events,
+        # -- round 9 (continuation): the corpus rebuild diff — row-status
+        #    and per-column change counts from one null-safe full outer
+        #    join. partitioned_prune_events (driver-green r4-r8) rotates
+        #    below; partition-pruning proof stays in-window via
+        #    zorder_roundtrip_agg + ivf_probe_partitioned.
+        "snapshot_diff_docs": snapshot_diff_docs,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -3208,7 +3245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprinting family stays in-window via
         # minhash_signatures_md5 + simhash_fingerprints_md5, and winnow
         # itself stays in the full local sweep + unit suite.
-        "partitioned_prune_events": partitioned_prune_events,
         # -- window backfill: one green row per remaining operator family
         "q1_pricing_summary": q1_pricing_summary,
         # -- rotated out of the window: multiply green (r01-r05),
@@ -3227,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_report_docs": shard_report_docs,
         "dedup_best_quality_docs": dedup_best_quality_docs,
         "quality_report_lineitem": quality_report_lineitem,
+        "partitioned_prune_events": partitioned_prune_events,
         "embedding_near_dup_clusters": embedding_near_dup_clusters,
         "cube_qty": cube_qty,
         "near_dup_incremental_docs": near_dup_incremental_docs,
@@ -4064,6 +4101,66 @@ def oracle_sql() -> dict[str, str]:
                        + (q * total - (cum - n)) / n), 6) AS est
             FROM qs CROSS JOIN t CROSS JOIN c
             WHERE cum >= q * total AND (cum - n) < q * total
+        """,
+        "snapshot_diff_docs": """
+            -- operators/diff.py diff_summary over the same deterministic
+            -- mutation: one full outer join, null-safe compares
+            -- (IS NOT DISTINCT FROM), status + per-column counts.
+            WITH a AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+            ), mod AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text,
+                       CASE WHEN doc_id % 3 = 0 THEN 'xx'
+                            ELSE lang END AS lang,
+                       source, n_chars
+                FROM a WHERE doc_id % 7 <> 0
+            ), added AS (
+                SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+                       n_chars
+                FROM a WHERE doc_id % 11 = 0
+            ), b AS (
+                SELECT * FROM mod UNION ALL SELECT * FROM added
+            ), j AS (
+                SELECT a.doc_id IS NOT NULL AS in_a,
+                       b.doc_id IS NOT NULL AS in_b,
+                       (a.text IS NOT DISTINCT FROM b.text) AS s_text,
+                       (a.lang IS NOT DISTINCT FROM b.lang) AS s_lang,
+                       (a.source IS NOT DISTINCT FROM b.source) AS s_source,
+                       (a.n_chars IS NOT DISTINCT FROM b.n_chars)
+                           AS s_n_chars
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            ), w AS (
+                SELECT
+                    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)
+                        AS BIGINT) AS added,
+                    CAST(sum(CASE WHEN NOT in_b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS removed,
+                    CAST(sum(CASE WHEN in_a AND in_b AND NOT
+                        (s_text AND s_lang AND s_source AND s_n_chars)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+                    CAST(sum(CASE WHEN in_a AND in_b AND
+                        s_text AND s_lang AND s_source AND s_n_chars
+                        THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+                    CAST(sum(CASE WHEN in_a AND in_b AND NOT s_text
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_text,
+                    CAST(sum(CASE WHEN in_a AND in_b AND NOT s_lang
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_lang,
+                    CAST(sum(CASE WHEN in_a AND in_b AND NOT s_source
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_source,
+                    CAST(sum(CASE WHEN in_a AND in_b AND NOT s_n_chars
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_n_chars
+                FROM j
+            )
+            SELECT 'rows' AS kind, 'added' AS name, added AS n FROM w
+            UNION ALL SELECT 'rows', 'removed', removed FROM w
+            UNION ALL SELECT 'rows', 'changed', changed FROM w
+            UNION ALL SELECT 'rows', 'unchanged', unchanged FROM w
+            UNION ALL SELECT 'column', 'text', c_text FROM w
+            UNION ALL SELECT 'column', 'lang', c_lang FROM w
+            UNION ALL SELECT 'column', 'source', c_source FROM w
+            UNION ALL SELECT 'column', 'n_chars', c_n_chars FROM w
         """,
         "zipf_docs": """
             -- functions/text.py zipf_report: top-100 tokens, ln-ln
