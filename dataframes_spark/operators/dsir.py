@@ -279,3 +279,24 @@ def dsir_sample(
     return keyed.orderBy(
         F.col("gumbel_key").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def dsir_model_report(model: DataFrame) -> DataFrame:
+    """One-row model summary quantifying SELECTION PRESSURE:
+    ``(buckets, kl_target_raw, mean_abs_log_ratio, max_log_ratio,
+    min_log_ratio)``. ``kl_target_raw`` is KL(target || raw) =
+    sum_b p_target[b] * (logp_target[b] - logp_raw[b]) over the smoothed
+    bucket models — 0 means the target is indistinguishable from the raw
+    corpus under the featurizer (resampling would be uniform; raise
+    ``buckets`` or n-gram order), large means aggressive reweighting
+    (watch variance / effective sample size). Folds the B-row model —
+    no data touched."""
+    return model.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.round(
+            F.sum(F.exp("logp_target") * F.col("log_ratio")), 6
+        ).alias("kl_target_raw"),
+        F.round(F.avg(F.abs("log_ratio")), 6).alias("mean_abs_log_ratio"),
+        F.round(F.max("log_ratio"), 6).alias("max_log_ratio"),
+        F.round(F.min("log_ratio"), 6).alias("min_log_ratio"),
+    )

@@ -162,3 +162,19 @@ def test_store_fold_equals_one_shot_fit(spark, sf_dir):
     assert pairs.collect()[0]["d"] < 1e-12
     for t in (raw_t, tgt_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_model_report_kl_properties(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # self-fit: KL == 0 exactly (log_ratio identically 0)
+    self_m = dsir.dsir_fit(docs, docs, "text", "doc_id", buckets=32)
+    r0 = dsir.dsir_model_report(self_m).collect()[0]
+    assert r0["buckets"] == 32
+    assert r0["kl_target_raw"] == 0.0 == r0["mean_abs_log_ratio"]
+    # a real target: KL > 0 (Gibbs), and bounded by the extremes
+    m = dsir.dsir_fit(
+        docs.filter("lang = 'en'"), docs, "text", "doc_id", buckets=32
+    )
+    r = dsir.dsir_model_report(m).collect()[0]
+    assert r["kl_target_raw"] > 0.0
+    assert r["min_log_ratio"] <= 0.0 <= r["max_log_ratio"]
