@@ -2724,6 +2724,17 @@ def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dquality.hist_quantiles(h, [0.25, 0.5, 0.9, 0.99], 50, 0.0, 500.0)
 
 
+def lang_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level language-mixing report (functions/text.py
+    lang_mix_report) over the re-segmented corpus: doc-level guess plus
+    per-line guesses folded to a mixing fraction — the CCNet-style
+    second pass that doc-level language ID cannot replace; every guess
+    and fraction replayed in DuckDB."""
+    return dtext.lang_mix_report(
+        _segmented_docs(spark, sf_dir), "text", "doc_id", sep="\n"
+    )
+
+
 def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rebuild diff (operators/diff.py diff_summary): snapshot B
     is a deterministic mutation of the documents table (drop doc_id%7,
@@ -3146,6 +3157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    below; partition-pruning proof stays in-window via
         #    zorder_roundtrip_agg + ivf_probe_partitioned.
         "snapshot_diff_docs": snapshot_diff_docs,
+        # -- round 9 (continuation): line-level language mixing — the
+        #    langid second pass over segmented lines. To hold the window
+        #    at 50, minhash_lsh_pairs_md5 (driver-green r6-r8) rotates
+        #    below; the dedup family stays in-window via the span-dedup
+        #    rows + embedding_dedup_incremental_vecs, and the md5 lanes
+        #    stay locally hash-checked below the window.
+        "lang_mix_docs": lang_mix_docs,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
@@ -3156,7 +3174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    IVF probe stage given pinned centroids. The xxhash64/KMeans
         #    originals (minhash_lsh_candidates, ivf_topk_probe) rotate
         #    below the window — still rows-only by nature, still run.
-        "minhash_lsh_pairs_md5": minhash_lsh_pairs_md5,
         "ivf_probe_pinned": ivf_probe_pinned,
         "frame_sample_timestamps": frame_sample_timestamps,
         # -- entered the window round 5 (rotation promise + new queries)
@@ -3264,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_quality_docs": dedup_best_quality_docs,
         "quality_report_lineitem": quality_report_lineitem,
         "partitioned_prune_events": partitioned_prune_events,
+        "minhash_lsh_pairs_md5": minhash_lsh_pairs_md5,
         "embedding_near_dup_clusters": embedding_near_dup_clusters,
         "cube_qty": cube_qty,
         "near_dup_incremental_docs": near_dup_incremental_docs,
@@ -4101,6 +4119,92 @@ def oracle_sql() -> dict[str, str]:
                        + (q * total - (cum - n)) / n), 6) AS est
             FROM qs CROSS JOIN t CROSS JOIN c
             WHERE cum >= q * total AND (cum - n) < q * total
+        """,
+        "lang_mix_docs": """
+            -- functions/text.py lang_mix_report over the 8-word
+            -- re-segmentation: doc guess from the whole token list,
+            -- line guesses from each line's tokens, priority-tied
+            -- argmax (en > es > de > fr), 'und' when nothing matches.
+            WITH d0 AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
+                FROM documents
+            ), seg AS (
+                SELECT doc_id, w0,
+                       list_transform(
+                           generate_series(
+                               1, CAST(ceil(len(w0) / 8.0) AS BIGINT)),
+                           i -> array_to_string(
+                               w0[(i - 1) * 8 + 1 : i * 8], ' ')) AS ls
+                FROM d0
+            ), dl AS (
+                SELECT doc_id, ls,
+                       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0
+                                THEN 'und'
+                            WHEN s_en = greatest(s_en, s_es, s_de, s_fr)
+                                THEN 'en'
+                            WHEN s_es = greatest(s_en, s_es, s_de, s_fr)
+                                THEN 'es'
+                            WHEN s_de = greatest(s_en, s_es, s_de, s_fr)
+                                THEN 'de'
+                            ELSE 'fr' END AS doc_lang
+                FROM (
+                    SELECT doc_id, ls,
+                        len(list_filter(tkl, t -> list_contains(
+                            ['the','and','of','is','that','with'], t))) AS s_en,
+                        len(list_filter(tkl, t -> list_contains(
+                            ['el','la','de','que','los','una'], t))) AS s_es,
+                        len(list_filter(tkl, t -> list_contains(
+                            ['der','die','und','das','ist','nicht'], t))) AS s_de,
+                        len(list_filter(tkl, t -> list_contains(
+                            ['le','la','les','des','est','une'], t))) AS s_fr
+                    FROM (SELECT doc_id, ls,
+                                 list_transform(w0, x -> lower(x)) AS tkl
+                          FROM seg)
+                )
+            ), lf AS (
+                SELECT doc_id, string_split_regex(lower(trim(line)),
+                           '\\s+') AS lt
+                FROM (SELECT doc_id, unnest(ls) AS line FROM dl)
+                WHERE len(trim(line)) > 0
+            ), lg AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0
+                                THEN 'und'
+                            WHEN s_en = greatest(s_en, s_es, s_de, s_fr)
+                                THEN 'en'
+                            WHEN s_es = greatest(s_en, s_es, s_de, s_fr)
+                                THEN 'es'
+                            WHEN s_de = greatest(s_en, s_es, s_de, s_fr)
+                                THEN 'de'
+                            ELSE 'fr' END AS line_lang
+                FROM (
+                    SELECT doc_id,
+                        len(list_filter(lt, t -> list_contains(
+                            ['the','and','of','is','that','with'], t))) AS s_en,
+                        len(list_filter(lt, t -> list_contains(
+                            ['el','la','de','que','los','una'], t))) AS s_es,
+                        len(list_filter(lt, t -> list_contains(
+                            ['der','die','und','das','ist','nicht'], t))) AS s_de,
+                        len(list_filter(lt, t -> list_contains(
+                            ['le','la','les','des','est','une'], t))) AS s_fr
+                    FROM lf
+                )
+            ), agg AS (
+                SELECT lg.doc_id,
+                       count(*) AS n_lines,
+                       sum(CASE WHEN line_lang <> dl.doc_lang
+                                 AND line_lang <> 'und'
+                                THEN 1 ELSE 0 END) AS n_foreign
+                FROM lg JOIN dl USING (doc_id)
+                GROUP BY 1
+            )
+            SELECT dl.doc_id, dl.doc_lang,
+                   CAST(coalesce(agg.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(agg.n_foreign, 0) AS BIGINT) AS n_foreign,
+                   round(CAST(coalesce(agg.n_foreign, 0) AS DOUBLE)
+                         / greatest(coalesce(agg.n_lines, 0), 1), 6)
+                       AS mix_frac
+            FROM dl LEFT JOIN agg USING (doc_id)
         """,
         "snapshot_diff_docs": """
             -- operators/diff.py diff_summary over the same deterministic

@@ -756,3 +756,53 @@ def zipf_report(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
         F.round(F.expr("regr_intercept(__y, __x)"), 6).alias("intercept"),
         F.round(F.expr("regr_r2(__y, __x)"), 6).alias("r2"),
     )
+
+
+def lang_mix_report(
+    df: DataFrame, text_col: str, id_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Per-document language-MIXING report: ``(id, doc_lang, n_lines,
+    n_foreign, mix_frac)`` — ``doc_lang`` is the whole-text
+    `language_guess`; a line is foreign when its own guess differs from
+    the document's and is not ``'und'``. Mixed-language documents (code
+    comments in another language, boilerplate headers, spam) degrade
+    monolingual training sets, and doc-level language ID alone cannot
+    see them — the standard remedy is exactly this line-level second
+    pass (CCNet splits documents into paragraphs for the same reason).
+
+    One scan: the doc guess is a row expression, lines explode
+    JVM-side, per-line guesses fold back with ONE groupBy on the id.
+    Documents with no non-blank lines survive with ``n_lines = 0``."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.split(text, sep), lambda x: F.length(F.trim(x)) > F.lit(0)
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        language_guess(text).alias("doc_lang"),
+        F.explode_outer(lines).alias("__line"),
+    )
+    line_lang = language_guess(F.col("__line"))
+    foreign = (
+        F.col("__line").isNotNull()
+        & (line_lang != F.col("doc_lang"))
+        & (line_lang != F.lit("und"))
+    )
+    return (
+        exploded.groupBy("__id", "doc_lang")
+        .agg(
+            F.count("__line").alias("n_lines"),
+            F.sum(foreign.cast("long")).alias("n_foreign"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "doc_lang",
+            "n_lines",
+            "n_foreign",
+            F.round(
+                F.col("n_foreign")
+                / F.greatest(F.col("n_lines"), F.lit(1)).cast("double"),
+                6,
+            ).alias("mix_frac"),
+        )
+    )

@@ -230,3 +230,27 @@ def test_zipf_report_flat_corpus_scores_far_from_language(spark):
     )
     row = dtext.zipf_report(df, "text", k=50).collect()[0]
     assert abs(row["slope"]) < 1e-9
+
+
+def test_lang_mix_report_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            # en doc with one Spanish line -> 1/3 foreign
+            (1, "the cat is that and of\nthe dog is with and that\n"
+                "el perro la casa de que"),
+            # empty doc survives with zero lines
+            (2, ""),
+            # und lines never count as foreign
+            (3, "xyz qrs tuv\nthe cat is that and of"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in dtext.lang_mix_report(
+        df, "text", "doc_id").collect()}
+    assert rows[1]["doc_lang"] == "en"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_foreign"] == 1
+    assert rows[1]["mix_frac"] == pytest.approx(0.333333)
+    assert rows[2]["n_lines"] == 0 and rows[2]["mix_frac"] == 0.0
+    # doc 3: doc guess en (the en line dominates); the und line is not
+    # foreign
+    assert rows[3]["doc_lang"] == "en" and rows[3]["n_foreign"] == 0
