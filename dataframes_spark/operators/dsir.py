@@ -300,3 +300,31 @@ def dsir_model_report(model: DataFrame) -> DataFrame:
         F.round(F.max("log_ratio"), 6).alias("max_log_ratio"),
         F.round(F.min("log_ratio"), 6).alias("min_log_ratio"),
     )
+
+
+def dsir_ess(weights: DataFrame) -> DataFrame:
+    """Effective sample size of an importance-weighted corpus:
+    ``(n_docs, ess, ess_frac)`` with ``ess = (sum w)^2 / sum w^2`` (Kish)
+    over ``w = exp(log_weight - max(log_weight))`` — the shift makes the
+    ratio overflow-safe and cancels exactly. ``ess_frac`` near 1 means
+    resampling barely reweights; near 0 means a few documents dominate
+    (selection variance — grow the target set or temper the weights).
+    The standard companion diagnostic to `dsir_model_report`'s KL. Two
+    passes over the doc-sized weights relation (max, then the folds),
+    each a 1-row aggregate."""
+    mx = weights.agg(F.max("log_weight").alias("__m"))
+    w = weights.crossJoin(F.broadcast(mx)).select(
+        F.exp(F.col("log_weight") - F.col("__m")).alias("__w")
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            (F.sum("__w") * F.sum("__w")) / F.sum(F.col("__w") * F.col("__w")),
+            6,
+        ).alias("ess"),
+        F.round(
+            (F.sum("__w") * F.sum("__w"))
+            / (F.sum(F.col("__w") * F.col("__w")) * F.count(F.lit(1))),
+            6,
+        ).alias("ess_frac"),
+    )

@@ -178,3 +178,20 @@ def test_model_report_kl_properties(spark, sf_dir):
     r = dsir.dsir_model_report(m).collect()[0]
     assert r["kl_target_raw"] > 0.0
     assert r["min_log_ratio"] <= 0.0 <= r["max_log_ratio"]
+
+
+def test_ess_uniform_and_skewed(spark):
+    uni = spark.createDataFrame(
+        [(i, 0.0) for i in range(10)], "doc_id long, log_weight double"
+    )
+    r = dsir.dsir_ess(uni).collect()[0]
+    assert r["n_docs"] == 10 and r["ess"] == pytest.approx(10.0)
+    assert r["ess_frac"] == pytest.approx(1.0)
+    # one dominant weight: ESS collapses toward 1
+    skew = spark.createDataFrame(
+        [(0, 20.0)] + [(i, 0.0) for i in range(1, 10)],
+        "doc_id long, log_weight double",
+    )
+    r2 = dsir.dsir_ess(skew).collect()[0]
+    assert r2["ess"] < 1.01
+    assert r2["ess_frac"] < 0.11
