@@ -89,6 +89,8 @@ SHOWCASE = [
     ("mix_temperature_docs", "temperature mixing: count agg + two 1-row broadcast folds + md5 threshold scan"),
     ("zipf_docs", "Zipf fit: explode to counts, TakeOrdered heap, regr_* fold over k rows"),
     ("hist_quantiles_events", "histogram quantiles: bins-row partial agg, covering-bin broadcast join"),
+    ("snapshot_diff_docs", "rebuild diff: ONE null-safe full outer join, all counts in one aggregate"),
+    ("lang_mix_docs", "language mixing: doc + per-line langid argmax, one id-keyed fold"),
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
