@@ -440,8 +440,17 @@ def language_guess(c: Column) -> Column:
     struct comparison is lexicographic, so this is a single argmax
     expression. The once-natural fold (chained ``when`` accumulators)
     duplicates every earlier score subtree twice per step — 2^n_langs
-    evaluations of the tokenizing split — and measured ~10x slower."""
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    evaluations of the tokenizing split — and measured ~10x slower.
+    When the caller already holds the token array, use
+    `language_guess_tokens` — each marker filter references the SAME
+    materialized array instead of re-running the regex split per
+    language (4x fewer splits; it is what `lang_mix_report` does)."""
+    return language_guess_tokens(F.split(F.lower(F.trim(c)), r"\s+"))
+
+
+def language_guess_tokens(toks: Column) -> Column:
+    """`language_guess` over an existing (lowercased) token-array column
+    — the argmax expression without the per-language re-tokenization."""
     entries = []
     for idx, (lang, markers) in enumerate(_LANG_MARKERS.items()):
         mk = F.array(*[F.lit(m) for m in markers])
@@ -772,17 +781,38 @@ def lang_mix_report(
 
     One scan: the doc guess is a row expression, lines explode
     JVM-side, per-line guesses fold back with ONE groupBy on the id.
-    Documents with no non-blank lines survive with ``n_lines = 0``."""
+    Documents with no non-blank lines survive with ``n_lines = 0``.
+    Both guesses run on a pre-materialized token array
+    (`language_guess_tokens`), so the regex split runs once per
+    document and once per line, not once per language."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
         F.split(text, sep), lambda x: F.length(F.trim(x)) > F.lit(0)
     )
-    exploded = df.select(
+    toked = df.select(
         F.col(id_col).alias("__id"),
-        language_guess(text).alias("doc_lang"),
-        F.explode_outer(lines).alias("__line"),
+        F.split(F.lower(F.trim(text)), r"\s+").alias("__dt"),
+        lines.alias("__ls"),
     )
-    line_lang = language_guess(F.col("__line"))
+    # doc_lang resolves in its OWN projection: putting the struct-argmax
+    # and the explode_outer in one select trips the analyzer's generator
+    # extraction (struct field names degrade to col1/col2/col3 before
+    # the ["s"] access resolves — FIELD_NOT_FOUND); after analysis the
+    # optimizer may collapse the projections freely, field accesses are
+    # ordinal by then
+    guessed = toked.select(
+        "__id",
+        language_guess_tokens(F.col("__dt")).alias("doc_lang"),
+        "__ls",
+    )
+    exploded = guessed.select(
+        "__id",
+        "doc_lang",
+        F.explode_outer("__ls").alias("__line"),
+    )
+    line_lang = language_guess_tokens(
+        F.split(F.lower(F.trim(F.col("__line"))), r"\s+")
+    )
     foreign = (
         F.col("__line").isNotNull()
         & (line_lang != F.col("doc_lang"))
