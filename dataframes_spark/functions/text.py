@@ -836,3 +836,56 @@ def lang_mix_report(
             ).alias("mix_frac"),
         )
     )
+
+
+def oov_report(
+    df: DataFrame, text_col: str, id_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Out-of-vocabulary report against a reference vocabulary:
+    ``(id, n_tokens, n_oov, oov_frac)`` — the tokenizer-fit /
+    domain-shift check (high OOV against the training vocabulary means
+    the tokenizer will shatter this text into bytes). ``vocab`` is a
+    one-column DataFrame of tokens (e.g. `vocab_topk`'s ``token``
+    column, or a published wordlist read as text).
+
+    ONE corpus scan+explode; the vocabulary joins BROADCAST (left anti
+    semantics via a null flag so in-vocab tokens don't drop), then one
+    id-keyed fold. Tokenless documents survive with zero counts."""
+    vcol = vocab.columns[0]
+    v = vocab.select(
+        F.lower(F.col(vcol)).alias("token"), F.lit(True).alias("__in_v")
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    flagged = toks.join(F.broadcast(v), "token", "left")
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.sum(
+                (F.col("token").isNotNull() & F.col("__in_v").isNull()).cast(
+                    "long"
+                )
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_frac"),
+        )
+    )

@@ -254,3 +254,29 @@ def test_lang_mix_report_semantics(spark):
     # doc 3: doc guess en (the en line dominates); the und line is not
     # foreign
     assert rows[3]["doc_lang"] == "en" and rows[3]["n_foreign"] == 0
+
+
+def test_oov_report_counts_and_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat THE bat"), (2, "zzz qqq"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",)], "token string")
+    rows = {r["doc_id"]: r.asDict() for r in dtext.oov_report(
+        docs, "text", "doc_id", vocab).collect()}
+    # case-insensitive: THE is in-vocab; bat is OOV
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_oov"] == 1
+    assert rows[1]["oov_frac"] == pytest.approx(0.25)
+    assert rows[2]["n_oov"] == 2 and rows[2]["oov_frac"] == 1.0
+    # tokenless docs survive with zeros
+    assert rows[3]["n_tokens"] == 0 and rows[3]["oov_frac"] == 0.0
+    assert rows[4]["n_tokens"] == 0
+
+
+def test_oov_report_against_corpus_vocab(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = dtext.vocab_topk(docs, "text", k=30).select("token")
+    out = dtext.oov_report(docs, "text", "doc_id", vocab)
+    assert out.count() == docs.count()
+    fr = [r["oov_frac"] for r in out.collect()]
+    assert all(0.0 <= f <= 1.0 for f in fr)
