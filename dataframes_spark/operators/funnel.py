@@ -46,6 +46,7 @@ def funnel_stage(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Per-user deepest funnel step: ``(user_col, stage, completed_ts)``
     with ``stage`` in 0..len(steps) (0 = never did step 1) and
@@ -55,6 +56,14 @@ def funnel_stage(
     One groupBy shuffle carrying only step-typed events; the ordered
     scan happens inside the buffer via ``sort_array`` + ``aggregate``
     (pure JVM, no Python in the plan).
+
+    ``init`` (optional) seeds each user's fold accumulator from a prior
+    ``funnel_stage`` result — the incremental form: because the greedy
+    fold's ``(stage, last_ts)`` pair is a SUFFICIENT STATISTIC (the
+    earliest prefix chain admits a superset of continuations, and later
+    events can never improve an earlier prefix), folding time-ordered
+    batches through ``init`` equals the one-shot fold over their union.
+    Users present only in ``init`` carry their state through unchanged.
     """
     steps = list(steps)
     if len(steps) < 2:
@@ -76,9 +85,29 @@ def funnel_stage(
         )
     )
 
-    acc0 = F.struct(
-        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("last_ts")
-    )
+    if init is not None:
+        seed = init.select(
+            F.col(user_col),
+            F.col("stage").alias("__s0"),
+            F.col("completed_ts").alias("__t0"),
+        )
+        per_user = per_user.join(seed, user_col, "full_outer").select(
+            F.col(user_col),
+            F.coalesce(
+                F.col("__ev"),
+                F.array().cast("array<struct<ts:timestamp,t:string>>"),
+            ).alias("__ev"),
+            F.coalesce(F.col("__s0"), F.lit(0)).alias("__s0"),
+            F.col("__t0"),
+        )
+        acc0 = F.struct(
+            F.col("__s0").alias("stage"), F.col("__t0").alias("last_ts")
+        )
+    else:
+        acc0 = F.struct(
+            F.lit(0).alias("stage"),
+            F.lit(None).cast("timestamp").alias("last_ts"),
+        )
     fold = F.aggregate(
         F.col("__ev"),
         acc0,
@@ -113,8 +142,18 @@ def funnel(
     cumulative "reached >= i" sums happen on the k-row stage histogram
     via a window — bounded by the step count, never by the data.
     """
+    return funnel_report_from_stages(
+        funnel_stage(df, steps, user_col, type_col, ts_col), steps
+    )
+
+
+def funnel_report_from_stages(
+    stages: DataFrame, steps: Sequence[str]
+) -> DataFrame:
+    """The k-row funnel report from a `funnel_stage` result (one-shot or
+    store-seeded) — factored out so the streaming store derives the
+    identical report from its persisted per-user stages."""
     k = len(list(steps))
-    stages = funnel_stage(df, steps, user_col, type_col, ts_col)
     hist = stages.groupBy("stage").agg(F.count(F.lit(1)).alias("__n"))
     # users reaching step i = sum of histogram counts with stage >= i;
     # computed by exploding each histogram row to the steps it satisfies

@@ -811,3 +811,48 @@ def transitions_each_batch(
             write(spark.table(counts_table), epoch_id)
 
     return _apply
+
+
+def funnel_each_batch(
+    state_table: str,
+    steps,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    write=None,
+):
+    """Streaming funnel: a ``foreachBatch`` callback maintaining the
+    per-user `funnel_stage` state — the realtime "how far has each user
+    progressed" dashboard. The greedy fold's ``(stage, completed_ts)``
+    pair is the funnel's sufficient statistic, so the persisted state is
+    ONE ROW PER USER regardless of event volume, and folding
+    event-time-ordered micro-batches through it equals the one-shot
+    batch funnel over everything ingested (stream==batch, unit-pinned).
+
+    Per-batch cost: the batch's user-keyed fold (only step-typed events
+    cross the exchange), a user-sized full-outer join against the
+    state, and one staging swap. ``write(report_df, epoch_id)`` receives
+    the k-row cumulative funnel report derived from the updated state
+    (`funnel_report_from_stages`)."""
+    from dataframes_spark.io.store import staging_swap
+    from dataframes_spark.operators import funnel as fn
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        init = (
+            spark.table(state_table)
+            if spark.catalog.tableExists(state_table)
+            else None
+        )
+        new_state = fn.funnel_stage(
+            batch_df, steps, user_col, type_col, ts_col, init=init
+        )
+        staging_swap(spark, state_table, new_state)
+        if write is not None:
+            write(
+                fn.funnel_report_from_stages(spark.table(state_table), steps),
+                epoch_id,
+            )
+
+    return _apply

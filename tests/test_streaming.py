@@ -858,3 +858,62 @@ def test_transitions_each_batch_stream_equals_batch(spark):
     assert last == {1: "a", 2: "c", 3: "b"}
     for t in (ct, lt):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_funnel_each_batch_stream_equals_batch(spark):
+    """Per-user funnel state folded through time-ordered micro-batches
+    equals the one-shot batch funnel (the (stage, ts) pair is the
+    greedy fold's sufficient statistic)."""
+    import uuid
+
+    from dataframes_spark.operators import funnel as fn
+
+    st = f"funnel_state_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    sch = "event_id long, user_id long, ts timestamp, event_type string"
+
+    def ev(eid, u, t, typ):
+        import datetime as dt
+
+        return (eid, u, dt.datetime(2026, 1, 1, 0, 0, t), typ)
+
+    rows = [
+        # user 1 completes view->click->buy across the batch boundary
+        ev(1, 1, 1, "view"), ev(2, 1, 2, "click"),
+        ev(5, 1, 5, "buy"),
+        # user 2 views in batch 1, never progresses
+        ev(3, 2, 3, "view"),
+        # user 3 appears only in batch 2, reaches click
+        ev(6, 3, 6, "view"), ev(7, 3, 7, "click"),
+        # user 4 does steps out of order (click before view): stage 1
+        ev(4, 4, 1, "click"), ev(8, 4, 8, "view"),
+    ]
+    b1 = spark.createDataFrame([r for r in rows if r[0] <= 4], sch)
+    b2 = spark.createDataFrame([r for r in rows if r[0] > 4], sch)
+    steps = ["view", "click", "buy"]
+    reports = []
+    cb = dstream.funnel_each_batch(
+        st, steps,
+        write=lambda df, e: reports.append(
+            {r["step_name"]: r["users"] for r in df.collect()}
+        ),
+    )
+    cb(b1, 0)
+    cb(b2, 1)
+    whole = spark.createDataFrame(rows, sch)
+    want_stage = {
+        r["user_id"]: (r["stage"], r["completed_ts"])
+        for r in fn.funnel_stage(whole, steps).collect()
+    }
+    got_stage = {
+        r["user_id"]: (r["stage"], r["completed_ts"])
+        for r in spark.table(st).collect()
+    }
+    assert got_stage == want_stage
+    want_report = {
+        r["step_name"]: r["users"] for r in fn.funnel(whole, steps).collect()
+    }
+    assert reports[1] == want_report
+    # user 2's batch-1 state survived a batch it had no events in
+    assert got_stage[2][0] == 1
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
