@@ -310,14 +310,36 @@ def cohort_retention(
     and offsets explode from the set — the event log itself never
     shuffles twice and no distinct+join re-partitioning happens.
     """
+    return retention_from_pairs(
+        activity_pairs(df, user_col, ts_col, period), period
+    )
+
+
+def activity_pairs(
+    df: DataFrame, user_col: str, ts_col: str, period: str
+) -> DataFrame:
+    """The ``(u, p)`` activity relation retention is a pure function of:
+    user x truncated period date, null-filtered. NOT deduplicated here —
+    the per-user ``collect_set`` dedups in-flight; a persisted store
+    should ``.distinct()`` before appending (retention_each_batch
+    does). Set semantics make this the ideal incremental state: pairs
+    of a union = union of pairs, idempotent under re-delivery and
+    independent of batch order."""
     if period not in ("day", "week", "month"):
         raise ValueError(f"period must be day|week|month, got {period!r}")
     p = F.date_trunc(period, F.col(ts_col))
+    return df.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(F.col(user_col).alias("u"), p.cast("date").alias("p"))
+
+
+def retention_from_pairs(pairs: DataFrame, period: str) -> DataFrame:
+    """The cohort matrix from an ``activity_pairs`` relation (one-shot
+    or a persisted pair store) — the `cohort_retention` fold, factored
+    so the streaming store derives the identical report."""
     per_user = (
-        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
-        .select(F.col(user_col), p.cast("date").alias("__p"))
-        .groupBy(user_col)
-        .agg(F.collect_set("__p").alias("__ps"))
+        pairs.groupBy("u")
+        .agg(F.collect_set("p").alias("__ps"))
         .select(
             F.array_min("__ps").alias("__cohort"),
             F.explode("__ps").alias("__active"),

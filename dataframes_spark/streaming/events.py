@@ -856,3 +856,57 @@ def funnel_each_batch(
             )
 
     return _apply
+
+
+def retention_each_batch(
+    pairs_table: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    num_buckets: int = 32,
+    write=None,
+):
+    """Streaming cohort retention: an APPEND-ONLY persisted store of the
+    distinct ``(user, period)`` activity pairs, bucketed by user so the
+    per-batch novelty anti-join and the report's per-user fold never
+    reshuffle history. Unlike the funnel/transition stores this needs NO
+    event-time-ordering assumption: retention is a pure function of the
+    activity SET, and pairs-of-a-union = union-of-pairs — re-delivered
+    or out-of-order batches fold to the same store (idempotent).
+
+    Per-batch cost: the batch's distinct pairs, one anti-join against
+    the store (batch side shuffles, history reads in place), and an
+    append of only the NOVEL pairs — O(batch) however long the stream
+    has run. The store is (users x active periods) rows — bounded by
+    the calendar, not the event volume. ``write(report_df, epoch_id)``
+    receives the cumulative cohort matrix
+    (`funnel.retention_from_pairs`)."""
+    from dataframes_spark.io.bucketed import write_bucketed
+    from dataframes_spark.operators import funnel as fn
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pairs = fn.activity_pairs(
+            batch_df, user_col, ts_col, period
+        ).distinct()
+        if spark.catalog.tableExists(pairs_table):
+            fresh = pairs.join(
+                spark.table(pairs_table), ["u", "p"], "left_anti"
+            )
+            write_bucketed(
+                fresh, pairs_table, bucket_by="u",
+                num_buckets=num_buckets, mode="append",
+            )
+        else:
+            write_bucketed(
+                pairs, pairs_table, bucket_by="u",
+                num_buckets=num_buckets, mode="overwrite",
+            )
+        if write is not None:
+            write(
+                fn.retention_from_pairs(spark.table(pairs_table), period),
+                epoch_id,
+            )
+
+    return _apply

@@ -917,3 +917,50 @@ def test_funnel_each_batch_stream_equals_batch(spark):
     # user 2's batch-1 state survived a batch it had no events in
     assert got_stage[2][0] == 1
     spark.sql(f"DROP TABLE IF EXISTS {st}")
+
+
+def test_retention_each_batch_order_independent_and_idempotent(spark):
+    """The pair store is a SET: out-of-order batches and re-delivered
+    events fold to exactly the one-shot cohort matrix, and the store
+    holds each (user, period) once."""
+    import datetime as _dt
+    import uuid
+
+    from dataframes_spark.operators import funnel as fn
+
+    pt = f"retention_pairs_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {pt}")
+    sch = "event_id long, user_id long, ts timestamp"
+
+    def ev(eid, u, day):
+        return (eid, u, _dt.datetime(2026, 1, day, 12, 0, 0))
+
+    rows = [
+        ev(1, 1, 1), ev(2, 1, 3), ev(3, 1, 9),   # user 1: days 1,3,9
+        ev(4, 2, 3), ev(5, 2, 4),                # user 2: days 3,4
+        ev(6, 3, 9),                             # user 3: day 9
+    ]
+    whole = spark.createDataFrame(rows, sch)
+    # batch 2 delivered FIRST (out of order) and event 2 re-delivered
+    b_late = spark.createDataFrame([rows[2], rows[4], rows[5]], sch)
+    b_early = spark.createDataFrame([rows[0], rows[1], rows[1], rows[3]], sch)
+    reports = []
+    cb = dstream.retention_each_batch(
+        pt, period="day",
+        write=lambda df, e: reports.append(
+            {(str(r["cohort"]), r["offset"]): r["users"] for r in df.collect()}
+        ),
+    )
+    cb(b_late, 0)
+    cb(b_early, 1)
+    cb(b_early, 2)  # full re-delivery: store and report must not change
+    want = {
+        (str(r["cohort"]), r["offset"]): r["users"]
+        for r in fn.cohort_retention(whole, period="day").collect()
+    }
+    assert reports[1] == want
+    assert reports[2] == want
+    # store holds each (user, period) exactly once
+    store = spark.table(pt)
+    assert store.count() == store.distinct().count() == 6
+    spark.sql(f"DROP TABLE IF EXISTS {pt}")
