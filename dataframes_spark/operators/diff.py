@@ -98,13 +98,16 @@ def diff_summary(
     any_diff = F.lit(False)
     for c in compare_cols:
         any_diff = any_diff | col_diff[c]
+    # coalesce: two EMPTY snapshots must report zeros, not NULL sums
+    # (caught by tests/test_diff_property.py's accounting identity)
+    z = lambda col: F.coalesce(F.sum(col), F.lit(0))  # noqa: E731
     aggs = [
-        F.sum(F.col("__in_a").isNull().cast("long")).alias("__added"),
-        F.sum(F.col("__in_b").isNull().cast("long")).alias("__removed"),
-        F.sum((both & any_diff).cast("long")).alias("__changed"),
-        F.sum((both & ~any_diff).cast("long")).alias("__unchanged"),
+        z(F.col("__in_a").isNull().cast("long")).alias("__added"),
+        z(F.col("__in_b").isNull().cast("long")).alias("__removed"),
+        z((both & any_diff).cast("long")).alias("__changed"),
+        z((both & ~any_diff).cast("long")).alias("__unchanged"),
     ] + [
-        F.sum(col_diff[c].cast("long")).alias(f"__col_{c}")
+        z(col_diff[c].cast("long")).alias(f"__col_{c}")
         for c in compare_cols
     ]
     wide = j.agg(*aggs)
