@@ -233,3 +233,13 @@ def compact_fingerprint_store(
     """Compact an exact-dedup fingerprint store (``write_fingerprints``
     layout): same ``xx`` bucket key, one file per bucket."""
     return compact_store(spark, table, "xx", num_buckets)
+
+
+def compact_pair_store(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> dict:
+    """Compact a retention activity-pair store
+    (``streaming.retention_each_batch`` layout, bucketed by ``u``): same
+    user bucket key, one file per bucket — identical pairs, identical
+    cohort matrix, bounded file count however many epochs appended."""
+    return compact_store(spark, table, "u", num_buckets)

@@ -964,3 +964,37 @@ def test_retention_each_batch_order_independent_and_idempotent(spark):
     store = spark.table(pt)
     assert store.count() == store.distinct().count() == 6
     spark.sql(f"DROP TABLE IF EXISTS {pt}")
+
+
+def test_retention_pair_store_compacts_without_changing_the_matrix(spark):
+    import datetime as _dt
+    import uuid
+
+    from dataframes_spark.io.bucketed import compact_pair_store
+    from dataframes_spark.operators import funnel as fn
+
+    pt = f"retention_pairs_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {pt}")
+    sch = "event_id long, user_id long, ts timestamp"
+    cb = dstream.retention_each_batch(pt, period="day")
+    for epoch, day in enumerate((1, 2, 3, 4)):
+        cb(
+            spark.createDataFrame(
+                [(epoch * 10 + u, u, _dt.datetime(2026, 1, day)) for u in (1, 2)],
+                sch,
+            ),
+            epoch,
+        )
+    before = {
+        (str(r["cohort"]), r["offset"]): r["users"]
+        for r in fn.retention_from_pairs(spark.table(pt), "day").collect()
+    }
+    rep = compact_pair_store(spark, pt, num_buckets=4)
+    assert rep["files_after"] <= 4 <= rep["files_before"]
+    assert rep["rows"] == 8
+    after = {
+        (str(r["cohort"]), r["offset"]): r["users"]
+        for r in fn.retention_from_pairs(spark.table(pt), "day").collect()
+    }
+    assert after == before
+    spark.sql(f"DROP TABLE IF EXISTS {pt}")
