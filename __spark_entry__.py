@@ -4344,14 +4344,18 @@ def oracle_sql() -> dict[str, str]:
                            AS n_tokens
                 FROM documents GROUP BY 1
             )
-            SELECT s.lang, s.n_docs, s.n_tokens,
+            SELECT w.lang, coalesce(s.n_docs, 0) AS n_docs,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
                    round(w.weight, 6) AS weight,
                    round(w.weight * 1000000.0, 2) AS target_tokens,
-                   round(w.weight * 1000000.0
-                         / CAST(s.n_tokens AS DOUBLE), 6) AS epochs,
-                   round(least(1.0, w.weight * 1000000.0
-                         / CAST(s.n_tokens AS DOUBLE)), 6) AS sample_rate
-            FROM s JOIN w USING (lang)
+                   round(CASE WHEN coalesce(s.n_tokens, 0) > 0
+                         THEN w.weight * 1000000.0
+                              / CAST(s.n_tokens AS DOUBLE) END, 6) AS epochs,
+                   round(CASE WHEN coalesce(s.n_tokens, 0) > 0
+                         THEN least(1.0, w.weight * 1000000.0
+                              / CAST(s.n_tokens AS DOUBLE)) END, 6)
+                       AS sample_rate
+            FROM w LEFT JOIN s USING (lang)
         """,
         "event_transitions_users": """
             -- operators/funnel.py event_transitions: per-user lag over
@@ -4416,7 +4420,12 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(string_split(text, chr(10)),
                                    x -> len(trim(x)) > 0) AS lines,
                        len(text) - len(replace(text, '#', '')) AS n_hash,
+                       -- '...' count plus lone '…' count (strip '...'
+                       -- first so the two forms never double-count),
+                       -- each symbol rated SEPARATELY per the paper
                        (len(text) - len(replace(text, '...', ''))) / 3.0
+                           + len(replace(text, '...', ''))
+                           - len(replace(replace(text, '...', ''), '…', ''))
                            AS n_ell
                 FROM seg
             ), m AS (
@@ -4445,7 +4454,8 @@ def oracle_sql() -> dict[str, str]:
             ), v AS (
                 SELECT doc_id, n_words,
                        round(wlen / nw, 6) AS mean_word_len,
-                       round((n_hash + n_ell) / nw, 6) AS symbol_ratio,
+                       round(greatest(n_hash / nw, n_ell / nw), 6)
+                           AS symbol_ratio,
                        round(n_bullet / nl, 6) AS bullet_frac,
                        round(n_ellline / nl, 6) AS ellipsis_frac,
                        round(n_alpha / nw, 6) AS alpha_frac,
@@ -4454,7 +4464,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS pass_word_count,
                        CASE WHEN wlen / nw >= 3.0 AND wlen / nw <= 10.0
                             THEN 1 ELSE 0 END AS pass_word_len,
-                       CASE WHEN (n_hash + n_ell) / nw <= 0.1
+                       CASE WHEN n_hash / nw <= 0.1 AND n_ell / nw <= 0.1
                             THEN 1 ELSE 0 END AS pass_symbol,
                        CASE WHEN n_bullet / nl <= 0.90
                             THEN 1 ELSE 0 END AS pass_bullet,

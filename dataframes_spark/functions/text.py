@@ -626,7 +626,13 @@ def gopher_rules(
     Rules, in the paper's order:
       1. word count in [min_words, max_words]
       2. mean word length in [3, 10]
-      3. symbol-to-word ratio (``#`` and ``...``) <= 0.1
+      3. symbol-to-word ratio <= 0.1 for EACH symbol separately — the
+         paper rejects when the ratio exceeds 0.1 "for either the hash
+         symbol or the ellipsis", so ``#`` and ellipsis (``...`` or
+         ``…``) each get their own ratio and the rule passes only when
+         both are <= 0.1 (a doc with 0.06 of each passes); the reported
+         ``symbol_ratio`` is the max of the two, so the verdict stays
+         ``symbol_ratio <= 0.1``
       4. fraction of lines starting with a bullet (``- ``/``* ``/``•``)
          <= 0.90
       5. fraction of lines ending with an ellipsis (``...``/``…``)
@@ -649,10 +655,16 @@ def gopher_rules(
         words, F.lit(0), lambda acc, w: acc + F.length(w)
     ) / n_words_d
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-    n_ell = (
-        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
-    symbol_ratio = (n_hash + n_ell) / n_words_d
+    # '…' (U+2026) counts toward the ellipsis symbol exactly as it does
+    # for the line rule; stripping '...' first means the two forms never
+    # double-count (no '…' survives inside a stripped '...' and vice versa)
+    no_dots = F.replace(text, F.lit("..."), F.lit(""))
+    n_ell = (F.length(text) - F.length(no_dots)) / F.lit(3) + (
+        F.length(no_dots) - F.length(F.replace(no_dots, F.lit("…"), F.lit("")))
+    )
+    hash_ratio = n_hash / n_words_d
+    ell_ratio = n_ell / n_words_d
+    symbol_ratio = F.greatest(hash_ratio, ell_ratio)
     lines = F.filter(
         F.split(text, r"\n"), lambda x: F.length(F.trim(x)) > F.lit(0)
     )

@@ -7,19 +7,26 @@ telemetry — crawl fetches, filter passes, human review — is itself an
 event log that gets funnel'd ("fetched -> parsed -> kept") and
 cohorted ("docs first seen in week W still surviving dedup at W+k").
 
-Scale design (both operators):
+Scale design:
 
-- ONE shuffle of the event log, keyed on the user/entity column. The
-  per-user event set is folded INSIDE the aggregation buffer with JVM
-  higher-order functions — no window over the full log, no repeated
-  self-joins (the textbook k-step funnel SQL joins the log k times).
+- The unwindowed funnel runs as k CHAINED CONDITIONAL-MIN aggregates
+  (``completion(i) = min ts of step-i events strictly after
+  completion(i-1)``): each round is a map-side-partial min over ONE
+  step's events plus a user-keyed join against the user-sized state
+  relation. Per-user state is two scalars (stage, ts) — NOTHING grows
+  with a user's event volume, so a bot/whale user with millions of
+  events costs the same executor memory as anyone else.
+- The windowed funnel needs candidate events inside the aggregation
+  buffer (the window constraint couples steps); its per-(user, step)
+  candidate set can be capped with ``max_per_step`` (a map-side
+  WindowGroupLimit) when whale users are a concern — see
+  `funnel_stage_windowed`. `funnel_skew_report` measures the
+  max-events-per-user BEFORE committing to the groupBy.
 - The post-fold relation is user-sized, and the final report
   aggregation reduces it to k rows (funnel) or |cohorts| x |offsets|
   rows (retention) with a second, tiny shuffle.
-- Per-user state is bounded: the funnel buffers only events whose type
-  participates in a step (filtered BEFORE the shuffle, so the exchange
-  carries matching rows only); retention buffers one row per DISTINCT
-  (user, period) — bounded by the calendar, not the event volume.
+- Retention buffers one row per DISTINCT (user, period) — bounded by
+  the calendar, not the event volume.
 
 Funnel semantics (the standard "ordered funnel" definition): a user
 reaches step i when there exist events e_1 < e_2 < ... < e_i (strictly
@@ -53,11 +60,20 @@ def funnel_stage(
     ``completed_ts`` the timestamp at which that deepest stage was
     reached (NULL at stage 0).
 
-    One groupBy shuffle carrying only step-typed events; the ordered
-    scan happens inside the buffer via ``sort_array`` + ``aggregate``
-    (pure JVM, no Python in the plan).
+    The greedy chain is computed as k CHAINED CONDITIONAL-MIN
+    aggregates: ``completion(i) = min ts of step-i events strictly
+    after completion(i-1)`` — exactly the earliest-chain fold (the
+    greedy choice is optimal, see the module docstring), with ZERO
+    per-user buffering. Each round is a map-side-partial min over that
+    step's events plus a user-keyed join against the user-sized state
+    relation, so per-user state is two scalars however many events a
+    whale user (bot, crawler) has — the previous formulation collected
+    ALL of a user's step events into one aggregation-buffer array,
+    which at 100x data is an executor-memory risk. ``ts_col`` may be
+    any orderable type (timestamp, epoch long, date); the state's null
+    seed is cast from the column's ACTUAL dtype.
 
-    ``init`` (optional) seeds each user's fold accumulator from a prior
+    ``init`` (optional) seeds each user's state from a prior
     ``funnel_stage`` result — the incremental form: because the greedy
     fold's ``(stage, last_ts)`` pair is a SUFFICIENT STATISTIC (the
     earliest prefix chain admits a superset of continuations, and later
@@ -70,60 +86,61 @@ def funnel_stage(
         raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps!r}")
-    k = len(steps)
-    steps_lit = F.array(*[F.lit(s) for s in steps])
 
-    per_user = (
-        df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
-        .groupBy(user_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t"))
-                )
-            ).alias("__ev")
-        )
+    ev = df.filter(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
     )
+    users = ev.select(user_col).distinct()
+    ts_type = df.schema[ts_col].dataType
 
     if init is not None:
         seed = init.select(
             F.col(user_col),
-            F.col("stage").alias("__s0"),
-            F.col("completed_ts").alias("__t0"),
+            F.col("stage").alias("__stage"),
+            F.col("completed_ts").alias("__ts0"),
         )
-        per_user = per_user.join(seed, user_col, "full_outer").select(
+        state = users.join(seed, user_col, "full_outer").select(
             F.col(user_col),
-            F.coalesce(
-                F.col("__ev"),
-                F.array().cast("array<struct<ts:timestamp,t:string>>"),
-            ).alias("__ev"),
-            F.coalesce(F.col("__s0"), F.lit(0)).alias("__s0"),
-            F.col("__t0"),
-        )
-        acc0 = F.struct(
-            F.col("__s0").alias("stage"), F.col("__t0").alias("last_ts")
+            F.coalesce(F.col("__stage"), F.lit(0)).alias("__stage"),
+            F.col("__ts0"),
         )
     else:
-        acc0 = F.struct(
-            F.lit(0).alias("stage"),
-            F.lit(None).cast("timestamp").alias("last_ts"),
+        state = users.select(
+            F.col(user_col),
+            F.lit(0).alias("__stage"),
+            F.lit(None).cast(ts_type).alias("__ts0"),
         )
-    fold = F.aggregate(
-        F.col("__ev"),
-        acc0,
-        lambda acc, e: F.when(
-            (acc["stage"] < F.lit(k))
-            & (e["t"] == F.element_at(steps_lit, acc["stage"] + 1))
-            & (acc["last_ts"].isNull() | (e["ts"] > acc["last_ts"])),
-            F.struct(
-                (acc["stage"] + 1).alias("stage"), e["ts"].alias("last_ts")
-            ),
-        ).otherwise(acc),
-    )
-    return per_user.select(
+
+    for i, step in enumerate(steps, start=1):
+        # earliest step-i event strictly after the user's current
+        # completion ts, for users sitting at stage i-1
+        nxt = (
+            ev.filter(F.col("__t") == step)
+            .join(
+                state.filter(F.col("__stage") == i - 1).select(
+                    user_col, "__ts0"
+                ),
+                user_col,
+            )
+            .filter(F.col("__ts0").isNull() | (F.col("__ts") > F.col("__ts0")))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias("__mn"))
+        )
+        adv = (F.col("__stage") == i - 1) & F.col("__mn").isNotNull()
+        state = state.join(nxt, user_col, "left").select(
+            F.col(user_col),
+            F.when(adv, F.lit(i)).otherwise(F.col("__stage")).alias("__stage"),
+            F.when(adv, F.col("__mn")).otherwise(F.col("__ts0")).alias("__ts0"),
+        )
+
+    return state.select(
         F.col(user_col),
-        fold["stage"].alias("stage"),
-        fold["last_ts"].alias("completed_ts"),
+        F.col("__stage").alias("stage"),
+        F.col("__ts0").alias("completed_ts"),
     )
 
 
@@ -184,6 +201,30 @@ def funnel_report_from_stages(
     )
 
 
+def funnel_skew_report(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    top_n: int = 20,
+) -> DataFrame:
+    """Whale-user diagnosis for a prospective funnel: the ``top_n``
+    users by STEP-TYPED event count (exactly the rows a funnel's
+    user-keyed aggregation would carry), with share and skew ratio —
+    `operators/skew.skew_report` scoped to the funnel's own filter.
+    Run this before a `funnel_windowed` over an untrusted event log:
+    a bot with millions of step events shows up here first, and
+    ``max_per_step`` (see `funnel_stage_windowed`) is the dial that
+    bounds it. The unwindowed `funnel` needs no bound — its per-user
+    state is two scalars regardless of volume."""
+    from dataframes_spark.operators.skew import skew_report
+
+    steps = list(steps)
+    return skew_report(
+        df.filter(F.col(type_col).isin(steps)), user_col, top_n
+    )
+
+
 def funnel_stage_windowed(
     df: DataFrame,
     steps: Sequence[str],
@@ -191,6 +232,7 @@ def funnel_stage_windowed(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_per_step: int | None = None,
 ) -> DataFrame:
     """Per-user deepest funnel step WITHIN a time window:
     ``(user_col, stage)`` where a user reaches stage i iff there exist
@@ -208,7 +250,17 @@ def funnel_stage_windowed(
     order makes every stored chain extendable by the current event
     (its last event cannot be later), so max-start is a complete
     dominance order and the fold is exact, not heuristic: a larger
-    start can only admit MORE continuations within the window."""
+    start can only admit MORE continuations within the window.
+
+    ``max_per_step`` bounds the aggregation buffer for whale users: only
+    the EARLIEST ``max_per_step`` events per (user, step) enter the fold
+    (a map-side WindowGroupLimit — the limit applies before rows leave
+    the scan task). Exact whenever no (user, step) pair exceeds the cap
+    (`funnel_skew_report` measures that); for users beyond it the
+    result is a documented LOWER bound on the true stage (chains built
+    from dropped later events are missed, never invented). Events equal
+    on (user, step, ts) are interchangeable to the fold, so which
+    survives the cap cannot change the answer."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
@@ -216,21 +268,35 @@ def funnel_stage_windowed(
         raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     if window_seconds <= 0:
         raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    if max_per_step is not None and max_per_step < 1:
+        raise ValueError(f"max_per_step must be >= 1, got {max_per_step}")
     k = len(steps)
     w_us = int(window_seconds * 1_000_000)
     # step index BEFORE the shuffle so the sort key is (us, step order)
     idx = F.lit(None).cast("int")
     for i in reversed(range(k)):
         idx = F.when(F.col(type_col) == steps[i], F.lit(i + 1)).otherwise(idx)
+    ev = df.filter(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        # NTZ-tolerant: unix_micros requires TIMESTAMP proper
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        idx.alias("__j"),
+    )
+    if max_per_step is not None:
+        from pyspark.sql import Window as W
+
+        wcap = W.partitionBy(user_col, "__j").orderBy(F.col("__us").asc())
+        ev = ev.withColumn("__rn", F.row_number().over(wcap)).filter(
+            F.col("__rn") <= max_per_step
+        ).drop("__rn")
     per_user = (
-        df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
-        .select(
+        ev.select(
             F.col(user_col),
-            F.struct(
-                # NTZ-tolerant: unix_micros requires TIMESTAMP proper
-                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
-                idx.alias("j"),
-            ).alias("__e"),
+            F.struct(F.col("__us").alias("us"), F.col("__j").alias("j")).alias(
+                "__e"
+            ),
         )
         .groupBy(user_col)
         .agg(F.sort_array(F.collect_list("__e")).alias("__ev"))
@@ -260,12 +326,14 @@ def funnel_windowed(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_per_step: int | None = None,
 ) -> DataFrame:
     """Windowed funnel report: ``(step, step_name, users)`` with users
-    counted per `funnel_stage_windowed` (reached within the window)."""
+    counted per `funnel_stage_windowed` (reached within the window);
+    ``max_per_step`` passes through to bound whale-user buffers."""
     k = len(list(steps))
     stages = funnel_stage_windowed(
-        df, steps, window_seconds, user_col, type_col, ts_col
+        df, steps, window_seconds, user_col, type_col, ts_col, max_per_step
     )
     hist = stages.groupBy("stage").agg(F.count(F.lit(1)).alias("__n"))
     reached = (

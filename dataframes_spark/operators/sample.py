@@ -472,7 +472,14 @@ def mix_manifest(
     sample_rate)``. ``epochs > 1`` means the group must repeat
     (upsample) to meet its share; ``sample_rate = min(1, target /
     available)`` is the downsampling knob when it over-delivers. ONE
-    scan folds doc+token counts; the weight table is literal data."""
+    scan folds doc+token counts; the weight table is literal data.
+
+    Every requested weight group gets a row even when NO document
+    matches it (n_docs=0, n_tokens=0, NULL epochs/sample_rate) — the
+    shortfall case a corpus-assembly plan exists to surface; an inner
+    join would silently drop exactly the component that can never be
+    filled. Corpus groups with no requested weight are not planned and
+    do not row."""
     from dataframes_spark.functions.text import whitespace_tokens
 
     total_w = float(sum(weights.values()))
@@ -487,28 +494,27 @@ def mix_manifest(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(whitespace_tokens(F.col(text_col))).alias("n_tokens"),
     )
+    # NULL/zero available tokens -> NULL epochs and sample_rate (a plain
+    # least(1, NULL) would skip the null and report a misleading 1.0)
+    ratio = F.when(
+        F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+        F.col("weight") * F.lit(float(token_budget))
+        / F.col("n_tokens").cast("double"),
+    )
     return (
-        stats.join(F.broadcast(wdf), group_col)
+        stats.join(F.broadcast(wdf), group_col, "right")
         .select(
             group_col,
-            "n_docs",
-            "n_tokens",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
             F.round("weight", 6).alias("weight"),
             F.round(F.col("weight") * F.lit(float(token_budget)), 2).alias(
                 "target_tokens"
             ),
+            F.round(ratio, 6).alias("epochs"),
+            # least() skips nulls, so guard: absent group -> NULL, not 1.0
             F.round(
-                F.col("weight") * F.lit(float(token_budget))
-                / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("epochs"),
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.col("weight") * F.lit(float(token_budget))
-                    / F.col("n_tokens").cast("double"),
-                ),
-                6,
+                F.when(ratio.isNotNull(), F.least(F.lit(1.0), ratio)), 6
             ).alias("sample_rate"),
         )
     )

@@ -691,7 +691,7 @@ def dsir_select_each_batch(
             )
         counts = D.bucket_counts(batch_df, text_col, id_col, buckets)
         if update_raw_store:
-            D.dsir_store_update(spark, raw_table, counts)
+            D.dsir_store_update(spark, raw_table, counts, buckets)
         elif not spark.catalog.tableExists(raw_table):
             raise ValueError(
                 f"update_raw_store=False needs an existing raw store; "
@@ -738,7 +738,9 @@ def transitions_each_batch(
     store join, and two constant-size swaps (|users| rows and |types|^2
     rows) — nothing rescans history. ``write(transitions_df, epoch_id)``
     receives the UPDATED cumulative matrix (counts only; normalize with
-    a final select when serving)."""
+    a final select when serving). ``update_stores=False`` is shadow
+    mode: the sink still sees the current cumulative matrix (store +
+    this batch, computed on the fly) but nothing persists."""
     from pyspark.sql import Window as W
 
     from dataframes_spark.io.store import staging_swap
@@ -776,17 +778,20 @@ def transitions_each_batch(
         batch_counts = pairs.groupBy("prev_type", "next_type").agg(
             F.count(F.lit(1)).alias("n")
         )
+        # counts store: |types|^2 rows, sum-merge. The merged view is
+        # built regardless of update_stores: with update_stores=False the
+        # sink still receives the CURRENT cumulative matrix (store +
+        # this batch) — it just isn't persisted (dry-run / shadow mode).
+        if spark.catalog.tableExists(counts_table):
+            merged = (
+                spark.table(counts_table)
+                .unionByName(batch_counts)
+                .groupBy("prev_type", "next_type")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = batch_counts
         if update_stores:
-            # counts store: |types|^2 rows, sum-merge
-            if spark.catalog.tableExists(counts_table):
-                merged = (
-                    spark.table(counts_table)
-                    .unionByName(batch_counts)
-                    .groupBy("prev_type", "next_type")
-                    .agg(F.sum("n").alias("n"))
-                )
-            else:
-                merged = batch_counts
             staging_swap(spark, counts_table, merged)
             # last-event store: one row per user ever seen; the batch's
             # per-user LAST event wins over the stored one (in-order law)
@@ -808,7 +813,13 @@ def transitions_each_batch(
                 upd = lasts
             staging_swap(spark, last_table, upd)
         if write is not None:
-            write(spark.table(counts_table), epoch_id)
+            # after a swap, read the persisted table (stable files); in
+            # shadow mode hand the sink the unpersisted merged view —
+            # never a stale or missing counts_table
+            write(
+                spark.table(counts_table) if update_stores else merged,
+                epoch_id,
+            )
 
     return _apply
 

@@ -145,21 +145,32 @@ def test_store_fold_equals_one_shot_fit(spark, sf_dir):
     a = docs.filter("doc_id % 2 = 0")
     b = docs.filter("doc_id % 2 = 1")
     r1 = dsir.dsir_store_update(
-        spark, raw_t, dsir.bucket_counts(a, "text", "doc_id", buckets=32))
+        spark, raw_t, dsir.bucket_counts(a, "text", "doc_id", buckets=32), 32)
     r2 = dsir.dsir_store_update(
-        spark, raw_t, dsir.bucket_counts(b, "text", "doc_id", buckets=32))
+        spark, raw_t, dsir.bucket_counts(b, "text", "doc_id", buckets=32), 32)
     assert r2["total"] > r1["total"] and r2["buckets"] <= 32
     for half in (a, b):
         dsir.dsir_store_update(
             spark, tgt_t,
             dsir.bucket_counts(
-                half.filter("lang = 'en'"), "text", "doc_id", buckets=32))
+                half.filter("lang = 'en'"), "text", "doc_id", buckets=32), 32)
     inc = dsir.dsir_fit_from_stores(spark, tgt_t, raw_t, buckets=32)
     one = dsir.dsir_fit(
         docs.filter("lang = 'en'"), docs, "text", "doc_id", buckets=32)
     pairs = inc.alias("i").join(one.alias("o"), "bucket").select(
         F.max(F.abs(F.col("i.log_ratio") - F.col("o.log_ratio"))).alias("d"))
     assert pairs.collect()[0]["d"] < 1e-12
+    # the bucket-domain stamp refuses mismatched folds and fits: a store
+    # built with B=32 must reject counts hashed into B=64 and a fit
+    # asking for B=64 (either would silently drop / zero buckets)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="buckets=32"):
+        dsir.dsir_store_update(
+            spark, raw_t,
+            dsir.bucket_counts(a, "text", "doc_id", buckets=64), 64)
+    with _pytest.raises(ValueError, match="buckets=32"):
+        dsir.dsir_fit_from_stores(spark, tgt_t, raw_t, buckets=64)
     for t in (raw_t, tgt_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 

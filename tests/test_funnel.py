@@ -155,12 +155,103 @@ def test_cohort_retention_month_and_null_rows(spark):
 
 
 def test_funnel_plan_shape(spark):
-    """No window over the event log and no self-join: exactly the
-    groupBy exchanges (user-keyed fold + tiny report aggs)."""
+    """No window over the event log and NO per-user event buffer: the
+    unwindowed funnel's state is two scalars per user, so the plan must
+    carry no collect_list (the chained conditional-min formulation) and
+    no cartesian."""
     df = _ev(spark, [(1, "a", 0), (1, "b", 1)])
     plan = funnel_stage(df, STEPS)._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_whale_user_bounded_state(spark):
+    """One user with 1e5 step events: the chained-min funnel computes
+    the exact stage with two scalars of per-user state (the old
+    collect_list fold buffered all 1e5 events in one aggregation
+    buffer). Types cycle a,b,c with increasing ts -> stage 3, completed
+    at the first c (id=2)."""
+    base = dt.datetime(2024, 1, 1)
+    df = (
+        spark.range(100_000)
+        .select(
+            F.lit(1).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                (F.col("id") % 3).cast("int") + 1,
+            ).alias("event_type"),
+            (F.lit(base) + F.make_interval(secs=F.col("id"))).alias("ts"),
+        )
+    )
+    out = funnel_stage(df, STEPS).collect()
+    assert len(out) == 1
+    assert out[0].stage == 3
+    assert out[0].completed_ts == base + dt.timedelta(seconds=2)
+
+
+def test_funnel_nontimestamp_ts_and_seeded_init(spark):
+    """ts as epoch LONG works in both the one-shot and the seeded form
+    (the null seed is cast from the column's actual dtype — the old
+    hard-coded timestamp cast failed analysis here)."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5)],
+        "user_id long, event_type string, ts long",
+    )
+    one = funnel_stage(df, STEPS, ts_col="ts")
+    got = {r.user_id: (r.stage, r.completed_ts) for r in one.collect()}
+    assert got == {1: (2, 20), 2: (1, 5)}
+    later = spark.createDataFrame(
+        [(2, "b", 30), (3, "a", 1)],
+        "user_id long, event_type string, ts long",
+    )
+    seeded = funnel_stage(later, STEPS, ts_col="ts", init=one)
+    got2 = {r.user_id: (r.stage, r.completed_ts) for r in seeded.collect()}
+    assert got2 == {1: (2, 20), 2: (2, 30), 3: (1, 1)}
+
+
+def test_windowed_funnel_max_per_step_cap(spark):
+    """The cap keeps the earliest N per (user, step): exact when the
+    chain lives in the kept prefix, a documented lower bound when the
+    completing event is dropped."""
+    df = _ev(
+        spark,
+        [(1, "a", 0), (1, "a", 1), (1, "a", 2), (1, "b", 3)]
+        + [(2, "a", 0)] + [(2, "b", m) for m in range(1, 6)] + [(2, "c", 60)],
+    )
+    # u1: chain a@0..b@3 within 300s — kept even at cap 1 (earliest a)
+    s = {r.user_id: r.stage for r in funnel_stage_windowed(
+        df, STEPS, 300, max_per_step=1).collect()}
+    assert s[1] == 2
+    # u2 completes via b@5->c@60 inside the 3600s window regardless of cap
+    s2 = {r.user_id: r.stage for r in funnel_stage_windowed(
+        df, STEPS, 3600, max_per_step=10).collect()}
+    assert s2[2] == 3
+    # cap=1 keeps only b@1; c@60 still chains (window 3600) -> exactness
+    # when the earliest candidates suffice
+    s3 = {r.user_id: r.stage for r in funnel_stage_windowed(
+        df, STEPS, 3600, max_per_step=1).collect()}
+    assert s3[2] == 3
+    # the lower-bound direction: with window 3600 and cap 1, u2's kept
+    # events are a@0, b@1, c@60 -> still 3; dropping later candidates
+    # can only ever LOWER the stage, never raise it
+    uncapped = {r.user_id: r.stage for r in funnel_stage_windowed(
+        df, STEPS, 3600).collect()}
+    assert all(s3[u] <= uncapped[u] for u in s3)
+    with pytest.raises(ValueError, match="max_per_step"):
+        funnel_stage_windowed(df, STEPS, 60, max_per_step=0)
+
+
+def test_funnel_skew_report_counts_step_events_only(spark):
+    df = _ev(
+        spark,
+        [(1, "a", m) for m in range(30)]
+        + [(1, "zzz", m) for m in range(50)]  # non-step noise excluded
+        + [(2, "b", 0), (3, "a", 0)],
+    )
+    rep = _fmod.funnel_skew_report(df, STEPS, top_n=2).collect()
+    assert rep[0]["user_id"] == 1 and rep[0]["n_rows"] == 30
+    assert rep[0]["skew_ratio"] > 1.0 and len(rep) == 2
 
 
 def test_event_transitions_counts_and_probs(spark):

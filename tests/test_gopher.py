@@ -50,6 +50,28 @@ def test_symbol_ratio_counts_hashes_and_ellipses(spark):
     assert r["symbol_ratio"] > 0
 
 
+def test_symbol_ratios_are_per_symbol_not_summed(spark):
+    # Rae et al. 2021 A1.1 rejects when the ratio exceeds 0.1 "for
+    # either the hash symbol or the ellipsis" — 0.06 of each passes
+    # (a summed 0.12 would wrongly fail), while 0.12 of one fails.
+    words = " ".join(["w%d" % i for i in range(100)])
+    mild = words + " " + "# " * 6 + "... " * 6  # 6/112 ≈ 0.054 each
+    hot = words + " " + "# " * 13  # 13/113 ≈ 0.115 hash alone
+    r = _rules(spark, [(1, mild), (2, hot)], min_words=10)
+    assert r[1]["pass_symbol"] == 1
+    assert r[2]["pass_symbol"] == 0
+    # symbol_ratio reports the max of the two per-symbol ratios
+    assert r[1]["symbol_ratio"] == pytest.approx(6 / 112.0, abs=1e-6)
+
+
+def test_unicode_ellipsis_counts_in_symbol_ratio(spark):
+    words = " ".join(["w%d" % i for i in range(20)])
+    uni = words + " " + "… " * 5  # 5/25 = 0.2 ellipsis ratio
+    r = _rules(spark, [(1, uni)], min_words=5)
+    assert r[1]["pass_symbol"] == 0
+    assert r[1]["symbol_ratio"] == pytest.approx(0.2, abs=1e-6)
+
+
 def test_bullet_and_ellipsis_line_fractions(spark):
     bullets = "\n".join(["- item %d etc" % i for i in range(10)])
     r = _rules(spark, [(1, bullets)])[1]

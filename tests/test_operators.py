@@ -549,3 +549,12 @@ def test_mix_manifest_math(spark):
     assert out["y"]["epochs"] == pytest.approx(25.0)
     with pytest.raises(ValueError, match="positive"):
         dsample.mix_manifest(df, "g", "text", {"x": 0}, 100)
+    # a requested component with ZERO matching documents must still row
+    # (the shortfall the plan exists to surface), with NULL epochs/rate
+    out = {r["g"]: r for r in dsample.mix_manifest(
+        df, "g", "text", {"x": 3, "z": 1}, 100).collect()}
+    assert out["z"]["n_docs"] == 0 and out["z"]["n_tokens"] == 0
+    assert out["z"]["epochs"] is None and out["z"]["sample_rate"] is None
+    assert out["z"]["weight"] == pytest.approx(0.25)
+    # corpus groups with no requested weight are not planned
+    assert set(out) == {"x", "z"}

@@ -781,11 +781,14 @@ def test_dsir_select_each_batch_scores_against_folded_stores(spark):
     # target-like docs selected, disjoint-vocabulary docs rejected
     assert outs[0] == [1] and outs[1] == [3]
     assert logged == [(0, 2, 1), (1, 2, 1)]
-    # raw store after the run == one-shot counts over both batches (law)
+    # raw store after the run == one-shot counts over both batches (law);
+    # the store additionally carries the bucket-domain stamp column `b`
     whole = D.bucket_counts(b1.unionByName(b2), "text", "doc_id", 32)
     store = spark.table(raw_t)
-    assert store.exceptAll(whole).count() == 0
-    assert whole.exceptAll(store).count() == 0
+    assert set(r["b"] for r in store.select("b").distinct().collect()) == {32}
+    counts = store.select("bucket", "c")
+    assert counts.exceptAll(whole).count() == 0
+    assert whole.exceptAll(counts).count() == 0
     # epoch-2 selection replays on the batch path with the same stores
     model = D.dsir_fit_from_stores(spark, tgt_t, raw_t, 32)
     w = D.dsir_weights(b2, model, "text", "doc_id", 32)
