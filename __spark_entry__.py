@@ -28,6 +28,7 @@ from dataframes_spark.operators import decontaminate as ddecon
 from dataframes_spark.operators import dedup as ddedup
 from dataframes_spark.operators import dsir as ddsir
 from dataframes_spark.operators import graph as dgraph
+from dataframes_spark.operators import kll as dkll
 from dataframes_spark.operators import nulls as dnulls
 from dataframes_spark.operators import pack as dpack
 from dataframes_spark import quality as dquality
@@ -2674,6 +2675,47 @@ def dsir_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsir.dsir_weights(docs, model, "text", "doc_id", buckets=64)
 
 
+def oov_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV / vocabulary-coverage report (functions/text.py oov_report):
+    every document rated against the top-200 vocabulary of the ENGLISH
+    sub-corpus — token count, OOV count, OOV fraction; the tokenizer-fit
+    / domain-shift diagnostic (non-English docs light up). One corpus
+    scan+explode with a broadcast vocab join; the oracle replays the
+    deterministic top-k vocabulary (freq desc, token asc) and the
+    left-join fold, tokenless documents surviving with zeros."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = dtext.vocab_topk(docs.filter(F.col("lang") == "en"), "text", k=200)
+    return dtext.oov_report(docs, "text", "doc_id", vocab.select("token"))
+
+
+def dsir_model_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR model diagnostics (operators/dsir.py dsir_model_report): the
+    one-row selection-pressure summary — KL(target||raw) over the
+    smoothed bucket models, mean |log ratio|, extremes — of the same
+    en-vs-all fit dsir_weights_docs verifies; the number that says
+    whether resampling will actually move the corpus. Folds the B-row
+    model only; the oracle replays fit + fold term for term."""
+    docs = _t(spark, sf_dir, "documents")
+    model = ddsir.dsir_fit(
+        docs.filter(F.col("lang") == "en"), docs, "text", "doc_id", buckets=64
+    )
+    return ddsir.dsir_model_report(model)
+
+
+def dsir_ess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the DSIR-weighted corpus
+    (operators/dsir.py dsir_ess): ``(sum w)^2 / sum w^2`` over the
+    max-shifted exponentiated log weights — the variance companion to
+    the KL report (ess_frac near 0 = a few documents dominate the
+    resample). Two 1-row folds over the doc-sized weights relation."""
+    docs = _t(spark, sf_dir, "documents")
+    model = ddsir.dsir_fit(
+        docs.filter(F.col("lang") == "en"), docs, "text", "doc_id", buckets=64
+    )
+    w = ddsir.dsir_weights(docs, model, "text", "doc_id", buckets=64)
+    return ddsir.dsir_ess(w)
+
+
 def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher corpus-filtering rules (functions/text.py gopher_rules,
     Rae et al. 2021 appendix A1.1) over the re-segmented corpus: one
@@ -2722,6 +2764,95 @@ def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     h = dquality.histogram_counts(ev, "value", 50, 0.0, 500.0)
     return dquality.hist_quantiles(h, [0.25, 0.5, 0.9, 0.99], 50, 0.0, 500.0)
+
+
+#: KLL driver-row configuration — shared by the query and its generated
+#: oracle so the two lanes can never drift.
+_KLL_CFG = {"k": 128, "shards": 8, "passes": 10, "merge_passes": 10}
+_KLL_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def kll_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style mergeable rank-quantile sketch (operators/kll.py,
+    Karnin-Lang-Liberty 2016 compaction with md5-derandomized coins):
+    the full sketch of events.value — md5 sharding, every per-level
+    pairing, every coin, the shard merge — is rebuilt in DuckDB from a
+    generated unrolled-CTE replay, so the quantile estimates
+    hash-verify term for term (the cms_heavy_tokens_md5 pattern). The
+    sketch needs NO (lo, hi) domain bounds, unlike the histogram
+    sketch's hist_quantiles_events twin."""
+    ev = _t(spark, sf_dir, "events")
+    sk = dkll.kll_build(ev, "value", "event_id", **_KLL_CFG)
+    return dkll.kll_quantiles(sk, _KLL_QS)
+
+
+def _kll_oracle() -> str:
+    """Generate the DuckDB replay of kll_quantiles_events: one CTE per
+    compaction pass (the md5 coin and the pairing rule inline), then the
+    cumulative-weight quantile cut. Built from the same _KLL_CFG the
+    Spark lane uses."""
+    k, shards = _KLL_CFG["k"], _KLL_CFG["shards"]
+    passes, merge_passes = _KLL_CFG["passes"], _KLL_CFG["merge_passes"]
+
+    def pass_cte(name: str, prev: str, pidx: str, parts: str, keep_shard: bool) -> str:
+        shard_col = ", shard" if keep_shard else ""
+        return f"""{name} AS (
+                SELECT CASE WHEN n > {k} AND rn <= n - (n % 2)
+                            THEN level + 1 ELSE level END AS level,
+                       value, tb{shard_col}
+                FROM (SELECT *,
+                             row_number() OVER (PARTITION BY {parts}
+                                 ORDER BY value, tb) AS rn,
+                             count(*) OVER (PARTITION BY {parts}) AS n,
+                             CAST(('0x' || substr(md5('kll::{pidx}:'
+                                 || CAST(level AS VARCHAR)), 1, 15))::BIGINT
+                                 % 2 AS INTEGER) AS off
+                      FROM {prev})
+                WHERE n <= {k} OR rn > n - (n % 2) OR rn % 2 = off
+            )"""
+
+    ctes = [
+        f"""s0 AS (
+                SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                           || '/kll-s'), 1, 15))::BIGINT % {shards}
+                           AS INTEGER) AS shard,
+                       0 AS level,
+                       CAST(value AS DOUBLE) AS value,
+                       md5(CAST(event_id AS VARCHAR) || '/kll-t') AS tb
+                FROM events WHERE value IS NOT NULL
+            )"""
+    ]
+    prev = "s0"
+    for p in range(1, passes + 1):
+        ctes.append(pass_cte(f"s{p}", prev, str(p), "shard, level", True))
+        prev = f"s{p}"
+    for i, p in enumerate(range(passes + 1, passes + merge_passes + 1)):
+        ctes.append(pass_cte(f"g{i + 1}", prev, str(p), "level", False))
+        prev = f"g{i + 1}"
+    qs_vals = ", ".join(f"({q})" for q in _KLL_QS)
+    return f"""
+            -- operators/kll.py replayed term for term: md5 sharding,
+            -- {passes} per-shard compaction passes + {merge_passes}
+            -- merge passes (coin = md5 bit of (pass, level), pairs in
+            -- (value, tb) order, odd leftover stays), then the
+            -- cumulative-weight quantile cut over the final sketch.
+            WITH {', '.join(ctes)},
+            fin AS (SELECT level, value, tb FROM {prev}),
+            tot AS (SELECT CAST(sum(1::BIGINT << level) AS DOUBLE) AS tot
+                    FROM fin),
+            c AS (SELECT value,
+                         sum(1::BIGINT << level) OVER (
+                             ORDER BY value, tb
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+                  FROM fin),
+            qs AS (SELECT CAST(q AS DOUBLE) AS q
+                   FROM (VALUES {qs_vals}) t(q))
+            SELECT q, round(min(value), 6) AS value
+            FROM qs, c, tot
+            WHERE CAST(c.cum AS DOUBLE) >= qs.q * tot.tot
+            GROUP BY q
+        """
 
 
 def lang_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2850,6 +2981,28 @@ def dup_spans_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans
 
 
+def cluster_store_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (operators/graph.py
+    cluster_store_update): the exact-jaccard near-dup pair relation
+    arrives as two batches folded into a persisted id-bucketed cluster
+    store — contraction to representatives, batch-sized rep-graph
+    closure, broadcast relabel; history never re-clusters. The oracle is
+    the ONE-SHOT recursive-CTE transitive closure over ALL pairs, so the
+    driver hash-verifies the fold law itself (batch folds == one-shot
+    `connected_components` over the union)."""
+    from dataframes_spark.io.store import drop_table_and_location
+
+    t = "cluster_store_docs_q"
+    drop_table_and_location(spark, t)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ddedup.near_dup_pairs(
+        docs, "text", "doc_id", min_jaccard=0.8, shingle_k=4, materialize=True
+    )
+    dgraph.cluster_store_update(spark, t, pairs.filter(F.col("id_a") % 2 == 0))
+    dgraph.cluster_store_update(spark, t, pairs.filter(F.col("id_a") % 2 == 1))
+    return dgraph.read_cluster_store(spark, t).select("id", "component")
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -2942,6 +3095,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    csv_roundtrip_agg's slot effectively returns: it rotated
         #    below in r7 and the IO-write family stays multiply covered
         #    (xlsx/feather/orc/jsonl + this row).
+        # -- round 10: (a) the three operators that shipped r9 unit-only
+        #    get their first driver rows — oov_report_docs (broadcast
+        #    vocab join + fold), dsir_model_report_docs (KL selection
+        #    pressure) and dsir_ess_docs (Kish effective sample size);
+        #    (b) the last three single-reducer queries moved to the
+        #    DISTRIBUTED row-position lane (global_order.global_positions
+        #    / cumsum_global — SANCTIONED_WARNINGS in tests/test_plans.py
+        #    is now EMPTY), a NEW code path under long-green names, so
+        #    pack_documents_cumsum, concat_horizontal and
+        #    facade_from_columns_index re-enter the window for driver
+        #    re-verification (the r8 shift/interpolate precedent). To
+        #    hold the window at 50, six multiply-green rows rotate
+        #    below, families still in-window: ivf_probe_pinned (r7-r9;
+        #    ANN stays via ivf_probe_partitioned + ann_recall_report +
+        #    pq_probe_pinned), facade_column_surgery (r7-r9; facade
+        #    stays via facade_from_columns_index), pack_materialize_docs
+        #    (r7-r9; packing stays via pack_documents_cumsum +
+        #    chunk_documents below plus the materialize unit pins),
+        #    bottomk_sample_docs + hll_overlap_users_md5 (r8-r9;
+        #    sampling stays via weighted_merge_docs + mix rows, sketches
+        #    via cms_heavy_tokens_md5 + hll_distinct_users_md5) and
+        #    outlier_events_value (r8-r9; robust-stats family stays via
+        #    drift_psi_prices + corpus_report_docs).
+        "oov_report_docs": oov_report_docs,
+        "dsir_model_report_docs": dsir_model_report_docs,
+        "dsir_ess_docs": dsir_ess_docs,
+        "pack_documents_cumsum": pack_documents_cumsum,
+        "concat_horizontal": concat_horizontal,
+        "facade_from_columns_index": facade_from_columns_index,
         "zorder_roundtrip_agg": zorder_roundtrip_agg,
         "funnel_events": funnel_events,
         # windowed funnel ("converted within T"): exact linear-state
@@ -2972,19 +3154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    three in-window rows (split_documents, cap_docs_per_source,
         #    shard_report_docs).
         "bm25_docs": bm25_docs,
-        # -- round 8 (continuation): median/MAD robust outlier fences —
-        #    grouped exact percentiles over one exchange; the robust
-        #    dual of standardize's mean/std. feather_roundtrip_agg
-        #    (green r5-r7) rotates below; the IO-roundtrip family keeps
-        #    four in-window rows (xlsx/orc/jsonl/read_text_csv).
-        "outlier_events_value": outlier_events_value,
-        # -- round 8 (continuation): bottom-k sample sketch — the
-        #    deterministic mergeable uniform sample behind the persisted
-        #    sample store; WindowGroupLimit map-side cut, md5-permutation
-        #    membership hash-verified. repetition_docs (green r5-r7)
-        #    rotates below; text quality stays in-window via bm25_docs +
-        #    quality_quartiles_docs + pipeline_clean_corpus's gates.
-        "bottomk_sample_docs": bottomk_sample_docs,
         # -- round 8 (continuation): the weighted-sample merge law —
         #    two batch top-k frames merged must equal the one-shot
         #    sample (the oracle IS the unsplit SQL), the invariant
@@ -2993,14 +3162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    stays in-window via attribution_stream_clicks, which RUNS
         #    the same interval join as a stream.
         "weighted_merge_docs": weighted_merge_docs,
-        # -- round 8 (continuation): pairwise HLL overlap — the
-        #    audience-overlap / cross-source-contamination report from
-        #    one register frame, hash-verified cell-for-cell (both
-        #    estimate branches + inclusion-exclusion) in DuckDB.
-        #    cap_docs_per_source (green r5-r7) rotates below; the
-        #    sampling family stays in-window via split_documents +
-        #    bottomk_sample_docs + weighted_merge_docs.
-        "hll_overlap_users_md5": hll_overlap_users_md5,
         # -- round 8 (continuation): PCA over embeddings — the
         #    covariance face hash-verifies (one constant-state moment
         #    scan vs DuckDB covar_pop). quality_quartiles_docs and
@@ -3036,10 +3197,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    multiply-green remaining row) rotates below; the
         #    regression/ML family stays in-window via
         #    embedding_covariance_upper + pca_label_summary +
-        #    ivf_probe_pinned.
-        "drift_multi_lineitem": drift_multi_lineitem,
+        #    ivf_probe_pinned. (drift_multi_lineitem itself rotated
+        #    below in round 10 after going green r8-r9; drift stays via
+        #    drift_psi_prices + drift_categorical_events.)
+        # -- round 10 (new): INCREMENTAL connected components — the
+        #    persisted cluster store that lets the dedup→cluster→split
+        #    chain fold epoch edges without re-clustering history; the
+        #    oracle is the one-shot closure over the union, so the hash
+        #    verifies the fold law itself.
+        "cluster_store_incremental_docs": cluster_store_incremental_docs,
         "ivf_probe_partitioned": ivf_probe_partitioned,
-        "ann_recall_report": ann_recall_report,
         # -- round 9 (new): product quantization — the IVF+PQ recipe's
         #    compression half (dim floats -> m codes; ADC scoring reads
         #    only codes + a literal lookup table). Pinned codebooks make
@@ -3151,6 +3318,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (driver-green r7-r8) rotates below; the quality family
         #    stays via the drift rows + corpus_report_docs.
         "hist_quantiles_events": hist_quantiles_events,
+        # -- round 10 (new): KLL-style mergeable RANK-quantile sketch —
+        #    quantiles with NO (lo, hi) domain requirement, the gap the
+        #    histogram sketch left open; md5-derandomized coins make the
+        #    whole compaction DuckDB-replayable (generated unrolled-CTE
+        #    oracle), so the estimates hash-verify. ann_recall_report
+        #    (green r8-r9) rotates below; ANN stays in-window via
+        #    ivf_probe_partitioned + pq_probe_pinned.
+        "kll_quantiles_events": kll_quantiles_events,
         # -- round 9 (continuation): the corpus rebuild diff — row-status
         #    and per-column change counts from one null-safe full outer
         #    join. partitioned_prune_events (driver-green r4-r8) rotates
@@ -3174,7 +3349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    IVF probe stage given pinned centroids. The xxhash64/KMeans
         #    originals (minhash_lsh_candidates, ivf_topk_probe) rotate
         #    below the window — still rows-only by nature, still run.
-        "ivf_probe_pinned": ivf_probe_pinned,
+        #    (ivf_probe_pinned itself rotated below in round 10 after
+        #    going green r6-r9; ANN stays via ivf_probe_partitioned +
+        #    ann_recall_report + pq_probe_pinned.)
         "frame_sample_timestamps": frame_sample_timestamps,
         # -- entered the window round 5 (rotation promise + new queries)
         "decontaminate_docs": decontaminate_docs,
@@ -3209,8 +3386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filterColumns/fromColumns/createIndex/concat); embedding_norms
         # and distinct_users_per_type (green r1-r4 / r2-r4) rotate out,
         # embeddings stay via embedding_near_dup_pairs, plain aggs via
-        # q1 + cube
-        "facade_column_surgery": facade_column_surgery,
+        # q1 + cube. (facade_column_surgery rotated below in round 10
+        # after going green r7-r9; the facade stays in-window via
+        # facade_from_columns_index on the NEW distributed position lane.)
         # read_text_csv_agg (readText RFC-4180 edges) + feather_roundtrip
         # (the reference's interchange format): last unit-only IO
         # surfaces gain driver rows; reproducible_sample and
@@ -3230,9 +3408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7 (continuation): pack materialization — the packed
         # windows themselves, every byte pinned via md5. SUBSUMES the
         # cumsum assignment it composes, so pack_documents_cumsum
-        # (green r5-r6) rotates below; packing keeps two in-window rows
-        # (chunk_documents + this).
-        "pack_materialize_docs": pack_materialize_docs,
+        # (green r5-r6) rotated below then RE-ENTERED in round 10 on the
+        # distributed cumsum lane; pack_materialize_docs itself rotates
+        # below in round 10 after going green r7-r9.
         # round 7 (continuation): quality-aware cluster dedup — keep the
         # longest doc per near-dup cluster. SUBSUMES the connected-
         # components closure it ranks within (same exact-jaccard pair
@@ -3266,6 +3444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
+        # round-10 rotations (see the window-top comment for families):
+        "ann_recall_report": ann_recall_report,
+        "drift_multi_lineitem": drift_multi_lineitem,
+        "ivf_probe_pinned": ivf_probe_pinned,
+        "facade_column_surgery": facade_column_surgery,
+        "pack_materialize_docs": pack_materialize_docs,
+        "bottomk_sample_docs": bottomk_sample_docs,
+        "hll_overlap_users_md5": hll_overlap_users_md5,
+        "outlier_events_value": outlier_events_value,
         # jsonl/orc roundtrips, dedup_incremental_docs,
         # strip_repeated_lines_docs and chunk_documents rotated below in
         # round 9 (all driver-green r8) to admit the duplicated-span
@@ -3309,10 +3496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_documents": upsert_documents,
         "fuzzy_part_names": fuzzy_part_names,
         "csv_roundtrip_agg": csv_roundtrip_agg,
-        "pack_documents_cumsum": pack_documents_cumsum,
         "pack_documents_greedy": pack_documents_greedy,
         "near_dup_clusters": near_dup_clusters,
-        "facade_from_columns_index": facade_from_columns_index,
         "pandas_map_column": pandas_map_column,
         "setop_custkeys": setop_custkeys,
         "shared_passages_docs": shared_passages_docs,
@@ -3341,7 +3526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "pivot_returnflag": pivot_returnflag,
         "jaccard_pairs_3gram": jaccard_pairs_3gram,
-        "concat_horizontal": concat_horizontal,
         "count_values": count_values,
         "slice_offset": slice_offset,
         "ungroup_list_column": ungroup_list_column,
@@ -4094,6 +4278,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dt JOIN counts USING (token), tot
             GROUP BY doc_id
         """,
+        "kll_quantiles_events": _kll_oracle(),
         "hist_quantiles_events": """
             -- quality.histogram_counts + hist_quantiles: clamped
             -- equal-width binning, cumulative covering bin, linear
@@ -4538,6 +4723,154 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cnt * log_ratio), 6) AS log_weight
             FROM fb JOIN model USING (bucket)
             GROUP BY 1
+        """,
+        "oov_report_docs": """
+            -- functions/text.py oov_report replayed: top-200 vocabulary
+            -- of the English sub-corpus (vocab_topk tokenization: split
+            -- of lower(trim(text)), NO empty-token filter, ties freq
+            -- desc then token asc), then every document's tokens
+            -- (empty-filtered) left-joined against it; tokenless docs
+            -- survive with zeros.
+            WITH vr AS (
+                SELECT token, count(*) AS n
+                FROM (SELECT unnest(regexp_split_to_array(
+                          lower(trim(text)), '\\s+')) AS token
+                      FROM documents WHERE lang = 'en')
+                GROUP BY token ORDER BY n DESC, token ASC LIMIT 200
+            ), v AS (
+                SELECT DISTINCT lower(token) AS token FROM vr
+            ), tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) AS token
+                FROM documents
+            ), agg AS (
+                SELECT tok.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN v.token IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                FROM tok LEFT JOIN v ON tok.token = v.token
+                GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+                   round(coalesce(a.n_oov, 0)
+                         / CAST(greatest(coalesce(a.n_tokens, 0), 1)
+                                AS DOUBLE), 6) AS oov_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "dsir_model_report_docs": """
+            -- operators/dsir.py dsir_model_report over the same
+            -- en-vs-all 64-bucket fit as dsir_weights_docs: KL(t||r) =
+            -- sum exp(logp_target) * log_ratio, plus |log ratio|
+            -- moments — the fit replayed term for term, then one fold.
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, lang, unnest(w) AS f FROM t
+                UNION ALL
+                SELECT doc_id, lang, w[g] || ' ' || w[g + 1] AS f
+                FROM (SELECT doc_id, lang, w,
+                             unnest(generate_series(1, len(w) - 1)) AS g
+                      FROM t)
+            ), fb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('dsir:' || f), 1, 15))::BIGINT
+                           % 64 AS bucket,
+                       count(*) AS cnt
+                FROM feats GROUP BY 1, 2, 3
+            ), tc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb
+                WHERE lang = 'en' GROUP BY 1
+            ), rc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb GROUP BY 1
+            ), tt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM tc
+            ), rt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM rc
+            ), model AS (
+                SELECT b.g AS bucket,
+                       ln((CAST(coalesce(tc.c, 0) AS DOUBLE) + 1.0)
+                          / (tt.t + 64.0)) AS lpt,
+                       ln((CAST(coalesce(tc.c, 0) AS DOUBLE) + 1.0)
+                          / (tt.t + 64.0))
+                     - ln((CAST(coalesce(rc.c, 0) AS DOUBLE) + 1.0)
+                          / (rt.t + 64.0)) AS lr
+                FROM range(0, 64) b(g)
+                LEFT JOIN tc ON tc.bucket = b.g
+                LEFT JOIN rc ON rc.bucket = b.g, tt, rt
+            )
+            SELECT CAST(count(*) AS BIGINT) AS buckets,
+                   round(sum(exp(lpt) * lr), 6) AS kl_target_raw,
+                   round(avg(abs(lr)), 6) AS mean_abs_log_ratio,
+                   round(max(lr), 6) AS max_log_ratio,
+                   round(min(lr), 6) AS min_log_ratio
+            FROM model
+        """,
+        "dsir_ess_docs": """
+            -- operators/dsir.py dsir_ess: Kish ESS over the per-doc
+            -- DSIR weights (the dsir_weights_docs relation, log_weight
+            -- rounded to 6 on BOTH lanes before exponentiation) with
+            -- the overflow-safe max shift.
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, lang, unnest(w) AS f FROM t
+                UNION ALL
+                SELECT doc_id, lang, w[g] || ' ' || w[g + 1] AS f
+                FROM (SELECT doc_id, lang, w,
+                             unnest(generate_series(1, len(w) - 1)) AS g
+                      FROM t)
+            ), fb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('dsir:' || f), 1, 15))::BIGINT
+                           % 64 AS bucket,
+                       count(*) AS cnt
+                FROM feats GROUP BY 1, 2, 3
+            ), tc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb
+                WHERE lang = 'en' GROUP BY 1
+            ), rc AS (
+                SELECT bucket, sum(cnt) AS c FROM fb GROUP BY 1
+            ), tt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM tc
+            ), rt AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM rc
+            ), model AS (
+                SELECT b.g AS bucket,
+                       ln((CAST(coalesce(tc.c, 0) AS DOUBLE) + 1.0)
+                          / (tt.t + 64.0))
+                     - ln((CAST(coalesce(rc.c, 0) AS DOUBLE) + 1.0)
+                          / (rt.t + 64.0)) AS log_ratio
+                FROM range(0, 64) b(g)
+                LEFT JOIN tc ON tc.bucket = b.g
+                LEFT JOIN rc ON rc.bucket = b.g, tt, rt
+            ), wts AS (
+                SELECT fb.doc_id,
+                       round(sum(cnt * log_ratio), 6) AS lw
+                FROM fb JOIN model USING (bucket) GROUP BY 1
+            ), mx AS (
+                SELECT max(lw) AS m FROM wts
+            ), e AS (
+                SELECT exp(lw - m) AS x FROM wts, mx
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(x) * sum(x) / sum(x * x), 6) AS ess,
+                   round(sum(x) * sum(x)
+                         / (sum(x * x) * count(*)), 6) AS ess_frac
+            FROM e
         """,
         "dsir_weights_docs": """
             -- operators/dsir.py replayed term for term: unigram+bigram
@@ -5113,6 +5446,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM banded GROUP BY 1
+        """,
+        "cluster_store_incremental_docs": """
+            -- the ONE-SHOT closure over ALL exact-jaccard pairs: the
+            -- incremental fold through the cluster store must reproduce
+            -- it exactly — that equality IS the fold law this row
+            -- verifies. Pair relation + recursive-CTE transitive
+            -- closure identical to split_leak_safe_docs' oracle.
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(t) - 3, 1) + 1),
+                           i -> substring(t, CAST(i AS INT), 4)))) AS g
+                FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                      FROM documents)
+            ), sizes AS (
+                SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+            ), co AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id
+            ), pairs AS (
+                SELECT id_a, id_b FROM co
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+            ), und AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+                WHERE u.b <> r.a
+            )
+            SELECT a AS id, least(a, min(b)) AS component
+            FROM reach GROUP BY a
         """,
         "split_leak_safe_docs": """
             -- the near_dup_clusters closure (exact jaccard >= 0.8 on

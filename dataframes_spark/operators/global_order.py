@@ -130,14 +130,44 @@ def _bucketize_quantile(
     )
 
 
+def _sort_proxy(df: DataFrame, order_cols: Sequence[str]) -> Column:
+    """A numeric expression MONOTONE (non-strictly) in the row ordering
+    of ``order_cols``, for quantile bucketization of arbitrary keys:
+    numeric/temporal first column → the column itself; string first
+    column → its first 8 UTF8 bytes as an unsigned big-endian integer
+    (monotone because Spark compares strings byte-wise). Non-strict is
+    enough: rows equal on the proxy land in ONE bucket (they can never
+    straddle a quantile boundary — the bucket comparison is on the
+    proxy itself), which preserves correctness and only affects load
+    balance, exactly like quantile-boundary ties on a numeric key.
+    Multi-column orders proxy on the first column alone for the same
+    reason. NOT range-repartition + spark_partition_id: the range
+    partitioner SAMPLES its boundaries with a per-RDD seed, so two plan
+    branches over the same input could bucketize differently;
+    percentile boundaries are a deterministic function of the data."""
+    first = order_cols[0]
+    dt = dict(df.dtypes).get(first, "")
+    if dt.startswith(BUCKETABLE_PREFIXES):
+        return F.col(first).cast("double")
+    # first 8 UTF8 bytes as hex, zero-padded on the right to 16 digits
+    # (0x00 sorts below every byte, so prefix < extension survives the
+    # padding), read as an unsigned integer. conv emits a decimal
+    # STRING; the double cast rounds monotonically, which keeps the
+    # non-strict ordering (conv to long would overflow the sign bit
+    # for leading bytes >= 0x80).
+    first8 = F.substring(F.encode(F.col(first).cast("string"), "UTF-8"), 1, 8)
+    return F.conv(F.rpad(F.hex(first8), 16, "0"), 16, 10).cast("double")
+
+
 def _with_positions(
-    bdf: DataFrame, order: Column
+    bdf: DataFrame, order: Column | Sequence[Column]
 ) -> tuple[DataFrame, DataFrame]:
     """Per-bucket row numbers + global positions. Returns the positioned
     frame (``__go_lrn``, ``__go_cnt``, ``__go_off``, ``__go_pos``) and the
     tiny per-bucket offsets relation (``__go_b``, ``__go_cnt``,
     ``__go_off``). The running-offset window runs over ≤ n-buckets rows —
     the only single-partition step, at bucket (not row) cardinality."""
+    orders = list(order) if isinstance(order, (list, tuple)) else [order]
     counts = bdf.groupBy("__go_b").agg(F.count(F.lit(1)).alias("__go_cnt"))
     woff = W.orderBy("__go_b").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.select(
@@ -145,7 +175,7 @@ def _with_positions(
         "__go_cnt",
         F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0)).alias("__go_off"),
     )
-    w = W.partitionBy("__go_b").orderBy(order)
+    w = W.partitionBy("__go_b").orderBy(*orders)
     pos = bdf.withColumn("__go_lrn", F.row_number().over(w)).join(
         F.broadcast(offsets), "__go_b"
     )
@@ -154,6 +184,104 @@ def _with_positions(
             "__go_pos", (F.col("__go_off") + F.col("__go_lrn")).cast("bigint")
         ),
         offsets,
+    )
+
+
+def _bucketized(
+    df: DataFrame, order_cols: Sequence[str], n_buckets: int | None
+) -> DataFrame:
+    """Bucketize for the row-position lane: deterministic quantile
+    boundaries over a numeric SORT PROXY of the first order column (see
+    `_sort_proxy`) — handles any orderable key type, and both plan
+    branches (data + offsets) bucketize identically by construction."""
+    return _bucketize_quantile(
+        df, _sort_proxy(df, order_cols), n_buckets or default_buckets(df)
+    )
+
+
+def global_positions(
+    df: DataFrame,
+    order_by: str | Sequence[str],
+    n_buckets: int | None = None,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Global 1..N row positions over an explicit ordering WITHOUT a
+    single-reducer sort — the distributed replacement for
+    ``row_number().over(Window.orderBy(...))`` (whose plan funnels the
+    whole table through one ``Exchange SinglePartition``).
+
+    Bucketize on the order key (quantile boundaries for a numeric key,
+    range repartition otherwise), number rows per bucket with an
+    ordinary partitioned window, and add the running per-bucket count
+    offset (a ≤ n-buckets-row relation — the only single-partition work
+    is that bucket-cardinality aggregate, the same shape as any
+    ``df.agg()``). Equal keys get an arbitrary-but-valid resolution,
+    the same contract as the global window form. Row-POSITION semantics
+    (``createIndex``, horizontal concat, positional slicing) ride this
+    lane at any scale.
+
+    The data crosses ONE exchange (the bucket hash for the per-bucket
+    window sort). The offsets branch aggregates the bucketized input
+    BEFORE any window — a map-side partial count whose exchange carries
+    ≤ n-buckets rows — so the table is never shuffled twice however the
+    optimizer slices the two branches."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    bdf = _bucketized(df, order_cols, n_buckets)
+    w = W.partitionBy("__go_b").orderBy(*[F.col(c).asc() for c in order_cols])
+    pdf = bdf.withColumn("__go_lrn", F.row_number().over(w))
+    counts = bdf.groupBy("__go_b").agg(F.count(F.lit(1)).alias("__go_cnt"))
+    woff = W.orderBy("__go_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__go_b",
+        F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0)).alias("__go_off"),
+    )
+    return pdf.join(F.broadcast(offsets), "__go_b").select(
+        *df.columns,
+        (F.col("__go_off") + F.col("__go_lrn")).cast("bigint").alias(pos_col),
+    )
+
+
+def cumsum_global(
+    df: DataFrame,
+    size_col: str,
+    order_by: str | Sequence[str],
+    n_buckets: int | None = None,
+    out_col: str = "cumsum_before",
+) -> DataFrame:
+    """Global EXCLUSIVE running sum of ``size_col`` over an explicit
+    ordering, without a single-reducer sort: per-bucket exclusive sums
+    via an ordinary partitioned window, plus each bucket's running
+    TOTAL offset from the ≤ n-buckets-row bucket relation (broadcast
+    back). Same answer as ``sum().over(Window.orderBy(...).rowsBetween(
+    unboundedPreceding, -1))`` for any bucketization — the offsets
+    reconstruct exactly the prefix a global row-frame would have seen.
+    Null sizes contribute nothing (SQL sum semantics) on both lanes.
+
+    The data crosses ONE exchange; the totals branch is a map-side
+    partial sum over the bucketized input (≤ n-buckets rows exchanged),
+    the same shape as `global_positions`' offsets."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    bdf = _bucketized(df, order_cols, n_buckets)
+    orders = [F.col(c).asc() for c in order_cols]
+    w = (
+        W.partitionBy("__go_b")
+        .orderBy(*orders)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pdf = bdf.withColumn(
+        "__go_lb", F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    )
+    totals = bdf.groupBy("__go_b").agg(
+        F.coalesce(F.sum(size_col), F.lit(0)).alias("__go_t")
+    )
+    woff = W.orderBy("__go_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__go_b",
+        F.coalesce(F.sum("__go_t").over(woff), F.lit(0)).alias("__go_off"),
+    )
+    return pdf.join(F.broadcast(offsets), "__go_b").select(
+        *df.columns,
+        (F.col("__go_off") + F.col("__go_lb")).alias(out_col),
     )
 
 

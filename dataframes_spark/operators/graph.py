@@ -170,3 +170,122 @@ def dedup_representatives_by(
     return df.join(
         F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
     )
+
+
+def cluster_store_update(
+    spark: SparkSession,
+    table: str,
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    num_buckets: int = 32,
+    max_iter: int = 25,
+) -> dict:
+    """Fold a batch of near-dup EDGES into a persisted cluster store —
+    INCREMENTAL connected components, the missing piece that made the
+    dedup→cluster→split chain refit its closure from scratch each epoch.
+
+    The store is ``(id, component)`` for every node ever seen, BUCKETED
+    BY ``id`` (membership probes and the batch's label lookup join on
+    ``id`` without reshuffling the store), with ``component`` = the
+    smallest node id of the cluster — the same representative contract
+    as `connected_components`.
+
+    Per-batch algorithm (history never re-clusters):
+
+    1. Look up the batch's touched nodes in the store — an id-keyed
+       join of a batch-sized relation against the bucketed store.
+    2. CONTRACT each batch edge to representatives: ``(a, b)`` becomes
+       ``(rep(a), rep(b))`` with ``rep(x) = stored component, else x``.
+       Contracting components to their representatives preserves
+       connectivity, so the rep-graph's components are exactly the new
+       merges.
+    3. Run `connected_components` over the rep-graph — a relation
+       bounded by the BATCH size (plus the ≤ batch-many touched reps),
+       independent of history.
+    4. Relabel: old components that merged remap DOWN to the new
+       minimum via one broadcast map-only pass over the store (no
+       shuffle — the remap relation is rep-graph-sized); brand-new ids
+       append with their rep-graph label.
+
+    THE LAW (pinned in tests and the driver row): folding any
+    batch-split of an edge set through the store equals the one-shot
+    `connected_components` over the union — because the new minimum of
+    a merged cluster is min(old representatives, new ids), and every
+    old representative IS its cluster's minimum, so labels stay the
+    global minimum id after any fold order of connected batches.
+
+    Per-epoch cost: O(batch) shuffle for the lookup + rep-graph CC,
+    plus ONE map-only rewrite of the store (broadcast remap; the
+    rewrite is IO, not shuffle). Returns ``{"nodes", "components"}``.
+    """
+    from dataframes_spark.io.store import staging_swap
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not spark.catalog.tableExists(table):
+        comp = connected_components(edges, src=src, dst=dst, max_iter=max_iter)
+        staging_swap(spark, table, comp, bucket_by="id", num_buckets=num_buckets)
+    else:
+        store = spark.table(table)
+        nodes = (
+            e.select(F.col("a").alias("id"))
+            .unionByName(e.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        cur = nodes.join(store, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("rep")
+        )
+        contracted = (
+            e.join(cur.withColumnRenamed("id", "a"), "a")
+            .withColumnRenamed("rep", "ra")
+            .join(
+                cur.withColumnRenamed("id", "b").withColumnRenamed(
+                    "rep", "rb"
+                ),
+                "b",
+            )
+            .select("ra", "rb")
+        )
+        comp_small = connected_components(
+            contracted, src="ra", dst="rb", max_iter=max_iter
+        )
+        remap = comp_small.select(
+            F.col("id").alias("__old"), F.col("component").alias("__new")
+        ).filter(F.col("__old") != F.col("__new"))
+        updated = (
+            store.join(
+                F.broadcast(remap),
+                store["component"] == remap["__old"],
+                "left",
+            )
+            .select(
+                "id",
+                F.coalesce("__new", F.col("component")).alias("component"),
+            )
+        )
+        new_rows = (
+            cur.filter(F.col("id") == F.col("rep"))  # candidates incl. old reps
+            .join(store.select(F.col("id")), "id", "left_anti")
+            .select("id")
+            .join(comp_small, "id")
+        )
+        staging_swap(
+            spark,
+            table,
+            updated.unionByName(new_rows),
+            bucket_by="id",
+            num_buckets=num_buckets,
+        )
+    out = spark.table(table)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("c"),
+    ).first()
+    return {"nodes": int(row["n"]), "components": int(row["c"])}
+
+
+def read_cluster_store(spark: SparkSession, table: str) -> DataFrame:
+    """Read a persisted cluster store (``(id, component)`` bucketed by
+    ``id``): membership probes join on ``id`` with no store-side
+    exchange (catalog bucket metadata)."""
+    return spark.table(table)

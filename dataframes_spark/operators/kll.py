@@ -1,0 +1,252 @@
+"""KLL-style mergeable rank-quantile sketch (Karnin-Lang-Liberty 2016,
+"Optimal quantile approximation in streams"; fixed per-level capacity as
+in Manku-Rajagopalan-Lindsay 1998) — rank quantiles over UNBOUNDED
+domains with constant-size, mergeable state.
+
+`quality.histogram_counts` needs known ``(lo, hi)`` fixed bins; this
+sketch does not: it is the right persisted-store shape for "p99 of a
+column we know nothing about, folded batch by batch".
+
+State model. A sketch is a relation of ``(level, value, tb)`` rows; an
+item at level ``l`` represents ``2^l`` input rows (weight). COMPACTION of
+an overfull level sorts its items by ``(value, tb)``, pairs them up,
+keeps one item of each pair (which side is a coin flip) promoted to
+level ``l+1``, discards the other, and leaves an odd leftover in place —
+total weight is conserved exactly, so ``sum(2^level)`` always equals the
+number of inserted rows. After compaction every level holds at most
+``k`` items, so the sketch is ``O(k log(n/k))`` rows however large the
+input.
+
+Determinism (the md5 lane). Everything that is random in the paper is
+derandomized through md5, the same trick as `operators/sketch.py`'s CMS
+/ HLL lanes:
+
+- the compaction coin for (level, pass) is a bit of
+  ``md5('kll:<seed>:<pass>:<level>')``;
+- ties in the value sort break on ``tb = md5(id || '/kll-t' || seed)``;
+- the build shards its input by ``md5(id) % shards`` and runs the
+  canonical compaction per shard, then merges the shard sketches — so
+  the result is a PURE FUNCTION of the input multiset and the
+  ``(k, shards, passes, seed)`` configuration, independent of Spark
+  partitioning, and DuckDB can replay the whole sketch term for term
+  (the driver row hash-verifies it).
+
+Scale shape. Build passes are windows partitioned by ``(shard, level)``
+— parallelism = shards x live levels, each pass a shuffle of the
+CURRENT item set, which HALVES per pass (total shuffled ~ 2n). Set
+``shards`` to a few x the cluster's cores; changing it changes which
+(equally valid) sketch you get, never its guarantees. The merge phase
+runs over already-bounded relations. ``passes`` must satisfy
+``n / shards <= k * 2^passes``; extra passes are EXACT NO-OPS (a pass
+only touches overfull levels), so over-provisioning is free — the
+default 20 covers 10^8 rows per shard at k=200.
+
+Error. With random coins, KLL answers every rank query within
+``eps * n`` where ``eps = O(sqrt(log(n/k)) / k)`` with high probability;
+the fixed-capacity variant carries the MRL98 deterministic-style bound
+``O(log^2(n/k) / k)``. The md5 derandomization trades the formal "with
+high probability" for reproducibility, exactly like the CMS/HLL lanes —
+the rank-error property test pins the observed error well inside the
+bound. Reference has a single-array exact quantile only
+(native_libs/src/Analysis.cpp:19-37); no sketch analog exists there.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _md5_long(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _compact_pass(
+    items: DataFrame, part_cols: Sequence[str], pass_idx: int, k: int, seed: str
+) -> DataFrame:
+    """One simultaneous compaction pass: every level with more than ``k``
+    items pairs its value-sorted items and promotes the coin-chosen side
+    of each full pair to ``level+1`` (odd leftover stays put); levels
+    within capacity pass through untouched. Pure expressions — the coin
+    is an md5 bit of (seed, pass, level)."""
+    wrn = W.partitionBy(*part_cols).orderBy("value", "tb")
+    wn = W.partitionBy(*part_cols)
+    x = items.withColumn("__rn", F.row_number().over(wrn)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    off = (
+        _md5_long(
+            F.concat(
+                F.lit(f"kll:{seed}:{pass_idx}:"), F.col("level").cast("string")
+            )
+        )
+        % 2
+    ).cast("int")
+    overfull = F.col("__n") > k
+    paired = F.col("__rn") <= F.col("__n") - (F.col("__n") % 2)
+    keep = (~overfull) | (~paired) | ((F.col("__rn") % 2) == off)
+    return (
+        x.filter(keep)
+        .select(
+            F.when(overfull & paired, F.col("level") + 1)
+            .otherwise(F.col("level"))
+            .alias("level"),
+            "value",
+            "tb",
+            *[c for c in part_cols if c != "level"],
+        )
+        .select(*items.columns)
+    )
+
+
+def kll_build(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 200,
+    shards: int = 32,
+    passes: int = 20,
+    merge_passes: int = 10,
+    seed: str = "",
+) -> DataFrame:
+    """Build the sketch over ``value_col`` (nulls excluded — a null has
+    no rank): ``(level, value, tb)`` rows, at most ``k`` per level after
+    the merge phase. md5-sharded canonical compaction (see module
+    docstring), so the result is partitioning-independent and
+    oracle-replayable. ``passes`` must cover ``log2(n / shards / k)`` —
+    extra passes are no-ops."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if shards < 1 or passes < 1:
+        raise ValueError("shards and passes must be >= 1")
+    items = df.filter(F.col(value_col).isNotNull()).select(
+        (
+            _md5_long(F.concat(F.col(id_col).cast("string"), F.lit("/kll-s" + seed)))
+            % shards
+        ).cast("int").alias("__shard"),
+        F.lit(0).alias("level"),
+        F.col(value_col).cast("double").alias("value"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit("/kll-t" + seed))
+        ).alias("tb"),
+    )
+    for p in range(1, passes + 1):
+        items = _compact_pass(items, ["__shard", "level"], p, k, seed)
+    merged = items.select("level", "value", "tb")
+    for p in range(passes + 1, passes + merge_passes + 1):
+        merged = _compact_pass(merged, ["level"], p, k, seed)
+    return merged
+
+
+def kll_merge(
+    a: DataFrame, b: DataFrame, k: int = 200, passes: int = 10, seed: str = ""
+) -> DataFrame:
+    """Merge two sketches: union the item relations and re-compact.
+    Associative-in-guarantees (every merge order yields a VALID sketch
+    of the combined input with the summed weight — `kll_n` is exact
+    under any fold order), deterministic given the inputs, and bounded:
+    the union is sketch-sized, so every pass is constant work. Like all
+    quantile sketches (Spark's own ``percentile_approx`` included),
+    merge-then-query and one-shot-build agree to within the rank error,
+    not bit-for-bit. Pass offsets here are the merge-lane constants
+    (``m<p>``), so folding more batches never re-reads build coins."""
+    out = a.select("level", "value", "tb").unionByName(
+        b.select("level", "value", "tb")
+    )
+    for p in range(1, passes + 1):
+        out = _compact_pass(out, ["level"], f"m{p}", k, seed)
+    return out
+
+
+def kll_n(sketch: DataFrame) -> DataFrame:
+    """Exact number of inserted rows: weight is conserved by every
+    compaction, so ``sum(2^level)`` == n (1-row relation)."""
+    return sketch.agg(
+        F.coalesce(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")), F.lit(0))
+        .alias("n")
+    )
+
+
+def kll_quantiles(sketch: DataFrame, qs: Sequence[float]) -> DataFrame:
+    """Quantile estimates: ``(q, value)`` — the smallest sketch value
+    whose cumulative weight reaches ``q * n``. Runs over the bounded
+    sketch relation only: per-value weights fold first (so the
+    cumulative window's single-partition exchange sits above an
+    aggregate — the benign ``df.agg()`` shape, never raw data; grouping
+    by value cannot change a min-value-at-rank cut), then one window +
+    a tiny literal join — the original data is never touched."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    spark = sketch.sparkSession
+    weighted = sketch.groupBy("value").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")).alias("__w")
+    )
+    wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cum = weighted.select(
+        "value", F.sum("__w").over(wcum).alias("__cum")
+    ).crossJoin(F.broadcast(kll_n(sketch).select(F.col("n").alias("__tot"))))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        F.broadcast(qdf)
+        .join(cum, F.col("__cum") >= F.col("q") * F.col("__tot"))
+        .groupBy("q")
+        .agg(F.round(F.min("value"), 6).alias("value"))
+    )
+
+
+def kll_rank(sketch: DataFrame, v: float) -> DataFrame:
+    """Estimated rank of ``v``: total weight of sketch items ``<= v``
+    (1-row relation, bounded work)."""
+    return sketch.filter(F.col("value") <= float(v)).agg(
+        F.coalesce(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")), F.lit(0))
+        .alias("rank")
+    )
+
+
+def kll_store_update(
+    spark,
+    table: str,
+    batch: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 200,
+    shards: int = 32,
+    passes: int = 20,
+    merge_passes: int = 10,
+    seed: str = "",
+) -> dict:
+    """Fold a batch into a persisted KLL store (catalog parquet table,
+    the staging-swap idiom shared by every store in this repo): sketch
+    the batch, union with the stored sketch, re-compact, swap. State
+    stays ``O(k log(n/k))`` rows however many epochs fold in; per-epoch
+    cost is the batch sketch plus constant merge work. The store stamps
+    its ``k`` (constant column, the DSIR-store pattern) and refuses a
+    fold with a different capacity. Returns ``{"rows", "n", "k"}``."""
+    from dataframes_spark.io.store import staging_swap
+
+    bs = kll_build(
+        batch, value_col, id_col, k=k, shards=shards, passes=passes,
+        merge_passes=merge_passes, seed=seed,
+    )
+    if spark.catalog.tableExists(table):
+        prior = spark.table(table)
+        stamped = prior.agg(F.max("k").alias("k")).first()["k"]
+        if stamped is not None and int(stamped) != int(k):
+            raise ValueError(
+                f"KLL store {table!r} was built with k={stamped}; "
+                f"refusing to fold a k={k} batch sketch"
+            )
+        merged = kll_merge(prior.select("level", "value", "tb"), bs, k=k, seed=seed)
+    else:
+        merged = bs
+    staging_swap(spark, table, merged.withColumn("k", F.lit(int(k))))
+    out = spark.table(table)
+    row = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")), F.lit(0)
+        ).alias("n"),
+    ).first()
+    return {"rows": int(row["rows"]), "n": int(row["n"]), "k": int(k)}

@@ -85,23 +85,30 @@ def pack_by_cumsum(
     running size sum, ordered by ``order_by`` (within ``partition_by`` if
     given): ``pack_id = floor(cumsum_before_row / budget)``.
 
-    One window pass, SQL-expressible (hence oracle-checkable), fully
-    deterministic. Packs can overflow by at most the straddling document;
-    mean utilization stays >= 1 - mean_size/budget, which for
-    chunked-first corpora (sizes << budget) is near-perfect. Without
-    ``partition_by`` the window is global — a single-reducer sort,
-    documented; shard first at scale (any uniform key works: packs are
-    per-shard anyway in distributed training)."""
+    SQL-expressible (hence oracle-checkable), fully deterministic.
+    Packs can overflow by at most the straddling document; mean
+    utilization stays >= 1 - mean_size/budget, which for chunked-first
+    corpora (sizes << budget) is near-perfect. With ``partition_by``
+    it's one ordinary partitioned window pass. Without, the whole-corpus
+    running total rides the DISTRIBUTED global-order lane
+    (`global_order.cumsum_global`: per-bucket exclusive sums + a
+    bucket-cardinality offsets relation) — no data-bearing
+    single-reducer sort at any scale."""
     from pyspark.sql import Window as W
 
-    w = (
-        W.partitionBy(partition_by) if partition_by else W.partitionBy()
-    ).orderBy(order_by)
-    cum_before = F.coalesce(
-        F.sum(size_col).over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
-    )
-    return df.withColumn(
-        "pack_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
+    if partition_by:
+        w = W.partitionBy(partition_by).orderBy(order_by)
+        cum_before = F.coalesce(
+            F.sum(size_col).over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        out = df.withColumn("pack_id", cum_before)
+    else:
+        from dataframes_spark.operators.global_order import cumsum_global
+
+        out = cumsum_global(df, size_col, order_by, out_col="pack_id")
+    return out.withColumn(
+        "pack_id", F.floor(F.col("pack_id") / F.lit(budget)).cast("bigint")
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,19 +42,22 @@ def concat_horizontal(left: DataFrame, right: DataFrame, order_left: Sequence[st
     (reference: src/Table.luna:278-310).
 
     Spark has no positional row identity, so rows are aligned by a
-    row_number over an explicit deterministic ordering of each side, then
-    joined on it. This is 2 sorts + 1 shuffle join — unavoidable for
-    positional semantics in a distributed engine; prefer a real key join
-    when one exists.
+    GLOBAL position over an explicit deterministic ordering of each
+    side, then joined on it. Positions come from the distributed
+    global-order lane (`global_order.global_positions`: per-bucket
+    row numbers + a bucket-cardinality offsets relation), NOT from a
+    partition-free ``row_number`` window — so neither side ever funnels
+    through one reducer, at any scale. Cost: one bucket exchange per
+    side + the position equi-join.
 
     Mismatched lengths pad the shorter side with nulls, like the
     reference's ``Table.fromColumns`` (src/Table.luna:68-96; test
     native_libs/test/Tests.cpp:1108-1123) — hence the full outer join.
     """
-    lw = W.orderBy(*[F.col(c) for c in order_left])
-    rw = W.orderBy(*[F.col(c) for c in order_right])
-    l_idx = left.withColumn("__rid", F.row_number().over(lw))
-    r_idx = right.withColumn("__rid", F.row_number().over(rw))
+    from dataframes_spark.operators.global_order import global_positions
+
+    l_idx = global_positions(left, list(order_left), pos_col="__rid")
+    r_idx = global_positions(right, list(order_right), pos_col="__rid")
     return l_idx.join(r_idx, "__rid", "full").drop("__rid")
 
 

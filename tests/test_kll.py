@@ -1,0 +1,150 @@
+"""KLL-style mergeable rank-quantile sketch (operators/kll.py): weight
+conservation, capacity, determinism, no-op over-provisioning, rank-error
+bound, merge law, persisted store."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators import kll
+
+CFG = dict(k=64, shards=4, passes=10, merge_passes=10)
+
+
+def _perm(spark, n, offset=0):
+    # a fixed pseudo-random permutation of 0..n-1 so ranks are known
+    return spark.range(n).select(
+        ((F.col("id") * 7919 + offset) % n).cast("double").alias("v"),
+        (F.col("id") + offset * 1_000_000).alias("k"),
+    )
+
+
+def _rows(sk):
+    return sorted((r.level, r.value, r.tb) for r in sk.collect())
+
+
+def test_weight_conservation_and_capacity(spark):
+    n = 8000
+    sk = kll.kll_build(_perm(spark, n), "v", "k", **CFG)
+    rows = sk.collect()
+    assert kll.kll_n(sk).first()["n"] == n
+    from collections import Counter
+
+    per_level = Counter(r.level for r in rows)
+    assert all(c <= CFG["k"] for c in per_level.values()), per_level
+    # sketch is O(k log(n/k)) rows, a small fraction of the input
+    assert len(rows) < n / 10
+
+
+def test_nulls_have_no_rank(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "k long, v double"
+    )
+    sk = kll.kll_build(df, "v", "k", k=8, shards=2, passes=3)
+    assert kll.kll_n(sk).first()["n"] == 2
+
+
+def test_deterministic_across_partitionings_and_extra_passes(spark):
+    df = _perm(spark, 3000)
+    a = _rows(kll.kll_build(df, "v", "k", **CFG))
+    b = _rows(kll.kll_build(df.repartition(7), "v", "k", **CFG))
+    assert a == b
+    # over-provisioned passes are exact no-ops once every level fits
+    c = _rows(
+        kll.kll_build(
+            df, "v", "k", k=64, shards=4, passes=13, merge_passes=10
+        )
+    )
+    # NOTE: extra BUILD passes shift the merge-phase pass indices (the
+    # coin stream), so compare against extra MERGE passes instead, which
+    # append pure no-ops at the tail
+    d = _rows(
+        kll.kll_build(
+            df, "v", "k", k=64, shards=4, passes=10, merge_passes=13
+        )
+    )
+    assert a == d
+    assert len(c) == len(a)  # same size class either way
+
+
+def test_rank_error_bound(spark):
+    n = 20000
+    sk = kll.kll_build(_perm(spark, n), "v", "k", k=128, shards=8, passes=10)
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    got = {r.q: r.value for r in kll.kll_quantiles(sk, qs).collect()}
+    for q in qs:
+        # k=128 on 20k rows: observed error well under 5% of n
+        assert abs(got[q] - q * n) < 0.05 * n, (q, got[q])
+    # quantile estimates are monotone in q
+    vals = [got[q] for q in qs]
+    assert vals == sorted(vals)
+    # rank query agrees with the cumulative-weight definition
+    r = kll.kll_rank(sk, n / 2).first()["rank"]
+    assert abs(r - n / 2) < 0.05 * n
+
+
+def test_merge_law_weight_exact_and_error_bounded(spark):
+    n = 6000
+    a = kll.kll_build(_perm(spark, n), "v", "k", **CFG)
+    b = kll.kll_build(
+        _perm(spark, n, offset=1).select(
+            (F.col("v") + n).alias("v"), "k"
+        ),
+        "v",
+        "k",
+        **CFG,
+    )
+    m = kll.kll_merge(a, b, k=CFG["k"])
+    assert kll.kll_n(m).first()["n"] == 2 * n
+    got = {r.q: r.value for r in kll.kll_quantiles(m, [0.25, 0.5, 0.75]).collect()}
+    for q in (0.25, 0.5, 0.75):
+        assert abs(got[q] - q * 2 * n) < 0.06 * 2 * n, (q, got[q])
+    # merge is deterministic given its inputs
+    assert _rows(kll.kll_merge(a, b, k=CFG["k"])) == _rows(m)
+
+
+def test_store_folds_batches_with_constant_state(spark):
+    import uuid
+
+    t = f"kll_store_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        r1 = kll.kll_store_update(
+            spark, t, _perm(spark, 4000), "v", "k", **CFG
+        )
+        assert r1["n"] == 4000 and r1["k"] == CFG["k"]
+        r2 = kll.kll_store_update(
+            spark,
+            t,
+            _perm(spark, 4000, offset=2).select(
+                (F.col("v") + 4000).alias("v"), "k"
+            ),
+            "v",
+            "k",
+            **CFG,
+        )
+        assert r2["n"] == 8000
+        # state stays sketch-sized however many batches fold in
+        assert r2["rows"] < 1200
+        got = {
+            r.q: r.value
+            for r in kll.kll_quantiles(
+                spark.table(t).select("level", "value", "tb"), [0.5]
+            ).collect()
+        }
+        assert abs(got[0.5] - 4000) < 0.06 * 8000
+        # the capacity stamp refuses mismatched folds
+        with pytest.raises(ValueError, match=f"k={CFG['k']}"):
+            kll.kll_store_update(
+                spark, t, _perm(spark, 100), "v", "k",
+                k=32, shards=4, passes=8,
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_validation(spark):
+    df = _perm(spark, 10)
+    with pytest.raises(ValueError, match="k must be"):
+        kll.kll_build(df, "v", "k", k=1)
+    with pytest.raises(ValueError, match="qs"):
+        kll.kll_quantiles(kll.kll_build(df, "v", "k", k=4, shards=2, passes=2), [])

@@ -775,17 +775,11 @@ def test_compacted_lsh_store_same_candidates_and_no_reshuffle(spark):
 
 # Every query with a DOCUMENTED reason to funnel data through one reducer
 # — the only entries allowed to carry a plan_report warning. Anything new
-# that lands here must bring its justification.
-SANCTIONED_WARNINGS = {
-    # global cumulative-sum pack assignment: reference-exact whole-corpus
-    # running total (scale twins: pack_greedy per group, chunk_documents)
-    "pack_documents_cumsum": "Exchange SinglePartition",
-    # row-POSITION semantics (the reference's implicit row order): a
-    # horizontal concat / createIndex pairs the i-th rows of two frames,
-    # which inherently needs one global row numbering
-    "facade_from_columns_index": "Exchange SinglePartition",
-    "concat_horizontal": "Exchange SinglePartition",
-}
+# that lands here must bring its justification. EMPTY since round 10:
+# the last three single-reducer shapes (global cumsum packing, horizontal
+# concat, createIndex/fromColumns row pairing) now ride the distributed
+# row-position lane (global_order.global_positions / cumsum_global).
+SANCTIONED_WARNINGS: dict[str, str] = {}
 
 
 def test_every_registry_query_plans_scalable(spark, sf_dir):

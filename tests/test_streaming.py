@@ -1001,3 +1001,84 @@ def test_retention_pair_store_compacts_without_changing_the_matrix(spark):
     }
     assert after == before
     spark.sql(f"DROP TABLE IF EXISTS {pt}")
+
+
+def test_funnel_state_store_compacts_without_changing_the_report(spark):
+    """compact_swap_store on the funnel stage store: fewer files, same
+    per-user state, same k-row report — compaction parity for the
+    swap-store family (the retention pair store's append-compaction
+    twin)."""
+    import datetime as _dt
+    import uuid
+
+    from dataframes_spark.io.store import compact_swap_store
+    from dataframes_spark.operators import funnel as fn
+
+    st = f"funnel_state_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    sch = "event_id long, user_id long, ts timestamp, event_type string"
+    steps = ["view", "click", "buy"]
+    cb = dstream.funnel_each_batch(st, steps)
+    for epoch in (0, 1):
+        cb(
+            spark.createDataFrame(
+                [
+                    (epoch * 10 + i, u, _dt.datetime(2026, 1, 1, epoch, i), t)
+                    for i, (u, t) in enumerate(
+                        [(1, "view"), (1, "click"), (2, "view")]
+                        if epoch == 0
+                        else [(1, "buy"), (3, "view")]
+                    )
+                ],
+                sch,
+            ),
+            epoch,
+        )
+    before_state = sorted(tuple(r) for r in spark.table(st).collect())
+    before_rep = {
+        r["step_name"]: r["users"]
+        for r in fn.funnel_report_from_stages(spark.table(st), steps).collect()
+    }
+    rep = compact_swap_store(spark, st, num_files=1)
+    assert rep["files_after"] == 1
+    assert rep["rows"] == len(before_state)
+    assert sorted(tuple(r) for r in spark.table(st).collect()) == before_state
+    after_rep = {
+        r["step_name"]: r["users"]
+        for r in fn.funnel_report_from_stages(spark.table(st), steps).collect()
+    }
+    assert after_rep == before_rep
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+
+
+def test_transition_stores_compact_without_changing_the_matrix(spark):
+    """compact_swap_store on BOTH transition stores (counts + last-event):
+    fewer files, identical matrix, and the NEXT fold still pairs across
+    the boundary through the compacted last-event store."""
+    import uuid
+
+    from dataframes_spark.io.store import compact_swap_store
+
+    ct = f"trans_counts_{uuid.uuid4().hex[:8]}"
+    lt = f"trans_last_{uuid.uuid4().hex[:8]}"
+    for t in (ct, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    sch = "event_id long, user_id long, ts long, event_type string"
+    cb = dstream.transitions_each_batch(
+        ct, lt, "user_id", "ts", "event_type", "event_id"
+    )
+    cb(spark.createDataFrame([(1, 1, 1, "a"), (2, 1, 2, "b")], sch), 0)
+    before = sorted(tuple(r) for r in spark.table(ct).collect())
+    r1 = compact_swap_store(spark, ct)
+    r2 = compact_swap_store(spark, lt)
+    assert r1["files_after"] == 1 and r2["files_after"] == 1
+    assert sorted(tuple(r) for r in spark.table(ct).collect()) == before
+    # the fold keeps working through the compacted stores: b->c pairs
+    # across the boundary via the last-event row
+    cb(spark.createDataFrame([(3, 1, 3, "c")], sch), 1)
+    got = {
+        (r.prev_type, r.next_type): r.n for r in spark.table(ct).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+    for t in (ct, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
