@@ -2768,7 +2768,12 @@ def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: KLL driver-row configuration — shared by the query and its generated
 #: oracle so the two lanes can never drift.
-_KLL_CFG = {"k": 128, "shards": 8, "passes": 10, "merge_passes": 10}
+#: passes=8 covers ~k*2^8 = 32k rows per shard (events at sf1 = 1M rows
+#: = 125k/shard would keep level 0 slightly overfull — still a VALID
+#: sketch: weights stay exact and fewer compactions only LOWER rank
+#: error; the row is a verification lane, production uses kll_build's
+#: default 20 passes).
+_KLL_CFG = {"k": 128, "shards": 8, "passes": 8, "merge_passes": 8}
 _KLL_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -2994,7 +2999,10 @@ def cluster_store_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFram
 
     t = "cluster_store_docs_q"
     drop_table_and_location(spark, t)
-    docs = _t(spark, sf_dir, "documents")
+    # a 1/3 document subset keeps the pair stage (the same exact-jaccard
+    # relation split_leak_safe_docs verifies at full width) from
+    # dominating what this row exists to verify: the store fold law
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     pairs = ddedup.near_dup_pairs(
         docs, "text", "doc_id", min_jaccard=0.8, shingle_k=4, materialize=True
     )
@@ -5459,7 +5467,7 @@ def oracle_sql() -> dict[str, str]:
                            range(1, greatest(length(t) - 3, 1) + 1),
                            i -> substring(t, CAST(i AS INT), 4)))) AS g
                 FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
-                      FROM documents)
+                      FROM documents WHERE doc_id % 3 = 0)
             ), sizes AS (
                 SELECT id, count(*) AS n_sh FROM sh GROUP BY id
             ), co AS (
