@@ -921,3 +921,116 @@ def retention_each_batch(
             )
 
     return _apply
+
+
+def quantiles_each_batch(
+    table: str,
+    value_col: str,
+    id_col: str,
+    *,
+    k: int = 200,
+    shards: int = 32,
+    passes: int = 20,
+    qs=(0.5, 0.9, 0.99),
+    write=None,
+):
+    """Streaming rank quantiles: a ``foreachBatch`` callback folding each
+    micro-batch into a persisted KLL sketch store (`operators/kll.py`) —
+    the "live p99 of a column with unknown domain" gate the fixed-bin
+    histogram store cannot express. Per-batch cost: the batch's own
+    sketch build plus a constant-size merge + swap; state stays
+    ``O(k log(n/k))`` rows however long the stream runs, and the total
+    weight is EXACTLY the ingested row count under any batch split
+    (weight conservation — pinned in tests). ``write(quantiles_df,
+    epoch_id)`` receives the updated ``(q, value)`` estimates."""
+    from dataframes_spark.operators import kll as K
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        K.kll_store_update(
+            spark, table, batch_df, value_col, id_col,
+            k=k, shards=shards, passes=passes,
+        )
+        if write is not None:
+            sk = spark.table(table).select("level", "value", "tb")
+            write(K.kll_quantiles(sk, list(qs)), epoch_id)
+
+    return _apply
+
+
+def cluster_each_batch(
+    lsh_table: str,
+    cluster_table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    lane_hash: str = "xxhash64",
+    num_buckets: int = 32,
+    write=None,
+):
+    """Streaming incremental near-dup CLUSTERING — the full
+    dedup→cluster chain as one ``foreachBatch`` gate:
+
+    1. LSH candidates for the batch against the persisted bucket store
+       (`dedup.near_dup_incremental`: history never re-bands; the
+       bucketed store joins as-scanned);
+    2. the candidate pairs fold into the persisted cluster store
+       (`graph.cluster_store_update`: history never re-clusters);
+    3. the batch's own bands APPEND to the LSH store (no rewrite).
+
+    The union of per-batch candidate sets equals the one-shot banded
+    pair relation over everything ingested (a cross-batch pair
+    surfaces when its later document arrives; an in-batch pair
+    immediately), so by the cluster-store fold law the store equals the
+    one-shot `connected_components` over the full corpus's LSH pairs —
+    stream == batch, pinned in tests. ``write(assignments_df,
+    epoch_id)`` receives the batch documents' cluster assignment
+    (singletons labeled by their own id).
+
+    Candidates are LSH candidates, not verified near-dups — same
+    contract as `near_dup_incremental`; thread a `jaccard_verify`
+    stage between steps 1 and 2 when band collisions must be confirmed
+    against document text."""
+    from dataframes_spark.io.bucketed import read_lsh_store, write_lsh_store
+    from dataframes_spark.operators import dedup as D
+    from dataframes_spark.operators import graph as G
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        exists = spark.catalog.tableExists(lsh_table)
+        store = (
+            read_lsh_store(spark, lsh_table)
+            if exists
+            else D.lsh_bucket_store(
+                batch_df.limit(0), text_col, id_col,
+                num_hashes, bands, shingle_k, lane_hash,
+            )
+        )
+        cands, _ = D.near_dup_incremental(
+            batch_df, store, text_col, id_col,
+            num_hashes, bands, shingle_k, lane_hash,
+        )
+        G.cluster_store_update(
+            spark, cluster_table, cands,
+            src="id_new", dst="id_seen", num_buckets=num_buckets,
+        )
+        fresh = D.lsh_bucket_store(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_k, lane_hash
+        )
+        write_lsh_store(
+            fresh, lsh_table, num_buckets,
+            mode="append" if exists else "overwrite",
+        )
+        if write is not None:
+            ids = batch_df.select(F.col(id_col).alias("id"))
+            assigned = ids.join(
+                G.read_cluster_store(spark, cluster_table), "id", "left"
+            ).select(
+                "id", F.coalesce("component", F.col("id")).alias("component")
+            )
+            write(assigned, epoch_id)
+
+    return _apply

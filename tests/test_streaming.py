@@ -1082,3 +1082,91 @@ def test_transition_stores_compact_without_changing_the_matrix(spark):
     assert got == {("a", "b"): 1, ("b", "c"): 1}
     for t in (ct, lt):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_quantiles_each_batch_exact_weight_and_error(spark):
+    """Streaming KLL gate: folding micro-batches keeps the total weight
+    EXACTLY the ingested row count (weight conservation under any batch
+    split) and the served quantiles within the sketch's rank error of
+    exact, however the stream was chopped."""
+    import uuid
+
+    from dataframes_spark.operators import kll as K
+
+    t = f"kll_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    n = 9000
+    served = []
+    cb = dstream.quantiles_each_batch(
+        t, "v", "k", k=64, shards=4, passes=10, qs=(0.25, 0.5, 0.9),
+        write=lambda df, e: served.append({r.q: r.value for r in df.collect()}),
+    )
+    base = spark.range(n).select(
+        ((F.col("id") * 7919) % n).cast("double").alias("v"),
+        F.col("id").alias("k"),
+    )
+    for epoch in range(3):
+        cb(base.filter(F.col("k") % 3 == epoch), epoch)
+    sk = spark.table(t).select("level", "value", "tb")
+    assert K.kll_n(sk).first()["n"] == n
+    final = served[-1]
+    for q in (0.25, 0.5, 0.9):
+        assert abs(final[q] - q * n) < 0.06 * n, (q, final[q])
+    # served estimates are monotone in q every epoch
+    for snap in served:
+        vals = [snap[q] for q in sorted(snap)]
+        assert vals == sorted(vals)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cluster_each_batch_stream_equals_batch(spark):
+    """Streaming dedup→cluster chain: after folding all batches, the
+    cluster store equals the one-shot connected components over the
+    FULL corpus's banded LSH pair relation — cross-batch pairs surface
+    when the later document arrives, in-batch pairs immediately."""
+    import uuid
+
+    from dataframes_spark.operators import dedup as ddedup
+    from dataframes_spark.operators import graph as G
+
+    lt = f"lsh_stream_{uuid.uuid4().hex[:8]}"
+    ct = f"cluster_stream_{uuid.uuid4().hex[:8]}"
+    for t in (lt, ct):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy dog tonight",  # dup of 1
+        3: "entirely different content about spark physical plans",
+        4: "the quick brown fox jumps over the lazy dog tonight!",  # near 1
+        5: "entirely different content about spark physical plans",  # dup of 3
+        6: "a third unrelated document with its own vocabulary set",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    assigned = []
+    cb = dstream.cluster_each_batch(
+        lt, ct, "text", "doc_id", num_hashes=16, bands=8, shingle_k=4,
+        num_buckets=4,
+        write=lambda df, e: assigned.append(
+            {r.id: r.component for r in df.collect()}
+        ),
+    )
+    cb(docs.filter("doc_id <= 2"), 0)
+    cb(docs.filter("doc_id IN (3, 4)"), 1)
+    cb(docs.filter("doc_id >= 5"), 2)
+    # one-shot: CC over the full banded pair relation
+    banded = ddedup.lsh_bucket_store(docs, "text", "doc_id", 16, 8, 4)
+    pairs = ddedup._bucket_pair_expand(banded)
+    want = {
+        r.id: r.component
+        for r in G.connected_components(pairs).collect()
+    }
+    got = {r.id: r.component for r in spark.table(ct).collect()}
+    assert got == want
+    # duplicates clustered, singletons absent from the store but
+    # labeled by their own id in the served assignment
+    assert got[2] == got[1] and got[5] == got[3]
+    assert 6 not in got and assigned[2][6] == 6
+    for t in (lt, ct):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
