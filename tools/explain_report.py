@@ -25,7 +25,7 @@ SHOWCASE = [
     ("range_join_purchase_clicks", "range join: bucket explode -> hash join + residual"),
     ("embedding_near_dup_pairs", "blocked matmul: block-pair tasks -> applyInPandas"),
     ("chunk_documents", "expression explode chunking: no shuffle, no Python"),
-    ("pack_documents_cumsum", "one window pass pack assignment + utilization agg"),
+    ("pack_documents_cumsum", "distributed global cumsum: proxy-quantile buckets, per-bucket window, broadcast offsets"),
     ("pack_documents_greedy", "exact first-fit: single-group applyInPandas kernel"),
     ("minhash_signatures_md5", "md5 lane hashes JVM-side -> Arrow min-fold -> posexplode"),
     ("decontaminate_docs", "eval n-gram hashes broadcast; corpus side never shuffles"),
@@ -62,7 +62,7 @@ SHOWCASE = [
     ("rolling_1h", "distributed global rolling: fixed-width buckets -> ghost rows -> per-bucket range frame"),
     ("ivf_probe_partitioned", "on-disk IVF: cluster-partitioned store, probe prunes directories (PartitionFilters)"),
     ("ann_recall_report", "recall@k: broadcast query set, per-lane candidates, windowed top-k, ratio aggs"),
-    ("funnel_events", "ordered funnel: user-keyed fold in the agg buffer, no k-way self-join, k-row report"),
+    ("funnel_events", "ordered funnel: k chained conditional-min aggregates, two scalars of per-user state"),
     ("funnel_events_windowed", "windowed funnel: max-chain-start fold, linear state vs the quadratic exists-join"),
     ("cohort_retention_daily", "cohort matrix: ONE (user,period) shuffle, collect_set + array_min + explode"),
     ("cms_heavy_tokens_md5", "count-min sketch: cell-bounded partial agg, broadcast estimation join"),
@@ -91,6 +91,15 @@ SHOWCASE = [
     ("hist_quantiles_events", "histogram quantiles: bins-row partial agg, covering-bin broadcast join"),
     ("snapshot_diff_docs", "rebuild diff: ONE null-safe full outer join, all counts in one aggregate"),
     ("lang_mix_docs", "language mixing: doc + per-line langid argmax, one id-keyed fold"),
+    # round 10
+    ("concat_horizontal", "distributed row positions: proxy-quantile buckets -> per-bucket row_number + broadcast offsets, position full-outer join"),
+    ("kll_quantiles_events", "KLL sketch: md5-derandomized compaction passes over shrinking item sets, cumulative-weight cut above an aggregate"),
+    ("oov_report_docs", "OOV report: explode -> broadcast vocab left join -> id-keyed fold, tokenless docs survive"),
+    ("dsir_ess_docs", "Kish ESS: B-row broadcast model scoring, 1-row max shift, 1-row ratio fold"),
+    # cluster_store_incremental_docs is NOT showcased: the fold runs
+    # eagerly inside the query (two store swaps); the returned frame is
+    # a bucketed-store read. The no-reshuffle probe plan is pinned in
+    # tests/test_cluster_store.py.
     # quality_report_lineitem is NOT showcased: check_report collects the
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
