@@ -2728,6 +2728,98 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic C4-visible structure, derived
+    identically on both engines (the `_segmented_docs` pattern): 8-word
+    lines with a terminal ``.`` appended to every ODD (1-based) line —
+    so the terminal-punctuation rule discriminates — plus three
+    doc_id-residue injections that exercise the page rules: ``% 11`` a
+    "lorem ipsum" line, ``% 13`` a curly-brace line, ``% 17`` a
+    javascript line."""
+    seg = _segmented_docs(spark, sf_dir)
+    lines = F.split(F.col("text"), r"\n")
+    dotted = F.concat_ws(
+        "\n",
+        F.transform(
+            lines,
+            lambda x, i: F.concat(
+                x, F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit(""))
+            ),
+        ),
+    )
+    did = F.col("doc_id")
+    injected = F.concat(
+        dotted,
+        F.when(did % 11 == 0, F.lit("\nlorem ipsum dolor sit amet today."))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("\nsee the { code block right now."))
+        .otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.lit("\nplease enable javascript to continue viewing this."),
+        ).otherwise(F.lit("")),
+    )
+    return seg.select("doc_id", injected.alias("text"))
+
+
+def c4_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning heuristics (functions/text.py c4_rules, Raffel et
+    al. 2020 §2.2) over deterministically punctuated re-segmented docs:
+    one map-only scan emitting per-document line counts, the kept-line
+    fraction, the sentence count and the three page verdicts plus the
+    composite — every measurement and verdict replayed in DuckDB."""
+    return dtext.c4_rules(_c4_docs(spark, sf_dir), "text", "doc_id")
+
+
+def ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity tertiles (functions/text.py
+    perplexity_buckets, Wenzek et al. 2020): corpus-unigram LM score per
+    document (rounded 6dp BEFORE thresholding), exact per-language
+    tertile thresholds (interpolated quantiles of identical rounded
+    inputs are bit-identical across engines — verified), broadcast
+    threshold join, map-only head/middle/tail label."""
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.perplexity_buckets(docs, "text", "doc_id", "lang")
+
+
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle (operators/sample.py
+    epoch_shuffle): shard from the top 60 bits of the epoch-keyed md5,
+    position from a per-shard row_number over (hash, id) — a different
+    total order per epoch, bit-identical on rerun and in DuckDB. The
+    only exchange is the shard hash-partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    from dataframes_spark.operators.sample import epoch_shuffle
+
+    return epoch_shuffle(docs, "doc_id", epoch=3, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+def semdedup_pinned_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (operators/dedup.py semdedup, Abbas et al. 2023) with
+    PINNED centroids — the embeddings of vec_ids 1..4, the
+    ivf_probe_pinned recipe — over the rest of the corpus: nearest-
+    centroid assignment, within-cluster cosine pairs, and the paper's
+    keep-the-farthest-from-centroid rule, every verdict replayed in
+    DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id").between(1, 4))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centers = [[float(x) for x in r.embedding] for r in cent_rows]
+    return ddedup.semdedup(
+        emb.filter(F.col("vec_id") > 4),
+        "embedding",
+        "vec_id",
+        centers,
+        threshold=0.3,
+    )
+
+
 def event_transitions_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix (operators/funnel.py
     event_transitions): per-user successor pairs via ONE user-partitioned
@@ -3140,28 +3232,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via chunk_documents + the pack rows.
         "funnel_events_windowed": funnel_events_windowed,
         "cohort_retention_daily": cohort_retention_daily,
-        # -- round 8 (continuation): count-min sketch heavy hitters,
-        #    md5 lane — the whole 3x64 sketch (collided cells included)
-        #    is rebuilt in DuckDB, so estimation hash-verifies cell for
-        #    cell. skew_report_orders (green r5-r7) rotates below; the
-        #    skew family stays in-window via salted_agg_events.
-        "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
-        # -- round 8 (continuation): HyperLogLog distinct sketch, md5
-        #    lane — the whole register frame (60-bit hash split,
-        #    bit-smear ranks, exact-BIGINT harmonic denominator) is
-        #    rebuilt in DuckDB; both estimate branches (linear counting
-        #    AND raw harmonic) hash-verify. resample_events_hourly
-        #    (green r5-r7) rotates below; the time-bucketing family
-        #    stays in-window via rolling_1h + interval_overlap_purchases.
-        "hll_distinct_users_md5": hll_distinct_users_md5,
-        # -- round 8 (continuation): BM25 retrieval — the query-ranking
-        #    dual of tfidf_top_terms; postings filtered to query terms
-        #    at the explode, map-only doc lengths, broadcast stats,
-        #    k-heap ranking on the rounded score. mix_corpus_sources
-        #    (green r5-r7) rotates below; the sampling family keeps
-        #    three in-window rows (split_documents, cap_docs_per_source,
-        #    shard_report_docs).
-        "bm25_docs": bm25_docs,
+        # -- round 10 (new operators, continuation): four corpus-curation
+        #    operators from the published playbooks, each hash-verified:
+        #    c4_rules_docs — the C4 cleaning heuristics (Raffel et al.
+        #    2020 §2.2: terminal-punctuation/min-words/javascript line
+        #    filters, sentence/lorem/brace page verdicts) over
+        #    deterministically punctuated re-segmented docs (the
+        #    gopher_rules_docs structure pattern); ccnet_buckets_docs —
+        #    CCNet per-language perplexity tertiles (Wenzek et al. 2020)
+        #    with exact thresholds over 6dp-rounded LM scores
+        #    (interpolated quantiles of identical inputs are
+        #    bit-identical — verified); epoch_shuffle_docs — the
+        #    deterministic per-epoch training shuffle (md5-keyed shard +
+        #    per-shard position); semdedup_pinned_vecs — SemDedup (Abbas
+        #    et al. 2023) with pinned centroids (the ivf_probe_pinned
+        #    recipe). To hold the window at 50, four DOUBLY-green
+        #    (r8-r9) rows rotate below: cms_heavy_tokens_md5 +
+        #    hll_distinct_users_md5 (sketch family stays in-window via
+        #    kll_quantiles_events + hist_quantiles_events),
+        #    bm25_docs (text/retrieval family stays via gopher_rules_docs,
+        #    zipf_docs, bigram_logprob_docs, lang_mix_docs,
+        #    oov_report_docs) and drift_psi_prices (drift family stays
+        #    via drift_categorical_events + drift_multi_lineitem).
+        "c4_rules_docs": c4_rules_docs,
+        "ccnet_buckets_docs": ccnet_buckets_docs,
+        "epoch_shuffle_docs": epoch_shuffle_docs,
+        "semdedup_pinned_vecs": semdedup_pinned_vecs,
         # -- round 8 (continuation): the weighted-sample merge law —
         #    two batch top-k frames merged must equal the one-shot
         #    sample (the oracle IS the unsplit SQL), the invariant
@@ -3184,13 +3280,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ivf_probe_pinned pattern).
         "embedding_covariance_upper": embedding_covariance_upper,
         "pca_project_pinned": pca_project_pinned,
-        # -- round 8 (continuation): PSI drift gate — the
-        #    continuously-ingesting pipeline's "did this batch's
-        #    distribution move?" check; bins-row exchanges only, whole
-        #    report hash-verified. attribution_stream_clicks (green r7)
-        #    rotates below; streaming stays covered by the stream==batch
-        #    pins and its batch twin interval rows in the full sweep.
-        "drift_psi_prices": drift_psi_prices,
         # -- round 9 (new): categorical (value-bucket) PSI drift — the
         #    top-k + __other__ gate for language/source/license columns
         #    numeric binning can't express; derivation, bucketing,
@@ -3453,6 +3542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
         # round-10 rotations (see the window-top comment for families):
+        "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
+        "hll_distinct_users_md5": hll_distinct_users_md5,
+        "bm25_docs": bm25_docs,
+        "drift_psi_prices": drift_psi_prices,
         "ann_recall_report": ann_recall_report,
         "drift_multi_lineitem": drift_multi_lineitem,
         "ivf_probe_pinned": ivf_probe_pinned,
@@ -4588,6 +4681,193 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1
             ORDER BY n_users DESC, path ASC
             LIMIT 20
+        """,
+        "c4_rules_docs": """
+            -- functions/text.py c4_rules (Raffel et al. 2020 C4 §2.2)
+            -- replayed over the same deterministic structure: 8-word
+            -- lines, '.' on odd (1-based) lines, the three doc_id-residue
+            -- page injections; line filters (terminal punct / >=5 words /
+            -- no javascript), sentence count over kept lines, page
+            -- verdicts and the composite.
+            WITH docs AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
+                FROM documents
+            ), seg AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           generate_series(
+                               1, CAST(ceil(len(w0) / 8.0) AS BIGINT)),
+                           i -> array_to_string(
+                                    w0[(i - 1) * 8 + 1 : i * 8], ' ')
+                                || CASE WHEN i % 2 = 1
+                                        THEN '.' ELSE '' END
+                       ), chr(10)) AS t0
+                FROM docs
+            ), inj AS (
+                SELECT doc_id,
+                       t0
+                       || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                            'lorem ipsum dolor sit amet today.'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                            'see the { code block right now.'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                            'please enable javascript to continue viewing this.'
+                          ELSE '' END AS text
+                FROM seg
+            ), g AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> len(trim(x)) > 0) AS lines
+                FROM inj
+            ), k AS (
+                SELECT doc_id, text, lines,
+                       list_filter(lines, x ->
+                           (ends_with(rtrim(x), '.')
+                            OR ends_with(rtrim(x), '!')
+                            OR ends_with(rtrim(x), '?')
+                            OR ends_with(rtrim(x), '"'))
+                           AND len(list_filter(
+                                   regexp_split_to_array(trim(x), '\\s+'),
+                                   w -> w <> '')) >= 5
+                           AND NOT contains(lower(x), 'javascript')
+                       ) AS kept
+                FROM g
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                       CAST(coalesce(list_sum(list_transform(kept, x ->
+                           (len(x) - len(replace(x, '.', '')))
+                           + (len(x) - len(replace(x, '!', '')))
+                           + (len(x) - len(replace(x, '?', ''))))), 0)
+                           AS BIGINT) AS n_sentences,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{') AS has_brace
+                FROM k
+            )
+            SELECT doc_id, n_lines, n_kept_lines,
+                   round(n_kept_lines
+                         / CAST(greatest(n_lines, 1) AS DOUBLE), 6)
+                       AS kept_frac,
+                   n_sentences,
+                   CASE WHEN n_sentences >= 3 THEN 1 ELSE 0 END
+                       AS pass_sentences,
+                   CASE WHEN has_lorem THEN 0 ELSE 1 END AS pass_lorem,
+                   CASE WHEN has_brace THEN 0 ELSE 1 END AS pass_brace,
+                   (CASE WHEN n_sentences >= 3 THEN 1 ELSE 0 END)
+                     * (CASE WHEN has_lorem THEN 0 ELSE 1 END)
+                     * (CASE WHEN has_brace THEN 0 ELSE 1 END) AS pass_all
+            FROM m
+        """,
+        "ccnet_buckets_docs": """
+            -- functions/text.py perplexity_buckets (Wenzek et al. 2020
+            -- CCNet): the unigram_logprob_docs LM replayed, scores
+            -- rounded 6dp BEFORE the per-language tertile thresholds
+            -- (quantile_cont == Spark percentile bit-for-bit on
+            -- identical inputs), strict-greater bucket comparisons.
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+')) AS token
+                FROM documents
+            ), dt AS (
+                SELECT doc_id, token, count(*) AS m
+                FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), counts AS (
+                SELECT token, sum(m) AS c FROM dt GROUP BY token
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
+            ), sc AS (
+                SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                       round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
+                FROM dt JOIN counts USING (token), tot
+                GROUP BY doc_id
+            ), sl AS (
+                SELECT d.doc_id, d.lang, sc.n_tokens, sc.avg_logprob
+                FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+            ), thr AS (
+                SELECT lang,
+                       quantile_cont(avg_logprob, 0.3333333333333333) AS t1,
+                       quantile_cont(avg_logprob, 0.6666666666666666) AS t2
+                FROM sl GROUP BY lang
+            )
+            SELECT doc_id, lang, n_tokens, avg_logprob,
+                   CASE WHEN avg_logprob > t2 THEN 'head'
+                        WHEN avg_logprob > t1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sl JOIN thr USING (lang)
+        """,
+        "epoch_shuffle_docs": """
+            -- operators/sample.py epoch_shuffle: shard = top 60 bits of
+            -- md5(key || '/epoch3') mod 8, pos = per-shard row_number
+            -- over (hash, key) minus 1.
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || '/epoch3'), 1, 15))::BIGINT AS hh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(hh % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1
+                       AS BIGINT) AS pos
+            FROM h
+        """,
+        "semdedup_pinned_vecs": """
+            -- operators/dedup.py semdedup (Abbas et al. 2023) with the
+            -- pinned centroids = unit vectors of vec_ids 1..4: nearest-
+            -- centroid argmax (lowest index on ties), within-cluster
+            -- cosine pairs at raw threshold 0.3, loser = the similar
+            -- item NEARER its centroid (rounded cent_cos, id tiebreak).
+            WITH u AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE)
+                                      * CAST(y AS DOUBLE))))) AS unit
+                FROM embeddings
+            ), cents AS (
+                SELECT vec_id - 1 AS cl, unit AS cunit
+                FROM u WHERE vec_id BETWEEN 1 AND 4
+            ), base AS (
+                SELECT vec_id, unit FROM u WHERE vec_id > 4
+            ), scored AS (
+                SELECT b.vec_id, c.cl,
+                       list_sum(list_transform(
+                           range(1, len(b.unit) + 1),
+                           i -> b.unit[CAST(i AS INT)]
+                                * c.cunit[CAST(i AS INT)])) AS s
+                FROM base b CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, cl, s,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, cl ASC) AS rn
+                FROM scored
+            ), asn AS (
+                SELECT vec_id, CAST(cl AS INTEGER) AS cluster,
+                       round(s, 6) AS cent_cos
+                FROM best WHERE rn = 1
+            ), losers AS (
+                SELECT DISTINCT a.vec_id AS ida
+                FROM asn a
+                JOIN asn b ON a.cluster = b.cluster
+                          AND a.vec_id <> b.vec_id
+                JOIN base ua ON ua.vec_id = a.vec_id
+                JOIN base ub ON ub.vec_id = b.vec_id
+                WHERE list_sum(list_transform(
+                          range(1, len(ua.unit) + 1),
+                          i -> ua.unit[CAST(i AS INT)]
+                               * ub.unit[CAST(i AS INT)])) >= 0.3
+                  AND (b.cent_cos < a.cent_cos
+                       OR (b.cent_cos = a.cent_cos
+                           AND b.vec_id < a.vec_id))
+            )
+            SELECT a.vec_id, a.cluster, a.cent_cos,
+                   CASE WHEN l.ida IS NULL THEN 0 ELSE 1 END AS is_dup
+            FROM asn a LEFT JOIN losers l ON a.vec_id = l.ida
         """,
         "gopher_rules_docs": """
             -- functions/text.py gopher_rules replayed over the same

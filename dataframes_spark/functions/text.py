@@ -901,3 +901,185 @@ def oov_report(
             ).alias("oov_frac"),
         )
     )
+
+
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2) as ONE map-only scan: per-document line
+    measurements plus 0/1 verdicts and the composite ``pass_all``.
+
+    Line-level filters (a line survives only if ALL hold):
+      - ends in a terminal punctuation mark (``.``/``!``/``?``/``"``)
+      - has at least ``min_words_per_line`` words
+      - does not contain the word "javascript" (case-insensitive)
+
+    Page-level verdicts, evaluated after line filtering:
+      - ``pass_sentences``: at least ``min_sentences`` sentences remain
+        (sentence count = terminal ``.``/``!``/``?`` marks in the kept
+        lines)
+      - ``pass_lorem``: no "lorem ipsum" placeholder text anywhere
+      - ``pass_brace``: no curly brace ``{`` anywhere (code)
+      - ``pass_all`` = the three page verdicts together
+
+    The paper's badword list and its three-sentence-span dedup are
+    separate concerns here by design: blocklists are deployment policy
+    (compose with a broadcast-joined list), and span dedup is
+    `operators/dedup.duplicate_spans`. Everything below is JVM
+    higher-order functions over the split line array — no shuffle, no
+    Python in the row path — so the filter runs at scan speed at any
+    corpus size and a downstream ``pass_all`` predicate stays in the
+    same codegen stage. Fractions round to 6 places (the repo's
+    float-output contract); blank-only documents report zero lines and
+    fail the sentence rule rather than dropping."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.split(text, r"\n"), lambda x: F.length(F.trim(x)) > F.lit(0)
+    )
+
+    def _terminal(x):
+        r = F.rtrim(x)
+        out = F.lit(False)
+        for t in _C4_TERMINALS:
+            out = out | r.endswith(t)
+        return out
+
+    def _n_words(x):
+        return F.size(
+            F.filter(
+                F.split(F.trim(x), r"\s+"), lambda w: w != F.lit("")
+            )
+        )
+
+    kept = F.filter(
+        lines,
+        lambda x: _terminal(x)
+        & (_n_words(x) >= F.lit(min_words_per_line))
+        & ~F.lower(x).contains("javascript"),
+    )
+
+    def _marks(acc, x):
+        n = F.lit(0)
+        for t in (".", "!", "?"):
+            n = n + (
+                F.length(x) - F.length(F.replace(x, F.lit(t), F.lit("")))
+            )
+        return acc + n
+
+    n_lines = F.size(lines).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    n_sentences = F.aggregate(kept, F.lit(0), _marks).cast("bigint")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    p_sent = (n_sentences >= min_sentences).cast("int")
+    p_lorem = (~has_lorem).cast("int")
+    p_brace = (~has_brace).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.round(
+            n_kept / F.greatest(n_lines, F.lit(1)).cast("double"), 6
+        ).alias("kept_frac"),
+        n_sentences.alias("n_sentences"),
+        p_sent.alias("pass_sentences"),
+        p_lorem.alias("pass_lorem"),
+        p_brace.alias("pass_brace"),
+        (p_sent * p_lorem * p_brace).alias("pass_all"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Apply the C4 filters (`c4_rules`): drop failing pages, and in the
+    survivors keep only the surviving lines (newline-rejoined). Same
+    single map-only scan shape — the verdict relation joins back on the
+    id, so the corpus text crosses no shuffle."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.split(text, r"\n"), lambda x: F.length(F.trim(x)) > F.lit(0)
+    )
+
+    def _keep(x):
+        r = F.rtrim(x)
+        term = F.lit(False)
+        for t in _C4_TERMINALS:
+            term = term | r.endswith(t)
+        nw = F.size(
+            F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != F.lit(""))
+        )
+        return (
+            term
+            & (nw >= F.lit(min_words_per_line))
+            & ~F.lower(x).contains("javascript")
+        )
+
+    verdicts = c4_rules(
+        df, text_col, id_col, min_words_per_line, min_sentences
+    ).select(id_col, "pass_all")
+    cleaned = df.join(verdicts, id_col).filter(F.col("pass_all") == 1)
+    return cleaned.select(
+        F.col(id_col),
+        F.array_join(F.filter(lines, _keep), "\n").alias(text_col),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score each document under the corpus unigram LM
+    (`unigram_logprob` — higher avg log-prob = lower perplexity), then
+    split EACH LANGUAGE into per-language likelihood tertiles: ``head``
+    above the 2/3 threshold, ``middle`` above 1/3, ``tail`` below. CCNet
+    uses these buckets to keep head/middle and drop (or downweight) the
+    tail.
+
+    Plan: one corpus scan for the LM fold, one doc-keyed fold for the
+    scores, ONE languages-row aggregate for the thresholds (exact
+    ``percentile`` by default — the `describe` pinned choice; pass
+    ``approx=True`` for ``percentile_approx`` at 100 TB where a
+    registry-backed sketch is the right tool), then a broadcast
+    threshold join and a map-only bucket label. The corpus text itself
+    never shuffles on the bucket path. Scores are rounded to 6dp BEFORE
+    the threshold quantile so the bucket boundary is a deterministic
+    function of the rounded score relation (engine-reproducible:
+    interpolated quantiles of identical inputs are bit-identical)."""
+    lp = unigram_logprob(df, text_col, id_col)
+    scored = df.select(F.col(id_col), F.col(lang_col)).join(lp, id_col)
+    pfn = "percentile_approx" if approx else "percentile"
+    thr = scored.groupBy(lang_col).agg(
+        F.expr(f"{pfn}(avg_logprob, 0.3333333333333333)").alias("__t1"),
+        F.expr(f"{pfn}(avg_logprob, 0.6666666666666666)").alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") > F.col("__t2"), F.lit("head"))
+        .when(F.col("avg_logprob") > F.col("__t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(thr), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        "avg_logprob",
+        bucket.alias("bucket"),
+    )

@@ -24,6 +24,7 @@ the pipeline lazy.
 
 from __future__ import annotations
 
+import math
 import weakref
 
 import pandas as pd
@@ -1502,3 +1503,106 @@ def near_dup_incremental(
     candidates = in_batch.unionByName(vs_store).distinct()
     updated = store.unionByName(fresh_banded)
     return candidates, updated
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centers: list,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, "SemDedup: Data-efficient learning
+    at web-scale through semantic deduplication"): partition the
+    embedding space with k centroids, compare pairs only WITHIN a
+    cluster, and mark as duplicate every item that is cosine-similar
+    (>= ``threshold``) to a keep-preferred twin. Keep preference follows
+    the paper: within a similar pair the item with the LOWER cosine to
+    its cluster centroid survives (far-from-centroid = the more
+    informative example), ties to the smaller id — so each duplicate
+    pair resolves to exactly one loser, the relational form of the
+    paper's per-cluster greedy. Returns ``(id, cluster, cent_cos,
+    is_dup)`` for every input row.
+
+    ``centers`` are PINNED literal centroids (a prior k-means fit, e.g.
+    `similarity.ivf_fit`, or any deterministic choice) — given them,
+    assignment, scoring and the dup rule are exact relational algebra
+    (the `ivf_assign` pattern), so the whole operator is
+    cross-engine-verifiable and incrementally reusable without
+    refitting.
+
+    Scale shape: assignment is map-only (centroids ride as k x dim plan
+    literals); the ONLY shuffle is the cluster equi-key self-join, so
+    candidate pairs are bounded per cluster — size k for ~|corpus|/k
+    cluster population (the paper's lever), and a whale cluster shows
+    up in `skew.skew_report` on ``cluster`` before it hurts. The
+    keep-priority ``cent_cos`` compares ROUNDED (6dp) so the verdict is
+    reproducible across engines; the pair threshold compares the raw
+    dot product (deterministic: same element order both sides)."""
+    from dataframes_spark.operators.similarity import _unit
+
+    if not centers:
+        raise ValueError("semdedup needs at least one centroid")
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    unit = _unit(vd)
+    scores = []
+    for c in centers:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        ccol = F.array(*[F.lit(float(x) / cn) for x in c])
+        scores.append(
+            F.aggregate(
+                F.zip_with(unit, ccol, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    sarr = F.array(*scores)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.array_position(sarr, F.array_max(sarr)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.round(F.array_max(sarr), 6).alias("cent_cos"),
+        unit.alias("__unit"),
+    )
+    a = base.select(
+        F.col("id").alias("__ida"),
+        F.col("cluster").alias("__cl"),
+        F.col("cent_cos").alias("__ca"),
+        F.col("__unit").alias("__ua"),
+    )
+    b = base.select(
+        F.col("id").alias("__idb"),
+        F.col("cluster").alias("__cl"),
+        F.col("cent_cos").alias("__cb"),
+        F.col("__unit").alias("__ub"),
+    )
+    pair_cos = F.aggregate(
+        F.zip_with(F.col("__ua"), F.col("__ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    losers = (
+        a.join(b, "__cl")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .filter(pair_cos >= F.lit(float(threshold)))
+        .filter(
+            (F.col("__cb") < F.col("__ca"))
+            | (
+                (F.col("__cb") == F.col("__ca"))
+                & (F.col("__idb") < F.col("__ida"))
+            )
+        )
+        .select(F.col("__ida").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        base.join(losers, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "cent_cos",
+            F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
+        )
+    )

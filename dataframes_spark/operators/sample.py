@@ -518,3 +518,55 @@ def mix_manifest(
             ).alias("sample_rate"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    n_shards: int,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training-data
+    ordering: ``shard`` in ``[0, n_shards)`` and a contiguous ``pos``
+    within the shard, both pure functions of ``(key, epoch)``.
+
+    Training runs need a DIFFERENT order each epoch but the SAME order
+    on any rerun/resume of that epoch — ``df.orderBy(rand(seed))`` gives
+    neither (partition-layout-dependent), and a global sort by a random
+    key is one big range exchange. Here the epoch-keyed md5
+    (``md5(key || '/' || salt || epoch)``, the `assign_shards`
+    arithmetic) drives BOTH decisions: the top 60 bits mod ``n_shards``
+    picks the shard (one map-only expression) and ``row_number`` over
+    ``(hash, key)`` WITHIN the shard gives the position — the only
+    exchange is the shard hash-partitioning, each window sorts one
+    shard, and no stage sees more than 1/n_shards of the data. A
+    training loader reads shard files in shard order, rows in ``pos``
+    order; a different ``epoch`` reshuffles everything, the same epoch
+    replays bit-identically on any engine with standard md5.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit(f"/{salt}{int(epoch)}"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window as W
+
+    out = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("int")
+    )
+    w = W.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(key_col).asc())
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("__h")

@@ -1,0 +1,100 @@
+"""SemDedup (operators/dedup.py semdedup, Abbas et al. 2023) and the
+deterministic per-epoch shuffle (operators/sample.py epoch_shuffle)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators.dedup import semdedup
+from dataframes_spark.operators.sample import epoch_shuffle
+
+# two well-separated centroids on the axes
+CENTERS = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_semdedup_marks_within_cluster_duplicates(spark):
+    df = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.05, 0.0]),   # cluster 0, very near 2
+            (2, [1.0, 0.06, 0.01]),  # cluster 0, very near 1
+            (3, [0.2, 1.0, 0.0]),    # cluster 1, alone-ish
+            (4, [0.0, 1.0, 0.3]),    # cluster 1, not similar to 3
+        ],
+    )
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup(df, "embedding", "vec_id", CENTERS, 0.99).collect()
+    }
+    assert out[1]["cluster"] == 0 and out[2]["cluster"] == 0
+    assert out[3]["cluster"] == 1 and out[4]["cluster"] == 1
+    # 1 and 2 are a similar pair: exactly one marked duplicate, and the
+    # survivor is the one FARTHER from the centroid (lower cent_cos)
+    dups = {i for i in (1, 2) if out[i]["is_dup"] == 1}
+    assert len(dups) == 1
+    kept = ({1, 2} - dups).pop()
+    assert out[kept]["cent_cos"] <= out[dups.pop()]["cent_cos"]
+    # 3 and 4 are dissimilar: both survive
+    assert out[3]["is_dup"] == 0 and out[4]["is_dup"] == 0
+
+
+def test_semdedup_cross_cluster_pairs_never_compared(spark):
+    # identical vectors pulled to different clusters never pair
+    df = _vecs(spark, [(1, [1.0, 0.9, 0.0]), (2, [0.9, 1.0, 0.0])])
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup(df, "embedding", "vec_id", CENTERS, 0.5).collect()
+    }
+    assert out[1]["cluster"] != out[2]["cluster"]
+    assert out[1]["is_dup"] == 0 and out[2]["is_dup"] == 0
+
+
+def test_semdedup_every_row_reported_and_empty_centers_raise(spark):
+    df = _vecs(spark, [(i, [float(i), 1.0, 0.0]) for i in range(10)])
+    out = semdedup(df, "embedding", "vec_id", CENTERS, 0.999999)
+    assert out.count() == 10
+    with pytest.raises(ValueError):
+        semdedup(df, "embedding", "vec_id", [], 0.9)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_epoch_shuffle_matches_reference_md5_and_is_contiguous(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    out = epoch_shuffle(df, "k", epoch=3, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 200
+    for r in rows:
+        h = _md5_60(f"{r['k']}/epoch3")
+        assert r["shard"] == h % 4
+    # positions are a contiguous 0..n-1 range within each shard, ordered
+    # by the epoch hash
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, grp in by_shard.items():
+        grp.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in grp] == list(range(len(grp)))
+        keys = [(_md5_60(f"{r['k']}/epoch3"), r["k"]) for r in grp]
+        assert keys == sorted(keys)
+
+
+def test_epoch_shuffle_different_epochs_differ_and_rerun_is_stable(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    a = {(r["k"]): (r["shard"], r["pos"])
+         for r in epoch_shuffle(df, "k", 1, 4).collect()}
+    a2 = {(r["k"]): (r["shard"], r["pos"])
+          for r in epoch_shuffle(df.repartition(7), "k", 1, 4).collect()}
+    b = {(r["k"]): (r["shard"], r["pos"])
+         for r in epoch_shuffle(df, "k", 2, 4).collect()}
+    assert a == a2  # partitioning-independent
+    assert a != b  # epochs reshuffle
