@@ -2782,6 +2782,103 @@ def ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtext.perplexity_buckets(docs, "text", "doc_id", "lang")
 
 
+_BPE_K = 6
+
+
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge induction (functions/bpe.py, Sennrich et
+    al. 2016): the first ``_BPE_K`` learned merges over the documents
+    corpus — ONE corpus scan builds the word-type relation, then each
+    round is a pair-count groupBy, a deterministic 1-row argmax (count
+    desc, lexicographic tiebreak) and a map-only greedy-fold rewrite of
+    the symbol arrays. Every round is replayed in DuckDB by a GENERATED
+    unrolled-CTE oracle built from the same constant (`_bpe_oracle`,
+    the `_kll_oracle` pattern), so the whole training loop
+    hash-verifies: pair counts, argmax ties, and the left-to-right
+    non-overlapping merge semantics."""
+    from dataframes_spark.functions import bpe as dbpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = dbpe.bpe_learn(docs, "text", _BPE_K)
+    return dbpe.merge_table(spark, merges)
+
+
+def bpe_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BPE (functions/bpe.py): the corpus split into three
+    batches, each reduced to its word-type counts (BPE's sufficient
+    statistic), folded with `merge_type_counts`, and trained with the
+    same loop — the oracle is the ONE-SHOT `_bpe_oracle` SQL, so the
+    hash equality IS the fold law (the dsir_incremental_docs pattern).
+    Production persists the fold via `word_type_store_update` and
+    refits with `bpe_learn_from_store` at vocabulary cost, never
+    re-scanning history."""
+    from functools import reduce
+
+    from dataframes_spark.functions import bpe as dbpe
+
+    docs = _t(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    counts = reduce(
+        dbpe.merge_type_counts,
+        [dbpe.word_type_counts(b, "text") for b in batches],
+    )
+    merges, _ = dbpe.bpe_learn_from_counts(counts, _BPE_K)
+    return dbpe.merge_table(spark, merges)
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
+    """Generated DuckDB replay of `bpe_merges_docs`: one (pair-count,
+    argmax, list_reduce-merge) CTE triple per round, built from the
+    same ``_BPE_K`` the Spark query uses — the two lanes share the
+    round count by construction. The list_reduce CASE is the exact
+    twin of `bpe._merge_fold` (seed = first element on both sides)."""
+    merge_case = (
+        "CASE WHEN acc = m.lhs AND x = m.rhs THEN m.lhs || m.rhs "
+        "WHEN ends_with(acc, ' ' || m.lhs) AND x = m.rhs "
+        "THEN left(acc, len(acc) - len(m.lhs)) || m.lhs || m.rhs "
+        "ELSE acc || ' ' || x END"
+    )
+    parts = [
+        """
+            WITH w0 AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        lower(trim(coalesce(text, ''))), '\\s+')) AS word
+                    FROM documents)
+                WHERE word <> '' GROUP BY word
+            ), s0 AS (
+                SELECT freq,
+                       list_concat(regexp_extract_all(word, '.'),
+                                   ['</w>']) AS syms
+                FROM w0
+            )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", p{i} AS (
+                SELECT syms[g] AS lhs, syms[g + 1] AS rhs,
+                       CAST(sum(freq) AS BIGINT) AS n
+                FROM (SELECT freq, syms,
+                             unnest(generate_series(1, len(syms) - 1)) AS g
+                      FROM s{i - 1})
+                GROUP BY 1, 2
+            ), m{i} AS (
+                SELECT lhs, rhs, n FROM p{i}
+                ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1
+            ), s{i} AS (
+                SELECT s.freq,
+                       string_split(list_reduce(s.syms,
+                           (acc, x) -> {merge_case}), ' ') AS syms
+                FROM s{i - 1} s CROSS JOIN m{i} m
+            )"""
+        )
+    selects = "\n            UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, n FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n            " + selects
+
+
 def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch training shuffle (operators/sample.py
     epoch_shuffle): shard from the top 60 bits of the epoch-keyed md5,
@@ -3258,14 +3355,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "epoch_shuffle_docs": epoch_shuffle_docs,
         "semdedup_pinned_vecs": semdedup_pinned_vecs,
-        # -- round 8 (continuation): the weighted-sample merge law —
-        #    two batch top-k frames merged must equal the one-shot
-        #    sample (the oracle IS the unsplit SQL), the invariant
-        #    behind weighted_store_update. interval_overlap_purchases
-        #    (green r5-r7) rotates below; the range/interval family
-        #    stays in-window via attribution_stream_clicks, which RUNS
-        #    the same interval join as a stream.
-        "weighted_merge_docs": weighted_merge_docs,
+        # -- round 10 (continuation): distributed BPE merge induction
+        #    (Sennrich et al. 2016) — the tokenizer-training loop
+        #    itself, hash-verified round for round by a GENERATED
+        #    unrolled-CTE oracle (pair counts, deterministic argmax,
+        #    greedy-fold merge semantics). weighted_merge_docs (doubly
+        #    green r8-r9) rotates below; the sampling family stays
+        #    in-window via mix_temperature_docs + mix_manifest_docs +
+        #    dsir_sample_docs + epoch_shuffle_docs.
+        "bpe_merges_docs": bpe_merges_docs,
         # -- round 8 (continuation): PCA over embeddings — the
         #    covariance face hash-verifies (one constant-state moment
         #    scan vs DuckDB covar_pop). quality_quartiles_docs and
@@ -3450,8 +3548,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    going green r6-r9; ANN stays via ivf_probe_partitioned +
         #    ann_recall_report + pq_probe_pinned.)
         "frame_sample_timestamps": frame_sample_timestamps,
-        # -- entered the window round 5 (rotation promise + new queries)
-        "decontaminate_docs": decontaminate_docs,
+        # -- round 10 (continuation): incremental BPE — the word-type
+        #    count fold IS the sufficient statistic; the oracle is the
+        #    UNSPLIT one-shot SQL, so the hash equality proves the fold
+        #    law (the dsir_incremental_docs pattern).
+        #    decontaminate_docs (the most multiply-green remaining
+        #    in-window row, r5-r9) rotates below; decontamination stays
+        #    verified by the full local sweep + the streaming
+        #    decontaminate gate's stream==batch pins.
+        "bpe_incremental_docs": bpe_incremental_docs,
         "salted_agg_events": salted_agg_events,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
@@ -3546,6 +3651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
         "drift_psi_prices": drift_psi_prices,
+        "weighted_merge_docs": weighted_merge_docs,
+        "decontaminate_docs": decontaminate_docs,
         "ann_recall_report": ann_recall_report,
         "drift_multi_lineitem": drift_multi_lineitem,
         "ivf_probe_pinned": ivf_probe_pinned,
@@ -4682,6 +4789,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_users DESC, path ASC
             LIMIT 20
         """,
+        # GENERATED oracle (the _kll_oracle pattern): one CTE triple
+        # per BPE round, round count shared with the Spark query via
+        # _BPE_K by construction.
+        "bpe_merges_docs": _bpe_oracle(),
+        # the ONE-SHOT SQL again: the incremental path (three batch
+        # count folds merged per word) must reproduce it exactly —
+        # that equality IS what this row verifies.
+        "bpe_incremental_docs": _bpe_oracle(),
         "c4_rules_docs": """
             -- functions/text.py c4_rules (Raffel et al. 2020 C4 §2.2)
             -- replayed over the same deterministic structure: 8-word

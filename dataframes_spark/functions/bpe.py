@@ -1,0 +1,273 @@
+"""Distributed BPE merge induction (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units").
+
+Byte-pair-encoding tokenizer training is a corpus-level ITERATIVE
+computation — k rounds of "count adjacent symbol pairs, merge the most
+frequent" — that production trainers run over the WORD-TYPE frequency
+table, not the raw corpus. That factorization is what makes the
+distributed form tractable and is kept here:
+
+- ONE corpus scan builds ``(word, freq, syms)`` — the type relation,
+  |vocabulary| rows (millions at web scale, never corpus-sized).
+- Each merge round is one explode+groupBy over the type relation for
+  pair counts, a 1-row ``TakeOrderedAndProject`` for the argmax (the
+  single driver-side ``collect`` per round is that one row — the
+  bounded model-fit exception, the PQ-codebook precedent), and a
+  MAP-ONLY rewrite of the symbol arrays via a JVM higher-order fold
+  (no shuffle, no Python in the row path).
+- Ties break deterministically (count desc, then lexicographic
+  ``(lhs, rhs)``), and the greedy left-to-right non-overlapping merge
+  is a pure left fold — so the learned merge table is a pure function
+  of the corpus, reproducible on any engine (the driver row replays
+  every round in DuckDB via a generated unrolled-CTE oracle).
+
+At 100 TB the corpus scan dominates and happens once; the k rounds
+touch only the type relation. Rounds recount pairs from scratch
+(correct and simple); the classic delta-update optimization (only
+words containing the merged pair change) is a broadcast-semi-join
+refinement left documented rather than implemented. For large k,
+re-``persist`` the type relation every ~20 rounds to cut fold-chain
+lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_MARKER = "</w>"
+
+
+def word_type_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """``(word, freq)`` — BPE training's SUFFICIENT STATISTIC. The
+    symbol sequences are a pure function of the word, so this 2-column
+    relation is everything the training loop needs, and frequency
+    addition makes it associatively/commutatively MERGEABLE across
+    batches (`merge_type_counts`): the incremental law is
+    fold-of-batches == one-shot, the DSIR count-store pattern.
+    Tokenization matches `vocab_topk` (lowercased whitespace split).
+    ONE corpus scan; output is vocabulary-sized."""
+    toks = df.select(
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            )
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def merge_type_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two word-type count relations: per-word frequency sums.
+    Associative and commutative, so any batch split of the corpus
+    folds to the one-shot relation (pinned in tests and hash-verified
+    by `bpe_incremental_docs` against the unsplit oracle)."""
+    return (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def types_from_counts(
+    counts: DataFrame, end_marker: str = END_MARKER
+) -> DataFrame:
+    """Attach the initial symbol sequences (characters + end-of-word
+    marker) to a count relation — map-only."""
+    chars = F.expr("regexp_extract_all(word, '.', 0)")
+    return counts.select(
+        "word",
+        "freq",
+        F.concat(chars, F.array(F.lit(end_marker))).alias("syms"),
+    )
+
+
+def word_types(
+    df: DataFrame, text_col: str, end_marker: str = END_MARKER
+) -> DataFrame:
+    """The BPE training relation: one row per distinct word with its
+    corpus frequency and initial symbol sequence. ONE corpus scan;
+    output is vocabulary-sized."""
+    return types_from_counts(word_type_counts(df, text_col), end_marker)
+
+
+def word_type_store_update(spark, table: str, batch_counts: DataFrame) -> dict:
+    """Fold a batch's word-type counts into a persisted store (catalog
+    parquet table, the staging-swap idiom shared with the DSIR/CMS/HLL
+    stores): per-word frequency addition, one swap. The store is
+    vocabulary-sized however many epochs fold in, and carries no
+    configuration (the 2-column schema is config-free), so there is
+    nothing to stamp. Not transactional: run between increments.
+    Returns ``{"words", "total"}``."""
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
+        merged = merge_type_counts(spark.table(table), batch_counts)
+    else:
+        merged = batch_counts
+    from dataframes_spark.io.store import staging_swap
+
+    staging_swap(spark, table, merged)
+    out = spark.table(table)
+    row = out.agg(
+        F.count(F.lit(1)).alias("w"), F.sum("freq").alias("t")
+    ).first()
+    return {"words": row["w"], "total": row["t"]}
+
+
+def bpe_learn_from_store(
+    spark, table: str, k: int, end_marker: str = END_MARKER
+) -> tuple[list[dict], DataFrame]:
+    """Learn ``k`` merges from a persisted word-type count store —
+    tokenizer refit over ALL ingested history at vocabulary cost, no
+    corpus re-scan (`dsir_fit_from_stores`' counterpart)."""
+    return bpe_learn_from_counts(spark.table(table), k, end_marker)
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over the type relation:
+    ``(lhs, rhs, n)``. One explode + one groupBy (map-side partials);
+    the exchange carries pair rows, never words."""
+    n = F.size(F.col("syms"))
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("syms"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("lhs"), y.alias("rhs")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.lhs", "p.rhs").agg(
+        F.sum("freq").cast("bigint").alias("n")
+    )
+
+
+def _merge_fold(syms: Column, lhs: str, rhs: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of ``(lhs, rhs)`` in
+    one JVM left fold over the symbol array, accumulator a
+    space-delimited string (symbols never contain spaces). ``"aaa"``
+    with pair ``(a, a)`` folds to ``"aa a"`` — the overlap rule BPE
+    specifies. The DuckDB twin is ``list_reduce`` with the identical
+    CASE (seed = first element on both sides)."""
+    a, b = F.lit(lhs), F.lit(rhs)
+    merged = F.concat(a, b)
+    folded = F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        lambda acc, x: F.when((acc == a) & (x == b), merged)
+        .when(
+            acc.endswith(F.concat(F.lit(" "), a)) & (x == b),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - F.length(a)),
+                merged,
+            ),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+    return F.split(folded, " ")
+
+
+def apply_merge(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Rewrite the type relation's symbol arrays with one merge —
+    map-only, no exchange."""
+    return words.withColumn("syms", _merge_fold(F.col("syms"), lhs, rhs))
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    k: int,
+    end_marker: str = END_MARKER,
+) -> tuple[list[dict], DataFrame]:
+    """Learn the first ``k`` BPE merges over the corpus. Returns
+    ``(merges, words)``: the ordered merge table (each entry
+    ``{"step", "lhs", "rhs", "merged", "n"}``) and the final type
+    relation with merged symbol arrays. Stops early if no pair is left
+    (fully merged vocabulary)."""
+    return bpe_learn_from_counts(
+        word_type_counts(df, text_col), k, end_marker
+    )
+
+
+def bpe_learn_from_counts(
+    counts: DataFrame,
+    k: int,
+    end_marker: str = END_MARKER,
+) -> tuple[list[dict], DataFrame]:
+    """The training loop over an explicit ``(word, freq)`` relation —
+    the shared core of `bpe_learn` (one-shot) and `bpe_learn_from_store`
+    (incremental refit)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = types_from_counts(counts, end_marker).persist()
+    merges: list[dict] = []
+    for step in range(1, k + 1):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        merges.append(
+            {
+                "step": step,
+                "lhs": r["lhs"],
+                "rhs": r["rhs"],
+                "merged": r["lhs"] + r["rhs"],
+                "n": r["n"],
+            }
+        )
+        words = apply_merge(words, r["lhs"], r["rhs"])
+    return merges, words
+
+
+def merge_table(spark, merges: list[dict]) -> DataFrame:
+    """The learned merges as a k-row DataFrame ``(step, lhs, rhs,
+    merged, n)`` — the artifact a tokenizer ships."""
+    return spark.createDataFrame(
+        [(m["step"], m["lhs"], m["rhs"], m["merged"], m["n"]) for m in merges],
+        "step int, lhs string, rhs string, merged string, n bigint",
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[dict],
+    end_marker: str = END_MARKER,
+) -> DataFrame:
+    """Apply a learned merge table to new text — the tokenizer's
+    ENCODE path: per word, start from characters + marker and fold the
+    merges IN LEARNED ORDER. k chained JVM folds, map-only, no shuffle;
+    returns ``(id, word_index, tokens array<string>)`` one row per word
+    so downstream counts stay relational."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word_index", "word"),
+    )
+    syms = F.concat(
+        F.expr("regexp_extract_all(word, '.', 0)"),
+        F.array(F.lit(end_marker)),
+    )
+    for m in merges:
+        syms = _merge_fold(syms, m["lhs"], m["rhs"])
+    return toks.select(
+        F.col(id_col),
+        "word_index",
+        syms.alias("tokens"),
+    )

@@ -958,6 +958,43 @@ def quantiles_each_batch(
     return _apply
 
 
+def word_types_each_batch(
+    table: str,
+    text_col: str,
+    *,
+    merges_k: int | None = None,
+    write=None,
+):
+    """Streaming tokenizer statistics: a ``foreachBatch`` callback
+    folding each micro-batch's word-type counts into the persisted
+    store BPE trains from (`functions/bpe.py word_type_store_update`).
+    Frequency addition is associative/commutative, so re-delivered or
+    re-ordered batches fold to the same store (idempotence is the
+    caller's dedup concern, as with the retention pairs) and a refit
+    (`bpe_learn_from_store`) sees exactly the one-shot relation —
+    stream == batch by the count-fold law, pinned in tests. Per-batch
+    cost: one batch scan + a vocabulary-sized merge and swap; the store
+    never re-scans history. With ``merges_k`` set, ``write(merge_table,
+    epoch_id)`` receives the freshly refit first-k merges each batch
+    (the live tokenizer dashboard); otherwise it receives the updated
+    counts."""
+    from dataframes_spark.functions import bpe as B
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        B.word_type_store_update(
+            spark, table, B.word_type_counts(batch_df, text_col)
+        )
+        if write is not None:
+            if merges_k is not None:
+                merges, _ = B.bpe_learn_from_store(spark, table, merges_k)
+                write(B.merge_table(spark, merges), epoch_id)
+            else:
+                write(spark.table(table), epoch_id)
+
+    return _apply
+
+
 def cluster_each_batch(
     lsh_table: str,
     cluster_table: str,

@@ -1,0 +1,156 @@
+"""Distributed BPE merge induction (functions/bpe.py, Sennrich et al.
+2016): learned merges against a hand-computed reference, greedy-merge
+overlap semantics, determinism, and the encode path."""
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.functions import bpe
+
+
+def _ref_bpe(texts, k):
+    """Reference implementation: the classic dict-of-word-types BPE."""
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[w] += 1
+    words = {w: list(w) + [bpe.END_MARKER] for w in vocab}
+    merges = []
+    for step in range(1, k + 1):
+        counts = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[w]
+        if not counts:
+            break
+        best_n = max(counts.values())
+        lhs, rhs = min(p for p, n in counts.items() if n == best_n)
+        merges.append((step, lhs, rhs, lhs + rhs, best_n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest wide",
+    "low newer low wide lowest",
+]
+
+
+def test_learned_merges_match_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id long, text string")
+    got, words = bpe.bpe_learn(df, "text", 8)
+    want, ref_words = _ref_bpe(TEXTS, 8)
+    assert [(m["step"], m["lhs"], m["rhs"], m["merged"], m["n"])
+            for m in got] == want
+    final = {r["word"]: r["syms"] for r in words.collect()}
+    assert final == ref_words
+
+
+def test_overlap_rule_aaa(spark):
+    # "aaaa aaa" with pair (a,a): greedy left-to-right non-overlapping
+    df = spark.createDataFrame([(1, "aaaa aaa aaaa")],
+                               "doc_id long, text string")
+    merges, words = bpe.bpe_learn(df, "text", 1)
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "a")
+    final = {r["word"]: r["syms"] for r in words.collect()}
+    assert final["aaaa"] == ["aa", "aa", bpe.END_MARKER]
+    assert final["aaa"] == ["aa", "a", bpe.END_MARKER]
+
+
+def test_early_stop_when_fully_merged(spark):
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    merges, words = bpe.bpe_learn(df, "text", 50)
+    # 'a b </w>' -> at most 2 merges before one symbol remains
+    assert len(merges) == 2
+    final = words.collect()
+    assert final[0]["syms"] == ["ab" + bpe.END_MARKER]
+
+
+def test_segment_applies_learned_merges_in_order(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id long, text string")
+    merges, words = bpe.bpe_learn(df, "text", 6)
+    seg = bpe.bpe_segment(df, "text", "doc_id", merges)
+    # encoding the training corpus reproduces the final type relation
+    final = {r["word"]: r["syms"] for r in words.collect()}
+    for r in seg.collect():
+        w = TEXTS[r["doc_id"]].lower().split()[r["word_index"]]
+        assert r["tokens"] == final[w], w
+
+
+def test_merge_table_and_validation(spark):
+    df = spark.createDataFrame([(1, "abc abc")], "doc_id long, text string")
+    merges, _ = bpe.bpe_learn(df, "text", 2)
+    t = bpe.merge_table(spark, merges)
+    rows = t.orderBy("step").collect()
+    assert [r["step"] for r in rows] == [1, 2]
+    assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rows)
+    with pytest.raises(ValueError):
+        bpe.bpe_learn(df, "text", 0)
+
+
+def test_merge_type_counts_fold_law(spark):
+    """Any batch split folds to the one-shot count relation, so the
+    learned merges are split-invariant — BPE's incremental law."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id long, text string")
+    one_shot = bpe.word_type_counts(df, "text")
+    batches = [df.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    folded = bpe.merge_type_counts(
+        bpe.merge_type_counts(
+            bpe.word_type_counts(batches[0], "text"),
+            bpe.word_type_counts(batches[1], "text"),
+        ),
+        bpe.word_type_counts(batches[2], "text"),
+    )
+    a = {r["word"]: r["freq"] for r in one_shot.collect()}
+    b = {r["word"]: r["freq"] for r in folded.collect()}
+    assert a == b
+    m1, _ = bpe.bpe_learn_from_counts(one_shot, 5)
+    m2, _ = bpe.bpe_learn_from_counts(folded, 5)
+    assert m1 == m2
+
+
+def test_word_type_store_and_streaming_gate(spark):
+    """Persisted word-type store: folding micro-batches then refitting
+    equals the one-shot training run (stream == batch)."""
+    import uuid
+
+    from dataframes_spark.streaming import events as dstream
+
+    t = f"bpe_types_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = spark.createDataFrame([(i, t_) for i, t_ in enumerate(TEXTS)],
+                               "doc_id long, text string")
+    served = []
+    cb = dstream.word_types_each_batch(
+        t, "text", merges_k=4,
+        write=lambda d, e: served.append(
+            [(r["step"], r["merged"]) for r in d.orderBy("step").collect()]
+        ),
+    )
+    for epoch in range(3):
+        cb(df.filter(F.col("doc_id") % 3 == epoch), epoch)
+    want, _ = bpe.bpe_learn(df, "text", 4)
+    got, _ = bpe.bpe_learn_from_store(spark, t, 4)
+    assert got == want
+    assert served[-1] == [(m["step"], m["merged"]) for m in want]
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
