@@ -1044,6 +1044,7 @@ def perplexity_buckets(
     id_col: str,
     lang_col: str,
     approx: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """CCNet-style head/middle/tail quality buckets (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
@@ -1063,9 +1064,21 @@ def perplexity_buckets(
     never shuffles on the bucket path. Scores are rounded to 6dp BEFORE
     the threshold quantile so the bucket boundary is a deterministic
     function of the rounded score relation (engine-reproducible:
-    interpolated quantiles of identical inputs are bit-identical)."""
+    interpolated quantiles of identical inputs are bit-identical).
+
+    The scored relation feeds BOTH the threshold aggregate and the
+    output, and column pruning differentiates the forked subtrees
+    enough that AQE's exchange reuse only partially dedups them
+    (measured: ~11 corpus scans unpersisted vs 4 for the LM alone) —
+    so by default the TEXT-FREE per-doc relation ``(id, lang,
+    n_tokens, 6dp score)`` persists at the fork: ONE LM pass, and the
+    cache is docs x 4 scalar columns (spillable MEMORY_AND_DISK;
+    ~40 B/doc, far below the corpus it summarizes). ``persist=False``
+    falls back to the pure two-pass plan."""
     lp = unigram_logprob(df, text_col, id_col)
     scored = df.select(F.col(id_col), F.col(lang_col)).join(lp, id_col)
+    if persist:
+        scored = scored.persist()
     pfn = "percentile_approx" if approx else "percentile"
     thr = scored.groupBy(lang_col).agg(
         F.expr(f"{pfn}(avg_logprob, 0.3333333333333333)").alias("__t1"),
