@@ -1074,7 +1074,8 @@ def perplexity_buckets(
     n_tokens, 6dp score)`` persists at the fork: ONE LM pass, and the
     cache is docs x 4 scalar columns (spillable MEMORY_AND_DISK;
     ~40 B/doc, far below the corpus it summarizes). ``persist=False``
-    falls back to the pure two-pass plan."""
+    falls back to the pure two-pass plan. Tokenless documents carry no
+    LM evidence and drop (the `unigram_logprob` contract)."""
     lp = unigram_logprob(df, text_col, id_col)
     scored = df.select(F.col(id_col), F.col(lang_col)).join(lp, id_col)
     if persist:

@@ -1538,7 +1538,14 @@ def semdedup(
     up in `skew.skew_report` on ``cluster`` before it hurts. The
     keep-priority ``cent_cos`` compares ROUNDED (6dp) so the verdict is
     reproducible across engines; the pair threshold compares the raw
-    dot product (deterministic: same element order both sides)."""
+    dot product (deterministic: same element order both sides).
+
+    Sizing: the literal-centroid path fits k up to the low thousands
+    (k x dim doubles in the plan). Beyond that, pre-partition the space
+    with `embedding_store`'s hyperplane buckets (or the partitioned IVF
+    index) and run semdedup per bucket with per-bucket centroids — the
+    candidate-bounding argument composes. Zero vectors have no
+    direction and produce NaN cosines — filter them out first."""
     from dataframes_spark.operators.similarity import _unit
 
     if not centers:

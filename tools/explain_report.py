@@ -96,6 +96,15 @@ SHOWCASE = [
     ("kll_quantiles_events", "KLL sketch: md5-derandomized compaction passes over shrinking item sets, cumulative-weight cut above an aggregate"),
     ("oov_report_docs", "OOV report: explode -> broadcast vocab left join -> id-keyed fold, tokenless docs survive"),
     ("dsir_ess_docs", "Kish ESS: B-row broadcast model scoring, 1-row max shift, 1-row ratio fold"),
+    ("c4_rules_docs", "C4 rules: one map-only scan, higher-order line filters + page verdicts"),
+    ("ccnet_buckets_docs", "CCNet tertiles: one cached LM pass -> languages-row percentile agg -> broadcast threshold join, map-only label"),
+    ("epoch_shuffle_docs", "per-epoch shuffle: md5 shard map-only, ONE exchange, per-shard row_number"),
+    ("semdedup_pinned_vecs", "SemDedup: literal-centroid argmax map-only -> cluster equi-join pairs -> loser anti flag"),
+    # bpe_merges_docs / bpe_incremental_docs are NOT showcased: the
+    # training loop runs eagerly (one 1-row argmax collect per round);
+    # the returned merge table is a local relation. The per-round plan
+    # (pair-count groupBy + TakeOrdered(1) + map-only fold rewrite) is
+    # pinned by tests/test_bpe.py and the registry plan gate.
     # cluster_store_incremental_docs is NOT showcased: the fold runs
     # eagerly inside the query (two store swaps); the returned frame is
     # a bucketed-store read. The no-reshuffle probe plan is pinned in
