@@ -2826,6 +2826,34 @@ def bpe_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbpe.merge_table(spark, merges)
 
 
+def bpe_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility under the first ``_BPE_K`` learned merges:
+    frequency-weighted subword tokens per word over the FINAL rewritten
+    type relation — the corpus-wide encode check (`bpe_merges_docs`
+    pins each round's argmax, which verifies rewrites only through the
+    NEXT round's counts; this row pins the last rewrite directly, and
+    `bpe_segment` mirrors it per unit test). One 1-row fold over the
+    vocabulary-sized relation."""
+    from dataframes_spark.functions import bpe as dbpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, words = dbpe.bpe_learn(docs, "text", _BPE_K)
+    return words.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.size("syms").cast("bigint") * F.col("freq"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.round(
+            F.sum(F.size("syms").cast("bigint") * F.col("freq")).cast(
+                "double"
+            )
+            / F.sum("freq").cast("double"),
+            6,
+        ).alias("fertility"),
+    )
+
+
 def _bpe_oracle(k: int = _BPE_K) -> str:
     """Generated DuckDB replay of `bpe_merges_docs`: one (pair-count,
     argmax, list_reduce-merge) CTE triple per round, built from the
@@ -2877,6 +2905,23 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
         for i in range(1, k + 1)
     )
     return "".join(parts) + "\n            " + selects
+
+
+def _bpe_fertility_oracle(k: int = _BPE_K) -> str:
+    """Generated DuckDB replay of `bpe_fertility_docs`: the same CTE
+    chain as `_bpe_oracle`, finalized with the 1-row fertility fold
+    over the FINAL type relation s{k} (integer sums cast BIGINT per
+    ORACLE.md rule 8; the division runs on exact integer-valued
+    doubles, so 6dp rounding is bit-identical)."""
+    body = _bpe_oracle(k)
+    cut = body.rindex("            SELECT 1 AS step")
+    return body[:cut] + f"""            SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(freq) AS BIGINT) AS n_words,
+                   CAST(sum(freq * len(syms)) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(freq * len(syms)) AS DOUBLE)
+                         / CAST(sum(freq) AS DOUBLE), 6) AS fertility
+            FROM s{k}
+"""
 
 
 def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3557,7 +3602,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    verified by the full local sweep + the streaming
         #    decontaminate gate's stream==batch pins.
         "bpe_incremental_docs": bpe_incremental_docs,
-        "salted_agg_events": salted_agg_events,
+        # -- round 10 (continuation): the corpus-wide encode check for
+        #    the BPE family — fertility over the FINAL rewritten type
+        #    relation, the one rewrite the argmax chain doesn't pin.
+        #    salted_agg_events (multiply green r5-r9) rotates below;
+        #    the aggregate family stays in-window via
+        #    q1_pricing_summary (and the skew tooling keeps its unit +
+        #    full-sweep coverage).
+        "bpe_fertility_docs": bpe_fertility_docs,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
         #    rewrite, the CCNet/RefinedWeb boilerplate pass) and cube_qty
@@ -3653,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_prices": drift_psi_prices,
         "weighted_merge_docs": weighted_merge_docs,
         "decontaminate_docs": decontaminate_docs,
+        "salted_agg_events": salted_agg_events,
         "ann_recall_report": ann_recall_report,
         "drift_multi_lineitem": drift_multi_lineitem,
         "ivf_probe_pinned": ivf_probe_pinned,
@@ -4797,6 +4850,8 @@ def oracle_sql() -> dict[str, str]:
         # count folds merged per word) must reproduce it exactly —
         # that equality IS what this row verifies.
         "bpe_incremental_docs": _bpe_oracle(),
+        # GENERATED: same CTE chain, 1-row fertility fold over s{K}
+        "bpe_fertility_docs": _bpe_fertility_oracle(),
         "c4_rules_docs": """
             -- functions/text.py c4_rules (Raffel et al. 2020 C4 §2.2)
             -- replayed over the same deterministic structure: 8-word

@@ -154,3 +154,22 @@ def test_word_type_store_and_streaming_gate(spark):
     assert got == want
     assert served[-1] == [(m["step"], m["merged"]) for m in want]
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fertility_matches_reference(spark):
+    """Frequency-weighted tokens/word over the final type relation
+    equals the reference computation (the bpe_fertility_docs fold)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "doc_id long, text string")
+    _, words = bpe.bpe_learn(df, "text", 4)
+    row = words.agg(
+        F.sum(F.size("syms").cast("bigint") * F.col("freq")).alias("nt"),
+        F.sum("freq").alias("nw"),
+    ).first()
+    _, ref_words = _ref_bpe(TEXTS, 4)
+    vocab = collections.Counter(
+        w for t in TEXTS for w in t.lower().split()
+    )
+    want_nt = sum(len(s) * vocab[w] for w, s in ref_words.items())
+    want_nw = sum(vocab.values())
+    assert (row["nt"], row["nw"]) == (want_nt, want_nw)
