@@ -2924,6 +2924,39 @@ def _bpe_fertility_oracle(k: int = _BPE_K) -> str:
 """
 
 
+def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 capstone: the published curation playbook end-to-end —
+    C4 page verdicts (over the deterministic `_c4_docs` structure),
+    CCNet perplexity tertiles (drop the tail), exact dedup (min-id
+    representative per content), then the per-epoch training shuffle —
+    summarized per (lang, shard) with the max shard position verifying
+    the shuffle's window. Every stage is the REAL operator and every
+    stage's SQL twin composes in the oracle, so the whole pipeline
+    hash-verifies; the corpus text crosses exactly one shuffle (the
+    dedup key exchange) before the shard partitioning."""
+    from dataframes_spark.operators.sample import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    c4 = dtext.c4_rules(_c4_docs(spark, sf_dir), "text", "doc_id").select(
+        "doc_id", "pass_all"
+    )
+    buckets = dtext.perplexity_buckets(
+        docs, "text", "doc_id", "lang"
+    ).select("doc_id", "bucket")
+    survivors = ddedup.exact_dedup(docs, "text", "doc_id")
+    kept = (
+        survivors.join(c4, "doc_id")
+        .join(buckets, "doc_id")
+        .filter((F.col("pass_all") == 1) & (F.col("bucket") != "tail"))
+    )
+    sharded = epoch_shuffle(kept, "doc_id", epoch=1, n_shards=4)
+    return sharded.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("pos").alias("max_pos"),
+    )
+
+
 def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch training shuffle (operators/sample.py
     epoch_shuffle): shard from the top 60 bits of the epoch-keyed md5,
@@ -3610,6 +3643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q1_pricing_summary (and the skew tooling keeps its unit +
         #    full-sweep coverage).
         "bpe_fertility_docs": bpe_fertility_docs,
+        # -- round 10 (capstone): the curation playbook end-to-end —
+        #    C4 verdicts + CCNet tail drop + exact dedup + epoch-1
+        #    shuffle, folded per (lang, shard); all four stages' SQL
+        #    twins compose in ONE oracle. bloom_semi_orders (multiply
+        #    green r5-r9) rotates below; the bloom pushdown stays
+        #    pinned by tests/test_bloom.py and the full local sweep.
+        "pipeline_curation_docs": pipeline_curation_docs,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
         #    rewrite, the CCNet/RefinedWeb boilerplate pass) and cube_qty
@@ -3617,10 +3657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    join_revenue_topn, dedup_exact_docs — all multiply green —
         #    rotate out, families still in-window via cube_qty, the
         #    upsert/fuzzy/interval joins, and the md5 + line dedup rows)
-        # bloom_semi_orders: bloom-pruned semi join; column_stats (green
-        # r1-r4) rotates out, aggregate surface stays via
-        # aggregate_contract
-        "bloom_semi_orders": bloom_semi_orders,
+        # bloom_semi_orders rotated below in round 10 (multiply green
+        # r5-r9) to admit the pipeline_curation_docs capstone.
         # winsorize_prices (quantile clipping); window_topn_orders and
         # near_dup_jaccard_lsh (both green r1-r4) rotate out — the window
         # family stays via the resample spine + rolling history, dedup
@@ -3706,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_merge_docs": weighted_merge_docs,
         "decontaminate_docs": decontaminate_docs,
         "salted_agg_events": salted_agg_events,
+        "bloom_semi_orders": bloom_semi_orders,
         "ann_recall_report": ann_recall_report,
         "drift_multi_lineitem": drift_multi_lineitem,
         "ivf_probe_pinned": ivf_probe_pinned,
@@ -4852,6 +4891,129 @@ def oracle_sql() -> dict[str, str]:
         "bpe_incremental_docs": _bpe_oracle(),
         # GENERATED: same CTE chain, 1-row fertility fold over s{K}
         "bpe_fertility_docs": _bpe_fertility_oracle(),
+        "pipeline_curation_docs": """
+            -- the round-10 curation playbook end-to-end: the
+            -- c4_rules_docs verdict chain (pass_all only), the
+            -- ccnet_buckets_docs tertile chain (bucket only), exact
+            -- dedup as min-id-per-content, the epoch-1 md5 shard +
+            -- per-shard position, folded per (lang, shard).
+            WITH c4docs AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
+                FROM documents
+            ), seg AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           generate_series(
+                               1, CAST(ceil(len(w0) / 8.0) AS BIGINT)),
+                           i -> array_to_string(
+                                    w0[(i - 1) * 8 + 1 : i * 8], ' ')
+                                || CASE WHEN i % 2 = 1
+                                        THEN '.' ELSE '' END
+                       ), chr(10)) AS t0
+                FROM c4docs
+            ), inj AS (
+                SELECT doc_id,
+                       t0
+                       || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                            'lorem ipsum dolor sit amet today.'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                            'see the { code block right now.'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                            'please enable javascript to continue viewing this.'
+                          ELSE '' END AS text
+                FROM seg
+            ), kk AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           list_filter(string_split(text, chr(10)),
+                                       x -> len(trim(x)) > 0),
+                           x ->
+                           (ends_with(rtrim(x), '.')
+                            OR ends_with(rtrim(x), '!')
+                            OR ends_with(rtrim(x), '?')
+                            OR ends_with(rtrim(x), '"'))
+                           AND len(list_filter(
+                                   regexp_split_to_array(trim(x), '\\s+'),
+                                   w -> w <> '')) >= 5
+                           AND NOT contains(lower(x), 'javascript')
+                       ) AS kept
+                FROM inj
+            ), c4v AS (
+                SELECT doc_id,
+                       CASE WHEN CAST(coalesce(list_sum(list_transform(
+                                kept, x ->
+                                (len(x) - len(replace(x, '.', '')))
+                                + (len(x) - len(replace(x, '!', '')))
+                                + (len(x) - len(replace(x, '?', ''))))), 0)
+                                AS BIGINT) >= 3
+                             AND NOT contains(lower(text), 'lorem ipsum')
+                             AND NOT contains(text, '{')
+                            THEN 1 ELSE 0 END AS pass_all
+                FROM kk
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+')) AS token
+                FROM documents
+            ), dt AS (
+                SELECT doc_id, token, count(*) AS m
+                FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), counts AS (
+                SELECT token, sum(m) AS c FROM dt GROUP BY token
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
+            ), sc AS (
+                SELECT doc_id,
+                       round(sum(m * ln(c / t)) / sum(m), 6) AS avg_logprob
+                FROM dt JOIN counts USING (token), tot
+                GROUP BY doc_id
+            ), sl AS (
+                SELECT d.doc_id, d.lang, sc.avg_logprob
+                FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+            ), thr AS (
+                SELECT lang,
+                       quantile_cont(avg_logprob, 0.3333333333333333) AS t1,
+                       quantile_cont(avg_logprob, 0.6666666666666666) AS t2
+                FROM sl GROUP BY lang
+            ), bk AS (
+                SELECT doc_id,
+                       CASE WHEN avg_logprob > t2 THEN 'head'
+                            WHEN avg_logprob > t1 THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                FROM sl JOIN thr USING (lang)
+            ), surv AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY text ORDER BY doc_id) AS rn
+                    FROM documents)
+                WHERE rn = 1
+            ), kept AS (
+                SELECT d.doc_id, d.lang, d.n_chars
+                FROM documents d
+                JOIN surv USING (doc_id)
+                JOIN c4v USING (doc_id)
+                JOIN bk USING (doc_id)
+                WHERE c4v.pass_all = 1 AND bk.bucket <> 'tail'
+            ), sh AS (
+                SELECT doc_id, lang, n_chars,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || '/epoch1'), 1, 15))::BIGINT AS hh
+                FROM kept
+            ), pos AS (
+                SELECT lang, CAST(hh % 4 AS INTEGER) AS shard, n_chars,
+                       CAST(row_number() OVER (
+                           PARTITION BY hh % 4 ORDER BY hh, doc_id) - 1
+                           AS BIGINT) AS pos
+                FROM sh
+            )
+            SELECT lang, shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(pos) AS max_pos
+            FROM pos GROUP BY 1, 2
+        """,
         "c4_rules_docs": """
             -- functions/text.py c4_rules (Raffel et al. 2020 C4 §2.2)
             -- replayed over the same deterministic structure: 8-word
