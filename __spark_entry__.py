@@ -2924,6 +2924,27 @@ def _bpe_fertility_oracle(k: int = _BPE_K) -> str:
 """
 
 
+def mixture_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled mixture interleaving (operators/sample.py
+    mixture_order): per-language epoch-1 order (epoch-keyed md5),
+    grp_pos via the whale-group-safe `grouped_positions` lane, stride
+    key = grp_pos / weight (exact double division, no rounding needed),
+    global ord via the `global_positions` lane — every position
+    replayed in DuckDB with plain windows (the lanes compute the same
+    total order distributed)."""
+    from dataframes_spark.operators.sample import mixture_order
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_order(
+        docs,
+        "lang",
+        {"en": 4.0, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0},
+        "doc_id",
+        epoch=1,
+    )
+    return out.select("doc_id", "lang", "grp_pos", "stride_key", "ord")
+
+
 def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 capstone: the published curation playbook end-to-end —
     C4 page verdicts (over the deterministic `_c4_docs` structure),
@@ -3650,6 +3671,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    green r5-r9) rotates below; the bloom pushdown stays
         #    pinned by tests/test_bloom.py and the full local sweep.
         "pipeline_curation_docs": pipeline_curation_docs,
+        # -- round 10 (continuation): stride-scheduled mixture
+        #    interleaving — the loader ORDER mix_manifest plans; rides
+        #    TWO distributed position lanes (the new grouped_positions
+        #    for whale mixture components + global_positions).
+        #    asof_nearest_purchase (multiply green r5-r9) rotates
+        #    below; the as-of family stays covered by asof_last_purchase
+        #    + interval rows in the full sweep and tests/test_asof_*.
+        "mixture_order_docs": mixture_order_docs,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
         #    rewrite, the CCNet/RefinedWeb boilerplate pass) and cube_qty
@@ -3671,8 +3700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only; their hash-VERIFIED md5 twins simhash_fingerprints_md5
         # and lsh_buckets_md5 stay in-window, so window hash coverage
         # strictly improves) and asof_last_purchase (green r04; family
-        # exercised by the nearest composition)
-        "asof_nearest_purchase": asof_nearest_purchase,
+        # exercised by the nearest composition). asof_nearest_purchase
+        # itself rotated below in round 10 (multiply green r5-r9) to
+        # admit mixture_order_docs.
         # facade_column_surgery + facade_from_columns_index: first driver
         # rows for the facade conveniences (addColumn/rename/remove/
         # filterColumns/fromColumns/createIndex/concat); embedding_norms
@@ -3745,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "salted_agg_events": salted_agg_events,
         "bloom_semi_orders": bloom_semi_orders,
+        "asof_nearest_purchase": asof_nearest_purchase,
         "ann_recall_report": ann_recall_report,
         "drift_multi_lineitem": drift_multi_lineitem,
         "ivf_probe_pinned": ivf_probe_pinned,
@@ -4891,6 +4922,37 @@ def oracle_sql() -> dict[str, str]:
         "bpe_incremental_docs": _bpe_oracle(),
         # GENERATED: same CTE chain, 1-row fertility fold over s{K}
         "bpe_fertility_docs": _bpe_fertility_oracle(),
+        "mixture_order_docs": """
+            -- operators/sample.py mixture_order replayed with plain
+            -- windows: the distributed position lanes compute the same
+            -- total order. Stride key = grp_pos / weight, exact double
+            -- division (no rounding: single-row arithmetic).
+            WITH h AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || '/mix1'), 1, 15))::BIGINT AS hh
+                FROM documents
+            ), gp AS (
+                SELECT doc_id, lang,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang ORDER BY hh, doc_id)
+                           AS BIGINT) AS grp_pos
+                FROM h
+            ), sk AS (
+                SELECT doc_id, lang, grp_pos,
+                       CAST(grp_pos AS DOUBLE) / CASE lang
+                           WHEN 'de' THEN 1.0
+                           WHEN 'en' THEN 4.0
+                           WHEN 'es' THEN 1.0
+                           WHEN 'fr' THEN 1.0
+                           WHEN 'zh' THEN 1.0 END AS stride_key
+                FROM gp
+            )
+            SELECT doc_id, lang, grp_pos, stride_key,
+                   CAST(row_number() OVER (
+                       ORDER BY stride_key, lang, doc_id) AS BIGINT) AS ord
+            FROM sk
+        """,
         "pipeline_curation_docs": """
             -- the round-10 curation playbook end-to-end: the
             -- c4_rules_docs verdict chain (pass_all only), the

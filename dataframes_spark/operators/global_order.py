@@ -615,3 +615,55 @@ def rolling_rows_global(
         .filter(F.col("__go_ghost") == 0)
         .select(*df.columns, *agg_names)
     )
+
+
+def grouped_positions(
+    df: DataFrame,
+    part_by: str | Sequence[str],
+    order_by: str | Sequence[str],
+    n_buckets: int | None = None,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Per-GROUP row positions (1..N_g within each group) over an
+    explicit ordering, for groups too large for one task — the
+    distributed replacement for
+    ``row_number().over(Window.partitionBy(g).orderBy(...))`` when the
+    partition key has FEW, HUGE groups (mixture components, languages,
+    sources): the plain window funnels each whole group through one
+    task, exactly the whale-partition shape the global lane exists to
+    avoid.
+
+    Same construction as `global_positions`, with the group key joined
+    in: bucketize on the ORDER key's quantile boundaries (groups share
+    buckets, so tasks balance by data volume, not group sizes), number
+    rows per (group, bucket) with an ordinary window, and add
+    per-group running bucket-count offsets — a (groups x buckets)-row
+    relation, broadcast back. The data crosses ONE exchange. Equal
+    order keys resolve arbitrarily-but-validly, the `global_positions`
+    contract; add a unique tiebreak column for a deterministic order."""
+    part_cols = [part_by] if isinstance(part_by, str) else list(part_by)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    bdf = _bucketize_quantile(
+        df, _sort_proxy(df, order_cols), n_buckets or default_buckets(df)
+    )
+    w = W.partitionBy(*part_cols, "__go_b").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    pdf = bdf.withColumn("__go_lrn", F.row_number().over(w))
+    counts = bdf.groupBy(*part_cols, "__go_b").agg(
+        F.count(F.lit(1)).alias("__go_cnt")
+    )
+    woff = (
+        W.partitionBy(*part_cols)
+        .orderBy("__go_b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols,
+        "__go_b",
+        F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0)).alias("__go_off"),
+    )
+    return pdf.join(F.broadcast(offsets), [*part_cols, "__go_b"]).select(
+        *df.columns,
+        (F.col("__go_off") + F.col("__go_lrn")).cast("bigint").alias(pos_col),
+    )

@@ -570,3 +570,75 @@ def epoch_shuffle(
     return out.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("bigint")
     ).drop("__h")
+
+
+def mixture_order(
+    df: DataFrame,
+    group_col: str,
+    weights: dict,
+    key_col: str,
+    epoch: int = 0,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic stride-scheduled interleaving of weighted sources —
+    the data-loader ORDER that `mix_manifest` plans: over any prefix of
+    the output order, group g's share of rows approaches
+    ``w_g / sum(w)`` (stride scheduling, Waldspurger & Weihl 1995), so
+    a training run consumes the mixture at its target rates from step
+    one instead of in source-sized runs.
+
+    Three deterministic stages, all engine-reproducible:
+    1. each group's rows get a per-epoch order from the epoch-keyed md5
+       (the `epoch_shuffle` arithmetic);
+    2. ``grp_pos`` (1..N_g) rides `global_order.grouped_positions` —
+       mixture components are few, huge groups, exactly the
+       whale-partition shape the plain per-group window cannot survive;
+    3. row p of group g schedules at ``stride_key = p / w_g`` (exact
+       double division), and the global ``ord`` over
+       (stride_key, group, key) rides `global_order.global_positions`.
+
+    Two position-lane passes = two data exchanges total. Groups absent
+    from ``weights`` get NULL stride keys and are EXCLUDED (the
+    mixture defines the corpus; use `mix_manifest` to surface
+    shortfalls the other way). Returns ``df`` plus ``grp_pos``
+    (bigint, 1-based), ``stride_key`` (double) and ``ord`` (bigint,
+    1-based)."""
+    from dataframes_spark.operators.global_order import (
+        global_positions,
+        grouped_positions,
+    )
+
+    if not weights:
+        raise ValueError("mixture_order needs a non-empty weights map")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit(f"/mix{int(epoch)}"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = df.withColumn("__mo_h", h)
+    gp = grouped_positions(
+        d, group_col, ["__mo_h", key_col], n_buckets, pos_col="grp_pos"
+    )
+    wexpr = None
+    for g, wgt in sorted(weights.items()):
+        cond = F.col(group_col) == F.lit(g)
+        lit = F.lit(float(wgt))
+        wexpr = F.when(cond, lit) if wexpr is None else wexpr.when(cond, lit)
+    sk = F.col("grp_pos").cast("double") / wexpr
+    scored = (
+        gp.withColumn("stride_key", sk)
+        .filter(F.col("stride_key").isNotNull())
+        .drop("__mo_h")
+    )
+    return global_positions(
+        scored, ["stride_key", group_col, key_col], n_buckets, pos_col="ord"
+    )

@@ -98,3 +98,63 @@ def test_epoch_shuffle_different_epochs_differ_and_rerun_is_stable(spark):
          for r in epoch_shuffle(df, "k", 2, 4).collect()}
     assert a == a2  # partitioning-independent
     assert a != b  # epochs reshuffle
+
+
+def test_grouped_positions_match_plain_window(spark):
+    from pyspark.sql import Window as W
+
+    from dataframes_spark.operators.global_order import grouped_positions
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 7919) % 500).alias("v"),
+        F.col("id").alias("k"),
+    )
+    got = {
+        (r["g"], r["k"]): r["pos"]
+        for r in grouped_positions(
+            df, "g", ["v", "k"], n_buckets=8, pos_col="pos"
+        ).collect()
+    }
+    w = W.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r["g"], r["k"]): r["pos"]
+        for r in df.withColumn("pos", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_mixture_order_prefix_shares_and_determinism(spark):
+    from dataframes_spark.operators.sample import mixture_order
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = mixture_order(df, "g", {"a": 3.0, "b": 1.0}, "k", epoch=1)
+    got = sorted(
+        ((r["ord"], r["g"]) for r in out.collect())
+    )
+    # contiguous 1..N total order
+    assert [o for o, _ in got] == list(range(1, 401))
+    # over any sizeable prefix, group a's share approaches 3/4
+    for n in (40, 100, 200):
+        share = sum(1 for o, g in got[:n] if g == "a") / n
+        assert abs(share - 0.75) < 0.08, (n, share)
+    # partitioning-independent
+    out2 = mixture_order(df.repartition(13), "g", {"a": 3.0, "b": 1.0}, "k", 1)
+    assert sorted(((r["ord"], r["k"]) for r in out2.collect())) == sorted(
+        ((r["ord"], r["k"]) for r in out.collect())
+    )
+
+
+def test_mixture_order_drops_unweighted_groups_and_validates(spark):
+    import pytest as _pytest
+
+    from dataframes_spark.operators.sample import mixture_order
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, g string"
+    )
+    out = mixture_order(df, "g", {"a": 1.0, "b": 1.0}, "k")
+    assert {r["g"] for r in out.collect()} == {"a", "b"}
+    with _pytest.raises(ValueError):
+        mixture_order(df, "g", {}, "k")
