@@ -125,3 +125,27 @@ def test_perplexity_buckets_approx_path_runs(spark):
     assert set(out.columns) == {
         "doc_id", "lang", "n_tokens", "avg_logprob", "bucket",
     }
+
+
+def test_perplexity_buckets_single_lm_pass_when_persisted(spark):
+    """persist=True (default) shares ONE cached scored relation between
+    the threshold branch and the output — the corpus is scanned once;
+    persist=False keeps the pure two-pass plan (no cache)."""
+    df = spark.createDataFrame(
+        [(i, "aa", f"tok{i % 5} tok{i % 3} filler") for i in range(30)],
+        "doc_id long, lang string, text string",
+    )
+    out = T.perplexity_buckets(df, "text", "doc_id", "lang")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2  # both branches read it
+    # the pure path over DIFFERENT data (cache substitution would kick
+    # in for an identical subtree regardless of the persist flag)
+    df2 = spark.createDataFrame(
+        [(i, "bb", f"word{i % 7} word{i % 2} pad") for i in range(24)],
+        "doc_id long, lang string, text string",
+    )
+    pure = T.perplexity_buckets(df2, "text", "doc_id", "lang", persist=False)
+    pure.collect()
+    plan2 = pure._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan2
