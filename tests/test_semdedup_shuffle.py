@@ -158,3 +158,28 @@ def test_mixture_order_drops_unweighted_groups_and_validates(spark):
     assert {r["g"] for r in out.collect()} == {"a", "b"}
     with _pytest.raises(ValueError):
         mixture_order(df, "g", {}, "k")
+
+
+def test_grouped_positions_whale_group(spark):
+    """One group holding ~95% of rows — the shape the plain
+    partitionBy(g) window serializes — still numbers correctly and
+    spreads the whale across order-key buckets."""
+    from pyspark.sql import Window as W
+
+    from dataframes_spark.operators.global_order import grouped_positions
+
+    df = spark.range(0, 4000).select(
+        F.when(F.col("id") % 20 == 0, F.lit("small"))
+        .otherwise(F.lit("whale"))
+        .alias("g"),
+        ((F.col("id") * 7919) % 4000).alias("v"),
+        F.col("id").alias("k"),
+    )
+    out = grouped_positions(df, "g", ["v", "k"], n_buckets=16, pos_col="pos")
+    got = {(r["g"], r["k"]): r["pos"] for r in out.collect()}
+    w = W.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r["g"], r["k"]): r["pos"]
+        for r in df.withColumn("pos", F.row_number().over(w)).collect()
+    }
+    assert got == want
