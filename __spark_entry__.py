@@ -2924,6 +2924,23 @@ def _bpe_fertility_oracle(k: int = _BPE_K) -> str:
 """
 
 
+def percent_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed percent_rank (operators/global_order.py
+    percent_ranks): the rank-transform primitive with exact SQL tie
+    semantics, no single-reducer window — distinct-value counts, an
+    exclusive `cumsum_global` over the value relation, a null-safe
+    rank join back, and one broadcast total. Ranks are exact integers,
+    the division single-row double arithmetic, so the whole transform
+    replays in DuckDB's percent_rank() bit for bit (nulls excluded
+    here; Spark-side they rank as the first tie group)."""
+    from dataframes_spark.operators.global_order import percent_ranks
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return percent_ranks(
+        ev.select("event_id", "value"), "value"
+    ).select("event_id", "value", "percent_rank")
+
+
 def mixture_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-scheduled mixture interleaving (operators/sample.py
     mixture_order): per-language epoch-1 order (epoch-keyed md5),
@@ -3420,7 +3437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents_cumsum": pack_documents_cumsum,
         "concat_horizontal": concat_horizontal,
         "facade_from_columns_index": facade_from_columns_index,
-        "zorder_roundtrip_agg": zorder_roundtrip_agg,
         "funnel_events": funnel_events,
         # windowed funnel ("converted within T"): exact linear-state
         # fold vs the quadratic exists-join oracle. melt_lineitem
@@ -3679,6 +3695,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    below; the as-of family stays covered by asof_last_purchase
         #    + interval rows in the full sweep and tests/test_asof_*.
         "mixture_order_docs": mixture_order_docs,
+        # -- round 10 (continuation): distributed percent_rank — the
+        #    rank-transform/quantile-normalization primitive with
+        #    exact tie semantics, riding cumsum_global over the
+        #    distinct-value relation. zorder_roundtrip_agg (multiply
+        #    green r5-r9, io/writers untouched this round) rotates
+        #    below; the clustered-write layout stays pinned by
+        #    tests/test_zorder.py's footer-interval proofs + the full
+        #    sweep.
+        "percent_rank_events": percent_rank_events,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
         #    rewrite, the CCNet/RefinedWeb boilerplate pass) and cube_qty
@@ -3776,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": salted_agg_events,
         "bloom_semi_orders": bloom_semi_orders,
         "asof_nearest_purchase": asof_nearest_purchase,
+        "zorder_roundtrip_agg": zorder_roundtrip_agg,
         "ann_recall_report": ann_recall_report,
         "drift_multi_lineitem": drift_multi_lineitem,
         "ivf_probe_pinned": ivf_probe_pinned,
@@ -4922,6 +4948,15 @@ def oracle_sql() -> dict[str, str]:
         "bpe_incremental_docs": _bpe_oracle(),
         # GENERATED: same CTE chain, 1-row fertility fold over s{K}
         "bpe_fertility_docs": _bpe_fertility_oracle(),
+        "percent_rank_events": """
+            -- operators/global_order.py percent_ranks replayed with
+            -- the plain window function: the distributed form
+            -- (distinct-value counts + exclusive cumsum + rank join)
+            -- computes the same (rank-1)/(N-1) double bit for bit.
+            SELECT event_id, value,
+                   percent_rank() OVER (ORDER BY value) AS percent_rank
+            FROM events WHERE value IS NOT NULL
+        """,
         "mixture_order_docs": """
             -- operators/sample.py mixture_order replayed with plain
             -- windows: the distributed position lanes compute the same

@@ -667,3 +667,49 @@ def grouped_positions(
         *df.columns,
         (F.col("__go_off") + F.col("__go_lrn")).cast("bigint").alias(pos_col),
     )
+
+
+def percent_ranks(
+    df: DataFrame,
+    order_by: str | Sequence[str],
+    n_buckets: int | None = None,
+    out_col: str = "percent_rank",
+) -> DataFrame:
+    """Distributed ``percent_rank().over(Window.orderBy(...))`` — exact
+    SQL semantics (ties share a rank; ``pr = (rank - 1) / (N - 1)``;
+    a single row ranks 0.0) without the single-reducer window Spark
+    plans for a global ORDER BY frame. The rank-transform /
+    quantile-normalization primitive at corpus scale.
+
+    Construction: fold the data to per-DISTINCT-KEY counts (map-side
+    partial groupBy — the only full-data exchange), run
+    `cumsum_global` over the distinct-key relation (exclusive running
+    count = rows strictly before each key, at key-cardinality cost),
+    and join the ranks back on the key (null-safe, so null keys rank
+    as one tie group, first under Spark's asc-nulls-first order). The
+    denominator rides a broadcast 1-row total. Ranks are exact
+    integers and the division is single-row double arithmetic —
+    engine-reproducible with no rounding."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    vc = df.groupBy(*order_cols).agg(F.count(F.lit(1)).alias("__pr_cnt"))
+    before = cumsum_global(
+        vc, "__pr_cnt", order_cols, n_buckets, out_col="__pr_before"
+    )
+    renamed = before.select(
+        *[F.col(c).alias(f"__pr_k_{c}") for c in order_cols], "__pr_before"
+    )
+    cond = None
+    for c in order_cols:
+        piece = df[c].eqNullSafe(renamed[f"__pr_k_{c}"])
+        cond = piece if cond is None else cond & piece
+    total = df.agg(F.count(F.lit(1)).alias("__pr_n"))
+    pr = F.when(
+        F.col("__pr_n") > 1,
+        F.col("__pr_before").cast("double")
+        / (F.col("__pr_n") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.join(renamed, cond)
+        .crossJoin(F.broadcast(total))
+        .select(*df.columns, pr.alias(out_col))
+    )

@@ -262,3 +262,42 @@ def test_edge_ghost_lane_adversarial_bucket_populations(spark):
     for nb in (2, 40):
         out = rolling_rows_global(df2, "v", 10, ["length"], "k", n_buckets=nb).collect()
         assert sorted(int(r.v_length) for r in out) == [int(x) for x in want], nb
+
+
+def test_percent_ranks_match_window_function(spark):
+    """Distributed percent_rank == the single-reducer window form,
+    including tie groups and the single-row 0.0 convention."""
+    from pyspark.sql import Window as W
+
+    from dataframes_spark.operators.global_order import percent_ranks
+
+    df = spark.range(0, 1000).select(
+        ((F.col("id") * 37) % 250).alias("v"),  # 4-way ties everywhere
+        F.col("id").alias("k"),
+    )
+    got = {
+        r["k"]: r["pr"]
+        for r in percent_ranks(df, "v", n_buckets=8, out_col="pr").collect()
+    }
+    w = W.orderBy("v")
+    want = {
+        r["k"]: r["pr"]
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert got == want
+
+    one = spark.createDataFrame([(5, 1)], "v long, k long")
+    assert percent_ranks(one, "v").collect()[0]["percent_rank"] == 0.0
+
+
+def test_percent_ranks_null_keys_tie_first(spark):
+    """Null order keys form one tie group ranked first (Spark's
+    asc-nulls-first order), and survive the null-safe join."""
+    from dataframes_spark.operators.global_order import percent_ranks
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (1.0, 3), (2.0, 4), (2.0, 5)],
+        "v double, k long",
+    )
+    got = {r["k"]: r["percent_rank"] for r in percent_ranks(df, "v").collect()}
+    assert got == {1: 0.0, 2: 0.0, 3: 0.5, 4: 0.75, 5: 0.75}
