@@ -3316,6 +3316,44 @@ def cluster_store_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFram
     return dgraph.read_cluster_store(spark, t).select("id", "component")
 
 
+def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (operators/rollup.py): the
+    events stream folded as two batches into a persisted mergeable
+    time-bucket store (count/sum/min/max per hour x event_type), then
+    SERVED from the store — the oracle is the one-shot GROUP BY over
+    all events, so the driver hash-verifies the rollup fold law itself
+    (the TimescaleDB/Druid continuous-aggregate pattern;
+    beyond-reference — the reference aggregates one-shot only,
+    src/Table.luna aggregateBy). Bucketing is exact bigint epoch-µs
+    floor arithmetic on both sides; sums of the 2-decimal values round
+    at 4dp (exact — the true decimal terminates at 2dp)."""
+    from dataframes_spark.io.store import drop_table_and_location
+    from dataframes_spark.operators import rollup as drollup
+
+    t = "rollup_hourly_events_q"
+    drop_table_and_location(spark, t)
+    ev = _t(spark, sf_dir, "events")
+    for i in range(2):
+        drollup.rollup_store_update(
+            spark,
+            t,
+            ev.filter(F.col("event_id") % 2 == i),
+            "ts",
+            "value",
+            "1 hour",
+            by=["event_type"],
+        )
+    served = drollup.rollup_serve(spark, t)
+    return served.select(
+        "bucket_ts",
+        "event_type",
+        F.col("count").cast("bigint").alias("n_values"),
+        F.round("sum", 4).alias("sum_value"),
+        F.col("min").alias("min_value"),
+        F.col("max").alias("max_value"),
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3516,7 +3554,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    oracle is the one-shot closure over the union, so the hash
         #    verifies the fold law itself.
         "cluster_store_incremental_docs": cluster_store_incremental_docs,
-        "ivf_probe_partitioned": ivf_probe_partitioned,
+        # -- round 10 (second batch): the hypertable-style continuous
+        #    aggregate — a persisted mergeable time-bucket rollup store
+        #    folded over two batches and SERVED from the store; the
+        #    oracle is the one-shot GROUP BY, so the driver verifies the
+        #    fold law (the dsir_incremental_docs pattern). To hold the
+        #    window at 50, ivf_probe_partitioned (driver-green r8-r9,
+        #    code unchanged this round) rotates below; the ANN family
+        #    stays in-window via pq_probe_pinned + semdedup_pinned_vecs,
+        #    and the partitioned-IVF lane stays in the full local sweep
+        #    + its PartitionFilters plan pin.
+        "rollup_hourly_events": rollup_hourly_events,
         # -- round 9 (new): product quantization — the IVF+PQ recipe's
         #    compression half (dim floats -> m codes; ADC scoring reads
         #    only codes + a literal lookup table). Pinned codebooks make
@@ -3792,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
         # round-10 rotations (see the window-top comment for families):
+        "ivf_probe_partitioned": ivf_probe_partitioned,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6200,6 +6249,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS id, least(a, min(b)) AS component
             FROM reach GROUP BY a
+        """,
+        "rollup_hourly_events": """
+            -- the ONE-SHOT hourly rollup over ALL events: the two-batch
+            -- fold through the continuous-aggregate store must serve
+            -- exactly this — the equality IS the fold law this row
+            -- verifies. Bucket = exact bigint epoch-µs floor; sums of
+            -- the 2-decimal values round at 4dp (exact).
+            SELECT make_timestamp(e - ((e % 3600000000) + 3600000000)
+                                      % 3600000000) AS bucket_ts,
+                   event_type,
+                   CAST(count(value) AS BIGINT) AS n_values,
+                   round(sum(value), 4) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM (SELECT epoch_us(ts) AS e, event_type, value FROM events)
+            GROUP BY 1, 2
         """,
         "split_leak_safe_docs": """
             -- the near_dup_clusters closure (exact jaccard >= 0.8 on

@@ -1,0 +1,254 @@
+"""Hypertable-style continuous aggregates: time-bucketed rollups with
+MERGEABLE partial state, an incremental persisted store, and serving
+finalizers — the "rollup a 100 TB event stream into calendar-bounded
+summaries once, serve forever" primitive (the continuous-aggregate /
+materialized-rollup design popularized by TimescaleDB and Druid; no
+reference analog — the reference's aggregation surface is one-shot
+``aggregateBy``, ``src/Table.luna`` group-by only).
+
+Design for scale:
+
+- ``rollup`` is ONE map-side-combining groupBy: the exchange carries
+  (bucket x group)-cardinality partial-state rows, never data rows.
+  Partial state is the classic mergeable five-tuple per bucket —
+  ``(n_rows, n, s, mn, mx, ss)`` — from which count / sum / mean / min /
+  max / variance / stddev all finalize with row-local arithmetic.
+- ``rollup_store_update`` folds a batch into a persisted catalog table
+  at O(batch) cost: history is never re-scanned, the store stays
+  calendar-bounded ((buckets so far) x groups rows) forever, and the
+  swap is crash-safe (`io.store.staging_swap`). Counts/sums SUM-merge
+  (CMS semantics: NOT idempotent — fold each batch exactly once);
+  min/max merge idempotently. The store is stamped with
+  ``(value col, width, group cols)`` and REFUSES a mismatched fold —
+  buckets that silently changed meaning between epochs would corrupt
+  every stored row.
+- ``rollup_serve`` finalizes from the store without touching raw data:
+  the serving scan is bounded by the store's cardinality, not the
+  corpus's.
+
+Bucketing is exact integer arithmetic on epoch microseconds
+(``e - pmod(e, width)``) — no double division, so boundary instants land
+deterministically at any epoch including pre-1970 (floor semantics, not
+truncation toward zero).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..io.store import staging_swap
+
+_UNITS_US = {
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+    "week": 7 * 86_400 * 1_000_000,
+}
+
+#: partial-state columns, in storage order
+STATE_COLS = ("n_rows", "n", "s", "mn", "mx", "ss")
+
+#: finalizable statistics
+STATS = ("count", "n_rows", "sum", "mean", "min", "max", "var", "std")
+
+
+def width_us(width: str | int) -> int:
+    """Parse a bucket width — ``"15 minutes"``, ``"1 hour"``, or a raw
+    microsecond count — to microseconds. Calendar-irregular units
+    (month, year) are deliberately unsupported: fixed-width buckets are
+    what makes the store mergeable across epochs without a calendar."""
+    if isinstance(width, int):
+        if width <= 0:
+            raise ValueError(f"need a positive width, got {width}")
+        return width
+    parts = width.strip().split()
+    if len(parts) == 1:
+        parts = ["1", parts[0]]
+    if len(parts) != 2:
+        raise ValueError(f"cannot parse width {width!r}")
+    count, unit = parts
+    unit = unit.rstrip("s").lower()
+    if unit not in _UNITS_US:
+        raise ValueError(
+            f"unsupported unit {unit!r} (fixed-width units only: "
+            f"{sorted(_UNITS_US)})"
+        )
+    n = int(count)
+    if n <= 0:
+        raise ValueError(f"need a positive width, got {width!r}")
+    return n * _UNITS_US[unit]
+
+
+def time_bucket(ts: Column | str, width: str | int) -> Column:
+    """The bucket-start timestamp for ``ts`` under fixed ``width``
+    buckets anchored at the epoch — exact bigint floor arithmetic
+    (``e - pmod(e, w)``), no doubles near the boundary."""
+    w = width_us(width)
+    e = F.unix_micros(F.col(ts) if isinstance(ts, str) else ts)
+    return F.timestamp_micros(e - F.pmod(e, F.lit(w)))
+
+
+def rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str | int,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Time-bucketed PARTIAL aggregates of ``value_col``: one row per
+    (``bucket_ts``, *by*) carrying the mergeable five-tuple state.
+    ONE map-side-combining groupBy — the only exchange is at
+    (buckets x groups) cardinality. Null timestamps drop (a bucket for
+    "no time" has no serving meaning); null values count in ``n_rows``
+    but not in ``n``/``s``/``ss`` (SQL aggregate semantics)."""
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            time_bucket(ts_col, width).alias("bucket_ts"),
+            *[F.col(c) for c in by],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(v).alias("n"),
+            F.sum(v).alias("s"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+            F.sum(v * v).alias("ss"),
+        )
+    )
+
+
+def rollup_merge(
+    parts: DataFrame, by: Sequence[str] = ()
+) -> DataFrame:
+    """Merge partial-state frames (a union of `rollup` outputs) back to
+    one row per (bucket, group): counts/sums sum, min/max fold
+    idempotently. The merge is associative and commutative — batches
+    may arrive in any order and any grouping."""
+    return parts.groupBy("bucket_ts", *by).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("ss").alias("ss"),
+    )
+
+
+def rollup_finalize(
+    partials: DataFrame,
+    stats: Sequence[str] = ("count", "sum", "mean", "min", "max"),
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Serve final statistics from partial state with row-local
+    arithmetic (no further shuffle): ``count``=non-null values,
+    ``n_rows``=rows, ``sum``/``mean``/``min``/``max``, and population
+    ``var``/``std`` via the moment identity ``ss/n - mean^2`` (clamped
+    at 0 against FP cancellation). Empty-value buckets serve NULL for
+    value statistics."""
+    unknown = set(stats) - set(STATS)
+    if unknown:
+        raise ValueError(f"unknown stats {sorted(unknown)}; have {STATS}")
+    n = F.col("n")
+    mean = F.when(n > 0, F.col("s") / n)
+    var = F.when(
+        n > 0, F.greatest(F.col("ss") / n - mean * mean, F.lit(0.0))
+    )
+    exprs = {
+        "count": n.alias("count"),
+        "n_rows": F.col("n_rows").alias("n_rows"),
+        "sum": F.when(n > 0, F.col("s")).alias("sum"),
+        "mean": mean.alias("mean"),
+        "min": F.col("mn").alias("min"),
+        "max": F.col("mx").alias("max"),
+        "var": var.alias("var"),
+        "std": F.sqrt(var).alias("std"),
+    }
+    return partials.select(
+        "bucket_ts", *by, *[exprs[s] for s in stats]
+    )
+
+
+def _meta_cols(value_col: str, w_us: int, by: Sequence[str]) -> list[Column]:
+    return [
+        F.lit(value_col).alias("__ra_col"),
+        F.lit(int(w_us)).alias("__ra_width_us"),
+        F.lit(",".join(by)).alias("__ra_by"),
+    ]
+
+
+def rollup_store_update(
+    spark,
+    table: str,
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str | int,
+    by: Sequence[str] = (),
+) -> dict:
+    """Fold one batch into a persisted continuous-aggregate store
+    (catalog parquet table, the sketch-store staging-swap idiom).
+
+    Cost per fold: one map-side-combining scan of the BATCH plus a
+    merge against the store's (buckets x groups) rows — history data is
+    never re-read, so a year of epochs costs a year of batches, not a
+    year squared. The store is stamped with its configuration and a
+    fold under a different (value col, width, group cols) raises.
+    Sum-merged state is NOT idempotent: fold each batch exactly once
+    (the CMS/histogram-store contract). Returns ``{"rows", "buckets"}``
+    — rows folded in this call and the store's bucket-row count after.
+    """
+    by = list(by)
+    w_us = width_us(width)
+    batch = rollup(df, ts_col, value_col, width, by)
+    n_batch = batch.agg(F.sum("n_rows")).first()[0] or 0
+    stamped = batch.select("*", *_meta_cols(value_col, w_us, by))
+    # existence check, not a broad except: transient JVM errors must
+    # propagate, never be read as "store absent" (history reset)
+    if spark.catalog.tableExists(table):
+        existing = spark.table(table)
+        meta = existing.select("__ra_col", "__ra_width_us", "__ra_by").first()
+        if meta is not None and (
+            meta["__ra_col"] != value_col
+            or meta["__ra_width_us"] != w_us
+            or meta["__ra_by"] != ",".join(by)
+        ):
+            raise ValueError(
+                f"rollup store {table!r} was built with "
+                f"(col={meta['__ra_col']!r}, width_us="
+                f"{meta['__ra_width_us']}, by={meta['__ra_by']!r}); "
+                f"refusing to fold (col={value_col!r}, width_us={w_us}, "
+                f"by={','.join(by)!r})"
+            )
+        merged = rollup_merge(
+            existing.unionByName(stamped).drop(
+                "__ra_col", "__ra_width_us", "__ra_by"
+            ),
+            by,
+        ).select("*", *_meta_cols(value_col, w_us, by))
+    else:
+        merged = stamped
+    staging_swap(spark, table, merged)
+    buckets = spark.table(table).count()
+    return {"rows": int(n_batch), "buckets": int(buckets)}
+
+
+def rollup_serve(
+    spark,
+    table: str,
+    stats: Sequence[str] = ("count", "sum", "mean", "min", "max"),
+) -> DataFrame:
+    """Finalize statistics from a persisted rollup store — the serving
+    read touches only the store's calendar-bounded rows, never raw
+    data. Group columns are recovered from the store's stamp."""
+    store = spark.table(table)
+    meta = store.select("__ra_by").first()
+    by = [c for c in (meta["__ra_by"] or "").split(",") if c] if meta else []
+    return rollup_finalize(
+        store.drop("__ra_col", "__ra_width_us", "__ra_by"), stats, by
+    )

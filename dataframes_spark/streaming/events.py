@@ -958,6 +958,40 @@ def quantiles_each_batch(
     return _apply
 
 
+def rollup_each_batch(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    width: str | int,
+    by=(),
+    *,
+    stats=("count", "sum", "mean", "min", "max"),
+    write=None,
+):
+    """Streaming continuous aggregate: a ``foreachBatch`` callback
+    folding each micro-batch into the persisted time-bucket rollup
+    store (`operators/rollup.py`) — the hypertable pattern where raw
+    events are touched once and every dashboard read serves from the
+    calendar-bounded store. Per-batch cost: one map-side-combining scan
+    of the batch plus a (buckets x groups)-row merge and swap; history
+    is never re-scanned, and the fold law (batch folds == one-shot
+    rollup over the union) makes stream == batch under any micro-batch
+    split — pinned in tests. Sum-merged state: exactly-once delivery is
+    the caller's dedup concern (the CMS-store contract).
+    ``write(finalized_df, epoch_id)`` receives the served statistics."""
+    from dataframes_spark.operators import rollup as RU
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        RU.rollup_store_update(
+            spark, table, batch_df, ts_col, value_col, width, by=list(by)
+        )
+        if write is not None:
+            write(RU.rollup_serve(spark, table, stats=stats), epoch_id)
+
+    return _apply
+
+
 def word_types_each_batch(
     table: str,
     text_col: str,

@@ -1,0 +1,195 @@
+"""Continuous-aggregate rollup store (operators/rollup.py): bucket-edge
+exactness, one-shot vs SQL, the batch fold law, stamp refusal, null
+handling, finalizer identities, compaction invariance."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.io.store import compact_swap_store, drop_table_and_location
+from dataframes_spark.operators import rollup as R
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, ts timestamp, g string, v double"
+    )
+
+
+def _fixture(spark, n=500):
+    # deterministic events across ~3 hours, 2 groups, a few nulls
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 37_000_000
+        ).alias("ts"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.when(F.col("id") % 29 != 0, (F.col("id") * 7919 % 1000) / 7.0).alias(
+            "v"
+        ),
+    )
+
+
+def test_width_parse():
+    assert R.width_us("1 hour") == 3_600_000_000
+    assert R.width_us("15 minutes") == 900_000_000
+    assert R.width_us("day") == 86_400_000_000
+    assert R.width_us(42) == 42
+    with pytest.raises(ValueError):
+        R.width_us("1 month")
+    with pytest.raises(ValueError):
+        R.width_us("0 hours")
+
+
+def test_bucket_edges_exact(spark):
+    # an instant exactly on a boundary starts its own bucket; one µs
+    # before belongs to the previous; pre-1970 floors (not truncates)
+    w = 3_600_000_000
+    df = spark.createDataFrame(
+        [(0,), (w - 1,), (w,), (-1,), (-w,)], "e long"
+    ).select(F.timestamp_micros("e").alias("ts"))
+    got = sorted(
+        r[0]
+        for r in df.select(
+            F.unix_micros(R.time_bucket("ts", "1 hour")).alias("b")
+        ).collect()
+    )
+    assert got == [-w, -w, 0, 0, w]
+
+
+def test_one_shot_matches_groupby_sql(spark):
+    df = _fixture(spark)
+    got = R.rollup_finalize(
+        R.rollup(df, "ts", "v", "1 hour", by=["g"]),
+        stats=("count", "n_rows", "sum", "mean", "min", "max", "var", "std"),
+        by=["g"],
+    )
+    w = F.unix_micros("ts")
+    exp = (
+        df.groupBy(
+            F.timestamp_micros(w - F.pmod(w, F.lit(3_600_000_000))).alias(
+                "bucket_ts"
+            ),
+            "g",
+        )
+        .agg(
+            F.count("v").alias("count"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("sum"),
+            F.avg("v").alias("mean"),
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+            F.var_pop("v").alias("var"),
+            F.stddev_pop("v").alias("std"),
+        )
+    )
+    g = {(r.bucket_ts, r.g): r for r in got.collect()}
+    e = {(r.bucket_ts, r.g): r for r in exp.collect()}
+    assert g.keys() == e.keys() and len(g) > 2
+    for key, row in e.items():
+        o = g[key]
+        assert (o["count"], o["n_rows"], o["min"], o["max"]) == (
+            row["count"],
+            row["n_rows"],
+            row["min"],
+            row["max"],
+        )
+        for c in ("sum", "mean", "var", "std"):
+            if row[c] is None:
+                assert o[c] is None
+            else:
+                assert o[c] == pytest.approx(row[c], rel=1e-9)
+
+
+def test_fold_law_three_batches(spark):
+    """store fold over arbitrary splits == one-shot rollup over the
+    union — the law that makes the store a continuous aggregate."""
+    df = _fixture(spark)
+    t = "t_rollup_fold_law"
+    drop_table_and_location(spark, t)
+    for i in range(3):
+        R.rollup_store_update(
+            spark, t, df.filter(F.col("k") % 3 == i), "ts", "v", "1 hour",
+            by=["g"],
+        )
+    got = R.rollup_serve(
+        spark, t, stats=("count", "n_rows", "sum", "mean", "min", "max")
+    )
+    exp = R.rollup_finalize(
+        R.rollup(df, "ts", "v", "1 hour", by=["g"]),
+        stats=("count", "n_rows", "sum", "mean", "min", "max"),
+        by=["g"],
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, exp.collect()))
+    assert len(g) == len(e) > 2
+    for a, b in zip(g, e):
+        assert a[:4] == b[:4]
+        assert a[4:] == pytest.approx(b[4:], rel=1e-9)
+
+
+def test_store_refuses_mismatched_fold(spark):
+    df = _fixture(spark, 50)
+    t = "t_rollup_refuse"
+    drop_table_and_location(spark, t)
+    R.rollup_store_update(spark, t, df, "ts", "v", "1 hour", by=["g"])
+    with pytest.raises(ValueError, match="refusing to fold"):
+        R.rollup_store_update(spark, t, df, "ts", "v", "15 minutes", by=["g"])
+    with pytest.raises(ValueError, match="refusing to fold"):
+        R.rollup_store_update(spark, t, df, "ts", "v", "1 hour", by=[])
+    with pytest.raises(ValueError, match="refusing to fold"):
+        R.rollup_store_update(spark, t, df, "ts", "k", "1 hour", by=["g"])
+
+
+def test_null_handling(spark):
+    base = dt.datetime(2024, 1, 1)
+    df = _events(
+        spark,
+        [
+            (1, base, "a", 1.0),
+            (2, base, "a", None),  # counts in n_rows, not count/sum
+            (3, None, "a", 9.0),  # null ts drops entirely
+            (4, base, "b", None),  # all-null bucket serves NULL stats
+        ],
+    )
+    rows = {
+        r.g: r
+        for r in R.rollup_finalize(
+            R.rollup(df, "ts", "v", "1 hour", by=["g"]),
+            stats=("count", "n_rows", "sum", "mean", "min", "max", "std"),
+            by=["g"],
+        ).collect()
+    }
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["count"] == 1
+    assert rows["a"]["sum"] == 1.0 and rows["a"]["std"] == 0.0
+    assert rows["b"]["n_rows"] == 1 and rows["b"]["count"] == 0
+    assert all(
+        rows["b"][c] is None for c in ("sum", "mean", "min", "max", "std")
+    )
+
+
+def test_compaction_preserves_served_report(spark):
+    df = _fixture(spark)
+    t = "t_rollup_compact"
+    drop_table_and_location(spark, t)
+    for i in range(2):
+        R.rollup_store_update(
+            spark, t, df.filter(F.col("k") % 2 == i), "ts", "v", "1 hour",
+            by=["g"],
+        )
+    before = sorted(map(tuple, R.rollup_serve(spark, t).collect()))
+    out = compact_swap_store(spark, t)
+    assert out["files_after"] <= out["files_before"]
+    after = sorted(map(tuple, R.rollup_serve(spark, t).collect()))
+    assert before == after
+
+
+def test_merge_is_order_independent(spark):
+    df = _fixture(spark, 300)
+    parts = [R.rollup(df.filter(F.col("k") % 3 == i), "ts", "v", "1 hour") for i in range(3)]
+    a = R.rollup_merge(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+    b = R.rollup_merge(parts[2].unionByName(parts[0]).unionByName(parts[1]))
+    ka = sorted(map(tuple, a.select("bucket_ts", "n_rows", "n", "mn", "mx").collect()))
+    kb = sorted(map(tuple, b.select("bucket_ts", "n_rows", "n", "mn", "mx").collect()))
+    assert ka == kb and len(ka) > 2

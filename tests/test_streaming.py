@@ -1170,3 +1170,55 @@ def test_cluster_each_batch_stream_equals_batch(spark):
     assert 6 not in got and assigned[2][6] == 6
     for t in (lt, ct):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rollup_each_batch_stream_equals_batch(spark, tmp_path):
+    """Streaming continuous aggregate: after folding a real micro-batched
+    stream, the served store equals the one-shot rollup over the whole
+    input — the hypertable fold law under an actual foreachBatch run."""
+    from dataframes_spark.operators import rollup as R
+
+    t = f"rollup_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    out = str(tmp_path / "roll_ev")
+    base = spark.range(600).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 31_000_000
+        ).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 7919 % 997) / 9.0).alias("v"),
+    )
+    for lo, hi in ((0, 200), (200, 450), (450, 600)):
+        base.filter((F.col("k") >= lo) & (F.col("k") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(out)
+    whole = spark.read.parquet(out)
+    served = []
+    cb = dstream.rollup_each_batch(
+        t, "ts", "v", "15 minutes", by=("g",),
+        write=lambda df, e: served.append(df.count()),
+    )
+    src = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = src.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    got = sorted(map(tuple, R.rollup_serve(spark, t).collect()))
+    exp = sorted(
+        map(
+            tuple,
+            R.rollup_finalize(
+                R.rollup(whole, "ts", "v", "15 minutes", by=["g"]),
+                by=["g"],
+            ).collect(),
+        )
+    )
+    assert len(got) == len(exp) > 5
+    for a, b in zip(got, exp):
+        assert a[:2] == b[:2]
+        assert a[2:] == pytest.approx(b[2:], rel=1e-9)
+    assert len(served) >= 3 and served[-1] == len(exp)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
