@@ -3354,6 +3354,40 @@ def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch EWMA (operators/ewma.py): per-user
+    exponentially-weighted value average over (ts, event_id) order —
+    pandas ``ewm(adjust=False)`` semantics (y1=x1) with NO per-user
+    buffering (per-bucket affine summaries + a JVM carry fold), so a
+    whale user never sits in one task. EWMA is order-dependent per ROW,
+    so no rounding digit can bridge two engines' summation orders over
+    10k rows (a 6dp tie appears immediately); instead the row pins
+    EXACT arithmetic — alpha=1/2 (every weight a power of two),
+    integer-rounded values (<=9 bits) and chains capped at 40 steps, so
+    every intermediate is exactly representable (<=50 significand bits)
+    and recursion == closed form == DuckDB's pow-sum BIT FOR BIT, no
+    rounding anywhere (the pq_probe_pinned exact-relational pattern).
+    General alphas are pinned against pandas/streaming in
+    tests/test_ewma.py."""
+    from dataframes_spark.operators.ewma import ewma as dewma
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 40)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round("value", 0).alias("xv"),
+        )
+    )
+    out = dewma(capped, "xv", 0.5, ["ts", "event_id"], by=["user_id"])
+    return out.select("event_id", F.col("ewma").alias("ewma_value"))
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3481,7 +3515,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green r5-r7) rotates below; single-scan reshape stays
         # in-window via chunk_documents + the pack rows.
         "funnel_events_windowed": funnel_events_windowed,
-        "cohort_retention_daily": cohort_retention_daily,
+        # -- round 10 (second batch): distributed batch EWMA — the
+        #    streaming per-key EWMA's batch twin on the global-order
+        #    lane (per-bucket affine summaries + JVM carry fold, no
+        #    per-user buffering), hash-verified against the closed-form
+        #    weighted-sum self-join. To hold the window at 50,
+        #    cohort_retention_daily (driver-green r8-r9, batch retention
+        #    code unchanged this round) rotates below; the
+        #    event-analytics family stays in-window via funnel_events +
+        #    funnel_events_windowed + event_transitions_users +
+        #    top_paths_events.
+        "ewma_user_values": ewma_user_values,
         # -- round 10 (new operators, continuation): four corpus-curation
         #    operators from the published playbooks, each hash-verified:
         #    c4_rules_docs — the C4 cleaning heuristics (Raffel et al.
@@ -3841,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    still covered locally by tools/check_oracle.py and tests/
         # round-10 rotations (see the window-top comment for families):
         "ivf_probe_partitioned": ivf_probe_partitioned,
+        "cohort_retention_daily": cohort_retention_daily,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6265,6 +6310,30 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS max_value
             FROM (SELECT epoch_us(ts) AS e, event_type, value FROM events)
             GROUP BY 1, 2
+        """,
+        "ewma_user_values": """
+            -- closed form of the adjust=False recursion (y1 = x1;
+            -- y_t = a*x_t + (1-a)*y_{t-1}) as a per-user self-join:
+            -- seed weight (1-a)^(rn-1), term weights a*(1-a)^(rn-i).
+            -- EXACT arithmetic by construction (alpha=1/2, integer
+            -- values <= 9 bits, chains <= 40): every term and partial
+            -- sum is representable, so sum order cannot matter and NO
+            -- rounding is needed — recursion == pow-sum bit for bit.
+            WITH o AS (
+                SELECT user_id, event_id,
+                       CAST(round(value, 0) AS DOUBLE) AS x,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events WHERE value IS NOT NULL
+            ), c AS (SELECT * FROM o WHERE rn <= 40)
+            SELECT t.event_id,
+                   sum(CASE WHEN i.rn = 1 THEN power(0.5, t.rn - i.rn)
+                            ELSE 0.5 * power(0.5, t.rn - i.rn)
+                       END * i.x) AS ewma_value
+            FROM c t JOIN c i
+              ON i.user_id = t.user_id AND i.rn <= t.rn
+            GROUP BY t.event_id
         """,
         "split_leak_safe_docs": """
             -- the near_dup_clusters closure (exact jaccard >= 0.8 on

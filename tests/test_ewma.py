@@ -1,0 +1,126 @@
+"""Batch distributed EWMA (operators/ewma.py): pandas-reference
+equality, bucketization invariance (the affine carry law), per-group
+semantics, null handling, whale-group boundedness, streaming parity."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.operators.ewma import ewma
+
+
+def _ref(values, alpha):
+    return (
+        pd.Series(values, dtype=float)
+        .ewm(alpha=alpha, adjust=False)
+        .mean()
+        .tolist()
+    )
+
+
+def _df(spark, n=400, groups=1):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % groups).alias("g"),
+        ((F.col("id") * 7919 % 997) / 7.0).alias("v"),
+    )
+
+
+def test_matches_pandas_reference_any_bucketing(spark):
+    df = _df(spark, 300)
+    want = _ref([(i * 7919 % 997) / 7.0 for i in range(300)], 0.3)
+    for nb in (1, 2, 7, 64):
+        got = {
+            r.k: r.ewma
+            for r in ewma(df, "v", 0.3, "k", n_buckets=nb).collect()
+        }
+        assert len(got) == 300
+        for i in range(300):
+            assert got[i] == pytest.approx(want[i], rel=1e-11), (nb, i)
+
+
+def test_per_group_matches_pandas(spark):
+    df = _df(spark, 400, groups=3)
+    vals = {g: [] for g in range(3)}
+    for i in range(400):
+        vals[i % 3].append((i * 7919 % 997) / 7.0)
+    want = {g: _ref(v, 0.5) for g, v in vals.items()}
+    got = ewma(df, "v", 0.5, "k", by=["g"], n_buckets=5).collect()
+    assert len(got) == 400
+    for r in got:
+        g = r.g
+        pos = r.k // 3
+        assert r.ewma == pytest.approx(want[g][pos], rel=1e-11), (g, r.k)
+
+
+def test_null_values_skip_state_and_output_null(spark):
+    rows = [(0, 1.0), (1, None), (2, 3.0), (3, None), (4, 5.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {r.k: r.ewma for r in ewma(df, "v", 0.5, "k", n_buckets=2).collect()}
+    # recursion runs over non-null values only: 1, 2, 3.5
+    assert got[0] == 1.0 and got[1] is None
+    assert got[2] == pytest.approx(2.0)
+    assert got[3] is None
+    assert got[4] == pytest.approx(3.5)
+
+
+def test_alpha_one_is_identity_and_bad_alpha_raises(spark):
+    df = _df(spark, 50)
+    got = ewma(df, "v", 1.0, "k", n_buckets=3)
+    assert all(
+        r.ewma == pytest.approx(r.v) for r in got.collect()
+    )
+    with pytest.raises(ValueError):
+        ewma(df, "v", 0.0, "k")
+    with pytest.raises(ValueError):
+        ewma(df, "v", 1.5, "k")
+
+
+def test_whale_group_stays_bucket_bounded(spark):
+    """ONE group owning every row still distributes: with the group key
+    as the partition column a plain window would funnel 20k rows through
+    one task; the lane's buckets split it. Values still exact."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.lit("whale").alias("g"),
+        (F.col("id") % 101).cast("double").alias("v"),
+    )
+    out = ewma(df, "v", 0.1, "k", by=["g"], n_buckets=16)
+    got = {r.k: r.ewma for r in out.collect()}
+    want = _ref([i % 101 for i in range(n)], 0.1)
+    for i in (0, 1, 9_999, 19_999):
+        assert got[i] == pytest.approx(want[i], rel=1e-9)
+    # bucketization really split the whale: >1 distinct bucket
+    from dataframes_spark.operators.global_order import _bucketized
+
+    nb = _bucketized(df, ["k"], 16).select("__go_b").distinct().count()
+    assert nb > 1
+
+
+def test_matches_streaming_ewma_semantics(spark):
+    """Batch EWMA == the streaming per-key EWMA folded over batches
+    (the stream==batch law for the ewma pair)."""
+    from dataframes_spark.streaming.events import _ewma_pdf
+
+    vals = [(i * 31 % 97) / 3.0 for i in range(60)]
+    pdf = pd.DataFrame({"k": range(60), "v": vals})
+    out1, prev = _ewma_pdf(
+        pdf.iloc[:25].copy(), "k", "v", 0.2, None
+    )
+    out2, _ = _ewma_pdf(pdf.iloc[25:].copy(), "k", "v", 0.2, prev)
+    stream = list(out1["ewma"]) + list(out2["ewma"])
+    df = spark.createDataFrame(pdf, "k long, v double")
+    got = {r.k: r.ewma for r in ewma(df, "v", 0.2, "k", n_buckets=4).collect()}
+    for i in range(60):
+        assert got[i] == pytest.approx(stream[i], rel=1e-11)
+
+
+def test_plan_has_no_data_bearing_single_partition(spark):
+    from dataframes_spark.plan import plan_report
+
+    df = _df(spark, 200, groups=4)
+    rep = plan_report(ewma(df, "v", 0.25, "k", by=["g"], n_buckets=4))
+    assert rep["single_partition_data_exchanges"] == 0
+    assert rep["row_python_udf_nodes"] == 0
+    assert rep["pandas_udf_nodes"] >= 2
