@@ -3388,6 +3388,32 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("ewma").alias("ewma_value"))
 
 
+def rank_family_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed rank family (operators/global_order.py rank_stats +
+    ntiles): rank / dense_rank / cume_dist with exact SQL tie semantics
+    plus ntile(7) over a unique ordering — all four replayed against
+    DuckDB's window functions bit for bit (ranks and tiles are exact
+    integers; cume_dist is ONE division of exact integers), with no
+    data-bearing SinglePartition anywhere (the percent_rank_events
+    pattern, completing the family)."""
+    from dataframes_spark.operators.global_order import ntiles, rank_stats
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    rs = rank_stats(ev, "value")
+    nt = ntiles(ev, 7, ["value", "event_id"]).select("event_id", "ntile")
+    return rs.join(nt, "event_id").select(
+        "event_id",
+        F.col("rank").alias("value_rank"),
+        F.col("dense_rank").alias("value_dense_rank"),
+        F.col("cume_dist").alias("value_cume_dist"),
+        F.col("ntile").alias("value_ntile7"),
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3573,7 +3599,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pca_project_pinned, which hash-verifies the SAME projection
         #    code path against pinned literal components (the
         #    ivf_probe_pinned pattern).
-        "embedding_covariance_upper": embedding_covariance_upper,
+        # -- round 10 (second batch): the rest of the distributed rank
+        #    family — rank/dense_rank/cume_dist (tie-exact, key-relation
+        #    cumsum) + ntile (position-exact integer tiling), one row
+        #    replaying all four against DuckDB's windows bit for bit.
+        #    To hold the window at 50, embedding_covariance_upper
+        #    (driver-green r8-r9, code unchanged this round) rotates
+        #    below; the PCA/moments family stays in-window via
+        #    pca_project_pinned, and the covariance lane stays in the
+        #    full local sweep + unit pins.
+        "rank_family_events": rank_family_events,
         "pca_project_pinned": pca_project_pinned,
         # -- round 9 (new): categorical (value-bucket) PSI drift — the
         #    top-k + __other__ gate for language/source/license columns
@@ -3886,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 rotations (see the window-top comment for families):
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "cohort_retention_daily": cohort_retention_daily,
+        "embedding_covariance_upper": embedding_covariance_upper,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6334,6 +6370,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c t JOIN c i
               ON i.user_id = t.user_id AND i.rn <= t.rn
             GROUP BY t.event_id
+        """,
+        "rank_family_events": """
+            -- the textbook window forms: ranks and tiles are exact
+            -- integers, cume_dist one exact-integer division — no
+            -- rounding anywhere.
+            SELECT event_id,
+                   rank() OVER (ORDER BY value) AS value_rank,
+                   dense_rank() OVER (ORDER BY value) AS value_dense_rank,
+                   cume_dist() OVER (ORDER BY value) AS value_cume_dist,
+                   ntile(7) OVER (ORDER BY value, event_id) AS value_ntile7
+            FROM events WHERE value IS NOT NULL
         """,
         "split_leak_safe_docs": """
             -- the near_dup_clusters closure (exact jaccard >= 0.8 on

@@ -669,6 +669,104 @@ def grouped_positions(
     )
 
 
+def rank_stats(
+    df: DataFrame,
+    order_by: str | Sequence[str],
+    n_buckets: int | None = None,
+    rank_col: str | None = "rank",
+    dense_rank_col: str | None = "dense_rank",
+    cume_dist_col: str | None = "cume_dist",
+) -> DataFrame:
+    """Distributed ``rank()`` / ``dense_rank()`` / ``cume_dist()`` over
+    a global ordering — exact SQL tie semantics (ties share a rank;
+    ``cume_dist = rows_with_key_lte / N``) without the single-reducer
+    window, completing the rank family `percent_ranks` started.
+
+    Same construction: fold to per-DISTINCT-KEY counts (the only
+    full-data exchange, map-side partial), then at key cardinality
+    run `cumsum_global` (exclusive running count = rank - 1) and
+    `global_positions` (position among distinct keys = dense rank)
+    over the key relation, and join back null-safe (null keys tie
+    first, Spark's asc-nulls-first order). Ranks are exact integers;
+    cume_dist is ONE division of exact integers — engine-reproducible
+    with no rounding. Set an out-column to None to omit it."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    vc = df.groupBy(*order_cols).agg(F.count(F.lit(1)).alias("__rk_cnt"))
+    keyed = cumsum_global(
+        vc, "__rk_cnt", order_cols, n_buckets, out_col="__rk_before"
+    )
+    if dense_rank_col:
+        keyed = global_positions(
+            keyed, order_cols, n_buckets, pos_col="__rk_dr"
+        )
+    renamed = keyed.select(
+        *[F.col(c).alias(f"__rk_k_{c}") for c in order_cols],
+        *[c for c in keyed.columns if c.startswith("__rk_") and "_k_" not in c],
+    )
+    cond = None
+    for c in order_cols:
+        piece = df[c].eqNullSafe(renamed[f"__rk_k_{c}"])
+        cond = piece if cond is None else cond & piece
+    out = df.join(renamed, cond)
+    cols = list(df.columns)
+    if rank_col:
+        out = out.withColumn(
+            rank_col, (F.col("__rk_before") + 1).cast("bigint")
+        )
+        cols.append(rank_col)
+    if dense_rank_col:
+        out = out.withColumn(dense_rank_col, F.col("__rk_dr").cast("bigint"))
+        cols.append(dense_rank_col)
+    if cume_dist_col:
+        total = df.agg(F.count(F.lit(1)).alias("__rk_n"))
+        out = out.crossJoin(F.broadcast(total)).withColumn(
+            cume_dist_col,
+            (F.col("__rk_before") + F.col("__rk_cnt")).cast("double")
+            / F.col("__rk_n").cast("double"),
+        )
+        cols.append(cume_dist_col)
+    return out.select(*cols)
+
+
+def ntiles(
+    df: DataFrame,
+    n: int,
+    order_by: str | Sequence[str],
+    n_buckets: int | None = None,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Distributed ``ntile(n)`` over a global ordering — exact SQL
+    semantics (with ``N = q*n + r``, the first ``r`` tiles take
+    ``q + 1`` rows) from `global_positions` + a broadcast 1-row total;
+    pure integer arithmetic, no single-reducer window. Row-POSITION
+    semantics: equal keys resolve arbitrarily-but-validly — pass a
+    unique tiebreak column for a deterministic result (the
+    `global_positions` contract)."""
+    if n < 1:
+        raise ValueError(f"need n >= 1 tiles, got {n}")
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    pos = global_positions(df, order_cols, n_buckets, pos_col="__nt_pos")
+    total = df.agg(F.count(F.lit(1)).alias("__nt_n"))
+
+    def idiv(a, b):  # exact bigint floor division (non-negative a)
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    q = idiv(F.col("__nt_n"), F.lit(n))
+    r = F.col("__nt_n") % n
+    big = r * (q + 1)  # rows covered by the r larger tiles
+    p = F.col("__nt_pos")
+    tile = (
+        F.when(p <= big, idiv(p - 1, q + 1))
+        .otherwise(r + idiv(p - big - 1, F.greatest(q, F.lit(1))))
+        + 1
+    )
+    return (
+        pos.crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("bigint"))
+        .select(*df.columns, out_col)
+    )
+
+
 def percent_ranks(
     df: DataFrame,
     order_by: str | Sequence[str],
