@@ -3414,6 +3414,28 @@ def rank_family_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_semantic_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (operators/decontaminate.py
+    semantic_contamination_report): corpus embeddings screened against
+    a broadcast eval set by exact cosine — every flagged doc with its
+    closest eval item (ties to the larger eval id, deterministic). The
+    eval set here is a 1-in-20 slice of the corpus itself (verbatim
+    leakage — each member self-matches at cosine 1.0) plus whatever
+    paraphrase-level neighbours clear the 0.25 threshold; the oracle
+    replays dot/norm/argmax term for term (the
+    embedding_dedup_incremental_vecs cosine idiom)."""
+    from dataframes_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    evals = vecs.filter(F.col("vec_id") % 20 == 0)
+    rep = semantic_contamination_report(
+        vecs, evals, "embedding", "vec_id", threshold=0.25
+    )
+    return rep.select("id", "eval_id", F.round("cosine", 6).alias("cosine"))
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3914,14 +3936,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprinting family stays in-window via
         # minhash_signatures_md5 + simhash_fingerprints_md5, and winnow
         # itself stays in the full local sweep + unit suite.
-        # -- window backfill: one green row per remaining operator family
-        "q1_pricing_summary": q1_pricing_summary,
+        # -- round 10 (second batch): semantic decontamination — the
+        #    embedding-cosine screen the n-gram rule can't express
+        #    (paraphrased leakage), eval side broadcast so the corpus
+        #    never shuffles; dot/norm/argmax replayed in DuckDB. To hold
+        #    the window at 50, q1_pricing_summary (driver-green r1-r9,
+        #    the most multiply-green row in the registry; also still the
+        #    entry() flagship the driver smoke-checks every round)
+        #    rotates below; the aggregation family stays in-window via
+        #    rollup_hourly_events + the funnel rows.
+        "decontaminate_semantic_vecs": decontaminate_semantic_vecs,
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
         # round-10 rotations (see the window-top comment for families):
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "cohort_retention_daily": cohort_retention_daily,
         "embedding_covariance_upper": embedding_covariance_upper,
+        "q1_pricing_summary": q1_pricing_summary,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6381,6 +6412,35 @@ def oracle_sql() -> dict[str, str]:
                    cume_dist() OVER (ORDER BY value) AS value_cume_dist,
                    ntile(7) OVER (ORDER BY value, event_id) AS value_ntile7
             FROM events WHERE value IS NOT NULL
+        """,
+        "decontaminate_semantic_vecs": """
+            -- dot/norm cosine exactly as the operator computes it
+            -- (the embedding_dedup_incremental_vecs idiom); eval side =
+            -- the 1-in-20 slice; per-id argmax with ties to the larger
+            -- eval id (the operator's struct-max order).
+            WITH u AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)) AS vd,
+                       sqrt(list_sum(list_transform(embedding,
+                           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                           AS nrm
+                FROM embeddings
+            ), pairs AS (
+                SELECT a.vec_id AS id, b.vec_id AS eval_id,
+                       list_sum(list_transform(range(1, len(a.vd) + 1),
+                           i -> a.vd[CAST(i AS INT)] * b.vd[CAST(i AS INT)]))
+                           / (a.nrm * b.nrm) AS c
+                FROM u a JOIN u b ON b.vec_id % 20 = 0
+            ), flagged AS (
+                SELECT id, eval_id, c,
+                       row_number() OVER (
+                           PARTITION BY id ORDER BY c DESC, eval_id DESC
+                       ) AS rk
+                FROM pairs WHERE c >= 0.25
+            )
+            SELECT id, eval_id, round(c, 6) AS cosine
+            FROM flagged WHERE rk = 1
         """,
         "split_leak_safe_docs": """
             -- the near_dup_clusters closure (exact jaccard >= 0.8 on

@@ -127,3 +127,119 @@ def decontaminate(
         corpus, evals, text_col, id_col, eval_text_col, n
     ).select(F.col("id").alias(id_col))
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination_report(
+    corpus: DataFrame,
+    evals: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    eval_vec_col: str | None = None,
+    eval_id_col: str | None = None,
+    num_planes: int = 0,
+    seed: int = 42,
+    plane_hash: str = "xxhash64",
+) -> DataFrame:
+    """SEMANTIC decontamination flags — corpus documents whose
+    embedding cosine-matches any eval item at ``>= threshold``:
+    ``(id, eval_id, cosine)`` with the CLOSEST eval item (cosine ties
+    broken by larger eval id — deterministic for any orderable id). The n-gram rule misses
+    paraphrased leakage; the embedding rule is the published remedy
+    (e.g. the GPT-4/Llama-3 report practice of cosine screening eval
+    sets against training data).
+
+    Same asymmetry as the n-gram pass: the eval side is MB-scale by
+    definition and is explicitly broadcast, so the corpus NEVER
+    shuffles for candidate generation — with ``num_planes = 0`` (exact,
+    the decontamination default: a missed match IS leakage) every
+    corpus vector meets every eval vector inside its own scan task via
+    a broadcast nested-loop join, and the per-corpus-row reduction
+    happens map-side (only FLAGGED pairs reach the contamination-sized
+    exchange). ``num_planes > 0`` prunes candidates to equal hyperplane
+    buckets (`similarity.hyperplane_buckets`, recall < 1 — the
+    screening mode for very large eval suites), a broadcast HASH join
+    on the bucket key."""
+    from dataframes_spark.operators.similarity import (
+        _dot,
+        _norm,
+        hyperplane_buckets,
+    )
+
+    eval_vec_col = eval_vec_col or vec_col
+    eval_id_col = eval_id_col or id_col
+    cd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    ed = F.transform(F.col(eval_vec_col), lambda v: v.cast("double"))
+
+    if num_planes > 0:
+        cside = hyperplane_buckets(
+            corpus, vec_col, id_col, num_planes, seed, plane_hash
+        ).select(
+            F.col(id_col).alias("__sc_id"),
+            "bucket",
+            cd.alias("__sc_vec"),
+            _norm(cd).alias("__sc_nrm"),
+        )
+        eside = hyperplane_buckets(
+            evals, eval_vec_col, eval_id_col, num_planes, seed, plane_hash
+        ).select(
+            F.col(eval_id_col).alias("__sc_eid"),
+            "bucket",
+            ed.alias("__sc_evec"),
+            _norm(ed).alias("__sc_enrm"),
+        )
+        pairs = cside.join(F.broadcast(eside), "bucket")
+    else:
+        cside = corpus.select(
+            F.col(id_col).alias("__sc_id"),
+            cd.alias("__sc_vec"),
+            _norm(cd).alias("__sc_nrm"),
+        )
+        eside = evals.select(
+            F.col(eval_id_col).alias("__sc_eid"),
+            ed.alias("__sc_evec"),
+            _norm(ed).alias("__sc_enrm"),
+        )
+        pairs = cside.crossJoin(F.broadcast(eside))
+
+    cosine = _dot(F.col("__sc_vec"), F.col("__sc_evec")) / (
+        F.col("__sc_nrm") * F.col("__sc_enrm")
+    )
+    flagged = pairs.select(
+        "__sc_id", "__sc_eid", cosine.alias("__sc_cos")
+    ).filter(F.col("__sc_cos") >= threshold)
+    best = F.max(F.struct(F.col("__sc_cos"), F.col("__sc_eid"))).alias(
+        "__sc_best"
+    )
+    return (
+        flagged.groupBy("__sc_id")
+        .agg(best)
+        .select(
+            F.col("__sc_id").alias("id"),
+            F.col("__sc_best.__sc_eid").alias("eval_id"),
+            F.col("__sc_best.__sc_cos").alias("cosine"),
+        )
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    evals: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    eval_vec_col: str | None = None,
+    eval_id_col: str | None = None,
+    num_planes: int = 0,
+    seed: int = 42,
+    plane_hash: str = "xxhash64",
+) -> DataFrame:
+    """The corpus minus every document flagged by
+    :func:`semantic_contamination_report` — the flagged-id relation is
+    contamination-sized, so AQE plans the anti-join as a broadcast;
+    the corpus still never shuffles (the `decontaminate` contract)."""
+    flagged = semantic_contamination_report(
+        corpus, evals, vec_col, id_col, threshold,
+        eval_vec_col, eval_id_col, num_planes, seed, plane_hash,
+    ).select(F.col("id").alias(id_col))
+    return corpus.join(flagged, id_col, "left_anti")

@@ -131,3 +131,128 @@ def test_eval_frame_needs_no_id_column(spark, corpus):
     )
     rep = dc.contamination_report(corpus, evals, "text", "doc_id", n=8)
     assert {r.id for r in rep.collect()} == {1, 2}
+
+
+def _vec_df(spark, rows, id_name="vid"):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_name, T.LongType()),
+            T.StructField("emb", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_semantic_report_exact_flags_and_argmax(spark):
+    from dataframes_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    corpus = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),       # exact leak of eval 10
+            (2, [0.9, 0.1]),       # near eval 10
+            (3, [0.0, 1.0]),       # exact leak of eval 11
+            (4, [-1.0, 0.0]),      # anti-correlated: clean
+            (5, [0.7, 0.7]),       # equidistant: ties at cos(45°)
+        ],
+    )
+    evals = _vec_df(
+        spark, [(10, [1.0, 0.0]), (11, [0.0, 1.0])], id_name="eid"
+    )
+    rep = {
+        r.id: (r.eval_id, r.cosine)
+        for r in semantic_contamination_report(
+            corpus, evals, "emb", "vid", threshold=0.6,
+            eval_vec_col="emb", eval_id_col="eid",
+        ).collect()
+    }
+    assert set(rep) == {1, 2, 3, 5}
+    assert rep[1][0] == 10 and rep[1][1] == pytest.approx(1.0)
+    assert rep[2][0] == 10 and rep[2][1] == pytest.approx(0.9938837,
+                                                          abs=1e-6)
+    assert rep[3][0] == 11
+    # exact cosine tie -> larger eval id, deterministically
+    assert rep[5][0] == 11 and rep[5][1] == pytest.approx(0.70710678,
+                                                          abs=1e-7)
+
+
+def test_semantic_decontaminate_drops_flagged_only(spark):
+    from dataframes_spark.operators.decontaminate import (
+        decontaminate_semantic,
+    )
+
+    corpus = _vec_df(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+         (4, [0.0, -1.0])],
+    )
+    evals = _vec_df(spark, [(10, [1.0, 0.0])], id_name="eid")
+    kept = sorted(
+        r.vid
+        for r in decontaminate_semantic(
+            corpus, evals, "emb", "vid", threshold=0.9,
+            eval_vec_col="emb", eval_id_col="eid",
+        ).collect()
+    )
+    assert kept == [2, 3, 4]
+
+
+def test_semantic_bucketed_mode_subset_of_exact(spark):
+    """num_planes > 0 prunes to same-bucket pairs: every flag it raises
+    is a true exact-mode flag (precision 1, recall <= 1), and
+    self-leaks (identical vectors, same bucket by construction) are
+    always caught."""
+    import random
+
+    from dataframes_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    rnd = random.Random(7)
+    vecs = [
+        (i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(40)
+    ]
+    corpus = _vec_df(spark, vecs)
+    evals = _vec_df(
+        spark, [(100 + i, v) for i, v in vecs[:5]], id_name="eid"
+    )
+    exact = {
+        r.id
+        for r in semantic_contamination_report(
+            corpus, evals, "emb", "vid", threshold=0.5,
+            eval_vec_col="emb", eval_id_col="eid",
+        ).collect()
+    }
+    bucketed = {
+        r.id
+        for r in semantic_contamination_report(
+            corpus, evals, "emb", "vid", threshold=0.5,
+            eval_vec_col="emb", eval_id_col="eid", num_planes=4,
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert set(range(5)) <= bucketed  # identical vecs share buckets
+
+
+def test_semantic_exact_plan_never_shuffles_corpus(spark):
+    from dataframes_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+    from dataframes_spark.plan import plan_report
+
+    corpus = _vec_df(spark, [(i, [float(i), 1.0]) for i in range(20)])
+    evals = _vec_df(spark, [(1, [1.0, 0.0])], id_name="eid")
+    rep = plan_report(
+        semantic_contamination_report(
+            corpus, evals, "emb", "vid", threshold=0.9,
+            eval_vec_col="emb", eval_id_col="eid",
+        )
+    )
+    # eval side broadcast; the only exchange is the flagged-pair agg
+    assert rep["cartesian_products"] == 0
+    assert rep["row_python_udf_nodes"] == 0
+    assert rep["broadcast_exchanges"] >= 1
