@@ -3436,6 +3436,33 @@ def decontaminate_semantic_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select("id", "eval_id", F.round("cosine", 6).alias("cosine"))
 
 
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed quality classifier, scoring half
+    (functions/classifier.py score_quality): mean-pooled hashed-word
+    dot product + sigmoid per document, weights broadcast, corpus
+    never shuffled beyond its (doc, bucket) reduction — the GPT-3
+    WebText-screen shape (Brown et al. 2020 App. A). Pinned literal
+    weights over the md5 lane make scoring exact relational algebra
+    replayable in DuckDB (the pq_probe_pinned pattern); the TRAINING
+    half (MLlib L-BFGS on reference-vs-crawl labels) is model-dependent
+    and pinned by unit separation tests instead
+    (tests/test_classifier.py)."""
+    from dataframes_spark.functions import classifier as dclf
+
+    docs = _t(spark, sf_dir, "documents")
+    dim = 64
+    weights = spark.createDataFrame(
+        [(b, (b * 37 % 21 - 10) / 10.0) for b in range(dim)],
+        "bucket int, weight double",
+    )
+    out = dclf.score_quality(
+        docs, weights, 0.25, "text", "doc_id", dim=dim, lane_hash="md5"
+    )
+    return out.select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3798,7 +3825,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rows + embedding_dedup_incremental_vecs, and the md5 lanes
         #    stay locally hash-checked below the window.
         "lang_mix_docs": lang_mix_docs,
-        "shift_lag": shift_lag,
+        # -- round 10 (second batch): the hashed quality classifier's
+        #    scoring lane — pinned md5-bucket weights, mean-pooled dot +
+        #    sigmoid replayed in DuckDB term for term. To hold the
+        #    window at 50, shift_lag (driver-green r8-r9 on the current
+        #    tail-carry lane, untouched this round) rotates below; the
+        #    global-order family stays in-window via rolling_1h +
+        #    interpolate_linear + ewma_user_values + rank_family_events
+        #    + percent_rank_events.
+        "quality_classifier_docs": quality_classifier_docs,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
         # -- round 6: the last two in-window rows-only queries are
@@ -3953,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_daily": cohort_retention_daily,
         "embedding_covariance_upper": embedding_covariance_upper,
         "q1_pricing_summary": q1_pricing_summary,
+        "shift_lag": shift_lag,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6441,6 +6477,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, eval_id, round(c, 6) AS cosine
             FROM flagged WHERE rk = 1
+        """,
+        "quality_classifier_docs": """
+            -- the md5 hashing-trick scoring pass replayed: bucket =
+            -- pmod(md5-60bit('qc:' || token), 64), pinned weight
+            -- (b*37 % 21 - 10)/10, mean-pooled dot + sigmoid with bias
+            -- 0.25; tokenless docs fall back to sigmoid(bias) (dot 0).
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id,
+                       CAST((('0x' || substr(md5('qc:' || tok), 1, 15))::BIGINT)
+                            % 64 AS INT) AS bucket,
+                       count(*) AS tf
+                FROM toks GROUP BY 1, 2
+            ), tot AS (
+                SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1
+            ), dots AS (
+                SELECT tf.doc_id,
+                       sum(((bucket * 37 % 21 - 10) / 10.0) * tf) / n AS dot
+                FROM tf JOIN tot USING (doc_id) GROUP BY tf.doc_id, n
+            )
+            SELECT d.doc_id,
+                   round(1.0 / (1.0 + exp(-(coalesce(dot, 0.0) + 0.25))), 6)
+                       AS quality_prob
+            FROM documents d LEFT JOIN dots USING (doc_id)
         """,
         "split_leak_safe_docs": """
             -- the near_dup_clusters closure (exact jaccard >= 0.8 on

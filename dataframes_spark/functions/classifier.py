@@ -1,0 +1,203 @@
+"""FastText-style hashed-n-gram quality classifier — the linear text
+classifier behind the published corpus-quality filters (GPT-3's
+WebText-vs-CommonCrawl screen, Brown et al. 2020 Appendix A; CCNet's
+companion LM filter, Wenzek et al. 2020): hash words into a fixed
+feature space (the hashing trick, Weinberger et al. 2009), average
+token features per document, fit logistic regression on
+reference-vs-crawl labels, then score the whole corpus map-only.
+
+Scale design:
+
+- Featurization is one explode + map-side-combining groupBy per doc —
+  the exchange carries (doc, bucket) term-count rows bounded by the
+  doc's DISTINCT hashed buckets, never raw tokens.
+- Training collapses each doc to ONE ``dim``-sized sparse vector
+  (Arrow-batched assembly) and hands MLlib's L-BFGS a
+  sample-of-the-corpus-sized frame — training sets are curated samples
+  by definition; the 100 TB side is scoring.
+- Scoring never touches MLlib: the fitted model is exported to a
+  ``dim``-row ``(bucket, weight)`` TABLE, and scoring is a broadcast
+  join + one aggregate per doc (mean-pooled dot product + sigmoid) —
+  pure JVM expressions inside the corpus scan stage, so the corpus
+  never shuffles anything but its (doc, bucket) reduction.
+
+The ``md5`` lane hash makes bucketing engine-reproducible (the
+sketch-store idiom), so a pinned-weights scoring pass replays in DuckDB
+term for term; ``xxhash64`` is the cheaper production default.
+
+No reference analog (the reference has the sklearn bridge only,
+`src/Table.luna`); semantics follow the cited public recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: normalized word split shared by both featurize paths
+def _words(c: Column) -> Column:
+    t = F.trim(F.lower(c))
+    return F.when(F.length(t) == 0, F.expr("array()").cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def _bucket(tok: Column, dim: int, salt: str, lane_hash: str) -> Column:
+    """Hashing-trick bucket of a token — ``pmod(h(salt:token), dim)``;
+    the md5 lane keeps 15 hex chars (60 bits) so conv() stays exact."""
+    if lane_hash == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), tok), F.lit(dim)).cast("int")
+    if lane_hash == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), tok).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(dim)).cast("int")
+    raise ValueError(f"lane_hash must be xxhash64|md5, got {lane_hash!r}")
+
+
+def hashed_term_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 1 << 18,
+    salt: str = "qc",
+    lane_hash: str = "xxhash64",
+) -> DataFrame:
+    """Per-document hashed term counts ``(id, bucket, tf, n_tokens)`` —
+    one explode + map-side-combining groupBy; ``n_tokens`` (the doc's
+    token total, for mean pooling) rides the same aggregation."""
+    if dim < 2:
+        raise ValueError(f"need dim >= 2, got {dim}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_words(F.col(text_col))).alias("__qc_tok"),
+    )
+    # the token total for mean pooling is the sum of the per-bucket tfs
+    # — derived from the already-reduced relation, never a second scan
+    per_bucket = (
+        toks.select(
+            "id", _bucket(F.col("__qc_tok"), dim, salt, lane_hash).alias("bucket")
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    totals = per_bucket.groupBy("id").agg(F.sum("tf").alias("n_tokens"))
+    return per_bucket.join(totals, "id")
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 1 << 18,
+    salt: str = "qc",
+    lane_hash: str = "xxhash64",
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+):
+    """Fit the reference-vs-crawl logistic model: ``pos`` (label 1, the
+    curated/high-quality sample) vs ``neg`` (label 0). Returns
+    ``(weights_df, bias)`` — ``weights_df`` is the ``(bucket, weight)``
+    export (only non-zero weights; ≤ dim rows) that `score_quality`
+    broadcasts; MLlib never sees the scoring corpus."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql import types as T
+
+    labeled = pos.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__qc_t"), F.lit(1.0).alias("label")
+    ).unionByName(
+        neg.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__qc_t"), F.lit(0.0).alias("label")
+        )
+    )
+    counts = hashed_term_counts(labeled, "__qc_t", "id", dim, salt, lane_hash)
+    rows = counts.join(labeled.select("id", "label"), "id").groupBy(
+        "id", "label", "n_tokens"
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bucket"), F.col("tf")))
+        ).alias("__qc_bt")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.DoubleType()),
+            T.StructField("features", VectorUDT()),
+        ]
+    )
+
+    # VectorUDT cannot cross Arrow (applyInPandas rejects UDT output),
+    # so the sample-sized training frame assembles through the classic
+    # RDD path — training inputs are curated samples by definition; the
+    # corpus-scale path (score_quality) never builds vectors at all.
+    def _assemble(r):
+        idx = [int(e["bucket"]) for e in r["__qc_bt"]]
+        val = [float(e["tf"]) / float(r["n_tokens"]) for e in r["__qc_bt"]]
+        return (float(r["label"]), SparseVector(dim, idx, val))
+
+    train = rows.sparkSession.createDataFrame(
+        rows.rdd.map(_assemble), out_schema
+    )
+    model = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+    ).fit(train)
+    coef = model.coefficients
+    spark = pos.sparkSession
+    weights = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in zip(coef.indices, coef.values)]
+        if hasattr(coef, "indices")
+        else [(i, float(v)) for i, v in enumerate(coef) if v != 0.0],
+        "bucket int, weight double",
+    )
+    return weights, float(model.intercept)
+
+
+def score_quality(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    text_col: str,
+    id_col: str,
+    dim: int = 1 << 18,
+    salt: str = "qc",
+    lane_hash: str = "xxhash64",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Mean-pooled linear score + sigmoid for every document —
+    ``sigmoid(sum_b(w_b * tf_b) / n_tokens + bias)`` — as a broadcast
+    join on the bucket key plus one per-doc aggregate: the corpus never
+    shuffles anything but its (doc, bucket)-bounded reduction. Docs
+    with no tokens score ``sigmoid(bias)``. Buckets without a weight
+    contribute 0 (L1-sparse models stay sparse)."""
+    counts = hashed_term_counts(df, text_col, id_col, dim, salt, lane_hash)
+    dots = (
+        counts.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("weight") * F.col("tf").cast("double")),
+                    F.lit(0.0),
+                )
+                / F.first("n_tokens").cast("double")
+            ).alias("__qc_dot")
+        )
+    )
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("__qc_dot") + F.lit(bias)))
+    )
+    scored = dots.select(F.col("id").alias(id_col), score.alias(out_col))
+    base = df.select(F.col(id_col)).distinct()
+    missing_score = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-bias)))
+    return base.join(scored, id_col, "left").select(
+        id_col, F.coalesce(F.col(out_col), missing_score).alias(out_col)
+    )

@@ -1,0 +1,108 @@
+"""Hashed-n-gram quality classifier (functions/classifier.py):
+featurization determinism/pooling, train→export→score separation,
+separation power on synthetic corpora, empty-doc fallback, plan pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_spark.functions import classifier as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hashed_counts_pool_and_determinism(spark):
+    df = _docs(spark, [(1, "a b a c"), (2, ""), (3, "x")])
+    got = C.hashed_term_counts(df, "text", "doc_id", dim=16, lane_hash="md5")
+    rows = got.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert sum(r.tf for r in by_id[1]) == 4  # a b a c
+    assert by_id[1][0].n_tokens == 4
+    assert 2 not in by_id  # empty doc has no term rows
+    assert by_id[3][0].tf == 1
+    again = {(r.id, r.bucket, r.tf) for r in got.collect()}
+    assert again == {(r.id, r.bucket, r.tf) for r in rows}
+
+
+def test_train_and_score_separates_synthetic_corpora(spark):
+    good_words = ["theory", "method", "result", "evidence", "study"]
+    bad_words = ["click", "free", "winner", "casino", "prize"]
+    pos = _docs(
+        spark,
+        [
+            (i, " ".join(good_words[j % 5] for j in range(i % 7 + 3)))
+            for i in range(60)
+        ],
+    )
+    neg = _docs(
+        spark,
+        [
+            (1000 + i, " ".join(bad_words[j % 5] for j in range(i % 7 + 3)))
+            for i in range(60)
+        ],
+    )
+    w, b = C.train_quality_classifier(
+        pos, neg, "text", "doc_id", dim=256, max_iter=30
+    )
+    assert w.count() > 0
+    test = _docs(
+        spark,
+        [(1, "method study evidence"), (2, "casino winner free prize")],
+    )
+    scores = {
+        r.doc_id: r.quality_prob
+        for r in C.score_quality(test, w, b, "text", "doc_id", dim=256).collect()
+    }
+    assert scores[1] > 0.8 > 0.2 > scores[2]
+
+
+def test_score_pinned_weights_exact_and_empty_doc(spark):
+    """Scoring with a pinned weights table is pure relational algebra:
+    mean-pooled dot + sigmoid, empty docs fall back to sigmoid(bias)."""
+    import math
+
+    df = _docs(spark, [(1, "a a b"), (2, "   "), (3, "zzz")])
+    dim = 8
+    wrows = [(int(i), (i * 37 % 21 - 10) / 10.0) for i in range(dim)]
+    weights = spark.createDataFrame(wrows, "bucket int, weight double")
+    got = {
+        r.doc_id: r.quality_prob
+        for r in C.score_quality(
+            df, weights, 0.5, "text", "doc_id", dim=dim, lane_hash="md5"
+        ).collect()
+    }
+    wmap = dict(wrows)
+    # replicate the md5 bucketing for 'a', 'b', 'zzz'
+    bucket = {
+        r["__qc_tok"]: r["b"]
+        for r in spark.createDataFrame(
+            [("a",), ("b",), ("zzz",)], "__qc_tok string"
+        )
+        .select("__qc_tok", C._bucket(F.col("__qc_tok"), dim, "qc", "md5").alias("b"))
+        .collect()
+    }
+    z1 = (2 * wmap[bucket["a"]] + wmap[bucket["b"]]) / 3 + 0.5
+    assert got[1] == pytest.approx(1 / (1 + math.exp(-z1)), rel=1e-12)
+    assert got[2] == pytest.approx(1 / (1 + math.exp(-0.5)), rel=1e-12)
+    z3 = wmap[bucket["zzz"]] + 0.5
+    assert got[3] == pytest.approx(1 / (1 + math.exp(-z3)), rel=1e-12)
+    assert len(got) == 3
+
+
+def test_score_plan_is_broadcast_only(spark):
+    from dataframes_spark.plan import plan_report
+
+    df = _docs(spark, [(i, "w x y") for i in range(50)])
+    weights = spark.createDataFrame(
+        [(i, 0.1) for i in range(8)], "bucket int, weight double"
+    )
+    rep = plan_report(
+        C.score_quality(df, weights, 0.0, "text", "doc_id", dim=8)
+    )
+    assert rep["cartesian_products"] == 0
+    assert rep["row_python_udf_nodes"] == 0
+    assert rep["single_partition_data_exchanges"] == 0
+    assert rep["broadcast_hash_joins"] >= 1
