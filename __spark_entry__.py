@@ -3463,6 +3463,42 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation tooling (ml.py binary_metrics + auc_roc):
+    thresholded confusion counts / precision / recall / f1 and the
+    rank-sum ROC-AUC (average-rank tie correction, computed over the
+    distinct-score relation via the distributed cumsum lane — never a
+    global sort), against the lang='en' pseudo-label with the pinned
+    quality-classifier scores as the ranking. Scores are the 6dp-rounded
+    probabilities `quality_classifier_docs` proves engine-identical, so
+    every count, ratio and the AUC are exact integer-and-half
+    arithmetic — bit-identical, no output rounding."""
+    from dataframes_spark.functions import classifier as dclf
+    from dataframes_spark.ml import auc_roc, binary_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    dim = 64
+    weights = spark.createDataFrame(
+        [(b, (b * 37 % 21 - 10) / 10.0) for b in range(dim)],
+        "bucket int, weight double",
+    )
+    scored = dclf.score_quality(
+        docs, weights, 0.25, "text", "doc_id", dim=dim, lane_hash="md5"
+    ).select(
+        "doc_id", F.round("quality_prob", 6).alias("score")
+    )
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    metrics = binary_metrics(labeled, "score", "y", (0.55, 0.6, 0.65))
+    auc = auc_roc(labeled, "score", "y")
+    return metrics.crossJoin(F.broadcast(auc)).select(
+        "threshold", "tp", "fp", "fn", "tn",
+        "precision", "recall", "f1", "auc", "n_pos", "n_neg",
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3834,7 +3870,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    interpolate_linear + ewma_user_values + rank_family_events
         #    + percent_rank_events.
         "quality_classifier_docs": quality_classifier_docs,
-        "interpolate_linear": interpolate_linear,
+        # -- round 10 (second batch): evaluation tooling — thresholded
+        #    binary metrics + rank-sum ROC-AUC (average-rank ties, the
+        #    distributed cumsum lane) over the pinned classifier scores;
+        #    exact integer-and-half arithmetic, bit-identical with no
+        #    rounding. To hold the window at 50, interpolate_linear
+        #    (driver-green r8-r9 on the current DESC-frame lane,
+        #    untouched this round) rotates below; the global-order
+        #    family keeps rolling_1h + ewma_user_values +
+        #    rank_family_events + percent_rank_events in-window.
+        "classifier_eval_docs": classifier_eval_docs,
         "rolling_1h": rolling_1h,
         # -- round 6: the last two in-window rows-only queries are
         #    replaced by hash-VERIFIED twins. minhash_lsh_pairs_md5
@@ -3989,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance_upper": embedding_covariance_upper,
         "q1_pricing_summary": q1_pricing_summary,
         "shift_lag": shift_lag,
+        "interpolate_linear": interpolate_linear,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6506,6 +6552,97 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-(coalesce(dot, 0.0) + 0.25))), 6)
                        AS quality_prob
             FROM documents d LEFT JOIN dots USING (doc_id)
+        """,
+        "classifier_eval_docs": """
+            -- the quality_classifier_docs scoring CTE + lang='en'
+            -- labels, then: thresholded confusion counts (sums cast
+            -- BIGINT, rule 8; thresholds cast DOUBLE, rule 9) with the
+            -- identical ratio expression trees, and the average-rank
+            -- Mann-Whitney AUC — all exact integer-and-half arithmetic,
+            -- no rounding.
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id,
+                       CAST((('0x' || substr(md5('qc:' || tok), 1, 15))::BIGINT)
+                            % 64 AS INT) AS bucket,
+                       count(*) AS tf
+                FROM toks GROUP BY 1, 2
+            ), tot AS (
+                SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1
+            ), dots AS (
+                SELECT tf.doc_id,
+                       sum(((bucket * 37 % 21 - 10) / 10.0) * tf) / n AS dot
+                FROM tf JOIN tot USING (doc_id) GROUP BY tf.doc_id, n
+            ), scored AS (
+                SELECT d.doc_id,
+                       round(1.0 / (1.0 + exp(-(coalesce(dot, 0.0) + 0.25))),
+                             6) AS score,
+                       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents d LEFT JOIN dots USING (doc_id)
+            ), m AS (
+                SELECT CAST(th.t AS DOUBLE) AS threshold,
+                       CAST(sum(CASE WHEN score >= th.t AND y = 1
+                                THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN score >= th.t AND y = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(sum(CASE WHEN score < th.t AND y = 1
+                                THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                       CAST(sum(CASE WHEN score < th.t AND y = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                FROM scored,
+                     (SELECT CAST(unnest([0.55, 0.6, 0.65]) AS DOUBLE) AS t)
+                         th
+                GROUP BY th.t
+            ), m2 AS (
+                SELECT threshold, tp, fp, fn, tn,
+                       CASE WHEN tp + fp > 0
+                            THEN CAST(tp AS DOUBLE) /
+                                 (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                       END AS prec,
+                       CASE WHEN tp + fn > 0
+                            THEN CAST(tp AS DOUBLE) /
+                                 (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                       END AS rec
+                FROM m
+            ), r1 AS (
+                SELECT score AS s, count(*) AS cnt, sum(y) AS pos
+                FROM scored GROUP BY score
+            ), r2 AS (
+                SELECT s, cnt, pos,
+                       coalesce(sum(cnt) OVER (
+                           ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS bef
+                FROM r1
+            ), a AS (
+                SELECT sum(CAST(pos AS DOUBLE) *
+                           (CAST(bef AS DOUBLE)
+                            + (CAST(cnt AS DOUBLE) + 1.0) / 2.0)) AS rs,
+                       CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg
+                FROM r2
+            ), aucr AS (
+                SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                           (rs - CAST(n_pos AS DOUBLE)
+                                 * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                           / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                       END AS auc,
+                       n_pos, n_neg
+                FROM a
+            )
+            SELECT threshold, tp, fp, fn, tn,
+                   prec AS precision, rec AS recall,
+                   CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                             AND prec + rec > 0
+                        THEN 2.0 * prec * rec / (prec + rec)
+                   END AS f1,
+                   auc, n_pos, n_neg
+            FROM m2, aucr
         """,
         "split_leak_safe_docs": """
             -- the near_dup_clusters closure (exact jaccard >= 0.8 on

@@ -304,3 +304,75 @@ def test_pca_moment_store_incremental_equals_whole(spark):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     with pytest.raises(Exception, match="empty store|TABLE_OR_VIEW"):
         dml.pca_fit_from_store(spark, "no_such_moment_store", k=1, dim=6)
+
+
+def test_auc_rank_sum_exact_with_ties_and_nulls(spark):
+    """AUC via average-rank Mann-Whitney equals the pairwise
+    definition (ties count half), nulls excluded, degenerate NULL."""
+    from dataframes_spark.ml import auc_roc
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.5, 0), (0.5, 1), (0.5, 0),
+        (0.1, 0), (None, 1), (0.7, None),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = auc_roc(df, "s", "y").first()
+    # pairwise: pos scores [.9,.8,.5], neg [.8,.5,.5,.1]
+    wins = halves = 0
+    for p in (0.9, 0.8, 0.5):
+        for n in (0.8, 0.5, 0.5, 0.1):
+            if p > n:
+                wins += 1
+            elif p == n:
+                halves += 1
+    want = (wins + halves / 2) / 12
+    assert got.auc == want and got.n_pos == 3 and got.n_neg == 4
+    one_class = spark.createDataFrame([(0.3, 1), (0.6, 1)], "s double, y int")
+    assert auc_roc(one_class, "s", "y").first().auc is None
+
+
+def test_auc_perfect_and_random(spark):
+    from pyspark.sql import functions as F
+
+    from dataframes_spark.ml import auc_roc
+
+    n = 2000
+    df = spark.range(n).select(
+        (F.col("id") / n).alias("s"), (F.col("id") >= n / 2).cast("int").alias("y")
+    )
+    assert auc_roc(df, "s", "y").first().auc == 1.0
+    # anti-predictive score
+    df2 = df.select((1 - F.col("s")).alias("s"), "y")
+    assert auc_roc(df2, "s", "y").first().auc == 0.0
+
+
+def test_binary_metrics_thresholds(spark):
+    from dataframes_spark.ml import binary_metrics
+
+    rows = [(0.9, 1), (0.6, 0), (0.4, 1), (0.2, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r.threshold: r for r in binary_metrics(df, "s", "y", (0.5, 0.95)).collect()}
+    r5 = out[0.5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (1, 1, 1, 1)
+    assert r5.precision == 0.5 and r5.recall == 0.5 and r5.f1 == 0.5
+    r95 = out[0.95]
+    assert (r95.tp, r95.fp) == (0, 0) and r95.precision is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        binary_metrics(df, "s", "y", ())
+
+
+def test_auc_plan_no_data_bearing_single_partition(spark):
+    from pyspark.sql import functions as F
+
+    from dataframes_spark.ml import auc_roc
+    from dataframes_spark.plan import plan_report
+
+    df = spark.range(500).select(
+        ((F.col("id") * 7919 % 97) / 97.0).alias("s"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    rep = plan_report(auc_roc(df, "s", "y"))
+    assert rep["single_partition_data_exchanges"] == 0
+    assert rep["row_python_udf_nodes"] == 0
