@@ -3491,6 +3491,12 @@ def classifier_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
         "doc_id",
     )
+    # the labeled relation feeds BOTH the metrics and the AUC branch:
+    # persist the text-free (doc_id, score, y) rows at the fork so the
+    # scoring pipeline runs once (the perplexity_buckets pattern)
+    from pyspark import StorageLevel
+
+    labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
     metrics = binary_metrics(labeled, "score", "y", (0.55, 0.6, 0.65))
     auc = auc_roc(labeled, "score", "y")
     return metrics.crossJoin(F.broadcast(auc)).select(
