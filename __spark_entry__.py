@@ -3505,6 +3505,40 @@ def classifier_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_distinct_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-DISTINCT continuous aggregate (operators/rollup.py
+    rollup_distinct_*): distinct users per hour served from a persisted
+    keyed-HLL register store folded over two batches — the aggregate a
+    numeric rollup cannot carry (distinct counts don't sum; registers
+    max-merge, IDEMPOTENTLY — re-delivery-safe). md5 lane p=8: the full
+    sketch (hash, register split, rank, exact-BIGINT harmonic
+    denominator, linear-counting branch) replays in DuckDB per bucket
+    (the hll_distinct_users_md5 idiom keyed by the exact epoch-floor
+    bucket); the oracle is the ONE-SHOT sketch over all events, so the
+    hash verifies the max-merge fold law too."""
+    from dataframes_spark.io.store import drop_table_and_location
+    from dataframes_spark.operators import rollup as drollup
+
+    t = "rollup_distinct_hourly_q"
+    drop_table_and_location(spark, t)
+    ev = _t(spark, sf_dir, "events")
+    for i in range(2):
+        drollup.rollup_distinct_store_update(
+            spark,
+            t,
+            ev.filter(F.col("event_id") % 2 == i),
+            "ts",
+            "user_id",
+            "1 hour",
+            p=8,
+            lane_hash="md5",
+        )
+    est = drollup.rollup_distinct_serve_store(spark, t)
+    return est.select(
+        "bucket_ts", F.round("est_ndv", 6).alias("est_users")
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3735,6 +3769,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    and the partitioned-IVF lane stays in the full local sweep
         #    + its PartitionFilters plan pin.
         "rollup_hourly_events": rollup_hourly_events,
+        # -- round 10 (second batch): the count-DISTINCT face of the
+        #    continuous aggregate — keyed-HLL registers per time bucket,
+        #    idempotent max-merge store, full md5 sketch replay. To hold
+        #    the window at 50, rolling_1h (driver-green r8-r9 on the
+        #    current lane, untouched this round) rotates below; interval
+        #    rolling stays covered by the full local sweep + unit +
+        #    plan pins, and the global-order family keeps
+        #    ewma_user_values + rank_family_events + percent_rank_events
+        #    + the row-position re-entries in-window.
+        "rollup_distinct_hourly_events": rollup_distinct_hourly_events,
         # -- round 9 (new): product quantization — the IVF+PQ recipe's
         #    compression half (dim floats -> m codes; ADC scoring reads
         #    only codes + a literal lookup table). Pinned codebooks make
@@ -3886,7 +3930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family keeps rolling_1h + ewma_user_values +
         #    rank_family_events + percent_rank_events in-window.
         "classifier_eval_docs": classifier_eval_docs,
-        "rolling_1h": rolling_1h,
         # -- round 6: the last two in-window rows-only queries are
         #    replaced by hash-VERIFIED twins. minhash_lsh_pairs_md5
         #    verifies the banded candidate generator itself (md5 lanes +
@@ -4041,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
+        "rolling_1h": rolling_1h,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6465,6 +6509,58 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS max_value
             FROM (SELECT epoch_us(ts) AS e, event_type, value FROM events)
             GROUP BY 1, 2
+        """,
+        "rollup_distinct_hourly_events": """
+            -- the hll_distinct_users_md5 sketch replica keyed by the
+            -- exact epoch-floor hour bucket: 60-bit md5 hash, p=8 ->
+            -- w=52 split, rank via exact bit-smear + bit_count,
+            -- exact-BIGINT harmonic denominator, linear-counting branch
+            -- below 2.5m. One-shot over ALL events: equality with the
+            -- two-batch register-store fold IS the max-merge fold law.
+            WITH src AS (
+                SELECT make_timestamp(e - ((e % 3600000000) + 3600000000)
+                                          % 3600000000) AS bucket_ts,
+                       CAST(user_id AS VARCHAR) AS val
+                FROM (SELECT epoch_us(ts) AS e, user_id FROM events
+                      WHERE ts IS NOT NULL)
+                WHERE user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT bucket_ts,
+                       ('0x' || substr(md5('hll:' || val), 1, 15))::BIGINT AS h
+                FROM src
+            ),
+            c AS (SELECT bucket_ts, h >> 52 AS r,
+                         h & 4503599627370495 AS v FROM h),
+            s1 AS (SELECT bucket_ts, r, v | (v >> 1) AS s FROM c),
+            s2 AS (SELECT bucket_ts, r, s | (s >> 2) AS s FROM s1),
+            s3 AS (SELECT bucket_ts, r, s | (s >> 4) AS s FROM s2),
+            s4 AS (SELECT bucket_ts, r, s | (s >> 8) AS s FROM s3),
+            s5 AS (SELECT bucket_ts, r, s | (s >> 16) AS s FROM s4),
+            s6 AS (SELECT bucket_ts, r, s | (s >> 32) AS s FROM s5),
+            regs AS (
+                SELECT bucket_ts, r,
+                       max(53 - bit_count(CAST(s AS BIGINT))) AS maxrho
+                FROM s6 GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT bucket_ts, count(*) AS n,
+                       CAST(sum(1::BIGINT << (53 - maxrho)) AS BIGINT) AS dp
+                FROM regs GROUP BY 1
+            ),
+            est AS (
+                SELECT bucket_ts,
+                       4.2399330249068963e+20
+                         / CAST(dp + (256 - n) * 9007199254740992 AS DOUBLE)
+                         AS raw,
+                       256 - n AS zeros
+                FROM agg
+            )
+            SELECT bucket_ts,
+                   round(CASE WHEN raw <= 640.0 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / zeros)
+                              ELSE raw END, 6) AS est_users
+            FROM est
         """,
         "ewma_user_values": """
             -- closed form of the adjust=False recursion (y1 = x1;

@@ -252,3 +252,121 @@ def rollup_serve(
     return rollup_finalize(
         store.drop("__ra_col", "__ra_width_us", "__ra_by"), stats, by
     )
+
+
+def rollup_distinct(
+    df: DataFrame,
+    ts_col: str,
+    distinct_col: str,
+    width: str | int,
+    by: Sequence[str] = (),
+    p: int = 12,
+    lane_hash: str = "xxhash64",
+) -> DataFrame:
+    """Count-DISTINCT continuous aggregate, sketch half: an HLL
+    register frame keyed by (``bucket_ts``, *by*) — the "distinct users
+    per hour" state the numeric five-tuple cannot carry (distinct
+    counts don't sum across batches; HLL registers max-merge). ONE
+    scan, one max-combining exchange bounded at ``2^p`` rows per
+    (bucket, group); rows with null timestamps drop, null values
+    contribute no distinct (the `rollup`/`hll_build` contracts)."""
+    from .sketch import hll_build
+
+    keyed = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "bucket_ts", time_bucket(ts_col, width)
+    )
+    return hll_build(
+        keyed, distinct_col, key_cols=("bucket_ts", *by), p=p,
+        lane_hash=lane_hash,
+    )
+
+
+def rollup_distinct_serve(
+    registers: DataFrame, by: Sequence[str] = (), p: int = 12
+) -> DataFrame:
+    """Estimates from a distinct-rollup register frame:
+    ``(bucket_ts, *by, est_ndv)`` — exact-BIGINT harmonic denominator,
+    one IEEE division per bucket (`sketch.hll_estimate`)."""
+    from .sketch import hll_estimate
+
+    return hll_estimate(registers, ("bucket_ts", *tuple(by)), p)
+
+
+def rollup_distinct_store_update(
+    spark,
+    table: str,
+    df: DataFrame,
+    ts_col: str,
+    distinct_col: str,
+    width: str | int,
+    by: Sequence[str] = (),
+    p: int = 12,
+    lane_hash: str = "xxhash64",
+) -> dict:
+    """Fold one batch into a persisted distinct-rollup store — the HLL
+    twin of `rollup_store_update`, with one upgrade: register max-merge
+    is IDEMPOTENT, so re-delivered batches cannot inflate the counts
+    (exactly-once is NOT required, unlike the sum-merged numeric
+    store). Store size is calendar-bounded at (buckets x groups x 2^p)
+    rows; config is stamped and a mismatched fold raises. Returns
+    ``{"registers", "buckets"}``."""
+    from .sketch import hll_merge
+
+    by = list(by)
+    w_us = width_us(width)
+    batch = rollup_distinct(
+        df, ts_col, distinct_col, width, by, p, lane_hash
+    ).select(
+        "*",
+        F.lit(distinct_col).alias("__rd_col"),
+        F.lit(int(w_us)).alias("__rd_width_us"),
+        F.lit(",".join(by)).alias("__rd_by"),
+        F.lit(int(p)).alias("__rd_p"),
+        F.lit(lane_hash).alias("__rd_hash"),
+    )
+    meta_cols = ["__rd_col", "__rd_width_us", "__rd_by", "__rd_p", "__rd_hash"]
+    if spark.catalog.tableExists(table):
+        existing = spark.table(table)
+        meta = existing.select(*meta_cols).first()
+        want = (distinct_col, w_us, ",".join(by), p, lane_hash)
+        if meta is not None and tuple(meta) != want:
+            raise ValueError(
+                f"distinct-rollup store {table!r} was built with "
+                f"{tuple(meta)}; refusing to fold {want}"
+            )
+        merged = hll_merge(
+            existing.drop(*meta_cols),
+            batch.drop(*meta_cols),
+            key_cols=("bucket_ts", *by),
+        ).select(
+            "*",
+            F.lit(distinct_col).alias("__rd_col"),
+            F.lit(int(w_us)).alias("__rd_width_us"),
+            F.lit(",".join(by)).alias("__rd_by"),
+            F.lit(int(p)).alias("__rd_p"),
+            F.lit(lane_hash).alias("__rd_hash"),
+        )
+    else:
+        merged = batch
+    staging_swap(spark, table, merged)
+    out = spark.table(table)
+    return {
+        "registers": out.count(),
+        "buckets": out.select("bucket_ts", *by).distinct().count(),
+    }
+
+
+def rollup_distinct_serve_store(
+    spark, table: str, p: int | None = None
+) -> DataFrame:
+    """Estimates straight from a persisted distinct-rollup store; group
+    columns and ``p`` recover from the stamp."""
+    store = spark.table(table)
+    meta = store.select("__rd_by", "__rd_p").first()
+    by = [c for c in (meta["__rd_by"] or "").split(",") if c] if meta else []
+    p = p if p is not None else int(meta["__rd_p"])
+    return rollup_distinct_serve(
+        store.drop("__rd_col", "__rd_width_us", "__rd_by", "__rd_p", "__rd_hash"),
+        by,
+        p,
+    )

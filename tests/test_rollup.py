@@ -193,3 +193,62 @@ def test_merge_is_order_independent(spark):
     ka = sorted(map(tuple, a.select("bucket_ts", "n_rows", "n", "mn", "mx").collect()))
     kb = sorted(map(tuple, b.select("bucket_ts", "n_rows", "n", "mn", "mx").collect()))
     assert ka == kb and len(ka) > 2
+
+
+def test_distinct_rollup_estimates_and_fold_idempotence(spark):
+    """Keyed HLL rollup: per-bucket estimates within the sketch's error
+    of exact; the store fold equals the one-shot registers under any
+    split AND under re-delivery (max-merge idempotence)."""
+    import pyspark.sql.functions as F
+
+    from dataframes_spark.operators import rollup as R
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + (F.col("id") % 4) * 3_600_000_000
+        ).alias("ts"),  # 4 hourly buckets
+        (F.col("id") % ((F.col("id") % 4 + 1) * 250)).alias("u"),
+    )
+    regs = R.rollup_distinct(df, "ts", "u", "1 hour", p=10)
+    est = {
+        r.bucket_ts: r.est_ndv
+        for r in R.rollup_distinct_serve(regs, p=10).collect()
+    }
+    exact = {
+        r.bucket_ts: r.n
+        for r in df.groupBy(R.time_bucket("ts", "1 hour").alias("bucket_ts"))
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(exact) == 4
+    for b, e in exact.items():
+        assert abs(est[b] - e) / e < 0.15, (b, est[b], e)
+
+    t = "t_rollup_distinct"
+    from dataframes_spark.io.store import drop_table_and_location
+
+    drop_table_and_location(spark, t)
+    for i in range(3):
+        R.rollup_distinct_store_update(
+            spark, t, df.filter(F.col("k") % 3 == i), "ts", "u", "1 hour",
+            p=10,
+        )
+    # re-deliver batch 0: idempotent, nothing changes
+    before = sorted(
+        map(tuple, R.rollup_distinct_serve_store(spark, t).collect())
+    )
+    R.rollup_distinct_store_update(
+        spark, t, df.filter(F.col("k") % 3 == 0), "ts", "u", "1 hour", p=10
+    )
+    after = sorted(
+        map(tuple, R.rollup_distinct_serve_store(spark, t).collect())
+    )
+    assert before == after
+    got = {r[0]: r[1] for r in after}
+    assert got == est  # fold == one-shot
+    with pytest.raises(ValueError, match="refusing to fold"):
+        R.rollup_distinct_store_update(
+            spark, t, df, "ts", "u", "1 hour", p=11
+        )
