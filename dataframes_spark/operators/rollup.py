@@ -370,3 +370,61 @@ def rollup_distinct_serve_store(
         by,
         p,
     )
+
+
+def rollup_store_refresh(
+    spark,
+    table: str,
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str | int,
+    lo,
+    hi,
+    by: Sequence[str] = (),
+) -> dict:
+    """Range REFRESH — the hypertable correction path for late or
+    revised data the sum-merged fold cannot absorb (folding a
+    correction batch would double-count): recompute the buckets whose
+    start falls in ``[lo, hi)`` from ``df`` (the corrected source rows
+    for that range) and REPLACE them in the store; buckets outside the
+    range are untouched. One scan of the correction slice + a store
+    rewrite (the staging swap the folds already pay). The stamp must
+    match (same refusal as `rollup_store_update`). Returns
+    ``{"replaced", "buckets"}``."""
+    by = list(by)
+    w_us = width_us(width)
+    if not spark.catalog.tableExists(table):
+        raise ValueError(f"rollup store {table!r} does not exist")
+    existing = spark.table(table)
+    meta = existing.select("__ra_col", "__ra_width_us", "__ra_by").first()
+    if meta is not None and (
+        meta["__ra_col"] != value_col
+        or meta["__ra_width_us"] != w_us
+        or meta["__ra_by"] != ",".join(by)
+    ):
+        raise ValueError(
+            f"rollup store {table!r} was built with "
+            f"(col={meta['__ra_col']!r}, width_us={meta['__ra_width_us']}, "
+            f"by={meta['__ra_by']!r}); refusing to refresh "
+            f"(col={value_col!r}, width_us={w_us}, by={','.join(by)!r})"
+        )
+    lo_c, hi_c = F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
+    in_range = (F.col("bucket_ts") >= lo_c) & (F.col("bucket_ts") < hi_c)
+    fresh = rollup(
+        df.filter(
+            (time_bucket(ts_col, width) >= lo_c)
+            & (time_bucket(ts_col, width) < hi_c)
+        ),
+        ts_col,
+        value_col,
+        width,
+        by,
+    ).select("*", *_meta_cols(value_col, w_us, by))
+    kept = existing.filter(~in_range)
+    replaced = existing.filter(in_range).count()
+    staging_swap(spark, table, kept.unionByName(fresh))
+    return {
+        "replaced": int(replaced),
+        "buckets": spark.table(table).count(),
+    }

@@ -1105,3 +1105,36 @@ def cluster_each_batch(
             write(assigned, epoch_id)
 
     return _apply
+
+
+def rollup_distinct_each_batch(
+    table: str,
+    ts_col: str,
+    distinct_col: str,
+    width: str | int,
+    by=(),
+    *,
+    p: int = 12,
+    lane_hash: str = "xxhash64",
+    write=None,
+):
+    """Streaming count-DISTINCT continuous aggregate: a ``foreachBatch``
+    callback folding each micro-batch into the persisted keyed-HLL
+    register store (`operators/rollup.py rollup_distinct_store_update`).
+    Register max-merge is IDEMPOTENT, so at-least-once delivery is safe
+    (re-run batches cannot inflate the counts — stronger than the
+    sum-merged numeric gate); stream == batch by the merge law, pinned
+    in tests. ``write(estimates_df, epoch_id)`` receives the served
+    per-bucket estimates."""
+    from dataframes_spark.operators import rollup as RU
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        RU.rollup_distinct_store_update(
+            spark, table, batch_df, ts_col, distinct_col, width,
+            by=list(by), p=p, lane_hash=lane_hash,
+        )
+        if write is not None:
+            write(RU.rollup_distinct_serve_store(spark, table), epoch_id)
+
+    return _apply

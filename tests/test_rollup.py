@@ -252,3 +252,42 @@ def test_distinct_rollup_estimates_and_fold_idempotence(spark):
         R.rollup_distinct_store_update(
             spark, t, df, "ts", "u", "1 hour", p=11
         )
+
+
+def test_store_refresh_replaces_range_only(spark):
+    """Late/corrected data beyond what sum-merge can absorb: refresh
+    recomputes ONLY the [lo, hi) buckets from the corrected slice;
+    refresh == one-shot over the corrected union (the correction law)."""
+    df = _fixture(spark)
+    # corrupted copy: values doubled in hour 1 (the "bad first load")
+    h1_lo = dt.datetime(2023, 11, 14, 23, 0)
+    h1_hi = dt.datetime(2023, 11, 15, 0, 0)
+    in_h1 = (F.col("ts") >= F.lit(h1_lo)) & (F.col("ts") < F.lit(h1_hi))
+    bad = df.withColumn("v", F.when(in_h1, F.col("v") * 2).otherwise(F.col("v")))
+    t = "t_rollup_refresh"
+    drop_table_and_location(spark, t)
+    R.rollup_store_update(spark, t, bad, "ts", "v", "1 hour", by=["g"])
+    out = R.rollup_store_refresh(
+        spark, t, df, "ts", "v", "1 hour", h1_lo, h1_hi, by=["g"]
+    )
+    assert out["replaced"] > 0
+    got = sorted(map(tuple, R.rollup_serve(spark, t).collect()))
+    exp = sorted(
+        map(
+            tuple,
+            R.rollup_finalize(
+                R.rollup(df, "ts", "v", "1 hour", by=["g"]), by=["g"]
+            ).collect(),
+        )
+    )
+    assert len(got) == len(exp)
+    for a, b in zip(got, exp):
+        assert a[:4] == b[:4] and a[4:] == pytest.approx(b[4:], rel=1e-9)
+    with pytest.raises(ValueError, match="refusing to refresh"):
+        R.rollup_store_refresh(
+            spark, t, df, "ts", "v", "15 minutes", h1_lo, h1_hi, by=["g"]
+        )
+    with pytest.raises(ValueError, match="does not exist"):
+        R.rollup_store_refresh(
+            spark, "t_rollup_missing", df, "ts", "v", "1 hour", h1_lo, h1_hi
+        )

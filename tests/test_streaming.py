@@ -1222,3 +1222,49 @@ def test_rollup_each_batch_stream_equals_batch(spark, tmp_path):
         assert a[2:] == pytest.approx(b[2:], rel=1e-9)
     assert len(served) >= 3 and served[-1] == len(exp)
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rollup_distinct_each_batch_stream_equals_batch(spark, tmp_path):
+    """Streaming distinct continuous aggregate: after a real
+    micro-batched run (with one batch REPLAYED — max-merge idempotence),
+    the served estimates equal the one-shot keyed sketch."""
+    from dataframes_spark.operators import rollup as R
+
+    t = f"rollup_d_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    out = str(tmp_path / "roll_d_ev")
+    base = spark.range(900).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + (F.col("id") % 3) * 3_600_000_000
+        ).alias("ts"),
+        (F.col("id") % 137).alias("u"),
+    )
+    for lo, hi in ((0, 300), (300, 700), (700, 900)):
+        base.filter((F.col("k") >= lo) & (F.col("k") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(out)
+    whole = spark.read.parquet(out)
+    cb = dstream.rollup_distinct_each_batch(t, "ts", "u", "1 hour", p=9)
+    src = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = src.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    # replay one batch by hand: idempotent
+    cb(base.filter(F.col("k") < 300), 99)
+    got = sorted(
+        map(tuple, R.rollup_distinct_serve_store(spark, t).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            R.rollup_distinct_serve(
+                R.rollup_distinct(whole, "ts", "u", "1 hour", p=9), p=9
+            ).collect(),
+        )
+    )
+    assert got == exp and len(got) == 3
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
