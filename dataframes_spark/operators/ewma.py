@@ -9,26 +9,37 @@ Construction (the global-order lane's shapes, `operators/global_order.py`):
 
 1. Bucketize on quantile boundaries of the ORDER key (groups share
    buckets, so tasks balance by data volume, not group sizes).
-2. Per (group, bucket): ONE Arrow-batched summary row — non-null count
-   ``n``, zero-seeded recursion tail ``t`` and first non-null value
-   ``f``. The recursion is AFFINE in its seed (``state_out = (1-a)^n *
-   state_in + t``), which is what makes per-bucket summaries compose.
+2. Per (group, bucket): ONE JVM window + aggregate pass produces the
+   affine summary — non-null count ``n``, zero-seeded recursion tail
+   ``t = a * sum(x_r * (1-a)^(n-r))`` (exact closed form of the
+   recursion; the deepest exponents underflow to the zero they are),
+   and the first non-null value ``f``. The recursion is AFFINE in its
+   seed (``state_out = (1-a)^n * state_in + t``), which is what makes
+   per-bucket summaries compose. No Python here — tiny (group, bucket)
+   cells would pay per-group Arrow overhead thousands of times.
 3. Per group: fold the ≤ n_buckets summary rows serially with a JVM
    higher-order ``F.aggregate`` over one sorted ``collect_list`` array —
    group-cardinality work; for the global (no-group) variant the
    collect rides an un-keyed aggregate, the benign
    SinglePartition-over-aggregate shape every ``df.agg()`` has.
-4. Per (group, bucket): the output pass seeds pandas ``ewm`` with the
-   bucket's carried-in state (prepend + drop, the streaming module's
-   trick) — Arrow-batched, bucket-bounded memory.
+4. Per BUCKET (not per group!): one Arrow-batched output pass seeds
+   pandas' C-level grouped ``ewm`` with each group's carried-in state
+   (synthetic seed row prepended per group, dropped after — the
+   streaming module's trick, vectorized across all groups in the
+   bucket). Task memory stays bucket-bounded; Arrow overhead is paid
+   n_buckets times, not groups x buckets times.
 
-Numerics: within-bucket values ride the sequential recursion; carries
-compose through ``pow`` — mathematically identical, FP-equal to ~1e-13
-relative. Cross-engine comparisons round (ORACLE.md rule 2).
+Numerics: within-bucket values ride the sequential recursion; summaries
+and carries compose through ``pow`` — mathematically identical, FP-equal
+to ~1e-13 relative. Cross-engine comparisons round (ORACLE.md rule 2);
+with power-of-two alpha and small-integer values everything is exactly
+representable and the lanes agree BIT for bit (the `ewma_user_values`
+driver pin).
 
-Null VALUES output NULL and leave the state unchanged; null ORDER keys
-sort first (the lane's asc-nulls-first contract). Equal order keys
-resolve arbitrarily-but-validly — pass a unique tiebreak column for a
+Null VALUES output NULL and leave the state unchanged (pandas
+``ignore_na=True`` relative weighting); null ORDER keys sort first (the
+lane's asc-nulls-first contract). Equal order keys resolve
+arbitrarily-but-validly — pass a unique tiebreak column for a
 deterministic result (the `grouped_positions` contract).
 
 No reference analog (the reference's rolling surface is
@@ -42,23 +53,11 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .global_order import _bucketized
-
-_SUMMARY_FIELDS = [
-    T.StructField("__ew_n", T.LongType()),
-    T.StructField("__ew_t", T.DoubleType()),
-    T.StructField("__ew_f", T.DoubleType()),
-]
-
-
-def _zero_seeded_tail(vals, alpha: float) -> float:
-    s = 0.0
-    for x in vals:
-        s = alpha * x + (1.0 - alpha) * s
-    return s
 
 
 def ewma(
@@ -81,24 +80,32 @@ def ewma(
 
     bdf = _bucketized(df, order_cols, n_buckets)
 
-    # ---- stage 1: per-(group, bucket) affine summaries -------------
-    sum_schema = T.StructType(
-        [bdf.schema[c] for c in (*by, "__go_b")] + _SUMMARY_FIELDS
+    # ---- stage 1: per-(group, bucket) affine summaries — pure JVM ---
+    x = F.col(value_col).cast("double")
+    nn = bdf.filter(x.isNotNull())
+    wpart = W.partitionBy(*by, "__go_b").orderBy(
+        *[F.col(c).asc() for c in order_cols]
     )
-
-    def _summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort", na_position="first")
-        vals = pdf[value_col].dropna().astype(float)
-        head = pdf.iloc[:1][[*by, "__go_b"]].copy()
-        head["__ew_n"] = int(len(vals))
-        head["__ew_t"] = (
-            _zero_seeded_tail(vals.to_numpy(), alpha) if len(vals) else 0.0
-        )
-        head["__ew_f"] = float(vals.iloc[0]) if len(vals) else 0.0
-        return head
-
-    summaries = bdf.groupBy(*by, "__go_b").applyInPandas(
-        _summarize, schema=sum_schema
+    wall = W.partitionBy(*by, "__go_b").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = nn.select(
+        *by,
+        "__go_b",
+        x.alias("__ew_x"),
+        F.row_number().over(wpart).alias("__ew_r"),
+        F.count(F.lit(1)).over(wall).alias("__ew_cnt"),
+    )
+    summaries = ranked.groupBy(*by, "__go_b").agg(
+        F.max("__ew_cnt").cast("long").alias("__ew_n"),
+        (
+            F.lit(alpha)
+            * F.sum(
+                F.col("__ew_x")
+                * F.pow(F.lit(decay), (F.col("__ew_cnt") - F.col("__ew_r")).cast("double"))
+            )
+        ).alias("__ew_t"),
+        F.max(F.when(F.col("__ew_r") == 1, F.col("__ew_x"))).alias("__ew_f"),
     )
 
     # ---- stage 2: serial carry fold over each group's ≤ n_buckets
@@ -114,9 +121,7 @@ def ewma(
         )
     ).alias("__ew_arr")
     grouped = (
-        summaries.groupBy(*by).agg(packed)
-        if by
-        else summaries.agg(packed)
+        summaries.groupBy(*by).agg(packed) if by else summaries.agg(packed)
     )
     out_t = "array<struct<b:int,c:double,has:boolean>>"
     zero = F.struct(
@@ -125,22 +130,22 @@ def ewma(
         F.expr(f"CAST(array() AS {out_t})").alias("out"),
     )
 
-    def _step(acc, x):
+    def _step(acc, e):
         fresh = F.when(
             acc["seeded"],
-            F.pow(F.lit(decay), x["n"].cast("double")) * acc["s"] + x["t"],
+            F.pow(F.lit(decay), e["n"].cast("double")) * acc["s"] + e["t"],
         ).otherwise(
             # first seeded bucket: y_1 = x_1, i.e. the zero-seeded tail
             # plus the seed's weight top-up (1-a)^n * first
-            x["t"] + F.pow(F.lit(decay), x["n"].cast("double")) * x["f"]
+            e["t"] + F.pow(F.lit(decay), e["n"].cast("double")) * e["f"]
         )
         return F.struct(
-            F.when(x["n"] > 0, fresh).otherwise(acc["s"]).alias("s"),
-            (acc["seeded"] | (x["n"] > 0)).alias("seeded"),
+            F.when(e["n"] > 0, fresh).otherwise(acc["s"]).alias("s"),
+            (acc["seeded"] | (e["n"] > 0)).alias("seeded"),
             F.array_append(
                 acc["out"],
                 F.struct(
-                    x["b"].alias("b"),
+                    e["b"].alias("b"),
                     acc["s"].alias("c"),
                     acc["seeded"].alias("has"),
                 ),
@@ -163,42 +168,58 @@ def ewma(
     if not by:
         carries = F.broadcast(carries)
 
-    # ---- stage 3: per-(group, bucket) output pass, carry-seeded ----
+    # ---- stage 3: ONE output pass per BUCKET: pandas' C-level grouped
+    # ewm, carry-seeded via synthetic first rows ----------------------
     joined = bdf.join(carries, [*by, "__go_b"], "left")
     data_cols = list(df.columns)
     out_schema = T.StructType(
         [df.schema[c] for c in data_cols]
         + [T.StructField(out_col, T.DoubleType())]
     )
+    gcols = list(by)
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort", na_position="first")
-        vals = pdf[value_col].astype(float)
-        mask = vals.notna()
-        sub = vals[mask]
-        has = bool(pdf["__ew_has"].fillna(False).iloc[0]) if len(pdf) else False
-        if len(sub):
-            if has:
-                carry = float(pdf["__ew_carry"].iloc[0])
-                seeded = pd.concat(
-                    [pd.Series([carry], dtype=float), sub], ignore_index=True
-                )
-                e = (
-                    seeded.ewm(alpha=alpha, adjust=False)
-                    .mean()
-                    .iloc[1:]
-                    .to_numpy()
-                )
-            else:
-                e = sub.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        pdf = pdf.sort_values(
+            [*gcols, *order_cols], kind="mergesort", na_position="first"
+        ).reset_index(drop=True)
+        if gcols:
+            first_of_group = ~pdf.duplicated(subset=gcols)
         else:
-            e = []
-        out = pd.Series(float("nan"), index=pdf.index, dtype=float)
-        out[mask] = e
-        res = pdf[data_cols].copy()
-        res[out_col] = out
+            first_of_group = pd.Series(False, index=pdf.index)
+            if len(pdf):
+                first_of_group.iloc[0] = True
+        has = pdf["__ew_has"].fillna(False).astype(bool)
+        seed_rows = pdf[first_of_group & has].copy()
+        seed_rows[value_col] = seed_rows["__ew_carry"].astype(float)
+        seed_rows["__ew_ord"] = 0
+        body = pdf.copy()
+        body["__ew_ord"] = 1
+        combined = pd.concat([seed_rows, body], ignore_index=True)
+        combined = combined.sort_values(
+            [*gcols, "__ew_ord", *order_cols],
+            kind="mergesort",
+            na_position="first",
+        ).reset_index(drop=True)
+        vals = combined[value_col].astype(float)
+        if gcols:
+            e = (
+                combined.assign(__ew_v=vals)
+                .groupby(gcols, sort=False, dropna=False)["__ew_v"]
+                .ewm(alpha=alpha, adjust=False, ignore_na=True)
+                .mean()
+            )
+            # the grouped ewm returns (group..., row) MultiIndex; align
+            # back to combined's RangeIndex positionally via the row level
+            e.index = e.index.get_level_values(-1)
+            e = e.sort_index()
+        else:
+            e = vals.ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+        keep = combined["__ew_ord"] == 1
+        res = combined.loc[keep, data_cols].copy()
+        ewma_vals = e[keep]
+        # null inputs output NULL (state unchanged handled by ignore_na)
+        mask = combined.loc[keep, value_col].notna()
+        res[out_col] = ewma_vals.where(mask, other=float("nan"))
         return res
 
-    return joined.groupBy(*by, "__go_b").applyInPandas(
-        _emit, schema=out_schema
-    )
+    return joined.groupBy("__go_b").applyInPandas(_emit, schema=out_schema)
