@@ -3539,6 +3539,23 @@ def rollup_distinct_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def decayed_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed running sum (operators/ewma.py decayed_sum):
+    per-user trending score over irregular event times — pure JVM
+    (fixed 16-half-life time buckets bound the exponents; RANGE-frame
+    prefix + gap-aware carry fold), tie-inclusive time semantics so no
+    tiebreak column is needed. The oracle is the closed-form
+    exp-weighted self-join; 6dp rounding bridges the factored vs direct
+    exponent FP paths (values are irrational — no decimal ties)."""
+    from dataframes_spark.operators.ewma import decayed_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = decayed_sum(ev, "ts", "value", "2 hours", by=["user_id"])
+    return out.select(
+        "event_id", F.round("decayed_sum", 6).alias("decayed_value")
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3677,6 +3694,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    funnel_events_windowed + event_transitions_users +
         #    top_paths_events.
         "ewma_user_values": ewma_user_values,
+        # -- round 10 (second batch): the half-life decayed sum — the
+        #    trending/freshness primitive over irregular event times,
+        #    pure JVM (fixed time buckets + gap-aware carry fold),
+        #    closed-form exp self-join oracle. To hold the window at
+        #    50, hist_quantiles_events (driver-green r9, code
+        #    unchanged) rotates below; the quantile-sketch family
+        #    stays in-window via kll_quantiles_events (the mergeable
+        #    rank sketch that supersedes fixed-bin quantiles), and the
+        #    fixed-bin lane stays in the full local sweep + units.
+        "decayed_sum_events": decayed_sum_events,
         # -- round 10 (new operators, continuation): four corpus-curation
         #    operators from the published playbooks, each hash-verified:
         #    c4_rules_docs — the C4 cleaning heuristics (Raffel et al.
@@ -3889,7 +3916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    sampling, histogram quantiles). quality_report_lineitem
         #    (driver-green r7-r8) rotates below; the quality family
         #    stays via the drift rows + corpus_report_docs.
-        "hist_quantiles_events": hist_quantiles_events,
+        #    (hist_quantiles_events itself rotated below in the round-10
+        #    second batch after going green r9; the quantile-sketch
+        #    family stays via kll_quantiles_events.)
         # -- round 10 (new): KLL-style mergeable RANK-quantile sketch —
         #    quantiles with NO (lo, hi) domain requirement, the gap the
         #    histogram sketch left open; md5-derandomized coins make the
@@ -4085,6 +4114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_lag": shift_lag,
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
+        "hist_quantiles_events": hist_quantiles_events,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6584,6 +6614,25 @@ def oracle_sql() -> dict[str, str]:
                        END * i.x) AS ewma_value
             FROM c t JOIN c i
               ON i.user_id = t.user_id AND i.rn <= t.rn
+            GROUP BY t.event_id
+        """,
+        "decayed_sum_events": """
+            -- closed form of the half-life decay: every event's value
+            -- weighted by exp(-ln2 * age / halflife) at each later (or
+            -- tied — time-inclusive semantics) event of the same user.
+            -- 6dp rounding bridges the factored (bucketed prefix +
+            -- carry) vs direct exponent FP paths.
+            WITH o AS (
+                SELECT user_id, event_id, epoch_us(ts) AS e,
+                       coalesce(value, 0) AS x
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT t.event_id,
+                   round(sum(i.x * exp(-0.6931471805599453
+                                       * (t.e - i.e) / 7200000000.0)), 6)
+                       AS decayed_value
+            FROM o t JOIN o i
+              ON i.user_id = t.user_id AND i.e <= t.e
             GROUP BY t.event_id
         """,
         "rank_family_events": """

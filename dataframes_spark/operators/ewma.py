@@ -223,3 +223,120 @@ def ewma(
         return res
 
     return joined.groupBy("__go_b").applyInPandas(_emit, schema=out_schema)
+
+
+def decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    halflife: str | int,
+    by: Sequence[str] = (),
+    out_col: str = "decayed_sum",
+    bucket_halflives: int = 16,
+) -> DataFrame:
+    """Half-life-decayed running sum over IRREGULAR event times — the
+    trending / freshness-weighting primitive (every item's weight
+    halves each ``halflife`` of wall-clock):
+    ``y_t = sum_{e_j <= e_t} x_j * exp(-ln2 * (e_t - e_j) / halflife)``,
+    tie-INCLUSIVE on equal timestamps (time-based semantics, so the
+    result is deterministic without a tiebreak column — unlike the
+    row-ordered EWMA). Null values contribute nothing but still
+    observe the state.
+
+    Pure JVM, no Python anywhere: time is cut into FIXED buckets of
+    ``bucket_halflives`` half-lives (16 by default, so within-bucket
+    exponent magnitudes stay <= ln2*16 ~ 11 — no overflow however long
+    the corpus spans); within each (group, bucket) a RANGE-frame window
+    builds the rescaled prefix, one groupBy folds bucket totals, and a
+    JVM higher-order fold composes carries across buckets with
+    gap-aware decay (empty buckets = extra ``2^-16`` factors, which
+    underflow to the zeros they are). Buckets here are time-anchored
+    (not the quantile lane): the decay factor between buckets must be
+    a constant of the BUCKET, which is exactly what makes the carry
+    fold exact. Per-group fold state is the group's ACTIVE bucket
+    count (span / (bucket_halflives * halflife)) — pick a wider
+    ``bucket_halflives`` for very long spans at very short
+    half-lives."""
+    import math
+
+    from .rollup import width_us
+
+    if bucket_halflives < 2:
+        raise ValueError(
+            f"need bucket_halflives >= 2, got {bucket_halflives}"
+        )
+    hl_us = width_us(halflife)
+    lam_per_us = math.log(2.0) / hl_us
+    w_us = hl_us * bucket_halflives
+    q = 0.5**bucket_halflives  # exp(-lam * w_us), exactly
+
+    by = list(by)
+    e = F.unix_micros(F.col(ts_col))
+    base = df.filter(F.col(ts_col).isNotNull())
+    bidx = ((e - F.pmod(e, F.lit(w_us))) / F.lit(w_us)).cast("long")
+    rel = (e - bidx * F.lit(w_us)).cast("double") * F.lit(lam_per_us)
+    x = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+    prepped = base.select(
+        "*",
+        bidx.alias("__ds_b"),
+        (x * F.exp(rel)).alias("__ds_g"),
+        rel.alias("__ds_rel"),
+    )
+    wfr = (
+        W.partitionBy(*by, "__ds_b")
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    pref = prepped.withColumn("__ds_p", F.sum("__ds_g").over(wfr))
+    totals = prepped.groupBy(*by, "__ds_b").agg(
+        F.sum("__ds_g").alias("__ds_gt")
+    )
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("__ds_b").alias("b"), F.col("__ds_gt").alias("g"))
+        )
+    ).alias("__ds_arr")
+    grouped = totals.groupBy(*by).agg(packed) if by else totals.agg(packed)
+    out_t = "array<struct<b:bigint,s:double>>"
+    zero = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(None).cast("bigint").alias("pb"),
+        F.expr(f"CAST(array() AS {out_t})").alias("out"),
+    )
+
+    def _step(acc, el):
+        # acc.s = decayable mass anchored at the PREVIOUS summary's
+        # bucket start (prior state + that bucket's total); the state
+        # at THIS bucket's start is that mass decayed by the gap-aware
+        # bucket distance (empty buckets are just extra q factors)
+        s_new = F.when(acc["pb"].isNull(), F.lit(0.0)).otherwise(
+            acc["s"] * F.pow(F.lit(q), (el["b"] - acc["pb"]).cast("double"))
+        )
+        return F.struct(
+            (s_new + el["g"]).alias("s"),
+            el["b"].alias("pb"),
+            F.array_append(
+                acc["out"],
+                F.struct(el["b"].alias("b"), s_new.alias("s")),
+            ).alias("out"),
+        )
+
+    carries_arr = F.aggregate(
+        F.col("__ds_arr"), zero, _step, lambda acc: acc["out"]
+    ).alias("__ds_cs")
+    carries = (
+        grouped.select(*by, carries_arr)
+        .select(*by, F.explode("__ds_cs").alias("__ds_c"))
+        .select(
+            *by,
+            F.col("__ds_c.b").alias("__ds_b"),
+            F.col("__ds_c.s").alias("__ds_s"),
+        )
+    )
+    if not by:
+        carries = F.broadcast(carries)
+    joined = pref.join(carries, [*by, "__ds_b"], "left")
+    y = (F.col("__ds_p") + F.coalesce(F.col("__ds_s"), F.lit(0.0))) * F.exp(
+        -F.col("__ds_rel")
+    )
+    return joined.select(*df.columns, y.alias(out_col))

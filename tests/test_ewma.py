@@ -127,3 +127,84 @@ def test_plan_has_no_data_bearing_single_partition(spark):
     # and carries are pure JVM — the per-(group, bucket) cells never
     # pay per-group Arrow overhead)
     assert rep["pandas_udf_nodes"] == 1
+
+
+def _decay_model(rows, hl_us):
+    import math
+
+    lam = math.log(2.0) / hl_us
+    out = []
+    for i, (e, v) in enumerate(rows):
+        y = sum(
+            (x or 0.0) * math.exp(-lam * (e - ej))
+            for ej, x in rows
+            if ej <= e
+        )
+        out.append(y)
+    return out
+
+
+def test_decayed_sum_matches_model_across_buckets(spark):
+    """Irregular timestamps spanning MANY carry buckets (incl. long
+    empty gaps), nulls contribute nothing, ties are mutual."""
+    import pyspark.sql.functions as F
+
+    from dataframes_spark.operators.ewma import decayed_sum
+
+    hl_us = 3_600_000_000  # 1 hour
+    rows = [
+        (0, 10.0),
+        (1_800_000_000, 4.0),          # +30min
+        (1_800_000_000, None),         # tie, null value
+        (7_200_000_000, 2.0),          # +2h
+        (400 * 3_600_000_000, 8.0),    # 400h gap: many empty buckets
+        (401 * 3_600_000_000, 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, e, v) for i, (e, v) in enumerate(rows)], "k long, e long, v double"
+    ).select("k", F.timestamp_micros(F.col("e") + 1_700_000_000_000_000).alias("ts"), "v")
+    got = {
+        r.k: r.decayed_sum
+        for r in decayed_sum(df, "ts", "v", "1 hour").collect()
+    }
+    want = _decay_model(rows, hl_us)
+    for i in range(len(rows)):
+        assert got[i] == pytest.approx(want[i], rel=1e-9, abs=1e-12), i
+
+
+def test_decayed_sum_per_group_and_plan(spark):
+    import pyspark.sql.functions as F
+
+    from dataframes_spark.operators.ewma import decayed_sum
+    from dataframes_spark.plan import plan_report
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 977_000_001
+        ).alias("ts"),
+        (F.col("id") % 101).cast("double").alias("v"),
+    )
+    out = decayed_sum(df, "ts", "v", "30 minutes", by=["g"])
+    rep = plan_report(out)
+    assert rep["pandas_udf_nodes"] == 0  # pure JVM
+    assert rep["row_python_udf_nodes"] == 0
+    assert rep["single_partition_data_exchanges"] == 0
+    # spot-check group 3 against the model
+    rows = [
+        ((i * 977_000_001), float(i % 101)) for i in range(n) if i % 7 == 3
+    ]
+    want = _decay_model(rows, 1_800_000_000)
+    got = {
+        r.k: r.decayed_sum
+        for r in out.filter(F.col("g") == 3).collect()
+    }
+    ks = [i for i in range(n) if i % 7 == 3]
+    for j in (0, 1, len(ks) // 2, len(ks) - 1):
+        assert got[ks[j]] == pytest.approx(want[j], rel=1e-9), j
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decayed_sum(df, "ts", "v", "30 minutes", bucket_halflives=1)
