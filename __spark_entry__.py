@@ -3096,18 +3096,30 @@ def kll_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dkll.kll_quantiles(sk, _KLL_QS)
 
 
-def _kll_oracle() -> str:
-    """Generate the DuckDB replay of kll_quantiles_events: one CTE per
-    compaction pass (the md5 coin and the pairing rule inline), then the
-    cumulative-weight quantile cut. Built from the same _KLL_CFG the
-    Spark lane uses."""
-    k, shards = _KLL_CFG["k"], _KLL_CFG["shards"]
-    passes, merge_passes = _KLL_CFG["passes"], _KLL_CFG["merge_passes"]
+def _kll_oracle_sql(
+    table: str,
+    id_col: str,
+    value_col: str,
+    where: str,
+    cfg: dict,
+    qs: tuple,
+    key: str | None = None,
+) -> str:
+    """Generate the DuckDB replay of a KLL quantile query (global or
+    keyed): one CTE per compaction pass (the md5 coin and the pairing
+    rule inline), then the cumulative-weight quantile cut per group.
+    Built from the same cfg constant the Spark lane uses — the two
+    lanes share parameters by construction (ORACLE.md generated-oracle
+    pattern)."""
+    k, shards = cfg["k"], cfg["shards"]
+    passes, merge_passes = cfg["passes"], cfg["merge_passes"]
+    kc = f"{key}, " if key else ""
+    ksel = f"{key}, " if key else ""
 
     def pass_cte(name: str, prev: str, pidx: str, parts: str, keep_shard: bool) -> str:
         shard_col = ", shard" if keep_shard else ""
         return f"""{name} AS (
-                SELECT CASE WHEN n > {k} AND rn <= n - (n % 2)
+                SELECT {ksel}CASE WHEN n > {k} AND rn <= n - (n % 2)
                             THEN level + 1 ELSE level END AS level,
                        value, tb{shard_col}
                 FROM (SELECT *,
@@ -3123,23 +3135,30 @@ def _kll_oracle() -> str:
 
     ctes = [
         f"""s0 AS (
-                SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                SELECT {ksel}CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)
                            || '/kll-s'), 1, 15))::BIGINT % {shards}
                            AS INTEGER) AS shard,
                        0 AS level,
-                       CAST(value AS DOUBLE) AS value,
-                       md5(CAST(event_id AS VARCHAR) || '/kll-t') AS tb
-                FROM events WHERE value IS NOT NULL
+                       CAST({value_col} AS DOUBLE) AS value,
+                       md5(CAST({id_col} AS VARCHAR) || '/kll-t') AS tb
+                FROM {table} WHERE {where}
             )"""
     ]
     prev = "s0"
     for p in range(1, passes + 1):
-        ctes.append(pass_cte(f"s{p}", prev, str(p), "shard, level", True))
+        ctes.append(
+            pass_cte(f"s{p}", prev, str(p), f"{kc}shard, level", True)
+        )
         prev = f"s{p}"
     for i, p in enumerate(range(passes + 1, passes + merge_passes + 1)):
-        ctes.append(pass_cte(f"g{i + 1}", prev, str(p), "level", False))
+        ctes.append(pass_cte(f"g{i + 1}", prev, str(p), f"{kc}level", False))
         prev = f"g{i + 1}"
-    qs_vals = ", ".join(f"({q})" for q in _KLL_QS)
+    qs_vals = ", ".join(f"({q})" for q in qs)
+    kgroup = f"PARTITION BY {key} " if key else ""
+    tot_group = f"GROUP BY {key}" if key else ""
+    join_key = f"c.{key} = tot.{key} AND " if key else ""
+    out_keys = f"c.{key} AS {key}, " if key else ""
+    grp = f"c.{key}, q" if key else "q"
     return f"""
             -- operators/kll.py replayed term for term: md5 sharding,
             -- {passes} per-shard compaction passes + {merge_passes}
@@ -3147,22 +3166,29 @@ def _kll_oracle() -> str:
             -- (value, tb) order, odd leftover stays), then the
             -- cumulative-weight quantile cut over the final sketch.
             WITH {', '.join(ctes)},
-            fin AS (SELECT level, value, tb FROM {prev}),
-            tot AS (SELECT CAST(sum(1::BIGINT << level) AS DOUBLE) AS tot
-                    FROM fin),
-            c AS (SELECT value,
-                         sum(1::BIGINT << level) OVER (
+            fin AS (SELECT {ksel}level, value, tb FROM {prev}),
+            tot AS (SELECT {ksel}CAST(sum(1::BIGINT << level) AS DOUBLE)
+                           AS tot
+                    FROM fin {tot_group}),
+            c AS (SELECT {ksel}value,
+                         sum(1::BIGINT << level) OVER ({kgroup}
                              ORDER BY value, tb
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS cum
                   FROM fin),
             qs AS (SELECT CAST(q AS DOUBLE) AS q
                    FROM (VALUES {qs_vals}) t(q))
-            SELECT q, round(min(value), 6) AS value
+            SELECT {out_keys}q, round(min(value), 6) AS value
             FROM qs, c, tot
-            WHERE CAST(c.cum AS DOUBLE) >= qs.q * tot.tot
-            GROUP BY q
+            WHERE {join_key}CAST(c.cum AS DOUBLE) >= qs.q * tot.tot
+            GROUP BY {grp}
         """
+
+
+def _kll_oracle() -> str:
+    return _kll_oracle_sql(
+        "events", "event_id", "value", "value IS NOT NULL", _KLL_CFG, _KLL_QS
+    )
 
 
 def lang_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3556,6 +3582,28 @@ def decayed_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KLL_LANG_CFG = {"k": 64, "shards": 4, "passes": 8, "merge_passes": 8}
+_KLL_LANG_QS = (0.5, 0.9)
+
+
+def kll_by_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP KLL rank quantiles (operators/kll.py key_cols): median
+    and p90 document length per language from one keyed sketch build —
+    compaction windows partition by (lang, shard, level), so groups
+    never serialize and a whale language still spreads over its shards.
+    Keyed build == per-key independent builds EXACTLY (coins and
+    pairing never cross keys — unit-pinned), and the oracle replays the
+    whole keyed sketch term for term (the generated-oracle pattern,
+    _kll_oracle_sql with key='lang')."""
+    docs = _t(spark, sf_dir, "documents")
+    sk = dkll.kll_build(
+        docs, "n_chars", "doc_id", key_cols=["lang"], **_KLL_LANG_CFG
+    )
+    return dkll.kll_quantiles(
+        sk, list(_KLL_LANG_QS), key_cols=["lang"]
+    ).select("lang", "q", "value")
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3704,6 +3752,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rank sketch that supersedes fixed-bin quantiles), and the
         #    fixed-bin lane stays in the full local sweep + units.
         "decayed_sum_events": decayed_sum_events,
+        # -- round 10 (second batch): keyed KLL — per-language rank
+        #    quantiles from one sketch build (the keyed face of
+        #    kll_quantiles_events; keyed == per-key builds pinned),
+        #    oracle generated with key='lang'. To hold the window at
+        #    50, zipf_docs (driver-green r9, code unchanged) rotates
+        #    below; the text/corpus-health family stays in-window via
+        #    gopher_rules_docs, bigram_logprob_docs, lang_mix_docs,
+        #    oov_report_docs, c4_rules_docs, ccnet_buckets_docs and
+        #    quality_classifier_docs.
+        "kll_by_lang_docs": kll_by_lang_docs,
         # -- round 10 (new operators, continuation): four corpus-curation
         #    operators from the published playbooks, each hash-verified:
         #    c4_rules_docs — the C4 cleaning heuristics (Raffel et al.
@@ -3908,8 +3966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    one-number "does this batch still look like language?"
         #    alarm. dedup_best_quality_docs (driver-green r5-r8) rotates
         #    below; the dedup/cluster family stays via the span, minhash
-        #    and incremental rows.
-        "zipf_docs": zipf_docs,
+        #    and incremental rows. (zipf_docs itself rotated below in
+        #    the round-10 second batch after going green r9; corpus
+        #    health stays via corpus_report_docs + lang_mix_docs.)
         # -- round 9 (continuation): histogram-sketch quantiles — the
         #    mergeable constant-size quantile estimate completing the
         #    sketch family (CMS counts, HLL cardinality, bottom-k
@@ -4115,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": interpolate_linear,
         "rolling_1h": rolling_1h,
         "hist_quantiles_events": hist_quantiles_events,
+        "zipf_docs": zipf_docs,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -4959,6 +5019,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "kll_quantiles_events": _kll_oracle(),
+        "kll_by_lang_docs": _kll_oracle_sql(
+            "documents",
+            "doc_id",
+            "n_chars",
+            "n_chars IS NOT NULL",
+            _KLL_LANG_CFG,
+            _KLL_LANG_QS,
+            key="lang",
+        ),
         "hist_quantiles_events": """
             -- quality.histogram_counts + hist_quantiles: clamped
             -- equal-width binning, cumulative covering bin, linear

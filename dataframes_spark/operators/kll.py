@@ -110,18 +110,26 @@ def kll_build(
     passes: int = 20,
     merge_passes: int = 10,
     seed: str = "",
+    key_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Build the sketch over ``value_col`` (nulls excluded — a null has
-    no rank): ``(level, value, tb)`` rows, at most ``k`` per level after
-    the merge phase. md5-sharded canonical compaction (see module
-    docstring), so the result is partitioning-independent and
-    oracle-replayable. ``passes`` must cover ``log2(n / shards / k)`` —
-    extra passes are no-ops."""
+    no rank): ``(*key_cols, level, value, tb)`` rows, at most ``k`` per
+    (group, level) after the merge phase. md5-sharded canonical
+    compaction (see module docstring), so the result is
+    partitioning-independent and oracle-replayable. ``passes`` must
+    cover ``log2(n / shards / k)`` — extra passes are no-ops.
+
+    ``key_cols`` gives PER-GROUP sketches ("p99 doc length per
+    language") in the same passes: compaction windows partition by
+    (group, shard, level), so parallelism is groups x shards x levels
+    and a whale group still spreads over its shards."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if shards < 1 or passes < 1:
         raise ValueError("shards and passes must be >= 1")
+    keys = list(key_cols)
     items = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
         (
             _md5_long(F.concat(F.col(id_col).cast("string"), F.lit("/kll-s" + seed)))
             % shards
@@ -133,10 +141,10 @@ def kll_build(
         ).alias("tb"),
     )
     for p in range(1, passes + 1):
-        items = _compact_pass(items, ["__shard", "level"], p, k, seed)
-    merged = items.select("level", "value", "tb")
+        items = _compact_pass(items, [*keys, "__shard", "level"], p, k, seed)
+    merged = items.select(*keys, "level", "value", "tb")
     for p in range(passes + 1, passes + merge_passes + 1):
-        merged = _compact_pass(merged, ["level"], p, k, seed)
+        merged = _compact_pass(merged, [*keys, "level"], p, k, seed)
     return merged
 
 
@@ -160,38 +168,60 @@ def kll_merge(
     return out
 
 
-def kll_n(sketch: DataFrame) -> DataFrame:
-    """Exact number of inserted rows: weight is conserved by every
-    compaction, so ``sum(2^level)`` == n (1-row relation)."""
-    return sketch.agg(
+def kll_n(sketch: DataFrame, key_cols: Sequence[str] = ()) -> DataFrame:
+    """Exact number of inserted rows (per group, with ``key_cols``):
+    weight is conserved by every compaction, so ``sum(2^level)`` == n
+    (1 row, or one per group)."""
+    keys = list(key_cols)
+    return sketch.groupBy(*keys).agg(
         F.coalesce(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")), F.lit(0))
         .alias("n")
     )
 
 
-def kll_quantiles(sketch: DataFrame, qs: Sequence[float]) -> DataFrame:
-    """Quantile estimates: ``(q, value)`` — the smallest sketch value
-    whose cumulative weight reaches ``q * n``. Runs over the bounded
-    sketch relation only: per-value weights fold first (so the
-    cumulative window's single-partition exchange sits above an
-    aggregate — the benign ``df.agg()`` shape, never raw data; grouping
-    by value cannot change a min-value-at-rank cut), then one window +
-    a tiny literal join — the original data is never touched."""
+def kll_quantiles(
+    sketch: DataFrame, qs: Sequence[float], key_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Quantile estimates: ``(*key_cols, q, value)`` — the smallest
+    sketch value whose cumulative weight reaches ``q * n`` (per group,
+    with ``key_cols``). Runs over the bounded sketch relation only:
+    per-value weights fold first (so the global form's cumulative
+    window sits above an aggregate — the benign ``df.agg()`` shape,
+    never raw data; the keyed form's window partitions by the group),
+    then one window + a tiny literal join — the original data is never
+    touched."""
     if not qs:
         raise ValueError("qs must be non-empty")
+    keys = list(key_cols)
     spark = sketch.sparkSession
-    weighted = sketch.groupBy("value").agg(
+    weighted = sketch.groupBy(*keys, "value").agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")).alias("__w")
     )
-    wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    wcum = (
+        W.partitionBy(*keys).orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+        if keys
+        else W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    )
     cum = weighted.select(
-        "value", F.sum("__w").over(wcum).alias("__cum")
-    ).crossJoin(F.broadcast(kll_n(sketch).select(F.col("n").alias("__tot"))))
+        *keys, "value", F.sum("__w").over(wcum).alias("__cum")
+    )
+    totals = kll_n(sketch, keys).select(
+        *[F.col(c).alias(f"__kt_{c}") for c in keys],
+        F.col("n").alias("__tot"),
+    )
+    if keys:
+        cond = None
+        for c in keys:
+            piece = cum[c].eqNullSafe(totals[f"__kt_{c}"])
+            cond = piece if cond is None else cond & piece
+        cum = cum.join(F.broadcast(totals), cond)
+    else:
+        cum = cum.crossJoin(F.broadcast(totals))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     return (
         F.broadcast(qdf)
         .join(cum, F.col("__cum") >= F.col("q") * F.col("__tot"))
-        .groupBy("q")
+        .groupBy(*keys, "q")
         .agg(F.round(F.min("value"), 6).alias("value"))
     )
 

@@ -148,3 +148,37 @@ def test_validation(spark):
         kll.kll_build(df, "v", "k", k=1)
     with pytest.raises(ValueError, match="qs"):
         kll.kll_quantiles(kll.kll_build(df, "v", "k", k=4, shards=2, passes=2), [])
+
+
+def test_keyed_build_equals_per_key_builds_and_quantiles(spark):
+    """key_cols sketches are EXACTLY the per-key independent builds
+    (sharding, coins and pairing never cross keys), and keyed quantiles
+    stay within the rank-error band per group."""
+    from pyspark.sql import functions as F
+
+    n = 3000
+    df = spark.range(n).select(
+        ((F.col("id") * 7919 + 13) % n).cast("double").alias("v"),
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    keyed = kll.kll_build(df, "v", "k", key_cols=["g"], **CFG)
+    for g in ("0", "1", "2"):
+        solo = kll.kll_build(df.filter(F.col("g") == g), "v", "k", **CFG)
+        a = _rows(keyed.filter(F.col("g") == g).drop("g"))
+        b = _rows(solo)
+        assert a == b, g
+    # per-group n is exact
+    ns = {r.g: r.n for r in kll.kll_n(keyed, ["g"]).collect()}
+    assert ns == {"0": 1000, "1": 1000, "2": 1000}
+    qs = kll.kll_quantiles(keyed, [0.25, 0.75], key_cols=["g"])
+    got = {(r.g, r.q): r.value for r in qs.collect()}
+    assert len(got) == 6
+    for g in ("0", "1", "2"):
+        vals = sorted(
+            r.v for r in df.filter(F.col("g") == g).collect()
+        )
+        for q in (0.25, 0.75):
+            est = got[(g, q)]
+            rank = sum(1 for v in vals if v <= est) / len(vals)
+            assert abs(rank - q) < 0.08, (g, q, est, rank)
