@@ -6606,7 +6606,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    min(value) AS min_value,
                    max(value) AS max_value
-            FROM (SELECT epoch_us(ts) AS e, event_type, value FROM events)
+            FROM (SELECT epoch_us(ts) AS e, event_type, value FROM events
+                  WHERE ts IS NOT NULL)
             GROUP BY 1, 2
         """,
         "rollup_distinct_hourly_events": """

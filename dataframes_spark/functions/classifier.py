@@ -34,12 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: normalized word split shared by both featurize paths
+#: normalized word split shared by both featurize paths — empty tokens
+#: (edge whitespace of ANY kind, incl. \n/\t that F.trim would keep)
+#: are filtered, matching the oracle's list_filter
 def _words(c: Column) -> Column:
-    t = F.trim(F.lower(c))
-    return F.when(F.length(t) == 0, F.expr("array()").cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
 
 
 def _bucket(tok: Column, dim: int, salt: str, lane_hash: str) -> Column:
@@ -69,21 +68,30 @@ def hashed_term_counts(
 ) -> DataFrame:
     """Per-document hashed term counts ``(id, bucket, tf, n_tokens)`` —
     one explode + map-side-combining groupBy; ``n_tokens`` (the doc's
-    token total, for mean pooling) rides the same aggregation."""
+    token total, for mean pooling) rides the same aggregation.
+    TOKENLESS documents (empty/whitespace/null text) survive as one
+    ``(id, bucket=NULL, tf=0, n_tokens=0)`` row (``explode_outer``), so
+    downstream consumers never need a second corpus pass to recover
+    them."""
     if dim < 2:
         raise ValueError(f"need dim >= 2, got {dim}")
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_words(F.col(text_col))).alias("__qc_tok"),
+        F.explode_outer(_words(F.col(text_col))).alias("__qc_tok"),
     )
     # the token total for mean pooling is the sum of the per-bucket tfs
     # — derived from the already-reduced relation, never a second scan
     per_bucket = (
         toks.select(
-            "id", _bucket(F.col("__qc_tok"), dim, salt, lane_hash).alias("bucket")
+            "id",
+            F.when(
+                F.col("__qc_tok").isNotNull(),
+                _bucket(F.col("__qc_tok"), dim, salt, lane_hash),
+            ).alias("bucket"),
+            "__qc_tok",
         )
         .groupBy("id", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(F.count("__qc_tok").cast("long").alias("tf"))
     )
     totals = per_bucket.groupBy("id").agg(F.sum("tf").alias("n_tokens"))
     return per_bucket.join(totals, "id")
@@ -109,14 +117,23 @@ def train_quality_classifier(
     from pyspark.ml.linalg import SparseVector, VectorUDT
     from pyspark.sql import types as T
 
+    # ids are PREFIXED per side: a pos doc and a neg doc sharing an id
+    # (both sets typically number from 0) must never merge their term
+    # counts in the shared groupBy
     labeled = pos.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__qc_t"), F.lit(1.0).alias("label")
+        F.concat(F.lit("p:"), F.col(id_col).cast("string")).alias("id"),
+        F.col(text_col).alias("__qc_t"),
+        F.lit(1.0).alias("label"),
     ).unionByName(
         neg.select(
-            F.col(id_col).alias("id"), F.col(text_col).alias("__qc_t"), F.lit(0.0).alias("label")
+            F.concat(F.lit("n:"), F.col(id_col).cast("string")).alias("id"),
+            F.col(text_col).alias("__qc_t"),
+            F.lit(0.0).alias("label"),
         )
     )
-    counts = hashed_term_counts(labeled, "__qc_t", "id", dim, salt, lane_hash)
+    counts = hashed_term_counts(
+        labeled, "__qc_t", "id", dim, salt, lane_hash
+    ).filter(F.col("n_tokens") > 0)  # tokenless docs carry no signal
     rows = counts.join(labeled.select("id", "label"), "id").groupBy(
         "id", "label", "n_tokens"
     ).agg(
@@ -175,29 +192,26 @@ def score_quality(
     """Mean-pooled linear score + sigmoid for every document —
     ``sigmoid(sum_b(w_b * tf_b) / n_tokens + bias)`` — as a broadcast
     join on the bucket key plus one per-doc aggregate: the corpus never
-    shuffles anything but its (doc, bucket)-bounded reduction. Docs
-    with no tokens score ``sigmoid(bias)``. Buckets without a weight
-    contribute 0 (L1-sparse models stay sparse)."""
+    shuffles anything but its (doc, bucket)-bounded reduction (tokenless
+    docs ride that same reduction via their ``bucket=NULL`` sentinel row
+    — no second pass, no distinct). Docs with no tokens score
+    ``sigmoid(bias)`` (dot 0). Buckets without a weight contribute 0
+    (L1-sparse models stay sparse)."""
     counts = hashed_term_counts(df, text_col, id_col, dim, salt, lane_hash)
     dots = (
         counts.join(F.broadcast(weights), "bucket", "left")
         .groupBy("id")
         .agg(
-            (
-                F.coalesce(
-                    F.sum(F.col("weight") * F.col("tf").cast("double")),
-                    F.lit(0.0),
-                )
-                / F.first("n_tokens").cast("double")
-            ).alias("__qc_dot")
+            F.coalesce(
+                F.sum(F.col("weight") * F.col("tf").cast("double")),
+                F.lit(0.0),
+            ).alias("__qc_ws"),
+            F.first("n_tokens").alias("__qc_n"),
         )
     )
-    score = F.lit(1.0) / (
-        F.lit(1.0) + F.exp(-(F.col("__qc_dot") + F.lit(bias)))
-    )
-    scored = dots.select(F.col("id").alias(id_col), score.alias(out_col))
-    base = df.select(F.col(id_col)).distinct()
-    missing_score = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-bias)))
-    return base.join(scored, id_col, "left").select(
-        id_col, F.coalesce(F.col(out_col), missing_score).alias(out_col)
-    )
+    dot = F.when(
+        F.col("__qc_n") > 0,
+        F.col("__qc_ws") / F.col("__qc_n").cast("double"),
+    ).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(bias))))
+    return dots.select(F.col("id").alias(id_col), score.alias(out_col))

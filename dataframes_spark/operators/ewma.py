@@ -60,6 +60,28 @@ from pyspark.sql import types as T
 from .global_order import _bucketized
 
 
+def _join_carries(
+    data: DataFrame, carries: DataFrame, by: Sequence[str], bucket: str = "__go_b"
+) -> DataFrame:
+    """Left-join per-(group, bucket) carries onto the bucketized data
+    with NULL-SAFE group-key equality — groupBy/collect kept NULL group
+    keys as a real group, so the join must too (a USING join would
+    silently orphan their carry state)."""
+    if not by:
+        return data.join(carries, [bucket], "left")
+    renamed = carries.select(
+        F.col(bucket).alias("__jc_b"),
+        *[F.col(c).alias(f"__jc_{c}") for c in by],
+        *[c for c in carries.columns if c not in (bucket, *by)],
+    )
+    cond = data[bucket] == renamed["__jc_b"]
+    for c in by:
+        cond = cond & data[c].eqNullSafe(renamed[f"__jc_{c}"])
+    return data.join(renamed, cond, "left").drop(
+        "__jc_b", *[f"__jc_{c}" for c in by]
+    )
+
+
 def ewma(
     df: DataFrame,
     value_col: str,
@@ -170,7 +192,9 @@ def ewma(
 
     # ---- stage 3: ONE output pass per BUCKET: pandas' C-level grouped
     # ewm, carry-seeded via synthetic first rows ----------------------
-    joined = bdf.join(carries, [*by, "__go_b"], "left")
+    # null-SAFE join on the group keys: a NULL group is a real group
+    # (stage 1/2 kept it), and a USING join would orphan its carries
+    joined = _join_carries(bdf, carries, by)
     data_cols = list(df.columns)
     out_schema = T.StructType(
         [df.schema[c] for c in data_cols]
@@ -241,7 +265,9 @@ def decayed_sum(
     tie-INCLUSIVE on equal timestamps (time-based semantics, so the
     result is deterministic without a tiebreak column — unlike the
     row-ordered EWMA). Null values contribute nothing but still
-    observe the state.
+    observe the state; null-TIMESTAMP rows have no place on the time
+    axis and pass through with a NULL score (all input rows survive,
+    the `ewma` contract).
 
     Pure JVM, no Python anywhere: time is cut into FIXED buckets of
     ``bucket_halflives`` half-lives (16 by default, so within-bucket
@@ -335,8 +361,14 @@ def decayed_sum(
     )
     if not by:
         carries = F.broadcast(carries)
-    joined = pref.join(carries, [*by, "__ds_b"], "left")
+    joined = _join_carries(pref, carries, by, bucket="__ds_b")
     y = (F.col("__ds_p") + F.coalesce(F.col("__ds_s"), F.lit(0.0))) * F.exp(
         -F.col("__ds_rel")
     )
-    return joined.select(*df.columns, y.alias(out_col))
+    out = joined.select(*df.columns, y.alias(out_col))
+    # null-timestamp rows have no place on the time axis but stay in
+    # the output (NULL score), matching `ewma`'s keep-all-rows contract
+    null_ts = df.filter(F.col(ts_col).isNull()).select(
+        *df.columns, F.lit(None).cast("double").alias(out_col)
+    )
+    return out.unionByName(null_ts)

@@ -718,7 +718,10 @@ def rank_stats(
         out = out.withColumn(dense_rank_col, F.col("__rk_dr").cast("bigint"))
         cols.append(dense_rank_col)
     if cume_dist_col:
-        total = df.agg(F.count(F.lit(1)).alias("__rk_n"))
+        # N from the key relation, not a second df.agg scan: the vc
+        # subtree is shared with the rank branch, so AQE's exchange
+        # reuse serves both from one corpus pass
+        total = vc.agg(F.sum("__rk_cnt").alias("__rk_n"))
         out = out.crossJoin(F.broadcast(total)).withColumn(
             cume_dist_col,
             (F.col("__rk_before") + F.col("__rk_cnt")).cast("double")

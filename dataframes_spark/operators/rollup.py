@@ -205,7 +205,10 @@ def rollup_store_update(
     """
     by = list(by)
     w_us = width_us(width)
-    batch = rollup(df, ts_col, value_col, width, by)
+    # persist the bucket-cardinality batch rollup at the fork: the row
+    # count AND the staging write both consume it — without the cache
+    # every fold would scan the batch twice
+    batch = rollup(df, ts_col, value_col, width, by).persist()
     n_batch = batch.agg(F.sum("n_rows")).first()[0] or 0
     stamped = batch.select("*", *_meta_cols(value_col, w_us, by))
     # existence check, not a broad except: transient JVM errors must
@@ -233,7 +236,10 @@ def rollup_store_update(
         ).select("*", *_meta_cols(value_col, w_us, by))
     else:
         merged = stamped
-    staging_swap(spark, table, merged)
+    try:
+        staging_swap(spark, table, merged)
+    finally:
+        batch.unpersist()
     buckets = spark.table(table).count()
     return {"rows": int(n_batch), "buckets": int(buckets)}
 
@@ -360,11 +366,14 @@ def rollup_distinct_serve_store(
     spark, table: str, p: int | None = None
 ) -> DataFrame:
     """Estimates straight from a persisted distinct-rollup store; group
-    columns and ``p`` recover from the stamp."""
+    columns and ``p`` recover from the stamp (an EMPTY store — possible
+    after folding an empty first batch — serves an empty frame under
+    the default ``p`` rather than crashing on the missing stamp)."""
     store = spark.table(table)
     meta = store.select("__rd_by", "__rd_p").first()
     by = [c for c in (meta["__rd_by"] or "").split(",") if c] if meta else []
-    p = p if p is not None else int(meta["__rd_p"])
+    if p is None:
+        p = int(meta["__rd_p"]) if meta is not None else 12
     return rollup_distinct_serve(
         store.drop("__rd_col", "__rd_width_us", "__rd_by", "__rd_p", "__rd_hash"),
         by,

@@ -166,22 +166,38 @@ def _ewma_pdf(pdf, ts_col, value_col, alpha, prev):
     (annotated pdf, final state). Shared by the stream and batch forms so
     the consistency test pins one implementation against the other.
 
-    Runs as pandas ``ewm(adjust=False)`` — the identical recursion
-    ``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` evaluated in C instead of a
-    per-row Python loop; a carried ``prev`` state (stream continuation)
-    is folded in by seeding the series with it and dropping that row."""
+    Runs as pandas ``ewm(adjust=False, ignore_na=True)`` — the identical
+    recursion ``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` evaluated in C
+    instead of a per-row Python loop; a carried ``prev`` state (stream
+    continuation) is folded in by seeding the series with it and
+    dropping that row. Null values are TRANSPARENT (the repo-wide EWMA
+    contract, shared with the batch `operators/ewma.py` lane): they
+    leave the state unchanged and their own output row is NULL."""
+    import math as _math
+
     import pandas as _pd
 
     pdf = pdf.sort_values(ts_col, kind="stable")
     vals = pdf[value_col].astype("float64").reset_index(drop=True)
     if prev is not None:
         seeded = _pd.concat([_pd.Series([float(prev)]), vals], ignore_index=True)
-        ewma = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].to_numpy()
+        raw = (
+            seeded.ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+            .iloc[1:]
+            .to_numpy()
+        )
     else:
-        ewma = vals.ewm(alpha=alpha, adjust=False).mean().to_numpy()
-    if len(ewma):
-        prev = float(ewma[-1])
-    return pdf.assign(ewma=ewma), prev
+        raw = (
+            vals.ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+            .to_numpy()
+        )
+    if len(raw) and not _math.isnan(raw[-1]):
+        prev = float(raw[-1])
+    out = raw.copy()
+    out[vals.isna().to_numpy()] = float("nan")
+    return pdf.assign(ewma=out), prev
 
 
 def ewma_stream(
@@ -249,7 +265,11 @@ def ewma_batch(
     ``groupby().ewm(adjust=False)`` call. A group straddling two Arrow
     batches is stitched exactly: only the FIRST group of a batch can be
     a continuation (the data is key-sorted), and that one group is
-    re-folded seeded with the carried state."""
+    re-folded seeded with the carried state. Null values are
+    TRANSPARENT (the repo-wide EWMA contract): state unchanged, output
+    NULL for the null row."""
+    import math as _math
+
     import pandas as _pd
 
     out_schema, _ = _ewma_schemas(events.schema)
@@ -257,32 +277,43 @@ def ewma_batch(
 
     def fn(batches):
         carry_key = object()  # sentinel unequal to any real key
-        carry_val = 0.0
+        carry_val = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pdf = pdf.reset_index(drop=True)
             vals = pdf[value_col].astype("float64")
-            ewma = (
+            raw = (
                 vals.groupby(pdf[key_col], sort=False)
-                .ewm(alpha=alpha, adjust=False)
+                .ewm(alpha=alpha, adjust=False, ignore_na=True)
                 .mean()
                 .reset_index(level=0, drop=True)
                 .sort_index()
                 .to_numpy()
             )
             first_key = pdf[key_col].iloc[0]
-            if first_key == carry_key:
+            if first_key == carry_key and carry_val is not None:
                 n0 = int((pdf[key_col] == first_key).values.argmin() or len(pdf))
                 seeded = _pd.concat(
                     [_pd.Series([carry_val]), vals.iloc[:n0]], ignore_index=True
                 )
-                ewma[:n0] = (
-                    seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].to_numpy()
+                raw[:n0] = (
+                    seeded.ewm(alpha=alpha, adjust=False, ignore_na=True)
+                    .mean()
+                    .iloc[1:]
+                    .to_numpy()
                 )
-            carry_key = pdf[key_col].iloc[-1]
-            carry_val = float(ewma[-1])
-            yield pdf.assign(ewma=ewma)[out_cols]
+            last_key = pdf[key_col].iloc[-1]
+            last_grp = raw[(pdf[key_col] == last_key).to_numpy()]
+            valid = last_grp[~_pd.isna(last_grp)]
+            if len(valid):
+                carry_val = float(valid[-1])
+            elif last_key != carry_key:
+                carry_val = None  # fresh key, no state observed yet
+            carry_key = last_key
+            out = raw.copy()
+            out[vals.isna().to_numpy()] = float("nan")
+            yield pdf.assign(ewma=out)[out_cols]
 
     prepped = events.repartition(key_col).sortWithinPartitions(key_col, ts_col)
     return prepped.mapInPandas(fn, out_schema)

@@ -21,7 +21,9 @@ def test_hashed_counts_pool_and_determinism(spark):
         by_id.setdefault(r.id, []).append(r)
     assert sum(r.tf for r in by_id[1]) == 4  # a b a c
     assert by_id[1][0].n_tokens == 4
-    assert 2 not in by_id  # empty doc has no term rows
+    # tokenless doc survives as ONE (bucket NULL, tf 0) sentinel row
+    assert len(by_id[2]) == 1
+    assert by_id[2][0].bucket is None and by_id[2][0].n_tokens == 0
     assert by_id[3][0].tf == 1
     again = {(r.id, r.bucket, r.tf) for r in got.collect()}
     assert again == {(r.id, r.bucket, r.tf) for r in rows}
@@ -106,3 +108,33 @@ def test_score_plan_is_broadcast_only(spark):
     assert rep["row_python_udf_nodes"] == 0
     assert rep["single_partition_data_exchanges"] == 0
     assert rep["broadcast_hash_joins"] >= 1
+
+
+def test_edge_whitespace_tokens_match_oracle_semantics(spark):
+    """Leading \\n/\\t (which F.trim would keep) must not create an
+    empty hashed token or inflate n_tokens."""
+    df = _docs(spark, [(1, "\na b"), (2, "\t\t x \n")])
+    got = {}
+    for r in C.hashed_term_counts(df, "text", "doc_id", dim=16,
+                                  lane_hash="md5").collect():
+        got.setdefault(r.id, []).append(r)
+    assert got[1][0].n_tokens == 2
+    assert got[2][0].n_tokens == 1
+    assert all(r.bucket is not None for rs in got.values() for r in rs)
+
+
+def test_train_pos_neg_id_collision_is_safe(spark):
+    """A pos doc and a neg doc with the SAME id must not merge term
+    counts (the prefixed-id rule): training on colliding ids still
+    separates the vocabularies."""
+    pos = _docs(spark, [(i, "theory method study") for i in range(30)])
+    neg = _docs(spark, [(i, "casino winner prize") for i in range(30)])
+    w, b = C.train_quality_classifier(
+        pos, neg, "text", "doc_id", dim=128, max_iter=20
+    )
+    test = _docs(spark, [(1, "theory study"), (2, "casino prize")])
+    scores = {
+        r.doc_id: r.quality_prob
+        for r in C.score_quality(test, w, b, "text", "doc_id", dim=128).collect()
+    }
+    assert scores[1] > 0.8 > 0.2 > scores[2]

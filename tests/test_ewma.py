@@ -208,3 +208,74 @@ def test_decayed_sum_per_group_and_plan(spark):
 
     with _pt.raises(ValueError):
         decayed_sum(df, "ts", "v", "30 minutes", bucket_halflives=1)
+
+
+def test_null_group_key_carries_across_buckets(spark):
+    """A NULL group key is a real group: its EWMA must chain across
+    bucket boundaries exactly like any other group (null-safe carry
+    join), for both ewma and decayed_sum."""
+    n = 200
+    rows = [(i, None if i % 2 == 0 else "g1", float(i % 13)) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    got = {
+        r.k: r.ewma
+        for r in ewma(df, "v", 0.3, "k", by=["g"], n_buckets=6).collect()
+    }
+    for gval in (None, "g1"):
+        sub = [v for i, (_, g, v) in enumerate(rows) if g == gval]
+        want = _ref(sub, 0.3)
+        ks = [k for k, g, _ in rows if g == gval]
+        for k, w in zip(ks, want):
+            assert got[k] == pytest.approx(w, rel=1e-11), (gval, k)
+
+    from dataframes_spark.operators.ewma import decayed_sum
+
+    ts_df = spark.createDataFrame(
+        [(k, g, v, 1_700_000_000_000_000 + k * 37_000_000_000)
+         for (k, g, v) in rows],
+        "k long, g string, v double, e long",
+    ).select("k", "g", "v", F.timestamp_micros("e").alias("ts"))
+    dgot = {
+        r.k: r.decayed_sum
+        for r in decayed_sum(ts_df, "ts", "v", "1 hour", by=["g"]).collect()
+    }
+    sub_rows = [
+        (k * 37_000_000_000, v) for (k, g, v) in rows if g is None
+    ]
+    want = _decay_model(sub_rows, 3_600_000_000)
+    ks = [k for k, g, _ in rows if g is None]
+    for k, w in zip(ks, want):
+        assert dgot[k] == pytest.approx(w, rel=1e-9), k
+
+
+def test_decayed_sum_keeps_null_ts_rows(spark):
+    from dataframes_spark.operators.ewma import decayed_sum
+
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000, 5.0), (2, None, 7.0)],
+        "k long, e long, v double",
+    ).select("k", F.timestamp_micros("e").alias("ts"), "v")
+    got = {r.k: r.decayed_sum for r in decayed_sum(df, "ts", "v", "1 hour").collect()}
+    assert got[1] == pytest.approx(5.0) and got[2] is None
+
+
+def test_null_parity_with_streaming_fold(spark):
+    """Nulls are transparent on BOTH lanes now: the streaming _ewma_pdf
+    fold (incl. a carried state across batches) and the batch ewma
+    agree value-for-value on a null-bearing series."""
+    import math
+
+    from dataframes_spark.streaming.events import _ewma_pdf
+
+    vals = [1.0, None, 3.0, None, None, 5.0, 2.0, None]
+    pdf = pd.DataFrame({"k": range(len(vals)), "v": vals})
+    o1, prev = _ewma_pdf(pdf.iloc[:4].copy(), "k", "v", 0.5, None)
+    o2, _ = _ewma_pdf(pdf.iloc[4:].copy(), "k", "v", 0.5, prev)
+    stream = list(o1["ewma"]) + list(o2["ewma"])
+    df = spark.createDataFrame(pdf, "k long, v double")
+    got = {r.k: r.ewma for r in ewma(df, "v", 0.5, "k", n_buckets=3).collect()}
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] is None and math.isnan(stream[i]), i
+        else:
+            assert got[i] == pytest.approx(stream[i], rel=1e-12), i

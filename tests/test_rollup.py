@@ -291,3 +291,13 @@ def test_store_refresh_replaces_range_only(spark):
         R.rollup_store_refresh(
             spark, "t_rollup_missing", df, "ts", "v", "1 hour", h1_lo, h1_hi
         )
+
+
+def test_distinct_serve_store_handles_empty_store(spark):
+    """Folding an EMPTY first batch leaves a stampless store; serving
+    must return an empty frame, not crash on the missing stamp."""
+    t = "t_rollup_distinct_empty"
+    drop_table_and_location(spark, t)
+    empty = spark.createDataFrame([], "k long, ts timestamp, u long")
+    R.rollup_distinct_store_update(spark, t, empty, "ts", "u", "1 hour", p=9)
+    assert R.rollup_distinct_serve_store(spark, t).count() == 0
