@@ -115,6 +115,19 @@ SHOWCASE = [
     # one-pass aggregate driver-side and re-wraps the tiny result, so its
     # "plan" is just a local scan; the single-agg property is pinned by
     # tests/test_quality.py::test_single_aggregation_for_whole_suite
+    # -- round 10, second batch --
+    ("ewma_user_values", "distributed EWMA: JVM affine summaries + carry fold, ONE Arrow pass per bucket"),
+    ("decayed_sum_events", "half-life decayed sum: fixed time buckets, RANGE-frame prefix, gap-aware JVM carry fold — zero Python"),
+    ("rank_family_events", "rank/dense_rank/cume_dist at key cardinality + ntile from global positions"),
+    ("decontaminate_semantic_vecs", "semantic decontamination: broadcast eval NLJ inside the corpus scan, flagged-pair-sized exchange"),
+    ("quality_classifier_docs", "hashed classifier scoring: broadcast (bucket, weight) join + per-doc reduction, pure JVM"),
+    ("classifier_eval_docs", "rank-sum AUC + thresholded metrics over the persisted scored fork"),
+    ("kll_by_lang_docs", "keyed KLL: compaction windows per (lang, shard, level), quantile cut per group"),
+    # rollup_hourly_events / rollup_distinct_hourly_events are NOT
+    # showcased: the folds run eagerly inside the query (store swaps);
+    # the served read is a bounded store scan. The map-side-combining
+    # fold shape is pinned by the registry plan gate and
+    # tests/test_rollup.py.
 ]
 
 
