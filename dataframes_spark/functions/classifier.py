@@ -215,3 +215,64 @@ def score_quality(
     ).otherwise(F.lit(0.0))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(bias))))
     return dots.select(F.col("id").alias(id_col), score.alias(out_col))
+
+
+def classifier_store_update(
+    spark,
+    table: str,
+    weights: DataFrame,
+    bias: float,
+    dim: int,
+    salt: str = "qc",
+    lane_hash: str = "xxhash64",
+) -> dict:
+    """Persist a trained classifier as a catalog table (the repo's
+    store idiom): ``(bucket, weight)`` rows plus the stamped config —
+    ``(dim, salt, lane_hash, bias)`` ride constant columns, so scoring
+    can never silently run under a different feature space than the
+    one the model was trained in. REPLACES any prior model (models are
+    versions, not folds — retraining is the update path); crash-safe
+    via the staging swap. Returns ``{"buckets"}``."""
+    from dataframes_spark.io.store import staging_swap
+
+    stamped = weights.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+        F.lit(float(bias)).alias("__qc_bias"),
+        F.lit(int(dim)).alias("__qc_dim"),
+        F.lit(salt).alias("__qc_salt"),
+        F.lit(lane_hash).alias("__qc_hash"),
+    )
+    staging_swap(spark, table, stamped)
+    return {"buckets": spark.table(table).count()}
+
+
+def score_quality_from_store(
+    spark,
+    df: DataFrame,
+    table: str,
+    text_col: str,
+    id_col: str,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Score a corpus against the persisted model — featurization
+    config recovers from the stamp, so the scoring feature space is the
+    training one BY CONSTRUCTION. Same plan as `score_quality`
+    (broadcast weights, one per-doc reduction)."""
+    store = spark.table(table)
+    meta = store.select(
+        "__qc_bias", "__qc_dim", "__qc_salt", "__qc_hash"
+    ).first()
+    if meta is None:
+        raise ValueError(f"classifier store {table!r} is empty")
+    return score_quality(
+        df,
+        store.select("bucket", "weight"),
+        float(meta["__qc_bias"]),
+        text_col,
+        id_col,
+        dim=int(meta["__qc_dim"]),
+        salt=meta["__qc_salt"],
+        lane_hash=meta["__qc_hash"],
+        out_col=out_col,
+    )

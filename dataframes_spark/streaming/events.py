@@ -1169,3 +1169,44 @@ def rollup_distinct_each_batch(
             write(RU.rollup_distinct_serve_store(spark, table), epoch_id)
 
     return _apply
+
+
+def classify_each_batch(
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float | None = None,
+    write=None,
+):
+    """Streaming quality scoring: a ``foreachBatch`` callback scoring
+    each micro-batch against the persisted classifier store
+    (`functions/classifier.py classifier_store_update`) — the
+    ingestion-time twin of the batch quality screen. Scoring is
+    STATELESS (the model is static within a batch), so micro-batch
+    boundaries cannot change results and stream output == batch
+    `score_quality_from_store` of the same rows (the
+    decontaminate_each_batch argument; pinned in tests). With
+    ``threshold`` set, ``write(kept_df, epoch_id)`` receives only the
+    documents scoring at or above it (the quality gate); otherwise the
+    full scored frame. The model can be RETRAINED mid-stream — each
+    batch reads the current store, so a swap takes effect on the next
+    trigger."""
+    from dataframes_spark.functions.classifier import (
+        score_quality_from_store,
+    )
+
+    if write is None:
+        raise ValueError("write(df, epoch_id) sink callback is required")
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = score_quality_from_store(
+            spark, batch_df, table, text_col, id_col
+        )
+        out = batch_df.join(scored, id_col)
+        if threshold is not None:
+            out = out.filter(F.col("quality_prob") >= float(threshold))
+        write(out, epoch_id)
+
+    return _apply

@@ -138,3 +138,93 @@ def test_train_pos_neg_id_collision_is_safe(spark):
         for r in C.score_quality(test, w, b, "text", "doc_id", dim=128).collect()
     }
     assert scores[1] > 0.8 > 0.2 > scores[2]
+
+
+def test_store_roundtrip_and_stamp(spark):
+    from dataframes_spark.functions.classifier import (
+        classifier_store_update,
+        score_quality_from_store,
+    )
+    from dataframes_spark.io.store import drop_table_and_location
+
+    t = "t_qc_store"
+    drop_table_and_location(spark, t)
+    weights = spark.createDataFrame(
+        [(i, (i * 37 % 21 - 10) / 10.0) for i in range(8)],
+        "bucket int, weight double",
+    )
+    out = classifier_store_update(
+        spark, t, weights, bias=0.5, dim=8, lane_hash="md5"
+    )
+    assert out["buckets"] == 8
+    df = _docs(spark, [(1, "a a b"), (2, "")])
+    direct = {
+        r.doc_id: r.quality_prob
+        for r in C.score_quality(
+            df, weights, 0.5, "text", "doc_id", dim=8, lane_hash="md5"
+        ).collect()
+    }
+    stored = {
+        r.doc_id: r.quality_prob
+        for r in score_quality_from_store(
+            spark, df, t, "text", "doc_id"
+        ).collect()
+    }
+    assert stored == direct and len(stored) == 2
+    # retrain REPLACES: new weights, new stamp
+    w2 = spark.createDataFrame([(0, 1.0)], "bucket int, weight double")
+    classifier_store_update(spark, t, w2, bias=0.0, dim=4)
+    assert spark.table(t).count() == 1
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_classify_each_batch_stream_equals_batch(spark, tmp_path):
+    """The streaming quality gate: foreachBatch scoring over a real
+    micro-batched run keeps exactly the docs the batch screen keeps."""
+    import uuid
+
+    from dataframes_spark.functions.classifier import (
+        classifier_store_update,
+        score_quality_from_store,
+    )
+    from dataframes_spark.streaming.events import classify_each_batch
+
+    t = f"t_qc_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    weights = spark.createDataFrame(
+        [(i, (i * 37 % 21 - 10) / 10.0) for i in range(16)],
+        "bucket int, weight double",
+    )
+    classifier_store_update(spark, t, weights, bias=0.0, dim=16,
+                            lane_hash="md5")
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j % 11}" for j in range(i % 6 + 1)))
+         for i in range(60)],
+    )
+    out = str(tmp_path / "qc_docs")
+    for lo, hi in ((0, 20), (20, 45), (45, 60)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(out)
+    whole = spark.read.parquet(out)
+    kept = []
+    cb = classify_each_batch(
+        t, "text", "doc_id", threshold=0.5,
+        write=lambda df, e: kept.extend(r.doc_id for r in df.collect()),
+    )
+    src = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = src.writeStream.foreachBatch(cb).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    want = sorted(
+        r.doc_id
+        for r in score_quality_from_store(
+            spark, whole, t, "text", "doc_id"
+        ).filter(F.col("quality_prob") >= 0.5).collect()
+    )
+    assert sorted(kept) == want and 0 < len(want) < 60
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
