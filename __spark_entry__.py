@@ -3417,26 +3417,34 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rank_family_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed rank family (operators/global_order.py rank_stats +
     ntiles): rank / dense_rank / cume_dist with exact SQL tie semantics
-    plus ntile(7) over a unique ordering — all four replayed against
-    DuckDB's window functions bit for bit (ranks and tiles are exact
-    integers; cume_dist is ONE division of exact integers), with no
-    data-bearing SinglePartition anywhere (the percent_rank_events
-    pattern, completing the family)."""
+    plus ntile(7) over a unique ordering, plus the GROUPED lane —
+    cume_dist within event_type (per-group quantile normalization via
+    cumsum_grouped, groups share order buckets so a whale group never
+    serializes) — all five replayed against DuckDB's window functions
+    bit for bit (ranks and tiles are exact integers; the cume_dists are
+    ONE division of exact integers each), with no data-bearing
+    SinglePartition anywhere (the percent_rank_events pattern,
+    completing the family)."""
     from dataframes_spark.operators.global_order import ntiles, rank_stats
 
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .select("event_id", "value")
+        .select("event_id", "event_type", "value")
     )
     rs = rank_stats(ev, "value")
     nt = ntiles(ev, 7, ["value", "event_id"]).select("event_id", "ntile")
-    return rs.join(nt, "event_id").select(
+    grs = rank_stats(
+        ev, "value", part_by=["event_type"],
+        rank_col=None, dense_rank_col=None, cume_dist_col="cd_by_type",
+    ).select("event_id", "cd_by_type")
+    return rs.join(nt, "event_id").join(grs, "event_id").select(
         "event_id",
         F.col("rank").alias("value_rank"),
         F.col("dense_rank").alias("value_dense_rank"),
         F.col("cume_dist").alias("value_cume_dist"),
         F.col("ntile").alias("value_ntile7"),
+        F.col("cd_by_type").alias("value_cume_dist_by_type"),
     )
 
 
@@ -6713,7 +6721,9 @@ def oracle_sql() -> dict[str, str]:
                    rank() OVER (ORDER BY value) AS value_rank,
                    dense_rank() OVER (ORDER BY value) AS value_dense_rank,
                    cume_dist() OVER (ORDER BY value) AS value_cume_dist,
-                   ntile(7) OVER (ORDER BY value, event_id) AS value_ntile7
+                   ntile(7) OVER (ORDER BY value, event_id) AS value_ntile7,
+                   cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+                       AS value_cume_dist_by_type
             FROM events WHERE value IS NOT NULL
         """,
         "decontaminate_semantic_vecs": """

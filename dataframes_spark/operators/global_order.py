@@ -663,9 +663,75 @@ def grouped_positions(
         "__go_b",
         F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0)).alias("__go_off"),
     )
-    return pdf.join(F.broadcast(offsets), [*part_cols, "__go_b"]).select(
+    # null-SAFE offsets join: a NULL group key is a real group (the
+    # window and the counts both kept it); a USING join would drop it
+    renamed = offsets.select(
+        F.col("__go_b").alias("__gp_b"),
+        *[F.col(c).alias(f"__gp_{c}") for c in part_cols],
+        "__go_off",
+    )
+    cond = pdf["__go_b"] == renamed["__gp_b"]
+    for c in part_cols:
+        cond = cond & pdf[c].eqNullSafe(renamed[f"__gp_{c}"])
+    return pdf.join(F.broadcast(renamed), cond).select(
         *df.columns,
         (F.col("__go_off") + F.col("__go_lrn")).cast("bigint").alias(pos_col),
+    )
+
+
+def cumsum_grouped(
+    df: DataFrame,
+    size_col: str,
+    part_by: str | Sequence[str],
+    order_by: str | Sequence[str],
+    n_buckets: int | None = None,
+    out_col: str = "cumsum_before",
+) -> DataFrame:
+    """Per-GROUP exclusive running sum over an explicit ordering — the
+    grouped twin of `cumsum_global`, for groups too large for one task
+    (the `grouped_positions` argument): bucketize on the ORDER key's
+    quantile boundaries (groups share buckets, so tasks balance by
+    data volume), per-(group, bucket) exclusive window sums, plus each
+    group's running bucket-total offsets — a (groups x buckets)-row
+    relation, broadcast back. ONE data exchange; same answer as
+    ``sum().over(Window.partitionBy(g).orderBy(...).rowsBetween(
+    unboundedPreceding, -1))`` for any bucketization."""
+    part_cols = [part_by] if isinstance(part_by, str) else list(part_by)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    bdf = _bucketized(df, order_cols, n_buckets)
+    orders = [F.col(c).asc() for c in order_cols]
+    w = (
+        W.partitionBy(*part_cols, "__go_b")
+        .orderBy(*orders)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pdf = bdf.withColumn(
+        "__go_lb", F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    )
+    totals = bdf.groupBy(*part_cols, "__go_b").agg(
+        F.coalesce(F.sum(size_col), F.lit(0)).alias("__go_t")
+    )
+    woff = (
+        W.partitionBy(*part_cols)
+        .orderBy("__go_b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *part_cols,
+        "__go_b",
+        F.coalesce(F.sum("__go_t").over(woff), F.lit(0)).alias("__go_off"),
+    )
+    renamed = offsets.select(
+        F.col("__go_b").alias("__co_b"),
+        *[F.col(c).alias(f"__co_{c}") for c in part_cols],
+        "__go_off",
+    )
+    cond = pdf["__go_b"] == renamed["__co_b"]
+    for c in part_cols:
+        cond = cond & pdf[c].eqNullSafe(renamed[f"__co_{c}"])
+    return pdf.join(F.broadcast(renamed), cond).select(
+        *df.columns,
+        (F.col("__go_off") + F.col("__go_lb")).alias(out_col),
     )
 
 
@@ -676,6 +742,7 @@ def rank_stats(
     rank_col: str | None = "rank",
     dense_rank_col: str | None = "dense_rank",
     cume_dist_col: str | None = "cume_dist",
+    part_by: Sequence[str] = (),
 ) -> DataFrame:
     """Distributed ``rank()`` / ``dense_rank()`` / ``cume_dist()`` over
     a global ordering — exact SQL tie semantics (ties share a rank;
@@ -689,22 +756,40 @@ def rank_stats(
     over the key relation, and join back null-safe (null keys tie
     first, Spark's asc-nulls-first order). Ranks are exact integers;
     cume_dist is ONE division of exact integers — engine-reproducible
-    with no rounding. Set an out-column to None to omit it."""
+    with no rounding. Set an out-column to None to omit it.
+
+    ``part_by`` gives the PER-GROUP form (``rank().over(partitionBy(g)
+    .orderBy(...))`` — per-language quantile normalization) on the
+    grouped lanes (`cumsum_grouped` / `grouped_positions`): groups
+    share order-key buckets, so a whale group's distinct keys never
+    funnel through one task."""
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    vc = df.groupBy(*order_cols).agg(F.count(F.lit(1)).alias("__rk_cnt"))
-    keyed = cumsum_global(
-        vc, "__rk_cnt", order_cols, n_buckets, out_col="__rk_before"
-    )
-    if dense_rank_col:
-        keyed = global_positions(
-            keyed, order_cols, n_buckets, pos_col="__rk_dr"
+    part_cols = list(part_by)
+    key_cols = [*part_cols, *order_cols]
+    vc = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__rk_cnt"))
+    if part_cols:
+        keyed = cumsum_grouped(
+            vc, "__rk_cnt", part_cols, order_cols, n_buckets,
+            out_col="__rk_before",
         )
+        if dense_rank_col:
+            keyed = grouped_positions(
+                keyed, part_cols, order_cols, n_buckets, pos_col="__rk_dr"
+            )
+    else:
+        keyed = cumsum_global(
+            vc, "__rk_cnt", order_cols, n_buckets, out_col="__rk_before"
+        )
+        if dense_rank_col:
+            keyed = global_positions(
+                keyed, order_cols, n_buckets, pos_col="__rk_dr"
+            )
     renamed = keyed.select(
-        *[F.col(c).alias(f"__rk_k_{c}") for c in order_cols],
+        *[F.col(c).alias(f"__rk_k_{c}") for c in key_cols],
         *[c for c in keyed.columns if c.startswith("__rk_") and "_k_" not in c],
     )
     cond = None
-    for c in order_cols:
+    for c in key_cols:
         piece = df[c].eqNullSafe(renamed[f"__rk_k_{c}"])
         cond = piece if cond is None else cond & piece
     out = df.join(renamed, cond)
@@ -721,8 +806,23 @@ def rank_stats(
         # N from the key relation, not a second df.agg scan: the vc
         # subtree is shared with the rank branch, so AQE's exchange
         # reuse serves both from one corpus pass
-        total = vc.agg(F.sum("__rk_cnt").alias("__rk_n"))
-        out = out.crossJoin(F.broadcast(total)).withColumn(
+        if part_cols:
+            totals = vc.groupBy(*part_cols).agg(
+                F.sum("__rk_cnt").alias("__rk_n")
+            )
+            trenamed = totals.select(
+                *[F.col(c).alias(f"__rk_t_{c}") for c in part_cols],
+                "__rk_n",
+            )
+            tcond = None
+            for c in part_cols:
+                piece = out[c].eqNullSafe(trenamed[f"__rk_t_{c}"])
+                tcond = piece if tcond is None else tcond & piece
+            out = out.join(F.broadcast(trenamed), tcond)
+        else:
+            total = vc.agg(F.sum("__rk_cnt").alias("__rk_n"))
+            out = out.crossJoin(F.broadcast(total))
+        out = out.withColumn(
             cume_dist_col,
             (F.col("__rk_before") + F.col("__rk_cnt")).cast("double")
             / F.col("__rk_n").cast("double"),

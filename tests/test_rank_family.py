@@ -78,3 +78,56 @@ def test_plans_have_no_data_bearing_single_partition(spark):
         rep = plan_report(out)
         assert rep["single_partition_data_exchanges"] == 0
         assert rep["row_python_udf_nodes"] == 0
+
+
+def test_grouped_rank_stats_matches_partitioned_windows(spark):
+    """part_by == the partitioned window forms exactly, including a
+    NULL group key and heavy in-group ties."""
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 != 0, (F.col("id") % 3).cast("string")).alias("g"),
+        F.when(F.col("id") % 37 != 0, F.col("id") * 7919 % 29).alias("v"),
+    )
+    w = W.partitionBy("g").orderBy(F.col("v").asc_nulls_first())
+    exp = {
+        r.k: (r.rk, r.dr, r.cd)
+        for r in df.select(
+            "k",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("dr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    for nb in (2, 8):
+        got = {
+            r.k: (r.rank, r.dense_rank, r.cume_dist)
+            for r in rank_stats(df, "v", n_buckets=nb, part_by=["g"]).collect()
+        }
+        assert got == exp, nb
+
+
+def test_cumsum_grouped_matches_partitioned_window(spark):
+    from dataframes_spark.operators.global_order import cumsum_grouped
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 7919 % 97).alias("o"),
+        (F.col("id") % 7).alias("s"),
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy("o", "k")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    exp = {
+        r.k: r.c
+        for r in df.select(
+            "k", F.coalesce(F.sum("s").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    got = {
+        r.k: r.cumsum_before
+        for r in cumsum_grouped(df, "s", ["g"], ["o", "k"], n_buckets=5).collect()
+    }
+    assert got == exp
