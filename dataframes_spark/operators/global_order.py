@@ -837,6 +837,7 @@ def ntiles(
     order_by: str | Sequence[str],
     n_buckets: int | None = None,
     out_col: str = "ntile",
+    part_by: Sequence[str] = (),
 ) -> DataFrame:
     """Distributed ``ntile(n)`` over a global ordering — exact SQL
     semantics (with ``N = q*n + r``, the first ``r`` tiles take
@@ -844,12 +845,31 @@ def ntiles(
     pure integer arithmetic, no single-reducer window. Row-POSITION
     semantics: equal keys resolve arbitrarily-but-validly — pass a
     unique tiebreak column for a deterministic result (the
-    `global_positions` contract)."""
+    `global_positions` contract). ``part_by`` gives the per-group form
+    (``ntile(n).over(partitionBy(g).orderBy(...))`` — per-language
+    curriculum bands) on `grouped_positions` + per-group totals."""
     if n < 1:
         raise ValueError(f"need n >= 1 tiles, got {n}")
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    pos = global_positions(df, order_cols, n_buckets, pos_col="__nt_pos")
-    total = df.agg(F.count(F.lit(1)).alias("__nt_n"))
+    part_cols = list(part_by)
+    if part_cols:
+        pos = grouped_positions(
+            df, part_cols, order_cols, n_buckets, pos_col="__nt_pos"
+        )
+        totals = df.groupBy(*part_cols).agg(
+            F.count(F.lit(1)).alias("__nt_n")
+        )
+        trenamed = totals.select(
+            *[F.col(c).alias(f"__nt_t_{c}") for c in part_cols], "__nt_n"
+        )
+        tcond = None
+        for c in part_cols:
+            piece = pos[c].eqNullSafe(trenamed[f"__nt_t_{c}"])
+            tcond = piece if tcond is None else tcond & piece
+        joined = pos.join(F.broadcast(trenamed), tcond)
+    else:
+        pos = global_positions(df, order_cols, n_buckets, pos_col="__nt_pos")
+        total = df.agg(F.count(F.lit(1)).alias("__nt_n"))
 
     def idiv(a, b):  # exact bigint floor division (non-negative a)
         return ((a - F.pmod(a, b)) / b).cast("bigint")
@@ -863,10 +883,10 @@ def ntiles(
         .otherwise(r + idiv(p - big - 1, F.greatest(q, F.lit(1))))
         + 1
     )
-    return (
-        pos.crossJoin(F.broadcast(total))
-        .withColumn(out_col, tile.cast("bigint"))
-        .select(*df.columns, out_col)
+    if not part_cols:
+        joined = pos.crossJoin(F.broadcast(total))
+    return joined.withColumn(out_col, tile.cast("bigint")).select(
+        *df.columns, out_col
     )
 
 

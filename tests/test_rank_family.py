@@ -131,3 +131,24 @@ def test_cumsum_grouped_matches_partitioned_window(spark):
         for r in cumsum_grouped(df, "s", ["g"], ["o", "k"], n_buckets=5).collect()
     }
     assert got == exp
+
+
+def test_grouped_ntile_matches_partitioned_window(spark):
+    df = spark.range(211).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 != 0, (F.col("id") % 3).cast("string")).alias("g"),
+        (F.col("id") * 7919 % 83).alias("v"),
+    )
+    for n in (1, 4, 9):
+        w = W.partitionBy("g").orderBy("v", "k")
+        exp = {
+            r.k: r.t
+            for r in df.select("k", F.ntile(n).over(w).alias("t")).collect()
+        }
+        got = {
+            r.k: r.ntile
+            for r in ntiles(
+                df, n, ["v", "k"], n_buckets=4, part_by=["g"]
+            ).collect()
+        }
+        assert got == exp, n
