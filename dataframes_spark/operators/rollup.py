@@ -437,3 +437,125 @@ def rollup_store_refresh(
         "replaced": int(replaced),
         "buckets": spark.table(table).count(),
     }
+
+
+def rollup_multi(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str],
+    width: str | int,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """k-COLUMN time-bucketed partials in ONE scan (the
+    `quality.hist_store_update_multi` argument — per-column passes
+    would re-read the corpus k times): each row fans out to k
+    ``(col, value)`` cells map-side, then the same map-side-combining
+    groupBy — the exchange carries (buckets x groups x k) partial rows.
+    Output is the long form ``(bucket_ts, *by, col, <five-tuple>)``;
+    `rollup_merge` / `rollup_finalize` apply with ``by=[*by, "col"]``.
+    Per-column semantics identical to `rollup` (null values count in
+    n_rows only)."""
+    cols = list(value_cols)
+    if not cols:
+        raise ValueError("need at least one value column")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(c).cast("double").alias("v"),
+            )
+            for c in cols
+        ]
+    )
+    cells = df.filter(F.col(ts_col).isNotNull()).select(
+        time_bucket(ts_col, width).alias("bucket_ts"),
+        *[F.col(c) for c in by],
+        F.explode(arr).alias("__rm"),
+    )
+    v = F.col("__rm.v")
+    return cells.groupBy(
+        "bucket_ts", *by, F.col("__rm.col").alias("col")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(v).alias("n"),
+        F.sum(v).alias("s"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.sum(v * v).alias("ss"),
+    )
+
+
+def rollup_multi_store_update(
+    spark,
+    table: str,
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str],
+    width: str | int,
+    by: Sequence[str] = (),
+) -> dict:
+    """Fold one batch's k-column partials into a persisted store — the
+    `rollup_store_update` contract (stamped config, refuse-on-mismatch,
+    sum-merge = fold each batch once, crash-safe swap) with the column
+    set in the stamp. Returns ``{"rows", "buckets"}``."""
+    by = list(by)
+    cols = list(value_cols)
+    w_us = width_us(width)
+    sig = ",".join(cols)
+    batch = rollup_multi(df, ts_col, cols, width, by).persist()
+    n_batch = (
+        batch.filter(F.col("col") == cols[0]).agg(F.sum("n_rows")).first()[0]
+        or 0
+    )
+    meta = [
+        F.lit(sig).alias("__ra_col"),
+        F.lit(int(w_us)).alias("__ra_width_us"),
+        F.lit(",".join(by)).alias("__ra_by"),
+    ]
+    stamped = batch.select("*", *meta)
+    if spark.catalog.tableExists(table):
+        existing = spark.table(table)
+        m = existing.select("__ra_col", "__ra_width_us", "__ra_by").first()
+        if m is not None and (
+            m["__ra_col"] != sig
+            or m["__ra_width_us"] != w_us
+            or m["__ra_by"] != ",".join(by)
+        ):
+            raise ValueError(
+                f"multi-rollup store {table!r} was built with "
+                f"(cols={m['__ra_col']!r}, width_us={m['__ra_width_us']}, "
+                f"by={m['__ra_by']!r}); refusing to fold "
+                f"(cols={sig!r}, width_us={w_us}, by={','.join(by)!r})"
+            )
+        merged = rollup_merge(
+            existing.unionByName(stamped).drop(
+                "__ra_col", "__ra_width_us", "__ra_by"
+            ),
+            [*by, "col"],
+        ).select("*", *meta)
+    else:
+        merged = stamped
+    try:
+        staging_swap(spark, table, merged)
+    finally:
+        batch.unpersist()
+    return {
+        "rows": int(n_batch),
+        "buckets": spark.table(table).count(),
+    }
+
+
+def rollup_multi_serve(
+    spark,
+    table: str,
+    stats: Sequence[str] = ("count", "sum", "mean", "min", "max"),
+) -> DataFrame:
+    """Finalize the k-column store: ``(bucket_ts, *by, col, <stats>)``."""
+    store = spark.table(table)
+    meta = store.select("__ra_by").first()
+    by = [c for c in (meta["__ra_by"] or "").split(",") if c] if meta else []
+    return rollup_finalize(
+        store.drop("__ra_col", "__ra_width_us", "__ra_by"),
+        stats,
+        [*by, "col"],
+    )

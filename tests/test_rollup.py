@@ -301,3 +301,43 @@ def test_distinct_serve_store_handles_empty_store(spark):
     empty = spark.createDataFrame([], "k long, ts timestamp, u long")
     R.rollup_distinct_store_update(spark, t, empty, "ts", "u", "1 hour", p=9)
     assert R.rollup_distinct_serve_store(spark, t).count() == 0
+
+
+def test_multi_rollup_one_scan_matches_per_column(spark):
+    """rollup_multi == k independent rollups, in one scan; store fold
+    law holds with the column in the merge key; mismatch refuses."""
+    df = _fixture(spark)
+    df = df.withColumn("v2", F.col("v") * 2 + 1)
+    multi = R.rollup_finalize(
+        R.rollup_multi(df, "ts", ["v", "v2"], "1 hour", by=["g"]),
+        by=["g", "col"],
+    )
+    got = {
+        (r.bucket_ts, r.g, r.col): tuple(r)[3:] for r in multi.collect()
+    }
+    for c in ("v", "v2"):
+        solo = R.rollup_finalize(
+            R.rollup(df, "ts", c, "1 hour", by=["g"]), by=["g"]
+        )
+        for r in solo.collect():
+            assert got[(r.bucket_ts, r.g, c)] == pytest.approx(
+                tuple(r)[2:], rel=1e-9
+            ), (c, r.bucket_ts)
+    t = "t_rollup_multi"
+    drop_table_and_location(spark, t)
+    for i in range(2):
+        R.rollup_multi_store_update(
+            spark, t, df.filter(F.col("k") % 2 == i), "ts", ["v", "v2"],
+            "1 hour", by=["g"],
+        )
+    served = {
+        (r.bucket_ts, r.g, r.col): tuple(r)[3:]
+        for r in R.rollup_multi_serve(spark, t).collect()
+    }
+    assert len(served) == len(got)
+    for k2, v2_ in got.items():
+        assert served[k2] == pytest.approx(v2_, rel=1e-9), k2
+    with pytest.raises(ValueError, match="refusing to fold"):
+        R.rollup_multi_store_update(
+            spark, t, df, "ts", ["v"], "1 hour", by=["g"]
+        )
