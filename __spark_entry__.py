@@ -3612,6 +3612,44 @@ def kll_by_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "q", "value")
 
 
+def rollup_multi_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-COLUMN continuous aggregate (operators/rollup.py rollup_multi):
+    weekly per-column order rollups (o_totalprice + o_custkey) served
+    from ONE persisted store folded over two batches — each input row
+    fans out to k cells map-side, one scan per fold, and the column
+    rides the merge key. Oracle = the one-shot per-column GROUP BYs
+    UNION ALL'd, so the hash verifies both the k-way fan-out and the
+    fold law (the rollup_hourly_events contract, column-keyed)."""
+    from dataframes_spark.io.store import drop_table_and_location
+    from dataframes_spark.operators import rollup as drollup
+
+    t = "rollup_multi_weekly_q"
+    drop_table_and_location(spark, t)
+    # o_orderdate is TIMESTAMP_NTZ on disk; the session TZ is UTC, so
+    # the cast resolves to the same wall-clock instant DuckDB reads
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    for i in range(2):
+        drollup.rollup_multi_store_update(
+            spark,
+            t,
+            orders.filter(F.col("o_orderkey") % 2 == i),
+            "o_orderdate",
+            ["o_totalprice", "o_custkey"],
+            "1 week",
+        )
+    served = drollup.rollup_multi_serve(spark, t)
+    return served.select(
+        "bucket_ts",
+        "col",
+        F.col("count").cast("bigint").alias("n_values"),
+        F.round("sum", 4).alias("sum_value"),
+        F.col("min").alias("min_value"),
+        F.col("max").alias("max_value"),
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3872,6 +3910,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ewma_user_values + rank_family_events + percent_rank_events
         #    + the row-position re-entries in-window.
         "rollup_distinct_hourly_events": rollup_distinct_hourly_events,
+        # -- round 10 (second batch): the k-column face of the
+        #    continuous aggregate — one scan fans each row to k cells,
+        #    the column rides the merge key; fold law + fan-out both
+        #    hash-verified. To hold the window at 50, top_paths_events
+        #    (driver-green r9, code unchanged) rotates below; the
+        #    event-analytics family stays in-window via funnel_events,
+        #    funnel_events_windowed, event_transitions_users,
+        #    decayed_sum_events and ewma_user_values.
+        "rollup_multi_weekly_orders": rollup_multi_weekly_orders,
         # -- round 9 (new): product quantization — the IVF+PQ recipe's
         #    compression half (dim floats -> m codes; ADC scoring reads
         #    only codes + a literal lookup table). Pinned codebooks make
@@ -3958,7 +4005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family stays via embedding_dedup_incremental_vecs +
         #    pq/ivf rows) rotate below.
         "event_transitions_users": event_transitions_users,
-        "top_paths_events": top_paths_events,
+        # (top_paths_events rotated below in the round-10 second batch
+        # after going green r9; path analytics stays in-window via
+        # event_transitions_users + the funnel rows.)
         # -- round 9 (continuation): corpus-mixing planning — the
         #    temperature (n^tau) reshaping with its md5-deterministic
         #    materialization, and the explicit-weights token-budget
@@ -4183,6 +4232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_1h": rolling_1h,
         "hist_quantiles_events": hist_quantiles_events,
         "zipf_docs": zipf_docs,
+        "top_paths_events": top_paths_events,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6616,6 +6666,31 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS max_value
             FROM (SELECT epoch_us(ts) AS e, event_type, value FROM events
                   WHERE ts IS NOT NULL)
+            GROUP BY 1, 2
+        """,
+        "rollup_multi_weekly_orders": """
+            -- the ONE-SHOT per-column weekly rollups UNION ALL'd: the
+            -- two-batch k-cell store fold must serve exactly this.
+            -- Week bucket = exact bigint epoch-µs floor (604800000000);
+            -- o_totalprice sums round at 4dp (2-decimal values, exact),
+            -- o_custkey sums are exact small integers (4dp no-op).
+            WITH src AS (
+                SELECT epoch_us(o_orderdate) AS e, o_totalprice, o_custkey
+                FROM orders WHERE o_orderdate IS NOT NULL
+            ), cells AS (
+                SELECT e, 'o_totalprice' AS col,
+                       CAST(o_totalprice AS DOUBLE) AS v FROM src
+                UNION ALL
+                SELECT e, 'o_custkey', CAST(o_custkey AS DOUBLE) FROM src
+            )
+            SELECT make_timestamp(e - ((e % 604800000000) + 604800000000)
+                                      % 604800000000) AS bucket_ts,
+                   col,
+                   CAST(count(v) AS BIGINT) AS n_values,
+                   round(sum(v), 4) AS sum_value,
+                   min(v) AS min_value,
+                   max(v) AS max_value
+            FROM cells
             GROUP BY 1, 2
         """,
         "rollup_distinct_hourly_events": """
