@@ -3650,6 +3650,46 @@ def rollup_multi_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_observability_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-observability capstone: the round's continuous-
+    aggregate family composed end-to-end over one table — hourly
+    volume + value rollup (`rollup.rollup`), md5-HLL distinct users
+    per hour (`rollup.rollup_distinct`) and the 6-hour-half-life trend
+    of hourly volume (`ewma.decayed_sum` over the bucket relation) —
+    one row per hour, every stage's SQL twin composed in ONE oracle
+    (the pipeline_curation_docs pattern for the analytics-serving
+    side)."""
+    from dataframes_spark.operators import rollup as drollup
+    from dataframes_spark.operators.ewma import decayed_sum
+
+    ev = _t(spark, sf_dir, "events")
+    vol = drollup.rollup_finalize(
+        drollup.rollup(ev, "ts", "value", "1 hour"),
+        stats=("n_rows", "sum"),
+    ).select(
+        "bucket_ts",
+        F.col("n_rows").alias("n_events"),
+        F.round("sum", 4).alias("sum_value"),
+    )
+    users = drollup.rollup_distinct_serve(
+        drollup.rollup_distinct(ev, "ts", "user_id", "1 hour", p=8,
+                                lane_hash="md5"),
+        p=8,
+    ).select("bucket_ts", F.round("est_ndv", 6).alias("est_users"))
+    trend = decayed_sum(
+        vol.select("bucket_ts", "n_events"),
+        "bucket_ts",
+        "n_events",
+        "6 hours",
+        out_col="__tr",
+    ).select("bucket_ts", F.round("__tr", 6).alias("volume_trend"))
+    return (
+        vol.join(users, "bucket_ts").join(trend, "bucket_ts")
+        .select("bucket_ts", "n_events", "sum_value", "est_users",
+                "volume_trend")
+    )
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (quality.py corpus_report): per-source volume,
     token mass, exact-duplicate exposure (corpus-wide md5, null-equal)
@@ -3919,6 +3959,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    funnel_events_windowed, event_transitions_users,
         #    decayed_sum_events and ewma_user_values.
         "rollup_multi_weekly_orders": rollup_multi_weekly_orders,
+        # -- round 10 (second batch): the observability capstone — the
+        #    continuous-aggregate family (rollup + keyed md5-HLL +
+        #    half-life trend) composed end-to-end, all three stages'
+        #    SQL twins in ONE oracle (the pipeline_curation_docs
+        #    pattern). To hold the window at 50, snapshot_diff_docs
+        #    (driver-green r9, code unchanged) rotates below; the
+        #    diff/accounting family stays property-tested
+        #    (tests/test_diff_property.py) and in the full local sweep.
+        "pipeline_observability_events": pipeline_observability_events,
         # -- round 9 (new): product quantization — the IVF+PQ recipe's
         #    compression half (dim floats -> m codes; ADC scoring reads
         #    only codes + a literal lookup table). Pinned codebooks make
@@ -4048,7 +4097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    join. partitioned_prune_events (driver-green r4-r8) rotates
         #    below; partition-pruning proof stays in-window via
         #    zorder_roundtrip_agg + ivf_probe_partitioned.
-        "snapshot_diff_docs": snapshot_diff_docs,
+        #    (snapshot_diff_docs itself rotated below in the round-10
+        #    second batch after going green r9; the diff family stays
+        #    property-tested and locally swept.)
         # -- round 9 (continuation): line-level language mixing — the
         #    langid second pass over segmented lines. To hold the window
         #    at 50, minhash_lsh_pairs_md5 (driver-green r6-r8) rotates
@@ -4233,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_events": hist_quantiles_events,
         "zipf_docs": zipf_docs,
         "top_paths_events": top_paths_events,
+        "snapshot_diff_docs": snapshot_diff_docs,
         "cms_heavy_tokens_md5": cms_heavy_tokens_md5,
         "hll_distinct_users_md5": hll_distinct_users_md5,
         "bm25_docs": bm25_docs,
@@ -6692,6 +6744,86 @@ def oracle_sql() -> dict[str, str]:
                    max(v) AS max_value
             FROM cells
             GROUP BY 1, 2
+        """,
+        "pipeline_observability_events": """
+            -- the three stages' twins composed: the hourly rollup
+            -- (exact epoch floor; sum 4dp), the keyed md5-HLL distinct
+            -- replica (row 135's sketch, est 6dp) and the half-life
+            -- trend (closed-form exp self-join over the 720-row hourly
+            -- relation, 6dp).
+            WITH hourly AS (
+                SELECT make_timestamp(e - ((e % 3600000000) + 3600000000)
+                                          % 3600000000) AS bucket_ts,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       round(sum(value), 4) AS sum_value
+                FROM (SELECT epoch_us(ts) AS e, value FROM events
+                      WHERE ts IS NOT NULL)
+                GROUP BY 1
+            ),
+            src AS (
+                SELECT make_timestamp(e - ((e % 3600000000) + 3600000000)
+                                          % 3600000000) AS bucket_ts,
+                       CAST(user_id AS VARCHAR) AS val
+                FROM (SELECT epoch_us(ts) AS e, user_id FROM events
+                      WHERE ts IS NOT NULL)
+                WHERE user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT bucket_ts,
+                       ('0x' || substr(md5('hll:' || val), 1, 15))::BIGINT AS h
+                FROM src
+            ),
+            c AS (SELECT bucket_ts, h >> 52 AS r,
+                         h & 4503599627370495 AS v FROM h),
+            s1 AS (SELECT bucket_ts, r, v | (v >> 1) AS s FROM c),
+            s2 AS (SELECT bucket_ts, r, s | (s >> 2) AS s FROM s1),
+            s3 AS (SELECT bucket_ts, r, s | (s >> 4) AS s FROM s2),
+            s4 AS (SELECT bucket_ts, r, s | (s >> 8) AS s FROM s3),
+            s5 AS (SELECT bucket_ts, r, s | (s >> 16) AS s FROM s4),
+            s6 AS (SELECT bucket_ts, r, s | (s >> 32) AS s FROM s5),
+            regs AS (
+                SELECT bucket_ts, r,
+                       max(53 - bit_count(CAST(s AS BIGINT))) AS maxrho
+                FROM s6 GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT bucket_ts, count(*) AS n,
+                       CAST(sum(1::BIGINT << (53 - maxrho)) AS BIGINT) AS dp
+                FROM regs GROUP BY 1
+            ),
+            est AS (
+                SELECT bucket_ts,
+                       4.2399330249068963e+20
+                         / CAST(dp + (256 - n) * 9007199254740992 AS DOUBLE)
+                         AS raw,
+                       256 - n AS zeros
+                FROM agg
+            ),
+            users AS (
+                SELECT bucket_ts,
+                       round(CASE WHEN raw <= 640.0 AND zeros > 0
+                                  THEN 256.0 * ln(256.0 / zeros)
+                                  ELSE raw END, 6) AS est_users
+                FROM est
+            ),
+            hb AS (
+                SELECT bucket_ts, epoch_us(bucket_ts) AS be, n_events
+                FROM hourly
+            ),
+            tr AS (
+                SELECT t.bucket_ts,
+                       round(sum(i.n_events
+                                 * exp(-0.6931471805599453
+                                       * (t.be - i.be) / 21600000000.0)),
+                             6) AS volume_trend
+                FROM hb t JOIN hb i ON i.be <= t.be
+                GROUP BY t.bucket_ts
+            )
+            SELECT h2.bucket_ts, h2.n_events, h2.sum_value,
+                   users.est_users, tr.volume_trend
+            FROM hourly h2
+            JOIN users USING (bucket_ts)
+            JOIN tr USING (bucket_ts)
         """,
         "rollup_distinct_hourly_events": """
             -- the hll_distinct_users_md5 sketch replica keyed by the
