@@ -3156,7 +3156,8 @@ def _kll_oracle_sql(
     qs_vals = ", ".join(f"({q})" for q in qs)
     kgroup = f"PARTITION BY {key} " if key else ""
     tot_group = f"GROUP BY {key}" if key else ""
-    join_key = f"c.{key} = tot.{key} AND " if key else ""
+    # null-safe: a NULL group key is a real group on the Spark lane
+    join_key = f"c.{key} IS NOT DISTINCT FROM tot.{key} AND " if key else ""
     out_keys = f"c.{key} AS {key}, " if key else ""
     grp = f"c.{key}, q" if key else "q"
     return f"""
@@ -6906,19 +6907,24 @@ def oracle_sql() -> dict[str, str]:
             -- weighted by exp(-ln2 * age / halflife) at each later (or
             -- tied — time-inclusive semantics) event of the same user.
             -- 6dp rounding bridges the factored (bucketed prefix +
-            -- carry) vs direct exponent FP paths.
+            -- carry) vs direct exponent FP paths. Null-ts rows survive
+            -- with a NULL score (the lane's keep-all-rows contract) via
+            -- the LEFT JOIN back from the full table.
             WITH o AS (
                 SELECT user_id, event_id, epoch_us(ts) AS e,
                        coalesce(value, 0) AS x
                 FROM events WHERE ts IS NOT NULL
+            ), scored AS (
+                SELECT t.event_id,
+                       round(sum(i.x * exp(-0.6931471805599453
+                                           * (t.e - i.e) / 7200000000.0)),
+                             6) AS decayed_value
+                FROM o t JOIN o i
+                  ON i.user_id = t.user_id AND i.e <= t.e
+                GROUP BY t.event_id
             )
-            SELECT t.event_id,
-                   round(sum(i.x * exp(-0.6931471805599453
-                                       * (t.e - i.e) / 7200000000.0)), 6)
-                       AS decayed_value
-            FROM o t JOIN o i
-              ON i.user_id = t.user_id AND i.e <= t.e
-            GROUP BY t.event_id
+            SELECT e.event_id, s.decayed_value
+            FROM events e LEFT JOIN scored s USING (event_id)
         """,
         "rank_family_events": """
             -- the textbook window forms: ranks and tiles are exact

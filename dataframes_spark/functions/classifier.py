@@ -72,7 +72,9 @@ def hashed_term_counts(
     TOKENLESS documents (empty/whitespace/null text) survive as one
     ``(id, bucket=NULL, tf=0, n_tokens=0)`` row (``explode_outer``), so
     downstream consumers never need a second corpus pass to recover
-    them."""
+    them. NULL ids merge into one group (SQL groupBy semantics, kept
+    by a null-safe join-back) — pass unique non-null ids for
+    per-document results."""
     if dim < 2:
         raise ValueError(f"need dim >= 2, got {dim}")
     toks = df.select(
@@ -94,7 +96,11 @@ def hashed_term_counts(
         .agg(F.count("__qc_tok").cast("long").alias("tf"))
     )
     totals = per_bucket.groupBy("id").agg(F.sum("tf").alias("n_tokens"))
-    return per_bucket.join(totals, "id")
+    # null-SAFE: a NULL id is a (single, merged) group to the groupBys
+    # above — SQL group semantics — so the join-back must keep it too
+    from dataframes_spark.operators.global_order import nullsafe_join
+
+    return nullsafe_join(per_bucket, totals, ["id"])
 
 
 def train_quality_classifier(
@@ -243,8 +249,15 @@ def classifier_store_update(
         F.lit(salt).alias("__qc_salt"),
         F.lit(lane_hash).alias("__qc_hash"),
     )
-    staging_swap(spark, table, stamped)
-    return {"buckets": spark.table(table).count()}
+    # a bias-only SENTINEL row (NULL bucket) carries the stamp even
+    # when the model has zero non-zero weights (strong L1 can do that)
+    # — bias-only scoring is well-defined and must stay servable
+    sentinel = spark.createDataFrame(
+        [(None, None, float(bias), int(dim), salt, lane_hash)],
+        stamped.schema,
+    )
+    staging_swap(spark, table, stamped.unionByName(sentinel))
+    return {"buckets": spark.table(table).count() - 1}
 
 
 def score_quality_from_store(
@@ -267,7 +280,7 @@ def score_quality_from_store(
         raise ValueError(f"classifier store {table!r} is empty")
     return score_quality(
         df,
-        store.select("bucket", "weight"),
+        store.filter(F.col("bucket").isNotNull()).select("bucket", "weight"),
         float(meta["__qc_bias"]),
         text_col,
         id_col,

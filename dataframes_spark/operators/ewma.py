@@ -57,7 +57,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .global_order import _bucketized
+from .global_order import _bucketized, nullsafe_join
 
 
 def _join_carries(
@@ -69,17 +69,7 @@ def _join_carries(
     silently orphan their carry state)."""
     if not by:
         return data.join(carries, [bucket], "left")
-    renamed = carries.select(
-        F.col(bucket).alias("__jc_b"),
-        *[F.col(c).alias(f"__jc_{c}") for c in by],
-        *[c for c in carries.columns if c not in (bucket, *by)],
-    )
-    cond = data[bucket] == renamed["__jc_b"]
-    for c in by:
-        cond = cond & data[c].eqNullSafe(renamed[f"__jc_{c}"])
-    return data.join(renamed, cond, "left").drop(
-        "__jc_b", *[f"__jc_{c}" for c in by]
-    )
+    return nullsafe_join(data, carries, [*by, bucket], how="left")
 
 
 def ewma(

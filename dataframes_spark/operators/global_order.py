@@ -199,6 +199,30 @@ def _bucketized(
     )
 
 
+def nullsafe_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Join with NULL-SAFE equality on ``on`` (right-side key copies
+    dropped) — the join-back every grouped lane needs: a NULL group key
+    is a real group to groupBy/collect/window, so a USING join would
+    silently orphan its rows. One definition instead of a per-site
+    hand-rolled alias/eqNullSafe/drop block."""
+    renamed = right.select(
+        *[F.col(c).alias(f"__nsj_{c}") for c in on],
+        *[c for c in right.columns if c not in on],
+    )
+    cond = None
+    for c in on:
+        piece = left[c].eqNullSafe(renamed[f"__nsj_{c}"])
+        cond = piece if cond is None else cond & piece
+    r = F.broadcast(renamed) if broadcast_right else renamed
+    return left.join(r, cond, how).drop(*[f"__nsj_{c}" for c in on])
+
+
 def global_positions(
     df: DataFrame,
     order_by: str | Sequence[str],
@@ -663,17 +687,9 @@ def grouped_positions(
         "__go_b",
         F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0)).alias("__go_off"),
     )
-    # null-SAFE offsets join: a NULL group key is a real group (the
-    # window and the counts both kept it); a USING join would drop it
-    renamed = offsets.select(
-        F.col("__go_b").alias("__gp_b"),
-        *[F.col(c).alias(f"__gp_{c}") for c in part_cols],
-        "__go_off",
-    )
-    cond = pdf["__go_b"] == renamed["__gp_b"]
-    for c in part_cols:
-        cond = cond & pdf[c].eqNullSafe(renamed[f"__gp_{c}"])
-    return pdf.join(F.broadcast(renamed), cond).select(
+    return nullsafe_join(
+        pdf, offsets, [*part_cols, "__go_b"], broadcast_right=True
+    ).select(
         *df.columns,
         (F.col("__go_off") + F.col("__go_lrn")).cast("bigint").alias(pos_col),
     )
@@ -721,15 +737,9 @@ def cumsum_grouped(
         "__go_b",
         F.coalesce(F.sum("__go_t").over(woff), F.lit(0)).alias("__go_off"),
     )
-    renamed = offsets.select(
-        F.col("__go_b").alias("__co_b"),
-        *[F.col(c).alias(f"__co_{c}") for c in part_cols],
-        "__go_off",
-    )
-    cond = pdf["__go_b"] == renamed["__co_b"]
-    for c in part_cols:
-        cond = cond & pdf[c].eqNullSafe(renamed[f"__co_{c}"])
-    return pdf.join(F.broadcast(renamed), cond).select(
+    return nullsafe_join(
+        pdf, offsets, [*part_cols, "__go_b"], broadcast_right=True
+    ).select(
         *df.columns,
         (F.col("__go_off") + F.col("__go_lb")).alias(out_col),
     )
@@ -784,15 +794,14 @@ def rank_stats(
             keyed = global_positions(
                 keyed, order_cols, n_buckets, pos_col="__rk_dr"
             )
-    renamed = keyed.select(
-        *[F.col(c).alias(f"__rk_k_{c}") for c in key_cols],
-        *[c for c in keyed.columns if c.startswith("__rk_") and "_k_" not in c],
+    out = nullsafe_join(
+        df,
+        keyed.select(
+            *key_cols,
+            *[c for c in keyed.columns if c.startswith("__rk_")],
+        ),
+        key_cols,
     )
-    cond = None
-    for c in key_cols:
-        piece = df[c].eqNullSafe(renamed[f"__rk_k_{c}"])
-        cond = piece if cond is None else cond & piece
-    out = df.join(renamed, cond)
     cols = list(df.columns)
     if rank_col:
         out = out.withColumn(
@@ -810,15 +819,7 @@ def rank_stats(
             totals = vc.groupBy(*part_cols).agg(
                 F.sum("__rk_cnt").alias("__rk_n")
             )
-            trenamed = totals.select(
-                *[F.col(c).alias(f"__rk_t_{c}") for c in part_cols],
-                "__rk_n",
-            )
-            tcond = None
-            for c in part_cols:
-                piece = out[c].eqNullSafe(trenamed[f"__rk_t_{c}"])
-                tcond = piece if tcond is None else tcond & piece
-            out = out.join(F.broadcast(trenamed), tcond)
+            out = nullsafe_join(out, totals, part_cols, broadcast_right=True)
         else:
             total = vc.agg(F.sum("__rk_cnt").alias("__rk_n"))
             out = out.crossJoin(F.broadcast(total))
@@ -859,14 +860,7 @@ def ntiles(
         totals = df.groupBy(*part_cols).agg(
             F.count(F.lit(1)).alias("__nt_n")
         )
-        trenamed = totals.select(
-            *[F.col(c).alias(f"__nt_t_{c}") for c in part_cols], "__nt_n"
-        )
-        tcond = None
-        for c in part_cols:
-            piece = pos[c].eqNullSafe(trenamed[f"__nt_t_{c}"])
-            tcond = piece if tcond is None else tcond & piece
-        joined = pos.join(F.broadcast(trenamed), tcond)
+        joined = nullsafe_join(pos, totals, part_cols, broadcast_right=True)
     else:
         pos = global_positions(df, order_cols, n_buckets, pos_col="__nt_pos")
         total = df.agg(F.count(F.lit(1)).alias("__nt_n"))

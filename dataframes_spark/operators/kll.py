@@ -206,15 +206,12 @@ def kll_quantiles(
         *keys, "value", F.sum("__w").over(wcum).alias("__cum")
     )
     totals = kll_n(sketch, keys).select(
-        *[F.col(c).alias(f"__kt_{c}") for c in keys],
-        F.col("n").alias("__tot"),
+        *keys, F.col("n").alias("__tot")
     )
     if keys:
-        cond = None
-        for c in keys:
-            piece = cum[c].eqNullSafe(totals[f"__kt_{c}"])
-            cond = piece if cond is None else cond & piece
-        cum = cum.join(F.broadcast(totals), cond)
+        from .global_order import nullsafe_join
+
+        cum = nullsafe_join(cum, totals, keys, broadcast_right=True)
     else:
         cum = cum.crossJoin(F.broadcast(totals))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")

@@ -320,17 +320,19 @@ def rollup_distinct_store_update(
 
     by = list(by)
     w_us = width_us(width)
-    batch = rollup_distinct(
-        df, ts_col, distinct_col, width, by, p, lane_hash
-    ).select(
-        "*",
+    # ONE stamp definition: the batch select and the merged re-stamp
+    # must stay field-for-field identical or the mismatch check rots
+    stamp = [
         F.lit(distinct_col).alias("__rd_col"),
         F.lit(int(w_us)).alias("__rd_width_us"),
         F.lit(",".join(by)).alias("__rd_by"),
         F.lit(int(p)).alias("__rd_p"),
         F.lit(lane_hash).alias("__rd_hash"),
-    )
+    ]
     meta_cols = ["__rd_col", "__rd_width_us", "__rd_by", "__rd_p", "__rd_hash"]
+    batch = rollup_distinct(
+        df, ts_col, distinct_col, width, by, p, lane_hash
+    ).select("*", *stamp)
     if spark.catalog.tableExists(table):
         existing = spark.table(table)
         meta = existing.select(*meta_cols).first()
@@ -344,14 +346,7 @@ def rollup_distinct_store_update(
             existing.drop(*meta_cols),
             batch.drop(*meta_cols),
             key_cols=("bucket_ts", *by),
-        ).select(
-            "*",
-            F.lit(distinct_col).alias("__rd_col"),
-            F.lit(int(w_us)).alias("__rd_width_us"),
-            F.lit(",".join(by)).alias("__rd_by"),
-            F.lit(int(p)).alias("__rd_p"),
-            F.lit(lane_hash).alias("__rd_hash"),
-        )
+        ).select("*", *stamp)
     else:
         merged = batch
     staging_swap(spark, table, merged)

@@ -1200,11 +1200,13 @@ def classify_each_batch(
         raise ValueError("write(df, epoch_id) sink callback is required")
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from dataframes_spark.operators.global_order import nullsafe_join
+
         spark = batch_df.sparkSession
         scored = score_quality_from_store(
             spark, batch_df, table, text_col, id_col
         )
-        out = batch_df.join(scored, id_col)
+        out = nullsafe_join(batch_df, scored, [id_col])
         if threshold is not None:
             out = out.filter(F.col("quality_prob") >= float(threshold))
         write(out, epoch_id)

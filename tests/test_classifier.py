@@ -171,10 +171,23 @@ def test_store_roundtrip_and_stamp(spark):
         ).collect()
     }
     assert stored == direct and len(stored) == 2
-    # retrain REPLACES: new weights, new stamp
+    # retrain REPLACES: new weights, new stamp (+ the bias sentinel)
     w2 = spark.createDataFrame([(0, 1.0)], "bucket int, weight double")
-    classifier_store_update(spark, t, w2, bias=0.0, dim=4)
-    assert spark.table(t).count() == 1
+    out2 = classifier_store_update(spark, t, w2, bias=0.0, dim=4)
+    assert out2["buckets"] == 1 and spark.table(t).count() == 2
+    # a ZERO-weight model stays servable: bias-only scoring
+    import math
+
+    empty_w = spark.createDataFrame([], "bucket int, weight double")
+    classifier_store_update(spark, t, empty_w, bias=0.7, dim=4,
+                            lane_hash="md5")
+    got = {
+        r.doc_id: r.quality_prob
+        for r in score_quality_from_store(
+            spark, df, t, "text", "doc_id"
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1 / (1 + math.exp(-0.7)), rel=1e-12)
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
