@@ -19,7 +19,11 @@ Layout:
     functions.lquery   JSON DSL -> Column compiler
     functions.stats    describe / correlations / RSI / quantiles
     functions.text     language-ID, quality scoring, tokenization, fingerprints
-    operators.*        aggregate, sort, nulls, window, reshape, dedup, similarity
+    functions.classifier  hashed-n-gram quality classifier (train/score/store)
+    operators.*        aggregate, sort, nulls, window, reshape, dedup,
+                       similarity, rollup (continuous aggregates), ewma
+                       (EWMA + decayed sums), kll (rank-quantile sketch),
+                       global_order (distributed rank/position lanes)
     io.*               readers (format sniffing, CSV inference) and writers
     streaming.*        Structured Streaming variants of the event operators
 """
