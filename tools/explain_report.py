@@ -123,6 +123,7 @@ SHOWCASE = [
     ("quality_classifier_docs", "hashed classifier scoring: broadcast (bucket, weight) join + per-doc reduction, pure JVM"),
     ("classifier_eval_docs", "rank-sum AUC + thresholded metrics over the persisted scored fork"),
     ("kll_by_lang_docs", "keyed KLL: compaction windows per (lang, shard, level), quantile cut per group"),
+    ("pipeline_observability_events", "observability capstone: rollup + keyed md5-HLL + half-life trend, three lanes joined on the hour bucket"),
     # rollup_hourly_events / rollup_distinct_hourly_events are NOT
     # showcased: the folds run eagerly inside the query (store swaps);
     # the served read is a bounded store scan. The map-side-combining
