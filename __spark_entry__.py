@@ -6953,11 +6953,15 @@ def oracle_sql() -> dict[str, str]:
                            AS nrm
                 FROM embeddings
             ), pairs AS (
+                -- zero/NULL-norm corpus rows are excluded here and
+                -- surface as the diagnostic union below (operator
+                -- contract: unscreenable is flagged, never silent)
                 SELECT a.vec_id AS id, b.vec_id AS eval_id,
                        list_sum(list_transform(range(1, len(a.vd) + 1),
                            i -> a.vd[CAST(i AS INT)] * b.vd[CAST(i AS INT)]))
                            / (a.nrm * b.nrm) AS c
                 FROM u a JOIN u b ON b.vec_id % 20 = 0
+                WHERE a.nrm > 0
             ), flagged AS (
                 SELECT id, eval_id, c,
                        row_number() OVER (
@@ -6967,6 +6971,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, eval_id, round(c, 6) AS cosine
             FROM flagged WHERE rk = 1
+            UNION ALL
+            SELECT vec_id AS id, CAST(NULL AS BIGINT) AS eval_id,
+                   CAST(NULL AS DOUBLE) AS cosine
+            FROM u WHERE nrm = 0 OR nrm IS NULL
         """,
         "quality_classifier_docs": """
             -- the md5 hashing-trick scoring pass replayed: bucket =

@@ -123,6 +123,40 @@ def train_quality_classifier(
     from pyspark.ml.linalg import SparseVector, VectorUDT
     from pyspark.sql import types as T
 
+    # id hygiene, checked UP FRONT (one action over the training
+    # sample — the bounded lane): a NULL id would concat to a NULL
+    # prefixed id and silently drop out of training at the counts join;
+    # duplicate ids within one side would merge two documents' term
+    # counts without warning. Both are caller bugs — raise, loudly.
+    checks = (
+        pos.select(F.col(id_col).alias("__qc_id"), F.lit("pos").alias("__qc_side"))
+        .unionByName(
+            neg.select(
+                F.col(id_col).alias("__qc_id"), F.lit("neg").alias("__qc_side")
+            )
+        )
+        .groupBy("__qc_side")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count("__qc_id").alias("__nn"),
+            F.countDistinct("__qc_id").alias("__nd"),
+        )
+        .collect()
+    )
+    for r in checks:
+        if r["__n"] > r["__nn"]:
+            raise ValueError(
+                f"train_quality_classifier: {r['__n'] - r['__nn']} NULL "
+                f"{id_col!r} value(s) in the {r['__qc_side']} set — every "
+                "training document needs a unique non-null id"
+            )
+        if r["__nn"] > r["__nd"]:
+            raise ValueError(
+                f"train_quality_classifier: {r['__nn'] - r['__nd']} "
+                f"duplicate {id_col!r} value(s) in the {r['__qc_side']} set "
+                "— duplicates would merge distinct documents' term counts"
+            )
+
     # ids are PREFIXED per side: a pos doc and a neg doc sharing an id
     # (both sets typically number from 0) must never merge their term
     # counts in the shared groupBy

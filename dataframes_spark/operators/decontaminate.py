@@ -159,7 +159,19 @@ def semantic_contamination_report(
     exchange). ``num_planes > 0`` prunes candidates to equal hyperplane
     buckets (`similarity.hyperplane_buckets`, recall < 1 — the
     screening mode for very large eval suites), a broadcast HASH join
-    on the bucket key."""
+    on the bucket key.
+
+    ZERO NORMS never pass silently (a screen whose contract is "a
+    missed match IS leakage" cannot quietly skip an unscreenable
+    document): a zero-norm CORPUS vector — cosine undefined against
+    everything — is emitted as a diagnostic flag row ``(id, eval_id =
+    NULL, cosine = NULL)``, so `decontaminate_semantic`'s anti-join
+    drops it (fail closed) and a report consumer sees exactly which
+    documents could not be screened. A zero-norm EVAL vector
+    invalidates the whole screen (nothing can ever match it) and
+    RAISES at execution time. The zero-norm corpus pass is one extra
+    vector-column scan with the ``norm = 0`` filter pushed down —
+    negligible next to the screen's dot products."""
     from dataframes_spark.operators.similarity import (
         _dot,
         _norm,
@@ -171,9 +183,39 @@ def semantic_contamination_report(
     cd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     ed = F.transform(F.col(eval_vec_col), lambda v: v.cast("double"))
 
+    # a zero-norm (or NULL) EVAL vector can never match anything —
+    # the screen is structurally broken; raise at execution time,
+    # inside the plan (no extra action), the moment it is touched
+    _en = _norm(ed)
+    _en_checked = F.when(_en > 0, _en).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "semantic_contamination_report: zero-norm or NULL "
+                    f"eval embedding (id column {eval_id_col!r}, value "
+                ),
+                F.col(eval_id_col).cast("string"),
+                F.lit(") — every eval vector must have positive norm"),
+            )
+        ).cast("double")
+    )
+
+    # zero-norm / NULL CORPUS vectors are unscreenable — emit them as
+    # explicit diagnostic flags instead of letting the NULL cosine
+    # silently drop them from the report (fail closed: the anti-join
+    # in decontaminate_semantic removes them)
+    _cn = _norm(cd)
+    eval_id_type = evals.schema[eval_id_col].dataType
+    unscreened = corpus.filter(_cn.isNull() | (_cn == 0)).select(
+        F.col(id_col).alias("id"),
+        F.lit(None).cast(eval_id_type).alias("eval_id"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+
     if num_planes > 0:
         cside = hyperplane_buckets(
-            corpus, vec_col, id_col, num_planes, seed, plane_hash
+            corpus.filter(_cn > 0), vec_col, id_col, num_planes, seed,
+            plane_hash,
         ).select(
             F.col(id_col).alias("__sc_id"),
             "bucket",
@@ -186,11 +228,11 @@ def semantic_contamination_report(
             F.col(eval_id_col).alias("__sc_eid"),
             "bucket",
             ed.alias("__sc_evec"),
-            _norm(ed).alias("__sc_enrm"),
+            _en_checked.alias("__sc_enrm"),
         )
         pairs = cside.join(F.broadcast(eside), "bucket")
     else:
-        cside = corpus.select(
+        cside = corpus.filter(_cn > 0).select(
             F.col(id_col).alias("__sc_id"),
             cd.alias("__sc_vec"),
             _norm(cd).alias("__sc_nrm"),
@@ -198,7 +240,7 @@ def semantic_contamination_report(
         eside = evals.select(
             F.col(eval_id_col).alias("__sc_eid"),
             ed.alias("__sc_evec"),
-            _norm(ed).alias("__sc_enrm"),
+            _en_checked.alias("__sc_enrm"),
         )
         pairs = cside.crossJoin(F.broadcast(eside))
 
@@ -219,6 +261,7 @@ def semantic_contamination_report(
             F.col("__sc_best.__sc_eid").alias("eval_id"),
             F.col("__sc_best.__sc_cos").alias("cosine"),
         )
+        .unionByName(unscreened)
     )
 
 
@@ -237,7 +280,11 @@ def decontaminate_semantic(
     """The corpus minus every document flagged by
     :func:`semantic_contamination_report` — the flagged-id relation is
     contamination-sized, so AQE plans the anti-join as a broadcast;
-    the corpus still never shuffles (the `decontaminate` contract)."""
+    the corpus still never shuffles (the `decontaminate` contract).
+    FAIL CLOSED: zero-norm/NULL-embedding corpus documents are
+    unscreenable, appear in the report as diagnostic flags, and are
+    therefore dropped here too — an unscreenable document is treated
+    as potentially leaky, never silently kept."""
     flagged = semantic_contamination_report(
         corpus, evals, vec_col, id_col, threshold,
         eval_vec_col, eval_id_col, num_planes, seed, plane_hash,

@@ -241,3 +241,18 @@ def test_classify_each_batch_stream_equals_batch(spark, tmp_path):
     )
     assert sorted(kept) == want and 0 < len(want) < 60
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_train_raises_on_null_and_duplicate_ids(spark):
+    """NULL ids would silently vanish from training (NULL prefixed id
+    drops at the counts join); duplicate ids within a side would merge
+    two documents' term counts — both raise up front."""
+    ok = _docs(spark, [(1, "good text here"), (2, "more good text")])
+    with_null = spark.createDataFrame(
+        [(1, "spam text"), (None, "more spam")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL 'doc_id'"):
+        C.train_quality_classifier(ok, with_null, "text", "doc_id", dim=64)
+    with_dup = _docs(spark, [(7, "spam text"), (7, "more spam")])
+    with pytest.raises(ValueError, match="duplicate 'doc_id'"):
+        C.train_quality_classifier(with_dup, ok, "text", "doc_id", dim=64)

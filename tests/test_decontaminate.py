@@ -256,3 +256,71 @@ def test_semantic_exact_plan_never_shuffles_corpus(spark):
     assert rep["cartesian_products"] == 0
     assert rep["row_python_udf_nodes"] == 0
     assert rep["broadcast_exchanges"] >= 1
+
+
+def test_semantic_zero_norm_corpus_flagged_not_silent(spark):
+    """A zero-norm (or NULL) corpus embedding is unscreenable — it must
+    surface as a diagnostic flag row (eval_id/cosine NULL) and be
+    DROPPED by decontaminate_semantic (fail closed), never silently
+    kept because its cosine went NULL."""
+    from dataframes_spark.operators.decontaminate import (
+        decontaminate_semantic,
+        semantic_contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),       # zero norm: unscreenable
+            (3, None),             # NULL embedding: unscreenable
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rep = {
+        r.id: (r.eval_id, r.cosine)
+        for r in semantic_contamination_report(
+            corpus, evals, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    assert rep[1] == (100, pytest.approx(1.0))
+    assert rep[2] == (None, None)
+    assert rep[3] == (None, None)
+    assert 4 not in rep  # orthogonal, screened, clean
+    kept = sorted(
+        r.vec_id
+        for r in decontaminate_semantic(
+            corpus, evals, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    )
+    assert kept == [4]
+    # the bucketed screening mode carries the same diagnostic
+    rep_lsh = {
+        r.id: (r.eval_id, r.cosine)
+        for r in semantic_contamination_report(
+            corpus, evals, "embedding", "vec_id", threshold=0.9, num_planes=2
+        ).collect()
+    }
+    assert rep_lsh[2] == (None, None) and rep_lsh[3] == (None, None)
+
+
+def test_semantic_zero_norm_eval_raises(spark):
+    """A zero-norm eval vector breaks the screen's contract (nothing
+    can ever match it) — the plan raises at execution time."""
+    from dataframes_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    evals = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm or NULL eval"):
+        semantic_contamination_report(
+            corpus, evals, "embedding", "vec_id", threshold=0.5
+        ).collect()

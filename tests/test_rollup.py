@@ -341,3 +341,57 @@ def test_multi_rollup_one_scan_matches_per_column(spark):
         R.rollup_multi_store_update(
             spark, t, df, "ts", ["v"], "1 hour", by=["g"]
         )
+
+
+def test_serve_empty_store_keeps_group_columns(spark):
+    """An empty first fold used to lose the group columns at serve
+    time (by recovered from a .first() stamp row that does not exist);
+    group columns now recover from the SCHEMA, so the served frame is
+    empty but correctly shaped — downstream unionByName keeps working."""
+    t = "t_rollup_empty_by"
+    drop_table_and_location(spark, t)
+    empty = spark.createDataFrame([], "g string, ts timestamp, v double")
+    R.rollup_store_update(spark, t, empty, "ts", "v", "1 hour", by=["g"])
+    served = R.rollup_serve(spark, t)
+    assert served.columns[:2] == ["bucket_ts", "g"]
+    assert served.count() == 0
+    # and after a real fold the same serve call returns the same shape
+    rows = [("a", dt.datetime(2024, 1, 1, 0, 30), 2.0)]
+    R.rollup_store_update(
+        spark,
+        t,
+        spark.createDataFrame(rows, "g string, ts timestamp, v double"),
+        "ts",
+        "v",
+        "1 hour",
+        by=["g"],
+    )
+    after = R.rollup_serve(spark, t)
+    assert after.columns == served.columns
+    assert after.count() == 1
+
+
+def test_multi_serve_empty_store_keeps_group_columns(spark):
+    t = "t_rollup_multi_empty_by"
+    drop_table_and_location(spark, t)
+    empty = spark.createDataFrame(
+        [], "g string, ts timestamp, v double, v2 double"
+    )
+    R.rollup_multi_store_update(
+        spark, t, empty, "ts", ["v", "v2"], "1 hour", by=["g"]
+    )
+    served = R.rollup_multi_serve(spark, t)
+    assert served.columns[:3] == ["bucket_ts", "g", "col"]
+    assert served.count() == 0
+
+
+def test_distinct_serve_empty_store_keeps_group_columns(spark):
+    t = "t_rollup_distinct_empty_by"
+    drop_table_and_location(spark, t)
+    empty = spark.createDataFrame([], "g string, ts timestamp, u long")
+    R.rollup_distinct_store_update(
+        spark, t, empty, "ts", "u", "1 hour", by=["g"], p=9
+    )
+    served = R.rollup_distinct_serve_store(spark, t)
+    assert served.columns[:2] == ["bucket_ts", "g"]
+    assert served.count() == 0
