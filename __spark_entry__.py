@@ -3073,12 +3073,18 @@ def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: KLL driver-row configuration — shared by the query and its generated
 #: oracle so the two lanes can never drift.
-#: passes=8 covers ~k*2^8 = 32k rows per shard (events at sf1 = 1M rows
-#: = 125k/shard would keep level 0 slightly overfull — still a VALID
-#: sketch: weights stay exact and fewer compactions only LOWER rank
-#: error; the row is a verification lane, production uses kll_build's
-#: default 20 passes).
-_KLL_CFG = {"k": 128, "shards": 8, "passes": 8, "merge_passes": 8}
+#: passes=7 covers k*2^7 = 16k rows per shard — exactly the sf0.1 need
+#: (100k events / 8 shards = 12.5k); a larger input would keep low
+#: levels slightly overfull — still a VALID sketch: weights stay exact
+#: and fewer compactions only LOWER rank error; the row is a
+#: verification lane, production uses kll_build's auto-sized default
+#: schedule. merge_passes=5 drains the 8-shard union
+#: (ceil(log2(8)) + cascade). auto_passes=False: this cfg is already
+#: tight, so the auto lane's count/verify actions would only add jobs.
+_KLL_CFG = {
+    "k": 128, "shards": 8, "passes": 7, "merge_passes": 5,
+    "auto_passes": False,
+}
 _KLL_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3591,7 +3597,13 @@ def decayed_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KLL_LANG_CFG = {"k": 64, "shards": 4, "passes": 8, "merge_passes": 8}
+#: tight for sf0.1 documents (5k rows / dominant lang ~couple k / 4
+#: shards → k*2^5 = 2k per (lang, shard) covers it); see _KLL_CFG for
+#: the overfull-is-still-valid and auto_passes rationale.
+_KLL_LANG_CFG = {
+    "k": 64, "shards": 4, "passes": 5, "merge_passes": 4,
+    "auto_passes": False,
+}
 _KLL_LANG_QS = (0.5, 0.9)
 
 

@@ -36,13 +36,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _snapshot(df: DataFrame) -> DataFrame:
+def snapshot(df: DataFrame) -> DataFrame:
     """Materialize and truncate lineage: reliable checkpoint when the
-    context has a checkpoint dir, local checkpoint otherwise."""
+    context has a checkpoint dir, local checkpoint otherwise. Shared by
+    the iterative kernels here and the KLL adaptive pass loop
+    (`operators/kll.py`) — see the module docstring for why checkpoint
+    beats persist() for iteration state."""
     spark = SparkSession.getActiveSession()
     if spark is not None and spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+_snapshot = snapshot
 
 
 def connected_components(

@@ -53,6 +53,7 @@ bound. Reference has a single-array exact quantile only
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -72,7 +73,11 @@ def _compact_pass(
     within capacity pass through untouched. Pure expressions — the coin
     is an md5 bit of (seed, pass, level)."""
     wrn = W.partitionBy(*part_cols).orderBy("value", "tb")
-    wn = W.partitionBy(*part_cols)
+    # the partition size rides the SAME (partition, order) window with a
+    # full frame, so both columns compute in one Window operator over
+    # one exchange+sort — a second unordered count window would chain a
+    # second Window pass per compaction round
+    wn = wrn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     x = items.withColumn("__rn", F.row_number().over(wrn)).withColumn(
         "__n", F.count(F.lit(1)).over(wn)
     )
@@ -101,6 +106,21 @@ def _compact_pass(
     )
 
 
+def _any_overfull(items: DataFrame, part_cols: Sequence[str], k: int) -> bool:
+    """True when any compaction window still holds more than ``k``
+    items — i.e. the next canonical pass would NOT be a no-op. Runs on
+    a sketch-sized (materialized) relation; the ``limit(1)`` makes the
+    action a cheap existence probe."""
+    return (
+        items.groupBy(*part_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > k)
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
 def kll_build(
     df: DataFrame,
     value_col: str,
@@ -111,6 +131,7 @@ def kll_build(
     merge_passes: int = 10,
     seed: str = "",
     key_cols: Sequence[str] = (),
+    auto_passes: bool = True,
 ) -> DataFrame:
     """Build the sketch over ``value_col`` (nulls excluded — a null has
     no rank): ``(*key_cols, level, value, tb)`` rows, at most ``k`` per
@@ -118,6 +139,24 @@ def kll_build(
     compaction (see module docstring), so the result is
     partitioning-independent and oracle-replayable. ``passes`` must
     cover ``log2(n / shards / k)`` — extra passes are no-ops.
+
+    ``auto_passes`` (default) RIGHT-SIZES the executed pass count: a
+    pass whose windows are all within capacity is an EXACT no-op, so
+    skipping trailing no-op passes cannot change the sketch — but each
+    skipped pass saves a chained window stage (the fixed 20+10 schedule
+    cost ~30 stages of scheduling even on tiny inputs). The needed
+    build depth derives from one counting action
+    (``ceil(log2(max_shard_items / k)) + 2``); because shard skew or
+    leftover cascades could in principle need more, the claim "the
+    remaining canonical passes are no-ops" is then VERIFIED on the
+    materialized sketch-sized state (`_any_overfull`) and topped up
+    with the exact remaining labels if ever violated — the output is
+    provably identical to the full fixed schedule, coin for coin. The
+    merge phase gets the same treatment with depth
+    ``ceil(log2(shards)) + 2``. Costs one extra scan of the input for
+    the count; pass ``auto_passes=False`` to restore the fixed
+    schedule (e.g. when the input was already counted and is known to
+    need the full depth).
 
     ``key_cols`` gives PER-GROUP sketches ("p99 doc length per
     language") in the same passes: compaction windows partition by
@@ -127,6 +166,8 @@ def kll_build(
         raise ValueError(f"k must be >= 2, got {k}")
     if shards < 1 or passes < 1:
         raise ValueError("shards and passes must be >= 1")
+    from .graph import snapshot
+
     keys = list(key_cols)
     items = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
@@ -140,16 +181,53 @@ def kll_build(
             F.concat(F.col(id_col).cast("string"), F.lit("/kll-t" + seed))
         ).alias("tb"),
     )
-    for p in range(1, passes + 1):
-        items = _compact_pass(items, [*keys, "__shard", "level"], p, k, seed)
+    build_part = [*keys, "__shard", "level"]
+    if auto_passes and passes > 1:
+        nmax = (
+            items.groupBy(*keys, "__shard")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c"))
+            .first()[0]
+            or 0
+        )
+        p_run = (
+            0
+            if nmax <= k
+            else min(passes, math.ceil(math.log2(nmax / k)) + 2)
+        )
+    else:
+        p_run = passes
+    for p in range(1, p_run + 1):
+        items = _compact_pass(items, build_part, p, k, seed)
+    if p_run < passes:
+        items = snapshot(items)
+        if _any_overfull(items, build_part, k):
+            for p in range(p_run + 1, passes + 1):
+                items = _compact_pass(items, build_part, p, k, seed)
     merged = items.select(*keys, "level", "value", "tb")
-    for p in range(passes + 1, passes + merge_passes + 1):
-        merged = _compact_pass(merged, [*keys, "level"], p, k, seed)
+    merge_part = [*keys, "level"]
+    m_run = (
+        min(merge_passes, math.ceil(math.log2(max(shards, 2))) + 2)
+        if auto_passes
+        else merge_passes
+    )
+    for p in range(passes + 1, passes + m_run + 1):
+        merged = _compact_pass(merged, merge_part, p, k, seed)
+    if m_run < merge_passes:
+        merged = snapshot(merged)
+        if _any_overfull(merged, merge_part, k):
+            for p in range(passes + m_run + 1, passes + merge_passes + 1):
+                merged = _compact_pass(merged, merge_part, p, k, seed)
     return merged
 
 
 def kll_merge(
-    a: DataFrame, b: DataFrame, k: int = 200, passes: int = 10, seed: str = ""
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 200,
+    passes: int = 10,
+    seed: str = "",
+    auto_passes: bool = True,
 ) -> DataFrame:
     """Merge two sketches: union the item relations and re-compact.
     Associative-in-guarantees (every merge order yields a VALID sketch
@@ -159,12 +237,24 @@ def kll_merge(
     quantile sketches (Spark's own ``percentile_approx`` included),
     merge-then-query and one-shot-build agree to within the rank error,
     not bit-for-bit. Pass offsets here are the merge-lane constants
-    (``m<p>``), so folding more batches never re-reads build coins."""
+    (``m<p>``), so folding more batches never re-reads build coins.
+    ``auto_passes`` right-sizes the executed depth exactly as in
+    `kll_build`: two valid sketches union to at most ``2k`` items per
+    level, which drains in a few passes — run 4, verify the rest of
+    the canonical schedule would be no-ops, top up if not."""
     out = a.select("level", "value", "tb").unionByName(
         b.select("level", "value", "tb")
     )
-    for p in range(1, passes + 1):
+    m_run = min(passes, 4) if auto_passes else passes
+    for p in range(1, m_run + 1):
         out = _compact_pass(out, ["level"], f"m{p}", k, seed)
+    if m_run < passes:
+        from .graph import snapshot
+
+        out = snapshot(out)
+        if _any_overfull(out, ["level"], k):
+            for p in range(m_run + 1, passes + 1):
+                out = _compact_pass(out, ["level"], f"m{p}", k, seed)
     return out
 
 

@@ -182,3 +182,45 @@ def test_keyed_build_equals_per_key_builds_and_quantiles(spark):
             est = got[(g, q)]
             rank = sum(1 for v in vals if v <= est) / len(vals)
             assert abs(rank - q) < 0.08, (g, q, est, rank)
+
+
+def test_auto_passes_identical_to_fixed_schedule(spark):
+    """auto_passes right-sizes the EXECUTED pass count but must yield
+    the bit-identical sketch (skipped passes are exact no-ops; the
+    boundary invariant is verified and topped up otherwise) — global,
+    keyed, and merge lanes."""
+    df = _perm(spark, 3000)
+    fixed = _rows(kll.kll_build(df, "v", "k", auto_passes=False, **CFG))
+    auto = _rows(kll.kll_build(df, "v", "k", auto_passes=True, **CFG))
+    assert auto == fixed
+
+    keyed = df.withColumn("g", (F.col("k") % 3).cast("int"))
+    kf = sorted(
+        (r.g, r.level, r.value, r.tb)
+        for r in kll.kll_build(
+            keyed, "v", "k", key_cols=("g",), auto_passes=False, **CFG
+        ).collect()
+    )
+    ka = sorted(
+        (r.g, r.level, r.value, r.tb)
+        for r in kll.kll_build(
+            keyed, "v", "k", key_cols=("g",), auto_passes=True, **CFG
+        ).collect()
+    )
+    assert ka == kf
+
+    a = kll.kll_build(_perm(spark, 2000), "v", "k", **CFG)
+    b = kll.kll_build(_perm(spark, 2000, offset=1), "v", "k", **CFG)
+    mf = _rows(kll.kll_merge(a, b, k=64, auto_passes=False))
+    ma = _rows(kll.kll_merge(a, b, k=64, auto_passes=True))
+    assert ma == mf
+
+
+def test_auto_passes_tiny_input_zero_build_passes(spark):
+    """When every shard fits in k the build phase is skipped entirely
+    — and the result still equals the full fixed schedule."""
+    df = _perm(spark, 50)
+    fixed = _rows(kll.kll_build(df, "v", "k", auto_passes=False, **CFG))
+    auto = _rows(kll.kll_build(df, "v", "k", auto_passes=True, **CFG))
+    assert auto == fixed
+    assert kll.kll_n(kll.kll_build(df, "v", "k", **CFG)).first()["n"] == 50
