@@ -99,3 +99,59 @@ def test_store_reads_without_reshuffle(spark, table):
         assert "Exchange" not in p[idx:].split("FileScan")[0], p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_append_only_fold_no_merge(spark, table):
+    """A batch whose clusters are entirely disjoint from the store
+    takes the append-only path (no store rewrite) — and the result is
+    still the one-shot closure; the bucketed no-reshuffle read
+    survives the appended file set."""
+    b1 = [(1, 2), (3, 4)]
+    b2 = [(50, 51), (52, 53), (51, 52)]  # brand-new ids only
+    G.cluster_store_update(spark, table, _edges(spark, b1))
+    files_before = {
+        r[0]
+        for r in spark.table(table)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    r = G.cluster_store_update(spark, table, _edges(spark, b2))
+    files_after = {
+        r[0]
+        for r in spark.table(table)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    # append-only: every pre-existing file survives untouched
+    assert files_before <= files_after
+    assert _store(spark, table) == _one_shot(spark, b1 + b2)
+    assert r == {"nodes": 8, "components": 3}
+    # a batch that DOES merge still rewrites and stays correct
+    G.cluster_store_update(spark, table, _edges(spark, [(2, 50)]))
+    assert _store(spark, table) == _one_shot(
+        spark, b1 + b2 + [(2, 50)]
+    )
+    # bucketed read is still exchange-free after mixed folds
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.range(100).select(F.col("id"))
+        joined = probe.join(G.read_cluster_store(spark, table), "id")
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_append_only_fold_new_id_touching_stored_cluster(spark, table):
+    """A new id that JOINS an existing cluster without merging two
+    stored clusters: the stored rep keeps its label (no remap), so the
+    append path must still fire and label the new id correctly."""
+    G.cluster_store_update(spark, table, _edges(spark, [(1, 2)]))
+    G.cluster_store_update(spark, table, _edges(spark, [(2, 7)]))
+    assert dict(_store(spark, table)) == {1: 1, 2: 1, 7: 1}
+    # ...but a new id BELOW the stored rep forces the rewrite lane
+    G.cluster_store_update(spark, table, _edges(spark, [(0, 7)]))
+    assert dict(_store(spark, table)) == {0: 0, 1: 0, 2: 0, 7: 0}

@@ -51,7 +51,7 @@ def test_dedup_representatives_keeps_min_and_singletons(spark):
 def test_cc_max_iter_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=0)
+        connected_components(df, max_iter=0, small_graph_cap=0)
 
 
 def test_repetition_profile_values(spark):
@@ -344,3 +344,39 @@ def test_dedup_representatives_by_null_scores_lose(spark):
     assert [r.doc_id for r in kept2.collect()] == [2]
     with _pytest.raises(ValueError):
         G.dedup_representatives_by(df, pairs, "doc_id", "score", keep="best")
+
+
+def test_cc_driver_path_equals_distributed(spark):
+    """The small-graph union-find lane must produce the identical
+    (id, component=min id) relation as the distributed pointer-jumping
+    rounds — long ids, string ids, chains and random graphs."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    edges += [(1000 + i, 1001 + i) for i in range(40)]  # a long chain
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    slow = sorted(
+        map(tuple, connected_components(df, small_graph_cap=0).collect())
+    )
+    assert fast == slow
+    sdf = spark.createDataFrame(
+        [(f"d{a:04d}", f"d{b:04d}") for a, b in edges],
+        "id_a string, id_b string",
+    )
+    sfast = sorted(map(tuple, connected_components(sdf).collect()))
+    sslow = sorted(
+        map(tuple, connected_components(sdf, small_graph_cap=0).collect())
+    )
+    assert sfast == sslow
+
+
+def test_cc_null_endpoint_falls_back_to_distributed(spark):
+    """NULL endpoints keep the legacy distributed-lane semantics (the
+    driver lane declines them)."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a long, id_b long"
+    )
+    got = connected_components(df)  # must not raise
+    assert {r.component for r in got.collect() if r.id in (1, 2)} == {1}
