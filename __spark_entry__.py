@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from dataframes_spark.core import Table
 from dataframes_spark.functions import stats as dstats
 from dataframes_spark.functions import text as dtext
+from dataframes_spark.functions import url as durl
 from dataframes_spark.operators import aggregate as dagg
 from dataframes_spark.operators import decontaminate as ddecon
 from dataframes_spark.operators import dedup as ddedup
@@ -2963,18 +2964,23 @@ def mixture_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-10 capstone: the published curation playbook end-to-end —
-    C4 page verdicts (over the deterministic `_c4_docs` structure),
-    CCNet perplexity tertiles (drop the tail), exact dedup (min-id
-    representative per content), then the per-epoch training shuffle —
-    summarized per (lang, shard) with the max shard position verifying
-    the shuffle's window. Every stage is the REAL operator and every
-    stage's SQL twin composes in the oracle, so the whole pipeline
-    hash-verifies; the corpus text crosses exactly one shuffle (the
-    dedup key exchange) before the shard partitioning."""
+    """Round-10 capstone, extended in round 11 with C4's TRUE stage 0:
+    URL-level dedup (canonicalize the derived crawl URLs, keep the
+    min-id survivor per canonical URL, NULL-provenance rows pass) —
+    then C4 page verdicts (over the deterministic `_c4_docs`
+    structure), CCNet perplexity tertiles fitted on the URL survivors
+    (drop the tail), exact CONTENT dedup (min-id representative per
+    content), and the per-epoch training shuffle — summarized per
+    (lang, shard) with the max shard position verifying the shuffle's
+    window. Every stage is the REAL operator and every stage's SQL
+    twin composes in the oracle, so the whole pipeline hash-verifies;
+    the corpus text crosses exactly one shuffle (the content-dedup key
+    exchange) before the shard partitioning — the URL stage exchanges
+    only its slim (canonical, id) projection."""
     from dataframes_spark.operators.sample import epoch_shuffle
 
-    docs = _t(spark, sf_dir, "documents")
+    raw = _t(spark, sf_dir, "documents").withColumn("url", _crawl_url())
+    docs = durl.url_dedup(raw, "url", "doc_id").drop("url")
     c4 = dtext.c4_rules(_c4_docs(spark, sf_dir), "text", "doc_id").select(
         "doc_id", "pass_all"
     )
@@ -3006,6 +3012,175 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return epoch_shuffle(docs, "doc_id", epoch=3, n_shards=8).select(
         "doc_id", "shard", "pos"
+    )
+
+
+def _crawl_url() -> "F.Column":
+    """Deterministic per-document crawl URL with canonicalization-
+    collapsible variants (case/port/trailing-slash/tracking/fragment
+    spellings of the same page, plus a kept ``id=`` parameter lane and
+    a NULL-provenance lane) — derived identically in the oracle SQL,
+    so the URL operators are exercised on inputs whose collisions are
+    known by construction."""
+    did = F.col("doc_id")
+    g = (did % 31).cast("string")
+    host = F.concat(
+        F.lit("crawl"), (did % 3).cast("string"), F.lit(".example.com")
+    )
+    base = F.concat(F.lit("http://"), host, F.lit("/docs/"), g)
+    v = did % 5
+    return (
+        F.when(did % 41 == 0, F.lit(None).cast("string"))
+        .when(v == 0, base)
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://"), F.upper(host), F.lit("/docs/"), g),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://"), host, F.lit(":80/docs/"), g, F.lit("/")
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(base, F.lit("?utm_source=crawler&utm_medium=cc")),
+        )
+        .otherwise(
+            F.concat(
+                base,
+                F.lit("?id="),
+                (did % 7).cast("string"),
+                F.lit("&fbclid=x#f"),
+            )
+        )
+    )
+
+
+#: the SQL twin of `_crawl_url` — a CTE body producing (doc_id, url)
+_URL_DERIVE_SQL = """
+                SELECT doc_id,
+                       CASE WHEN doc_id % 41 = 0 THEN NULL
+                            WHEN doc_id % 5 = 0 THEN
+                              'http://crawl' || (doc_id % 3) ||
+                              '.example.com/docs/' || (doc_id % 31)
+                            WHEN doc_id % 5 = 1 THEN
+                              'HTTP://' || upper('crawl' || (doc_id % 3) ||
+                              '.example.com') || '/docs/' || (doc_id % 31)
+                            WHEN doc_id % 5 = 2 THEN
+                              'http://crawl' || (doc_id % 3) ||
+                              '.example.com:80/docs/' || (doc_id % 31) || '/'
+                            WHEN doc_id % 5 = 3 THEN
+                              'http://crawl' || (doc_id % 3) ||
+                              '.example.com/docs/' || (doc_id % 31) ||
+                              '?utm_source=crawler&utm_medium=cc'
+                            ELSE
+                              'http://crawl' || (doc_id % 3) ||
+                              '.example.com/docs/' || (doc_id % 31) ||
+                              '?id=' || (doc_id % 7) || '&fbclid=x#f'
+                       END AS url
+                FROM documents
+"""
+
+
+def _url_canon_sql(urls_rel: str) -> str:
+    """DuckDB replay of `functions/url.py canonical_url` (default
+    flags) over a relation ``urls_rel(doc_id, url)`` — emits CTE bodies
+    ``__uparts``/``__ucomps``/``__ucanon`` with ``__ucanon(doc_id, url,
+    c)``; the component regexes come from the SAME module constants the
+    Spark lane compiles (the generated-oracle pattern)."""
+    from dataframes_spark.functions.url import (
+        TRACKING_PARAM_RE,
+        _AUTH_RE,
+        _URL_RE,
+    )
+
+    return f"""
+            __uparts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(trim(url), '{_URL_RE}', 1)) AS scheme,
+                       regexp_extract(trim(url), '{_URL_RE}', 2) AS auth,
+                       regexp_extract(trim(url), '{_URL_RE}', 3) AS path,
+                       regexp_extract(trim(url), '{_URL_RE}', 4) AS query
+                FROM {urls_rel}
+            ), __ucomps AS (
+                SELECT doc_id, url, scheme,
+                       regexp_extract(auth, '{_AUTH_RE}', 1) AS userinfo,
+                       lower(regexp_extract(auth, '{_AUTH_RE}', 2)) AS host,
+                       regexp_extract(auth, '{_AUTH_RE}', 3) AS port,
+                       regexp_replace(path, '/+$', '') AS path_norm,
+                       coalesce(array_to_string(list_filter(
+                           string_split(query, '&'),
+                           p -> p <> '' AND NOT regexp_matches(
+                               regexp_extract(p, '^([^=]*)', 1),
+                               '{TRACKING_PARAM_RE}')), '&'), '') AS qs
+                FROM __uparts
+            ), __ucanon AS (
+                SELECT doc_id, url,
+                       CASE WHEN url IS NULL THEN NULL ELSE
+                         (CASE WHEN scheme = '' THEN ''
+                               ELSE scheme || '://' END)
+                         || (CASE WHEN userinfo = '' THEN ''
+                                  ELSE userinfo || '@' END)
+                         || host
+                         || (CASE WHEN port = ''
+                                   OR (scheme = 'http' AND port = '80')
+                                   OR (scheme = 'https' AND port = '443')
+                                  THEN '' ELSE ':' || port END)
+                         || path_norm
+                         || (CASE WHEN qs = '' THEN ''
+                                  ELSE '?' || qs END)
+                       END AS c
+                FROM __ucomps
+            )"""
+
+
+#: pipeline_curation_docs' stage-0 CTE chain: derive URLs, canonicalize
+#: (`_url_canon_sql`), keep min-id per canonical URL plus every
+#: NULL-provenance row (u0), and restrict the corpus to survivors (d0).
+_URL_STAGE0_PREFIX = f"""
+            WITH urls AS ({_URL_DERIVE_SQL}
+            ),
+            {_url_canon_sql("urls")}
+            , u0 AS (
+                SELECT doc_id FROM __ucanon WHERE url IS NULL
+                UNION ALL
+                SELECT min(doc_id) AS doc_id FROM __ucanon
+                WHERE url IS NOT NULL GROUP BY c
+            ), d0 AS (
+                SELECT d.* FROM documents d JOIN u0 USING (doc_id)
+            ),
+"""
+
+
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup report (functions/url.py url_dedup_report) —
+    C4's stage-0 pass (Raffel et al. 2020 §2.2 dedups by URL before
+    any content rule): scheme/host lowering, default-port and
+    fragment drop, tracking-parameter strip and trailing-slash rule
+    collapse the derived spelling variants, then one slim
+    map-side-combining groupBy keeps the min-id survivor per canonical
+    URL. The oracle replays the component regexes and the query-string
+    filter term for term, so canonicalization ITSELF is
+    hash-verified."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _crawl_url())
+    return durl.url_dedup_report(docs, "url", "doc_id")
+
+
+def url_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental URL dedup (functions/url.py url_dedup_incremental):
+    even-id documents stand in for the historical canonical-URL
+    fingerprint store (the dedup_incremental_docs pattern); the full
+    table arrives as the new batch. Fresh = batch-deduped (min-id per
+    canonical URL) rows whose URL is absent from history; NULL-URL
+    rows always pass and never enter the store. Returns every fresh
+    row's (doc_id, canonical url) so the anti join, the in-batch rule
+    AND the canonicalization all ride the hash."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _crawl_url())
+    seen = durl.url_fingerprints(docs.filter(F.col("doc_id") % 2 == 0), "url")
+    fresh, _updated = durl.url_dedup_incremental(docs, seen, "url", "doc_id")
+    return fresh.select(
+        "doc_id", durl.canonical_url(F.col("url")).alias("url")
     )
 
 
@@ -3820,9 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    drift_psi_prices + corpus_report_docs).
         "oov_report_docs": oov_report_docs,
         "dsir_model_report_docs": dsir_model_report_docs,
-        "dsir_ess_docs": dsir_ess_docs,
         "pack_documents_cumsum": pack_documents_cumsum,
-        "concat_horizontal": concat_horizontal,
         "facade_from_columns_index": facade_from_columns_index,
         "funnel_events": funnel_events,
         # windowed funnel ("converted within T"): exact linear-state
@@ -4174,6 +4347,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    green r5-r9) rotates below; the bloom pushdown stays
         #    pinned by tests/test_bloom.py and the full local sweep.
         "pipeline_curation_docs": pipeline_curation_docs,
+        # -- round 11 (new): URL-level dedup — C4's stage-0 pass, the
+        #    gap the r10 verdict ranked #2: RFC 3986 canonicalization
+        #    (scheme/host case, default ports, tracking params,
+        #    fragments, trailing slashes) as pure JVM regex/array
+        #    expressions, hash-verified term for term, plus the min-id
+        #    keep rule on the slim (canonical, id) projection and the
+        #    incremental fingerprint-store twin (url-bucketed store
+        #    joins with no history reshuffle, plan-pinned in
+        #    tests/test_url.py). To hold the window at 50, two
+        #    driver-green r9-r10 code-unchanged rows rotate below:
+        #    dsir_ess_docs (DSIR family stays in-window via
+        #    dsir_weights_docs + dsir_sample_docs + dsir_incremental_
+        #    docs + dsir_model_report_docs) and concat_horizontal (the
+        #    distributed position lane stays in-window via
+        #    facade_from_columns_index + pack_documents_cumsum +
+        #    mixture_order_docs).
+        "url_dedup_docs": url_dedup_docs,
+        "url_dedup_incremental_docs": url_dedup_incremental_docs,
         # -- round 10 (continuation): stride-scheduled mixture
         #    interleaving — the loader ORDER mix_manifest plans; rides
         #    TWO distributed position lanes (the new grouped_positions
@@ -4287,6 +4478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out of the window: multiply green (r01-r05),
         #    still covered locally by tools/check_oracle.py and tests/
         # round-10 rotations (see the window-top comment for families):
+        # round-11 rotations (families in-window per the window-top
+        # comment): dsir_ess_docs + concat_horizontal admitted the URL
+        # dedup family.
+        "dsir_ess_docs": dsir_ess_docs,
+        "concat_horizontal": concat_horizontal,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "cohort_retention_daily": cohort_retention_daily,
         "embedding_covariance_upper": embedding_covariance_upper,
@@ -5503,13 +5699,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY stride_key, lang, doc_id) AS BIGINT) AS ord
             FROM sk
         """,
-        "pipeline_curation_docs": """
-            -- the round-10 curation playbook end-to-end: the
+        "pipeline_curation_docs": _URL_STAGE0_PREFIX + """
+            -- the round-10 curation playbook end-to-end (round 11
+            -- prepends the URL stage-0 CTEs via _URL_STAGE0_PREFIX:
+            -- canonical-url min-id survivors u0, corpus d0): the
             -- c4_rules_docs verdict chain (pass_all only), the
             -- ccnet_buckets_docs tertile chain (bucket only), exact
             -- dedup as min-id-per-content, the epoch-1 md5 shard +
             -- per-shard position, folded per (lang, shard).
-            WITH c4docs AS (
+            c4docs AS (
                 SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
                 FROM documents
             ), seg AS (
@@ -5568,7 +5766,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(regexp_split_to_array(
                            lower(trim(coalesce(text, ''))), '\\s+')) AS token
-                FROM documents
+                FROM d0
             ), dt AS (
                 SELECT doc_id, token, count(*) AS m
                 FROM toks WHERE token <> '' GROUP BY 1, 2
@@ -5583,7 +5781,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id
             ), sl AS (
                 SELECT d.doc_id, d.lang, sc.avg_logprob
-                FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+                FROM d0 d JOIN sc ON d.doc_id = sc.doc_id
             ), thr AS (
                 SELECT lang,
                        quantile_cont(avg_logprob, 0.3333333333333333) AS t1,
@@ -5599,11 +5797,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id FROM (
                     SELECT doc_id, row_number() OVER (
                         PARTITION BY text ORDER BY doc_id) AS rn
-                    FROM documents)
+                    FROM d0)
                 WHERE rn = 1
             ), kept AS (
                 SELECT d.doc_id, d.lang, d.n_chars
-                FROM documents d
+                FROM d0 d
                 JOIN surv USING (doc_id)
                 JOIN c4v USING (doc_id)
                 JOIN bk USING (doc_id)
@@ -5742,6 +5940,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN avg_logprob > t1 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM sl JOIN thr USING (lang)
+        """,
+        "url_dedup_docs": f"""
+            -- functions/url.py canonical_url + url_dedup_report
+            -- replayed: the derived variant URLs (case/port/slash/
+            -- tracking/fragment spellings), the RFC 3986 component
+            -- regexes, the tracking-parameter filter, then min-id per
+            -- canonical URL (NULL urls are never dedup candidates).
+            WITH urls AS ({_URL_DERIVE_SQL}
+            ),
+            {_url_canon_sql("urls")}
+            SELECT c AS url,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS kept_id
+            FROM __ucanon
+            WHERE url IS NOT NULL
+            GROUP BY c
+        """,
+        "url_dedup_incremental_docs": f"""
+            -- functions/url.py url_dedup_incremental: history = even
+            -- ids' canonical urls; fresh = in-batch min-id survivors
+            -- absent from history; NULL-url rows always pass (canonical
+            -- NULL rides along — the null-symmetry contract).
+            WITH urls AS ({_URL_DERIVE_SQL}
+            ),
+            {_url_canon_sql("urls")}
+            , hist AS (
+                SELECT DISTINCT c FROM __ucanon
+                WHERE doc_id % 2 = 0 AND url IS NOT NULL
+            ), batch_kept AS (
+                SELECT doc_id, c FROM (
+                    SELECT doc_id, c, row_number() OVER (
+                        PARTITION BY c ORDER BY doc_id) AS rn
+                    FROM __ucanon WHERE url IS NOT NULL)
+                WHERE rn = 1
+            )
+            SELECT doc_id, CAST(NULL AS VARCHAR) AS url
+            FROM __ucanon WHERE url IS NULL
+            UNION ALL
+            SELECT b.doc_id, b.c AS url
+            FROM batch_kept b LEFT JOIN hist h ON b.c = h.c
+            WHERE h.c IS NULL
         """,
         "epoch_shuffle_docs": """
             -- operators/sample.py epoch_shuffle: shard = top 60 bits of
