@@ -3135,6 +3135,47 @@ def _url_canon_sql(urls_rel: str) -> str:
             )"""
 
 
+#: pinned langid model (langid_classifier_docs): 4 classes, dim 128,
+#: md5 lane; weights ((bucket*P + O) % 33 - 16)/16 and biases
+#: (idx - 1.5)/16 are EXACT multiples of 1/16, so every score is exact
+#: binary arithmetic — order-independent sums, bit-identical across
+#: engines, no argmax tie hazard (the EWMA exact-arithmetic pin).
+_LANGID_DIM = 128
+_LANGID_LANGS = [("de", 7, 3, 0), ("en", 37, 11, 1), ("es", 59, 17, 2),
+                 ("fr", 83, 23, 3)]
+
+
+def langid_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-langid scoring lane (functions/langid.py langid_score —
+    the fastText/CLD3 multiclass hashed char-n-gram shape, Joulin et
+    al. 2016) with PINNED md5-lane weights: char 2-3-gram hashed
+    counts, per-class mean-pooled dot + bias, struct-max argmax (ties
+    to the larger code), replayed term for term in DuckDB — the
+    quality_classifier_docs pattern generalized to multinomial. The
+    TRAINING half (MLlib multinomial L-BFGS) is model-dependent and
+    pinned by the perfect-separation and store-roundtrip tests instead
+    (tests/test_langid.py)."""
+    from dataframes_spark.functions import langid as dlangid
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [
+            (lang, bkt, ((bkt * p + o) % 33 - 16) / 16.0)
+            for lang, p, o, _i in _LANGID_LANGS
+            for bkt in range(_LANGID_DIM)
+        ],
+        "lang string, bucket int, weight double",
+    )
+    biases = {lang: (i - 1.5) / 16.0 for lang, _p, _o, i in _LANGID_LANGS}
+    out = dlangid.langid_score(
+        docs, weights, biases, "text", "doc_id",
+        dim=_LANGID_DIM, lane_hash="md5",
+    )
+    return out.select(
+        "doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score")
+    )
+
+
 #: pipeline_curation_docs' stage-0 CTE chain: derive URLs, canonicalize
 #: (`_url_canon_sql`), keep min-id per canonical URL plus every
 #: NULL-provenance row (u0), and restrict the corpus to survivors (d0).
@@ -3993,7 +4034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    via cms_heavy_tokens_md5 + hll_distinct_users_md5) and
         #    outlier_events_value (r8-r9; robust-stats family stays via
         #    drift_psi_prices + corpus_report_docs).
-        "oov_report_docs": oov_report_docs,
         "dsir_model_report_docs": dsir_model_report_docs,
         "pack_documents_cumsum": pack_documents_cumsum,
         "facade_from_columns_index": facade_from_columns_index,
@@ -4365,6 +4405,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    mixture_order_docs).
         "url_dedup_docs": url_dedup_docs,
         "url_dedup_incremental_docs": url_dedup_incremental_docs,
+        # -- round 11 (new): the trained-langid scoring lane — the r10
+        #    verdict's #1 ask (langid is CCNet stage 1; the stopword
+        #    argmax was the weakest load-bearing component): multiclass
+        #    hashed char-n-gram linear scoring with pinned md5-lane
+        #    weights in exact 1/16 arithmetic, argmax replayed in
+        #    DuckDB bit for bit; training (MLlib multinomial) pinned by
+        #    tests/test_langid.py's perfect-separation + store
+        #    roundtrip. To hold the window at 50, oov_report_docs
+        #    (driver-green r10, code unchanged) rotates below; the
+        #    text-health family stays in-window via gopher_rules_docs,
+        #    bigram_logprob_docs, lang_mix_docs, c4_rules_docs,
+        #    ccnet_buckets_docs and corpus_report_docs.
+        "langid_classifier_docs": langid_classifier_docs,
         # -- round 10 (continuation): stride-scheduled mixture
         #    interleaving — the loader ORDER mix_manifest plans; rides
         #    TWO distributed position lanes (the new grouped_positions
@@ -4482,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comment): dsir_ess_docs + concat_horizontal admitted the URL
         # dedup family.
         "dsir_ess_docs": dsir_ess_docs,
+        "oov_report_docs": oov_report_docs,
         "concat_horizontal": concat_horizontal,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "cohort_retention_daily": cohort_retention_daily,
@@ -7226,6 +7280,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS id, CAST(NULL AS BIGINT) AS eval_id,
                    CAST(NULL AS DOUBLE) AS cosine
             FROM u WHERE nrm = 0 OR nrm IS NULL
+        """,
+        "langid_classifier_docs": f"""
+            -- functions/langid.py langid_score with the pinned md5
+            -- lane replayed: char 2-3-grams of the normalized text,
+            -- bucket = md5-60bit('lg:' || gram) % {_LANGID_DIM}, weight
+            -- ((bucket*P + O) mod 33 - 16)/16 per class (exact 1/16
+            -- arithmetic -> order-independent sums, bit-identical
+            -- scores), mean-pooled dot + bias, argmax with ties to the
+            -- larger code; gramless docs score bias-only. Lang table
+            -- generated from the SAME _LANGID_LANGS constant.
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(coalesce(text, ''),
+                           '\\s+', ' ', 'g'))) AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           CASE WHEN len(t) >= 2 THEN
+                               list_transform(range(1, len(t)),
+                                   i -> substr(t, CAST(i AS INT), 2))
+                           ELSE []::VARCHAR[] END,
+                           CASE WHEN len(t) >= 3 THEN
+                               list_transform(range(1, len(t) - 1),
+                                   i -> substr(t, CAST(i AS INT), 3))
+                           ELSE []::VARCHAR[] END)) AS g
+                FROM norm
+            ), tf AS (
+                SELECT doc_id,
+                       CAST((('0x' || substr(md5('lg:' || g), 1, 15))::BIGINT)
+                            % {_LANGID_DIM} AS INT) AS bucket,
+                       count(*) AS tf
+                FROM grams GROUP BY 1, 2
+            ), tot AS (
+                SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1
+            ), langs AS (
+                SELECT * FROM (VALUES {", ".join(
+                    f"('{lang}', {p}, {o}, {i})"
+                    for lang, p, o, i in _LANGID_LANGS
+                )}) AS l(lang, p, o, i)
+            ), dots AS (
+                SELECT tf.doc_id, l.lang,
+                       sum((((bucket * l.p + l.o) % 33) - 16) / 16.0 * tf)
+                           AS ws
+                FROM tf, langs l GROUP BY 1, 2
+            ), spine AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS n, l.lang,
+                       (l.i - 1.5) / 16.0 AS bias
+                FROM documents d LEFT JOIN tot t USING (doc_id), langs l
+            ), scores AS (
+                SELECT s.doc_id, s.lang,
+                       (CASE WHEN s.n > 0
+                             THEN coalesce(d.ws, 0.0) / s.n
+                             ELSE 0.0 END) + s.bias AS sc
+                FROM spine s LEFT JOIN dots d
+                  ON s.doc_id = d.doc_id AND s.lang = d.lang
+            ), pick AS (
+                SELECT doc_id, lang, sc, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY sc DESC, lang DESC) AS rk
+                FROM scores
+            )
+            SELECT doc_id, lang AS lang_pred, round(sc, 6) AS lang_score
+            FROM pick WHERE rk = 1
         """,
         "quality_classifier_docs": """
             -- the md5 hashing-trick scoring pass replayed: bucket =

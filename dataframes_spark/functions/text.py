@@ -433,8 +433,13 @@ def _contains_any(arr: Column):
 def language_guess(c: Column) -> Column:
     """Heuristic language ID: count marker-word hits per language, take the
     argmax (first language listed wins ties), 'und' (undetermined) when
-    nothing matches. A real pipeline swaps in fastText/CLD3 behind the
-    same column contract.
+    nothing matches. This is the model-free COLUMN-level lane (usable
+    inside any expression, no fitted weights needed); the production
+    langid is the TRAINED multiclass hashed char-n-gram classifier in
+    `functions/langid.py` (train_langid / langid_score /
+    langid_score_from_store — the fastText/CLD3 shape, hash-verified
+    scoring), which a pipeline swaps in behind the same
+    "one language code per document" contract.
 
     Computed as ``greatest`` over (score, priority, lang) structs —
     struct comparison is lexicographic, so this is a single argmax
