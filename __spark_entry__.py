@@ -3135,6 +3135,216 @@ def _url_canon_sql(urls_rel: str) -> str:
             )"""
 
 
+#: unigram_lm_docs config: schedule and lattice constants shared by the
+#: Spark lane and the generated oracle (the _KLL_CFG contract).
+_UG_SCHEDULE: list = ["em", ("prune", 40), "em", ("prune", 24), "em"]
+_UG_SEED = 60
+_UG_MAXP = 4
+_UG_MAXW = 48
+
+
+def unigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (functions/unigram.py, Kudo 2018
+    hard-EM variant): seed substrings → Viterbi E-steps → add-one
+    6dp-quantized M-steps → rank prunes, run as an EXPLICIT schedule so
+    the ENTIRE training loop replays in DuckDB — the generated
+    recursive-CTE oracle rebuilds every stage's piece table (the
+    bpe_merges_docs precedent; every argmax carries an explicit total
+    tie order, and the 6dp log-prob quantization makes DP scores
+    bit-identical across engines)."""
+    from dataframes_spark.functions import unigram as dug
+    from dataframes_spark.functions.bpe import word_type_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = dug.unigram_train_scheduled(
+        word_type_counts(docs, "text"),
+        _UG_SCHEDULE,
+        seed_size=_UG_SEED,
+        max_piece_len=_UG_MAXP,
+        max_word_len=_UG_MAXW,
+    )
+    return pieces.select("piece", "cnt", "lp")
+
+
+def unigram_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus fertility of the trained unigram model (functions/
+    unigram.py fertility_report) — the bpe_fertility_docs twin for the
+    OTHER tokenizer family: frequency-weighted tokens per word over
+    the final Viterbi segmentation of the type relation. The oracle
+    re-derives the final piece table (the unigram_lm_docs CTE chain)
+    and replays one more E-step over it."""
+    from dataframes_spark.functions import unigram as dug
+    from dataframes_spark.functions.bpe import word_type_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = word_type_counts(docs, "text").filter(
+        F.length("word") <= _UG_MAXW
+    )
+    pieces = dug.unigram_train_scheduled(
+        counts,
+        _UG_SCHEDULE,
+        seed_size=_UG_SEED,
+        max_piece_len=_UG_MAXP,
+        max_word_len=_UG_MAXW,
+    )
+    seg = dug.viterbi_types(counts, pieces, _UG_MAXP)
+    return dug.fertility_report(seg)
+
+
+def _unigram_oracle_sql(final_select: str, extra_estep: bool = False) -> str:
+    """Generate the DuckDB replay of `unigram_train_scheduled` under
+    the shared `_UG_*` config: word types (max_word_len filter),
+    substring positions, ranked seed, then per schedule stage a
+    recursive-CTE Viterbi DP (argmax ties: score desc, smallest
+    start), coverage-kept counts, the stage's keep rule, and the
+    add-one 6dp M-step. ``final_select`` consumes ``pK`` (the final
+    piece table) and, for the fertility twin, ``types``/``subpos``."""
+    from dataframes_spark.functions.unigram import UNK_LP
+
+    maxp, seed, maxw = _UG_MAXP, _UG_SEED, _UG_MAXW
+    parts = [
+        f"""
+            WITH RECURSIVE types AS MATERIALIZED (
+                SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                    SELECT unnest(list_filter(regexp_split_to_array(
+                        lower(trim(coalesce(text, ''))), '\\s+'),
+                        x -> x <> '')) AS word
+                    FROM documents) t
+                WHERE len(word) <= {maxw}
+                GROUP BY word
+            ), subpos AS MATERIALIZED (
+                SELECT word, freq, s, s + l - 1 AS e,
+                       substr(word, CAST(s AS INT), CAST(l AS INT)) AS sub
+                FROM (
+                    SELECT word, freq, s,
+                           unnest(range(1, least({maxp},
+                               len(word) - s + 1) + 1)) AS l
+                    FROM (SELECT word, freq,
+                                 unnest(range(1, len(word) + 1)) AS s
+                          FROM types) a) b
+            ), subcnt AS MATERIALIZED (
+                SELECT sub AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+                FROM subpos GROUP BY sub
+            ), seedk AS MATERIALIZED (
+                SELECT piece, cnt FROM (
+                    SELECT piece, cnt, row_number() OVER (
+                        ORDER BY cnt DESC, piece ASC) AS rk
+                    FROM subcnt)
+                WHERE rk <= {seed} OR len(piece) = 1
+            ), p0 AS MATERIALIZED (
+                SELECT piece, cnt,
+                       round(ln((cnt + 1) / CAST(t.t + t.v AS DOUBLE)), 6)
+                           AS lp
+                FROM seedk,
+                     (SELECT sum(cnt) AS t, count(*) AS v FROM seedk) t
+            )"""
+    ]
+    def _dp_block(k: int, prev: str) -> str:
+        return f"""
+            , m{k} AS MATERIALIZED (
+                SELECT sp.word, sp.e,
+                       list(struct_pack(s := sp.s, lp := p.lp)
+                            ORDER BY sp.s) AS cl
+                FROM subpos sp JOIN {prev} p ON sp.sub = p.piece
+                GROUP BY sp.word, sp.e
+            ), r{k} AS (
+                SELECT word, freq, 0 AS j,
+                       [struct_pack(sc := CAST(0.0 AS DOUBLE), bp := '')] AS acc
+                FROM types
+                UNION ALL
+                -- argmax via list_sort on (negated score, start):
+                -- ascending struct order == (score DESC, s ASC), the
+                -- DP tie rule; a single correlated lambda builds full
+                -- candidate entries (a list_reduce nested two lambdas
+                -- deep mis-bound the outer row's columns inside the
+                -- recursion — DuckDB correlation depth limit)
+                SELECT t.word, t.freq, t.j + 1,
+                       list_append(t.acc,
+                           CASE WHEN m.cl IS NULL THEN
+                               struct_pack(
+                                   sc := t.acc[t.j + 1].sc + CAST({UNK_LP} AS DOUBLE),
+                                   bp := t.acc[t.j + 1].bp || ' ' ||
+                                         substr(t.word, t.j + 1, 1))
+                           ELSE
+                               struct_pack(
+                                   sc := list_sort(list_transform(m.cl,
+                                       c -> struct_pack(
+                                           nsc := -(t.acc[c.s].sc + c.lp),
+                                           s := c.s,
+                                           sc := t.acc[c.s].sc + c.lp,
+                                           bp := t.acc[c.s].bp || ' ' ||
+                                               substr(t.word,
+                                                   CAST(c.s AS INT),
+                                                   CAST(t.j + 1 - c.s + 1
+                                                       AS INT)))))[1].sc,
+                                   bp := list_sort(list_transform(m.cl,
+                                       c -> struct_pack(
+                                           nsc := -(t.acc[c.s].sc + c.lp),
+                                           s := c.s,
+                                           sc := t.acc[c.s].sc + c.lp,
+                                           bp := t.acc[c.s].bp || ' ' ||
+                                               substr(t.word,
+                                                   CAST(c.s AS INT),
+                                                   CAST(t.j + 1 - c.s + 1
+                                                       AS INT)))))[1].bp)
+                           END)
+                FROM r{k} t LEFT JOIN m{k} m
+                  ON m.word = t.word AND m.e = t.j + 1
+                WHERE t.j < len(t.word)
+            ), dp{k} AS MATERIALIZED (
+                SELECT word, freq, acc[len(word) + 1].bp AS bp
+                FROM r{k} WHERE j = len(word)
+            )"""
+
+    for k, op in enumerate(_UG_SCHEDULE, start=1):
+        prev = f"p{k - 1}"
+        parts.append(_dp_block(k, prev))
+        parts.append(f"""
+            , vc{k} AS MATERIALIZED (
+                SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                    SELECT freq,
+                           unnest(string_split(trim(bp), ' ')) AS piece
+                    FROM dp{k}) u
+                GROUP BY piece
+            ), cov{k} AS MATERIALIZED (
+                SELECT piece, cnt FROM vc{k}
+                UNION ALL
+                SELECT p.piece, CAST(0 AS BIGINT) FROM {prev} p
+                WHERE len(p.piece) = 1
+                  AND p.piece NOT IN (SELECT piece FROM vc{k})
+            )""")
+        if op == "em":
+            parts.append(f"""
+            , keep{k} AS MATERIALIZED (
+                SELECT piece, cnt FROM cov{k}
+                WHERE cnt > 0 OR len(piece) = 1
+            )""")
+        else:
+            n = op[1]
+            parts.append(f"""
+            , keep{k} AS MATERIALIZED (
+                SELECT piece, cnt FROM (
+                    SELECT piece, cnt, row_number() OVER (
+                        ORDER BY cnt DESC, piece ASC) AS rk
+                    FROM cov{k})
+                WHERE rk <= {n} OR len(piece) = 1
+            )""")
+        parts.append(f"""
+            , p{k} AS MATERIALIZED (
+                SELECT piece, cnt,
+                       round(ln((cnt + 1) / CAST(t.t + t.v AS DOUBLE)), 6)
+                           AS lp
+                FROM keep{k},
+                     (SELECT sum(cnt) AS t, count(*) AS v FROM keep{k}) t
+            )""")
+    n_stages = len(_UG_SCHEDULE)
+    if extra_estep:
+        parts.append(_dp_block(n_stages + 1, f"p{n_stages}"))
+    return "".join(parts) + final_select.replace(
+        "__PFINAL__", f"p{n_stages}"
+    ).replace("__DPFINAL__", f"dp{n_stages + 1}")
+
+
 #: pinned langid model (langid_classifier_docs): 4 classes, dim 128,
 #: md5 lane; weights ((bucket*P + O) % 33 - 16)/16 and biases
 #: (idx - 1.5)/16 are EXACT multiples of 1/16, so every score is exact
@@ -4034,8 +4244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    via cms_heavy_tokens_md5 + hll_distinct_users_md5) and
         #    outlier_events_value (r8-r9; robust-stats family stays via
         #    drift_psi_prices + corpus_report_docs).
-        "dsir_model_report_docs": dsir_model_report_docs,
-        "pack_documents_cumsum": pack_documents_cumsum,
         "facade_from_columns_index": facade_from_columns_index,
         "funnel_events": funnel_events,
         # windowed funnel ("converted within T"): exact linear-state
@@ -4418,6 +4626,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    bigram_logprob_docs, lang_mix_docs, c4_rules_docs,
         #    ccnet_buckets_docs and corpus_report_docs.
         "langid_classifier_docs": langid_classifier_docs,
+        # -- round 11 (new): unigram-LM tokenizer training (Kudo 2018
+        #    hard-EM) — the second production tokenizer family next to
+        #    BPE, over the SAME word-type sufficient statistic; the
+        #    ENTIRE training loop (ranked substring seed, recursive
+        #    Viterbi E-steps with explicit tie orders, add-one
+        #    6dp-quantized M-steps, rank prunes) replays in a generated
+        #    recursive-CTE DuckDB oracle (the bpe_merges_docs
+        #    precedent), plus the fertility twin over one further
+        #    E-step. To hold the window at 50, two driver-green r10
+        #    code-unchanged rows rotate below: dsir_model_report_docs
+        #    (DSIR stays in-window via dsir_weights_docs +
+        #    dsir_sample_docs + dsir_incremental_docs) and
+        #    pack_documents_cumsum (the position lane stays via
+        #    facade_from_columns_index + mixture_order_docs +
+        #    percent_rank_events).
+        "unigram_lm_docs": unigram_lm_docs,
+        "unigram_fertility_docs": unigram_fertility_docs,
         # -- round 10 (continuation): stride-scheduled mixture
         #    interleaving — the loader ORDER mix_manifest plans; rides
         #    TWO distributed position lanes (the new grouped_positions
@@ -4536,6 +4761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family.
         "dsir_ess_docs": dsir_ess_docs,
         "oov_report_docs": oov_report_docs,
+        "dsir_model_report_docs": dsir_model_report_docs,
+        "pack_documents_cumsum": pack_documents_cumsum,
         "concat_horizontal": concat_horizontal,
         "ivf_probe_partitioned": ivf_probe_partitioned,
         "cohort_retention_daily": cohort_retention_daily,
@@ -7281,6 +7508,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS cosine
             FROM u WHERE nrm = 0 OR nrm IS NULL
         """,
+        "unigram_lm_docs": _unigram_oracle_sql("""
+            SELECT piece, cnt, lp FROM __PFINAL__
+        """),
+        "unigram_fertility_docs": _unigram_oracle_sql(
+            """
+            SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+                   CAST(sum(freq * ntok) AS BIGINT) AS n_tokens,
+                   round(sum(freq * ntok) / CAST(sum(freq) AS DOUBLE), 6)
+                       AS fertility
+            FROM (SELECT freq,
+                         len(string_split(trim(bp), ' ')) AS ntok
+                  FROM __DPFINAL__) x
+        """,
+            extra_estep=True,
+        ),
         "langid_classifier_docs": f"""
             -- functions/langid.py langid_score with the pinned md5
             -- lane replayed: char 2-3-grams of the normalized text,
