@@ -4244,13 +4244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    via cms_heavy_tokens_md5 + hll_distinct_users_md5) and
         #    outlier_events_value (r8-r9; robust-stats family stays via
         #    drift_psi_prices + corpus_report_docs).
-        "facade_from_columns_index": facade_from_columns_index,
-        "funnel_events": funnel_events,
         # windowed funnel ("converted within T"): exact linear-state
         # fold vs the quadratic exists-join oracle. melt_lineitem
         # (green r5-r7) rotates below; single-scan reshape stays
         # in-window via chunk_documents + the pack rows.
-        "funnel_events_windowed": funnel_events_windowed,
         # -- round 10 (second batch): distributed batch EWMA — the
         #    streaming per-key EWMA's batch twin on the global-order
         #    lane (per-bucket affine summaries + JVM carry fold, no
@@ -4409,7 +4406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pattern). lsh_buckets_md5 (green r5-r8) rotates below; the
         #    ANN family keeps three in-window rows (ivf_probe_pinned,
         #    ivf_probe_partitioned, ann_recall_report).
-        "pq_probe_pinned": pq_probe_pinned,
         # -- round 9 (new, second batch): token-level duplicated-span
         #    dedup — the ExactSubstr pass of Lee et al. 2022 in its
         #    window-hash form (report + rewrite, both hash-verified
@@ -4418,7 +4414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    driver-green r8) rotate below; the distributed-source
         #    family stays in-window via read_text_csv_agg and
         #    zorder_roundtrip_agg.
-        "dup_spans_docs": dup_spans_docs,
         "strip_dup_spans_docs": strip_dup_spans_docs,
         # -- round 9 (new, second batch): the incremental window-hash
         #    store twin of the span pass (history never re-hashes; the
@@ -4427,12 +4422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    below; the line-dedup family stays in-window via
         #    repeated_lines_docs, and the rewrite lane via
         #    strip_dup_spans_docs.
-        "dup_spans_incremental_docs": dup_spans_incremental_docs,
         # -- round 9 (new, second batch): corpus-bigram LM scoring —
         #    the context-aware upgrade of the unigram quality filter.
         #    chunk_documents (driver-green r5-r8) rotates below; the
         #    packing family stays in-window via pack_materialize_docs.
-        "bigram_logprob_docs": bigram_logprob_docs,
         # -- round 9 (new, second batch): the incremental family's
         #    SEMANTIC modality — embedding near-dups against the
         #    persisted hyperplane-bucketed store (md5 planes, replayed
@@ -4460,7 +4453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    shard_report_docs) and read_text_csv_agg (driver-green
         #    r7-r8; IO family stays via zorder_roundtrip_agg, csv/xlsx/
         #    orc/jsonl roundtrips all multiply green below) rotate below.
-        "dsir_weights_docs": dsir_weights_docs,
         "dsir_sample_docs": dsir_sample_docs,
         # -- round 9 (continuation): the DSIR incremental-fit law —
         #    bucket counts are the model's sufficient statistic, so the
@@ -4500,7 +4492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    strip_dup_spans_docs) and shard_report_docs (driver-green
         #    r7-r8; sampling family stays via weighted_merge_docs +
         #    bottomk_sample_docs + the dsir and mix rows) rotate below.
-        "mix_temperature_docs": mix_temperature_docs,
         "mix_manifest_docs": mix_manifest_docs,
         # -- round 9 (continuation): the Zipf corpus-health fit — the
         #    one-number "does this batch still look like language?"
@@ -4570,7 +4561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (ivf_probe_pinned itself rotated below in round 10 after
         #    going green r6-r9; ANN stays via ivf_probe_partitioned +
         #    ann_recall_report + pq_probe_pinned.)
-        "frame_sample_timestamps": frame_sample_timestamps,
         # -- round 10 (continuation): incremental BPE — the word-type
         #    count fold IS the sufficient statistic; the oracle is the
         #    UNSPLIT one-shot SQL, so the hash equality proves the fold
@@ -4643,6 +4633,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    percent_rank_events).
         "unigram_lm_docs": unigram_lm_docs,
         "unigram_fertility_docs": unigram_fertility_docs,
+        # -- round 11 (rotation-freshness sweep, the r10 verdict's item
+        #    8): the TEN stalest code-unchanged rows (last driver-green
+        #    r3-r4: the LQuery expression family, interval/row rolling,
+        #    grouped shift, correlations/describe, multi-key sort, and
+        #    the multimodal decode-stats lane) re-enter the window for
+        #    driver re-verification; ten multiply-green code-unchanged
+        #    donors rotate below, families still in-window:
+        #    frame_sample_timestamps (7x; multimodal stays via
+        #    media_decode_stats re-entering), funnel_events +
+        #    funnel_events_windowed (3x; event analytics stays via
+        #    event_transitions_users + decayed_sum_events +
+        #    ewma_user_values), facade_from_columns_index (3x; position
+        #    lane stays via mixture_order_docs + percent_rank_events),
+        #    dsir_weights_docs (2x; DSIR stays via dsir_sample_docs +
+        #    dsir_incremental_docs), dup_spans_docs +
+        #    dup_spans_incremental_docs (2x; span dedup stays via
+        #    strip_dup_spans_docs), pq_probe_pinned (2x; ANN stays via
+        #    semdedup_pinned_vecs), bigram_logprob_docs (2x; LM family
+        #    stays via lang_mix_docs + gopher_rules_docs +
+        #    ccnet_buckets_docs), mix_temperature_docs (2x; mixing
+        #    stays via mix_manifest_docs + mixture_order_docs).
+        "media_decode_stats": media_decode_stats,
+        "lquery_filter": lquery_filter,
+        "lquery_arith": lquery_arith,
+        "lquery_datetime": lquery_datetime,
+        "rolling_1h_strict": rolling_1h_strict,
+        "rolling_rows_100": rolling_rows_100,
+        "shift_by_user": shift_by_user,
+        "correlations": correlations,
+        "describe_table": describe_table,
+        "sort_slice": sort_slice,
         # -- round 10 (continuation): stride-scheduled mixture
         #    interleaving — the loader ORDER mix_manifest plans; rides
         #    TWO distributed position lanes (the new grouped_positions
@@ -4762,6 +4783,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_ess_docs": dsir_ess_docs,
         "oov_report_docs": oov_report_docs,
         "dsir_model_report_docs": dsir_model_report_docs,
+        "frame_sample_timestamps": frame_sample_timestamps,
+        "funnel_events": funnel_events,
+        "funnel_events_windowed": funnel_events_windowed,
+        "facade_from_columns_index": facade_from_columns_index,
+        "dsir_weights_docs": dsir_weights_docs,
+        "dup_spans_docs": dup_spans_docs,
+        "dup_spans_incremental_docs": dup_spans_incremental_docs,
+        "pq_probe_pinned": pq_probe_pinned,
+        "bigram_logprob_docs": bigram_logprob_docs,
+        "mix_temperature_docs": mix_temperature_docs,
         "pack_documents_cumsum": pack_documents_cumsum,
         "concat_horizontal": concat_horizontal,
         "ivf_probe_partitioned": ivf_probe_partitioned,
@@ -4873,22 +4904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropna_rows": dropna_rows,
         "fillna_zero": fillna_zero,
         "group_collect_lists": group_collect_lists,
-        "media_decode_stats": media_decode_stats,
         "rsi_by_flag": rsi_by_flag,
-        "lquery_filter": lquery_filter,
         "lquery_map": lquery_map,
-        "lquery_arith": lquery_arith,
         "lquery_ts_literal": lquery_ts_literal,
-        "lquery_datetime": lquery_datetime,
-        "describe_table": describe_table,
         "describe_na": describe_na,
-        "correlations": correlations,
         "correlations_with_price": correlations_with_price,
         "autocorr": autocorr,
-        "sort_slice": sort_slice,
-        "shift_by_user": shift_by_user,
-        "rolling_1h_strict": rolling_1h_strict,
-        "rolling_rows_100": rolling_rows_100,
         "rolling_rsi_100": rolling_rsi_100,
         "rolling_range_numeric": rolling_range_numeric,
         # round 7: rotated below after 3 consecutive green rounds
