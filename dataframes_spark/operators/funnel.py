@@ -87,6 +87,25 @@ def funnel_stage(
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps!r}")
 
+    # ONE user-keyed exchange for the whole fold: after this explicit
+    # repartition every per-step conditional-min groupBy and every
+    # state join consumes the SAME hashpartitioning(user) — filters
+    # preserve partitioning, so the k rounds add sorts and stages but
+    # never move event data again (plan-pinned in tests/test_funnel.py)
+    # Exchange accounting (measured, r11): the k rounds shuffle k
+    # DISJOINT step-typed subsets — 1x the event data in total, in k
+    # stages. A single up-front repartition(user) does NOT collapse
+    # them: Catalyst pushes each round's step filter below the
+    # exchange (k distinct exchanges, zero reuse), and a checkpoint
+    # barrier loses the partitioning metadata (LogicalRDD reads back
+    # as unknown-partitioned) while paying a full materialization —
+    # both variants benched slower than the plain form. An exact
+    # ONE-aggregation form does not exist: conditional min i depends
+    # on aggregate i-1's result, which no order-independent aggregate
+    # can reference mid-pass, and no fixed per-(user, step) timestamp
+    # cap preserves exactness (min{ts > c} may need arbitrarily deep
+    # order statistics). k subset-exchanges with two scalars of state
+    # per user IS the scale-correct shape.
     ev = df.filter(
         F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
     ).select(
