@@ -434,3 +434,28 @@ def fertility_report(seg: DataFrame) -> DataFrame:
             6,
         ).alias("fertility"),
     )
+
+
+def unigram_train_from_store(
+    spark,
+    table: str,
+    schedule: Sequence,
+    seed_size: int,
+    max_piece_len: int = 6,
+    max_word_len: int = 48,
+) -> DataFrame:
+    """Refit the unigram model from the persisted word-type count
+    store (`functions/bpe.py word_type_store_update` — the SAME
+    sufficient statistic BPE refits from, fed by the SAME
+    `streaming.word_types_each_batch` gate): tokenizer retraining over
+    all ingested history at vocabulary cost, no corpus re-scan. The
+    count-fold law (fold-of-batches == one-shot relation) makes the
+    refit equal the one-shot training on the concatenated corpus —
+    pinned in tests."""
+    return unigram_train_scheduled(
+        spark.table(table),
+        schedule,
+        seed_size,
+        max_piece_len,
+        max_word_len,
+    )

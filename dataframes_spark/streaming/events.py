@@ -1212,3 +1212,91 @@ def classify_each_batch(
         write(out, epoch_id)
 
     return _apply
+
+
+def url_dedup_each_batch(
+    table: str,
+    url_col: str,
+    id_col: str,
+    *,
+    num_buckets: int = 32,
+    write=None,
+):
+    """Streaming URL-level dedup: a ``foreachBatch`` callback running
+    `functions/url.py url_dedup_incremental` against the persisted
+    canonical-URL fingerprint store — C4's stage-0 pass at ingestion
+    time. Each batch dedups internally (min-id survivor per canonical
+    URL), anti-joins the url-bucketed store (no history reshuffle),
+    and swaps the store forward; NULL-URL rows always pass and never
+    enter the store. Batches must arrive exactly once (a canonical URL
+    admitted in batch N is IN the store for batch N+1 — re-delivery
+    would drop the re-delivered copies, which for dedup is harmless).
+    Stream survivors == the order-respecting incremental fold of the
+    batch sequence (pinned in tests). ``write(fresh_df, epoch_id)``
+    receives each batch's surviving rows."""
+    from dataframes_spark.functions import url as U
+    from dataframes_spark.io.store import staging_swap
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(table):
+            staging_swap(
+                spark,
+                table,
+                U.url_fingerprints(batch_df.limit(0), url_col),
+                bucket_by="url",
+                num_buckets=num_buckets,
+            )
+        fresh, updated = U.url_dedup_incremental(
+            batch_df, spark.table(table), url_col, id_col
+        )
+        # the fresh rows must be decided BEFORE the store moves (they
+        # read it); the swap materializes updated first, so writers see
+        # old-or-new, never partial (the staging_swap contract)
+        out = fresh.localCheckpoint(eager=True)
+        staging_swap(
+            spark, table, updated, bucket_by="url", num_buckets=num_buckets
+        )
+        if write is not None:
+            write(out, epoch_id)
+
+    return _apply
+
+
+def langid_each_batch(
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    keep_langs: Sequence[str] | None = None,
+    write=None,
+):
+    """Streaming language identification: a ``foreachBatch`` callback
+    scoring each micro-batch against the persisted langid model store
+    (`functions/langid.py langid_store_update`) — CCNet stage 1 at
+    ingestion time, the `classify_each_batch` shape generalized to
+    multinomial. Scoring is STATELESS (static model within a batch),
+    so stream output == batch `langid_score_from_store` of the same
+    rows; the model can be retrained mid-stream (next trigger reads
+    the new store). With ``keep_langs`` set, ``write(kept_df,
+    epoch_id)`` receives only documents predicted in that set (the
+    language gate); otherwise the full frame with ``lang_pred`` /
+    ``lang_score`` columns."""
+    from dataframes_spark.functions.langid import langid_score_from_store
+
+    if write is None:
+        raise ValueError("write(df, epoch_id) sink callback is required")
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from dataframes_spark.operators.global_order import nullsafe_join
+
+        spark = batch_df.sparkSession
+        scored = langid_score_from_store(
+            spark, batch_df, table, text_col, id_col
+        )
+        out = nullsafe_join(batch_df, scored, [id_col])
+        if keep_langs is not None:
+            out = out.filter(F.col("lang_pred").isin(list(keep_langs)))
+        write(out, epoch_id)
+
+    return _apply

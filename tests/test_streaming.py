@@ -1268,3 +1268,104 @@ def test_rollup_distinct_each_batch_stream_equals_batch(spark, tmp_path):
     )
     assert got == exp and len(got) == 3
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_url_dedup_each_batch_stream_equals_incremental_fold(spark):
+    """Streaming URL dedup: per-batch survivors across the stream ==
+    the order-respecting incremental fold; the store holds every
+    distinct canonical URL once; NULL urls always pass."""
+    import uuid
+
+    from dataframes_spark.functions import url as U
+
+    t = f"url_fp_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rows = [
+        (1, "http://A.com/x?utm_source=s"),
+        (2, "http://a.com/x"),        # dup of 1 after canonicalization
+        (3, "http://b.com/y"),
+        (4, "http://a.com/x/"),       # dup of 1, later batch
+        (5, "http://c.com/z"),
+        (6, None),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = []
+    cb = dstream.url_dedup_each_batch(
+        t, "url", "doc_id", num_buckets=4,
+        write=lambda d, e: got.append(sorted(r.doc_id for r in d.collect())),
+    )
+    cb(df.filter("doc_id <= 3"), 0)
+    cb(df.filter("doc_id > 3"), 1)
+    assert got == [[1, 3], [5, 6, 7]]
+    urls = sorted(r.url for r in spark.table(t).collect())
+    assert urls == ["http://a.com/x", "http://b.com/y", "http://c.com/z"]
+    # batch twin: the same two-batch incremental fold
+    seen = U.url_fingerprints(df.limit(0), "url")
+    fresh_all = []
+    for cond in ("doc_id <= 3", "doc_id > 3"):
+        fresh, seen = U.url_dedup_incremental(
+            df.filter(cond), seen, "url", "doc_id"
+        )
+        fresh_all.append(sorted(r.doc_id for r in fresh.collect()))
+    assert got == fresh_all
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_langid_each_batch_stream_equals_batch_scoring(spark):
+    """Streaming langid: per-batch predictions == the batch
+    score-from-store of the same rows (stateless scoring), and the
+    keep_langs gate filters."""
+    import uuid
+
+    from dataframes_spark.functions import langid as L
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the dog"),
+            (2, "der schnelle braune fuchs und der hund"),
+            (3, "zorro marrón rápido y el perro"),
+            (4, "the lazy dog sleeps under the tree"),
+        ],
+        "doc_id long, text string",
+    )
+    w, b = L.train_langid(
+        docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") == 2, "de")
+            .when(F.col("doc_id") == 3, "es")
+            .otherwise("en"),
+        ),
+        "text",
+        "lang",
+        "doc_id",
+        dim=256,
+        max_iter=30,
+    )
+    t = f"langid_stream_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    L.langid_store_update(spark, t, w, b, dim=256)
+    got = {}
+    cb = dstream.langid_each_batch(
+        t, "text", "doc_id",
+        write=lambda d, e: got.update(
+            {r.doc_id: r.lang_pred for r in d.collect()}
+        ),
+    )
+    cb(docs.filter("doc_id <= 2"), 0)
+    cb(docs.filter("doc_id > 2"), 1)
+    want = {
+        r.doc_id: r.lang_pred
+        for r in L.langid_score_from_store(
+            spark, docs, t, "text", "doc_id"
+        ).collect()
+    }
+    assert got == want
+    kept = []
+    gate = dstream.langid_each_batch(
+        t, "text", "doc_id", keep_langs=["en"],
+        write=lambda d, e: kept.extend(r.doc_id for r in d.collect()),
+    )
+    gate(docs, 0)
+    assert sorted(kept) == [i for i in want if want[i] == "en"]
+    spark.sql(f"DROP TABLE IF EXISTS {t}")

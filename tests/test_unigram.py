@@ -198,3 +198,37 @@ def test_long_words_excluded_from_training_only(spark):
         for r in U.unigram_encode(df, "text", "id", pieces, 3).collect()
     }
     assert enc[1] == ["x"] * 60  # encode still handles it (UNK singles)
+
+
+def test_train_from_store_equals_one_shot(spark):
+    """Fold the corpus through the shared word-type store in batches,
+    refit from the store: identical piece table to one-shot training
+    (the count-fold law carries over the whole trainer)."""
+    import uuid
+
+    from dataframes_spark.functions.bpe import word_type_store_update
+
+    df = _df(spark)
+    t = f"ug_wordtypes_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for lo, hi in [(0, 2), (2, 4)]:
+        batch = df.filter((F.col("id") >= lo) & (F.col("id") < hi))
+        word_type_store_update(
+            spark, t, word_type_counts(batch, "text")
+        )
+    schedule = ["em", ("prune", 12), "em"]
+    refit = {
+        r.piece: (r.cnt, r.lp)
+        for r in U.unigram_train_from_store(
+            spark, t, schedule, seed_size=25, max_piece_len=3
+        ).collect()
+    }
+    one_shot = {
+        r.piece: (r.cnt, r.lp)
+        for r in U.unigram_train_scheduled(
+            word_type_counts(df, "text"), schedule, seed_size=25,
+            max_piece_len=3,
+        ).collect()
+    }
+    assert refit == one_shot
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
