@@ -124,6 +124,15 @@ SHOWCASE = [
     ("classifier_eval_docs", "rank-sum AUC + thresholded metrics over the persisted scored fork"),
     ("kll_by_lang_docs", "keyed KLL: compaction windows per (lang, shard, level), quantile cut per group"),
     ("pipeline_observability_events", "observability capstone: rollup + keyed md5-HLL + half-life trend, three lanes joined on the hour bucket"),
+    # -- round 11 --
+    ("url_dedup_docs", "URL canonicalization + dedup: RFC 3986 regex/array work map-side, ONE slim (canonical, id) exchange"),
+    ("url_dedup_incremental_docs", "incremental URL dedup: batch-internal min-id + anti join against the canonical-url history"),
+    ("langid_classifier_docs", "trained langid scoring: char-n-gram explode, broadcast (lang, bucket, weight) join, (doc, lang) reduction, struct-max argmax"),
+    ("unigram_fertility_docs", "unigram-LM E-step: substring lattice broadcast-joined to pieces, map-only Viterbi JVM fold, piece-sized count"),
+    # unigram_lm_docs is NOT showcased: the scheduled trainer runs
+    # eagerly (per-stage snapshots); each stage's E-step plan is the
+    # unigram_fertility_docs shape above and is covered by the
+    # registry plan gate.
     # rollup_hourly_events / rollup_distinct_hourly_events are NOT
     # showcased: the folds run eagerly inside the query (store swaps);
     # the served read is a bounded store scan. The map-side-combining
