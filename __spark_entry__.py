@@ -3136,8 +3136,11 @@ def _url_canon_sql(urls_rel: str) -> str:
 
 
 #: unigram_lm_docs config: schedule and lattice constants shared by the
-#: Spark lane and the generated oracle (the _KLL_CFG contract).
-_UG_SCHEDULE: list = ["em", ("prune", 40), "em", ("prune", 24), "em"]
+#: Spark lane and the generated oracle (the _KLL_CFG contract). Three
+#: ops keep the row's cost proportionate (each op is an eager
+#: checkpointed stage — a longer schedule replays the same class of
+#: work; the 5-op form is exercised in tests/test_unigram.py).
+_UG_SCHEDULE: list = ["em", ("prune", 24), "em"]
 _UG_SEED = 60
 _UG_MAXP = 4
 _UG_MAXW = 48

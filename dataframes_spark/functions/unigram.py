@@ -268,8 +268,12 @@ def unigram_train_scheduled(
     schedule is what makes the whole trainer oracle-replayable (the
     generated recursive-CTE twin mirrors it stage for stage). Returns
     the final piece table ``(piece, cnt, lp)``. Iteration state is
-    snapshotted per stage (the graph-loop rationale: checkpoint beats
-    persist for iterative lineage)."""
+    snapshotted per stage — the eager checkpoint is LOAD-BEARING, not
+    a tuning choice: each stage consumes the previous piece table in
+    several branches, so a lazy persist() leaves the first action a
+    2^stages-duplicated uncached lineage and the planner never returns
+    (measured: the 5-stage schedule hung past 10 minutes on data that
+    checkpoints in ~12 s)."""
     from dataframes_spark.operators.graph import snapshot
 
     types = counts.filter(F.length("word") <= max_word_len)
