@@ -3104,7 +3104,7 @@ def _url_canon_sql(urls_rel: str) -> str:
                        regexp_extract(trim(url), '{_URL_RE}', 4) AS query
                 FROM {urls_rel}
             ), __ucomps AS (
-                SELECT doc_id, url, scheme,
+                SELECT doc_id, url, scheme, auth,
                        regexp_extract(auth, '{_AUTH_RE}', 1) AS userinfo,
                        lower(regexp_extract(auth, '{_AUTH_RE}', 2)) AS host,
                        regexp_extract(auth, '{_AUTH_RE}', 3) AS port,
@@ -3120,13 +3120,22 @@ def _url_canon_sql(urls_rel: str) -> str:
                        CASE WHEN url IS NULL THEN NULL ELSE
                          (CASE WHEN scheme = '' THEN ''
                                ELSE scheme || '://' END)
-                         || (CASE WHEN userinfo = '' THEN ''
-                                  ELSE userinfo || '@' END)
-                         || host
-                         || (CASE WHEN port = ''
-                                   OR (scheme = 'http' AND port = '80')
-                                   OR (scheme = 'https' AND port = '443')
-                                  THEN '' ELSE ':' || port END)
+                         -- unparseable authority (IPv6 literal,
+                         -- double-@): verbatim carry-through, the
+                         -- Spark lane's non-match rule
+                         || (CASE WHEN NOT regexp_matches(
+                                       auth, '{_AUTH_RE}') THEN auth
+                             ELSE
+                               (CASE WHEN userinfo = '' THEN ''
+                                     ELSE userinfo || '@' END)
+                               || host
+                               || (CASE WHEN port = ''
+                                        OR (scheme = 'http'
+                                            AND port = '80')
+                                        OR (scheme = 'https'
+                                            AND port = '443')
+                                       THEN '' ELSE ':' || port END)
+                             END)
                          || path_norm
                          || (CASE WHEN qs = '' THEN ''
                                   ELSE '?' || qs END)

@@ -191,6 +191,18 @@ def train_langid(
             ).alias("__bt")
         )
     )
+    # a class whose every document is GRAMLESS (normalizes below the
+    # n-gram floor) would silently vanish here, desync MLlib's inferred
+    # class count from the label list, and export junk — raise loudly,
+    # the id/label hygiene contract (one bounded action)
+    present = {r[0] for r in rows.select("__ll").distinct().collect()}
+    missing = sorted(set(labels) - present)
+    if missing:
+        raise ValueError(
+            f"train_langid: classes {missing} have no documents with "
+            f">= {n_lo}-char normalized text — every class needs at "
+            "least one featurizable document"
+        )
     out_schema = T.StructType(
         [
             T.StructField("label", T.DoubleType()),
@@ -221,9 +233,12 @@ def train_langid(
         for b in range(dim)
         if cm[k, b] != 0.0
     ]
+    # an all-zero model exports an EMPTY weight relation (never a
+    # placeholder row — a NULL-bucket row would masquerade as a bias
+    # sentinel in the store and poison score-from-store); bias-only
+    # scoring stays well-defined
     weights = spark.createDataFrame(
-        export or [(labels[0], None, 0.0)],
-        "lang string, bucket int, weight double",
+        export, "lang string, bucket int, weight double"
     )
     biases = {labels[k]: float(iv[k]) for k in range(len(labels))}
     return weights, biases

@@ -86,12 +86,22 @@ def canonical_url(
     port_part = F.when(
         (port == "") | default_port, F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
-    auth_norm = F.concat(
-        F.when(userinfo == "", F.lit("")).otherwise(
-            F.concat(userinfo, F.lit("@"))
-        ),
-        host,
-        port_part,
+    # an authority the component grammar cannot place (IPv6 literals
+    # like [2001:db8::1], double-@) carries through VERBATIM — every
+    # group extracts '' on a non-match, and an emptied authority would
+    # otherwise collapse DISTINCT unparseable hosts onto one canonical
+    # key (silent cross-document merging, the one failure a dedup key
+    # must never have)
+    auth_norm = F.when(
+        ~auth.rlike(_AUTH_RE), auth
+    ).otherwise(
+        F.concat(
+            F.when(userinfo == "", F.lit("")).otherwise(
+                F.concat(userinfo, F.lit("@"))
+            ),
+            host,
+            port_part,
+        )
     )
 
     path_norm = F.regexp_replace(path, r"/+$", "")
@@ -195,24 +205,32 @@ def url_dedup_incremental(
     survivor), and ``updated`` is the store plus the fresh batch's
     canonical keys.
 
-    Scale shape: the batch dedups internally on the slim projection,
-    then ONE anti join of batch keys against the store — with ``url``
-    as the sole equi-key a url-bucketed store satisfies the join's
-    required distribution as scanned (no history reshuffle; the
+    Scale shape: the canonicalization regex battery runs ONCE, on the
+    slim ``(canonical, id)`` projection inside the batch scan; the
+    in-batch min-id keep, the anti join against the store, AND the
+    store-update keys all reuse that one relation (full rows return
+    via an id-keyed semi join — text never shuffles by URL). With
+    ``url`` as the sole equi-key a url-bucketed store satisfies the
+    join's required distribution as scanned (no history reshuffle; the
     `exact_dedup_incremental` plan argument). NULL-URL rows pass
     through ``fresh`` untouched and never enter the store. No distinct
-    on the union: ``fresh`` is provably disjoint from the store."""
-    in_batch = url_dedup(new_df, url_col, id_col, strip_www, sort_query)
+    on the union: the keep relation is one row per canonical URL and
+    the anti join makes it provably disjoint from the store."""
     canon = canonical_url(F.col(url_col), strip_www, sort_query)
-    keyed = in_batch.withColumn("__uc", canon)
-    survivors = keyed.filter(F.col(url_col).isNotNull())
-    fresh = keyed.filter(F.col(url_col).isNull()).unionByName(
-        survivors.join(
-            seen, survivors["__uc"] == seen["url"], "left_anti"
+    slim = new_df.filter(F.col(url_col).isNotNull()).select(
+        canon.alias("__uc"), F.col(id_col).alias("__uid")
+    )
+    keep = slim.groupBy("__uc").agg(F.min("__uid").alias("__uid"))
+    fresh_keys = keep.join(seen, keep["__uc"] == seen["url"], "left_anti")
+    fresh = new_df.filter(F.col(url_col).isNull()).unionByName(
+        new_df.join(
+            fresh_keys.select(F.col("__uid").alias(id_col)),
+            id_col,
+            "left_semi",
         )
-    ).drop("__uc")
+    )
     updated = seen.unionByName(
-        url_fingerprints(fresh, url_col, strip_www, sort_query)
+        fresh_keys.select(F.col("__uc").alias("url"))
     )
     return fresh, updated
 

@@ -293,6 +293,21 @@ def cluster_store_update(
        corpus scale most epochs only ADD clusters, so the common-case
        fold cost drops from O(store) IO to O(batch).
 
+       CRASH CONTRACT of the append path: an insert is not the
+       old-or-new staging swap, so a crash mid job-commit can leave a
+       SUBSET of the new rows visible. The recovery rule is the one
+       every at-least-once sink already has — RE-RUN the failed fold
+       (foreachBatch replays the epoch) — and re-delivery SELF-HEALS:
+       a partially committed row's component is its batch-closure
+       label, which is the minimum of its cluster within the batch;
+       the re-run recomputes the identical labels from the identical
+       batch, so already-visible rows never need relabeling and the
+       re-run's append fills in exactly the missing rows (pinned in
+       tests with a simulated partial commit). Only a fold that is
+       DROPPED after a partial commit (at-most-once misuse) can leave
+       dangling labels — the same failure any non-idempotent store
+       has under dropped folds.
+
     THE LAW (pinned in tests and the driver row): folding any
     batch-split of an edge set through the store equals the one-shot
     `connected_components` over the union — because the new minimum of

@@ -251,30 +251,35 @@ def rollup_serve(
 ) -> DataFrame:
     """Finalize statistics from a persisted rollup store — the serving
     read touches only the store's calendar-bounded rows, never raw
-    data. Group columns are recovered from the store SCHEMA (columns
-    minus bucket/state/meta), not from a stamp row: an EMPTY store —
-    possible after folding an empty first batch — still serves the
-    correct (empty) frame with the correct group columns, instead of
-    silently dropping them and changing the output schema."""
+    data. Group columns recover from the STAMP when a row exists
+    (collision-proof: a group column may share a name with another
+    lane's state) and from the SCHEMA on an EMPTY store — possible
+    after folding an empty first batch — so the served frame is empty
+    but correctly shaped either way."""
     store = spark.table(table)
     return rollup_finalize(
         store.drop("__ra_col", "__ra_width_us", "__ra_by"),
         stats,
-        _by_from_schema(store),
+        _recover_by(store),
     )
 
 
 #: everything in a numeric-rollup store that is NOT a group column
+#: (schema-fallback lane only; the stamp wins whenever a row exists)
 _ROLLUP_FIXED = frozenset(
     ("bucket_ts", "n_rows", "n", "s", "mn", "mx", "ss",
      "__ra_col", "__ra_width_us", "__ra_by")
 )
 
 
-def _by_from_schema(store: DataFrame, extra_fixed: Sequence[str] = ()) -> list[str]:
-    """Group columns of a rollup store, from its schema: whatever is
-    not the bucket, the five-tuple state, or stamp metadata — in
-    schema order (which is the fold's ``by`` order by construction)."""
+def _recover_by(store: DataFrame, extra_fixed: Sequence[str] = ()) -> list[str]:
+    """Group columns of a rollup store: the ``__ra_by`` stamp when the
+    store has rows (immune to group-column/state name collisions);
+    otherwise the schema minus bucket/state/meta, in schema order (the
+    fold's ``by`` order by construction)."""
+    meta = store.select("__ra_by").first()
+    if meta is not None:
+        return [c for c in (meta["__ra_by"] or "").split(",") if c]
     fixed = _ROLLUP_FIXED | set(extra_fixed)
     return [c for c in store.columns if c not in fixed]
 
@@ -380,21 +385,22 @@ def rollup_distinct_serve_store(
     spark, table: str, p: int | None = None
 ) -> DataFrame:
     """Estimates straight from a persisted distinct-rollup store.
-    Group columns recover from the store SCHEMA (columns minus the
-    bucket, the ``(r, maxrho)`` registers, and stamp metadata), so an
-    EMPTY store — possible after folding an empty first batch — serves
-    an empty frame WITH the group columns intact; ``p`` recovers from
-    the stamp when present (empty store: the default)."""
+    Group columns recover from the ``__rd_by`` stamp when a row exists
+    (collision-proof) and from the SCHEMA on an EMPTY store — possible
+    after folding an empty first batch — so the served frame keeps its
+    group columns either way; ``p`` recovers from the stamp when
+    present (empty store: the default)."""
     store = spark.table(table)
-    fixed = (
-        "r", "maxrho",
-        "__rd_col", "__rd_width_us", "__rd_by", "__rd_p", "__rd_hash",
-    )
-    by = [
-        c for c in store.columns if c not in fixed and c != "bucket_ts"
-    ]
+    meta = store.select("__rd_by", "__rd_p").first()
+    if meta is not None:
+        by = [c for c in (meta["__rd_by"] or "").split(",") if c]
+    else:
+        fixed = (
+            "bucket_ts", "r", "maxrho",
+            "__rd_col", "__rd_width_us", "__rd_by", "__rd_p", "__rd_hash",
+        )
+        by = [c for c in store.columns if c not in fixed]
     if p is None:
-        meta = store.select("__rd_p").first()
         p = int(meta["__rd_p"]) if meta is not None else 12
     return rollup_distinct_serve(
         store.drop("__rd_col", "__rd_width_us", "__rd_by", "__rd_p", "__rd_hash"),
@@ -573,10 +579,11 @@ def rollup_multi_serve(
     stats: Sequence[str] = ("count", "sum", "mean", "min", "max"),
 ) -> DataFrame:
     """Finalize the k-column store: ``(bucket_ts, *by, col, <stats>)``.
-    Group columns recover from the store schema (`rollup_serve`), so
-    an empty store serves the correct empty frame."""
+    Group columns recover stamp-first with a schema fallback
+    (`rollup_serve`), so an empty store serves the correct empty
+    frame."""
     store = spark.table(table)
-    by = _by_from_schema(store, extra_fixed=("col",))
+    by = _recover_by(store, extra_fixed=("col",))
     return rollup_finalize(
         store.drop("__ra_col", "__ra_width_us", "__ra_by"),
         stats,

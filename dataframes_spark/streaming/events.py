@@ -1219,6 +1219,8 @@ def url_dedup_each_batch(
     url_col: str,
     id_col: str,
     *,
+    strip_www: bool = False,
+    sort_query: bool = False,
     num_buckets: int = 32,
     write=None,
 ):
@@ -1233,7 +1235,10 @@ def url_dedup_each_batch(
     would drop the re-delivered copies, which for dedup is harmless).
     Stream survivors == the order-respecting incremental fold of the
     batch sequence (pinned in tests). ``write(fresh_df, epoch_id)``
-    receives each batch's surviving rows."""
+    receives each batch's surviving rows. ``strip_www``/``sort_query``
+    pass through to the canonicalizer — they MUST match the flags any
+    pre-seeded store was built with (a store canonicalized under
+    different flags would silently split the key space)."""
     from dataframes_spark.functions import url as U
     from dataframes_spark.io.store import staging_swap
 
@@ -1243,12 +1248,15 @@ def url_dedup_each_batch(
             staging_swap(
                 spark,
                 table,
-                U.url_fingerprints(batch_df.limit(0), url_col),
+                U.url_fingerprints(
+                    batch_df.limit(0), url_col, strip_www, sort_query
+                ),
                 bucket_by="url",
                 num_buckets=num_buckets,
             )
         fresh, updated = U.url_dedup_incremental(
-            batch_df, spark.table(table), url_col, id_col
+            batch_df, spark.table(table), url_col, id_col,
+            strip_www, sort_query,
         )
         # the fresh rows must be decided BEFORE the store moves (they
         # read it); the swap materializes updated first, so writers see

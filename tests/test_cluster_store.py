@@ -155,3 +155,25 @@ def test_append_only_fold_new_id_touching_stored_cluster(spark, table):
     # ...but a new id BELOW the stored rep forces the rewrite lane
     G.cluster_store_update(spark, table, _edges(spark, [(0, 7)]))
     assert dict(_store(spark, table)) == {0: 0, 1: 0, 2: 0, 7: 0}
+
+
+def test_append_only_fold_partial_commit_self_heals(spark, table):
+    """The append path's crash contract: a crash mid job-commit leaves
+    a SUBSET of the new rows visible; re-running the same fold (the
+    at-least-once rule) recomputes identical batch-closure labels, so
+    the re-run fills in exactly the missing rows and the store equals
+    the clean one-shot result."""
+    b1 = [(1, 2), (3, 4)]
+    b2 = [(50, 51), (52, 53), (51, 52)]  # all-new cluster {50..53}
+    G.cluster_store_update(spark, table, _edges(spark, b1))
+    # simulate the partial commit: only a fragment of what the b2 fold
+    # would append becomes visible (52 labeled 50, without 50's row)
+    spark.createDataFrame(
+        [(52, 50)], "id long, component long"
+    ).write.insertInto(table)
+    # re-run the fold (foreachBatch replays the epoch)
+    G.cluster_store_update(spark, table, _edges(spark, b2))
+    assert _store(spark, table) == _one_shot(spark, b1 + b2)
+    # and a later merging batch still relabels everything correctly
+    G.cluster_store_update(spark, table, _edges(spark, [(2, 53)]))
+    assert _store(spark, table) == _one_shot(spark, b1 + b2 + [(2, 53)])

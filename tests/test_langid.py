@@ -147,3 +147,35 @@ def test_pinned_weight_scoring_arithmetic(spark):
     assert got[1] == ("xx", pytest.approx(0.4375, abs=0))
     # doc 2 (gramless): bias-only -> yy wins
     assert got[2] == ("yy", pytest.approx(0.125, abs=0))
+
+
+def test_train_raises_on_gramless_class_and_zero_weight_export(spark):
+    """A class whose every document is gramless raises loudly (silent
+    drop would desync MLlib's class count from the label list); an
+    all-zero coefficient export is an EMPTY weight relation so the
+    stored model still scores (bias-only), never a placeholder row
+    that poisons the store's bias sentinels."""
+    bad = spark.createDataFrame(
+        [(1, "xx", "plenty of text here"), (2, "yy", " ")],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match=r"classes \['yy'\]"):
+        L.train_langid(bad, "text", "lang", "doc_id", dim=64)
+
+    from dataframes_spark.io.store import drop_table_and_location
+
+    tiny = _corpus(spark, n=4)
+    # a huge reg_param drives every coefficient to (near-)zero; even if
+    # the export is empty, store + score-from-store must keep working
+    w, b = L.train_langid(
+        tiny, "text", "lang", "doc_id", dim=128, max_iter=5, reg_param=1e6
+    )
+    t = "t_langid_zero"
+    drop_table_and_location(spark, t)
+    L.langid_store_update(spark, t, w, b, dim=128)
+    scored = L.langid_score_from_store(
+        spark, tiny, t, "text", "doc_id"
+    ).collect()
+    assert len(scored) == tiny.count()
+    assert all(r.lang_pred in b for r in scored)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -144,3 +144,22 @@ def test_host_report(spark):
     )
     got = {(r.host, r.n_docs, r.share) for r in U.host_report(df, "url").collect()}
     assert got == {("a.com", 2, 0.666667), ("b.com", 1, 0.333333)}
+
+
+def test_unparseable_authority_carries_verbatim(spark):
+    """IPv6 literals / double-@ authorities don't match the component
+    grammar — they must carry through VERBATIM, never collapse to an
+    emptied host (which would merge DISTINCT unparseable hosts onto
+    one canonical dedup key)."""
+    cases = {
+        "https://[2001:db8::1]/x": "https://[2001:db8::1]/x",
+        "https://[2001:db8::2]/x": "https://[2001:db8::2]/x",
+        "http://a@b@c.com/x": "http://a@b@c.com/x",
+    }
+    assert _canon(spark, list(cases)) == list(cases.values())
+    df = spark.createDataFrame(
+        [(1, "https://[2001:db8::1]/x"), (2, "https://[2001:db8::2]/x")],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in U.url_dedup(df, "url", "doc_id").collect())
+    assert kept == [1, 2]  # distinct unparseable hosts never merge
