@@ -3376,7 +3376,10 @@ def langid_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_classifier_docs pattern generalized to multinomial. The
     TRAINING half (MLlib multinomial L-BFGS) is model-dependent and
     pinned by the perfect-separation and store-roundtrip tests instead
-    (tests/test_langid.py)."""
+    (tests/test_langid.py). This is the md5 VERIFICATION lane (bench
+    excludes it, like every md5 twin — benching it would measure hex
+    parsing); `langid_scores_docs` is the benched xxhash64 production
+    lane."""
     from dataframes_spark.functions import langid as dlangid
 
     docs = _t(spark, sf_dir, "documents")
@@ -3392,6 +3395,32 @@ def langid_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dlangid.langid_score(
         docs, weights, biases, "text", "doc_id",
         dim=_LANGID_DIM, lane_hash="md5",
+    )
+    return out.select(
+        "doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score")
+    )
+
+
+def langid_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION langid scoring lane — identical plan to
+    `langid_classifier_docs` on the xxhash64 default (rows-only by
+    nature, the minhash_lsh_candidates precedent: xxhash64 has no
+    DuckDB twin; the md5 twin above hash-verifies the full
+    arithmetic). This is the row the bench measures."""
+    from dataframes_spark.functions import langid as dlangid
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [
+            (lang, bkt, ((bkt * p + o) % 33 - 16) / 16.0)
+            for lang, p, o, _i in _LANGID_LANGS
+            for bkt in range(_LANGID_DIM)
+        ],
+        "lang string, bucket int, weight double",
+    )
+    biases = {lang: (i - 1.5) / 16.0 for lang, _p, _o, i in _LANGID_LANGS}
+    out = dlangid.langid_score(
+        docs, weights, biases, "text", "doc_id", dim=_LANGID_DIM
     )
     return out.select(
         "doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score")
@@ -4860,6 +4889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip_agg": orc_roundtrip_agg,
         "dedup_incremental_docs": dedup_incremental_docs,
         "ols_price_qty": ols_price_qty,
+        # xxhash64 production twin of langid_classifier_docs (rows-only
+        # by nature; the md5 twin in-window hash-verifies the arithmetic)
+        "langid_scores_docs": langid_scores_docs,
         "resample_events_hourly": resample_events_hourly,
         "mix_corpus_sources": mix_corpus_sources,
         "feather_roundtrip_agg": feather_roundtrip_agg,

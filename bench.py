@@ -41,6 +41,7 @@ EXCLUDED = {
     "lsh_buckets_md5": "md5 verification lane of hyperplane_buckets",
     "simhash_fingerprints_md5": "md5 verification lane of simhash",
     "minhash_lsh_pairs_md5": "md5 verification lane of minhash_lsh_pairs",
+    "langid_classifier_docs": "md5 verification lane of langid_score; langid_scores_docs is the benched xxhash64 production lane",
     # the synthetic corpus draws documents from a tiny phrase pool, so
     # the fingerprint df distribution is degenerate (median df ~6% of
     # the corpus) and the pair join measures corpus pathology, not the

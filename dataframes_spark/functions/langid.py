@@ -52,16 +52,37 @@ from pyspark.sql import functions as F
 from dataframes_spark.functions.classifier import _bucket
 
 
+def normalize_text(c: Column) -> Column:
+    """The langid normalization: lowercased, whitespace-collapsed,
+    trimmed, NULL → ''. Factored out so callers can materialize it as
+    a COLUMN before gram expansion — see `char_ngrams`' warning."""
+    return F.lower(
+        F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " "))
+    )
+
+
 def char_ngrams(c: Column, n_lo: int = 2, n_hi: int = 3) -> Column:
     """Array of character n-grams (``n_lo``..``n_hi``) of the
     whitespace-normalized, lowercased text — empty array for
     empty/NULL input. Guarded per length so a short string yields the
     n-gram sizes it has (Spark's ``sequence`` would otherwise run
-    DESCENDING for stop < start and fabricate grams)."""
+    DESCENDING for stop < start and fabricate grams).
+
+    PERF WARNING: pass a plain column (or `normalize_text` output
+    materialized via select/withColumn), not a derived expression —
+    the per-element ``substr`` lambda re-evaluates its input tree PER
+    GRAM (codegen does not CSE inside higher-order functions), so an
+    embedded regex normalization would run len(text) times per row
+    (measured 6x the whole scoring pass). `langid_features` does the
+    two-step select for exactly this reason."""
     if not 1 <= n_lo <= n_hi:
         raise ValueError(f"need 1 <= n_lo <= n_hi, got ({n_lo}, {n_hi})")
-    t = F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " ")))
+    t = normalize_text(c)
+    return _char_ngrams_normalized(t, n_lo, n_hi)
 
+
+def _char_ngrams_normalized(t: Column, n_lo: int, n_hi: int) -> Column:
+    """`char_ngrams` over an ALREADY-normalized string column."""
     # single-arg closure per n: F.transform dispatches on lambda ARITY,
     # so a `lambda i, n=n:` two-parameter form would receive the array
     # INDEX as its second argument and silently corrupt the length
@@ -99,10 +120,15 @@ def langid_features(
     per SQL group semantics, kept by the null-safe join-back)."""
     if dim < 2:
         raise ValueError(f"need dim >= 2, got {dim}")
+    # normalization materializes as an ATTRIBUTE first — the gram
+    # lambda re-evaluates its input per element (see char_ngrams)
     grams = df.select(
         F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("__lg_t"),
+    ).select(
+        "id",
         F.explode_outer(
-            char_ngrams(F.col(text_col), n_lo, n_hi)
+            _char_ngrams_normalized(F.col("__lg_t"), n_lo, n_hi)
         ).alias("__lg_g"),
     )
     per_bucket = (
