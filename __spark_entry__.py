@@ -3476,6 +3476,28 @@ def url_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _durl_url_re() -> str:
+    from dataframes_spark.functions.url import _URL_RE
+
+    return _URL_RE
+
+
+def _durl_auth_re() -> str:
+    from dataframes_spark.functions.url import _AUTH_RE
+
+    return _AUTH_RE
+
+
+def url_host_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-composition host report (functions/url.py host_report):
+    top hosts by document count with 6dp share over the derived crawl
+    URLs — one slim groupBy + broadcast total + TakeOrdered heap
+    (count desc, host asc: deterministic under ties). The oracle
+    replays the authority regex, the count and the share division."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _crawl_url())
+    return durl.host_report(docs, "url", top_n=10)
+
+
 def semdedup_pinned_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (operators/dedup.py semdedup, Abbas et al. 2023) with
     PINNED centroids — the embeddings of vec_ids 1..4, the
@@ -4520,7 +4542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    embedding_near_dup_clusters (driver-green r7-r8; semantic
         #    family stays via embedding_dedup_incremental_vecs +
         #    pq/ivf rows) rotate below.
-        "event_transitions_users": event_transitions_users,
         # (top_paths_events rotated below in the round-10 second batch
         # after going green r9; path analytics stays in-window via
         # event_transitions_users + the funnel rows.)
@@ -4644,6 +4665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    mixture_order_docs).
         "url_dedup_docs": url_dedup_docs,
         "url_dedup_incremental_docs": url_dedup_incremental_docs,
+        # host_report completes the URL family's driver coverage (the
+        # crawl-composition data card). To hold the window at 50,
+        # event_transitions_users (driver-green r9-r10, code unchanged)
+        # rotates below; event analytics stays in-window via
+        # decayed_sum_events + ewma_user_values + rank_family_events.
+        "url_host_report_docs": url_host_report_docs,
         # -- round 11 (new): the trained-langid scoring lane — the r10
         #    verdict's #1 ask (langid is CCNet stage 1; the stopword
         #    argmax was the weakest load-bearing component): multiclass
@@ -4824,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_ess_docs": dsir_ess_docs,
         "oov_report_docs": oov_report_docs,
         "dsir_model_report_docs": dsir_model_report_docs,
+        "event_transitions_users": event_transitions_users,
         "frame_sample_timestamps": frame_sample_timestamps,
         "funnel_events": funnel_events,
         "funnel_events_windowed": funnel_events_windowed,
@@ -6302,6 +6330,27 @@ def oracle_sql() -> dict[str, str]:
             FROM __ucanon
             WHERE url IS NOT NULL
             GROUP BY c
+        """,
+        "url_host_report_docs": f"""
+            -- functions/url.py host_report: authority regex -> host
+            -- (lowered, port/userinfo stripped), counts, 6dp share,
+            -- top 10 by (n_docs DESC, host ASC); regexes are the
+            -- SAME module constants the Spark lane compiles.
+            WITH urls AS ({_URL_DERIVE_SQL}
+            ), hosts AS (
+                SELECT lower(regexp_extract(
+                           regexp_extract(trim(url), '{_durl_url_re()}', 2),
+                           '{_durl_auth_re()}', 2)) AS host
+                FROM urls WHERE url IS NOT NULL
+            ), counts AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+                FROM hosts GROUP BY host
+            ), tot AS (SELECT sum(n_docs) AS t FROM counts)
+            SELECT host, n_docs,
+                   round(n_docs / CAST(t AS DOUBLE), 6) AS share
+            FROM counts, tot
+            ORDER BY n_docs DESC, host ASC
+            LIMIT 10
         """,
         "url_dedup_incremental_docs": f"""
             -- functions/url.py url_dedup_incremental: history = even
