@@ -20,6 +20,10 @@ Layout:
     functions.stats    describe / correlations / RSI / quantiles
     functions.text     language-ID, quality scoring, tokenization, fingerprints
     functions.classifier  hashed-n-gram quality classifier (train/score/store)
+    functions.langid   trained multiclass langid (char-n-gram, fastText shape)
+    functions.bpe      distributed BPE merge induction + word-type store
+    functions.unigram  unigram-LM tokenizer training (SentencePiece family)
+    functions.url      URL canonicalization + URL-level dedup (C4 stage 0)
     operators.*        aggregate, sort, nulls, window, reshape, dedup,
                        similarity, rollup (continuous aggregates), ewma
                        (EWMA + decayed sums), kll (rank-quantile sketch),
