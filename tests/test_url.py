@@ -163,3 +163,32 @@ def test_unparseable_authority_carries_verbatim(spark):
     )
     kept = sorted(r.doc_id for r in U.url_dedup(df, "url", "doc_id").collect())
     assert kept == [1, 2]  # distinct unparseable hosts never merge
+
+
+# ---------------------------------------------------------------------------
+# property: canonicalization is idempotent (a canonical URL is its own
+# canonical form) — the invariant that makes the fingerprint store
+# stable under re-canonicalization of served keys
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_scheme = st.sampled_from(["http", "HTTP", "https", "ftp", ""])
+_host = st.sampled_from(
+    ["Example.com", "a.b.co", "www.X.org", "[2001:db8::1]", "h-1.io"]
+)
+_port = st.sampled_from(["", ":80", ":443", ":8080"])
+_path = st.sampled_from(["", "/", "/A/b", "/a//b/", "/x.y"])
+_query = st.sampled_from(
+    ["", "?a=1", "?utm_source=x", "?b=2&a=1&fbclid=z", "?==&&k="]
+)
+_frag = st.sampled_from(["", "#f", "#a b"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(s=_scheme, h=_host, p=_port, pa=_path, q=_query, f=_frag)
+def test_canonical_url_idempotent(spark, s, h, p, pa, q, f):
+    url = (f"{s}://" if s else "") + h + p + pa + q + f
+    once = _canon(spark, [url])[0]
+    twice = _canon(spark, [once])[0]
+    assert twice == once, (url, once, twice)
