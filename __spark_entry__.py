@@ -3476,6 +3476,41 @@ def url_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_tokenize_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 capstone: the training-data ENDGAME composed —
+    tokenizer training (the unigram_lm_docs chain), per-document TOKEN
+    counts under the trained model (functions/unigram.py token_counts:
+    vocabulary-sized DP, broadcast (word, ntok) map, one doc-keyed
+    reduction), then TOKEN-budgeted context-window packing on the
+    distributed cumsum lane (operators/pack.py pack_by_cumsum) with
+    the utilization report. Character-budget packing
+    (pack_documents_cumsum) is the stand-in this row retires: loaders
+    budget tokens, not characters. Every stage's SQL twin composes in
+    ONE oracle (trainer CTEs + extra E-step + token join + the pack
+    window)."""
+    from dataframes_spark.functions import unigram as dug
+    from dataframes_spark.functions.bpe import word_type_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = dug.unigram_train_scheduled(
+        word_type_counts(docs, "text"),
+        _UG_SCHEDULE,
+        seed_size=_UG_SEED,
+        max_piece_len=_UG_MAXP,
+        max_word_len=_UG_MAXW,
+    )
+    toks = dug.token_counts(
+        docs, "text", "doc_id", pieces, _UG_MAXP, _UG_MAXW
+    )
+    packed = dpack.pack_by_cumsum(toks, "n_tokens", 512, "doc_id")
+    return dpack.pack_stats(packed, "n_tokens", 512).select(
+        "pack_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_size").cast("bigint").alias("total_tokens"),
+        "fill",
+    )
+
+
 def _durl_url_re() -> str:
     from dataframes_spark.functions.url import _URL_RE
 
@@ -4554,7 +4589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    strip_dup_spans_docs) and shard_report_docs (driver-green
         #    r7-r8; sampling family stays via weighted_merge_docs +
         #    bottomk_sample_docs + the dsir and mix rows) rotate below.
-        "mix_manifest_docs": mix_manifest_docs,
         # -- round 9 (continuation): the Zipf corpus-health fit — the
         #    one-number "does this batch still look like language?"
         #    alarm. dedup_best_quality_docs (driver-green r5-r8) rotates
@@ -4701,6 +4735,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    percent_rank_events).
         "unigram_lm_docs": unigram_lm_docs,
         "unigram_fertility_docs": unigram_fertility_docs,
+        # -- round 11 (capstone): tokenize-and-pack — tokenizer training
+        #    + token counts + token-budgeted packing composed in ONE
+        #    oracle (the pipeline_curation_docs pattern; the loader-side
+        #    endgame the char-budget pack rows stood in for). To hold
+        #    the window at 50, mix_manifest_docs (driver-green r9-r10,
+        #    code unchanged) rotates below; the mixing family stays
+        #    in-window via mixture_order_docs.
+        "pipeline_tokenize_pack_docs": pipeline_tokenize_pack_docs,
         # -- round 11 (rotation-freshness sweep, the r10 verdict's item
         #    8): the TEN stalest code-unchanged rows (last driver-green
         #    r3-r4: the LQuery expression family, interval/row rolling,
@@ -4852,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_report_docs": oov_report_docs,
         "dsir_model_report_docs": dsir_model_report_docs,
         "event_transitions_users": event_transitions_users,
+        "mix_manifest_docs": mix_manifest_docs,
         "frame_sample_timestamps": frame_sample_timestamps,
         "funnel_events": funnel_events,
         "funnel_events_windowed": funnel_events_windowed,
@@ -7625,6 +7668,42 @@ def oracle_sql() -> dict[str, str]:
         "unigram_lm_docs": _unigram_oracle_sql("""
             SELECT piece, cnt, lp FROM __PFINAL__
         """),
+        "pipeline_tokenize_pack_docs": _unigram_oracle_sql(
+            """
+            , __ntok AS MATERIALIZED (
+                SELECT word,
+                       CAST(len(string_split(trim(bp), ' ')) AS BIGINT)
+                           AS ntok
+                FROM __DPFINAL__
+            ), __dwords AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) AS word
+                FROM documents
+            ), __dtok AS MATERIALIZED (
+                SELECT d.doc_id,
+                       CAST(coalesce(sum(n.ntok), 0) AS BIGINT) AS n_tokens
+                FROM documents d
+                LEFT JOIN __dwords w ON w.doc_id = d.doc_id
+                LEFT JOIN __ntok n ON n.word = w.word
+                GROUP BY d.doc_id
+            ), __cum AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS c
+                FROM __dtok
+            )
+            SELECT CAST(FLOOR(c / 512) AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   round(SUM(n_tokens) / 512.0, 6) AS fill
+            FROM __cum GROUP BY 1
+        """,
+            extra_estep=True,
+        ),
         "unigram_fertility_docs": _unigram_oracle_sql(
             """
             SELECT CAST(sum(freq) AS BIGINT) AS n_words,

@@ -463,3 +463,66 @@ def unigram_train_from_store(
         max_piece_len,
         max_word_len,
     )
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pieces: DataFrame,
+    max_piece_len: int = 6,
+    max_word_len: int = 48,
+) -> DataFrame:
+    """Per-document TOKEN counts under a trained piece table —
+    the quantity token-budgeted packing and mixture manifests actually
+    need (character counts are the stand-in): ``(id, n_tokens)`` for
+    every document, zero for wordless ones.
+
+    Plan: segment the word-TYPE relation once (vocabulary-sized DP,
+    `viterbi_types`), broadcast the resulting ``(word, ntok)`` map, and
+    reduce each document's word stream against it — the corpus pays one
+    tokenizing scan plus its (doc)-keyed count reduction; the DP never
+    touches corpus-sized data. Words longer than ``max_word_len`` are
+    excluded from the count, symmetric with the trainer's junk rule
+    (count them separately if they matter)."""
+    types = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                        r"\s+",
+                    ),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ntok = viterbi_types(types, pieces, max_piece_len).select(
+        "word", F.size("pieces").alias("__ug_ntok")
+    )
+    words = df.select(
+        F.col(id_col).alias("__ug_id"),
+        F.explode_outer(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(ntok), "word", "left")
+        .groupBy("__ug_id")
+        .agg(
+            F.coalesce(F.sum("__ug_ntok"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            )
+        )
+        .select(F.col("__ug_id").alias(id_col), "n_tokens")
+    )

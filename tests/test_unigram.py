@@ -265,3 +265,27 @@ def test_segmentation_reconstructs_word(spark, words):
     )
     for r in U.unigram_encode(novel, "text", "id", pieces, 3).collect():
         assert len("".join(r.tokens)) > 0
+
+
+def test_token_counts_per_doc(spark):
+    df = _df(spark)
+    pieces = U.unigram_train(df, "text", vocab_size=10, max_piece_len=3)
+    seg = {
+        r.word: len(r.pieces)
+        for r in U.viterbi_types(
+            word_type_counts(df, "text"), pieces, 3
+        ).collect()
+    }
+    got = {
+        r.id: r.n_tokens
+        for r in U.token_counts(df, "text", "id", pieces, 3).collect()
+    }
+    for i, text in enumerate(CORPUS):
+        want = sum(seg[w] for w in text.lower().split())
+        assert got[i] == want, (i, got[i], want)
+    empty = spark.createDataFrame([(9, " "), (10, None)], "id long, text string")
+    gz = {
+        r.id: r.n_tokens
+        for r in U.token_counts(empty, "text", "id", pieces, 3).collect()
+    }
+    assert gz == {9: 0, 10: 0}
