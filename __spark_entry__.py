@@ -2804,6 +2804,22 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbpe.merge_table(spark, merges)
 
 
+def wordpiece_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge induction (functions/bpe.py bpe_learn with
+    scoring='wordpiece' — Schuster & Nakajima 2012): the THIRD
+    production tokenizer family, sharing BPE's whole machinery except
+    the argmax metric, which becomes the likelihood-gain score
+    ``n / (c_lhs * c_rhs)`` over the current type relation. The
+    generated oracle replays every round with the same score
+    expression (exact-integer division — bit-identical on both
+    engines) and (lhs, rhs) tie order."""
+    from dataframes_spark.functions import bpe as dbpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = dbpe.bpe_learn(docs, "text", _BPE_K, scoring="wordpiece")
+    return dbpe.merge_table(spark, merges)
+
+
 def bpe_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental BPE (functions/bpe.py): the corpus split into three
     batches, each reduced to its word-type counts (BPE's sufficient
@@ -2855,12 +2871,16 @@ def bpe_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(k: int = _BPE_K) -> str:
+def _bpe_oracle(k: int = _BPE_K, scoring: str = "count") -> str:
     """Generated DuckDB replay of `bpe_merges_docs`: one (pair-count,
     argmax, list_reduce-merge) CTE triple per round, built from the
     same ``_BPE_K`` the Spark query uses — the two lanes share the
     round count by construction. The list_reduce CASE is the exact
-    twin of `bpe._merge_fold` (seed = first element on both sides)."""
+    twin of `bpe._merge_fold` (seed = first element on both sides).
+    ``scoring="wordpiece"`` adds a symbol-count CTE per round and
+    ranks by the likelihood-gain score ``n / (c_lhs * c_rhs)`` — one
+    double division of exact integers, identical on both engines
+    (`bpe.bpe_learn_from_counts`)."""
     merge_case = (
         "CASE WHEN acc = m.lhs AND x = m.rhs THEN m.lhs || m.rhs "
         "WHEN ends_with(acc, ' ' || m.lhs) AND x = m.rhs "
@@ -2883,6 +2903,25 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
             )"""
     ]
     for i in range(1, k + 1):
+        if scoring == "wordpiece":
+            argmax = f""", c{i} AS (
+                SELECT sym, CAST(sum(freq) AS BIGINT) AS c
+                FROM (SELECT freq, unnest(syms) AS sym FROM s{i - 1})
+                GROUP BY sym
+            ), m{i} AS (
+                SELECT p.lhs, p.rhs, p.n FROM p{i} p
+                JOIN c{i} cl ON cl.sym = p.lhs
+                JOIN c{i} cr ON cr.sym = p.rhs
+                ORDER BY p.n / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE))
+                             DESC,
+                         p.lhs ASC, p.rhs ASC
+                LIMIT 1
+            )"""
+        else:
+            argmax = f""", m{i} AS (
+                SELECT lhs, rhs, n FROM p{i}
+                ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1
+            )"""
         parts.append(
             f""", p{i} AS (
                 SELECT syms[g] AS lhs, syms[g + 1] AS rhs,
@@ -2891,10 +2930,7 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
                              unnest(generate_series(1, len(syms) - 1)) AS g
                       FROM s{i - 1})
                 GROUP BY 1, 2
-            ), m{i} AS (
-                SELECT lhs, rhs, n FROM p{i}
-                ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1
-            ), s{i} AS (
+            ){argmax}, s{i} AS (
                 SELECT s.freq,
                        string_split(list_reduce(s.syms,
                            (acc, x) -> {merge_case}), ' ') AS syms
@@ -4567,7 +4603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (driver-green r6-r8) rotates below; the fingerprint/dedup
         #    family stays via minhash_lsh_pairs_md5 + the span-dedup and
         #    near-dup rows.
-        "gopher_rules_docs": gopher_rules_docs,
         # -- round 9 (continuation): path analytics completing the event
         #    family (funnel/cohort/sessionize) — the first-order Markov
         #    transition matrix and the top-k first-5-step journeys, both
@@ -4743,6 +4778,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    code unchanged) rotates below; the mixing family stays
         #    in-window via mixture_order_docs.
         "pipeline_tokenize_pack_docs": pipeline_tokenize_pack_docs,
+        # -- round 11 (continuation): WordPiece merge induction — the
+        #    third tokenizer family (likelihood-gain argmax over the
+        #    shared BPE machinery), every round replayed by the
+        #    parameterized generated oracle. To hold the window at 50,
+        #    gopher_rules_docs (driver-green r9-r10, code unchanged)
+        #    rotates below; the text-health family stays in-window via
+        #    c4_rules_docs, ccnet_buckets_docs, lang_mix_docs and
+        #    corpus_report_docs.
+        "wordpiece_merges_docs": wordpiece_merges_docs,
         # -- round 11 (rotation-freshness sweep, the r10 verdict's item
         #    8): the TEN stalest code-unchanged rows (last driver-green
         #    r3-r4: the LQuery expression family, interval/row rolling,
@@ -4895,6 +4939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_model_report_docs": dsir_model_report_docs,
         "event_transitions_users": event_transitions_users,
         "mix_manifest_docs": mix_manifest_docs,
+        "gopher_rules_docs": gopher_rules_docs,
         "frame_sample_timestamps": frame_sample_timestamps,
         "funnel_events": funnel_events,
         "funnel_events_windowed": funnel_events_windowed,
@@ -6070,6 +6115,7 @@ def oracle_sql() -> dict[str, str]:
         # per BPE round, round count shared with the Spark query via
         # _BPE_K by construction.
         "bpe_merges_docs": _bpe_oracle(),
+        "wordpiece_merges_docs": _bpe_oracle(scoring="wordpiece"),
         # the ONE-SHOT SQL again: the incremental path (three batch
         # count folds merged per word) must reproduce it exactly —
         # that equality IS what this row verifies.

@@ -117,12 +117,24 @@ def word_type_store_update(spark, table: str, batch_counts: DataFrame) -> dict:
 
 
 def bpe_learn_from_store(
-    spark, table: str, k: int, end_marker: str = END_MARKER
+    spark, table: str, k: int, end_marker: str = END_MARKER,
+    scoring: str = "count",
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``k`` merges from a persisted word-type count store —
     tokenizer refit over ALL ingested history at vocabulary cost, no
     corpus re-scan (`dsir_fit_from_stores`' counterpart)."""
-    return bpe_learn_from_counts(spark.table(table), k, end_marker)
+    return bpe_learn_from_counts(spark.table(table), k, end_marker, scoring)
+
+
+def sym_counts(words: DataFrame) -> DataFrame:
+    """Frequency-weighted symbol occurrence counts over the type
+    relation: ``(sym, c)`` — the denominators of the WordPiece pair
+    score. One explode + symbol-sized groupBy."""
+    return (
+        words.select("freq", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("bigint").alias("c"))
+    )
 
 
 def pair_counts(words: DataFrame) -> DataFrame:
@@ -181,14 +193,17 @@ def bpe_learn(
     text_col: str,
     k: int,
     end_marker: str = END_MARKER,
+    scoring: str = "count",
 ) -> tuple[list[dict], DataFrame]:
-    """Learn the first ``k`` BPE merges over the corpus. Returns
+    """Learn the first ``k`` merges over the corpus. Returns
     ``(merges, words)``: the ordered merge table (each entry
     ``{"step", "lhs", "rhs", "merged", "n"}``) and the final type
     relation with merged symbol arrays. Stops early if no pair is left
-    (fully merged vocabulary)."""
+    (fully merged vocabulary). ``scoring="wordpiece"`` switches the
+    argmax to the likelihood-gain score (see
+    `bpe_learn_from_counts`)."""
     return bpe_learn_from_counts(
-        word_type_counts(df, text_col), k, end_marker
+        word_type_counts(df, text_col), k, end_marker, scoring
     )
 
 
@@ -196,21 +211,67 @@ def bpe_learn_from_counts(
     counts: DataFrame,
     k: int,
     end_marker: str = END_MARKER,
+    scoring: str = "count",
 ) -> tuple[list[dict], DataFrame]:
     """The training loop over an explicit ``(word, freq)`` relation —
     the shared core of `bpe_learn` (one-shot) and `bpe_learn_from_store`
-    (incremental refit)."""
+    (incremental refit).
+
+    ``scoring`` selects the pair-argmax metric — the ONLY difference
+    between the two published merge-based tokenizer trainers:
+
+    - ``"count"`` (default): raw pair frequency — BPE (Sennrich 2016);
+    - ``"wordpiece"``: the likelihood-gain score ``n / (c_lhs *
+      c_rhs)`` (Schuster & Nakajima 2012 — merge the pair whose union
+      most increases a unigram LM's corpus likelihood), where ``c_x``
+      is the symbol's frequency-weighted occurrence count in the
+      CURRENT type relation. The score is one double division of
+      exact integers (the product runs in doubles: symbol counts are
+      exact below 2^53 and the product rounds identically on both
+      engines), so the argmax replays in DuckDB bit for bit; ties
+      break (lhs, rhs) lexicographic as in the count lane. Costs one
+      extra symbol-sized groupBy per round.
+    """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if scoring not in ("count", "wordpiece"):
+        raise ValueError(f"scoring must be count|wordpiece, got {scoring!r}")
     words = types_from_counts(counts, end_marker).persist()
     merges: list[dict] = []
     for step in range(1, k + 1):
-        top = (
-            pair_counts(words)
-            .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()
-        )
+        pc = pair_counts(words)
+        if scoring == "wordpiece":
+            sc = sym_counts(words)
+            pc = (
+                pc.join(
+                    sc.select(
+                        F.col("sym").alias("lhs"), F.col("c").alias("__cl")
+                    ),
+                    "lhs",
+                )
+                .join(
+                    sc.select(
+                        F.col("sym").alias("rhs"), F.col("c").alias("__cr")
+                    ),
+                    "rhs",
+                )
+                .select(
+                    "lhs",
+                    "rhs",
+                    "n",
+                    (
+                        F.col("n")
+                        / (
+                            F.col("__cl").cast("double")
+                            * F.col("__cr").cast("double")
+                        )
+                    ).alias("__score"),
+                )
+            )
+            order = [F.desc("__score"), F.asc("lhs"), F.asc("rhs")]
+        else:
+            order = [F.desc("n"), F.asc("lhs"), F.asc("rhs")]
+        top = pc.orderBy(*order).limit(1).collect()
         if not top:
             break
         r = top[0]

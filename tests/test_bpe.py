@@ -173,3 +173,23 @@ def test_fertility_matches_reference(spark):
     want_nt = sum(len(s) * vocab[w] for w, s in ref_words.items())
     want_nw = sum(vocab.values())
     assert (row["nt"], row["nw"]) == (want_nt, want_nw)
+
+
+def test_wordpiece_scoring_prefers_rare_part_pairs(spark):
+    """scoring='wordpiece' ranks by n/(c_lhs*c_rhs): a pair of RARE
+    symbols that always co-occur must beat a frequent pair with
+    promiscuous parts — hand-checkable corpus; and the count lane is
+    unchanged by the new parameter."""
+    from dataframes_spark.functions import bpe as B
+
+    # 'xy' appears 3x and x,y appear ONLY together (score 3/(3*3)=1/3);
+    # 'aa' pairs appear 8x but 'a' occurs 12x (score 8/144)
+    df = spark.createDataFrame(
+        [(1, "xy xy xy aaa aaa aaa aaa")], "id long, text string"
+    )
+    wp, _ = B.bpe_learn(df, "text", 1, scoring="wordpiece")
+    assert (wp[0]["lhs"], wp[0]["rhs"]) == ("x", "y")
+    cnt, _ = B.bpe_learn(df, "text", 1)
+    assert (cnt[0]["lhs"], cnt[0]["rhs"]) == ("a", "a")
+    with __import__("pytest").raises(ValueError, match="scoring"):
+        B.bpe_learn(df, "text", 1, scoring="nope")
