@@ -102,7 +102,8 @@ SHOWCASE = [
     ("semdedup_pinned_vecs", "SemDedup: literal-centroid argmax map-only -> cluster equi-join pairs -> loser anti flag"),
     ("mixture_order_docs", "stride-scheduled mixture interleave: grouped_positions + global_positions lanes, two data exchanges total"),
     ("pipeline_curation_docs", "curation capstone: C4 verdicts + CCNet tail drop + exact dedup + epoch shuffle, one composed plan"),
-    # bpe_merges_docs / bpe_incremental_docs are NOT showcased: the
+    # bpe_merges_docs / bpe_incremental_docs / wordpiece_merges_docs /
+    # pipeline_tokenize_pack_docs are NOT showcased: the
     # training loop runs eagerly (one 1-row argmax collect per round);
     # the returned merge table is a local relation. The per-round plan
     # (pair-count groupBy + TakeOrdered(1) + map-only fold rewrite) is
