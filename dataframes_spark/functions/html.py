@@ -1,0 +1,309 @@
+"""HTML→text boilerplate extraction — the stage every published
+crawl-curation pipeline runs BEFORE the stages this repo already
+implements: C4 (Raffel et al. 2020 §2.2), CCNet (Wenzek et al. 2020)
+and RefinedWeb (Penedo et al. 2023) all consume text EXTRACTED from
+raw crawl HTML, with navigation/footer/advertising boilerplate
+removed. The extraction recipe here follows the jusText /
+trafilatura lineage (Pomikálek 2011, "Removing boilerplate and
+duplicate content from web corpora"): segment the page into blocks at
+block-level tag boundaries, measure each block (word count, link
+density, stopword density), keep only content-like blocks, and
+reassemble the survivors.
+
+Everything is PURE JVM expression work inside the corpus scan —
+regexp rewrites, one split, and staged higher-order transforms over
+the block array (the `c4_rules` shape, functions/text.py) — so
+extraction runs at scan speed at any corpus size, no shuffle, no
+Python in the row path. The measurement pipeline:
+
+1. strip comments, ``<head>`` (title/meta/style), ``<script>`` and
+   ``<style>`` elements (paired-tag regions, non-greedy dotall);
+2. mark anchor TEXT with sentinel bytes (``\\x01 … \\x02``) so link
+   density survives tag stripping — the replacement keeps the inner
+   text via a capture group;
+3. break the page into candidate blocks at block-level tags
+   (``p/div/h1-6/li/ul/ol/table/tr/td/...`` → newline);
+4. strip all remaining inline tags, decode the six common entities
+   (``&nbsp; &lt; &gt; &quot; &#39;`` then ``&amp;`` LAST so
+   double-escaped text stays escaped);
+5. per block: visible text (markers removed, whitespace collapsed),
+   link chars (sum of marked-span lengths), word count, stopword
+   count — each computed in a STAGED transform so no subexpression
+   re-evaluates per element (higher-order lambdas do not CSE their
+   input tree; see `char_ngrams`' PERF WARNING, functions/langid.py).
+
+A block is KEPT iff (a) it has at least ``min_words`` words, (b) its
+link density (anchor chars / visible chars) is at most
+``max_link_density``, and (c) — when ``min_stop_density > 0`` — its
+stopword fraction reaches the floor (jusText's "good" evidence; off
+by default because it is language-specific).
+
+The DuckDB oracle replays the identical rewrite chain term for term
+(`__spark_entry__.py html_extract_docs`), so the extraction ITSELF is
+hash-verified, not just row counts: both engines' regex dialects
+(Java util.regex vs RE2) agree on every construct used here — inline
+``(?is)`` flags, non-greedy ``.*?``, ``\\b``, non-capturing groups —
+and backreferences are deliberately avoided (RE2 has none), which is
+why script/style strip as two patterns instead of one
+``<(script|style)>.*?</\\1>``.
+
+NULL HTML yields an empty page (0 blocks, empty text), never NULL
+verdicts — a missing payload is "nothing extractable", and keeping
+the row lets provenance-aware stages upstream decide its fate (the
+URL-dedup NULL-provenance contract, functions/url.py).
+
+No reference analog (the reference has no markup handling,
+src/Column.luna); semantics follow the cited public pipelines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: sentinel bytes marking anchor-text spans between tag-strip and
+#: block measurement. Control bytes never occur in real text; a crawl
+#: that somehow carries them would only perturb link densities.
+LINK_OPEN = "\x01"
+LINK_CLOSE = "\x02"
+
+#: block-level elements — a tag boundary here ends a candidate block.
+#: The HTML5 flow-content set that jusText/trafilatura segment on.
+BLOCK_TAGS = (
+    "p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|br|hr|table|thead|tbody|tr|td|th"
+    "|blockquote|pre|nav|header|footer|section|article|aside|main"
+    "|figure|figcaption|form|dl|dt|dd"
+)
+
+#: default stopword list for the (opt-in) stopword-density gate —
+#: the high-frequency English function words jusText's English model
+#: keys on. Deployments pass their language's list instead.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "are", "was", "be",
+    "by", "at", "from", "not", "but", "have", "has", "they", "you",
+    "we", "his", "her", "its", "their", "which", "will", "can",
+)
+
+#: entity decode table, applied in order — ``&amp;`` LAST so
+#: double-escaped entities (``&amp;lt;``) decode one level only.
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+_PAIRED_STRIP = (
+    r"(?is)<!--.*?-->",
+    r"(?is)<head\b[^>]*>.*?</head>",
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+)
+
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+_BLOCK_RE = r"(?i)</?(?:" + BLOCK_TAGS + r")\b[^>]*>"
+_TAG_RE = r"<[^>]*>"
+
+
+def page_text(c: Column) -> Column:
+    """The rewrite chain up to block boundaries: one string whose
+    newlines are block boundaries and whose anchor text is wrapped in
+    `LINK_OPEN`/`LINK_CLOSE` sentinels. NULL → ``''``. Exposed
+    separately so callers (and the oracle) share one definition."""
+    s = F.coalesce(c, F.lit(""))
+    for pat in _PAIRED_STRIP:
+        s = F.regexp_replace(s, pat, " ")
+    s = F.regexp_replace(s, _ANCHOR_RE, LINK_OPEN + "$1" + LINK_CLOSE)
+    s = F.regexp_replace(s, _BLOCK_RE, "\n")
+    s = F.regexp_replace(s, _TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return s
+
+
+def _block_stats(
+    page: Column, stopwords: Sequence[str]
+) -> Column:
+    """Array of per-block measurement structs
+    ``(vis, n_chars, lc, n_words, n_stop)`` for the non-empty blocks
+    of a `page_text` string. Built in STAGED transforms: each stage
+    computes a field once and later stages reach it by struct access,
+    so nothing re-evaluates per element."""
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    raw = F.split(page, r"\n")
+    measured = F.transform(
+        raw,
+        lambda b: F.struct(
+            F.trim(
+                F.regexp_replace(
+                    F.replace(
+                        F.replace(b, F.lit(LINK_OPEN), F.lit("")),
+                        F.lit(LINK_CLOSE),
+                        F.lit(""),
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("vis"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(
+                        b,
+                        F.lit(
+                            LINK_OPEN + "([^" + LINK_CLOSE + "]*)" + LINK_CLOSE
+                        ),
+                        1,
+                    ),
+                    lambda x: F.length(x),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("lc"),
+        ),
+    )
+    nonempty = F.filter(measured, lambda st: F.length(st["vis"]) > 0)
+    return F.transform(
+        nonempty,
+        lambda st: F.struct(
+            st["vis"].alias("vis"),
+            F.length(st["vis"]).alias("n_chars"),
+            st["lc"].alias("lc"),
+            F.size(F.split(st["vis"], " ")).alias("n_words"),
+            F.size(
+                F.filter(
+                    F.split(st["vis"], " "),
+                    lambda w: F.array_contains(stop_arr, F.lower(w)),
+                )
+            ).alias("n_stop"),
+        ),
+    )
+
+
+def _keep(
+    st: Column,
+    min_words: int,
+    max_link_density: float,
+    min_stop_density: float,
+) -> Column:
+    gate = (st["n_words"] >= F.lit(min_words)) & (
+        st["lc"].cast("double")
+        / F.greatest(st["n_chars"], F.lit(1)).cast("double")
+        <= F.lit(float(max_link_density))
+    )
+    if min_stop_density > 0:
+        gate = gate & (
+            st["n_stop"].cast("double")
+            / F.greatest(st["n_words"], F.lit(1)).cast("double")
+            >= F.lit(float(min_stop_density))
+        )
+    return gate
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    min_words: int = 3,
+    max_link_density: float = 0.4,
+    min_stop_density: float = 0.0,
+    stopwords: Sequence[str] = STOPWORDS,
+) -> DataFrame:
+    """Per-document extraction report:
+    ``(id, n_blocks, n_kept, kept_frac, n_words, stop_frac, text)``
+    where ``text`` is the kept blocks' visible text joined with
+    newlines (``''`` when nothing survives — NULL html included),
+    ``n_words``/``stop_frac`` measure the KEPT text, and fractions
+    round to 6 places (the repo's float-output contract). Map-only:
+    one projection, no shuffle, no Python."""
+    if not 0 <= max_link_density <= 1:
+        raise ValueError(
+            f"max_link_density must be in [0, 1], got {max_link_density}"
+        )
+    stats = df.select(
+        F.col(id_col).alias("__id"),
+        _block_stats(page_text(F.col(html_col)), stopwords).alias("__b"),
+    ).select(
+        "__id",
+        "__b",
+        F.filter(
+            F.col("__b"),
+            lambda st: _keep(st, min_words, max_link_density, min_stop_density),
+        ).alias("__k"),
+    )
+    kept = F.col("__k")
+    n_words = F.aggregate(
+        F.transform(kept, lambda st: st["n_words"]),
+        F.lit(0),
+        lambda a, x: a + x,
+    ).cast("bigint")
+    n_stop = F.aggregate(
+        F.transform(kept, lambda st: st["n_stop"]),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return stats.select(
+        F.col("__id").alias(id_col),
+        F.size("__b").cast("bigint").alias("n_blocks"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.round(
+            F.size(kept)
+            / F.greatest(F.size("__b"), F.lit(1)).cast("double"),
+            6,
+        ).alias("kept_frac"),
+        n_words.alias("n_words"),
+        F.round(
+            n_stop.cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            6,
+        ).alias("stop_frac"),
+        F.array_join(
+            F.transform(kept, lambda st: st["vis"]), "\n"
+        ).alias("text"),
+    )
+
+
+def html_clean(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    out_col: str = "text",
+    min_words: int = 3,
+    max_link_density: float = 0.4,
+    min_stop_density: float = 0.0,
+    min_kept_blocks: int = 1,
+    stopwords: Sequence[str] = STOPWORDS,
+) -> DataFrame:
+    """The composable keep/strip stage: extract, then KEEP only pages
+    with at least ``min_kept_blocks`` surviving blocks — except pages
+    whose html is NULL, which pass with NULL text (unknown provenance
+    is not evidence of boilerplate; the URL-dedup NULL contract).
+    Returns ``(id, out_col)`` — the slim projection later stages key
+    on; page bodies never carry further than needed."""
+    stats = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(html_col).isNull().alias("__nul"),
+        _block_stats(page_text(F.col(html_col)), stopwords).alias("__b"),
+    ).select(
+        "__id",
+        "__nul",
+        F.filter(
+            F.col("__b"),
+            lambda st: _keep(st, min_words, max_link_density, min_stop_density),
+        ).alias("__k"),
+    )
+    return stats.filter(
+        F.col("__nul") | (F.size("__k") >= F.lit(min_kept_blocks))
+    ).select(
+        F.col("__id").alias(id_col),
+        F.when(
+            ~F.col("__nul"),
+            F.array_join(
+                F.transform(F.col("__k"), lambda st: st["vis"]), "\n"
+            ),
+        ).alias(out_col),
+    )
