@@ -3000,22 +3000,35 @@ def mixture_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-10 capstone, extended in round 11 with C4's TRUE stage 0:
-    URL-level dedup (canonicalize the derived crawl URLs, keep the
-    min-id survivor per canonical URL, NULL-provenance rows pass) —
-    then C4 page verdicts (over the deterministic `_c4_docs`
-    structure), CCNet perplexity tertiles fitted on the URL survivors
-    (drop the tail), exact CONTENT dedup (min-id representative per
-    content), and the per-epoch training shuffle — summarized per
-    (lang, shard) with the max shard position verifying the shuffle's
-    window. Every stage is the REAL operator and every stage's SQL
-    twin composes in the oracle, so the whole pipeline hash-verifies;
-    the corpus text crosses exactly one shuffle (the content-dedup key
-    exchange) before the shard partitioning — the URL stage exchanges
-    only its slim (canonical, id) projection."""
+    """Round-10 capstone, extended each round with the next-earlier
+    pipeline stage; round 12 prepends the TRUE stage 0 every published
+    recipe starts from — HTML→text extraction: synthesize the crawl
+    pages, extract (functions/html.py), and gate pages (NULL html
+    passes — unknown provenance; otherwise at least one block must
+    survive the boilerplate verdicts). Then URL-level dedup
+    (canonicalize the survivors' crawl URLs, keep the min-id survivor
+    per canonical URL, NULL-provenance rows pass), C4 page verdicts
+    (over the deterministic `_c4_docs` structure), CCNet perplexity
+    tertiles fitted on the survivors (drop the tail), exact CONTENT
+    dedup (min-id representative per content), and the per-epoch
+    training shuffle — summarized per (lang, shard) with the max shard
+    position verifying the shuffle's window. Every stage is the REAL
+    operator and every stage's SQL twin composes in the oracle, so the
+    whole pipeline hash-verifies; the corpus text crosses exactly one
+    shuffle (the content-dedup key exchange) before the shard
+    partitioning — the HTML gate is map-only + one slim id semi-join,
+    and the URL stage exchanges only its (canonical, id) projection."""
+    from dataframes_spark.functions import html as dhtml
     from dataframes_spark.operators.sample import epoch_shuffle
 
-    raw = _t(spark, sf_dir, "documents").withColumn("url", _crawl_url())
+    gate = dhtml.html_clean(
+        _crawl_pages(spark, sf_dir), "html", "doc_id"
+    ).select("doc_id")
+    raw = (
+        _t(spark, sf_dir, "documents")
+        .join(gate, "doc_id")
+        .withColumn("url", _crawl_url())
+    )
     docs = durl.url_dedup(raw, "url", "doc_id").drop("url")
     c4 = dtext.c4_rules(_c4_docs(spark, sf_dir), "text", "doc_id").select(
         "doc_id", "pass_all"
@@ -3463,24 +3476,6 @@ def langid_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: pipeline_curation_docs' stage-0 CTE chain: derive URLs, canonicalize
-#: (`_url_canon_sql`), keep min-id per canonical URL plus every
-#: NULL-provenance row (u0), and restrict the corpus to survivors (d0).
-_URL_STAGE0_PREFIX = f"""
-            WITH urls AS ({_URL_DERIVE_SQL}
-            ),
-            {_url_canon_sql("urls")}
-            , u0 AS (
-                SELECT doc_id FROM __ucanon WHERE url IS NULL
-                UNION ALL
-                SELECT min(doc_id) AS doc_id FROM __ucanon
-                WHERE url IS NOT NULL GROUP BY c
-            ), d0 AS (
-                SELECT d.* FROM documents d JOIN u0 USING (doc_id)
-            ),
-"""
-
-
 def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup report (functions/url.py url_dedup_report) —
     C4's stage-0 pass (Raffel et al. 2020 §2.2 dedups by URL before
@@ -3666,6 +3661,38 @@ def _html_extract_sql(src: str) -> str:
                                <= 0.4) AS k
                 FROM hxm
             )"""
+
+
+#: pipeline_curation_docs' stage-0 CTE chain, round 12: synthesize the
+#: crawl pages, run HTML→text extraction, gate pages (h0: NULL html
+#: passes — unknown provenance, the URL-dedup NULL contract — else at
+#: least one block must survive), THEN derive URLs for the survivors,
+#: canonicalize (`_url_canon_sql`), keep min-id per canonical URL plus
+#: every NULL-provenance row (u0), and restrict the corpus to the
+#: surviving ids (d0).
+_CURATION_STAGE0_PREFIX = (
+    "WITH "
+    + _HTML_DERIVE_SQL
+    + _html_extract_sql("hpages")
+    + f"""
+            , h0 AS (
+                SELECT s.doc_id FROM hstats s JOIN hpages p USING (doc_id)
+                WHERE p.html IS NULL OR len(s.k) >= 1
+            ), urls_all AS ({_URL_DERIVE_SQL}
+            ), urls AS (
+                SELECT u.* FROM urls_all u JOIN h0 USING (doc_id)
+            ),
+            {_url_canon_sql("urls")}
+            , u0 AS (
+                SELECT doc_id FROM __ucanon WHERE url IS NULL
+                UNION ALL
+                SELECT min(doc_id) AS doc_id FROM __ucanon
+                WHERE url IS NOT NULL GROUP BY c
+            ), d0 AS (
+                SELECT d.* FROM documents d JOIN u0 USING (doc_id)
+            ),
+"""
+)
 
 
 def _crawl_html_expr(did: "F.Column", words: "F.Column") -> "F.Column":
@@ -6386,9 +6413,10 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY stride_key, lang, doc_id) AS BIGINT) AS ord
             FROM sk
         """,
-        "pipeline_curation_docs": _URL_STAGE0_PREFIX + """
-            -- the round-10 curation playbook end-to-end (round 11
-            -- prepends the URL stage-0 CTEs via _URL_STAGE0_PREFIX:
+        "pipeline_curation_docs": _CURATION_STAGE0_PREFIX + """
+            -- the round-10 curation playbook end-to-end (round 12
+            -- prepends the HTML extraction gate + URL stage-0 CTEs via
+            -- _CURATION_STAGE0_PREFIX: html-gate survivors h0,
             -- canonical-url min-id survivors u0, corpus d0): the
             -- c4_rules_docs verdict chain (pass_all only), the
             -- ccnet_buckets_docs tertile chain (bucket only), exact
