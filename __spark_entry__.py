@@ -3695,6 +3695,20 @@ _CURATION_STAGE0_PREFIX = (
 )
 
 
+#: SQL twin of `_pinned_phash` — a CTE body producing ``ppf(id, fp)``.
+_PHASH_PINNED_SQL = """ppf AS (
+                SELECT doc_id AS id,
+                       list_transform(generate_series(0, 7), i ->
+                           CAST(CASE WHEN i = doc_id % 8
+                                THEN xor(((doc_id % 199) * 31 + i * 7) % 256,
+                                         CASE doc_id % 3 WHEN 0 THEN 0
+                                              WHEN 1 THEN 1 ELSE 3 END)
+                                ELSE ((doc_id % 199) * 31 + i * 7) % 256
+                           END AS INT)) AS fp
+                FROM documents
+            )"""
+
+
 def _crawl_html_expr(did: "F.Column", words: "F.Column") -> "F.Column":
     """Deterministic synthetic crawl-page HTML around a document's
     words (12-word ``<p>`` paragraphs with entity / inline-tag /
@@ -3789,6 +3803,96 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframes_spark.functions import html as dhtml
 
     return dhtml.html_extract(_crawl_pages(spark, sf_dir), "html", "doc_id")
+
+
+def image_hashes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints, fake-decode lane end-to-end
+    (operators/multimodal.py image_hashes): binary payload → Arrow-
+    batched mapInPandas → 8-byte fingerprint. The oracle replicates
+    the stand-in's sha256 byte arithmetic (digest bytes 8..16) in SQL
+    — the media_decode_stats precedent — so the whole mapInPandas
+    fingerprint path is hash-checked."""
+    from dataframes_spark.operators import multimodal as dmm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return dmm.image_hashes(media, fake=True)
+
+
+def _pinned_phash() -> "F.Column":
+    """Deterministic per-document fingerprint with collision structure
+    known by construction (the `_crawl_url` pattern): documents
+    sharing ``doc_id % 199`` share a base byte pattern and differ only
+    by 0-2 flipped bits in one byte, so within-group Hamming distances
+    are <= 4 and cross-group distances are >= 8 (the base bytes all
+    shift by the same nonzero delta; 31 is invertible mod 256) — the
+    banded candidate generator and the distance verify both get real
+    work with a deterministic answer."""
+    did = F.col("doc_id")
+    mask = (
+        F.when(did % 3 == 0, F.lit(0))
+        .when(did % 3 == 1, F.lit(1))
+        .otherwise(F.lit(3))
+    )
+
+    def byte(i):
+        return ((did % 199) * 31 + i * 7) % 256
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.when(
+            i == (did % 8).cast("int"),
+            byte(i).bitwiseXOR(mask),
+        )
+        .otherwise(byte(i))
+        .cast("int"),
+    )
+
+
+def phash_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded perceptual near-dup pairs (operators/
+    multimodal.py phash_bands + phash_pairs over the shared
+    `_bucket_pair_expand` machinery): byte-per-band candidate
+    generation — pigeonhole-complete for distance < 8 — then exact
+    per-byte XOR-popcount verification, over pinned fingerprints with
+    known collisions. Cross-group accidental byte collisions become
+    candidates and FAIL the verify, so the filter itself is
+    exercised; the oracle replays generation, banding, pair expansion
+    and the distance sum term for term."""
+    from dataframes_spark.operators import multimodal as dmm
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.col("doc_id").alias("media_id"), _pinned_phash().alias("fp")
+    )
+    out = dmm.phash_pairs(fps, max_distance=4)
+    return out.select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+
+
+def phash_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual near-dup detection (operators/
+    multimodal.py phash_incremental): even-id documents' bands stand
+    in for the persisted fingerprint store (the
+    dedup_incremental_docs pattern), odd-id documents arrive as the
+    batch. Candidates are VERIFIED inline — the store rows carry the
+    8-byte fingerprint, so no corpus fetch-back exists in the plan —
+    and both lanes ride the hash: batch-vs-store (band-bucket
+    equi-join) and in-batch (smaller id = the seen side)."""
+    from dataframes_spark.operators import multimodal as dmm
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.col("doc_id").alias("media_id"), _pinned_phash().alias("fp")
+    )
+    store = dmm.phash_bands(fps.filter(F.col("media_id") % 2 == 0))
+    batch = fps.filter(F.col("media_id") % 2 == 1)
+    cand, _updated = dmm.phash_incremental(batch, store, max_distance=4)
+    return cand.select(
+        "id_new", "id_seen", F.col("distance").cast("int").alias("distance")
+    )
 
 
 def url_host_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5035,6 +5139,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    sweep, and the pinned-literal verification pattern stays
         #    in-window via semdedup_pinned_vecs.
         "html_extract_docs": html_extract_docs,
+        # -- round 12 (new): perceptual image fingerprints + Hamming-
+        #    banded near-dup — the r11 verdict's #2 ask (LAION-style
+        #    model-free image dedup): image_hashes_docs hash-verifies
+        #    the Arrow-batched mapInPandas fingerprint lane (sha256
+        #    stand-in bytes, the media_decode_stats precedent);
+        #    phash_pairs_pinned hash-verifies byte-per-band candidate
+        #    generation (pigeonhole-complete for distance < 8) + exact
+        #    XOR-popcount verification over fingerprints with known
+        #    collisions; phash_dedup_incremental_docs hash-verifies
+        #    the store contract (band-bucket equi-join, inline
+        #    verification — the store carries the 8-byte fingerprint,
+        #    so no corpus fetch-back exists). To hold the window at
+        #    50, three multiply-green code-unchanged rows rotate
+        #    below: drift_categorical_events (driver-green r9-r11;
+        #    the drift family stays locally swept + unit-covered and
+        #    pipeline_observability_events keeps the trend lane
+        #    in-window), strip_dup_spans_docs (r9-r11; span dedup
+        #    stays in the full sweep, the rewrite lane via the line
+        #    rows below) and embedding_dedup_incremental_vecs
+        #    (r9-r11; the incremental family stays in-window via
+        #    cluster_store_incremental_docs + the two phash
+        #    incremental rows entering, and the semantic lane via
+        #    semdedup_pinned_vecs).
+        "image_hashes_docs": image_hashes_docs,
+        "phash_pairs_pinned": phash_pairs_pinned,
+        "phash_dedup_incremental_docs": phash_dedup_incremental_docs,
         # -- round 11 (rotation-freshness sweep, the r10 verdict's item
         #    8): the TEN stalest code-unchanged rows (last driver-green
         #    r3-r4: the LQuery expression family, interval/row rolling,
@@ -6681,6 +6811,83 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(list_transform(k,
                        st -> st.vis), chr(10)), '') AS text
             FROM hstats
+        """,
+        "image_hashes_docs": """
+            -- operators/multimodal.py image_hashes fake lane: the
+            -- stand-in fingerprint is sha256 digest bytes 8..16,
+            -- replicated here from the hex digest (the
+            -- media_decode_stats precedent), so the Arrow-batched
+            -- mapInPandas path is hash-checked end to end.
+            WITH b AS (
+                SELECT doc_id, sha256(text) AS h FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   list_transform(generate_series(0, 7), i ->
+                       CAST((strpos('0123456789abcdef',
+                                    substr(h, 17 + i * 2, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(h, 18 + i * 2, 1)) - 1)
+                            AS INT)) AS fp
+            FROM b
+        """,
+        "phash_pairs_pinned": f"""
+            -- operators/multimodal.py phash_bands + phash_pairs
+            -- replayed: pinned fingerprint derivation, byte-per-band
+            -- bucketing, in-bucket pair expansion (a.id < b.id ==
+            -- the sorted-pair strictness), XOR-popcount distance sum,
+            -- and the max_distance verify.
+            WITH {_PHASH_PINNED_SQL},
+            pbd AS (
+                SELECT id, band, fp[band + 1] AS bucket, fp
+                FROM ppf, (SELECT unnest(generate_series(0, 7)) AS band)
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM pbd a JOIN pbd b USING (band, bucket)
+                WHERE a.id < b.id
+            ), verified AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(list_sum(list_transform(generate_series(1, 8),
+                           i -> bit_count(xor(fa.fp[i], fb.fp[i]))))
+                           AS INT) AS distance
+                FROM cand c
+                JOIN ppf fa ON c.id_a = fa.id
+                JOIN ppf fb ON c.id_b = fb.id
+            )
+            SELECT id_a, id_b, distance FROM verified WHERE distance <= 4
+        """,
+        "phash_dedup_incremental_docs": f"""
+            -- operators/multimodal.py phash_incremental replayed:
+            -- even-id bands are the store, odd-id documents the
+            -- batch; in-batch pairs (smaller id = seen) union the
+            -- batch-vs-store band join, then the inline Hamming
+            -- verify.
+            WITH {_PHASH_PINNED_SQL},
+            pbd AS (
+                SELECT id, band, fp[band + 1] AS bucket, fp
+                FROM ppf, (SELECT unnest(generate_series(0, 7)) AS band)
+            ), st AS (
+                SELECT * FROM pbd WHERE id % 2 = 0
+            ), bt AS (
+                SELECT * FROM pbd WHERE id % 2 = 1
+            ), allc AS (
+                SELECT b.id AS id_new, a.id AS id_seen
+                FROM bt a JOIN bt b USING (band, bucket)
+                WHERE a.id < b.id
+                UNION
+                SELECT n.id AS id_new, s.id AS id_seen
+                FROM bt n JOIN st s USING (band, bucket)
+                WHERE n.id <> s.id
+            ), verified AS (
+                SELECT id_new, id_seen,
+                       CAST(list_sum(list_transform(generate_series(1, 8),
+                           i -> bit_count(xor(fn.fp[i], fs.fp[i]))))
+                           AS INT) AS distance
+                FROM allc
+                JOIN ppf fn ON allc.id_new = fn.id
+                JOIN ppf fs ON allc.id_seen = fs.id
+            )
+            SELECT id_new, id_seen, distance FROM verified
+            WHERE distance <= 4
         """,
         "url_dedup_docs": f"""
             -- functions/url.py canonical_url + url_dedup_report

@@ -386,3 +386,274 @@ def decode_audio(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(_decode, schema=_AUDIO_SCHEMA)
+
+
+_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fp", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+#: perceptual fingerprints are 64 bits carried as 8 byte-values — the
+#: byte IS the Hamming band (see `phash_bands`), and byte-array form
+#: sidesteps signed-64-bit pitfalls in cross-engine replay.
+PHASH_BYTES = 8
+
+
+def image_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    *,
+    fake: bool = False,
+    method: str = "dhash",
+) -> DataFrame:
+    """Model-free perceptual image fingerprints — the near-exact image
+    dedup key of the published multimodal pipelines (LAION-5B dedups
+    crawled images by perceptual hash before any embedding pass;
+    Schuhmann et al. 2022): ``(media_id, fp)`` where ``fp`` is the
+    64-bit hash as 8 byte-values.
+
+    Real lane (used when Pillow imports):
+
+    - ``dhash`` (difference hash, Krawetz 2013): grayscale, bilinear
+      9x8 resize, bit = left pixel brighter than its right neighbour,
+      one byte per row — robust to rescale/recompress, the standard
+      near-exact key;
+    - ``ahash`` (average hash): 8x8 resize, bit = pixel above mean.
+
+    Undecodable blobs yield NULL fingerprints (corpus-scale corruption
+    is data, not an error). ``fake=True`` forces the deterministic
+    stand-in (digest bytes 8..16 of sha256(payload)) that exercises
+    the identical Arrow-batched mapInPandas plan and is exactly
+    replayable in SQL (the `decode_image` fake-lane contract) — used
+    by the hash-verified driver row.
+
+    Scale: map-only over the blob scan; downstream dedup never touches
+    payloads again (8 bytes/image ride the shuffles)."""
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"method must be dhash|ahash, got {method!r}")
+    if not fake:
+        if not _has("PIL"):
+            raise NotImplementedError(
+                "perceptual hashing needs Pillow (pip install pillow); "
+                "pass fake=True for the deterministic stand-in"
+            )
+
+        def _hash_real(batches: Iterator) -> Iterator:
+            import io
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in batches:
+                out = {"media_id": [], "fp": []}
+                for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                    out["media_id"].append(mid)
+                    try:
+                        if blob is None:
+                            raise ValueError("null payload")
+                        with Image.open(io.BytesIO(bytes(blob))) as img:
+                            if method == "dhash":
+                                g = img.convert("L").resize(
+                                    (9, 8), Image.BILINEAR
+                                )
+                                px = g.load()
+                                fp = [
+                                    sum(
+                                        (px[x, y] > px[x + 1, y]) << (7 - x)
+                                        for x in range(8)
+                                    )
+                                    for y in range(8)
+                                ]
+                            else:
+                                g = img.convert("L").resize(
+                                    (8, 8), Image.BILINEAR
+                                )
+                                px = g.load()
+                                vals = [
+                                    px[x, y]
+                                    for y in range(8)
+                                    for x in range(8)
+                                ]
+                                mean = sum(vals) / 64.0
+                                fp = [
+                                    sum(
+                                        (px[x, y] > mean) << (7 - x)
+                                        for x in range(8)
+                                    )
+                                    for y in range(8)
+                                ]
+                        out["fp"].append(fp)
+                    except Exception:
+                        out["fp"].append(None)
+                yield pd.DataFrame(out)
+
+        return df.select(id_col, payload_col).mapInPandas(
+            _hash_real, schema=_HASH_SCHEMA
+        )
+
+    def _hash_fake(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "fp": []}
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                if blob is None:
+                    out["fp"].append(None)
+                    continue
+                h = hashlib.sha256(bytes(blob)).digest()
+                out["fp"].append([int(b) for b in h[8:16]])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash_fake, schema=_HASH_SCHEMA
+    )
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two byte-array fingerprints as one JVM
+    expression: per-byte XOR popcount, summed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def phash_bands(
+    fps: DataFrame, id_col: str = "media_id", fp_col: str = "fp"
+) -> DataFrame:
+    """``(id, band, bucket, fp)`` Hamming banding of a fingerprint
+    relation — each of the 8 bytes is a band and the byte value is the
+    bucket. Pigeonhole recall guarantee: two fingerprints within
+    Hamming distance d < 8 differ in at most d bytes, so they AGREE on
+    at least one band — banded candidate generation misses nothing at
+    the distances near-exact image dedup uses (<= 7 bits of 64).
+    NULL fingerprints (undecodable blobs) produce no bands: an
+    unhashable image can never be anyone's duplicate (fail-closed, the
+    zero-norm screening precedent).
+
+    Carrying ``fp`` on every band row (8 bytes x 8 bands) is what lets
+    the incremental join verify distance INLINE — no fetch-back join
+    against the corpus (cheaper than the LSH-store contract, where
+    verification needs the text)."""
+    return fps.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PHASH_BYTES - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.col(fp_col)[i.cast("int")].alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+        F.col(fp_col).alias("fp"),
+    ).select("id", "bb.band", "bb.bucket", "fp")
+
+
+def phash_pairs(
+    fps: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "fp",
+    max_distance: int = 6,
+) -> DataFrame:
+    """Near-duplicate image pairs: banded candidate generation (ONE
+    shuffle — the `_bucket_pair_expand` machinery the minhash/simhash
+    lanes share), then exact Hamming verification on the 8-byte
+    fingerprints joined back. Returns ``(id_a, id_b, distance)`` with
+    ``id_a < id_b`` and ``distance <= max_distance``.
+
+    ``max_distance`` must stay below 8 — that is the banding's recall
+    guarantee (see `phash_bands`); beyond it candidates would silently
+    miss pairs, so the bound is enforced, not documented away."""
+    if not 0 <= max_distance < PHASH_BYTES:
+        raise ValueError(
+            f"max_distance must be in [0, {PHASH_BYTES - 1}] for the "
+            f"8-band pigeonhole guarantee, got {max_distance}"
+        )
+    from dataframes_spark.operators.dedup import _bucket_pair_expand
+
+    slim = fps.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+    )
+    cand = _bucket_pair_expand(
+        phash_bands(slim, "id", "fp").select("id", "band", "bucket")
+    )
+    return (
+        cand.join(slim.select(F.col("id").alias("id_a"), F.col("fp").alias("__fa")), "id_a")
+        .join(slim.select(F.col("id").alias("id_b"), F.col("fp").alias("__fb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("__fa"), F.col("__fb")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+def phash_incremental(
+    new_fps: DataFrame,
+    store: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "fp",
+    max_distance: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental perceptual near-dup detection: which arriving images
+    look like something already seen — without re-banding history.
+    ``store`` is a persisted `phash_bands` relation. Returns
+    ``(candidates, updated_store)``: ``candidates`` are VERIFIED
+    ``(id_new, id_seen, distance)`` pairs (distance <= max_distance;
+    ``id_seen`` is a stored image sharing a band bucket, or an earlier
+    smaller-id batch image — the in-batch rule mirrors `exact_dedup`'s
+    min-id representative); ``updated_store`` adds the batch's bands.
+
+    Scale shape (the `near_dup_incremental` contract): the batch bands
+    map-only, then ONE equi-join on ``(band, bucket)`` against the
+    store — persisted bucketed on those keys, history never reshuffles;
+    per-batch cost is O(batch + colliding buckets) regardless of store
+    size. Because the store rows carry the 8-byte fingerprint,
+    verification happens INSIDE the join — no corpus fetch-back."""
+    if not 0 <= max_distance < PHASH_BYTES:
+        raise ValueError(
+            f"max_distance must be in [0, {PHASH_BYTES - 1}] for the "
+            f"8-band pigeonhole guarantee, got {max_distance}"
+        )
+    from dataframes_spark.operators.dedup import _bucket_pair_expand
+
+    slim = new_fps.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+    )
+    fresh = phash_bands(slim, "id", "fp")
+    in_batch = (
+        _bucket_pair_expand(fresh.select("id", "band", "bucket"))
+        .join(slim.select(F.col("id").alias("id_a"), F.col("fp").alias("__fa")), "id_a")
+        .join(slim.select(F.col("id").alias("id_b"), F.col("fp").alias("__fb")), "id_b")
+        .select(
+            F.col("id_b").alias("id_new"),
+            F.col("id_a").alias("id_seen"),
+            hamming_distance(F.col("__fa"), F.col("__fb")).alias("distance"),
+        )
+    )
+    vs_store = (
+        fresh.alias("n")
+        .join(store.alias("s"), ["band", "bucket"])
+        .filter(F.col("n.id") != F.col("s.id"))
+        .select(
+            F.col("n.id").alias("id_new"),
+            F.col("s.id").alias("id_seen"),
+            hamming_distance(F.col("n.fp"), F.col("s.fp")).alias("distance"),
+        )
+    )
+    candidates = (
+        in_batch.unionByName(vs_store)
+        .filter(F.col("distance") <= max_distance)
+        # candidate-pair-sized distinct: collapses multi-band collisions
+        .distinct()
+    )
+    return candidates, store.unionByName(fresh)
