@@ -92,6 +92,64 @@ def word_types(
     return types_from_counts(word_type_counts(df, text_col), end_marker)
 
 
+def bytes_to_unicode() -> dict[int, str]:
+    """The byte→printable-unicode remap of byte-level BPE (Radford et
+    al. 2019, GPT-2; the convention every deployed byte-level
+    tokenizer shares): printable latin bytes map to themselves, the
+    rest shift into the U+0100.. range so every byte has a VISIBLE,
+    single-character spelling. The remap is what keeps the merge
+    machinery symbol-agnostic — byte symbols never contain the space
+    the fold accumulator delimits on, and merged symbols stay plain
+    string concatenations."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    table = {b: chr(b) for b in keep}
+    n = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = chr(256 + n)
+            n += 1
+    return table
+
+
+#: the mapped space byte — byte-level BPE's word-boundary marker
+#: (every word is seeded with a leading space, the add-prefix-space
+#: convention, so merges can learn word-initial tokens like "Ġthe").
+BYTE_SPACE = bytes_to_unicode()[0x20]
+
+
+def byte_types_from_counts(counts: DataFrame) -> DataFrame:
+    """Attach byte-level initial symbol sequences to a ``(word, freq)``
+    count relation: UTF-8 bytes through `bytes_to_unicode`, prefixed
+    with the space marker, NO end marker (the GPT-2 seeding; the char
+    lane's ``</w>`` plays the opposite boundary role). Map-only; the
+    hex spelling materializes as an attribute before the per-byte
+    transform (higher-order lambdas re-evaluate captured expressions
+    per element — the `char_ngrams` PERF WARNING)."""
+    table = bytes_to_unicode()
+    arr = F.array(*[F.lit(table[b]) for b in range(256)])
+    hexed = counts.select(
+        "word", "freq", F.hex(F.encode(F.col("word"), "UTF-8")).alias("__hx")
+    )
+    hx = F.col("__hx")
+    syms = F.concat(
+        F.array(F.lit(BYTE_SPACE)),
+        F.transform(
+            F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+            lambda i: F.element_at(
+                arr,
+                F.conv(hx.substr((i * 2 - 1).cast("int"), F.lit(2)), 16, 10)
+                .cast("int")
+                + 1,
+            ),
+        ),
+    )
+    return hexed.select("word", "freq", syms.alias("syms"))
+
+
 def word_type_store_update(spark, table: str, batch_counts: DataFrame) -> dict:
     """Fold a batch's word-type counts into a persisted store (catalog
     parquet table, the staging-swap idiom shared with the DSIR/CMS/HLL
@@ -232,11 +290,40 @@ def bpe_learn_from_counts(
       break (lhs, rhs) lexicographic as in the count lane. Costs one
       extra symbol-sized groupBy per round.
     """
+    return bpe_learn_from_types(
+        types_from_counts(counts, end_marker), k, scoring
+    )
+
+
+def byte_bpe_learn(
+    df: DataFrame, text_col: str, k: int, scoring: str = "count"
+) -> tuple[list[dict], DataFrame]:
+    """Byte-level BPE (Radford et al. 2019 — the GPT-2 family, the
+    most-deployed production tokenizer): the SAME merge loop over the
+    SAME word-type sufficient statistic, seeded with remapped UTF-8
+    bytes plus the leading space marker instead of characters plus
+    ``</w>`` (`byte_types_from_counts`). No unknown token can ever
+    exist — every string decomposes into bytes — which is the
+    variant's whole point. Tokenization (lowercased whitespace types)
+    matches the char lane so fertility is comparable at equal merge
+    count."""
+    return bpe_learn_from_types(
+        byte_types_from_counts(word_type_counts(df, text_col)), k, scoring
+    )
+
+
+def bpe_learn_from_types(
+    words: DataFrame,
+    k: int,
+    scoring: str = "count",
+) -> tuple[list[dict], DataFrame]:
+    """The merge loop proper, over an explicit ``(word, freq, syms)``
+    relation — symbol-agnostic (char and byte seedings share it)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if scoring not in ("count", "wordpiece"):
         raise ValueError(f"scoring must be count|wordpiece, got {scoring!r}")
-    words = types_from_counts(counts, end_marker).persist()
+    words = words.persist()
     merges: list[dict] = []
     for step in range(1, k + 1):
         pc = pair_counts(words)

@@ -193,3 +193,47 @@ def test_wordpiece_scoring_prefers_rare_part_pairs(spark):
     assert (cnt[0]["lhs"], cnt[0]["rhs"]) == ("a", "a")
     with __import__("pytest").raises(ValueError, match="scoring"):
         B.bpe_learn(df, "text", 1, scoring="nope")
+
+
+def test_bytes_to_unicode_invariants():
+    t = bpe.bytes_to_unicode()
+    assert len(t) == 256
+    # bijection, no space/control chars among values, ascii printables fixed
+    assert len(set(t.values())) == 256
+    assert all(" " not in v and len(v) == 1 for v in t.values())
+    assert t[ord("a")] == "a" and t[ord("!")] == "!"
+    assert t[0x20] == bpe.BYTE_SPACE and bpe.BYTE_SPACE != " "
+
+
+def test_byte_seeding_ascii_and_multibyte(spark):
+    counts = spark.createDataFrame(
+        [("ab", 3), ("é", 1)], "word string, freq long"
+    )
+    rows = {
+        r["word"]: r["syms"]
+        for r in bpe.byte_types_from_counts(counts).collect()
+    }
+    t = bpe.bytes_to_unicode()
+    assert rows["ab"] == [bpe.BYTE_SPACE, "a", "b"]
+    # é is two UTF-8 bytes (0xC3 0xA9) -> two remapped symbols
+    assert rows["é"] == [bpe.BYTE_SPACE, t[0xC3], t[0xA9]]
+
+
+def test_byte_bpe_learns_space_prefixed_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low lower")], "doc_id long, text string"
+    )
+    merges, words = bpe.byte_bpe_learn(df, "text", 3)
+    # count-4 pairs (Ġl, lo, ow) tie; lexicographic tiebreak picks
+    # ('l','o') first ('Ġ' = U+0120 sorts after ascii), then ('o','w')
+    # can no longer pair (o is consumed) -> ('lo','w'), then (Ġ, low):
+    # the word-initial token the space marker exists for
+    assert [(m["lhs"], m["rhs"]) for m in merges] == [
+        ("l", "o"), ("lo", "w"), (bpe.BYTE_SPACE, "low"),
+    ]
+    assert merges[0]["n"] == 4
+    # fertility comparable shape: all words decompose, no unknowns
+    total = words.select(
+        F.sum(F.size("syms") * F.col("freq")).alias("t")
+    ).first()["t"]
+    assert total > 0
