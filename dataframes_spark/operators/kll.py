@@ -106,6 +106,99 @@ def _compact_pass(
     )
 
 
+def _build_cascade(
+    items: DataFrame, part_cols: Sequence[str], passes: int, k: int, seed: str
+) -> DataFrame:
+    """The ENTIRE canonical build-phase schedule — ``passes``
+    applications of `_compact_pass` over a relation whose items all
+    start at level 0 — in ONE window plus a closed-form fate
+    projection, provably coin-for-coin identical:
+
+    - during the build, pass ``p`` can only compact the FRONTIER level
+      ``p-1``: level 0 holds only original items, and after its one
+      compaction a level keeps at most ``max(k, 1)`` items (paired
+      items all leave; only the odd leftover stays) and never receives
+      again — promotions land one level above the frontier;
+    - compaction preserves the ``(value, tb)`` sort order (survivors
+      are a subsequence), so the frontier's row numbers never need
+      re-sorting: an item surviving ``p`` passes sits at position
+      ``(rn + C_p) / 2^p`` where ``C_p = sum(off_j * 2^(j-1))`` over
+      the per-pass md5 coins — and it SURVIVED exactly when that
+      division is exact (``(rn + C_p) % 2^p == 0``);
+    - while the cascade is active every pass floor-halves the frontier
+      count, and floor-halvings compose: ``n_p = floor(n_0 / 2^p)`` —
+      so each item's final (level, kept) fate is a constant-work CASE
+      over ``(rn, n_0, coins)``.
+
+    The coins are data-independent (md5 of ``(seed, pass, level)``
+    with level = pass - 1 at the frontier), so they compute on the
+    driver. One exchange+sort replaces ``passes`` chained window
+    stages; extra provisioned passes cost one CASE branch instead of a
+    shuffle, so right-sizing machinery (counts, snapshot, top-up)
+    disappears from the build phase entirely. Equivalence to the
+    pass-by-pass loop is pinned in tests/test_kll.py and by the
+    generated pass-by-pass DuckDB oracle, which is unchanged."""
+    import hashlib
+
+    offs = [
+        int(
+            hashlib.md5(f"kll:{seed}:{p}:{p - 1}".encode()).hexdigest()[:15],
+            16,
+        )
+        % 2
+        for p in range(1, passes + 1)
+    ]
+    cs = []
+    acc = 0
+    for j, off in enumerate(offs):
+        acc += off << j
+        cs.append(acc)
+    wrn = W.partitionBy(*part_cols).orderBy("value", "tb")
+    wn = wrn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    x = items.withColumn("__rn", F.row_number().over(wrn)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    r0 = F.col("__rn").cast("bigint")
+
+    # while the cascade is active, the frontier count has the CLOSED
+    # form n_p = floor(n0 / 2^p) (each active pass is a floor-halving,
+    # and floor-halvings compose); the CASE's branch order guarantees
+    # n_at(p) is only read while active, so no per-pass chain columns
+    # exist — the whole fate expression is O(passes) tree nodes
+    def n_at(p):
+        return F.shiftright(F.col("__n"), p) if p else F.col("__n")
+
+    def r_at(p):
+        if p == 0:
+            return r0
+        return ((r0 + F.lit(cs[p - 1])) / F.lit(1 << p)).cast("bigint")
+
+    def survives(p):
+        return ((r0 + F.lit(cs[p - 1])) % F.lit(1 << p)) == 0
+
+    # branch order per pass p guards the closed forms: reaching the
+    # pass-p branches implies "survived passes 1..p-1 and the cascade
+    # was still active", exactly the loop's reachability
+    fate = F.when(n_at(0) <= k, F.lit(0))
+    for p in range(1, passes + 1):
+        leftover = (n_at(p - 1) % 2 == 1) & (r_at(p - 1) == n_at(p - 1))
+        fate = fate.when(leftover, F.lit(p - 1))
+        fate = fate.when(~survives(p), F.lit(-1))
+        fate = fate.when(n_at(p) <= k, F.lit(p))
+    fate = fate.otherwise(F.lit(passes))
+    return (
+        x.withColumn("__lvl", fate)
+        .filter(F.col("__lvl") >= 0)
+        .select(
+            (F.col("level") + F.col("__lvl")).cast("int").alias("level"),
+            "value",
+            "tb",
+            *[c for c in part_cols if c != "level"],
+        )
+        .select(*items.columns)
+    )
+
+
 def _any_overfull(items: DataFrame, part_cols: Sequence[str], k: int) -> bool:
     """True when any compaction window still holds more than ``k``
     items — i.e. the next canonical pass would NOT be a no-op. Runs on
@@ -140,23 +233,20 @@ def kll_build(
     partitioning-independent and oracle-replayable. ``passes`` must
     cover ``log2(n / shards / k)`` — extra passes are no-ops.
 
-    ``auto_passes`` (default) RIGHT-SIZES the executed pass count: a
-    pass whose windows are all within capacity is an EXACT no-op, so
-    skipping trailing no-op passes cannot change the sketch — but each
-    skipped pass saves a chained window stage (the fixed 20+10 schedule
-    cost ~30 stages of scheduling even on tiny inputs). The needed
-    build depth derives from one counting action
-    (``ceil(log2(max_shard_items / k)) + 2``); because shard skew or
-    leftover cascades could in principle need more, the claim "the
-    remaining canonical passes are no-ops" is then VERIFIED on the
-    materialized sketch-sized state (`_any_overfull`) and topped up
-    with the exact remaining labels if ever violated — the output is
-    provably identical to the full fixed schedule, coin for coin. The
-    merge phase gets the same treatment with depth
-    ``ceil(log2(shards)) + 2``. Costs one extra scan of the input for
-    the count; pass ``auto_passes=False`` to restore the fixed
-    schedule (e.g. when the input was already counted and is known to
-    need the full depth).
+    The BUILD schedule executes as ONE window + a closed-form fate
+    projection (`_build_cascade`, round 12) — provably coin-for-coin
+    identical to ``passes`` chained compaction stages, so
+    over-provisioned depth costs CASE branches, not shuffles, and the
+    former count-and-verify right-sizing has nothing left to save
+    there. ``auto_passes`` (default) still RIGHT-SIZES the MERGE
+    phase's executed pass count (depth ``ceil(log2(shards)) + 2``): a
+    merge pass whose windows are all within capacity is an EXACT
+    no-op, so skipping trailing no-ops cannot change the sketch, and
+    the claim "the remaining canonical passes are no-ops" is VERIFIED
+    on the materialized sketch-sized state (`_any_overfull`) and
+    topped up with the exact remaining labels if ever violated — the
+    output is provably identical to the full fixed schedule. Pass
+    ``auto_passes=False`` to restore the fixed merge schedule.
 
     ``key_cols`` gives PER-GROUP sketches ("p99 doc length per
     language") in the same passes: compaction windows partition by
@@ -182,28 +272,13 @@ def kll_build(
         ).alias("tb"),
     )
     build_part = [*keys, "__shard", "level"]
-    if auto_passes and passes > 1:
-        nmax = (
-            items.groupBy(*keys, "__shard")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .agg(F.max("__c"))
-            .first()[0]
-            or 0
-        )
-        p_run = (
-            0
-            if nmax <= k
-            else min(passes, math.ceil(math.log2(nmax / k)) + 2)
-        )
-    else:
-        p_run = passes
-    for p in range(1, p_run + 1):
-        items = _compact_pass(items, build_part, p, k, seed)
-    if p_run < passes:
-        items = snapshot(items)
-        if _any_overfull(items, build_part, k):
-            for p in range(p_run + 1, passes + 1):
-                items = _compact_pass(items, build_part, p, k, seed)
+    # the whole build schedule runs as ONE window + a closed-form fate
+    # projection (`_build_cascade`) — provably identical to `passes`
+    # chained `_compact_pass` stages, so over-provisioned depth costs a
+    # CASE branch, not a shuffle, and the former auto_passes
+    # right-sizing (count scan + snapshot + overfull top-up) has
+    # nothing left to save in the build phase
+    items = _build_cascade(items, build_part, passes, k, seed)
     merged = items.select(*keys, "level", "value", "tb")
     merge_part = [*keys, "level"]
     m_run = (
@@ -287,23 +362,24 @@ def kll_quantiles(
     weighted = sketch.groupBy(*keys, "value").agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")).alias("__w")
     )
-    wcum = (
-        W.partitionBy(*keys).orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    wbase = (
+        W.partitionBy(*keys).orderBy("value")
         if keys
-        else W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+        else W.orderBy("value")
     )
+    # the group total rides the SAME (partition, order) window with a
+    # full frame, so cum and tot compute in ONE Window operator over
+    # one exchange+sort — a separate kll_n branch would consume (and
+    # recompute) the entire build lineage a second time (measured 2x
+    # the whole query before round 12)
     cum = weighted.select(
-        *keys, "value", F.sum("__w").over(wcum).alias("__cum")
+        *keys,
+        "value",
+        F.sum("__w").over(wbase.rowsBetween(W.unboundedPreceding, 0)).alias("__cum"),
+        F.sum("__w")
+        .over(wbase.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("__tot"),
     )
-    totals = kll_n(sketch, keys).select(
-        *keys, F.col("n").alias("__tot")
-    )
-    if keys:
-        from .global_order import nullsafe_join
-
-        cum = nullsafe_join(cum, totals, keys, broadcast_right=True)
-    else:
-        cum = cum.crossJoin(F.broadcast(totals))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     return (
         F.broadcast(qdf)

@@ -224,3 +224,43 @@ def test_auto_passes_tiny_input_zero_build_passes(spark):
     auto = _rows(kll.kll_build(df, "v", "k", auto_passes=True, **CFG))
     assert auto == fixed
     assert kll.kll_n(kll.kll_build(df, "v", "k", **CFG)).first()["n"] == 50
+
+
+@pytest.mark.parametrize(
+    "n,k,shards,passes",
+    [(8000, 64, 4, 10), (513, 8, 1, 12), (7, 8, 2, 5), (100, 3, 3, 8)],
+)
+def test_build_cascade_equals_pass_loop(spark, n, k, shards, passes):
+    # the closed-form one-window build (_build_cascade) must reproduce
+    # the explicit pass-by-pass loop coin for coin — levels, values,
+    # tiebreaks, leftovers, odd/even partition sizes, n <= k no-ops
+    items = (
+        _perm(spark, n)
+        .select(
+            (
+                kll._md5_long(
+                    F.concat(F.col("k").cast("string"), F.lit("/kll-s"))
+                )
+                % shards
+            ).cast("int").alias("__shard"),
+            F.lit(0).alias("level"),
+            F.col("v").cast("double").alias("value"),
+            F.md5(
+                F.concat(F.col("k").cast("string"), F.lit("/kll-t"))
+            ).alias("tb"),
+        )
+    )
+    part = ["__shard", "level"]
+    loop = items
+    for p in range(1, passes + 1):
+        loop = kll._compact_pass(loop, part, p, k, "")
+    cascade = kll._build_cascade(items, part, passes, k, "")
+    got = sorted(
+        (r["__shard"], r["level"], r["value"], r["tb"])
+        for r in cascade.collect()
+    )
+    want = sorted(
+        (r["__shard"], r["level"], r["value"], r["tb"])
+        for r in loop.collect()
+    )
+    assert got == want
