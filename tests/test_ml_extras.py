@@ -126,46 +126,40 @@ def test_near_dup_pairs_releases_shingle_cache(spark):
     import gc
     import time
 
-    def n_cached() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def cached_ids() -> set:
+        # the id SET, not the count: earlier tests' async finalizers may
+        # release THEIR caches mid-test, which only ever REMOVES ids —
+        # so assertions on (ids_after - ids_before) are immune to
+        # concurrent background releases (the r11 flake: the global
+        # count moved under machine load)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
 
     base = "the quick brown fox jumps over the lazy dog and runs far away home"
     df = spark.createDataFrame(
         [(0, base), (1, base + "!"), (2, "some other unrelated text body")],
         ["doc_id", "text"],
     )
-    # settle: earlier tests' frames may release their caches via async
-    # finalizers DURING this test, which would shift the baseline and
-    # flake the equality assertions below — fire them now and wait for
-    # two stable consecutive readings
-    gc.collect()
-    prev = n_cached()
-    for _ in range(50):
-        time.sleep(0.1)
-        cur = n_cached()
-        if cur == prev:
-            break
-        prev = cur
-    before = n_cached()
+    before = cached_ids()
     pairs = ddedup.near_dup_pairs(
         df, "text", "doc_id", min_jaccard=0.8, materialize=True
     )
-    # at most the materialized result remains — the shingle cache is gone
-    assert n_cached() <= before + 1
+    # at most the materialized result is new — the shingle cache is gone
+    assert len(cached_ids() - before) <= 1
     pairs.unpersist(blocking=True)
-    assert n_cached() <= before
+    assert cached_ids() - before == set()
 
     lazy = ddedup.near_dup_pairs(df, "text", "doc_id", min_jaccard=0.8)
     lazy.collect()  # populates the shingle cache
-    assert n_cached() >= before + 1
+    assert len(cached_ids() - before) >= 1
     del lazy
     gc.collect()
     # finalizer fired with blocking=False; the JVM-side release is async
     for _ in range(50):
-        if n_cached() <= before:
+        if not (cached_ids() - before):
             break
         time.sleep(0.1)
-    assert n_cached() <= before
+    assert cached_ids() - before == set()
 
 
 def test_jaccard_verify_matches_exact(spark):
