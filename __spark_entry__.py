@@ -5259,6 +5259,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in-window via cluster_store_incremental_docs).
         "byte_bpe_merges_docs": byte_bpe_merges_docs,
         "byte_bpe_fertility_docs": byte_bpe_fertility_docs,
+        # -- round 12 (rotation-freshness sweep, the r11 verdict's item
+        #    7): the TWELVE stalest code-unchanged hash rows (last
+        #    driver-green r3: autocorr, correlations_with_price,
+        #    describe_na, lquery_map, lquery_ts_literal,
+        #    rolling_range_numeric, rolling_rsi_100; last driver-green
+        #    r4: aggregate_contract, anti_join_customers,
+        #    asof_last_purchase, column_stats, count_values) re-enter
+        #    the window for driver re-verification; the twelve
+        #    freshest multiply-green code-unchanged donors rotate
+        #    below — the whole r11 freshness block (media_decode_stats,
+        #    the three lquery rows, rolling_1h_strict, rolling_rows_100,
+        #    shift_by_user, correlations, describe_table, sort_slice —
+        #    all r1-r4 AND r11 green) plus mixture_order_docs and
+        #    percent_rank_events (r10-r11 green; the position lane
+        #    stays in-window via html/url/capstone rows' cumsum
+        #    consumers and the full sweep).
+        "autocorr": autocorr,
+        "correlations_with_price": correlations_with_price,
+        "describe_na": describe_na,
+        "lquery_map": lquery_map,
+        "lquery_ts_literal": lquery_ts_literal,
+        "rolling_range_numeric": rolling_range_numeric,
+        "rolling_rsi_100": rolling_rsi_100,
+        "aggregate_contract": aggregate_contract,
+        "anti_join_customers": anti_join_customers,
+        "asof_last_purchase": asof_last_purchase,
+        "column_stats": column_stats,
+        "count_values": count_values,
         # -- round 11 (rotation-freshness sweep, the r10 verdict's item
         #    8): the TEN stalest code-unchanged rows (last driver-green
         #    r3-r4: the LQuery expression family, interval/row rolling,
@@ -5280,16 +5308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    stays via lang_mix_docs + gopher_rules_docs +
         #    ccnet_buckets_docs), mix_temperature_docs (2x; mixing
         #    stays via mix_manifest_docs + mixture_order_docs).
-        "media_decode_stats": media_decode_stats,
-        "lquery_filter": lquery_filter,
-        "lquery_arith": lquery_arith,
-        "lquery_datetime": lquery_datetime,
-        "rolling_1h_strict": rolling_1h_strict,
-        "rolling_rows_100": rolling_rows_100,
-        "shift_by_user": shift_by_user,
-        "correlations": correlations,
-        "describe_table": describe_table,
-        "sort_slice": sort_slice,
         # -- round 10 (continuation): stride-scheduled mixture
         #    interleaving — the loader ORDER mix_manifest plans; rides
         #    TWO distributed position lanes (the new grouped_positions
@@ -5297,7 +5315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    asof_nearest_purchase (multiply green r5-r9) rotates
         #    below; the as-of family stays covered by asof_last_purchase
         #    + interval rows in the full sweep and tests/test_asof_*.
-        "mixture_order_docs": mixture_order_docs,
         # -- round 10 (continuation): distributed percent_rank — the
         #    rank-transform/quantile-normalization primitive with
         #    exact tie semantics, riding cumsum_global over the
@@ -5306,7 +5323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    below; the clustered-write layout stays pinned by
         #    tests/test_zorder.py's footer-interval proofs + the full
         #    sweep.
-        "percent_rank_events": percent_rank_events,
         # -- round-5 second batch: line-level exact substring dedup
         #    (repeated_lines_docs report + strip_repeated_lines_docs
         #    rewrite, the CCNet/RefinedWeb boilerplate pass) and cube_qty
@@ -5412,6 +5428,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_dedup_incremental_vecs admitted the phash family;
         # corpus_report_docs + split_leak_safe_docs admitted the
         # byte-level BPE lane.
+        "media_decode_stats": media_decode_stats,
+        "lquery_filter": lquery_filter,
+        "lquery_arith": lquery_arith,
+        "lquery_datetime": lquery_datetime,
+        "rolling_1h_strict": rolling_1h_strict,
+        "rolling_rows_100": rolling_rows_100,
+        "shift_by_user": shift_by_user,
+        "correlations": correlations,
+        "describe_table": describe_table,
+        "sort_slice": sort_slice,
+        "mixture_order_docs": mixture_order_docs,
+        "percent_rank_events": percent_rank_events,
         "pca_project_pinned": pca_project_pinned,
         "drift_categorical_events": drift_categorical_events,
         "strip_dup_spans_docs": strip_dup_spans_docs,
@@ -5522,7 +5550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_jaccard_lsh": near_dup_jaccard_lsh,
         "simhash_fingerprints": simhash_fingerprints,
         "lsh_similarity_topk": lsh_similarity_topk,
-        "asof_last_purchase": asof_last_purchase,
         "embedding_norms": embedding_norms,
         "distinct_users_per_type": distinct_users_per_type,
         "reproducible_sample": reproducible_sample,
@@ -5531,17 +5558,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_topn": join_revenue_topn,
         "dedup_exact_docs": dedup_exact_docs,
         "ungroup_explode": ungroup_explode,
-        "column_stats": column_stats,
-        "aggregate_contract": aggregate_contract,
         "join_region_revenue": join_region_revenue,
         "first_last_by_type": first_last_by_type,
         "semi_join_parts": semi_join_parts,
-        "anti_join_customers": anti_join_customers,
         "doc_profile": doc_profile,
         "embedding_topk": embedding_topk,
         "pivot_returnflag": pivot_returnflag,
         "jaccard_pairs_3gram": jaccard_pairs_3gram,
-        "count_values": count_values,
         "slice_offset": slice_offset,
         "ungroup_list_column": ungroup_list_column,
         "setop_union_except": setop_union_except,
@@ -5549,13 +5572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillna_zero": fillna_zero,
         "group_collect_lists": group_collect_lists,
         "rsi_by_flag": rsi_by_flag,
-        "lquery_map": lquery_map,
-        "lquery_ts_literal": lquery_ts_literal,
-        "describe_na": describe_na,
-        "correlations_with_price": correlations_with_price,
-        "autocorr": autocorr,
-        "rolling_rsi_100": rolling_rsi_100,
-        "rolling_range_numeric": rolling_range_numeric,
         # round 7: rotated below after 3 consecutive green rounds
         # (r4-r6) to make room for the five never-driver-checked queries
         # and the new partitioned-write row above; families documented

@@ -93,7 +93,6 @@ SHOWCASE = [
     ("lang_mix_docs", "language mixing: doc + per-line langid argmax, one id-keyed fold"),
     # round 10
     ("concat_horizontal", "distributed row positions: proxy-quantile buckets -> per-bucket row_number + broadcast offsets, position full-outer join"),
-    ("kll_quantiles_events", "KLL sketch: md5-derandomized compaction passes over shrinking item sets, cumulative-weight cut above an aggregate"),
     ("oov_report_docs", "OOV report: explode -> broadcast vocab left join -> id-keyed fold, tokenless docs survive"),
     ("dsir_ess_docs", "Kish ESS: B-row broadcast model scoring, 1-row max shift, 1-row ratio fold"),
     ("c4_rules_docs", "C4 rules: one map-only scan, higher-order line filters + page verdicts"),
@@ -139,6 +138,18 @@ SHOWCASE = [
     # the served read is a bounded store scan. The map-side-combining
     # fold shape is pinned by the registry plan gate and
     # tests/test_rollup.py.
+    # -- round 12 --
+    ("html_extract_docs", "HTML→text extraction: the whole rewrite chain + block verdicts as ONE map-only projection, no shuffle"),
+    ("pipeline_curation_docs", "curation capstone: html gate (map-only + slim id semi-join) -> URL dedup -> C4 -> CCNet -> content dedup -> epoch shard"),
+    ("image_hashes_docs", "perceptual fingerprints: Arrow-batched mapInPandas, 8 bytes/image out"),
+    ("phash_pairs_pinned", "Hamming-banded near-dup: byte-band bucket groupBy (ONE shuffle) -> pair explode -> fp joins -> XOR-popcount verify"),
+    ("phash_dedup_incremental_docs", "incremental phash: batch bands vs store on (band, bucket), inline Hamming verify, no fetch-back join"),
+    ("kll_quantiles_events", "KLL build as ONE window + closed-form fate CASE; quantile cut shares its Window with the group total"),
+    ("langid_scores_docs", "vectorized langid scoring: broadcast weight-vector join x1, k scalar sums in one groupBy, map-only argmax"),
+    # byte_bpe_merges_docs is NOT showcased: the trainer loops eagerly
+    # (per-round 1-row argmax, the bpe_merges_docs exclusion); the
+    # byte seeding is a map-only projection covered by the registry
+    # plan gate.
 ]
 
 
