@@ -316,13 +316,34 @@ def bpe_learn_from_types(
     words: DataFrame,
     k: int,
     scoring: str = "count",
+    small_vocab_cap: int = 65_536,
 ) -> tuple[list[dict], DataFrame]:
     """The merge loop proper, over an explicit ``(word, freq, syms)``
-    relation — symbol-agnostic (char and byte seedings share it)."""
+    relation — symbol-agnostic (char and byte seedings share it).
+
+    Cap-gated driver lane (the `connected_components` small-graph
+    precedent): when the TYPE relation holds at most
+    ``small_vocab_cap`` rows — one bounded ``limit(cap+1).collect()``
+    decides — the k merge rounds run as a plain Python loop over the
+    collected types instead of k (pair-count shuffle + 1-row argmax
+    job) rounds. The arithmetic is exact on both lanes (pair/symbol
+    counts are ints; the WordPiece score is one IEEE double division,
+    identical in Python and the JVM) and every tie order is total, so
+    the lanes are bit-identical — pinned in tests/test_bpe.py and by
+    the unchanged generated DuckDB oracles. Word types are BPE's
+    sufficient statistic, vocabulary-sized by construction; a corpus
+    whose vocabulary exceeds the cap falls through to the distributed
+    loop. Pass ``small_vocab_cap=0`` to force it."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if scoring not in ("count", "wordpiece"):
         raise ValueError(f"scoring must be count|wordpiece, got {scoring!r}")
+    if small_vocab_cap:
+        head = words.limit(small_vocab_cap + 1).collect()
+        if len(head) <= small_vocab_cap:
+            return _learn_driver(
+                words.sparkSession, head, k, scoring
+            )
     words = words.persist()
     merges: list[dict] = []
     for step in range(1, k + 1):
@@ -373,6 +394,64 @@ def bpe_learn_from_types(
         )
         words = apply_merge(words, r["lhs"], r["rhs"])
     return merges, words
+
+
+def _learn_driver(
+    spark, rows, k: int, scoring: str
+) -> tuple[list[dict], DataFrame]:
+    """The merge loop on collected types — exact mirror of the
+    distributed rounds (`pair_counts`/`sym_counts` aggregation,
+    count-desc-then-lex / score-desc-then-lex argmax, `_merge_fold`'s
+    greedy left-to-right non-overlapping rewrite)."""
+    types = [(r["word"], int(r["freq"]), list(r["syms"])) for r in rows]
+    merges: list[dict] = []
+    for step in range(1, k + 1):
+        pc: dict[tuple, int] = {}
+        for _w, freq, syms in types:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + freq
+        if not pc:
+            break
+        if scoring == "wordpiece":
+            sc: dict[str, int] = {}
+            for _w, freq, syms in types:
+                for s in syms:
+                    sc[s] = sc.get(s, 0) + freq
+            # score DESC then (lhs, rhs) ASC — one IEEE double
+            # division of exact ints, bit-identical to the JVM's
+            best = min(
+                pc.items(),
+                key=lambda kv: (
+                    -(kv[1] / (float(sc[kv[0][0]]) * float(sc[kv[0][1]]))),
+                    kv[0],
+                ),
+            )
+        else:
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (lhs, rhs), n = best
+        merges.append(
+            {"step": step, "lhs": lhs, "rhs": rhs, "merged": lhs + rhs, "n": n}
+        )
+        out_types = []
+        for w, freq, syms in types:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            out_types.append((w, freq, out))
+        types = out_types
+    final = spark.createDataFrame(
+        types, "word string, freq bigint, syms array<string>"
+    )
+    return merges, final
 
 
 def merge_table(spark, merges: list[dict]) -> DataFrame:

@@ -255,12 +255,133 @@ def _prune(counts: DataFrame, n: int) -> DataFrame:
     ).drop("__rk")
 
 
+def _train_driver(
+    spark,
+    rows,
+    schedule: Sequence,
+    seed_size: int,
+    max_piece_len: int,
+) -> DataFrame:
+    """The scheduled trainer on collected word types — exact mirror of
+    the distributed stages, for the cap-gated small-vocabulary lane
+    (`bpe_learn_from_types`' `_learn_driver` precedent). Bit-equality
+    contract, stage for stage:
+
+    - counts and ranks are exact ints with total tie orders;
+    - the M-step's ``round(ln((c+1)/(T+V)), 6)`` mirrors Spark's
+      HALF_UP-on-shortest-decimal-repr semantics via
+      ``Decimal(repr(x))`` (JVM ``BigDecimal.valueOf`` IS the shortest
+      repr); ``math.log`` vs the JVM's ``Math.log`` may differ in the
+      last ulp for some inputs, the SAME accepted risk class as the
+      DuckDB oracle's ``ln`` — 6dp quantization of irrational values
+      never sits on a rounding boundary;
+    - the Viterbi DP adds the identical quantized doubles in the
+      identical order (edge lists sorted (e, s, lp), fold seeded with
+      the first candidate, tie rule score-then-smallest-start), so
+      scores and argmaxes match the JVM fold bit for bit.
+
+    Pinned against the distributed lane in tests/test_unigram*.py and
+    by the unchanged recursive-CTE DuckDB oracle."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    types = [(r["word"], int(r["freq"])) for r in rows]
+
+    def m_step(counts: dict) -> dict:
+        t = sum(counts.values())
+        v = len(counts)
+        return {
+            p: (c, q6(math.log((c + 1) / float(t + v))))
+            for p, c in counts.items()
+        }
+
+    # seed: frequency-weighted substring counts, top-N by (cnt desc,
+    # piece asc) plus every single character
+    sub_counts: dict = {}
+    for word, freq in types:
+        n = len(word)
+        for s in range(n):
+            for l in range(1, min(max_piece_len, n - s) + 1):
+                sub = word[s : s + l]
+                sub_counts[sub] = sub_counts.get(sub, 0) + freq
+    ranked = sorted(sub_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {
+        p: c
+        for i, (p, c) in enumerate(ranked)
+        if i < seed_size or len(p) == 1
+    }
+    pieces = m_step(kept)
+
+    def viterbi_counts() -> dict:
+        vc: dict = {}
+        for word, freq in types:
+            n = len(word)
+            # lattice edges by end position, each list in (s, lp) order
+            by_end: list = [[] for _ in range(n + 1)]
+            for s in range(n):
+                for l in range(1, min(max_piece_len, n - s) + 1):
+                    ent = pieces.get(word[s : s + l])
+                    if ent is not None:
+                        by_end[s + l].append((s + 1, ent[1]))
+            dp = [(0.0, [])]  # 1-based position -> (score, path)
+            for j in range(1, n + 1):
+                cands = [
+                    (dp[s - 1][0] + lp, s, lp) for s, lp in by_end[j]
+                ]
+                if not cands:
+                    best = (dp[j - 1][0] + UNK_LP, j, UNK_LP)
+                else:
+                    best = cands[0]
+                    for c in cands[1:]:
+                        if c[0] > best[0] or (
+                            c[0] == best[0] and c[1] < best[1]
+                        ):
+                            best = c
+                sc, s, _lp = best
+                dp.append((sc, dp[s - 1][1] + [word[s - 1 : j]]))
+            for piece in dp[n][1]:
+                vc[piece] = vc.get(piece, 0) + freq
+        return vc
+
+    for op in schedule:
+        vc = viterbi_counts()
+        # coverage invariant: current single-char pieces survive at 0
+        for p in pieces:
+            if len(p) == 1 and p not in vc:
+                vc[p] = 0
+        if op == "em":
+            pieces = m_step(vc)
+        else:
+            kind, n = op
+            if kind != "prune":
+                raise ValueError(f"unknown schedule op {op!r}")
+            ranked = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))
+            vc = {
+                p: c
+                for i, (p, c) in enumerate(ranked)
+                if i < n or len(p) == 1
+            }
+            pieces = m_step(vc)
+    return spark.createDataFrame(
+        [(p, c, lp) for p, (c, lp) in sorted(pieces.items())],
+        "piece string, cnt bigint, lp double",
+    )
+
+
 def unigram_train_scheduled(
     counts: DataFrame,
     schedule: Sequence,
     seed_size: int,
     max_piece_len: int = 6,
     max_word_len: int = 48,
+    small_vocab_cap: int = 65_536,
 ) -> DataFrame:
     """Run an EXPLICIT schedule over a ``(word, freq)`` type relation:
     each element is ``"em"`` (E-step, drop zero-count non-single
@@ -277,6 +398,20 @@ def unigram_train_scheduled(
     from dataframes_spark.operators.graph import snapshot
 
     types = counts.filter(F.length("word") <= max_word_len)
+    # cap-gated driver lane: word types are the trainer's sufficient
+    # statistic, vocabulary-sized by construction — when they fit the
+    # cap (one bounded limit+collect decides), the whole schedule runs
+    # as a Python loop, bit-identical (see `_train_driver`), instead
+    # of ~5 checkpointed DAG stages per schedule op. Oversized
+    # vocabularies fall through to the distributed stages below; pass
+    # ``small_vocab_cap=0`` to force them.
+    if small_vocab_cap:
+        head = types.limit(small_vocab_cap + 1).collect()
+        if len(head) <= small_vocab_cap:
+            return _train_driver(
+                counts.sparkSession, head, schedule, seed_size,
+                max_piece_len,
+            )
     pieces = snapshot(seed_pieces(types, seed_size, max_piece_len))
     for op in schedule:
         if op == "em":

@@ -237,3 +237,24 @@ def test_byte_bpe_learns_space_prefixed_tokens(spark):
         F.sum(F.size("syms") * F.col("freq")).alias("t")
     ).first()["t"]
     assert total > 0
+
+
+@pytest.mark.parametrize("scoring", ["count", "wordpiece"])
+def test_driver_lane_equals_distributed(spark, scoring):
+    # the cap-gated driver merge loop must match the distributed
+    # rounds bit for bit: merges (order, counts) and the final types
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest newer newest new"),
+         (2, "wide wider widest low new")],
+        "doc_id long, text string",
+    )
+    types = bpe.word_types(df, "text")
+    fast_m, fast_w = bpe.bpe_learn_from_types(types, 6, scoring)
+    slow_m, slow_w = bpe.bpe_learn_from_types(
+        types, 6, scoring, small_vocab_cap=0
+    )
+    assert fast_m == slow_m
+    key = lambda frame: sorted(
+        (r["word"], r["freq"], tuple(r["syms"])) for r in frame.collect()
+    )
+    assert key(fast_w) == key(slow_w)

@@ -289,3 +289,28 @@ def test_token_counts_per_doc(spark):
         for r in U.token_counts(empty, "text", "id", pieces, 3).collect()
     }
     assert gz == {9: 0, 10: 0}
+
+
+def test_driver_lane_equals_distributed_schedule(spark):
+    # the cap-gated driver trainer must reproduce the distributed
+    # scheduled stages bit for bit: pieces, counts, quantized lps
+    from dataframes_spark.functions.bpe import word_type_counts
+
+    df = spark.createDataFrame(
+        [(1, "banana bandana ban and an anna"),
+         (2, "banana and anna band bandana")],
+        "doc_id long, text string",
+    )
+    counts = word_type_counts(df, "text")
+    schedule = ["em", ("prune", 9), "em"]
+    fast = U.unigram_train_scheduled(
+        counts, schedule, seed_size=20, max_piece_len=4
+    )
+    slow = U.unigram_train_scheduled(
+        counts, schedule, seed_size=20, max_piece_len=4,
+        small_vocab_cap=0,
+    )
+    key = lambda frame: sorted(
+        (r["piece"], r["cnt"], r["lp"]) for r in frame.collect()
+    )
+    assert key(fast) == key(slow)
