@@ -3090,14 +3090,42 @@ def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataframes_spark.functions import html as dhtml
     from dataframes_spark.operators.sample import epoch_shuffle
 
-    gate = dhtml.html_clean(
-        _crawl_pages(spark, sf_dir), "html", "doc_id"
-    ).select("doc_id")
+    # the html gate runs INSIDE the scan (page_keep as a filter column
+    # over the synthesized page — html derives from the same row), so
+    # stage 0 adds zero joins and zero id-keyed exchanges: the corpus
+    # never shuffles for the gate
     raw = (
         _t(spark, sf_dir, "documents")
-        .join(gate, "doc_id")
+        .withColumn(
+            "__w",
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda w: w != F.lit(""),
+            ),
+        )
+        .withColumn(
+            "__html", _crawl_html_expr(F.col("doc_id"), F.col("__w"))
+        )
+        .filter(dhtml.page_keep(F.col("__html")))
+        .drop("__w", "__html")
         .withColumn("url", _crawl_url())
     )
+    # the gated corpus feeds MANY consumers (both sides of the URL
+    # dedup join, the LM fit, content dedup, the kept join-back);
+    # persisted EAGERLY so the synthesis+extraction chain runs once,
+    # not once per branch (lazy persist would race concurrent branches
+    # of one job — the unigram-trainer snapshot lesson; near_dup_pairs
+    # materialize=True is the precedent). Lifetime rides the returned
+    # frame, released on GC. At 100 TB a real pipeline materializes
+    # this stage boundary to storage; the persist is the local analog.
+    import weakref
+
+    from pyspark import StorageLevel
+
+    from dataframes_spark.operators.dedup import _safe_unpersist
+
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    raw.count()
     docs = durl.url_dedup(raw, "url", "doc_id").drop("url")
     c4 = dtext.c4_rules(_c4_docs(spark, sf_dir), "text", "doc_id").select(
         "doc_id", "pass_all"
@@ -3112,11 +3140,14 @@ def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("pass_all") == 1) & (F.col("bucket") != "tail"))
     )
     sharded = epoch_shuffle(kept, "doc_id", epoch=1, n_shards=4)
-    return sharded.groupBy("lang", "shard").agg(
+    out = sharded.groupBy("lang", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.max("pos").alias("max_pos"),
     )
+    out._graft_curation_cache = raw
+    weakref.finalize(out, _safe_unpersist, raw)
+    return out
 
 
 def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3962,6 +3993,28 @@ def phash_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "id_new", "id_seen", F.col("distance").cast("int").alias("distance")
     )
+
+
+def image_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup capstone (operators/multimodal.py
+    image_dedup_report): pinned-collision fingerprints → banded
+    verified pairs → connected components (recursive-CTE closure in
+    the oracle, the near_dup_clusters pattern) → quality-aware keep
+    (pixel count from the fake-decode lane, ties min id). Every stage
+    rides the hash: banding, pair expansion, Hamming verify, closure
+    labels, decode arithmetic, keep rank."""
+    from dataframes_spark.operators import multimodal as dmm
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.col("doc_id").alias("media_id"), _pinned_phash().alias("fp")
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    dec = dmm.decode_image(media, fake=True).select("media_id", "n_pixels")
+    return dmm.image_dedup_report(fps, dec, max_distance=4)
 
 
 def url_host_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4998,7 +5051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    shard_report_docs) and read_text_csv_agg (driver-green
         #    r7-r8; IO family stays via zorder_roundtrip_agg, csv/xlsx/
         #    orc/jsonl roundtrips all multiply green below) rotate below.
-        "dsir_sample_docs": dsir_sample_docs,
         # -- round 9 (continuation): the DSIR incremental-fit law —
         #    bucket counts are the model's sufficient statistic, so the
         #    fold over disjoint batches must reproduce the one-shot fit
@@ -5239,6 +5291,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hashes_docs": image_hashes_docs,
         "phash_pairs_pinned": phash_pairs_pinned,
         "phash_dedup_incremental_docs": phash_dedup_incremental_docs,
+        # -- round 12 (continuation): the image-dedup capstone — pairs →
+        #    connected-component closure → quality-aware keep (pixel
+        #    count from the fake-decode lane, ties min id), every stage
+        #    in ONE oracle (recursive-CTE closure, the
+        #    near_dup_clusters pattern). To hold the window at 50,
+        #    dsir_sample_docs (driver-green r9-r11, code unchanged)
+        #    rotates below; the DSIR family stays in-window via
+        #    dsir_incremental_docs.
+        "image_dedup_docs": image_dedup_docs,
         # -- round 12 (new): byte-level BPE — the r11 verdict's #3 ask,
         #    the GPT-2 family completing the tokenizer-trainer set
         #    (BPE/WordPiece/unigram-LM all ran on char-seeded word
@@ -5440,6 +5501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_slice": sort_slice,
         "mixture_order_docs": mixture_order_docs,
         "percent_rank_events": percent_rank_events,
+        "dsir_sample_docs": dsir_sample_docs,
         "pca_project_pinned": pca_project_pinned,
         "drift_categorical_events": drift_categorical_events,
         "strip_dup_spans_docs": strip_dup_spans_docs,
@@ -7009,6 +7071,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_new, id_seen, distance FROM verified
             WHERE distance <= 4
+        """,
+        "image_dedup_docs": f"""
+            -- operators/multimodal.py image_dedup_report replayed:
+            -- pinned fingerprints, banding, verified pairs (the
+            -- phash_pairs_pinned chain), recursive-CTE component
+            -- closure (least-id labels — the near_dup_clusters
+            -- pattern), fake-decode pixel counts (the
+            -- media_decode_stats arithmetic), and the quality-keep
+            -- rank (n_pixels DESC NULLS LAST, id ASC).
+            WITH RECURSIVE {_PHASH_PINNED_SQL},
+            pbd AS (
+                SELECT id, band, fp[band + 1] AS bucket, fp
+                FROM ppf, (SELECT unnest(generate_series(0, 7)) AS band)
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM pbd a JOIN pbd b USING (band, bucket)
+                WHERE a.id < b.id
+            ), verified AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN ppf fa ON c.id_a = fa.id
+                JOIN ppf fb ON c.id_b = fb.id
+                WHERE list_sum(list_transform(generate_series(1, 8),
+                    i -> bit_count(xor(fa.fp[i], fb.fp[i])))) <= 4
+            ), und AS (
+                SELECT id_a AS a, id_b AS b FROM verified
+                UNION
+                SELECT id_b, id_a FROM verified
+            ), reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+                WHERE u.b <> r.a
+            ), comp AS (
+                SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a
+            ), px AS (
+                SELECT doc_id AS id,
+                       CAST((64 + ((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)) % 192)
+                          * (64 + ((strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1)) % 192)
+                          AS BIGINT) AS n_pixels
+                FROM documents
+            )
+            SELECT c.id AS media_id,
+                   c.component AS cluster,
+                   px.n_pixels,
+                   CAST(CASE WHEN row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY px.n_pixels DESC NULLS LAST, c.id ASC
+                   ) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+            FROM comp c LEFT JOIN px ON c.id = px.id
         """,
         "url_dedup_docs": f"""
             -- functions/url.py canonical_url + url_dedup_report

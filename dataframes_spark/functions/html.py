@@ -267,6 +267,30 @@ def html_extract(
     )
 
 
+def page_keep(
+    html: Column,
+    min_words: int = 3,
+    max_link_density: float = 0.4,
+    min_stop_density: float = 0.0,
+    min_kept_blocks: int = 1,
+    stopwords: Sequence[str] = STOPWORDS,
+) -> Column:
+    """The `html_clean` page verdict as ONE boolean expression — for
+    SINGLE-SCAN composition: when the html column derives from the
+    same relation being gated (a synthesized or co-stored page), a
+    `.filter(page_keep(...))` keeps the whole gate inside the scan's
+    projection, where the join-back form would shuffle the corpus by
+    id. NULL html passes (unknown provenance — the URL-dedup NULL
+    contract); otherwise at least ``min_kept_blocks`` blocks must
+    survive the block verdicts. Pass a MATERIALIZED column attribute
+    (higher-order lambdas do not CSE their input tree)."""
+    kept = F.filter(
+        _block_stats(page_text(html), stopwords),
+        lambda st: _keep(st, min_words, max_link_density, min_stop_density),
+    )
+    return html.isNull() | (F.size(kept) >= F.lit(min_kept_blocks))
+
+
 def html_clean(
     df: DataFrame,
     html_col: str,

@@ -657,3 +657,56 @@ def phash_incremental(
         .distinct()
     )
     return candidates, store.unionByName(fresh)
+
+
+def image_dedup_report(
+    fps: DataFrame,
+    quality: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "fp",
+    quality_col: str = "n_pixels",
+    max_distance: int = 6,
+) -> DataFrame:
+    """Near-exact image dedup end-to-end (the LAION-style pass):
+    Hamming-banded candidate pairs (`phash_pairs`), connected
+    components over the verified pairs (duplicate closures — A~B and
+    B~C must resolve together, the text near-dup contract), and the
+    QUALITY-AWARE keep rule: within each cluster the highest-quality
+    image survives (``quality_col`` descending — pixel count by
+    default, the `dedup_best_quality` precedent), ties to the smallest
+    id. Returns every CLUSTERED image as ``(id, cluster, quality,
+    keep)``; unclustered images are not duplicates of anything and
+    are implicitly kept (join the report back `left` and treat NULL
+    as keep — the slim report never carries the whole corpus).
+
+    Scale shape: pairs are banded (one shuffle) + verified; the
+    closure runs on the pair-sized edge relation
+    (`graph.connected_components` — cap-gated driver union-find for
+    small edge sets, label-propagation beyond); the keep rank is one
+    window over the cluster-sized relation. Quality joins by id —
+    fingerprints never carry payload bytes."""
+    from pyspark.sql import Window as W
+
+    from dataframes_spark.operators.graph import connected_components
+
+    pairs = phash_pairs(fps, id_col, fp_col, max_distance)
+    comp = connected_components(pairs, "id_a", "id_b")
+    scored = comp.join(
+        quality.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+        ),
+        "id",
+        "left",
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col("__q").desc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster"),
+            F.col("__q").alias(quality_col),
+            (F.col("__rk") == 1).cast("int").alias("keep"),
+        )
+    )

@@ -126,3 +126,38 @@ def test_real_dhash_lane(spark):
     )
     fp = M.image_hashes(df, method="dhash").first()["fp"]
     assert len(fp) == 8 and all(0 <= b <= 255 for b in fp)
+
+
+def test_image_dedup_report_quality_keep(spark):
+    # two clusters by construction: {1,2,3} chained (1~2, 2~3 within
+    # distance; 1~3 only via the closure) and {10,11}; 20 unclustered
+    base = [10, 20, 30, 40, 50, 60, 70, 80]
+    def flip(b, i, m):
+        out = list(b); out[i] ^= m; return out
+    fps = _fps(
+        spark,
+        [
+            (1, base),
+            (2, flip(base, 0, 0b11)),
+            (3, flip(flip(base, 0, 0b11), 1, 0b11)),
+            (10, [200, 201, 202, 203, 204, 205, 206, 207]),
+            (11, [200, 201, 202, 203, 204, 205, 206, 204]),
+            (20, [90, 91, 92, 93, 94, 95, 96, 97]),
+        ],
+    )
+    quality = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 500), (10, 10), (11, 10), (20, 7)],
+        "media_id long, n_pixels long",
+    )
+    rep = {
+        r["media_id"]: (r["cluster"], r["keep"])
+        for r in M.image_dedup_report(fps, quality, max_distance=4).collect()
+    }
+    # 20 never pairs -> absent from the report (implicitly kept)
+    assert set(rep) == {1, 2, 3, 10, 11}
+    assert rep[1][0] == rep[2][0] == rep[3][0] == 1
+    assert rep[10][0] == rep[11][0] == 10
+    # highest quality survives; tie in {10,11} -> smaller id
+    assert [m for m, (_c, k) in rep.items() if k == 1] == [2, 10] or {
+        m for m, (_c, k) in rep.items() if k == 1
+    } == {2, 10}

@@ -146,6 +146,7 @@ SHOWCASE = [
     ("phash_dedup_incremental_docs", "incremental phash: batch bands vs store on (band, bucket), inline Hamming verify, no fetch-back join"),
     ("kll_quantiles_events", "KLL build as ONE window + closed-form fate CASE; quantile cut shares its Window with the group total"),
     ("langid_scores_docs", "vectorized langid scoring: broadcast weight-vector join x1, k scalar sums in one groupBy, map-only argmax"),
+    ("image_dedup_docs", "image-dedup capstone: banded pairs -> cap-gated components -> quality-keep window"),
     # byte_bpe_merges_docs is NOT showcased: the trainer loops eagerly
     # (per-round 1-row argmax, the bpe_merges_docs exclusion); the
     # byte seeding is a map-only projection covered by the registry
