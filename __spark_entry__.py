@@ -3796,16 +3796,30 @@ _CURATION_STAGE0_PREFIX = (
 
 
 #: SQL twin of `_pinned_phash` — a CTE body producing ``ppf(id, fp)``.
-_PHASH_PINNED_SQL = """ppf AS (
+_PHASH_PINNED_SQL = """pph AS (
+                SELECT doc_id,
+                       ((((doc_id >> 2) % 2147483648) * 1103515245 + 12345)
+                           % 2147483648) AS h1,
+                       ((((doc_id >> 2) % 2147483648) * 48271 + 7)
+                           % 2147483648) AS h2
+                FROM documents
+            ), ppf AS (
                 SELECT doc_id AS id,
                        list_transform(generate_series(0, 7), i ->
                            CAST(CASE WHEN i = doc_id % 8
-                                THEN xor(((doc_id % 199) * 31 + i * 7) % 256,
-                                         CASE doc_id % 3 WHEN 0 THEN 0
-                                              WHEN 1 THEN 1 ELSE 3 END)
-                                ELSE ((doc_id % 199) * 31 + i * 7) % 256
+                                THEN xor(
+                                    CASE WHEN i < 4
+                                         THEN (h1 >> (i * 8)) % 256
+                                         ELSE (h2 >> ((i - 4) * 8)) % 256
+                                    END,
+                                    CASE doc_id % 3 WHEN 0 THEN 0
+                                         WHEN 1 THEN 1 ELSE 3 END)
+                                ELSE CASE WHEN i < 4
+                                          THEN (h1 >> (i * 8)) % 256
+                                          ELSE (h2 >> ((i - 4) * 8)) % 256
+                                     END
                            END AS INT)) AS fp
-                FROM documents
+                FROM pph
             )"""
 
 
@@ -3924,31 +3938,39 @@ def image_hashes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pinned_phash() -> "F.Column":
     """Deterministic per-document fingerprint with collision structure
-    known by construction (the `_crawl_url` pattern): documents
-    sharing ``doc_id % 199`` share a base byte pattern and differ only
-    by 0-2 flipped bits in one byte, so within-group Hamming distances
-    are <= 4 and cross-group distances are >= 8 (the base bytes all
-    shift by the same nonzero delta; 31 is invertible mod 256) — the
-    banded candidate generator and the distance verify both get real
-    work with a deterministic answer."""
+    known by construction (the `_crawl_url` pattern): each BOUNDED
+    group of four consecutive ids (``doc_id // 4``) shares a base byte
+    pattern — two affine LCG words mod 2^31 sliced into 8 bytes, so
+    distinct groups get distinct, far-apart bases (odd multipliers are
+    injective mod 2^31) — and members differ only by 0-2 flipped bits
+    in one byte, so within-group Hamming distances are <= 4 and the
+    banded generator + distance verify get real work at EVERY scale.
+    Group size is fixed at 4, so candidate pairs stay LINEAR in the
+    corpus (the first cut of this lane used ``doc_id % 199`` groups,
+    whose membership grew with the corpus — the sf1 spot-bench caught
+    the quadratic pair blowup at 20x)."""
     did = F.col("doc_id")
     mask = (
         F.when(did % 3 == 0, F.lit(0))
         .when(did % 3 == 1, F.lit(1))
         .otherwise(F.lit(3))
     )
+    gm = F.shiftright(did, 2) % 2147483648
+    h1 = (gm * 1103515245 + 12345) % 2147483648
+    h2 = (gm * 48271 + 7) % 2147483648
 
     def byte(i):
-        return ((did % 199) * 31 + i * 7) % 256
+        if i < 4:
+            return F.shiftright(h1, i * 8) % 256
+        return F.shiftright(h2, (i - 4) * 8) % 256
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(7)),
-        lambda i: F.when(
-            i == (did % 8).cast("int"),
-            byte(i).bitwiseXOR(mask),
-        )
-        .otherwise(byte(i))
-        .cast("int"),
+    return F.array(
+        *[
+            F.when(F.lit(i) == (did % 8).cast("int"), byte(i).bitwiseXOR(mask))
+            .otherwise(byte(i))
+            .cast("int")
+            for i in range(8)
+        ]
     )
 
 
