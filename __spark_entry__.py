@@ -3813,7 +3813,7 @@ _PHASH_PINNED_SQL = """pph AS (
                                          ELSE (h2 >> ((i - 4) * 8)) % 256
                                     END,
                                     CASE doc_id % 3 WHEN 0 THEN 0
-                                         WHEN 1 THEN 1 ELSE 3 END)
+                                         WHEN 1 THEN 1 ELSE 2 END)
                                 ELSE CASE WHEN i < 4
                                           THEN (h1 >> (i * 8)) % 256
                                           ELSE (h2 >> ((i - 4) * 8)) % 256
@@ -3942,8 +3942,8 @@ def _pinned_phash() -> "F.Column":
     group of four consecutive ids (``doc_id // 4``) shares a base byte
     pattern — two affine LCG words mod 2^31 sliced into 8 bytes, so
     distinct groups get distinct, far-apart bases (odd multipliers are
-    injective mod 2^31) — and members differ only by 0-2 flipped bits
-    in one byte, so within-group Hamming distances are <= 4 and the
+    injective mod 2^31) — and members differ only by at most one flipped bit
+    in one byte, so within-group Hamming distances are <= 2 and the
     banded generator + distance verify get real work at EVERY scale.
     Group size is fixed at 4, so candidate pairs stay LINEAR in the
     corpus (the first cut of this lane used ``doc_id % 199`` groups,
@@ -3953,7 +3953,7 @@ def _pinned_phash() -> "F.Column":
     mask = (
         F.when(did % 3 == 0, F.lit(0))
         .when(did % 3 == 1, F.lit(1))
-        .otherwise(F.lit(3))
+        .otherwise(F.lit(2))
     )
     gm = F.shiftright(did, 2) % 2147483648
     h1 = (gm * 1103515245 + 12345) % 2147483648
@@ -3990,7 +3990,7 @@ def phash_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.select(
         F.col("doc_id").alias("media_id"), _pinned_phash().alias("fp")
     )
-    out = dmm.phash_pairs(fps, max_distance=4)
+    out = dmm.phash_pairs(fps, max_distance=2)
     return out.select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
 
 
@@ -4011,7 +4011,7 @@ def phash_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = dmm.phash_bands(fps.filter(F.col("media_id") % 2 == 0))
     batch = fps.filter(F.col("media_id") % 2 == 1)
-    cand, _updated = dmm.phash_incremental(batch, store, max_distance=4)
+    cand, _updated = dmm.phash_incremental(batch, store, max_distance=2)
     return cand.select(
         "id_new", "id_seen", F.col("distance").cast("int").alias("distance")
     )
@@ -4036,7 +4036,7 @@ def image_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     dec = dmm.decode_image(media, fake=True).select("media_id", "n_pixels")
-    return dmm.image_dedup_report(fps, dec, max_distance=4)
+    return dmm.image_dedup_report(fps, dec, max_distance=2)
 
 
 def url_host_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7043,8 +7043,12 @@ def oracle_sql() -> dict[str, str]:
             -- and the max_distance verify.
             WITH {_PHASH_PINNED_SQL},
             pbd AS (
-                SELECT id, band, fp[band + 1] AS bucket, fp
-                FROM ppf, (SELECT unnest(generate_series(0, 7)) AS band)
+                -- 2-byte bands (the production band_bytes=2 dial):
+                -- 4 bands of 65536 buckets, recall guaranteed to d<=3
+                SELECT id, band,
+                       fp[band * 2 + 1] * 256 + fp[band * 2 + 2] AS bucket,
+                       fp
+                FROM ppf, (SELECT unnest(generate_series(0, 3)) AS band)
             ), cand AS (
                 SELECT DISTINCT a.id AS id_a, b.id AS id_b
                 FROM pbd a JOIN pbd b USING (band, bucket)
@@ -7058,7 +7062,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ppf fa ON c.id_a = fa.id
                 JOIN ppf fb ON c.id_b = fb.id
             )
-            SELECT id_a, id_b, distance FROM verified WHERE distance <= 4
+            SELECT id_a, id_b, distance FROM verified WHERE distance <= 2
         """,
         "phash_dedup_incremental_docs": f"""
             -- operators/multimodal.py phash_incremental replayed:
@@ -7068,8 +7072,12 @@ def oracle_sql() -> dict[str, str]:
             -- verify.
             WITH {_PHASH_PINNED_SQL},
             pbd AS (
-                SELECT id, band, fp[band + 1] AS bucket, fp
-                FROM ppf, (SELECT unnest(generate_series(0, 7)) AS band)
+                -- 2-byte bands (the production band_bytes=2 dial):
+                -- 4 bands of 65536 buckets, recall guaranteed to d<=3
+                SELECT id, band,
+                       fp[band * 2 + 1] * 256 + fp[band * 2 + 2] AS bucket,
+                       fp
+                FROM ppf, (SELECT unnest(generate_series(0, 3)) AS band)
             ), st AS (
                 SELECT * FROM pbd WHERE id % 2 = 0
             ), bt AS (
@@ -7092,7 +7100,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ppf fs ON allc.id_seen = fs.id
             )
             SELECT id_new, id_seen, distance FROM verified
-            WHERE distance <= 4
+            WHERE distance <= 2
         """,
         "image_dedup_docs": f"""
             -- operators/multimodal.py image_dedup_report replayed:
@@ -7104,8 +7112,12 @@ def oracle_sql() -> dict[str, str]:
             -- rank (n_pixels DESC NULLS LAST, id ASC).
             WITH RECURSIVE {_PHASH_PINNED_SQL},
             pbd AS (
-                SELECT id, band, fp[band + 1] AS bucket, fp
-                FROM ppf, (SELECT unnest(generate_series(0, 7)) AS band)
+                -- 2-byte bands (the production band_bytes=2 dial):
+                -- 4 bands of 65536 buckets, recall guaranteed to d<=3
+                SELECT id, band,
+                       fp[band * 2 + 1] * 256 + fp[band * 2 + 2] AS bucket,
+                       fp
+                FROM ppf, (SELECT unnest(generate_series(0, 3)) AS band)
             ), cand AS (
                 SELECT DISTINCT a.id AS id_a, b.id AS id_b
                 FROM pbd a JOIN pbd b USING (band, bucket)
@@ -7116,7 +7128,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ppf fa ON c.id_a = fa.id
                 JOIN ppf fb ON c.id_b = fb.id
                 WHERE list_sum(list_transform(generate_series(1, 8),
-                    i -> bit_count(xor(fa.fp[i], fb.fp[i])))) <= 4
+                    i -> bit_count(xor(fa.fp[i], fb.fp[i])))) <= 2
             ), und AS (
                 SELECT id_a AS a, id_b AS b FROM verified
                 UNION

@@ -526,30 +526,57 @@ def hamming_distance(a, b):
 
 
 def phash_bands(
-    fps: DataFrame, id_col: str = "media_id", fp_col: str = "fp"
+    fps: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "fp",
+    band_bytes: int = 2,
 ) -> DataFrame:
     """``(id, band, bucket, fp)`` Hamming banding of a fingerprint
-    relation — each of the 8 bytes is a band and the byte value is the
-    bucket. Pigeonhole recall guarantee: two fingerprints within
-    Hamming distance d < 8 differ in at most d bytes, so they AGREE on
-    at least one band — banded candidate generation misses nothing at
-    the distances near-exact image dedup uses (<= 7 bits of 64).
+    relation: the 8 fingerprint bytes split into ``8 // band_bytes``
+    bands, the band's bytes concatenated into one integer bucket.
+    Pigeonhole recall guarantee: two fingerprints within Hamming
+    distance ``d < 8 / band_bytes`` touch at most d bytes, hence at
+    most d bands, leaving at least one band they AGREE on — banded
+    candidate generation misses nothing up to that distance.
+
+    ``band_bytes`` is the standard LSH width/recall dial, and it is
+    what keeps candidate volume sane as the corpus grows — bucket
+    POPULATIONS scale with N / #buckets, so candidate pairs scale with
+    N^2 / #buckets:
+
+    - ``1`` — 8 bands of 256 buckets: recall to d <= 7, but each bucket
+      holds ~N/256 images — quadratic candidate blowup beyond small
+      corpora (the sf1 spot-bench measured it); verification lanes
+      and small batches only;
+    - ``2`` (default) — 4 bands of 65 536 buckets: recall to d <= 3,
+      the near-exact band production image dedup uses;
+    - ``4`` — 2 bands of 2^32 buckets: recall to d <= 1,
+      the web-scale exact/near-exact setting.
+
     NULL fingerprints (undecodable blobs) produce no bands: an
     unhashable image can never be anyone's duplicate (fail-closed, the
-    zero-norm screening precedent).
+    zero-norm screening precedent). Carrying ``fp`` on every band row
+    is what lets the incremental join verify distance INLINE — no
+    fetch-back join against the corpus (cheaper than the LSH-store
+    contract, where verification needs the text)."""
+    if band_bytes not in (1, 2, 4):
+        raise ValueError(f"band_bytes must be 1, 2 or 4, got {band_bytes}")
+    n_bands = PHASH_BYTES // band_bytes
 
-    Carrying ``fp`` on every band row (8 bytes x 8 bands) is what lets
-    the incremental join verify distance INLINE — no fetch-back join
-    against the corpus (cheaper than the LSH-store contract, where
-    verification needs the text)."""
+    def bucket_of(i):
+        b = F.col(fp_col)[(i * band_bytes).cast("int")].cast("long")
+        for j in range(1, band_bytes):
+            b = b * 256 + F.col(fp_col)[(i * band_bytes + j).cast("int")]
+        return b
+
     return fps.filter(F.col(fp_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(PHASH_BYTES - 1)),
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda i: F.struct(
                     i.alias("band"),
-                    F.col(fp_col)[i.cast("int")].alias("bucket"),
+                    bucket_of(i).alias("bucket"),
                 ),
             )
         ).alias("bb"),
@@ -561,7 +588,8 @@ def phash_pairs(
     fps: DataFrame,
     id_col: str = "media_id",
     fp_col: str = "fp",
-    max_distance: int = 6,
+    max_distance: int = 3,
+    band_bytes: int = 2,
 ) -> DataFrame:
     """Near-duplicate image pairs: banded candidate generation (ONE
     shuffle — the `_bucket_pair_expand` machinery the minhash/simhash
@@ -569,13 +597,17 @@ def phash_pairs(
     fingerprints joined back. Returns ``(id_a, id_b, distance)`` with
     ``id_a < id_b`` and ``distance <= max_distance``.
 
-    ``max_distance`` must stay below 8 — that is the banding's recall
-    guarantee (see `phash_bands`); beyond it candidates would silently
-    miss pairs, so the bound is enforced, not documented away."""
-    if not 0 <= max_distance < PHASH_BYTES:
+    ``max_distance`` must stay below ``8 / band_bytes`` — that is the
+    banding's recall guarantee (see `phash_bands`, including the
+    width-vs-candidate-volume dial); beyond it candidates would
+    silently miss pairs, so the bound is enforced, not documented
+    away."""
+    limit = PHASH_BYTES // band_bytes if band_bytes in (1, 2, 4) else 0
+    if not 0 <= max_distance < limit:
         raise ValueError(
-            f"max_distance must be in [0, {PHASH_BYTES - 1}] for the "
-            f"8-band pigeonhole guarantee, got {max_distance}"
+            f"max_distance must be in [0, {max(limit - 1, 0)}] for the "
+            f"{limit}-band pigeonhole guarantee at band_bytes="
+            f"{band_bytes}, got {max_distance}"
         )
     from dataframes_spark.operators.dedup import _bucket_pair_expand
 
@@ -583,7 +615,9 @@ def phash_pairs(
         F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
     )
     cand = _bucket_pair_expand(
-        phash_bands(slim, "id", "fp").select("id", "band", "bucket")
+        phash_bands(slim, "id", "fp", band_bytes).select(
+            "id", "band", "bucket"
+        )
     )
     return (
         cand.join(slim.select(F.col("id").alias("id_a"), F.col("fp").alias("__fa")), "id_a")
@@ -602,7 +636,8 @@ def phash_incremental(
     store: DataFrame,
     id_col: str = "media_id",
     fp_col: str = "fp",
-    max_distance: int = 6,
+    max_distance: int = 3,
+    band_bytes: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental perceptual near-dup detection: which arriving images
     look like something already seen — without re-banding history.
@@ -618,18 +653,23 @@ def phash_incremental(
     store — persisted bucketed on those keys, history never reshuffles;
     per-batch cost is O(batch + colliding buckets) regardless of store
     size. Because the store rows carry the 8-byte fingerprint,
-    verification happens INSIDE the join — no corpus fetch-back."""
-    if not 0 <= max_distance < PHASH_BYTES:
+    verification happens INSIDE the join — no corpus fetch-back.
+    ``band_bytes`` must match the persisted store's banding (the
+    caller owns keeping it constant across increments — the LSH-store
+    configuration contract)."""
+    limit = PHASH_BYTES // band_bytes if band_bytes in (1, 2, 4) else 0
+    if not 0 <= max_distance < limit:
         raise ValueError(
-            f"max_distance must be in [0, {PHASH_BYTES - 1}] for the "
-            f"8-band pigeonhole guarantee, got {max_distance}"
+            f"max_distance must be in [0, {max(limit - 1, 0)}] for the "
+            f"{limit}-band pigeonhole guarantee at band_bytes="
+            f"{band_bytes}, got {max_distance}"
         )
     from dataframes_spark.operators.dedup import _bucket_pair_expand
 
     slim = new_fps.filter(F.col(fp_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
     )
-    fresh = phash_bands(slim, "id", "fp")
+    fresh = phash_bands(slim, "id", "fp", band_bytes)
     in_batch = (
         _bucket_pair_expand(fresh.select("id", "band", "bucket"))
         .join(slim.select(F.col("id").alias("id_a"), F.col("fp").alias("__fa")), "id_a")
@@ -665,7 +705,8 @@ def image_dedup_report(
     id_col: str = "media_id",
     fp_col: str = "fp",
     quality_col: str = "n_pixels",
-    max_distance: int = 6,
+    max_distance: int = 3,
+    band_bytes: int = 2,
 ) -> DataFrame:
     """Near-exact image dedup end-to-end (the LAION-style pass):
     Hamming-banded candidate pairs (`phash_pairs`), connected
@@ -689,7 +730,7 @@ def image_dedup_report(
 
     from dataframes_spark.operators.graph import connected_components
 
-    pairs = phash_pairs(fps, id_col, fp_col, max_distance)
+    pairs = phash_pairs(fps, id_col, fp_col, max_distance, band_bytes)
     comp = connected_components(pairs, "id_a", "id_b")
     scored = comp.join(
         quality.select(

@@ -41,10 +41,10 @@ def test_bands_guarantee_and_null_fail_closed(spark):
     near = list(base)
     near[0] ^= 0b11  # 2 bits, one byte
     df = _fps(spark, [(1, base), (2, near), (3, None)])
-    bands = M.phash_bands(df)
+    bands = M.phash_bands(df, band_bytes=1)
     # null fp produces no bands (fail-closed)
     assert bands.filter(F.col("id") == 3).count() == 0
-    # near pair agrees on 7 of 8 bands
+    # near pair agrees on 7 of 8 single-byte bands
     shared = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bucket"])
@@ -52,6 +52,16 @@ def test_bands_guarantee_and_null_fail_closed(spark):
         .count()
     )
     assert shared == 7
+    # 2-byte bands (default): byte 0 dirty -> band 0 dirty, 3 of 4 agree
+    wide = M.phash_bands(df)
+    assert wide.filter(F.col("id") == 1).count() == 4
+    shared2 = (
+        wide.alias("a")
+        .join(wide.alias("b"), ["band", "bucket"])
+        .filter((F.col("a.id") == 1) & (F.col("b.id") == 2))
+        .count()
+    )
+    assert shared2 == 3
 
 
 def test_pairs_verified_distance(spark):
@@ -65,7 +75,7 @@ def test_pairs_verified_distance(spark):
     df = _fps(spark, [(1, base), (2, near), (3, far), (4, coincident)])
     pairs = {
         (r["id_a"], r["id_b"]): r["distance"]
-        for r in M.phash_pairs(df, max_distance=6).collect()
+        for r in M.phash_pairs(df, max_distance=6, band_bytes=1).collect()
     }
     # (1,2) verified at distance 3; (1,4) was a candidate (band 0
     # collision) but fails the distance verify; (3,*) shares no band
@@ -75,7 +85,11 @@ def test_pairs_verified_distance(spark):
 def test_pairs_distance_bound_enforced(spark):
     df = _fps(spark, [(1, [0] * 8)])
     with pytest.raises(ValueError):
-        M.phash_pairs(df, max_distance=8)
+        M.phash_pairs(df, max_distance=8, band_bytes=1)
+    with pytest.raises(ValueError):
+        M.phash_pairs(df, max_distance=4)  # 2-byte bands: limit is 3
+    with pytest.raises(ValueError):
+        M.phash_pairs(df, max_distance=1, band_bytes=3)
     with pytest.raises(ValueError):
         M.phash_incremental(df, M.phash_bands(df), max_distance=99)
 
@@ -93,14 +107,14 @@ def test_incremental_matches_one_shot(spark):
     all_fps = _fps(spark, rows)
     one_shot = {
         (r["id_a"], r["id_b"], r["distance"])
-        for r in M.phash_pairs(all_fps, max_distance=4).collect()
+        for r in M.phash_pairs(all_fps, max_distance=2).collect()
     }
     first = _fps(spark, rows[:15])
     second = _fps(spark, rows[15:])
     c1, store = M.phash_incremental(
-        first, M.phash_bands(_fps(spark, [])), max_distance=4
+        first, M.phash_bands(_fps(spark, [])), max_distance=2
     )
-    c2, _ = M.phash_incremental(second, store, max_distance=4)
+    c2, _ = M.phash_incremental(second, store, max_distance=2)
     inc = {
         (min(r["id_new"], r["id_seen"]), max(r["id_new"], r["id_seen"]), r["distance"])
         for c in (c1, c2)
@@ -138,8 +152,8 @@ def test_image_dedup_report_quality_keep(spark):
         spark,
         [
             (1, base),
-            (2, flip(base, 0, 0b11)),
-            (3, flip(flip(base, 0, 0b11), 1, 0b11)),
+            (2, flip(base, 0, 0b1)),
+            (3, flip(flip(base, 0, 0b1), 1, 0b1)),
             (10, [200, 201, 202, 203, 204, 205, 206, 207]),
             (11, [200, 201, 202, 203, 204, 205, 206, 204]),
             (20, [90, 91, 92, 93, 94, 95, 96, 97]),
@@ -151,7 +165,7 @@ def test_image_dedup_report_quality_keep(spark):
     )
     rep = {
         r["media_id"]: (r["cluster"], r["keep"])
-        for r in M.image_dedup_report(fps, quality, max_distance=4).collect()
+        for r in M.image_dedup_report(fps, quality, max_distance=2).collect()
     }
     # 20 never pairs -> absent from the report (implicitly kept)
     assert set(rep) == {1, 2, 3, 10, 11}
