@@ -3145,7 +3145,8 @@ def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.max("pos").alias("max_pos"),
     )
-    out._graft_curation_cache = raw
+    # the finalizer's arg reference keeps `raw` alive exactly as long
+    # as the returned frame; released (blocking=False) on GC
     weakref.finalize(out, _safe_unpersist, raw)
     return out
 
@@ -3682,7 +3683,11 @@ _HTML_DERIVE_SQL = """hw AS (
                          '<html><head><title>Doc ' || doc_id ||
                          '</title><style>p{margin:0}</style></head><body>' ||
                          '<!-- synthetic crawl page -->' ||
-                         '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' ||
+                         CASE WHEN doc_id % 29 = 0 THEN
+                           '<a href="/hub"><div>Primary Navigation Hub Links</div></a>'
+                         ELSE
+                           '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
+                         END ||
                          CASE WHEN doc_id % 19 = 0 THEN
                            '<ul>' || array_to_string(list_transform(w0[1:8],
                                w -> '<li><a href="/t">' || w || '</a></li>'), '') || '</ul>'
@@ -3731,19 +3736,42 @@ def _html_extract_sql(src: str) -> str:
                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS s
                 FROM hx2
+            ), hxl AS MATERIALIZED (
+                SELECT doc_id, string_split(s, chr(10)) AS bl FROM hx3
+            ), hxq AS MATERIALIZED (
+                SELECT doc_id, unnest(generate_series(1, len(bl))) AS idx,
+                       bl
+                FROM hxl
+            ), hxb1 AS MATERIALIZED (
+                SELECT doc_id, idx, bl[idx] AS blk FROM hxq
+            ), hcar(doc_id, idx, lc, open_out) AS (
+                -- anchor-state carry across block boundaries (the
+                -- functions/html.py _block_stats fold): a block
+                -- entered with an open anchor re-opens it, spans
+                -- count to their closing sentinel or block end, and
+                -- the open state recurses to the next block
+                SELECT doc_id, idx,
+                       CAST(coalesce(list_sum(list_transform(regexp_extract_all(blk, chr(1) || '([^' || chr(1) || chr(2) || ']*)', 1), z -> len(z))), 0) AS INT),
+                       CASE WHEN contains(blk, chr(1)) AND NOT contains((string_split(blk, chr(1)))[-1], chr(2)) THEN 1 ELSE 0 END
+                FROM hxb1 WHERE idx = 1
+                UNION ALL
+                SELECT b.doc_id, b.idx,
+                       CAST(coalesce(list_sum(list_transform(regexp_extract_all((CASE WHEN r.open_out = 1 THEN chr(1) || b.blk ELSE b.blk END), chr(1) || '([^' || chr(1) || chr(2) || ']*)', 1), z -> len(z))), 0) AS INT),
+                       CASE WHEN contains((CASE WHEN r.open_out = 1 THEN chr(1) || b.blk ELSE b.blk END), chr(1)) AND NOT contains((string_split((CASE WHEN r.open_out = 1 THEN chr(1) || b.blk ELSE b.blk END), chr(1)))[-1], chr(2)) THEN 1 ELSE 0 END
+                FROM hcar r
+                JOIN hxb1 b ON b.doc_id = r.doc_id AND b.idx = r.idx + 1
             ), hxb AS (
-                SELECT doc_id,
-                       list_filter(list_transform(string_split(s, chr(10)),
-                           b -> struct_pack(
+                SELECT q.doc_id,
+                       list_filter(
+                           list(struct_pack(
                                vis := trim(regexp_replace(
-                                   replace(replace(b, chr(1), ''), chr(2), ''),
+                                   replace(replace(q.blk, chr(1), ''),
+                                           chr(2), ''),
                                    '\\s+', ' ', 'g')),
-                               lc := coalesce(list_sum(list_transform(
-                                   regexp_extract_all(b,
-                                       chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1),
-                                   x -> len(x))), 0))),
+                               lc := c.lc) ORDER BY q.idx),
                            st -> len(st.vis) > 0) AS b
-                FROM hx3
+                FROM hxb1 q JOIN hcar c USING (doc_id, idx)
+                GROUP BY q.doc_id
             ), hxm AS (
                 SELECT doc_id,
                        list_transform(b, st -> struct_pack(
@@ -3771,7 +3799,7 @@ def _html_extract_sql(src: str) -> str:
 #: every NULL-provenance row (u0), and restrict the corpus to the
 #: surviving ids (d0).
 _CURATION_STAGE0_PREFIX = (
-    "WITH "
+    "WITH RECURSIVE "
     + _HTML_DERIVE_SQL
     + _html_extract_sql("hpages")
     + f"""
@@ -3827,8 +3855,10 @@ def _crawl_html_expr(did: "F.Column", words: "F.Column") -> "F.Column":
     """Deterministic synthetic crawl-page HTML around a document's
     words (12-word ``<p>`` paragraphs with entity / inline-tag /
     inline-anchor variants), wrapped in the boilerplate every real
-    page carries: head (title+style), a comment, a link-only nav bar,
-    a script block and a link-heavy footer. Variant lanes: every 19th
+    page carries: head (title+style), a comment, a link-only nav bar
+    (every 29th document: a BLOCK-ANCHOR nav — an anchor containing a
+    block-level tag, exercising the extractor's cross-block anchor
+    carry), a script block and a link-heavy footer. Variant lanes: every 19th
     document's content is a LINK FARM (``<li><a>`` items — zero blocks
     survive extraction), every 23rd document has NULL html (unknown
     provenance). Derived identically in the oracle SQL
@@ -3871,10 +3901,21 @@ def _crawl_html_expr(did: "F.Column", words: "F.Column") -> "F.Column":
             did.cast("string"),
             F.lit("</title><style>p{margin:0}</style></head><body>"),
             F.lit("<!-- synthetic crawl page -->"),
-            F.lit(
-                '<div class="nav"><a href="/">Home</a>'
-                ' <a href="/about">About</a>'
-                ' <a href="/contact">Contact</a></div>'
+            F.when(
+                did % 29 == 0,
+                # block-anchor nav: the anchor's content contains a
+                # block-level tag, so its sentinels split across blocks
+                # — exercises the extractor's anchor-state carry
+                F.lit(
+                    '<a href="/hub"><div>Primary Navigation Hub'
+                    " Links</div></a>"
+                ),
+            ).otherwise(
+                F.lit(
+                    '<div class="nav"><a href="/">Home</a>'
+                    ' <a href="/about">About</a>'
+                    ' <a href="/contact">Contact</a></div>'
+                )
             ),
             content,
             F.lit("<script>var x = {a: 1};</script>"),
@@ -3977,10 +4018,11 @@ def _pinned_phash() -> "F.Column":
 def phash_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-banded perceptual near-dup pairs (operators/
     multimodal.py phash_bands + phash_pairs over the shared
-    `_bucket_pair_expand` machinery): byte-per-band candidate
-    generation — pigeonhole-complete for distance < 8 — then exact
-    per-byte XOR-popcount verification, over pinned fingerprints with
-    known collisions. Cross-group accidental byte collisions become
+    `_bucket_pair_expand` machinery): 2-byte-band candidate
+    generation — 4 bands of 65536 buckets, pigeonhole-complete for
+    distance <= 3 (see phash_bands' band-width dial) — then exact
+    per-byte XOR-popcount verification at max_distance 2, over pinned
+    fingerprints with known collisions. Cross-group accidental byte collisions become
     candidates and FAIL the verify, so the filter itself is
     exercised; the oracle replays generation, banding, pair expansion
     and the distance sum term for term."""
@@ -5292,8 +5334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    model-free image dedup): image_hashes_docs hash-verifies
         #    the Arrow-batched mapInPandas fingerprint lane (sha256
         #    stand-in bytes, the media_decode_stats precedent);
-        #    phash_pairs_pinned hash-verifies byte-per-band candidate
-        #    generation (pigeonhole-complete for distance < 8) + exact
+        #    phash_pairs_pinned hash-verifies 2-byte-band candidate
+        #    generation (the production width: recall to d<=3) + exact
         #    XOR-popcount verification over fingerprints with known
         #    collisions; phash_dedup_incremental_docs hash-verifies
         #    the store contract (band-bucket equi-join, inline
@@ -6991,7 +7033,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM sl JOIN thr USING (lang)
         """,
-        "html_extract_docs": "WITH " + _HTML_DERIVE_SQL
+        "html_extract_docs": "WITH RECURSIVE " + _HTML_DERIVE_SQL
         + _html_extract_sql("hpages")
         + """
             -- functions/html.py html_extract replayed end-to-end over
@@ -7027,12 +7069,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, sha256(text) AS h FROM documents
             )
             SELECT doc_id AS media_id,
-                   list_transform(generate_series(0, 7), i ->
-                       CAST((strpos('0123456789abcdef',
-                                    substr(h, 17 + i * 2, 1)) - 1) * 16
-                          + (strpos('0123456789abcdef',
-                                    substr(h, 18 + i * 2, 1)) - 1)
-                            AS INT)) AS fp
+                   -- null symmetry: NULL text -> fp NULL (the Spark
+                   -- lane's null-payload row), never [NULL x 8]
+                   CASE WHEN h IS NULL THEN NULL ELSE
+                       list_transform(generate_series(0, 7), i ->
+                           CAST((strpos('0123456789abcdef',
+                                        substr(h, 17 + i * 2, 1)) - 1) * 16
+                              + (strpos('0123456789abcdef',
+                                        substr(h, 18 + i * 2, 1)) - 1)
+                                AS INT))
+                   END AS fp
             FROM b
         """,
         "phash_pairs_pinned": f"""

@@ -135,8 +135,11 @@ def byte_types_from_counts(counts: DataFrame) -> DataFrame:
         "word", "freq", F.hex(F.encode(F.col("word"), "UTF-8")).alias("__hx")
     )
     hx = F.col("__hx")
-    syms = F.concat(
-        F.array(F.lit(BYTE_SPACE)),
+    # empty-word guard: F.sequence(1, 0) runs DESCENDING (the
+    # char_ngrams hazard) and would fabricate [Ġ, NULL, NULL]; an
+    # empty word seeds as the bare space marker on both lanes
+    body = F.when(
+        F.length(hx) >= 2,
         F.transform(
             F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
             lambda i: F.element_at(
@@ -146,7 +149,8 @@ def byte_types_from_counts(counts: DataFrame) -> DataFrame:
                 + 1,
             ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    syms = F.concat(F.array(F.lit(BYTE_SPACE)), body)
     return hexed.select("word", "freq", syms.alias("syms"))
 
 
@@ -338,13 +342,18 @@ def bpe_learn_from_types(
         raise ValueError(f"k must be >= 1, got {k}")
     if scoring not in ("count", "wordpiece"):
         raise ValueError(f"scoring must be count|wordpiece, got {scoring!r}")
+    # persist BEFORE the cap probe: on the large-vocab fall-through
+    # the probe's limit+collect would otherwise compute the full type
+    # relation once and throw it away (one wasted corpus aggregation,
+    # exactly on the inputs where it is most expensive)
+    words = words.persist()
     if small_vocab_cap:
         head = words.limit(small_vocab_cap + 1).collect()
         if len(head) <= small_vocab_cap:
+            words.unpersist()
             return _learn_driver(
                 words.sparkSession, head, k, scoring
             )
-    words = words.persist()
     merges: list[dict] = []
     for step in range(1, k + 1):
         pc = pair_counts(words)

@@ -131,41 +131,71 @@ def _block_stats(
 ) -> Column:
     """Array of per-block measurement structs
     ``(vis, n_chars, lc, n_words, n_stop)`` for the non-empty blocks
-    of a `page_text` string. Built in STAGED transforms: each stage
-    computes a field once and later stages reach it by struct access,
-    so nothing re-evaluates per element."""
+    of a `page_text` string.
+
+    Link chars carry ANCHOR STATE across block boundaries: an anchor
+    whose content contains block-level tags (card links, block-anchor
+    navs — ``<a><div>Home About</div></a>``) has its sentinels split
+    across blocks, so per-block span extraction alone would credit the
+    enclosed text ZERO link chars and wave a pure-link block through
+    the boilerplate gate. The measurement is therefore ONE left fold
+    over the blocks: a block entered with an open anchor is treated as
+    re-opened (`LINK_OPEN` prepended), spans count to their closing
+    sentinel OR the block's end, and the open/closed state at the
+    block's end carries to the next block. ``lc`` measures the RAW
+    span text (pre-collapse) while ``n_chars`` measures the collapsed
+    visible text — a link-heavy block with whitespace runs can exceed
+    density 1.0, which only ever errs toward dropping it.
+
+    Later stages reach fold-computed fields by struct access, so
+    nothing re-evaluates per element."""
     stop_arr = F.array(*[F.lit(w) for w in stopwords])
     raw = F.split(page, r"\n")
-    measured = F.transform(
-        raw,
-        lambda b: F.struct(
-            F.trim(
-                F.regexp_replace(
-                    F.replace(
-                        F.replace(b, F.lit(LINK_OPEN), F.lit("")),
-                        F.lit(LINK_CLOSE),
-                        F.lit(""),
-                    ),
-                    r"\s+",
-                    " ",
-                )
-            ).alias("vis"),
-            F.aggregate(
-                F.transform(
-                    F.regexp_extract_all(
-                        b,
-                        F.lit(
-                            LINK_OPEN + "([^" + LINK_CLOSE + "]*)" + LINK_CLOSE
-                        ),
-                        1,
-                    ),
-                    lambda x: F.length(x),
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ).alias("lc"),
-        ),
+    span_re = F.lit(
+        LINK_OPEN + "([^" + LINK_OPEN + LINK_CLOSE + "]*)"
     )
+    acc0 = F.struct(
+        F.array()
+        .cast("array<struct<vis:string,lc:int>>")
+        .alias("arr"),
+        F.lit(0).alias("open"),
+    )
+
+    def _step(acc, b):
+        b2 = F.when(
+            acc["open"] == 1, F.concat(F.lit(LINK_OPEN), b)
+        ).otherwise(b)
+        lc = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(b2, span_re, 1),
+                lambda x: F.length(x),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        last_open = F.substring_index(b2, LINK_OPEN, -1)
+        open_out = F.when(
+            b2.contains(LINK_OPEN) & ~last_open.contains(LINK_CLOSE),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        vis = F.trim(
+            F.regexp_replace(
+                F.replace(
+                    F.replace(b, F.lit(LINK_OPEN), F.lit("")),
+                    F.lit(LINK_CLOSE),
+                    F.lit(""),
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+        entry = F.struct(vis.alias("vis"), lc.alias("lc"))
+        return F.struct(
+            F.concat(acc["arr"], F.array(entry)).alias("arr"),
+            open_out.alias("open"),
+        )
+
+    measured = F.aggregate(raw, acc0, _step, lambda acc: acc["arr"])
     nonempty = F.filter(measured, lambda st: F.length(st["vis"]) > 0)
     return F.transform(
         nonempty,

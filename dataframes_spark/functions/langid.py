@@ -321,11 +321,15 @@ def langid_score(
     counts = langid_features(
         df, text_col, id_col, dim, salt, lane_hash, n_lo, n_hi
     )
+    # duplicate (lang, bucket) rows sum, matching the fanned-join
+    # form's semantics (map_from_entries would throw DUPLICATE_MAP_KEY)
     wvec = (
-        weights.groupBy("bucket")
+        weights.groupBy("bucket", "lang")
+        .agg(F.sum("weight").alias("__wt"))
+        .groupBy("bucket")
         .agg(
             F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("lang", "weight")))
+                F.sort_array(F.collect_list(F.struct("lang", "__wt")))
             ).alias("__m")
         )
         .select(

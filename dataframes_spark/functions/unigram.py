@@ -406,8 +406,14 @@ def unigram_train_scheduled(
     # vocabularies fall through to the distributed stages below; pass
     # ``small_vocab_cap=0`` to force them.
     if small_vocab_cap:
+        # persist before the probe: the distributed fall-through's
+        # stages re-consume `types` repeatedly, and the probe's
+        # limit+collect would otherwise compute-and-discard the full
+        # relation once (the bpe_learn_from_types probe contract)
+        types = types.persist()
         head = types.limit(small_vocab_cap + 1).collect()
         if len(head) <= small_vocab_cap:
+            types.unpersist()
             return _train_driver(
                 counts.sparkSession, head, schedule, seed_size,
                 max_piece_len,

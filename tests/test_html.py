@@ -113,3 +113,28 @@ def test_bad_density_raises(spark):
     df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
     with pytest.raises(ValueError):
         H.html_extract(df, "html", "doc_id", max_link_density=1.5)
+
+
+def test_block_anchor_link_density_carries_across_blocks(spark):
+    # the r12 review case: an anchor whose content contains block-level
+    # tags splits its sentinels across blocks; the carry fold must
+    # still attribute the enclosed text as link chars
+    html = (
+        '<a href="/x"><div>Home About Contact Pricing</div></a>'
+        "<p>the quick brown fox jumps over the lazy dog today</p>"
+    )
+    r = _extract(spark, [(1, html)])[1]
+    # the block-anchor nav is measured at ~full link density -> dropped
+    assert r["n_blocks"] == 2
+    assert r["n_kept"] == 1
+    assert r["text"].startswith("the quick brown fox")
+    # an anchor spanning MULTIPLE block boundaries: middle block fully
+    # enclosed (no sentinels at all) still counts as link text
+    html2 = (
+        '<a href="/x">opening words<div>fully enclosed nav block here</div>'
+        "closing words</a>"
+        "<p>real content with plenty of ordinary words here today</p>"
+    )
+    r2 = _extract(spark, [(2, html2)])[2]
+    assert r2["n_kept"] == 1
+    assert r2["text"].startswith("real content")
