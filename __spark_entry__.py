@@ -2622,12 +2622,14 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document log importance weight of every document under a hashed
     n-gram bucket model fit with target = the English sub-corpus and
     raw = the whole corpus. The oracle replays tokenization, md5
-    bucketing, Laplace smoothing and the weight fold term for term."""
+    bucketing, Laplace smoothing and the weight fold term for term.
+    The target is a predicate over the corpus, so fit+weigh rides the
+    one-scan `dsir_fit_weights` lane (identical counts/model/weights;
+    the corpus is exploded once, not once per side)."""
     docs = _t(spark, sf_dir, "documents")
-    model = ddsir.dsir_fit(
-        docs.filter(F.col("lang") == "en"), docs, "text", "doc_id", buckets=64
+    return ddsir.dsir_fit_weights(
+        docs, F.col("lang") == "en", "text", "doc_id", buckets=64
     )
-    return ddsir.dsir_weights(docs, model, "text", "doc_id", buckets=64)
 
 
 def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2635,15 +2637,17 @@ def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents drawn without replacement proportionally to their
     importance weight (target = English sub-corpus), via the
     deterministic md5 Gumbel key — fit, weigh and resample verified
-    end-to-end against the DuckDB replay."""
+    end-to-end against the DuckDB replay. The en target is a predicate
+    over the corpus → the one-scan `target_flag` lane."""
     docs = _t(spark, sf_dir, "documents")
     return ddsir.dsir_sample(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        None,
         "text",
         "doc_id",
         k=40,
         buckets=64,
+        target_flag=F.col("lang") == "en",
     )
 
 
@@ -2660,17 +2664,24 @@ def dsir_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
+    # each batch is read and exploded ONCE: `bucket_counts_split`
+    # carries the target predicate through the one explode and emits
+    # both sides' sufficient statistics (raw c + target c_target) — at
+    # corpus scale an arriving batch is never scanned twice to count
+    # raw and target separately; a c_target=0 bucket row is equivalent
+    # to an absent one under the smoothed fit's missing->0 coalesce
+    ca = ddsir.bucket_counts_split(
+        a, "text", "doc_id", F.col("lang") == "en", buckets=64
+    )
+    cb = ddsir.bucket_counts_split(
+        b, "text", "doc_id", F.col("lang") == "en", buckets=64
+    )
     raw = ddsir.merge_counts(
-        ddsir.bucket_counts(a, "text", "doc_id", buckets=64),
-        ddsir.bucket_counts(b, "text", "doc_id", buckets=64),
+        ca.select("bucket", "c"), cb.select("bucket", "c")
     )
     tgt = ddsir.merge_counts(
-        ddsir.bucket_counts(
-            a.filter(F.col("lang") == "en"), "text", "doc_id", buckets=64
-        ),
-        ddsir.bucket_counts(
-            b.filter(F.col("lang") == "en"), "text", "doc_id", buckets=64
-        ),
+        ca.select("bucket", F.col("c_target").alias("c")),
+        cb.select("bucket", F.col("c_target").alias("c")),
     )
     model = ddsir.dsir_fit_from_counts(spark, tgt, raw, buckets=64)
     return ddsir.dsir_weights(docs, model, "text", "doc_id", buckets=64)
@@ -2710,10 +2721,9 @@ def dsir_ess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KL report (ess_frac near 0 = a few documents dominate the
     resample). Two 1-row folds over the doc-sized weights relation."""
     docs = _t(spark, sf_dir, "documents")
-    model = ddsir.dsir_fit(
-        docs.filter(F.col("lang") == "en"), docs, "text", "doc_id", buckets=64
+    w = ddsir.dsir_fit_weights(
+        docs, F.col("lang") == "en", "text", "doc_id", buckets=64
     )
-    w = ddsir.dsir_weights(docs, model, "text", "doc_id", buckets=64)
     return ddsir.dsir_ess(w)
 
 

@@ -43,6 +43,62 @@ from dataframes_spark.io.store import staging_swap
 ALPHA = 1.0
 
 
+def _bucket_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    flag=None,
+) -> DataFrame:
+    """The exploded per-feature bucket relation ``(__id, bucket[, __t])``
+    every DSIR aggregate derives from: unigrams plus adjacent bigrams of
+    the lowercased whitespace tokenization, each hashed to
+    ``[0, buckets)`` via the md5 lane. One scan, one explode, all JVM.
+
+    ``bucket`` is wrapped non-NULLABLE (`coalesce` with 0 — the md5
+    chain never actually yields NULL for a non-null feature, so the
+    fallback is dead): downstream equi-joins on ``bucket`` otherwise
+    infer an ``IsNotNull(bucket)`` constraint that pushes below the
+    projection and RE-EXPANDS the md5 expression into the filter — the
+    hash evaluated twice per feature row (codegen does not CSE across
+    the Filter/Project operator boundary). Non-nullable, the inferred
+    filter constant-folds away.
+
+    ``flag`` (optional boolean Column over ``df``) rides along as
+    ``__t`` — it lets one explode serve both the raw and the
+    target-subcorpus aggregates (`dsir_fit_weights`,
+    `bucket_counts_split`) instead of scanning the corpus once per
+    side."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    cols = [F.col(id_col).alias("__id"), toks.alias("__w")]
+    if flag is not None:
+        cols.append(flag.alias("__t"))
+    base = df.select(*cols)
+    n = F.size("__w")
+    bigrams = F.zip_with(
+        F.slice("__w", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__w", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    keep = ["__id"] + (["__t"] if flag is not None else [])
+    feats = base.select(
+        *keep, F.explode(F.concat(F.col("__w"), bigrams)).alias("__f")
+    )
+    bucket = F.coalesce(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("__f"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(buckets),
+        F.lit(0),
+    )
+    return feats.select(*keep, bucket.alias("bucket"))
+
+
 def hashed_ngram_features(
     df: DataFrame, text_col: str, id_col: str, buckets: int = 256
 ) -> DataFrame:
@@ -50,30 +106,12 @@ def hashed_ngram_features(
 
     Features are the unigrams plus adjacent bigrams of the lowercased
     whitespace tokenization (the DSIR paper's hashed n-gram featurizer),
-    each hashed to ``[0, buckets)`` via the md5 lane. One scan, one
-    explode, one (id, bucket) partial aggregation — entirely JVM-side
-    higher-order functions, no Python in the row path."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
-    n = F.size("__w")
-    bigrams = F.zip_with(
-        F.slice("__w", 1, F.greatest(n - 1, F.lit(0))),
-        F.slice("__w", 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    feats = base.select(
-        "__id", F.explode(F.concat(F.col("__w"), bigrams)).alias("__f")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("__f"))), 1, 15), 16, 10)
-        .cast("long")
-        % F.lit(buckets)
-    )
+    each hashed to ``[0, buckets)`` via the md5 lane (`_bucket_rows`).
+    One scan, one explode, one (id, bucket) partial aggregation —
+    entirely JVM-side higher-order functions, no Python in the row
+    path."""
     return (
-        feats.select("__id", bucket.alias("bucket"))
+        _bucket_rows(df, text_col, id_col, buckets)
         .groupBy("__id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -88,11 +126,47 @@ def bucket_counts(
     batches merge by per-bucket addition (``merge_counts``). This is
     what makes the fit incremental: each arriving batch is scanned once,
     folded into a constant-size relation, and history is never
-    re-tokenized."""
+    re-tokenized.
+
+    Folds the exploded feature rows straight to the bucket domain — ONE
+    exchange of B-row map-side partials, not the former two-step
+    (id, bucket) aggregate then bucket aggregate, whose first exchange
+    moved the docs x buckets relation for nothing (the per-id
+    intermediate is only needed when per-document weights are also
+    being computed — `dsir_fit_weights` keeps it for exactly that
+    reason)."""
     return (
-        hashed_ngram_features(df, text_col, id_col, buckets)
+        _bucket_rows(df, text_col, id_col, buckets)
         .groupBy("bucket")
-        .agg(F.sum("cnt").alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bucket_counts_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_flag,
+    buckets: int = 256,
+) -> DataFrame:
+    """Raw AND target-subcorpus bucket counts from ONE scan of a batch:
+    ``(bucket, c, c_target)`` where ``c`` counts every feature
+    occurrence and ``c_target`` only those from rows where
+    ``target_flag`` holds (NULL flag counts as false, matching
+    ``df.filter(target_flag)``). Equivalent to two `bucket_counts`
+    calls — a bucket whose ``c_target`` is 0 contributes exactly what
+    an absent row would (the smoothed model coalesces missing buckets
+    to 0) — but an arriving batch is read and exploded once, not once
+    per side."""
+    return (
+        _bucket_rows(df, text_col, id_col, buckets, flag=target_flag)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.when(F.col("__t"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("c_target"),
+        )
     )
 
 
@@ -303,6 +377,53 @@ def dsir_weights(
     )
 
 
+def dsir_fit_weights(
+    df: DataFrame,
+    target_flag,
+    text_col: str,
+    id_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Fit AND weigh in one corpus pass, for the common case where the
+    target corpus is a predicate over the raw corpus (`target_flag`, a
+    boolean Column — e.g. ``col('lang') == 'en'``; NULL counts false,
+    matching ``df.filter(target_flag)``). Output is identical to
+    ``dsir_weights(df, dsir_fit(df.filter(target_flag), df, ...), ...)``
+    — same counts, same smoothed model, same weights — but the corpus
+    is scanned and exploded ONCE: the flag rides the exploded feature
+    relation (`_bucket_rows`), and the raw counts, the target counts
+    and the per-document weight fold are all aggregates over that one
+    relation, so its (id, bucket) exchange is built once and reused
+    across the three consumers (AQE stage reuse; the separate-fit form
+    genuinely re-scans the corpus for the target side). The separated
+    `dsir_fit`/`dsir_weights` remain for frozen-model scoring and for
+    targets that are not a predicate over the raw corpus."""
+    spark = df.sparkSession
+    feats = (
+        _bucket_rows(df, text_col, id_col, buckets, flag=target_flag)
+        .groupBy("__id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("__t").alias("__t"))
+    )
+    raw_counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    tgt_counts = (
+        feats.filter(F.col("__t"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    model = dsir_fit_from_counts(spark, tgt_counts, raw_counts, buckets)
+    return (
+        feats.join(F.broadcast(model.select("bucket", "log_ratio")), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias(
+                "log_weight"
+            ),
+        )
+        .select(F.col("__id").alias(id_col), "n_feats", "log_weight")
+    )
+
+
 def dsir_sample(
     df: DataFrame,
     target: DataFrame,
@@ -311,6 +432,7 @@ def dsir_sample(
     k: int,
     buckets: int = 256,
     seed: str = "",
+    target_flag=None,
 ) -> DataFrame:
     """Gumbel top-k importance resample: the ``k`` raw documents with the
     largest ``log_weight - ln(-ln(u))``, ``u = (int(md5(id + '/dsir-g' +
@@ -319,9 +441,16 @@ def dsir_sample(
     Equivalent to weight-proportional sampling without replacement
     (Gumbel-max / Efraimidis-Spirakis duality). Returns ``(id, n_feats,
     log_weight, gumbel_key)`` ordered by key descending; the sort is a
-    TakeOrderedAndProject heap, never a global sort."""
-    model = dsir_fit(target, df, text_col, id_col, buckets)
-    w = dsir_weights(df, model, text_col, id_col, buckets)
+    TakeOrderedAndProject heap, never a global sort.
+
+    When the target corpus is a predicate over ``df``, pass it as
+    ``target_flag`` (with ``target=None``) and the fit+weigh runs as
+    the one-scan `dsir_fit_weights` — same sample, one corpus pass."""
+    if target_flag is not None:
+        w = dsir_fit_weights(df, target_flag, text_col, id_col, buckets)
+    else:
+        model = dsir_fit(target, df, text_col, id_col, buckets)
+        w = dsir_weights(df, model, text_col, id_col, buckets)
     h = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit("/dsir-g" + seed))
     )
