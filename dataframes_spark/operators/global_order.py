@@ -250,7 +250,14 @@ def global_positions(
     ≤ n-buckets rows — so the table is never shuffled twice however the
     optimizer slices the two branches."""
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    bdf = _bucketized(df, order_cols, n_buckets)
+    # one EXPLICIT bucket exchange feeds both consumers below: the
+    # window's required distribution and the counts groupBy are both
+    # satisfied by hashpartitioning(__go_b), and because the two
+    # branches reference the identical Exchange subtree the engine
+    # materializes it once (exchange/stage reuse) — without this, each
+    # branch re-derived the full input lineage (bounds pass aside,
+    # THREE computations of the input; now two)
+    bdf = _bucketized(df, order_cols, n_buckets).repartition("__go_b")
     w = W.partitionBy("__go_b").orderBy(*[F.col(c).asc() for c in order_cols])
     pdf = bdf.withColumn("__go_lrn", F.row_number().over(w))
     counts = bdf.groupBy("__go_b").agg(F.count(F.lit(1)).alias("__go_cnt"))
@@ -285,7 +292,11 @@ def cumsum_global(
     partial sum over the bucketized input (≤ n-buckets rows exchanged),
     the same shape as `global_positions`' offsets."""
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    bdf = _bucketized(df, order_cols, n_buckets)
+    # shared bucket exchange (see `global_positions`): the window lane
+    # and the totals lane both read ONE materialized
+    # hashpartitioning(__go_b) exchange instead of each re-deriving the
+    # input lineage
+    bdf = _bucketized(df, order_cols, n_buckets).repartition("__go_b")
     orders = [F.col(c).asc() for c in order_cols]
     w = (
         W.partitionBy("__go_b")
@@ -667,9 +678,11 @@ def grouped_positions(
     contract; add a unique tiebreak column for a deterministic order."""
     part_cols = [part_by] if isinstance(part_by, str) else list(part_by)
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    # shared (group, bucket) exchange (see `global_positions`): the
+    # window lane and the counts lane read one materialized exchange
     bdf = _bucketize_quantile(
         df, _sort_proxy(df, order_cols), n_buckets or default_buckets(df)
-    )
+    ).repartition(*part_cols, "__go_b")
     w = W.partitionBy(*part_cols, "__go_b").orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
@@ -714,7 +727,10 @@ def cumsum_grouped(
     unboundedPreceding, -1))`` for any bucketization."""
     part_cols = [part_by] if isinstance(part_by, str) else list(part_by)
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    bdf = _bucketized(df, order_cols, n_buckets)
+    # shared (group, bucket) exchange (see `global_positions`)
+    bdf = _bucketized(df, order_cols, n_buckets).repartition(
+        *part_cols, "__go_b"
+    )
     orders = [F.col(c).asc() for c in order_cols]
     w = (
         W.partitionBy(*part_cols, "__go_b")
