@@ -3062,9 +3062,10 @@ def mixture_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture_order): per-language epoch-1 order (epoch-keyed md5),
     grp_pos via the whale-group-safe `grouped_positions` lane, stride
     key = grp_pos / weight (exact double division, no rounding needed),
-    global ord via the `global_positions` lane — every position
-    replayed in DuckDB with plain windows (the lanes compute the same
-    total order distributed)."""
+    global ord in CLOSED FORM from the broadcast group sizes (exact
+    FP-checked stride-key inversion — r12 retired the second
+    positional lane) — every position replayed in DuckDB with plain
+    windows (the closed form reproduces the same total order)."""
     from dataframes_spark.operators.sample import mixture_order
 
     docs = _t(spark, sf_dir, "documents")

@@ -595,9 +595,11 @@ def mixture_order(
        whale-partition shape the plain per-group window cannot survive;
     3. row p of group g schedules at ``stride_key = p / w_g`` (exact
        double division), and the global ``ord`` over
-       (stride_key, group, key) rides `global_order.global_positions`.
+       (stride_key, group, key) is computed in CLOSED FORM from the
+       group sizes (see the inline derivation) — no second positional
+       lane, no second data exchange.
 
-    Two position-lane passes = two data exchanges total. Groups absent
+    One position-lane pass = one data exchange total. Groups absent
     from ``weights`` get NULL stride keys and are EXCLUDED (the
     mixture defines the corpus; use `mix_manifest` to surface
     shortfalls the other way). Returns ``df`` plus ``grp_pos``
@@ -639,6 +641,86 @@ def mixture_order(
         .filter(F.col("stride_key").isNotNull())
         .drop("__mo_h")
     )
-    return global_positions(
-        scored, ["stride_key", group_col, key_col], n_buckets, pos_col="ord"
+    # ``ord`` in CLOSED FORM instead of a second positional lane (r12):
+    # the global order is (stride_key, group, key), and within a group
+    # stride keys are STRICTLY increasing in grp_pos (p/w is monotone;
+    # distinct p give distinct doubles for p below ~2^52 — the same
+    # precision bound the repo's exact-integer lanes document), so the
+    # key tiebreak is never reached and row (g, p)'s rank is a pure
+    # function of p, the group sizes and the weights:
+    #
+    #   ord = 1 + (p - 1)                          # own group, strict
+    #       + Σ_{g'≠g} |{p' ≤ N_g' : p'/w_g' < s}| # strictly earlier
+    #       + Σ_{g'<g} [∃ p' ≤ N_g' : p'/w_g' = s] # ties break on group
+    #
+    # The inner counts invert the row's own DOUBLE stride key exactly:
+    # the boundary integer lies within ±2 of floor(s * w_g') (relative
+    # error ≤ 2ε·t < 0.5 for t < 2^51), so each candidate is checked
+    # with the ACTUAL double division the sort key uses — bit-exact
+    # agreement with the windowed form, verified row-for-row in tests
+    # and by the driver oracle. Group sizes ride a ONE-ROW broadcast
+    # map (a slim group-cardinality aggregate — the plan stays lazy, no
+    # construction-time action), so the whole second positional lane —
+    # its bounds pass, data exchange, window and offsets join, each
+    # re-deriving the grouped_positions lineage — collapses into a
+    # map-side expression over one broadcast row.
+    in_w = F.col(group_col).isin(*weights.keys())
+    sizes = (
+        df.filter(in_w)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("__g", "__n")))
+            ).alias("__mo_sz")
+        )
     )
+    base = scored.crossJoin(F.broadcast(sizes))
+    # the whole expression is generated as ONE SQL string: built
+    # column-by-column it is hundreds of py4j constructor calls
+    # (~1 s of driver time per plan build); one parse is milliseconds
+    gq = "`" + group_col.replace("`", "``") + "`"
+
+    def _sql_str(v: str) -> str:
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    terms = ["cast(grp_pos as bigint)"]  # 1 + (p - 1)
+    for g, wgt in sorted(weights.items()):
+        w = repr(float(wgt))
+        gl = _sql_str(g)
+        # absent groups resolve to N=0: every candidate clamps to 0 and
+        # contributes nothing (coalesce — `least` would SKIP a null)
+        n = f"cast(coalesce(element_at(__mo_sz, {gl}), 0) as bigint)"
+        c = f"cast(floor(stride_key * {w}d) as bigint)"
+        # largest k ≤ N with k/w < s, scanned from above (k/w is
+        # monotone in k, so the first candidate that satisfies it is
+        # the boundary); 0 when even k=1 does not satisfy
+        kks = [f"least({c} + {d}L, {n})" for d in (2, 1, 0, -1)]
+        lt = (
+            "case "
+            + " ".join(
+                f"when {kk} >= 1 and cast({kk} as double) / {w}d "
+                f"< stride_key then {kk}"
+                for kk in kks
+            )
+            + " else 0L end"
+        )
+        eq = (
+            "case "
+            + " ".join(
+                f"when {kk} >= 1 and cast({kk} as double) / {w}d "
+                f"= stride_key then 1L"
+                for kk in kks
+            )
+            + " else 0L end"
+        )
+        # exact tie ⇒ order falls to the group name (within-group ties
+        # cannot reach the key tiebreak — see strictness note above)
+        tie = f"(case when {gl} < {gq} then 1L else 0L end)"
+        terms.append(
+            f"(case when {gq} <> {gl} then ({lt}) + ({eq}) * {tie} "
+            "else 0L end)"
+        )
+    ord_sql = "cast(" + " + ".join(terms) + " as bigint)"
+    return base.withColumn("ord", F.expr(ord_sql)).drop("__mo_sz")

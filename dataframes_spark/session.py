@@ -34,6 +34,15 @@ def get_spark(app_name: str = "dataframes_spark", cpus: str | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays TRUE (the default) deliberately: r12
+        # measured `parallelismFirst=false` (the docs' size-respecting
+        # production setting) across the full 191-query bench and it
+        # LOST 20% (123.1s -> 147.6s) — this workload's shuffles are
+        # compute-dense but byte-light (md5/ngram/explode lanes), so
+        # coalescing them to one advisory-sized partition serializes
+        # expression work that 32-way parallelism was hiding. On a real
+        # cluster the advisory size should govern (bytes dominate);
+        # locally parallelism dominates. See OPTIMIZATION_r12.md.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
