@@ -302,10 +302,49 @@ def test_describe_qcut_auto_scale_resolution(spark):
 
     big_desc = plan(dstats.describe(big, ["v"]))
     assert "percentile_approx" in big_desc  # bounded-memory sketch aggregate
+    # the exact path plans the distributed counts+rank lane, never the
+    # value-buffering percentile aggregate (a percentile_approx DOES
+    # appear in it — the global-order bucket bounds — but only steers
+    # load balance; the answers are exact by construction)
     small_desc = plan(dstats.describe(small, ["v"]))
-    assert "percentile_approx" not in small_desc and "percentile(" in small_desc
+    assert "percentile(" not in small_desc and "__dq_" in small_desc
 
     big_qcut = plan(dstats.qcut(big, "v", 4))
     assert "percentile_approx" in big_qcut
     small_qcut = plan(dstats.qcut(small, "v", 4))
     assert "percentile_approx" not in small_qcut and "percentile(" in small_qcut
+
+
+def test_exact_quantiles_bit_identical_to_percentile(spark):
+    # the distributed exact-quantile lane must reproduce the percentile
+    # aggregate BIT for BIT: same-entry targets return the raw value,
+    # split targets use Spark's weighted interpolation
+    import random
+
+    random.seed(11)
+    rows = [
+        (
+            random.choice([None, float(random.randint(-3, 3))]),
+            random.uniform(-1e9, 1e9),
+            random.choice([1.5] * 5 + [2.5]),
+        )
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = {
+        r["__dq_name"]: [r[f"__dq_q{i}"] for i in range(len(qs))]
+        for r in dstats._exact_quantiles(df, ["a", "b", "c"], qs).collect()
+    }
+    qlist = ", ".join(f"{q!r}D" for q in qs)
+    for c in ("a", "b", "c"):
+        ref = df.agg(F.expr(f"percentile({c}, array({qlist}))")).first()[0]
+        assert got[c] == list(ref), c
+    # all-null column still gets its anchor row, with NULL quantiles —
+    # exactly the NULL the percentile aggregate returns (and the anchor
+    # is what lets describe INNER-join without losing the row)
+    nul = df.select(F.lit(None).cast("double").alias("z"))
+    anchor = dstats._exact_quantiles(nul, ["z"], [0.5]).collect()
+    assert len(anchor) == 1 and anchor[0]["__dq_q0"] is None
+    out = {r["column"]: r for r in dstats.describe(nul, ["z"], exact=True).collect()}
+    assert out["z"]["median"] is None and out["z"]["mean"] is None
