@@ -1053,9 +1053,9 @@ def pca_project_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp_rows = (
         emb.filter(F.col("vec_id").between(1, 4))
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
         .collect()
     )
+    comp_rows = sorted(comp_rows, key=lambda r: r.vec_id)
     mean_vec = emb.filter(F.col("vec_id") == 5).select("embedding").first()[0]
     model = {
         "mean": [float(x) for x in mean_vec],
@@ -1540,9 +1540,9 @@ def ivf_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.filter(F.col("vec_id").between(1, 8))
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
         .collect()
     )
+    cent_rows = sorted(cent_rows, key=lambda r: r.vec_id)
     centers = [[float(x) for x in r.embedding] for r in cent_rows]
     base = emb.filter(F.col("vec_id") > 8)
     assigned = dsim.ivf_assign(base, "embedding", centers)
@@ -1569,9 +1569,9 @@ def pq_probe_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         emb.filter(F.col("vec_id").between(1, 8))
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
         .collect()
     )
+    src = sorted(src, key=lambda r: r.vec_id)
     import math as _math
 
     def unit(v):
@@ -1609,9 +1609,9 @@ def ivf_probe_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.filter(F.col("vec_id").between(1, 8))
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
         .collect()
     )
+    cent_rows = sorted(cent_rows, key=lambda r: r.vec_id)
     centers = [[float(x) for x in r.embedding] for r in cent_rows]
     assigned = dsim.ivf_assign(emb.filter(F.col("vec_id") > 8), "embedding", centers)
     path = os.path.join(_scratch_dir("spark_graft_ivf_"), "ivf_store")
@@ -1633,11 +1633,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra, so the whole report hash-verifies against DuckDB. This is
     the dial a deployment reads before trusting num_planes/nprobe."""
     emb = _t(spark, sf_dir, "embeddings")
-    cent_rows = (
+    # 8-row collect; ordered DRIVER-side — a distributed orderBy on 8
+    # rows costs a range-partitioner sampling job per query construction
+    cent_rows = sorted(
         emb.filter(F.col("vec_id").between(1, 8))
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+        .collect(),
+        key=lambda r: r.vec_id,
     )
     centers = [[float(x) for x in r.embedding] for r in cent_rows]
     rep = dsim.recall_report(
@@ -4123,9 +4125,9 @@ def semdedup_pinned_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.filter(F.col("vec_id").between(1, 4))
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
         .collect()
     )
+    cent_rows = sorted(cent_rows, key=lambda r: r.vec_id)
     centers = [[float(x) for x in r.embedding] for r in cent_rows]
     return ddedup.semdedup(
         emb.filter(F.col("vec_id") > 4),

@@ -349,13 +349,15 @@ def pca_project(
     similarity-module dot idiom) against the fit's literal mean/
     component arrays — no shuffle, no Python in the plan, survives any
     scale the scan survives."""
-    mean = F.array(*[F.lit(float(v)) for v in model["mean"]])
+    from dataframes_spark.operators.similarity import lit_dvec
+
+    mean = lit_dvec(model["mean"])
     centered = F.zip_with(
         F.col(vec_col).cast("array<double>"), mean, lambda x, m: x - m
     )
     out = df.withColumn("__centered", centered)
     for c_idx, comp in enumerate(model["components"], start=1):
-        carr = F.array(*[F.lit(float(v)) for v in comp])
+        carr = lit_dvec(comp)
         dot = F.aggregate(
             F.zip_with(F.col("__centered"), carr, lambda x, c: x * c),
             F.lit(0.0),

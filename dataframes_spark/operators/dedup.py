@@ -1555,7 +1555,9 @@ def semdedup(
     scores = []
     for c in centers:
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        ccol = F.array(*[F.lit(float(x) / cn) for x in c])
+        from dataframes_spark.operators.similarity import lit_dvec
+
+        ccol = lit_dvec([float(x) / cn for x in c])
         scores.append(
             F.aggregate(
                 F.zip_with(unit, ccol, lambda x, y: x * y),

@@ -26,6 +26,60 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def lit_dvec(vals: Sequence[float]) -> Column:
+    """A double-array literal column built from ONE SQL parse instead of
+    per-element ``F.lit`` calls. Every ``F.lit``/``F.array`` is a py4j
+    driver roundtrip (~1ms), so a 64-dim centroid list costs ~0.5s of
+    pure QUERY-CONSTRUCTION time per 8-center argmax (measured: the
+    recall-report construction alone was 2.2-4.6s); one parsed string is
+    milliseconds. ``repr(float)`` round-trips exactly through Spark's
+    correctly-rounded double parser, so the resulting Literal is
+    bit-identical to ``F.lit(float(x))``."""
+    return F.expr(_dvec_sql(vals))
+
+
+def _dvec_sql(vals: Sequence[float]) -> str:
+    parts = []
+    for x in vals:
+        x = float(x)
+        if math.isnan(x):
+            parts.append("double('NaN')")
+        elif math.isinf(x):
+            parts.append(f"double('{'' if x > 0 else '-'}Infinity')")
+        else:
+            parts.append(repr(x) + "D")
+    return "array(" + ",".join(parts) + ")"
+
+
+def lit_dmat(rows: Sequence[Sequence[float]]) -> Column:
+    """``lit_dvec``'s matrix twin: an array-of-double-arrays literal
+    (PQ codebooks are m x k x d_sub — thousands of elements) from one
+    SQL parse."""
+    return F.expr("array(" + ",".join(_dvec_sql(r) for r in rows) + ")")
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text expression building."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _vd_sql(vec_col: str) -> str:
+    """SQL text of the standard to-double vector cast."""
+    return f"transform({_bq(vec_col)}, v -> cast(v as double))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of `_dot` — identical parsed expression, ONE py4j call
+    when embedded in an ``F.expr`` instead of ~10 per higher-order
+    function (each HOF lambda is several driver roundtrips; a
+    many-centroid argmax built from Column ops measured ~0.5s of pure
+    construction time)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -82,7 +136,7 @@ def brute_force_topk(
     """
     q = [float(x) for x in query]
     qn = math.sqrt(sum(x * x for x in q)) or 1.0
-    qcol = F.array(*[F.lit(x) for x in q])
+    qcol = lit_dvec(q)
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     score = _dot(vd, qcol) / (_norm(vd) * F.lit(qn))
     return (
@@ -156,26 +210,33 @@ def hyperplane_buckets(
         raise ValueError(
             f"plane_hash must be 'xxhash64' or 'md5', got {plane_hash!r}"
         )
-    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # the whole bucket expression is built as ONE SQL string (single
+    # parse) — the Column-op form cost ~0.5s of py4j construction per
+    # plan (3 HOF lambdas per plane, several roundtrips each); the
+    # parsed tree is identical, so buckets are bit-identical
+    vd = _vd_sql(vec_col)
+    int_seed = int(seed)
 
-    def plane_component(p: int, idx: Column) -> Column:
+    def component_sql(p: int) -> str:
         if plane_hash == "md5":
-            from dataframes_spark.operators.dedup import md5_long60
-
-            h = md5_long60(F.concat(F.lit(f"{seed}:{p}:"), idx.cast("string")))
+            h = (
+                f"cast(conv(substring(md5(cast(concat('{int_seed}:{p}:',"
+                " cast(i as string)) as binary)), 1, 15), 16, 10) as bigint)"
+            )
         else:
-            h = F.xxhash64(F.lit(seed), F.lit(p), idx)
-        return F.pmod(h, F.lit(1 << 20)) / F.lit(float(1 << 19)) - F.lit(1.0)
+            h = f"xxhash64({int_seed}, {p}, i)"
+        return f"pmod({h}, {1 << 20}) / {float(1 << 19)!r}D - 1.0D"
 
-    def projected(p: int) -> Column:
-        return F.transform(vd, lambda v, i: v * plane_component(p, i))
-
-    bucket = None
+    bits = []
     for p in range(num_planes):
-        proj = F.aggregate(projected(p), F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+        proj = (
+            f"aggregate(transform({vd}, (v, i) -> v * ({component_sql(p)})),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.expr(" + ".join(bits)).alias("bucket")
+    )
 
 
 def ivf_build(
@@ -269,16 +330,17 @@ def ivf_assign(df: DataFrame, vec_col: str, centers: list) -> DataFrame:
     shared |v| factor cannot change the argmax and is skipped), argmax
     via ``array_position(scores, array_max(scores))`` with
     first-lowest-index tie-break. Map-only, no shuffle; centroids ride
-    as plan literals (n_clusters x dim doubles — tiny)."""
-    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    as plan literals (n_clusters x dim doubles — tiny, built as one SQL
+    parse — the per-literal Column form cost ~0.5s of py4j
+    construction per 8x64 argmax)."""
+    vd = _vd_sql(vec_col)
     scores = []
     for c in centers:
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        ccol = F.array(*[F.lit(float(x)) for x in c])
-        scores.append(_dot(vd, ccol) / F.lit(cn))
-    sarr = F.array(*scores)
-    cluster = (F.array_position(sarr, F.array_max(sarr)) - 1).cast("int")
-    return df.withColumn("cluster", cluster)
+        scores.append(f"({_dot_sql(vd, _dvec_sql(c))} / {float(cn)!r}D)")
+    sarr = "array(" + ",".join(scores) + ")"
+    cluster = f"cast(array_position({sarr}, array_max({sarr})) - 1 as int)"
+    return df.withColumn("cluster", F.expr(cluster))
 
 
 def ivf_topk(
@@ -304,7 +366,7 @@ def ivf_topk(
         return sum(a * b for a, b in zip(center, q)) / (cn * qn)
 
     probes = sorted(range(len(centers)), key=lambda i: -cos_to_query(centers[i]))[:nprobe]
-    qcol = F.array(*[F.lit(x) for x in q])
+    qcol = lit_dvec(q)
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     score = _dot(vd, qcol) / (_norm(vd) * F.lit(qn))
     return (
@@ -470,13 +532,23 @@ def recall_report(
     )
 
     def recall_of(approx: DataFrame, method: str) -> DataFrame:
-        hits = exact.join(approx, ["__qid", "__cid"], "left_semi")
+        # ONE aggregate over a left join — the former two scalar counts
+        # + crossJoin ran two extra jobs per method. approx top-k rows
+        # are unique per (qid, cid) (row_number ranks), so the left join
+        # preserves exact's cardinality and sum(hit)/count(*) is the
+        # same exact-integer division as n_hit/n_exact, bit for bit.
+        hit = approx.withColumn("__m", F.lit(1))
         return (
-            exact.agg(F.count(F.lit(1)).alias("__n_exact"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+            exact.join(hit, ["__qid", "__cid"], "left")
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("__m"), F.lit(0)))
+                    / F.count(F.lit(1))
+                ).alias("recall_at_k")
+            )
             .select(
                 F.lit(method).alias("method"),
-                (F.col("__n_hit") / F.col("__n_exact")).alias("recall_at_k"),
+                "recall_at_k",
                 F.lit(n_queries).alias("n_queries"),
                 F.lit(k).alias("k"),
             )
@@ -503,23 +575,26 @@ def recall_report(
         ).join(corpus, "__cid")
         # per-query nprobe best clusters: score array over the centroid
         # literals, sort (desc score, asc cluster id), slice, explode —
-        # pure expressions on the tiny query frame
+        # pure expressions on the tiny query frame, built as one SQL
+        # parse (see `_dot_sql`)
         cscores = []
         for ci, c in enumerate(centers):
             cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-            ccol = F.array(*[F.lit(float(x)) for x in c])
             cscores.append(
-                F.struct(
-                    (-_dot(F.col("__qvec"), ccol) / F.lit(cn)).alias("neg"),
-                    F.lit(ci).alias("cid"),
-                )
+                "named_struct('neg',"
+                f" -{_dot_sql('`__qvec`', _dvec_sql(c))} / {float(cn)!r}D,"
+                f" 'cid', {ci})"
             )
         probes = queries.select(
             "__qid",
             "__qvec",
             "__qnrm",
             F.explode(
-                F.slice(F.array_sort(F.array(*cscores)), 1, nprobe)
+                F.expr(
+                    "slice(array_sort(array("
+                    + ",".join(cscores)
+                    + f")), 1, {int(nprobe)})"
+                )
             ).alias("__p"),
         ).select("__qid", "__qvec", "__qnrm", F.col("__p.cid").alias("__ccl"))
         ivf_cands = assigned.alias("a").join(
@@ -550,12 +625,7 @@ def recall_report(
         dist = None
         for j, book in enumerate(codebooks):
             qsub = F.slice(F.col("__qu"), j * d_sub + 1, d_sub)
-            matrix = F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in cent])
-                    for cent in book
-                ]
-            )
+            matrix = lit_dmat(book)
             chosen = F.element_at(
                 matrix, F.element_at(F.col("pq_code"), j + 1) + 1
             )
@@ -673,27 +743,23 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks: list) -> DataFrame:
     d_sub = len(codebooks[0][0])
     u = _unit(F.transform(F.col(vec_col), lambda v: v.cast("double")))
     out = df.withColumn("__pq_u", u)
+    # per-subspace argmin built as ONE SQL parse each — the Column form
+    # was m x k HOF lambdas (256 at m=8, k=16), ~1s of pure py4j
+    # construction per plan; the parsed tree is identical
     codes = []
     for j, book in enumerate(codebooks):
-        sub = F.slice(F.col("__pq_u"), j * d_sub + 1, d_sub)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(v)) for v in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for cent in book
-            ]
-        )
+        sub = f"slice(`__pq_u`, {j * d_sub + 1}, {d_sub})"
+        dists = "array(" + ",".join(
+            f"aggregate(zip_with({sub}, {_dvec_sql(cent)},"
+            " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"
+            for cent in book
+        ) + ")"
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
         )
-    return out.withColumn("pq_code", F.array(*codes)).drop("__pq_u")
+    return out.withColumn(
+        "pq_code", F.expr("array(" + ",".join(codes) + ")")
+    ).drop("__pq_u")
 
 
 def pq_topk(
@@ -725,7 +791,7 @@ def pq_topk(
     score = None
     for j in range(m):
         term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in luts[j]]),
+            lit_dvec(luts[j]),
             F.element_at(F.col("pq_code"), j + 1) + 1,
         )
         score = term if score is None else score + term
