@@ -4480,6 +4480,7 @@ def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             "1 hour",
             by=["event_type"],
+            report=False,
         )
     served = drollup.rollup_serve(spark, t)
     return served.select(
@@ -4678,6 +4679,7 @@ def rollup_distinct_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame
             "1 hour",
             p=8,
             lane_hash="md5",
+            report=False,
         )
     est = drollup.rollup_distinct_serve_store(spark, t)
     return est.select(
@@ -4756,6 +4758,7 @@ def rollup_multi_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             ["o_totalprice", "o_custkey"],
             "1 week",
+            report=False,
         )
     served = drollup.rollup_multi_serve(spark, t)
     return served.select(

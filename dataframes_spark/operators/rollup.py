@@ -190,6 +190,7 @@ def rollup_store_update(
     value_col: str,
     width: str | int,
     by: Sequence[str] = (),
+    report: bool = True,
 ) -> dict:
     """Fold one batch into a persisted continuous-aggregate store
     (catalog parquet table, the sketch-store staging-swap idiom).
@@ -202,14 +203,24 @@ def rollup_store_update(
     Sum-merged state is NOT idempotent: fold each batch exactly once
     (the CMS/histogram-store contract). Returns ``{"rows", "buckets"}``
     — rows folded in this call and the store's bucket-row count after.
-    """
+
+    ``report=False`` skips the two statistics (returns None for both):
+    the batch count and the store read-back are one extra job each —
+    per fold, a third of the wall time — and the STORE is identical
+    either way; callers that fold pipelines and never read the dict
+    should pass False."""
     by = list(by)
     w_us = width_us(width)
-    # persist the bucket-cardinality batch rollup at the fork: the row
-    # count AND the staging write both consume it — without the cache
-    # every fold would scan the batch twice
-    batch = rollup(df, ts_col, value_col, width, by).persist()
-    n_batch = batch.agg(F.sum("n_rows")).first()[0] or 0
+    if report:
+        # persist the bucket-cardinality batch rollup at the fork: the
+        # row count AND the staging write both consume it — without the
+        # cache every fold would scan the batch twice
+        batch = rollup(df, ts_col, value_col, width, by).persist()
+        n_batch = batch.agg(F.sum("n_rows")).first()[0] or 0
+    else:
+        # the staging write is the only consumer: no fork, no persist
+        batch = rollup(df, ts_col, value_col, width, by)
+        n_batch = None
     stamped = batch.select("*", *_meta_cols(value_col, w_us, by))
     # existence check, not a broad except: transient JVM errors must
     # propagate, never be read as "store absent" (history reset)
@@ -239,9 +250,11 @@ def rollup_store_update(
     try:
         staging_swap(spark, table, merged)
     finally:
-        batch.unpersist()
-    buckets = spark.table(table).count()
-    return {"rows": int(n_batch), "buckets": int(buckets)}
+        if report:
+            batch.unpersist()
+    if not report:
+        return {"rows": None, "buckets": None}
+    return {"rows": int(n_batch), "buckets": int(spark.table(table).count())}
 
 
 def rollup_serve(
@@ -332,6 +345,7 @@ def rollup_distinct_store_update(
     by: Sequence[str] = (),
     p: int = 12,
     lane_hash: str = "xxhash64",
+    report: bool = True,
 ) -> dict:
     """Fold one batch into a persisted distinct-rollup store — the HLL
     twin of `rollup_store_update`, with one upgrade: register max-merge
@@ -339,7 +353,8 @@ def rollup_distinct_store_update(
     (exactly-once is NOT required, unlike the sum-merged numeric
     store). Store size is calendar-bounded at (buckets x groups x 2^p)
     rows; config is stamped and a mismatched fold raises. Returns
-    ``{"registers", "buckets"}``."""
+    ``{"registers", "buckets"}`` (both None under ``report=False``,
+    which skips the two read-back jobs — the store is identical)."""
     from .sketch import hll_merge
 
     by = list(by)
@@ -374,6 +389,8 @@ def rollup_distinct_store_update(
     else:
         merged = batch
     staging_swap(spark, table, merged)
+    if not report:
+        return {"registers": None, "buckets": None}
     out = spark.table(table)
     return {
         "registers": out.count(),
@@ -521,20 +538,27 @@ def rollup_multi_store_update(
     value_cols: Sequence[str],
     width: str | int,
     by: Sequence[str] = (),
+    report: bool = True,
 ) -> dict:
     """Fold one batch's k-column partials into a persisted store — the
     `rollup_store_update` contract (stamped config, refuse-on-mismatch,
     sum-merge = fold each batch once, crash-safe swap) with the column
-    set in the stamp. Returns ``{"rows", "buckets"}``."""
+    set in the stamp. Returns ``{"rows", "buckets"}`` (both None under
+    ``report=False``, which skips the two statistics jobs — the store
+    is identical)."""
     by = list(by)
     cols = list(value_cols)
     w_us = width_us(width)
     sig = ",".join(cols)
-    batch = rollup_multi(df, ts_col, cols, width, by).persist()
-    n_batch = (
-        batch.filter(F.col("col") == cols[0]).agg(F.sum("n_rows")).first()[0]
-        or 0
-    )
+    if report:
+        batch = rollup_multi(df, ts_col, cols, width, by).persist()
+        n_batch = (
+            batch.filter(F.col("col") == cols[0]).agg(F.sum("n_rows")).first()[0]
+            or 0
+        )
+    else:
+        batch = rollup_multi(df, ts_col, cols, width, by)
+        n_batch = None
     meta = [
         F.lit(sig).alias("__ra_col"),
         F.lit(int(w_us)).alias("__ra_width_us"),
@@ -566,10 +590,13 @@ def rollup_multi_store_update(
     try:
         staging_swap(spark, table, merged)
     finally:
-        batch.unpersist()
+        if report:
+            batch.unpersist()
+    if not report:
+        return {"rows": None, "buckets": None}
     return {
         "rows": int(n_batch),
-        "buckets": spark.table(table).count(),
+        "buckets": int(spark.table(table).count()),
     }
 
 
