@@ -4449,8 +4449,12 @@ def cluster_store_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFram
     pairs = ddedup.near_dup_pairs(
         docs, "text", "doc_id", min_jaccard=0.8, shingle_k=4, materialize=True
     )
-    dgraph.cluster_store_update(spark, t, pairs.filter(F.col("id_a") % 2 == 0))
-    dgraph.cluster_store_update(spark, t, pairs.filter(F.col("id_a") % 2 == 1))
+    dgraph.cluster_store_update(
+        spark, t, pairs.filter(F.col("id_a") % 2 == 0), report=False
+    )
+    dgraph.cluster_store_update(
+        spark, t, pairs.filter(F.col("id_a") % 2 == 1), report=False
+    )
     return dgraph.read_cluster_store(spark, t).select("id", "component")
 
 

@@ -259,6 +259,7 @@ def cluster_store_update(
     dst: str = "id_b",
     num_buckets: int = 32,
     max_iter: int = 25,
+    report: bool = True,
 ) -> dict:
     """Fold a batch of near-dup EDGES into a persisted cluster store —
     INCREMENTAL connected components, the missing piece that made the
@@ -317,7 +318,11 @@ def cluster_store_update(
 
     Per-epoch cost: O(batch) shuffle for the lookup + rep-graph CC,
     plus ONE map-only rewrite of the store (broadcast remap; the
-    rewrite is IO, not shuffle). Returns ``{"nodes", "components"}``.
+    rewrite is IO, not shuffle). Returns ``{"nodes", "components"}``
+    (both None under ``report=False``, which skips the full-store
+    count/countDistinct read-back — one extra shuffle job per fold the
+    STORE never needed; callers that fold pipelines and ignore the
+    dict should pass False).
     """
     from dataframes_spark.io.store import staging_swap
 
@@ -402,6 +407,8 @@ def cluster_store_update(
                 bucket_by="id",
                 num_buckets=num_buckets,
             )
+    if not report:
+        return {"nodes": None, "components": None}
     out = spark.table(table)
     row = out.agg(
         F.count(F.lit(1)).alias("n"),
