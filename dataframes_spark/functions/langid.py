@@ -118,6 +118,30 @@ def langid_features(
     explode + map-side-combining groupBy; gramless docs keep a
     ``(bucket NULL, tf 0, n_grams 0)`` sentinel row; NULL ids merge
     per SQL group semantics, kept by the null-safe join-back)."""
+    per_bucket = _langid_per_bucket(
+        df, text_col, id_col, dim, salt, lane_hash, n_lo, n_hi
+    )
+    totals = per_bucket.groupBy("id").agg(F.sum("tf").alias("n_grams"))
+    from dataframes_spark.operators.global_order import nullsafe_join
+
+    return nullsafe_join(per_bucket, totals, ["id"])
+
+
+def _langid_per_bucket(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int,
+    salt: str,
+    lane_hash: str,
+    n_lo: int,
+    n_hi: int,
+) -> DataFrame:
+    """``(id, bucket, tf)`` — the featurization core without the gram
+    total joined back; consumers whose per-doc aggregate can fold the
+    total itself (`langid_score`: ``n = sum(tf)``) read this directly
+    and skip two exchanges (the `classifier._per_bucket_counts`
+    pattern)."""
     if dim < 2:
         raise ValueError(f"need dim >= 2, got {dim}")
     # normalization materializes as an ATTRIBUTE first — the gram
@@ -157,10 +181,7 @@ def langid_features(
         .groupBy("id", "bucket")
         .agg(F.count("__lg_g").cast("long").alias("tf"))
     )
-    totals = per_bucket.groupBy("id").agg(F.sum("tf").alias("n_grams"))
-    from dataframes_spark.operators.global_order import nullsafe_join
-
-    return nullsafe_join(per_bucket, totals, ["id"])
+    return per_bucket
 
 
 def train_langid(
@@ -318,7 +339,10 @@ def langid_score(
     if not biases:
         raise ValueError("need at least one class bias")
     langs = sorted(biases)
-    counts = langid_features(
+    # the lean featurization core: the gram total folds into the same
+    # per-doc aggregate below (``__n = sum(tf)`` — the identical long
+    # `langid_features` would have joined back), two exchanges fewer
+    counts = _langid_per_bucket(
         df, text_col, id_col, dim, salt, lane_hash, n_lo, n_hi
     )
     # duplicate (lang, bucket) rows sum, matching the fanned-join
@@ -350,7 +374,7 @@ def langid_score(
         for k in range(len(langs))
     ]
     per_doc = joined.groupBy("id").agg(
-        F.max("n_grams").alias("__n"), *sums
+        F.sum("tf").alias("__n"), *sums
     )
     scores = [
         (
