@@ -104,9 +104,23 @@ def _ensure_nanos_as_long(spark: SparkSession) -> bool:
         return False
 
 
+#: lazy-relation cache keyed by (session applicationId, absolute path):
+#: ``spark.read.parquet`` re-lists the directory and re-reads footers
+#: for schema inference on EVERY call — 120-170 ms per table here, paid
+#: once per query per bench run (~25-40 s across a full 191-query
+#: pass). The cache holds ONLY the unevaluated relation (schema + file
+#: index — what a catalog/metastore holds); no table data and no
+#: results are retained, and every action still scans the parquet
+#: files. Assumes table files are immutable for the session's lifetime
+#: (true for the bench/oracle harnesses; a regenerated directory needs
+#: a new path or `_TABLE_CACHE.clear()`).
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one synthetic table lazily (scans don't run until an action;
     column pruning and predicate pushdown reach the parquet reader).
+    Relations are cached per (session, path) — see `_TABLE_CACHE`.
 
     ``events.ts`` is stored as timestamp[ns], surfaced by the nanosAsLong
     flag as an epoch-ns BIGINT — convert to a proper TimestampType (µs,
@@ -115,6 +129,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     session rejects the conf, fall back to reading with an explicit schema
     that types ``ts`` as LONG.
     """
+    key = (spark.sparkContext.applicationId, os.path.abspath(f"{sf_dir}/{name}.parquet"))
+    got = _TABLE_CACHE.get(key)
+    if got is not None:
+        return got
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
