@@ -337,13 +337,19 @@ def bigram_logprob(
     transitions (shuffled text, keyword stuffing) scores low where the
     unigram model cannot see it.
 
-    Plan: the corpus tokenizes once into a materialized filtered token
-    array, then two generator branches (token explode for unigram
-    counts, index-transform explode for bigram occurrences) — each
-    branch's per-key count shuffle is shared between its corpus-count
-    and scoring roles (AQE exchange reuse, the `unigram_logprob`
-    layout). ``(V, N)`` fold in as a 1-row broadcast aggregate. Scoring
-    joins are per-distinct-(doc, bigram) — the weighted-mean form
+    Plan: ONE scan+explode of the corpus per action — each token
+    appears exactly once as a ``(prev, cur)`` pair row (``prev`` NULL
+    for a document's first token), aggregated immediately to the
+    per-(doc, prev, cur) count relation ``db0``. EVERYTHING derives
+    from that one exchange (AQE exchange reuse, the `unigram_logprob`
+    layout): unigram counts are ``sum(m)`` over ``cur`` (every
+    occurrence is exactly one ``cur``), corpus bigram counts are
+    ``sum(m)`` over the non-NULL-``prev`` rows, the first-token terms
+    ARE the NULL-``prev`` rows, and ``(V, N)`` fold in as a 1-row
+    broadcast aggregate — where the former three-branch formulation
+    (token explode, bigram explode, first-token projection) genuinely
+    re-scanned and re-tokenized the corpus per branch. Scoring joins
+    are per-distinct-(doc, bigram) — the weighted-mean form
     ``sum(m * lp) / sum(m)``, value-identical to the per-occurrence
     mean. Documents with no tokens drop from the result (the
     `unigram_logprob` contract)."""
@@ -357,27 +363,29 @@ def bigram_logprob(
             lambda t: t != "",
         ).alias("__toks"),
     )
-    tk = base.select("__id", F.explode("__toks").alias("token"))
-    c1 = tk.groupBy("token").agg(F.count(F.lit(1)).alias("__c1"))
-    vn = c1.agg(
-        F.count(F.lit(1)).cast("double").alias("__v"),
-        F.sum("__c1").cast("double").alias("__n"),
-    )
-    bg = base.filter(F.size("__toks") >= 2).select(
+    pairs = base.filter(F.size("__toks") >= 1).select(
         "__id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(2), F.size("__toks")),
+                F.sequence(F.lit(1), F.size("__toks")),
                 lambda i: F.struct(
-                    F.get("__toks", i - 2).alias("prev"),
+                    F.when(i > 1, F.get("__toks", i - 2)).alias("prev"),
                     F.get("__toks", i - 1).alias("cur"),
                 ),
             )
         ).alias("__b"),
     ).select("__id", "__b.prev", "__b.cur")
-    db = bg.groupBy("__id", "prev", "cur").agg(F.count(F.lit(1)).alias("__m"))
+    db0 = pairs.groupBy("__id", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    c1 = db0.groupBy("cur").agg(F.sum("__m").alias("__c1"))
+    vn = c1.agg(
+        F.count(F.lit(1)).cast("double").alias("__v"),
+        F.sum("__c1").cast("double").alias("__n"),
+    )
+    db = db0.filter(F.col("prev").isNotNull())
     c2 = db.groupBy("prev", "cur").agg(F.sum("__m").alias("__c2"))
-    cp = c1.select(F.col("token").alias("prev"), F.col("__c1").alias("__cp"))
+    cp = c1.select(F.col("cur").alias("prev"), F.col("__c1").alias("__cp"))
     a = F.lit(float(alpha))
     bigram_terms = (
         db.join(c2, ["prev", "cur"])
@@ -391,14 +399,15 @@ def bigram_logprob(
             ),
         )
     )
+    # exactly one NULL-prev row per non-empty document, __m = 1
     first_terms = (
-        base.filter(F.size("__toks") >= 1)
-        .select("__id", F.get("__toks", 0).alias("token"))
-        .join(c1, "token")
+        db0.filter(F.col("prev").isNull())
+        .select("__id", "cur", F.col("__m").alias("__w"))
+        .join(c1, "cur")
         .crossJoin(F.broadcast(vn))
         .select(
             "__id",
-            F.lit(1).cast("long").alias("__w"),
+            "__w",
             F.log((F.col("__c1") + a) / (F.col("__n") + a * F.col("__v"))).alias(
                 "__lp"
             ),
