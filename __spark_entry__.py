@@ -3989,7 +3989,14 @@ def image_hashes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched mapInPandas → 8-byte fingerprint. The oracle replicates
     the stand-in's sha256 byte arithmetic (digest bytes 8..16) in SQL
     — the media_decode_stats precedent — so the whole mapInPandas
-    fingerprint path is hash-checked."""
+    fingerprint path is hash-checked.
+
+    The API returns ``fp`` as a real ARRAY of 8 byte-values; this
+    CONTRACT query scalarizes it to one pipe-joined string (the
+    `group_collect_lists` convention) because the driver canonicalizes
+    results through pandas ``sort_values``, which cannot sort raw list
+    cells — every byte, its order, and NULL-payload symmetry still
+    ride the hash."""
     from dataframes_spark.operators import multimodal as dmm
 
     docs = _t(spark, sf_dir, "documents")
@@ -3997,7 +4004,16 @@ def image_hashes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return dmm.image_hashes(media, fake=True)
+    out = dmm.image_hashes(media, fake=True)
+    # concat_ws over a NULL array yields '' — keep NULL fp NULL.
+    return out.select(
+        "media_id",
+        F.when(F.col("fp").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws("|", F.transform("fp", lambda b: b.cast("string")))
+        )
+        .alias("fp"),
+    )
 
 
 def _pinned_phash() -> "F.Column":
@@ -7100,14 +7116,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id AS media_id,
                    -- null symmetry: NULL text -> fp NULL (the Spark
-                   -- lane's null-payload row), never [NULL x 8]
+                   -- lane's null-payload row), never 'N|N|...'; the
+                   -- list is scalarized to one pipe-joined string
+                   -- (driver canonicalization cannot sort list cells)
                    CASE WHEN h IS NULL THEN NULL ELSE
-                       list_transform(generate_series(0, 7), i ->
-                           CAST((strpos('0123456789abcdef',
-                                        substr(h, 17 + i * 2, 1)) - 1) * 16
-                              + (strpos('0123456789abcdef',
-                                        substr(h, 18 + i * 2, 1)) - 1)
-                                AS INT))
+                       array_to_string(
+                           list_transform(generate_series(0, 7), i ->
+                               CAST((strpos('0123456789abcdef',
+                                            substr(h, 17 + i * 2, 1)) - 1) * 16
+                                  + (strpos('0123456789abcdef',
+                                            substr(h, 18 + i * 2, 1)) - 1)
+                                    AS VARCHAR)),
+                           '|')
                    END AS fp
             FROM b
         """,
