@@ -971,7 +971,11 @@ def cms_heavy_tokens_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition regardless of cardinality."""
     from dataframes_spark.operators import sketch as dsketch
 
-    docs = _t(spark, sf_dir, "documents")
+    from dataframes_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("text")
+    )
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
     )
@@ -2685,8 +2689,12 @@ def dsir_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ca.select("bucket", F.col("c_target").alias("c")),
         cb.select("bucket", F.col("c_target").alias("c")),
     )
-    model = ddsir.dsir_fit_from_counts(spark, tgt, raw, buckets=64)
-    return ddsir.dsir_weights(docs, model, "text", "doc_id", buckets=64)
+    # weights straight from the merged sufficient statistics: the B-row
+    # model scaffold never enters the plan (bit-identical arithmetic —
+    # see dsir_weights_from_counts)
+    return ddsir.dsir_weights_from_counts(
+        docs, tgt, raw, "text", "doc_id", buckets=64
+    )
 
 
 def oov_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3106,9 +3114,13 @@ def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the html gate runs INSIDE the scan (page_keep as a filter column
     # over the synthesized page — html derives from the same row), so
     # stage 0 adds zero joins and zero id-keyed exchanges: the corpus
-    # never shuffles for the gate
+    # never shuffles for the gate. The scan itself is spread when
+    # under-split (operators/spread.py) so the synthesis+gate folds
+    # don't serialize onto one core
+    from dataframes_spark.operators.spread import spread_small_scan
+
     raw = (
-        _t(spark, sf_dir, "documents")
+        spread_small_scan(_t(spark, sf_dir, "documents"))
         .withColumn(
             "__w",
             F.filter(
@@ -3955,8 +3967,14 @@ def _crawl_html_expr(did: "F.Column", words: "F.Column") -> "F.Column":
 def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, html) — the synthetic crawl corpus. The word array
     materializes as an attribute BEFORE the paragraph transform (see
-    `_crawl_html_expr`)."""
-    docs = _t(spark, sf_dir, "documents")
+    `_crawl_html_expr`). The slim projection is spread to session
+    parallelism when the input is under-split (operators/spread.py) —
+    the synthesis folds otherwise run inside a one-task scan stage."""
+    from dataframes_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.select(
         "doc_id",
         F.filter(

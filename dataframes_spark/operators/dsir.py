@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataframes_spark.io.store import staging_swap
+from dataframes_spark.operators.spread import spread_small_scan
 
 #: Laplace smoothing mass added to every bucket count.
 ALPHA = 1.0
@@ -76,7 +77,10 @@ def _bucket_rows(
     cols = [F.col(id_col).alias("__id"), toks.alias("__w")]
     if flag is not None:
         cols.append(flag.alias("__t"))
-    base = df.select(*cols)
+    # a single-row-group corpus file would run the whole md5 explode on
+    # one core — spread the projected rows when (and only when) the
+    # input is small enough for that to be possible (operators/spread.py)
+    base = spread_small_scan(df.select(*cols))
     n = F.size("__w")
     bigrams = F.zip_with(
         F.slice("__w", 1, F.greatest(n - 1, F.lit(0))),
@@ -377,6 +381,42 @@ def dsir_weights(
     )
 
 
+def _smoothed_log_ratio(ct, cr, tt, tr, buckets: int):
+    """``log_ratio`` with the EXACT expression shape of
+    `_model_from_counts` — ``log((coalesce(c,0) + ALPHA) / (total +
+    ALPHA*B))`` per side, then the target-minus-raw subtraction — so a
+    weight fold over this column is bit-identical (same IEEE ops on the
+    same doubles) to inner-joining the Range-completed B-row model: a
+    bucket absent from a count side coalesces to 0 and smooths to the
+    same ``ALPHA / (total + ALPHA*B)`` value its Range row would carry.
+    ``ct``/``cr`` are (nullable) long count columns, ``tt``/``tr`` the
+    double totals."""
+    return F.log(
+        (F.coalesce(ct, F.lit(0)) + F.lit(ALPHA))
+        / (tt + F.lit(ALPHA * buckets))
+    ) - F.log(
+        (F.coalesce(cr, F.lit(0)) + F.lit(ALPHA))
+        / (tr + F.lit(ALPHA * buckets))
+    )
+
+
+def _ratio_weights(feats: DataFrame, id_col: str, buckets: int) -> DataFrame:
+    """Per-document weight fold over a feats relation that already
+    carries ``__ct``/``__cr``/``__tt``/``__tr``: one groupBy, same
+    aggregate expressions as `dsir_weights`."""
+    lr = _smoothed_log_ratio(
+        F.col("__ct"), F.col("__cr"), F.col("__tt"), F.col("__tr"), buckets
+    )
+    return (
+        feats.groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.round(F.sum(F.col("cnt") * lr), 6).alias("log_weight"),
+        )
+        .select(F.col("__id").alias(id_col), "n_feats", "log_weight")
+    )
+
+
 def dsir_fit_weights(
     df: DataFrame,
     target_flag,
@@ -391,37 +431,77 @@ def dsir_fit_weights(
     ``dsir_weights(df, dsir_fit(df.filter(target_flag), df, ...), ...)``
     — same counts, same smoothed model, same weights — but the corpus
     is scanned and exploded ONCE: the flag rides the exploded feature
-    relation (`_bucket_rows`), and the raw counts, the target counts
-    and the per-document weight fold are all aggregates over that one
-    relation, so its (id, bucket) exchange is built once and reused
-    across the three consumers (AQE stage reuse; the separate-fit form
-    genuinely re-scans the corpus for the target side). The separated
-    `dsir_fit`/`dsir_weights` remain for frozen-model scoring and for
-    targets that are not a predicate over the raw corpus."""
-    spark = df.sparkSession
+    relation (`_bucket_rows`), and BOTH sides' bucket counts come from
+    ONE aggregate over it (a target-side count of 0 is exactly what an
+    absent bucket smooths to). The model scaffold never enters the plan:
+    the weight fold only needs ``log_ratio`` for buckets PRESENT in the
+    feature relation, so the per-bucket counts join straight back
+    (broadcast) and the two totals ride one broadcast 1-row relation —
+    `_smoothed_log_ratio` keeps the arithmetic bit-identical to the
+    B-row model form, while the former Range left-join + per-side
+    total crossJoin (4 extra broadcast stages per side at sf0.1)
+    disappear. The separated `dsir_fit`/`dsir_weights` remain for
+    frozen-model scoring and for targets that are not a predicate over
+    the raw corpus."""
     feats = (
         _bucket_rows(df, text_col, id_col, buckets, flag=target_flag)
         .groupBy("__id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"), F.max("__t").alias("__t"))
     )
-    raw_counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
-    tgt_counts = (
-        feats.filter(F.col("__t"))
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("c"))
+    bc = feats.groupBy("bucket").agg(
+        F.sum("cnt").alias("__cr"),
+        F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "__ct"
+        ),
     )
-    model = dsir_fit_from_counts(spark, tgt_counts, raw_counts, buckets)
-    return (
-        feats.join(F.broadcast(model.select("bucket", "log_ratio")), "bucket")
-        .groupBy("__id")
-        .agg(
-            F.sum("cnt").alias("n_feats"),
-            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias(
-                "log_weight"
-            ),
-        )
-        .select(F.col("__id").alias(id_col), "n_feats", "log_weight")
+    # exact-integer totals folded from the bucket relation (same values
+    # as summing each side's count relation: addition is associative
+    # over exact longs), cast to double exactly like _model_from_counts
+    tot = bc.agg(
+        F.coalesce(F.sum("__cr"), F.lit(0)).cast("double").alias("__tr"),
+        F.coalesce(F.sum("__ct"), F.lit(0)).cast("double").alias("__tt"),
     )
+    joined = feats.join(F.broadcast(bc), "bucket").crossJoin(F.broadcast(tot))
+    return _ratio_weights(joined, id_col, buckets)
+
+
+def dsir_weights_from_counts(
+    df: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Per-document weights directly from two bucket-count relations
+    (one-shot `bucket_counts` or persisted `dsir_store_update` stores) —
+    output bit-identical to ``dsir_weights(df, dsir_fit_from_counts(
+    spark, target_counts, raw_counts, buckets), ...)``: the feats
+    relation left-joins the two (<= B)-row count relations and
+    `_smoothed_log_ratio` replays the model arithmetic per present
+    bucket, coalescing absent buckets to the exact smoothed value their
+    Range-completed model row would carry. Skips the B-row model
+    scaffold (Range left join, two per-side total crossJoins) that
+    `dsir_fit_from_counts` builds — use that form when the model
+    relation itself is the product (`dsir_model_report`)."""
+    feats = hashed_ngram_features(df, text_col, id_col, buckets)
+    bc = raw_counts.select("bucket", F.col("c").alias("__cr")).join(
+        target_counts.select("bucket", F.col("c").alias("__ct")),
+        "bucket",
+        "full",
+    )
+    tr = raw_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("double").alias("__tr")
+    )
+    tt = target_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("double").alias("__tt")
+    )
+    joined = (
+        feats.join(F.broadcast(bc), "bucket", "left")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tt))
+    )
+    return _ratio_weights(joined, id_col, buckets)
 
 
 def dsir_sample(

@@ -761,6 +761,50 @@ def cumsum_grouped(
     )
 
 
+def positions_and_cumsum(
+    df: DataFrame,
+    size_col: str,
+    order_by: str | Sequence[str],
+    n_buckets: int | None = None,
+    pos_col: str = "pos",
+    cum_col: str = "cumsum_before",
+) -> DataFrame:
+    """`global_positions` AND `cumsum_global` over the SAME ordering in
+    ONE lane pass: one bucketize, one data exchange, one per-bucket
+    window carrying both the row number and the exclusive sum, one
+    offsets relation carrying both the running count and the running
+    total. For a consumer that needs both (`rank_stats`: rank from the
+    cumulative count, dense rank from the position), this halves the
+    lane — the second bounds pass, bucket exchange, window and
+    broadcast join disappear. Results are identical to running the two
+    lanes separately: positions/cumsums are bucketization-independent
+    by construction, and both columns are exact arithmetic over the
+    same per-bucket window frame."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    bdf = _bucketized(df, order_cols, n_buckets).repartition("__go_b")
+    orders = [F.col(c).asc() for c in order_cols]
+    w = W.partitionBy("__go_b").orderBy(*orders)
+    wcum = w.rowsBetween(W.unboundedPreceding, -1)
+    pdf = bdf.withColumn("__go_lrn", F.row_number().over(w)).withColumn(
+        "__go_lb", F.coalesce(F.sum(size_col).over(wcum), F.lit(0))
+    )
+    agg = bdf.groupBy("__go_b").agg(
+        F.count(F.lit(1)).alias("__go_cnt"),
+        F.coalesce(F.sum(size_col), F.lit(0)).alias("__go_t"),
+    )
+    woff = W.orderBy("__go_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = agg.select(
+        "__go_b",
+        F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0)).alias("__go_coff"),
+        F.coalesce(F.sum("__go_t").over(woff), F.lit(0)).alias("__go_soff"),
+    )
+    return pdf.join(F.broadcast(offsets), "__go_b").select(
+        *df.columns,
+        (F.col("__go_coff") + F.col("__go_lrn")).cast("bigint").alias(pos_col),
+        (F.col("__go_soff") + F.col("__go_lb")).alias(cum_col),
+    )
+
+
 def rank_stats(
     df: DataFrame,
     order_by: str | Sequence[str],
@@ -803,12 +847,17 @@ def rank_stats(
                 keyed, part_cols, order_cols, n_buckets, pos_col="__rk_dr"
             )
     else:
-        keyed = cumsum_global(
-            vc, "__rk_cnt", order_cols, n_buckets, out_col="__rk_before"
-        )
         if dense_rank_col:
-            keyed = global_positions(
-                keyed, order_cols, n_buckets, pos_col="__rk_dr"
+            # both the cumulative count (rank) and the distinct-key
+            # position (dense rank) in ONE lane pass — the second
+            # bounds/bucketize/window/join chain disappears
+            keyed = positions_and_cumsum(
+                vc, "__rk_cnt", order_cols, n_buckets,
+                pos_col="__rk_dr", cum_col="__rk_before",
+            )
+        else:
+            keyed = cumsum_global(
+                vc, "__rk_cnt", order_cols, n_buckets, out_col="__rk_before"
             )
     out = nullsafe_join(
         df,

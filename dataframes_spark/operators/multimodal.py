@@ -34,6 +34,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dataframes_spark.operators.spread import spread_small_scan
 from pyspark.sql import types as T
 
 MEDIA_META = T.StructType(
@@ -136,7 +138,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "med
                         out["feature"].append(None)
                 yield pd.DataFrame(out)
 
-        return df.select(id_col, payload_col).mapInPandas(_decode_real, schema=_DECODE_SCHEMA)
+        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_decode_real, schema=_DECODE_SCHEMA)
 
     def _decode(batches: Iterator) -> Iterator:
         import hashlib
@@ -163,7 +165,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "med
                 out["feature"].append([float(b) / 255.0 for b in h[:8]])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(_decode, schema=_DECODE_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_decode, schema=_DECODE_SCHEMA)
 
 
 _RESIZE_SCHEMA = T.StructType(
@@ -226,7 +228,7 @@ def resize_images(
                         out["height"].append(None)
                 yield pd.DataFrame(out)
 
-        return df.select(id_col, payload_col).mapInPandas(_resize_real, schema=_RESIZE_SCHEMA)
+        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_resize_real, schema=_RESIZE_SCHEMA)
 
     def _resize(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -248,7 +250,7 @@ def resize_images(
                 out["height"].append(target)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_resize, schema=_RESIZE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -352,7 +354,7 @@ def decode_audio(
                             out[k].append(None)
                 yield pd.DataFrame(out)
 
-        return df.select(id_col, payload_col).mapInPandas(_decode_real, schema=_AUDIO_SCHEMA)
+        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_decode_real, schema=_AUDIO_SCHEMA)
 
     def _decode(batches: Iterator) -> Iterator:
         import hashlib
@@ -385,7 +387,7 @@ def decode_audio(
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(_decode, schema=_AUDIO_SCHEMA)
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_decode, schema=_AUDIO_SCHEMA)
 
 
 _HASH_SCHEMA = T.StructType(
@@ -490,7 +492,7 @@ def image_hashes(
                         out["fp"].append(None)
                 yield pd.DataFrame(out)
 
-        return df.select(id_col, payload_col).mapInPandas(
+        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(
             _hash_real, schema=_HASH_SCHEMA
         )
 
@@ -510,7 +512,7 @@ def image_hashes(
                 out["fp"].append([int(b) for b in h[8:16]])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(
         _hash_fake, schema=_HASH_SCHEMA
     )
 
