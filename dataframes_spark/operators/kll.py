@@ -64,40 +64,50 @@ def _md5_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _sql_str(s: str) -> str:
+    """A Python string as a SQL string literal (quotes doubled)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def _compact_pass(
-    items: DataFrame, part_cols: Sequence[str], pass_idx: int, k: int, seed: str
+    items: DataFrame, part_cols: Sequence[str], pass_idx: int | str, k: int, seed: str
 ) -> DataFrame:
     """One simultaneous compaction pass: every level with more than ``k``
     items pairs its value-sorted items and promotes the coin-chosen side
     of each full pair to ``level+1`` (odd leftover stays put); levels
     within capacity pass through untouched. Pure expressions — the coin
-    is an md5 bit of (seed, pass, level)."""
-    wrn = W.partitionBy(*part_cols).orderBy("value", "tb")
+    is an md5 bit of (seed, pass, level).
+
+    Emitted as generated SQL strings (round 13): a merge schedule chains
+    several of these, and the Column-op form cost ~60 py4j roundtrips
+    of pure construction per pass (~40% of the kll rows' bench time);
+    the SQL form is 3 parses with the IDENTICAL expressions — the
+    pass-by-pass DuckDB oracle and tests/test_kll.py pin equivalence."""
+    part = ", ".join(part_cols)
+    win = f"PARTITION BY {part} ORDER BY value, tb"
     # the partition size rides the SAME (partition, order) window with a
     # full frame, so both columns compute in one Window operator over
     # one exchange+sort — a second unordered count window would chain a
     # second Window pass per compaction round
-    wn = wrn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    x = items.withColumn("__rn", F.row_number().over(wrn)).withColumn(
-        "__n", F.count(F.lit(1)).over(wn)
+    x = items.selectExpr(
+        "*",
+        f"row_number() OVER ({win}) AS __rn",
+        f"count(1) OVER ({win} ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " UNBOUNDED FOLLOWING) AS __n",
     )
+    coin_key = f"concat({_sql_str(f'kll:{seed}:{pass_idx}:')}, CAST(level AS STRING))"
     off = (
-        _md5_long(
-            F.concat(
-                F.lit(f"kll:{seed}:{pass_idx}:"), F.col("level").cast("string")
-            )
-        )
-        % 2
-    ).cast("int")
-    overfull = F.col("__n") > k
-    paired = F.col("__rn") <= F.col("__n") - (F.col("__n") % 2)
-    keep = (~overfull) | (~paired) | ((F.col("__rn") % 2) == off)
+        f"CAST(CAST(conv(substring(md5({coin_key}), 1, 15), 16, 10) AS BIGINT)"
+        " % 2 AS INT)"
+    )
+    overfull = f"(__n > {k})"
+    paired = "(__rn <= __n - (__n % 2))"
+    keep = f"(NOT {overfull}) OR (NOT {paired}) OR ((__rn % 2) = {off})"
     return (
-        x.filter(keep)
-        .select(
-            F.when(overfull & paired, F.col("level") + 1)
-            .otherwise(F.col("level"))
-            .alias("level"),
+        x.where(keep)
+        .selectExpr(
+            f"CASE WHEN {overfull} AND {paired} THEN level + 1 ELSE level END"
+            " AS level",
             "value",
             "tb",
             *[c for c in part_cols if c != "level"],
@@ -153,12 +163,18 @@ def _build_cascade(
     for j, off in enumerate(offs):
         acc += off << j
         cs.append(acc)
-    wrn = W.partitionBy(*part_cols).orderBy("value", "tb")
-    wn = wrn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    x = items.withColumn("__rn", F.row_number().over(wrn)).withColumn(
-        "__n", F.count(F.lit(1)).over(wn)
+    part = ", ".join(part_cols)
+    win = f"PARTITION BY {part} ORDER BY value, tb"
+    # generated-SQL form (round 13, same rationale as _compact_pass):
+    # the Column-op fate CASE cost ~300 py4j roundtrips of pure
+    # construction; this is 2 parses of the identical expressions
+    x = items.selectExpr(
+        "*",
+        f"row_number() OVER ({win}) AS __rn",
+        f"count(1) OVER ({win} ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " UNBOUNDED FOLLOWING) AS __n",
     )
-    r0 = F.col("__rn").cast("bigint")
+    r0 = "CAST(__rn AS BIGINT)"
 
     # while the cascade is active, the frontier count has the CLOSED
     # form n_p = floor(n0 / 2^p) (each active pass is a floor-halving,
@@ -166,31 +182,31 @@ def _build_cascade(
     # n_at(p) is only read while active, so no per-pass chain columns
     # exist — the whole fate expression is O(passes) tree nodes
     def n_at(p):
-        return F.shiftright(F.col("__n"), p) if p else F.col("__n")
+        return f"shiftright(__n, {p})" if p else "__n"
 
     def r_at(p):
         if p == 0:
             return r0
-        return ((r0 + F.lit(cs[p - 1])) / F.lit(1 << p)).cast("bigint")
+        return f"CAST(({r0} + {cs[p - 1]}) / {1 << p} AS BIGINT)"
 
     def survives(p):
-        return ((r0 + F.lit(cs[p - 1])) % F.lit(1 << p)) == 0
+        return f"((({r0} + {cs[p - 1]}) % {1 << p}) = 0)"
 
     # branch order per pass p guards the closed forms: reaching the
     # pass-p branches implies "survived passes 1..p-1 and the cascade
     # was still active", exactly the loop's reachability
-    fate = F.when(n_at(0) <= k, F.lit(0))
+    branches = [f"WHEN {n_at(0)} <= {k} THEN 0"]
     for p in range(1, passes + 1):
-        leftover = (n_at(p - 1) % 2 == 1) & (r_at(p - 1) == n_at(p - 1))
-        fate = fate.when(leftover, F.lit(p - 1))
-        fate = fate.when(~survives(p), F.lit(-1))
-        fate = fate.when(n_at(p) <= k, F.lit(p))
-    fate = fate.otherwise(F.lit(passes))
+        leftover = f"(({n_at(p - 1)} % 2) = 1) AND ({r_at(p - 1)} = {n_at(p - 1)})"
+        branches.append(f"WHEN {leftover} THEN {p - 1}")
+        branches.append(f"WHEN NOT {survives(p)} THEN -1")
+        branches.append(f"WHEN {n_at(p)} <= {k} THEN {p}")
+    fate = "CASE " + " ".join(branches) + f" ELSE {passes} END"
     return (
-        x.withColumn("__lvl", fate)
+        x.selectExpr("*", f"{fate} AS __lvl")
         .filter(F.col("__lvl") >= 0)
-        .select(
-            (F.col("level") + F.col("__lvl")).cast("int").alias("level"),
+        .selectExpr(
+            "CAST(level + __lvl AS INT) AS level",
             "value",
             "tb",
             *[c for c in part_cols if c != "level"],
