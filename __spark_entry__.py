@@ -971,11 +971,7 @@ def cms_heavy_tokens_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition regardless of cardinality."""
     from dataframes_spark.operators import sketch as dsketch
 
-    from dataframes_spark.operators.spread import spread_small_scan
-
-    docs = spread_small_scan(
-        _t(spark, sf_dir, "documents").select("text")
-    )
+    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
     )
@@ -3114,13 +3110,9 @@ def pipeline_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the html gate runs INSIDE the scan (page_keep as a filter column
     # over the synthesized page — html derives from the same row), so
     # stage 0 adds zero joins and zero id-keyed exchanges: the corpus
-    # never shuffles for the gate. The scan itself is spread when
-    # under-split (operators/spread.py) so the synthesis+gate folds
-    # don't serialize onto one core
-    from dataframes_spark.operators.spread import spread_small_scan
-
+    # never shuffles for the gate
     raw = (
-        spread_small_scan(_t(spark, sf_dir, "documents"))
+        _t(spark, sf_dir, "documents")
         .withColumn(
             "__w",
             F.filter(
@@ -3967,14 +3959,8 @@ def _crawl_html_expr(did: "F.Column", words: "F.Column") -> "F.Column":
 def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, html) — the synthetic crawl corpus. The word array
     materializes as an attribute BEFORE the paragraph transform (see
-    `_crawl_html_expr`). The slim projection is spread to session
-    parallelism when the input is under-split (operators/spread.py) —
-    the synthesis folds otherwise run inside a one-task scan stage."""
-    from dataframes_spark.operators.spread import spread_small_scan
-
-    docs = spread_small_scan(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    `_crawl_html_expr`)."""
+    docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.filter(

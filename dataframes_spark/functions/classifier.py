@@ -74,18 +74,9 @@ def _per_bucket_counts(
     `hashed_term_counts`' totals join-back — two exchanges fewer."""
     if dim < 2:
         raise ValueError(f"need dim >= 2, got {dim}")
-    from dataframes_spark.operators.spread import spread_small_scan
-
-    # pre-fanout rebalance (the langid `_langid_per_bucket` guard): the
-    # explode+hash work runs inside the scan stage, so an under-split
-    # input would serialize it — spread the slim projection only, and
-    # only when the input is small/few-file (operators/spread.py)
-    slim = spread_small_scan(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__qc_t"))
-    )
-    toks = slim.select(
-        "id",
-        F.explode_outer(_words(F.col("__qc_t"))).alias("__qc_tok"),
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_words(F.col(text_col))).alias("__qc_tok"),
     )
     return (
         toks.select(

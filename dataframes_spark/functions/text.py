@@ -292,18 +292,10 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ``sum(m * ln(c/t)) / sum(m)``, identical in value to the plain mean
     over occurrences. Tokenization matches ``vocab_topk`` (lowercased
     whitespace split)."""
-    from dataframes_spark.operators.spread import spread_small_scan
-
-    # pre-fanout rebalance: the tokenize+explode runs inside the scan
-    # stage, so an under-split input would serialize it on one core —
-    # spread the slim projection only (operators/spread.py)
-    slim = spread_small_scan(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__ul_t"))
-    )
-    toks = slim.select(
-        "__id",
+    toks = df.select(
+        F.col(id_col).alias("__id"),
         F.explode(
-            F.split(F.lower(F.trim(F.coalesce(F.col("__ul_t"), F.lit("")))), r"\s+")
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
         ).alias("token"),
     )
     # split('') returns [''] — without this filter an empty/whitespace-only
@@ -361,19 +353,11 @@ def bigram_logprob(
     ``sum(m * lp) / sum(m)``, value-identical to the per-occurrence
     mean. Documents with no tokens drop from the result (the
     `unigram_logprob` contract)."""
-    from dataframes_spark.operators.spread import spread_small_scan
-
-    # pre-fanout rebalance: the tokenize+pair expansion runs inside the
-    # scan stage — spread the slim projection when the input is
-    # under-split (operators/spread.py)
-    slim = spread_small_scan(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__bg_t"))
-    )
-    base = slim.select(
-        "__id",
+    base = df.select(
+        F.col(id_col).alias("__id"),
         F.filter(
             F.split(
-                F.lower(F.trim(F.coalesce(F.col("__bg_t"), F.lit("")))),
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
                 r"\s+",
             ),
             lambda t: t != "",

@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataframes_spark.io.store import staging_swap
-from dataframes_spark.operators.spread import spread_small_scan
 
 #: Laplace smoothing mass added to every bucket count.
 ALPHA = 1.0
@@ -77,10 +76,7 @@ def _bucket_rows(
     cols = [F.col(id_col).alias("__id"), toks.alias("__w")]
     if flag is not None:
         cols.append(flag.alias("__t"))
-    # a single-row-group corpus file would run the whole md5 explode on
-    # one core — spread the projected rows when (and only when) the
-    # input is small enough for that to be possible (operators/spread.py)
-    base = spread_small_scan(df.select(*cols))
+    base = df.select(*cols)
     n = F.size("__w")
     bigrams = F.zip_with(
         F.slice("__w", 1, F.greatest(n - 1, F.lit(0))),

@@ -116,16 +116,6 @@ def _bucketize_quantile(
     if accuracy is None:
         accuracy = max(100, 4 * n_buckets)
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    # an under-split input (single-row-group local file) would run BOTH
-    # the boundary sketch inserts and the per-row band assignment inside
-    # a one-task scan stage; the spread exchange is shared by the bounds
-    # branch and the data branch (one materialization, two readers), and
-    # the gate keeps corpus-scale inputs untouched (operators/spread.py).
-    # Results are bucketization-independent by construction, so the
-    # sketch seeing a different partitioning only steers load.
-    from dataframes_spark.operators.spread import spread_small_scan
-
-    df = spread_small_scan(df)
     x = order.cast("double")
     bounds = df.agg(F.percentile_approx(x, qs, accuracy).alias("__go_bnds"))
     bucket = F.aggregate(

@@ -34,8 +34,6 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from dataframes_spark.operators.spread import spread_small_scan
 from pyspark.sql import types as T
 
 MEDIA_META = T.StructType(
@@ -138,7 +136,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "med
                         out["feature"].append(None)
                 yield pd.DataFrame(out)
 
-        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_decode_real, schema=_DECODE_SCHEMA)
+        return df.select(id_col, payload_col).mapInPandas(_decode_real, schema=_DECODE_SCHEMA)
 
     def _decode(batches: Iterator) -> Iterator:
         import hashlib
@@ -165,7 +163,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "med
                 out["feature"].append([float(b) / 255.0 for b in h[:8]])
             yield pd.DataFrame(out)
 
-    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_decode, schema=_DECODE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema=_DECODE_SCHEMA)
 
 
 _RESIZE_SCHEMA = T.StructType(
@@ -228,7 +226,7 @@ def resize_images(
                         out["height"].append(None)
                 yield pd.DataFrame(out)
 
-        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_resize_real, schema=_RESIZE_SCHEMA)
+        return df.select(id_col, payload_col).mapInPandas(_resize_real, schema=_RESIZE_SCHEMA)
 
     def _resize(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -250,7 +248,7 @@ def resize_images(
                 out["height"].append(target)
             yield pd.DataFrame(out)
 
-    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema=_RESIZE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -354,7 +352,7 @@ def decode_audio(
                             out[k].append(None)
                 yield pd.DataFrame(out)
 
-        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_decode_real, schema=_AUDIO_SCHEMA)
+        return df.select(id_col, payload_col).mapInPandas(_decode_real, schema=_AUDIO_SCHEMA)
 
     def _decode(batches: Iterator) -> Iterator:
         import hashlib
@@ -387,7 +385,7 @@ def decode_audio(
                 )
             yield pd.DataFrame(out)
 
-    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(_decode, schema=_AUDIO_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema=_AUDIO_SCHEMA)
 
 
 _HASH_SCHEMA = T.StructType(
@@ -492,7 +490,7 @@ def image_hashes(
                         out["fp"].append(None)
                 yield pd.DataFrame(out)
 
-        return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(
+        return df.select(id_col, payload_col).mapInPandas(
             _hash_real, schema=_HASH_SCHEMA
         )
 
@@ -512,7 +510,7 @@ def image_hashes(
                 out["fp"].append([int(b) for b in h[8:16]])
             yield pd.DataFrame(out)
 
-    return spread_small_scan(df.select(id_col, payload_col)).mapInPandas(
+    return df.select(id_col, payload_col).mapInPandas(
         _hash_fake, schema=_HASH_SCHEMA
     )
 
